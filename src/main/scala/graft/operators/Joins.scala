@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Tables => T, QueryPack}
+
+/** Join operators J1-J6 (SURVEY.md §2.4).
+  *
+  * Reference semantics reproduced:
+  *  - J1 fact ⋈ tiny zone dim + group/agg (`/root/reference/README.md:548-557`)
+  *  - J2 pre/post-period aggregated-CTE compare (`PRD.md:923-953`)
+  *  - J3 left join on derived expression keys (`PRD.md:5278-5279,5451-5455`)
+  *  - J4 IN-subquery as semi join (`PRD.md:965-971`)
+  *  - J5 join against window-ranked frame (`PRD.md:3686-3691`)
+  *  - J6 MERGE upsert emulated as join-rewrite (`PRD.md:769-779`)
+  *
+  * Scale notes: `nation` (25 rows) / `region` (5 rows) / `supplier` are
+  * explicitly `broadcast()` — at 100 TB the fact side never shuffles for a
+  * dim join. Aggregate-then-join ordering is preserved (aggregate first,
+  * join the small result), so the big shuffle happens on pre-reduced data.
+  * Semi joins use `left_semi` (no row multiplication, no dedup pass).
+  */
+object Joins extends QueryPack {
+
+  /** J1: fact ⋈ broadcast dim with group/agg — the flagship revenue-by-zone
+    * query shape (`README.md:548-557`, `PRD.md:829-844`). Also SparkEntry
+    * flagship. lineitem⋈orders shuffles on orderkey; customer⋈nation are
+    * broadcast. */
+  val revenueByNation: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    val o = T.load(s, dir, "orders")
+    val c = T.load(s, dir, "customer")
+    val n = T.load(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("trip_count"),
+        round(T.revenueSum(col("l_extendedprice"), col("l_discount")), 2)
+          .as("total_revenue"))
+      .filter(col("trip_count") > 10)
+      .orderBy(desc("total_revenue"), col("n_name"))
+      .limit(10)
+  }
+
+  /** J2: two aggregated CTEs joined on key then a broadcast dim — the
+    * marathon pre/post comparison (`PRD.md:923-953`). Each side aggregates
+    * BEFORE the join, so the join input is group-key-sized. */
+  private val prePostCompare: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+    val c = T.load(s, dir, "customer")
+    val n = T.load(s, dir, "nation")
+    val withNation = o
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+    val pre = withNation
+      .filter(year(col("o_orderdate")) < 1999)
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("pre_orders"),
+        round(T.moneySum(col("o_totalprice")), 2).as("pre_revenue"))
+    val post = withNation
+      .filter(year(col("o_orderdate")) >= 1999)
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("post_orders"),
+        round(T.moneySum(col("o_totalprice")), 2).as("post_revenue"))
+    pre.join(post, "nation_name")
+      .withColumn("revenue_delta",
+        round(col("post_revenue") - col("pre_revenue"), 2))
+      .orderBy("nation_name")
+  }
+
+  /** J3: left outer join on derived expression keys — hourly demand LEFT
+    * JOIN feature frame on a truncated-time composite key
+    * (`PRD.md:5451-5455`). */
+  private val leftJoinExpr: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+    val li = T.load(s, dir, "lineitem")
+    val dailyOrders = o
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val dailyShips = li
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(count(lit(1)).as("n_ships"),
+        round(T.moneySum(col("l_extendedprice")), 2).as("ship_revenue"))
+    dailyOrders.join(dailyShips, Seq("d"), "left")
+      .select(col("d"),
+        col("n_orders"),
+        coalesce(col("n_ships"), lit(0L)).as("n_ships"),
+        coalesce(col("ship_revenue"), lit(0.0)).as("ship_revenue"))
+      .orderBy("d")
+  }
+
+  /** J4: IN-subquery → left-semi join (`PRD.md:965-971`). Catalyst's
+    * RewritePredicateSubquery produces the same plan from SQL IN; we
+    * declare the semi join directly. */
+  private val semiJoin: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    val o = T.load(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    li.join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(T.moneySum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** J5: join against a window-ranked aggregate, filtered on rank
+    * (`PRD.md:3686-3691`): top suppliers by revenue joined back to the
+    * supplier dim. Rank window runs over the aggregated (small) frame. */
+  private val rankJoin: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    val sup = T.load(s, dir, "supplier")
+    val bySupp = li.groupBy(col("l_suppkey"))
+      .agg(round(T.revenueSum(col("l_extendedprice"), col("l_discount")), 2)
+        .as("supp_revenue"))
+      .withColumn("revenue_rank",
+        rank().over(Window.orderBy(desc("supp_revenue"), col("l_suppkey"))))
+      .filter(col("revenue_rank") <= 5)
+    bySupp.join(broadcast(sup), bySupp("l_suppkey") === sup("s_suppkey"))
+      .select(col("revenue_rank"), col("s_name"), col("supp_revenue"))
+      .orderBy("revenue_rank")
+  }
+
+  /** J6/D2: MERGE ... WHEN MATCHED THEN UPDATE emulated as a broadcast-left
+    * join + coalesce rewrite (`PRD.md:769-779` fare correction): source =
+    * corrections for urgent orders (5% uplift), target = orders; unmatched
+    * rows pass through. At scale this is the standard copy-on-write merge:
+    * one join, full rewrite of affected partitions only. */
+  private val mergeUpsert: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+    val source = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("src_key"),
+        round(T.dec2(col("o_totalprice")).cast("double") * 1.05, 2)
+          .as("corrected_price"))
+    o.join(broadcast(source), o("o_orderkey") === source("src_key"), "left")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(coalesce(col("corrected_price"), col("o_totalprice")), 2)
+          .as("total_price"),
+        when(col("corrected_price").isNotNull, lit("updated"))
+          .otherwise(lit("unchanged")).as("merge_action"))
+      .groupBy(col("o_orderstatus"), col("merge_action"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("total_price")), 2).as("sum_price"))
+      .orderBy("o_orderstatus", "merge_action")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_revenue_by_nation" -> revenueByNation,
+    "q12_prepost_compare" -> prePostCompare,
+    "q13_left_join_expr" -> leftJoinExpr,
+    "q14_semi_join" -> semiJoin,
+    "q15_rank_join" -> rankJoin,
+    "q16_merge_upsert" -> mergeUpsert)
+
+  val oracle: Map[String, String] = Map(
+    "q01_revenue_by_nation" ->
+      s"""SELECT n_name, COUNT(*) AS trip_count,
+         |  ROUND(${T.oRevenueSum("l_extendedprice", "l_discount")}, 2)
+         |    AS total_revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name HAVING COUNT(*) > 10
+         |ORDER BY total_revenue DESC, n_name LIMIT 10""".stripMargin,
+    "q12_prepost_compare" ->
+      s"""WITH base AS (
+         |  SELECT n_name AS nation_name, o_orderdate, o_totalprice
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey),
+         |pre AS (
+         |  SELECT nation_name, COUNT(*) AS pre_orders,
+         |    ROUND(${T.oMoneySum("o_totalprice")}, 2) AS pre_revenue
+         |  FROM base WHERE year(o_orderdate) < 1999 GROUP BY 1),
+         |post AS (
+         |  SELECT nation_name, COUNT(*) AS post_orders,
+         |    ROUND(${T.oMoneySum("o_totalprice")}, 2) AS post_revenue
+         |  FROM base WHERE year(o_orderdate) >= 1999 GROUP BY 1)
+         |SELECT pre.nation_name, pre_orders, pre_revenue,
+         |  post_orders, post_revenue,
+         |  ROUND(post_revenue - pre_revenue, 2) AS revenue_delta
+         |FROM pre JOIN post USING (nation_name)
+         |ORDER BY nation_name""".stripMargin,
+    "q13_left_join_expr" ->
+      s"""SELECT d, n_orders,
+         |  COALESCE(n_ships, 0) AS n_ships,
+         |  COALESCE(ship_revenue, 0.0) AS ship_revenue
+         |FROM (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+         |      FROM orders GROUP BY 1) a
+         |LEFT JOIN (SELECT CAST(l_shipdate AS DATE) AS d2,
+         |        COUNT(*) AS n_ships,
+         |        ROUND(${T.oMoneySum("l_extendedprice")}, 2) AS ship_revenue
+         |      FROM lineitem GROUP BY 1) b ON a.d = b.d2
+         |ORDER BY d""".stripMargin,
+    "q14_semi_join" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_lines,
+         |  ROUND(${T.oMoneySum("l_extendedprice")}, 2) AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+         |                     WHERE o_orderpriority = '1-URGENT')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_rank_join" ->
+      s"""WITH bysupp AS (
+         |  SELECT l_suppkey,
+         |    ROUND(${T.oRevenueSum("l_extendedprice", "l_discount")}, 2)
+         |      AS supp_revenue
+         |  FROM lineitem GROUP BY 1),
+         |ranked AS (
+         |  SELECT l_suppkey, supp_revenue,
+         |    RANK() OVER (ORDER BY supp_revenue DESC, l_suppkey)
+         |      AS revenue_rank
+         |  FROM bysupp)
+         |SELECT revenue_rank, s_name, supp_revenue
+         |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE revenue_rank <= 5 ORDER BY revenue_rank""".stripMargin,
+    "q16_merge_upsert" ->
+      s"""WITH source AS (
+         |  SELECT o_orderkey AS src_key,
+         |    ROUND(CAST(${T.oDec2("o_totalprice")} AS DOUBLE) * 1.05, 2)
+         |      AS corrected_price
+         |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+         |merged AS (
+         |  SELECT o_orderstatus,
+         |    ROUND(COALESCE(corrected_price, o_totalprice), 2)
+         |      AS total_price,
+         |    CASE WHEN corrected_price IS NOT NULL THEN 'updated'
+         |         ELSE 'unchanged' END AS merge_action
+         |  FROM orders LEFT JOIN source ON o_orderkey = src_key)
+         |SELECT o_orderstatus, merge_action, COUNT(*) AS n_rows,
+         |  ROUND(${T.oMoneySum("total_price")}, 2) AS sum_price
+         |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
