@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry.queries entry on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is executed
+  * twice — the first run absorbs JVM/codegen/file-listing warmup, the
+  * second is the reported timing — so per-query numbers are comparable
+  * across rounds regardless of map iteration order. A failing query is
+  * reported with status "error" (timing -1), never as a fast timing. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,36 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      runOnce(fn) // warmup: discard
+      name -> runOnce(fn)
+    }
+    val qs = results.map {
+      case (k, Right(sec)) => s""""$k":$sec"""
+      case (k, Left(_))    => s""""$k":-1"""
+    }.mkString("{", ",", "}")
+    val statuses = results.map {
+      case (k, Right(_)) => s""""$k":"ok""""
+      case (k, Left(err)) =>
+        s""""$k":"error: ${err.replaceAll("[\"\\\\\\n\\r\\t]", " ")}""""
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, Right(s)) => s }
+    val total = ok.sum
+    val nErr = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$statuses,"n_error":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,7 +22,19 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw long nanos
+    * and convert once at load — integer `div` (not `/`) because an
+    * epoch-nanos value (~1.7e18) overflows double's 53-bit mantissa.
+    * DuckDB truncates nanos→micros the same way, so results hash-match. */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Register each table as a temp view (for spark.sql surfaces). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
@@ -39,11 +51,19 @@ object Tables {
   /** Exact sum of a money column, surfaced as double. */
   def moneySum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
 
-  /** Exact-sum-based average rounded to 2dp (reference rounds stats to 2dp,
-    * /root/reference/main.py:251-254). Division happens in double on both
-    * engines from identical inputs, so results match bit-for-bit. */
-  def moneyAvg2(c: Column): Column =
-    round(sum(dec2(c)).cast(DoubleType) / count(c), 2)
+  /** Exact-sum-based average rounded half-up to 2dp (reference rounds
+    * stats to 2dp, /root/reference/main.py:251-254). ROUND(double) is NOT
+    * portable — Spark rounds the shortest decimal representation while
+    * DuckDB rounds the binary value, so they disagree on half-way cases
+    * (e.g. 71.74/4). Instead: sum in integer cents, then half-up integer
+    * rounding `floor((2S+n)/(2n))` evaluated with the same IEEE double
+    * ops on both engines — identical inputs → identical bits. Exact while
+    * a group's cent-sum < 2^53 (≈ $45T per group). */
+  def moneyAvg2(c: Column): Column = {
+    val s = sum((dec2(c) * 100).cast(LongType)).cast(DoubleType)
+    val n = count(c).cast(DoubleType)
+    floor((s * 2 + n) / (n * 2)) / lit(100.0)
+  }
 
   /** Exact revenue sum: SUM(price * (1 - discount)) with decimal
     * intermediates (scale 4), cast to double. */
@@ -55,7 +75,8 @@ object Tables {
   def oDec2(c: String): String = s"CAST($c AS DECIMAL(18,2))"
   def oMoneySum(c: String): String = s"CAST(SUM(${oDec2(c)}) AS DOUBLE)"
   def oMoneyAvg2(c: String): String =
-    s"ROUND(CAST(SUM(${oDec2(c)}) AS DOUBLE) / COUNT($c), 2)"
+    s"FLOOR((CAST(SUM(CAST(${oDec2(c)} * 100 AS BIGINT)) AS DOUBLE) * 2" +
+      s" + CAST(COUNT($c) AS DOUBLE)) / (CAST(COUNT($c) AS DOUBLE) * 2)) / 100.0"
   def oRevenueSum(p: String, d: String): String =
     s"CAST(SUM(${oDec2(p)} * (CAST(1.00 AS DECIMAL(3,2)) - ${oDec2(d)})) AS DOUBLE)"
 }

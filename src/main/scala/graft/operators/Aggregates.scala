@@ -180,8 +180,8 @@ object Aggregates extends QueryPack {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q06_conditional_ratio" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
-        |  SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END)
-        |    AS n_high_value,
+        |  CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high_value,
         |  ROUND(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1.0 ELSE 0.0 END)
         |    / COUNT(*), 4) AS high_value_ratio
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -45,27 +45,26 @@ object Joins extends QueryPack {
       .limit(10)
   }
 
-  /** J2: two aggregated CTEs joined on key then a broadcast dim — the
-    * marathon pre/post comparison (`PRD.md:923-953`). Each side aggregates
-    * BEFORE the join, so the join input is group-key-sized. */
+  /** J2: pre/post-period comparison (`PRD.md:923-953`). The reference
+    * writes it as two aggregated CTEs joined on key; at 100 TB that plan
+    * scans the fact twice. Re-expressed as ONE pass with conditional
+    * aggregation — one scan, one shuffle, no self-join — which Catalyst
+    * cannot derive from the two-CTE form on its own. */
   private val prePostCompare: Q = (s, dir) => {
     val o = T.load(s, dir, "orders")
     val c = T.load(s, dir, "customer")
     val n = T.load(s, dir, "nation")
-    val withNation = o
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    val pre = year(col("o_orderdate")) < 1999
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-    val pre = withNation
-      .filter(year(col("o_orderdate")) < 1999)
       .groupBy(col("n_name").as("nation_name"))
-      .agg(count(lit(1)).as("pre_orders"),
-        round(T.moneySum(col("o_totalprice")), 2).as("pre_revenue"))
-    val post = withNation
-      .filter(year(col("o_orderdate")) >= 1999)
-      .groupBy(col("n_name").as("nation_name"))
-      .agg(count(lit(1)).as("post_orders"),
-        round(T.moneySum(col("o_totalprice")), 2).as("post_revenue"))
-    pre.join(post, "nation_name")
+      .agg(
+        sum(when(pre, 1L).otherwise(0L)).as("pre_orders"),
+        round(sum(when(pre, T.dec2(col("o_totalprice"))))
+          .cast("double"), 2).as("pre_revenue"),
+        sum(when(!pre, 1L).otherwise(0L)).as("post_orders"),
+        round(sum(when(!pre, T.dec2(col("o_totalprice"))))
+          .cast("double"), 2).as("post_revenue"))
       .withColumn("revenue_delta",
         round(col("post_revenue") - col("pre_revenue"), 2))
       .orderBy("nation_name")
@@ -109,33 +108,45 @@ object Joins extends QueryPack {
 
   /** J5: join against a window-ranked aggregate, filtered on rank
     * (`PRD.md:3686-3691`): top suppliers by revenue joined back to the
-    * supplier dim. Rank window runs over the aggregated (small) frame. */
+    * supplier dim. The rank-then-filter form would move every group to ONE
+    * partition (WindowExec warns); instead take the global top-k with
+    * `orderBy.limit(k)` (planned as TakeOrderedAndProject — per-partition
+    * top-k then a k-row merge on the driver) and rank only the k rows.
+    * The (revenue, suppkey) ordering is total, so rank ≡ row_number and
+    * no tie can straddle the limit boundary. */
   private val rankJoin: Q = (s, dir) => {
     val li = T.load(s, dir, "lineitem")
     val sup = T.load(s, dir, "supplier")
-    val bySupp = li.groupBy(col("l_suppkey"))
+    val top5 = li.groupBy(col("l_suppkey"))
       .agg(round(T.revenueSum(col("l_extendedprice"), col("l_discount")), 2)
         .as("supp_revenue"))
+      .orderBy(desc("supp_revenue"), col("l_suppkey"))
+      .limit(5)
       .withColumn("revenue_rank",
-        rank().over(Window.orderBy(desc("supp_revenue"), col("l_suppkey"))))
-      .filter(col("revenue_rank") <= 5)
-    bySupp.join(broadcast(sup), bySupp("l_suppkey") === sup("s_suppkey"))
+        rank().over(Window.orderBy(desc("supp_revenue"), col("l_suppkey")))
+          .cast("long"))
+    top5.join(broadcast(sup), top5("l_suppkey") === sup("s_suppkey"))
       .select(col("revenue_rank"), col("s_name"), col("supp_revenue"))
       .orderBy("revenue_rank")
   }
 
-  /** J6/D2: MERGE ... WHEN MATCHED THEN UPDATE emulated as a broadcast-left
-    * join + coalesce rewrite (`PRD.md:769-779` fare correction): source =
+  /** J6/D2: MERGE ... WHEN MATCHED THEN UPDATE emulated as a left join +
+    * coalesce rewrite (`PRD.md:769-779` fare correction): source =
     * corrections for urgent orders (5% uplift), target = orders; unmatched
-    * rows pass through. At scale this is the standard copy-on-write merge:
-    * one join, full rewrite of affected partitions only. */
+    * rows pass through. The uplift arithmetic stays in DECIMAL end-to-end
+    * (half-up rounding, identical in DuckDB) and is cast to double only at
+    * the final sum — double ROUND disagrees between engines on half-way
+    * representations. No broadcast hint: the update set is ~20% of the
+    * fact table, so at scale this must be a shuffle join on the key (AQE
+    * picks the strategy); a copy-on-write merge never broadcasts its
+    * update set. */
   private val mergeUpsert: Q = (s, dir) => {
     val o = T.load(s, dir, "orders")
     val source = o.filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("src_key"),
-        round(T.dec2(col("o_totalprice")).cast("double") * 1.05, 2)
-          .as("corrected_price"))
-    o.join(broadcast(source), o("o_orderkey") === source("src_key"), "left")
+        round(T.dec2(col("o_totalprice")) * lit(BigDecimal("1.05")), 2)
+          .cast("double").as("corrected_price"))
+    o.join(source, o("o_orderkey") === source("src_key"), "left")
       .select(
         col("o_orderkey"), col("o_orderstatus"),
         round(coalesce(col("corrected_price"), col("o_totalprice")), 2)
@@ -168,24 +179,26 @@ object Joins extends QueryPack {
          |GROUP BY n_name HAVING COUNT(*) > 10
          |ORDER BY total_revenue DESC, n_name LIMIT 10""".stripMargin,
     "q12_prepost_compare" ->
-      s"""WITH base AS (
-         |  SELECT n_name AS nation_name, o_orderdate, o_totalprice
-         |  FROM orders
-         |  JOIN customer ON o_custkey = c_custkey
-         |  JOIN nation ON c_nationkey = n_nationkey),
-         |pre AS (
-         |  SELECT nation_name, COUNT(*) AS pre_orders,
-         |    ROUND(${T.oMoneySum("o_totalprice")}, 2) AS pre_revenue
-         |  FROM base WHERE year(o_orderdate) < 1999 GROUP BY 1),
-         |post AS (
-         |  SELECT nation_name, COUNT(*) AS post_orders,
-         |    ROUND(${T.oMoneySum("o_totalprice")}, 2) AS post_revenue
-         |  FROM base WHERE year(o_orderdate) >= 1999 GROUP BY 1)
-         |SELECT pre.nation_name, pre_orders, pre_revenue,
-         |  post_orders, post_revenue,
-         |  ROUND(post_revenue - pre_revenue, 2) AS revenue_delta
-         |FROM pre JOIN post USING (nation_name)
-         |ORDER BY nation_name""".stripMargin,
+      s"""SELECT n_name AS nation_name,
+         |  CAST(SUM(CASE WHEN year(o_orderdate) < 1999 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS pre_orders,
+         |  ROUND(CAST(SUM(CASE WHEN year(o_orderdate) < 1999
+         |    THEN ${T.oDec2("o_totalprice")} END) AS DOUBLE), 2)
+         |    AS pre_revenue,
+         |  CAST(SUM(CASE WHEN year(o_orderdate) >= 1999 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS post_orders,
+         |  ROUND(CAST(SUM(CASE WHEN year(o_orderdate) >= 1999
+         |    THEN ${T.oDec2("o_totalprice")} END) AS DOUBLE), 2)
+         |    AS post_revenue,
+         |  ROUND(ROUND(CAST(SUM(CASE WHEN year(o_orderdate) >= 1999
+         |      THEN ${T.oDec2("o_totalprice")} END) AS DOUBLE), 2)
+         |    - ROUND(CAST(SUM(CASE WHEN year(o_orderdate) < 1999
+         |      THEN ${T.oDec2("o_totalprice")} END) AS DOUBLE), 2), 2)
+         |    AS revenue_delta
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_left_join_expr" ->
       s"""SELECT d, n_orders,
          |  COALESCE(n_ships, 0) AS n_ships,
@@ -221,8 +234,8 @@ object Joins extends QueryPack {
     "q16_merge_upsert" ->
       s"""WITH source AS (
          |  SELECT o_orderkey AS src_key,
-         |    ROUND(CAST(${T.oDec2("o_totalprice")} AS DOUBLE) * 1.05, 2)
-         |      AS corrected_price
+         |    CAST(ROUND(${T.oDec2("o_totalprice")} * CAST(1.05 AS DECIMAL(3,2)), 2)
+         |      AS DOUBLE) AS corrected_price
          |  FROM orders WHERE o_orderpriority = '1-URGENT'),
          |merged AS (
          |  SELECT o_orderstatus,
