@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     Joins,
-    Aggregates)
+    Aggregates,
+    Ingest)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Fact ⋈ broadcast-dim revenue-by-zone with having + top-k
