@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.core.QueryPack
 import graft.operators._
+import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +15,9 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     Joins,
     Aggregates,
-    Ingest)
+    Ingest,
+    Windows,
+    Sources)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Fact ⋈ broadcast-dim revenue-by-zone with having + top-k

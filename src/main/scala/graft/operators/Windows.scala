@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Tables => T, QueryPack}
+
+/** Window-function operators W1/W3/W4/W5 + O3 (SURVEY.md §2.5, §2.6).
+  *
+  * Reference semantics reproduced:
+  *  - W1 ROW_NUMBER synthetic ids (`/root/reference/PRD.md:743`)
+  *  - W3 LAG(1/24/168) time-series features (`PRD.md:5255-5266`)
+  *  - W4 rolling avg, ROWS BETWEEN 23 PRECEDING (`PRD.md:5267-5272`)
+  *  - W5 PERCENTILE_CONT(0.5) per partition (`PRD.md:853`)
+  *  - O3 bare LIMIT sample (`scripts/verify_loaded_data.sql:79`)
+  *
+  * Scale notes: every window here is PARTITIONED (per event_type /
+  * per group key) — the shuffle is on the partition key and each
+  * partition sorts independently. The one global window (W1's synthetic
+  * ids) runs over an already-aggregated ~25-row frame; a global
+  * row_number over a fact table would be a deliberate anti-pattern
+  * (single-partition sort) — at scale you'd zip partition-local indexes
+  * with partition offsets instead. Portability: averages divide exact
+  * integer sums in double (identical IEEE ops both engines) and the
+  * median interpolates integer cents, so (a+b)/2 vs a+(b-a)/2 agree
+  * bit-for-bit.
+  */
+object Windows extends QueryPack {
+
+  /** Hourly event counts — the shared time-series frame for W3/W4
+    * (≈ hourly demand per location, `PRD.md:5420-5429`). */
+  private def hourly(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("stat_hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** W1: ROW_NUMBER with explicit total order over an aggregated frame,
+    * building CONCAT('hist_', rn) synthetic ids (`PRD.md:743`). */
+  private val rowNumberIds: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+    val c = T.load(s, dir, "customer")
+    val n = T.load(s, dir, "nation")
+    val perNation = o
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("n_orders"))
+    perNation
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(desc("n_orders"), col("nation_name")))
+        .cast("long"))
+      .select(
+        concat(lit("hist_"), col("rn")).as("synthetic_id"),
+        col("nation_name"), col("n_orders"))
+      .orderBy("rn")
+  }
+
+  /** W3: LAG(n, 1|24|168) demand features per series
+    * (`PRD.md:5255-5266`: previous hour / same hour yesterday / same
+    * hour last week). */
+  private val lagFeatures: Q = (s, dir) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("stat_hour"))
+    hourly(s, dir)
+      .select(
+        col("event_type"), col("stat_hour"), col("n_events"),
+        lag(col("n_events"), 1).over(w).as("prev_hour"),
+        lag(col("n_events"), 24).over(w).as("same_hour_yesterday"),
+        lag(col("n_events"), 168).over(w).as("same_hour_last_week"))
+      .orderBy("event_type", "stat_hour")
+  }
+
+  /** W4: 24-row rolling average demand (`PRD.md:5267-5272`). The
+    * average divides an exact integer window-sum by the window count —
+    * the same IEEE division both engines. */
+  private val rollingAvg: Q = (s, dir) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("stat_hour"))
+      .rowsBetween(-23, Window.currentRow)
+    hourly(s, dir)
+      .select(
+        col("event_type"), col("stat_hour"), col("n_events"),
+        (sum(col("n_events")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("rolling_avg_24h"))
+      .orderBy("event_type", "stat_hour")
+  }
+
+  /** W5: median (PERCENTILE_CONT 0.5) per partition (`PRD.md:853`),
+    * computed per group then joined back (SURVEY §7.4.6) — a true
+    * per-row percentile window would re-sort every frame; the
+    * group-then-join plan aggregates once and broadcasts the tiny
+    * medians. Interpolation runs on integer cents so half-way cases
+    * are exact in both engines. */
+  private val medianPerGroup: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    val cents = (T.dec2(col("l_extendedprice")) * 100).cast("long")
+    val med = li
+      .groupBy(col("l_returnflag"))
+      .agg((percentile(cents, lit(0.5)).cast("double") / 100.0)
+        .as("median_price"))
+    val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(T.moneySum(col("l_extendedprice")), 2).as("revenue"))
+    base.join(broadcast(med), Seq("l_returnflag"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** O3: bare LIMIT (sample without sort). The sampled rows are
+    * engine-dependent, so the checked output is the sample SIZE — the
+    * limit operator itself (Global/LocalLimit) is what's exercised. */
+  private val bareLimit: Q = (s, dir) =>
+    T.load(s, dir, "lineitem").limit(100)
+      .agg(count(lit(1)).as("n_sampled"))
+
+  val queries: Map[String, Q] = Map(
+    "w01_row_number_ids" -> rowNumberIds,
+    "w03_lag_features" -> lagFeatures,
+    "w04_rolling_avg" -> rollingAvg,
+    "w05_median_per_group" -> medianPerGroup,
+    "o03_bare_limit" -> bareLimit)
+
+  val oracle: Map[String, String] = Map(
+    "w01_row_number_ids" ->
+      """SELECT 'hist_' || CAST(ROW_NUMBER() OVER (
+        |    ORDER BY n_orders DESC, nation_name) AS VARCHAR) AS synthetic_id,
+        |  nation_name, n_orders
+        |FROM (SELECT n_name AS nation_name, COUNT(*) AS n_orders
+        |      FROM orders
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      GROUP BY 1)
+        |ORDER BY n_orders DESC, nation_name""".stripMargin,
+    "w03_lag_features" ->
+      """SELECT event_type, stat_hour, n_events,
+        |  LAG(n_events, 1) OVER w AS prev_hour,
+        |  LAG(n_events, 24) OVER w AS same_hour_yesterday,
+        |  LAG(n_events, 168) OVER w AS same_hour_last_week
+        |FROM (SELECT date_trunc('hour', ts) AS stat_hour, event_type,
+        |        COUNT(*) AS n_events
+        |      FROM events GROUP BY 1, 2)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY stat_hour)
+        |ORDER BY event_type, stat_hour""".stripMargin,
+    "w04_rolling_avg" ->
+      """SELECT event_type, stat_hour, n_events,
+        |  CAST(SUM(n_events) OVER w AS DOUBLE)
+        |    / CAST(COUNT(*) OVER w AS DOUBLE) AS rolling_avg_24h
+        |FROM (SELECT date_trunc('hour', ts) AS stat_hour, event_type,
+        |        COUNT(*) AS n_events
+        |      FROM events GROUP BY 1, 2)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY stat_hour
+        |             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, stat_hour""".stripMargin,
+    "w05_median_per_group" ->
+      s"""SELECT b.l_returnflag, b.l_linestatus, b.n_lines, b.revenue,
+         |  m.median_price
+         |FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+         |        ROUND(${T.oMoneySum("l_extendedprice")}, 2) AS revenue
+         |      FROM lineitem GROUP BY 1, 2) b
+         |JOIN (SELECT l_returnflag,
+         |        quantile_cont(CAST(${T.oDec2("l_extendedprice")} * 100
+         |          AS BIGINT), 0.5) / 100.0 AS median_price
+         |      FROM lineitem GROUP BY 1) m
+         |  ON b.l_returnflag = m.l_returnflag
+         |ORDER BY b.l_returnflag, b.l_linestatus""".stripMargin,
+    "o03_bare_limit" ->
+      "SELECT COUNT(*) AS n_sampled FROM (SELECT * FROM lineitem LIMIT 100)")
+}
