@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.core.QueryPack
 import graft.operators._
 import graft.sources.Sources
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +18,8 @@ object SparkEntry {
     Aggregates,
     Ingest,
     Windows,
-    Sources)
+    Sources,
+    Streaming)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Fact ⋈ broadcast-dim revenue-by-zone with having + top-k

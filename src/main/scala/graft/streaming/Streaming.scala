@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T, QueryPack}
+import graft.operators.Ingest
+
+/** Streaming slice T1-T6 + A5 (SURVEY.md §2.11) — the reference's
+  * streaming pipeline mode (`/root/reference/main.py:346-398`):
+  * Pub/Sub JSON → parse/validate (same DoFn as batch) → FixedWindows(60s)
+  * → windowed per-location stats → `windowed_trip_stats` sink, with the
+  * invalid branch feeding the error table
+  * (`src/dataflow/streaming_taxi_processor.py:200-208`).
+  *
+  * Spark-first design: ONE transform chain serves batch and streaming —
+  * `windowedStats` is applied to a static DataFrame for the DuckDB
+  * correctness gate (Catalyst's EliminateEventTimeWatermark drops the
+  * watermark node for batch inputs) and to a `readStream` DataFrame in
+  * StreamingSpec, where the real `writeStream` path runs with
+  * watermark-driven append output. That batch ≡ streaming equivalence is
+  * exactly Structured Streaming's contract: a streaming query must give
+  * the same answer as the batch query over the data seen so far.
+  *
+  * Event-time note (T3, SURVEY §7.4.7): Beam windowed on Pub/Sub publish
+  * time; we window on the record's event-time column — the declared
+  * semantics, not broker timing. Lateness (T4) is a parameter; the
+  * reference configures none, i.e. zero allowed lateness.
+  *
+  * Scale notes: a streaming windowed aggregate shuffles on (window, key)
+  * with partial aggregation per micro-batch and state-store backing; the
+  * watermark bounds state size — without it, 100 TB/day of events would
+  * accumulate unbounded window state.
+  */
+object Streaming extends QueryPack {
+
+  /** T4: lateness is a parameter (reference default = none). */
+  final case class Config(windowSeconds: Int = 60, lateness: String = "0 seconds")
+
+  /** T1+T2+T5+A5: tumbling event-time window aggregate with
+    * window_start/window_end projection and the hourly stat key
+    * (`main.py:163-186` + `:373-378`). Works on static AND streaming
+    * frames. */
+  def windowedStats(events: DataFrame, eventTime: String, valueCol: String,
+      keyCol: String, cfg: Config = Config()): DataFrame =
+    events
+      .withWatermark(eventTime, cfg.lateness)
+      .groupBy(
+        window(col(eventTime), s"${cfg.windowSeconds} seconds"),
+        col(keyCol))
+      .agg(
+        count(lit(1)).as("trip_count"),
+        T.moneyAvg2(col(valueCol)).as("avg_value"),
+        round(T.moneySum(col(valueCol)), 2).as("total_revenue"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        date_trunc("hour", col("window.start")).as("stat_hour"),
+        col(keyCol), col("trip_count"), col("avg_value"),
+        col("total_revenue"))
+
+  /** T6: the streaming dead-letter branch — same parse, invalid side. */
+  def deadLetters(raw: DataFrame, pipelineName: String): DataFrame =
+    Ingest.invalid(Ingest.parseRecords(raw, pipelineName))
+
+  /** T1/T2: batch-equivalence gate for the tumbling window — the same
+    * windowedStats chain over static events; DuckDB checks against
+    * minute-bucket group-by (60s epoch-aligned windows ≡ date_trunc
+    * minute). */
+  private val tumblingWindowAgg: Q = (s, dir) =>
+    windowedStats(T.load(s, dir, "events"), "ts", "value", "event_type")
+      .orderBy("window_start", "event_type")
+
+  /** T1 parameterized (PRD variant 3600s, `PRD.md:549`): hour-long
+    * windows reproduce the batch hourly_trip_stats exactly — the
+    * stat_hour key IS the window start (`main.py:168-174`). */
+  private val hourWindowAgg: Q = (s, dir) =>
+    windowedStats(T.load(s, dir, "events"), "ts", "value", "event_type",
+      Config(windowSeconds = 3600))
+      .orderBy("window_start", "event_type")
+
+  val queries: Map[String, Q] = Map(
+    "t01_tumbling_window_agg" -> tumblingWindowAgg,
+    "t02_hour_window_agg" -> hourWindowAgg)
+
+  val oracle: Map[String, String] = Map(
+    "t01_tumbling_window_agg" ->
+      s"""SELECT date_trunc('minute', ts) AS window_start,
+         |  date_trunc('minute', ts) + INTERVAL 60 SECOND AS window_end,
+         |  date_trunc('hour', ts) AS stat_hour,
+         |  event_type, COUNT(*) AS trip_count,
+         |  ${T.oMoneyAvg2("value")} AS avg_value,
+         |  ROUND(${T.oMoneySum("value")}, 2) AS total_revenue
+         |FROM events GROUP BY 1, 2, 3, 4
+         |ORDER BY 1, 4""".stripMargin,
+    "t02_hour_window_agg" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start,
+         |  date_trunc('hour', ts) + INTERVAL 3600 SECOND AS window_end,
+         |  date_trunc('hour', ts) AS stat_hour,
+         |  event_type, COUNT(*) AS trip_count,
+         |  ${T.oMoneyAvg2("value")} AS avg_value,
+         |  ROUND(${T.oMoneySum("value")}, 2) AS total_revenue
+         |FROM events GROUP BY 1, 2, 3, 4
+         |ORDER BY 1, 4""".stripMargin)
+}
