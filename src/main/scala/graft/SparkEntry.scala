@@ -19,7 +19,8 @@ object SparkEntry {
     Ingest,
     Windows,
     Sources,
-    Streaming)
+    Streaming,
+    LlmOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Fact ⋈ broadcast-dim revenue-by-zone with having + top-k

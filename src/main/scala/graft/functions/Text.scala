@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text/embedding column builders for the LLM-data-pipeline operators
+  * (SURVEY.md §7.1 step 10 north-star set). Everything here is a pure
+  * Catalyst expression tree — higher-order array functions, codegen'd
+  * hashes (xxhash64/md5), no UDFs — so the hot path stays inside
+  * whole-stage codegen and scales by partition.
+  */
+object Text {
+
+  /** Canonical text normalization: lowercase, collapse whitespace, trim.
+    * The shared first step of fingerprinting and dedup. */
+  def norm(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(norm(c), " ")
+
+  /** Exact-dedup fingerprint: md5 of normalized text (md5 is identical
+    * in Spark and DuckDB, so the oracle can recompute it). */
+  def fingerprint(c: Column): Column = md5(norm(c))
+
+  /** BPE-ish token count: word pieces OR single non-space punctuation —
+    * the classic pre-tokenizer regex. */
+  val bpeTokenPattern = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
+
+  /** Stopword hit count via a higher-order filter (no UDF). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small: the heuristic (not its lexicon) is
+    * the operator under test. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "un"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "une"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  /** Word n-gram shingles of the normalized text (empty array for texts
+    * shorter than n tokens). Takes the source COLUMN NAME (expr-based,
+    * like every builder that needs lambda nesting). */
+  def shingles(textCol: String, n: Int): Column = {
+    val toks = s"split(lower(trim(regexp_replace($textCol, '\\\\s+', ' '))), ' ')"
+    expr(
+      s"""CASE WHEN size($toks) < $n THEN cast(array() AS array<string>)
+         |ELSE transform(sequence(0, size($toks) - $n),
+         |       i -> array_join(slice($toks, i + 1, $n), ' '))
+         |END""".stripMargin)
+  }
+
+  /** MinHash signature over a shingle array: `perms` independent
+    * hash functions simulated by seeding xxhash64 with the permutation
+    * index. O(perms × shingles) codegen'd work per row, no shuffle. */
+  def minhashSignature(shingleCol: String, perms: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${perms - 1}),
+         |  p -> array_min(transform($shingleCol,
+         |         sh -> xxhash64(concat(cast(p AS string), '|', sh)))))"""
+        .stripMargin)
+
+  /** LSH band keys: hash `rows`-sized slices of the signature. Two docs
+    * are candidates iff they share a (band index, band hash) key — the
+    * banded bucket-join that replaces the O(n²) all-pairs compare. */
+  def lshBands(sigCol: String, bands: Int, rows: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${bands - 1}),
+         |  b -> xxhash64(concat(cast(b AS string), ':',
+         |         array_join(transform(slice($sigCol, b * $rows + 1, $rows),
+         |           x -> cast(x AS string)), ','))))""".stripMargin)
+
+  /** Exact Jaccard similarity of two shingle arrays (used to confirm
+    * LSH candidates — never run all-pairs). */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** 32-bit SimHash of the token stream: per-bit sign sums of token
+    * hashes folded with one `aggregate`, then packed into a long. */
+  def simhash32(toksCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  transform(sequence(0, 31),
+         |    i -> CASE WHEN element_at(
+         |           aggregate($toksCol,
+         |             array_repeat(0L, 32),
+         |             (acc, t) -> zip_with(acc,
+         |               transform(sequence(0, 31),
+         |                 j -> IF(((xxhash64(t) >> j) & 1) = 1, 1L, -1L)),
+         |               (x, y) -> x + y)),
+         |           i + 1) > 0
+         |         THEN shiftleft(1L, i) ELSE 0L END),
+         |  0L, (a, x) -> a + x)""".stripMargin)
+
+  /** Hamming distance between two packed simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling polynomial fingerprint (Karp-Rabin) of the token stream:
+    * h = (h*31 + (xxhash64(token) mod M)) mod M with M = 1e9+7 —
+    * order-sensitive, unlike the set-based shingle fingerprints, and
+    * overflow-free under ANSI arithmetic (h*31 < 3.1e10 << Long.Max). */
+  def rollingFingerprint(toksCol: String): Column =
+    expr(s"aggregate($toksCol, 0L, " +
+      "(h, t) -> pmod(h * 31L + pmod(xxhash64(t), 1000000007L), 1000000007L))")
+
+  // ---- embeddings ----------------------------------------------------
+
+  /** Sequential dot product of two double arrays — matches DuckDB's
+    * list_dot_product fold order, so cosine scores are bit-comparable. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with a fixed evaluation shape:
+    * dot / (norm(a) * norm(b)). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Random-hyperplane LSH bucket: `planes` sign bits packed into an
+    * int. Hyperplane components are pseudo-random in {-1,+1} derived
+    * from xxhash64(plane, dim) — deterministic, no stored model. At
+    * scale: bucket once (one narrow projection), then group/join by
+    * bucket — candidate sets shrink ~2^planes-fold. */
+  def hyperplaneBucket(vecCol: String, planes: Int): Column =
+    expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${planes - 1}),
+         |    p -> IF(aggregate(
+         |           zip_with($vecCol,
+         |             transform(sequence(0, size($vecCol) - 1),
+         |               i -> IF(((xxhash64(concat(cast(p AS string), '_',
+         |                 cast(i AS string))) >> 7) & 1) = 1, 1.0D, -1.0D)),
+         |             (x, h) -> x * h),
+         |           0.0D, (acc, v) -> acc + v) > 0,
+         |         shiftleft(1, p), 0)),
+         |  0, (a, x) -> a + x)""".stripMargin)
+}

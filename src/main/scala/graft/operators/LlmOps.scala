@@ -1,0 +1,372 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T, QueryPack}
+import graft.functions.Text
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (the north-star extension set — SURVEY.md §7.1 step 10).
+  *
+  * Operators: text stats + quality scoring, stopword language-ID,
+  * BPE-ish token counting, md5 exact-dedup fingerprinting, rolling-hash
+  * document fingerprints, MinHash+LSH banded near-dedup, SimHash
+  * near-dedup, exact n-gram Jaccard confirmation, brute-force cosine
+  * top-k, all-pairs embedding near-dup, and hyperplane-LSH ANN buckets.
+  *
+  * 100 TB design notes, per operator class:
+  *  - Per-doc scoring/fingerprints: narrow codegen'd projections — scale
+  *    linearly, no shuffle.
+  *  - Exact dedup: ONE shuffle on the 128-bit fingerprint (not the
+  *    text!), min-doc-id survivor per group.
+  *  - MinHash/LSH near-dedup: banded bucket-join — candidates share a
+  *    band key, so the join is equi-join shaped and the all-pairs O(n²)
+  *    compare never materializes. Band count/rows tune recall vs cost.
+  *  - SimHash: 32-bit packed signature; near-dups cluster by signature
+  *    prefix at scale (here: exact-signature + hamming spot-check).
+  *  - ANN: hyperplane sign buckets shrink candidate sets ~2^planes-fold;
+  *    brute-force cosine stays as the per-bucket (and ground-truth)
+  *    kernel. The all-pairs variants below are correctness baselines
+  *    over the fixed 500-row embedding table, NOT the scale path.
+  */
+object LlmOps extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "embeddings")
+      .withColumn("vec", col("embedding").cast("array<double>"))
+
+  // ---- text analysis -------------------------------------------------
+
+  /** Per-language corpus stats: doc counts, char/token volumes. Averages
+    * divide exact integer sums in double (portable IEEE). */
+  private val textStats: Q = (s, dir) => {
+    val toks = Text.tokens(col("text"))
+    docs(s, dir)
+      .select(col("lang"), length(col("text")).as("chars"),
+        size(toks).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("toks")).as("total_tokens"),
+        (sum(col("chars")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_chars"),
+        (sum(col("toks")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Per-doc quality scoring (length / punctuation / stopword ratios —
+    * the standard pre-training quality filters), aggregated per source. */
+  private val qualityScore: Q = (s, dir) => {
+    val toks = Text.tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast("double")
+    val stop = Text.stopwordHits(toks, Text.langStopwords.head._2)
+      .cast("double")
+    val alphaRatio = alpha / nChars
+    val stopRatio = stop / size(toks).cast("double")
+    val lengthOk = (length(col("text")) >= 100 && length(col("text")) <= 400)
+      .cast("int")
+    docs(s, dir)
+      .select(col("source"), alphaRatio.as("alpha_ratio"),
+        stopRatio.as("stop_ratio"), lengthOk.as("length_ok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("alpha_ratio")) / count(lit(1)).cast("double"))
+          .as("avg_alpha_ratio"),
+        (sum(col("stop_ratio")) / count(lit(1)).cast("double"))
+          .as("avg_stop_ratio"),
+        sum(col("length_ok")).cast("long").as("n_length_ok"))
+      .orderBy("source")
+  }
+
+  /** Stopword language-ID heuristic vs the labeled lang: confusion
+    * counts. Highest hit count wins; ties resolve in lexicon order. */
+  private val langId: Q = (s, dir) => {
+    val toks = Text.tokens(col("text"))
+    val scores = Text.langStopwords.map { case (lang, words) =>
+      lang -> Text.stopwordHits(toks, words)
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    docs(s, dir)
+      .select(col("lang"), best.getField("lang").as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** BPE-ish token counting (word pieces + punctuation) per language. */
+  private val tokenCount: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("lang"),
+        Text.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_bpe")).as("total_bpe_tokens"),
+        min(col("n_bpe")).as("min_bpe"), max(col("n_bpe")).as("max_bpe"))
+      .orderBy("lang")
+
+  // ---- dedup ---------------------------------------------------------
+
+  /** Exact dedup via md5 fingerprint of normalized text: survivors =
+    * min doc_id per fingerprint; one shuffle on the hash, never on the
+    * text. Output: per-source survivor/duplicate accounting. */
+  private val exactDedup: Q = (s, dir) => {
+    val fp = docs(s, dir)
+      .select(col("doc_id"), col("source"), Text.fingerprint(col("text")).as("fp"))
+    val survivors = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+    fp.join(survivors, "fp")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(when(col("doc_id") === col("survivor_id"), 0L).otherwise(1L))
+          .as("n_dropped"))
+      .orderBy("source")
+  }
+
+  /** Rolling-hash (Karp-Rabin fold) document fingerprints —
+    * order-sensitive, unlike set-based shingles: distinct-count summary
+    * plus md5 cross-check. */
+  private val fingerprints: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"),
+        Text.rollingFingerprint("split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')")
+          .as("roll_fp"),
+        Text.fingerprint(col("text")).as("md5_fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("roll_fp")).as("n_rolling"),
+        countDistinct(col("md5_fp")).as("n_md5"))
+
+  /** MinHash + banded LSH near-dedup (the scale path): shingle → 16-perm
+    * signature → 4 bands × 4 rows → bucket-join on band keys → exact
+    * Jaccard confirm on candidates only. */
+  def minhashCandidates(d: DataFrame, perms: Int = 16, bands: Int = 4,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val sh = d.select(col("doc_id"), Text.shingles("text", 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", Text.minhashSignature("sh", perms))
+      .withColumn("bands", Text.lshBands("sig", bands, perms / bands))
+    val keyed = sh.select(col("doc_id"), col("sh"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val a = keyed.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .withColumn("confirmed", col("jaccard") >= jaccardThreshold)
+  }
+
+  private val minhashNearDedup: Q = (s, dir) => {
+    val cand = minhashCandidates(docs(s, dir))
+    cand.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      sum(when(col("confirmed"), 1L).otherwise(0L)).as("n_confirmed_pairs"))
+  }
+
+  /** SimHash near-dedup: 32-bit signatures; collision + hamming≤4
+    * pair counts (pairwise check over the bounded doc set — at scale
+    * you'd bucket by signature bands exactly like MinHash). */
+  private val simhashNearDedup: Q = (s, dir) => {
+    val sh = docs(s, dir).select(col("doc_id"),
+      Text.simhash32("split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')")
+        .as("simhash"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(Text.hamming(col("x.simhash"), col("y.simhash")).as("dist"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_identical"),
+      sum(when(col("dist") <= 4, 1L).otherwise(0L)).as("n_hamming_le4"))
+  }
+
+  // ---- similarity search ---------------------------------------------
+
+  /** Brute-force cosine top-k for one query vector (the correctness
+    * baseline every ANN variant is judged against). Broadcast the single
+    * query row; the scan stays embarrassingly parallel. */
+  private val cosineTopK: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("vec").as("qvec"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(Text.cosine(col("vec"), col("qvec")), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-dup accounting over all pairs — correctness
+    * baseline on the fixed 500-vector table (the scale path is the LSH
+    * bucket variant below). */
+  private val embeddingNearDup: Q = (s, dir) => {
+    val e = embs(s, dir).select(col("vec_id"), col("vec"))
+    val pairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(Text.cosine(col("x.vec"), col("y.vec")).as("cos"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("cos") > 0.2, 1L).otherwise(0L)).as("n_above_02"),
+      sum(when(col("cos") > 0.5, 1L).otherwise(0L)).as("n_above_05"),
+      sum(when(col("cos") > 0.9, 1L).otherwise(0L)).as("n_above_09"))
+  }
+
+  /** Hyperplane-LSH ANN bucketing: 8 sign bits → ≤256 buckets; bucket
+    * histogram summary. Recall vs brute force is asserted in LlmSpec. */
+  private val annBuckets: Q = (s, dir) => {
+    val e = embs(s, dir)
+      .withColumn("bucket", Text.hyperplaneBucket("vec", 8))
+    e.groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n_vecs")).as("max_bucket"),
+        min(col("n_vecs")).as("min_bucket"),
+        sum(col("n_vecs")).as("n_total"))
+  }
+
+  // ---- multimodal ----------------------------------------------------
+
+  /** Multimodal column plumbing: media as an opaque binary column +
+    * typed metadata struct (the decode/feature kernel itself is the
+    * stubbed per-partition stage in LlmSpec — media codecs aren't in
+    * this build). Byte-level stats are checked against the oracle. */
+  private val multimodalStats: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("source"),
+        encode(col("text"), "UTF-8").as("media_bytes"),
+        struct(col("lang").as("modality_tag"),
+          col("n_chars").as("declared_size")).as("media_meta"))
+      .select(col("source"),
+        octet_length(col("media_bytes")).cast("long").as("n_bytes"),
+        col("media_meta"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+      .orderBy("source")
+
+  val queries: Map[String, Q] = Map(
+    "l01_text_stats" -> textStats,
+    "l02_quality_score" -> qualityScore,
+    "l03_langid" -> langId,
+    "l04_token_count" -> tokenCount,
+    "l05_exact_dedup" -> exactDedup,
+    "l06_fingerprints" -> fingerprints,
+    "l07_minhash_neardup" -> minhashNearDedup,
+    "l08_simhash_neardup" -> simhashNearDedup,
+    "l09_cosine_topk" -> cosineTopK,
+    "l10_embedding_neardup" -> embeddingNearDup,
+    "l11_ann_buckets" -> annBuckets,
+    "l12_multimodal_stats" -> multimodalStats)
+
+  private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val oToks = s"string_split($oNorm, ' ')"
+
+  val oracle: Map[String, String] = Map(
+    "l01_text_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+         |  CAST(SUM(len($oToks)) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(length(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS avg_chars,
+         |  CAST(SUM(len($oToks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS avg_tokens
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l02_quality_score" ->
+      s"""WITH scored AS (
+         |  SELECT source,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+         |    CAST(len(list_filter($oToks,
+         |        t -> t IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
+         |      / CAST(len($oToks) AS DOUBLE) AS stop_ratio,
+         |    CASE WHEN length(text) BETWEEN 100 AND 400 THEN 1 ELSE 0 END
+         |      AS length_ok
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  SUM(alpha_ratio) / CAST(COUNT(*) AS DOUBLE) AS avg_alpha_ratio,
+         |  SUM(stop_ratio) / CAST(COUNT(*) AS DOUBLE) AS avg_stop_ratio,
+         |  CAST(SUM(length_ok) AS BIGINT) AS n_length_ok
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l03_langid" -> {
+      val hits = Text.langStopwords.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter($oToks, t -> t IN ($list))) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = Text.langStopwords.map(_._1)
+      // Same fold as the Spark side: later lexicon wins only on strictly
+      // greater score.
+      val pred = langs.tail.foldLeft(s"'${langs.head}'" -> s"s_${langs.head}") {
+        case ((predExpr, scoreExpr), lang) =>
+          (s"CASE WHEN s_$lang > ($scoreExpr) THEN '$lang' ELSE ($predExpr) END",
+            s"CASE WHEN s_$lang > ($scoreExpr) THEN s_$lang ELSE ($scoreExpr) END")
+      }._1
+      s"""WITH scores AS (SELECT lang, $hits FROM documents)
+         |SELECT lang, $pred AS predicted, COUNT(*) AS n_docs
+         |FROM scores GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "l04_token_count" ->
+      s"""SELECT lang,
+         |  CAST(SUM(len(regexp_extract_all(text, '${Text.bpeTokenPattern}')))
+         |    AS BIGINT) AS total_bpe_tokens,
+         |  MIN(len(regexp_extract_all(text, '${Text.bpeTokenPattern}')))
+         |    AS min_bpe,
+         |  MAX(len(regexp_extract_all(text, '${Text.bpeTokenPattern}')))
+         |    AS max_bpe
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l05_exact_dedup" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, source, md5($oNorm) AS fp FROM documents),
+         |surv AS (
+         |  SELECT fp, MIN(doc_id) AS survivor_id FROM fp GROUP BY 1)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT fp.fp) AS n_unique,
+         |  CAST(SUM(CASE WHEN doc_id = survivor_id THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_dropped
+         |FROM fp JOIN surv USING (fp)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l09_cosine_topk" -> {
+      val dot = "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))"
+      val na = "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+      val nb = "sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))"
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, ROUND($dot / ($na * $nb), 6) AS cosine
+         |FROM embeddings e, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+    },
+    "l10_embedding_neardup" -> {
+      val dot = "list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))"
+      val nx = "sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))"
+      val ny = "sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))"
+      s"""WITH pairs AS (
+         |  SELECT $dot / ($nx * $ny) AS cos
+         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+         |SELECT COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN cos > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_02,
+         |  CAST(SUM(CASE WHEN cos > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_05,
+         |  CAST(SUM(CASE WHEN cos > 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_09
+         |FROM pairs""".stripMargin
+    },
+    "l12_multimodal_stats" ->
+      """SELECT source, COUNT(*) AS n_items,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |  MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+}
