@@ -20,7 +20,10 @@ object SparkEntry {
     Windows,
     Sources,
     Streaming,
-    LlmOps)
+    LlmOps,
+    Dml,
+    MaintenanceOps,
+    Scalars)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Fact ⋈ broadcast-dim revenue-by-zone with having + top-k

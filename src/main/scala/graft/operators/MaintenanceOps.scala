@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T, QueryPack}
+import graft.plans.Maintenance
+
+/** Query-surface entries for the maintenance module (M5/M7/M8/M9 —
+  * SURVEY.md §2.10). The filesystem-mutating operators (M1 compaction,
+  * M2 snapshot expiry, M3 sort rewrite, M4 orphan cleanup, M6 ANALYZE)
+  * are exercised with before/after assertions in MaintenanceSpec —
+  * their effects are file layouts, not row sets a SQL oracle can see.
+  */
+object MaintenanceOps extends QueryPack {
+
+  /** M7: partition analysis with the reference's 5 GB / 10k-row health
+    * bounds over a date-partitioned write of orders. */
+  private val partitionAnalysis: Q = (s, dir) => {
+    val path = new java.io.File("target/scratch/m07_parts").getAbsolutePath
+    T.load(s, dir, "orders")
+      .withColumn("order_month", month(col("o_orderdate")).cast("long"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("order_month").parquet(path)
+    Maintenance.partitionAnalysis(s, path, "order_month")
+      .select(col("partition_value").cast("long").as("order_month"),
+        col("n_rows"), col("needs_split"), col("needs_compaction"))
+      .orderBy("order_month")
+  }
+
+  /** M8: table stats snapshot — row count, distinct days, time range,
+    * data-quality ratio (`iceberg_maintenance.py:291-332`; quality =
+    * share of rows passing total_amount > 0, `:300`). */
+  private val tableStats: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+    o.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(to_date(col("o_orderdate"))).as("n_days"),
+      min(col("o_orderdate")).as("first_order"),
+      max(col("o_orderdate")).as("last_order"),
+      (sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("quality_ratio"))
+  }
+
+  /** M5: query-performance analysis — run a canned workload, report
+    * rows + reference-threshold flags (timings are environmental, so the
+    * driver records rows-only for this entry). */
+  private val queryPerf: Q = (s, dir) => {
+    val workload = Seq(
+      "count_orders" -> (() => T.load(s, dir, "orders")),
+      "count_lineitem" -> (() => T.load(s, dir, "lineitem")),
+      "join_probe" -> (() => {
+        val li = T.load(s, dir, "lineitem")
+        val o = T.load(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+      }))
+    val perf = Maintenance.queryPerfAnalysis(workload)
+    import s.implicits._
+    perf.map(p => (p.name, p.rows, p.slow, p.expensive))
+      .toDF("name", "n_rows", "slow", "expensive")
+      .orderBy("name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m07_partition_analysis" -> partitionAnalysis,
+    "m08_table_stats" -> tableStats,
+    "m05_query_perf" -> queryPerf)
+
+  val oracle: Map[String, String] = Map(
+    "m07_partition_analysis" ->
+      """SELECT month(o_orderdate) AS order_month, COUNT(*) AS n_rows,
+        |  false AS needs_split,
+        |  COUNT(*) < 10000 AS needs_compaction
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m08_table_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+        |  MIN(o_orderdate) AS first_order,
+        |  MAX(o_orderdate) AS last_order,
+        |  CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS quality_ratio
+        |FROM orders""".stripMargin)
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T, QueryPack}
+import graft.functions.Geo
+
+/** Scalar-function catalog (SURVEY.md §2.8): string/regex, date-time
+  * extraction and interval arithmetic, conditional/null handling, UUID
+  * generation, JSON build/extract, geohash, and the predicate set
+  * (BETWEEN / IN / LIKE / IS NULL).
+  *
+  * Reference usages reproduced: CONCAT + CAST synthetic ids
+  * (`PRD.md:743`), REGEXP_CONTAINS table filters
+  * (`iceberg_maintenance.py:171`), EXTRACT/diff/interval date math
+  * (`README.md:561-566`, `PRD.md:846-872`), CASE/COALESCE/NULLIF
+  * (`PRD.md:1091-1105,3464`), GENERATE_UUID (`PRD.md:5519`),
+  * JSON_OBJECT route data (`PRD.md:1058-1066`), ST_GEOHASH
+  * (`PRD.md:1074-1079`), predicate catalog (`PRD.md:839-856`).
+  *
+  * Scale notes: everything here is a codegen'd scalar projection except
+  * the geohash UDF (schema-evolution surface only). Aggregations exist
+  * purely to make outputs deterministic for the oracle.
+  */
+object Scalars extends QueryPack {
+
+  /** String functions: CONCAT, CAST-to-string, REGEXP_CONTAINS (rlike),
+    * REGEXP_EXTRACT. */
+  private val stringFuncs: Q = (s, dir) => {
+    val c = T.load(s, dir, "customer")
+    c.select(
+        col("c_mktsegment"),
+        concat(col("c_mktsegment"), lit("_"),
+          col("c_custkey").cast("string")).as("tagged_id"),
+        col("c_name").rlike("Customer#\\d+").as("name_ok"),
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1)
+          .cast("long").as("name_num"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("name_ok"), 1L).otherwise(0L)).as("n_name_ok"),
+        sum(col("name_num")).as("sum_name_num"),
+        max(col("tagged_id")).as("max_tagged_id"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Date/time: EXTRACT(hour/dayofweek/month), minute-granularity
+    * timestamp diff (truncated toward zero like TIMESTAMP_DIFF), and
+    * interval arithmetic (TIMESTAMP_SUB / DATE_SUB analogs). */
+  private val datetimeFuncs: Q = (s, dir) => {
+    val ev = T.load(s, dir, "events")
+    ev.select(
+        dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("h"),
+        month(col("ts")).cast("long").as("m"),
+        // minutes since local midnight via second-diff div (trunc-to-zero)
+        ((unix_timestamp(col("ts")) -
+          unix_timestamp(date_trunc("day", col("ts")))) / 60)
+          .cast("long").as("minute_of_day"),
+        (col("ts") - expr("INTERVAL 24 HOURS")).as("ts_minus_day"))
+      .groupBy(col("dow"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("h")).as("sum_hour"),
+        countDistinct(col("m")).as("n_months"),
+        max(col("minute_of_day")).as("max_minute_of_day"),
+        min(col("ts_minus_day")).as("min_ts_minus_day"))
+      .orderBy("dow")
+  }
+
+  /** Conditional/null: CASE WHEN, COALESCE, NULLIF. */
+  private val conditionalNull: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    li.select(
+        col("l_returnflag"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0))
+          .as("disc_defaulted"),
+        when(col("l_quantity") >= 25, "bulk").otherwise("small")
+          .as("size_class"))
+      .groupBy(col("l_returnflag"), col("size_class"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("disc_or_null")).as("n_nonzero_disc"),
+        sum(when(col("disc_defaulted") === -1.0, 1L).otherwise(0L))
+          .as("n_defaulted"))
+      .orderBy("l_returnflag", "size_class")
+  }
+
+  /** UUID generation: values are random, so the checked output is the
+    * contract — format validity and uniqueness at row cardinality. */
+  private val uuidGen: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+    o.select(expr("uuid()").as("u"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("u").rlike(
+          "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"),
+          1L).otherwise(0L)).as("n_valid_format"),
+        countDistinct(col("u")).as("n_distinct"))
+  }
+
+  /** JSON build + extract round-trip: JSON_OBJECT analog via
+    * to_json(named_struct(...)), values recovered with
+    * get_json_object — the oracle recomputes from the source columns,
+    * so a lossy round-trip would show up as a mismatch. */
+  private val jsonRoundtrip: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+    val j = to_json(struct(
+      col("o_orderstatus").as("status"),
+      col("o_orderkey").as("key"),
+      col("o_orderpriority").as("prio")))
+    o.select(
+        get_json_object(j, "$.status").as("status"),
+        get_json_object(j, "$.key").cast("long").as("key"),
+        get_json_object(j, "$.prio").as("prio"))
+      .groupBy(col("status"), col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("key")).as("sum_keys"))
+      .orderBy("status", "prio")
+  }
+
+  /** Predicates: BETWEEN, IN list, LIKE, IS NULL. */
+  private val predicates: Q = (s, dir) => {
+    val p = T.load(s, dir, "part")
+    p.select(
+        col("p_type"),
+        col("p_size").between(10, 30).as("mid_size"),
+        col("p_brand").isin("Brand#13", "Brand#19", "Brand#5").as("top_brand"),
+        col("p_name").like("%widget%").as("is_widget"),
+        col("p_retailprice").isNull.as("no_price"))
+      .groupBy(col("p_type"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(when(col("mid_size"), 1L).otherwise(0L)).as("n_mid_size"),
+        sum(when(col("top_brand"), 1L).otherwise(0L)).as("n_top_brand"),
+        sum(when(col("is_widget"), 1L).otherwise(0L)).as("n_widgets"),
+        sum(when(col("no_price"), 1L).otherwise(0L)).as("n_no_price"))
+      .orderBy("p_type")
+  }
+
+  /** Geohash generated column (rows-only for the driver: DuckDB has no
+    * geohash; known-vector correctness lives in ScalarsSpec). Coords are
+    * deterministic pseudo-locations derived from the customer key. */
+  private val geohashCol: Q = (s, dir) => {
+    val c = T.load(s, dir, "customer")
+    c.select(
+        col("c_custkey"),
+        ((col("c_custkey") % 170).cast("double") - 85.0 + 0.5).as("lat"),
+        ((col("c_custkey") % 350).cast("double") - 175.0 + 0.5).as("lon"))
+      .withColumn("geohash", Geo.geohashCol(col("lat"), col("lon"), 7))
+      .groupBy(substring(col("geohash"), 1, 2).as("geo_prefix"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("geo_prefix")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x01_string_funcs" -> stringFuncs,
+    "x02_datetime_funcs" -> datetimeFuncs,
+    "x03_conditional_null" -> conditionalNull,
+    "x04_uuid" -> uuidGen,
+    "x05_json_roundtrip" -> jsonRoundtrip,
+    "x06_predicates" -> predicates,
+    "x07_geohash" -> geohashCol)
+
+  val oracle: Map[String, String] = Map(
+    "x01_string_funcs" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN regexp_matches(c_name, 'Customer#\d+')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_name_ok,
+        |  CAST(SUM(CAST(regexp_extract(c_name, 'Customer#(\d+)', 1)
+        |    AS BIGINT)) AS BIGINT) AS sum_name_num,
+        |  MAX(c_mktsegment || '_' || CAST(c_custkey AS VARCHAR))
+        |    AS max_tagged_id
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x02_datetime_funcs" ->
+      """SELECT dayofweek(ts) + 1 AS dow, COUNT(*) AS n_events,
+        |  CAST(SUM(hour(ts)) AS BIGINT) AS sum_hour,
+        |  COUNT(DISTINCT month(ts)) AS n_months,
+        |  MAX((CAST(floor(epoch(ts)) AS BIGINT)
+        |    - CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)) // 60)
+        |    AS max_minute_of_day,
+        |  MIN(ts - INTERVAL 24 HOUR) AS min_ts_minus_day
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x03_conditional_null" ->
+      """SELECT l_returnflag,
+        |  CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END
+        |    AS size_class,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(NULLIF(l_discount, 0.0)) AS n_nonzero_disc,
+        |  CAST(SUM(CASE WHEN COALESCE(NULLIF(l_discount, 0.0), -1.0) = -1.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x04_uuid" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(*) AS n_valid_format,
+        |  COUNT(*) AS n_distinct
+        |FROM orders""".stripMargin,
+    "x05_json_roundtrip" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x06_predicates" ->
+      """SELECT p_type, COUNT(*) AS n_parts,
+        |  CAST(SUM(CASE WHEN p_size BETWEEN 10 AND 30 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mid_size,
+        |  CAST(SUM(CASE WHEN p_brand IN ('Brand#13','Brand#19','Brand#5')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_top_brand,
+        |  CAST(SUM(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_widgets,
+        |  CAST(SUM(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_no_price
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators M1-M9 (SURVEY.md §2.10) — the Spark
+  * re-expression of the reference's maintenance service
+  * (`/root/reference/src/maintenance/iceberg_maintenance.py:28-387`).
+  *
+  * Thresholds mirror the reference exactly: 128 MB compaction target
+  * (`iceberg_maintenance.py:28,36-45`), split partitions > 5 GB /
+  * compact partitions < 10k rows & < 0.1 GB (`:252-267`), snapshot
+  * retention (`:73-93`), orphan cleanup (`:129-152`), slow-query flags
+  * > 30 s / expensive > 60 s or > 10 GB (`:183-197`).
+  *
+  * Scale notes: compaction sizes the output file count from observed
+  * bytes (ceil(bytes / target)) and rewrites with a round-robin
+  * repartition — no shuffle key needed; the sort rewrite clusters files
+  * by the reference's per-table sort keys so parquet min/max row-group
+  * stats give data skipping (the Z-order-lite the reference calls
+  * 'sort' strategy). All file accounting comes from directory listings —
+  * at 100 TB you'd list via the table manifest instead, same contract.
+  */
+object Maintenance {
+
+  final case class FileStats(nFiles: Long, totalBytes: Long) {
+    def avgBytes: Long = if (nFiles == 0) 0 else totalBytes / nFiles
+  }
+
+  def fileStats(dir: String): FileStats = {
+    val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    FileStats(fs.length, fs.map(_.length()).sum)
+  }
+
+  final case class CompactionReport(before: FileStats, after: FileStats,
+    targetFileSizeMB: Int)
+
+  /** M1: compaction to a target file size — read the (fragmented) dir,
+    * rewrite as ceil(bytes/target) files, report before/after. */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      targetFileSizeMB: Int = 128): CompactionReport = {
+    val before = fileStats(dir)
+    val targetBytes = targetFileSizeMB.toLong * 1024 * 1024
+    val nFiles = math.max(1, math.ceil(
+      before.totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(dir)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    CompactionReport(before, fileStats(outDir), targetFileSizeMB)
+  }
+
+  /** M3: sort-based layout rewrite (the reference's 'sort' strategy,
+    * per-table keys from `iceberg_maintenance.py:101-117`): repartition
+    * then sortWithinPartitions so row groups are key-clustered. */
+  def sortRewrite(spark: SparkSession, dir: String, outDir: String,
+      sortCols: Seq[String], nPartitions: Int = 4): Unit =
+    spark.read.parquet(dir)
+      .repartition(nPartitions)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** M6: ANALYZE TABLE statistics refresh (needs a catalog table). */
+  def analyzeTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+  }
+
+  /** M7: partition analysis with the reference's health bounds. Returns
+    * (partition value, rows, bytes, needs_split, needs_compaction). */
+  def partitionAnalysis(spark: SparkSession, dir: String,
+      partitionCol: String): DataFrame = {
+    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partitionCol="))
+    val stats = parts.map { d =>
+      val bytes = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+      val rows = spark.read.parquet(d.getPath).count()
+      (d.getName.stripPrefix(s"$partitionCol="), rows, bytes)
+    }.toSeq
+    import spark.implicits._
+    stats.toDF("partition_value", "n_rows", "n_bytes")
+      .withColumn("needs_split", col("n_bytes") > 5L * 1024 * 1024 * 1024)
+      .withColumn("needs_compaction",
+        col("n_rows") < 10000 && col("n_bytes") < (0.1 * 1024 * 1024 * 1024).toLong)
+  }
+
+  final case class QueryPerf(name: String, rows: Long, seconds: Double,
+    slow: Boolean, expensive: Boolean)
+
+  /** M5: query-performance analysis — run each query, record wall time,
+    * flag with the reference thresholds (slow > 30 s, expensive > 60 s). */
+  def queryPerfAnalysis(queries: Seq[(String, () => DataFrame)]): Seq[QueryPerf] =
+    queries.map { case (name, thunk) =>
+      val t0 = System.nanoTime()
+      val rows = thunk().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      QueryPerf(name, rows, sec, slow = sec > 30, expensive = sec > 60)
+    }
+
+  /** M9: full maintenance orchestration over a snapshot-managed table:
+    * stats → compact → sort rewrite → snapshot expiry → orphan cleanup,
+    * returning one report row per step (the reference's report shape,
+    * `iceberg_maintenance.py:334-387`). */
+  def fullMaintenance(spark: SparkSession, snaps: Snapshots, table: String,
+      scratchDir: String, sortCols: Seq[String],
+      retainSnapshots: Int = 2): Seq[(String, String, Long)] = {
+    val cur = snaps.current(spark, table)
+    val curDir = s"${snaps.rootDir}/$table/v=${snaps.currentVersion(table).get}"
+    val beforeFiles = fileStats(curDir).nFiles
+    val rep = compact(spark, curDir, s"$scratchDir/${table}_compacted")
+    sortRewrite(spark, s"$scratchDir/${table}_compacted",
+      s"$scratchDir/${table}_sorted", sortCols)
+    val expired = snaps.expire(table, retainSnapshots)
+    val orphans = snaps.cleanOrphans(table)
+    Seq(
+      ("table_stats", "rows", cur.count()),
+      ("compaction", s"files ${rep.before.nFiles} -> ${rep.after.nFiles}",
+        rep.after.nFiles),
+      ("sort_rewrite", sortCols.mkString(","),
+        fileStats(s"$scratchDir/${table}_sorted").nFiles),
+      ("expire_snapshots", s"removed ${expired.mkString(",")}",
+        expired.size.toLong),
+      ("orphan_cleanup", "removed", orphans.size.toLong),
+      ("before_files", "files", beforeFiles))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned-snapshot table layout — the table-format emulation for
+  * time travel (D5), CDC inputs (D6), and snapshot expiry (M2), since no
+  * Iceberg/Delta jars exist in this build (SURVEY.md §7.0).
+  *
+  * Layout: `<root>/<table>/v=<N>/` parquet per snapshot. Versions are
+  * DETERMINISTIC integers (never wall-clock — reference queries pin
+  * `FOR SYSTEM_TIME AS OF`, /root/reference/scripts/verify_loaded_data.sql:107-110;
+  * our resolver pins `v=N`). The latest version is the "current" table.
+  *
+  * Scale notes: a snapshot is an immutable parquet dir — copy-on-write
+  * writes a NEW version (only affected partitions at scale); readers of
+  * v=N never block writers of v=N+1; expiry deletes whole version dirs.
+  */
+class Snapshots(root: String) {
+
+  val rootDir: String = root
+
+  private def tableDir(table: String) = new java.io.File(s"$root/$table")
+  private def versionDir(table: String, v: Int) = s"$root/$table/v=$v"
+
+  def versions(table: String): Seq[Int] = {
+    val d = tableDir(table)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toInt).sorted
+  }
+
+  def currentVersion(table: String): Option[Int] = versions(table).lastOption
+
+  /** Commit `df` as the next snapshot; returns the new version. */
+  def commit(df: DataFrame, table: String): Int = {
+    val v = currentVersion(table).getOrElse(0) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
+    v
+  }
+
+  /** D5: read the table as of a pinned version. */
+  def asOf(spark: SparkSession, table: String, v: Int): DataFrame =
+    spark.read.parquet(versionDir(table, v))
+
+  /** Read the current snapshot. */
+  def current(spark: SparkSession, table: String): DataFrame =
+    asOf(spark, table, currentVersion(table)
+      .getOrElse(sys.error(s"no snapshots for $table")))
+
+  /** M2: expire old snapshots, keeping the most recent `keep`. Returns
+    * the versions removed. */
+  def expire(table: String, keep: Int): Seq[Int] = {
+    val vs = versions(table)
+    val doomed = vs.dropRight(keep)
+    doomed.foreach { v =>
+      val dir = new java.io.File(versionDir(table, v))
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+    doomed
+  }
+
+  /** M4: orphan-file cleanup — delete files under the table root that no
+    * live snapshot references (e.g. leftovers of aborted writes placed
+    * outside any `v=N` dir). Returns deleted paths. */
+  def cleanOrphans(table: String): Seq[String] = {
+    val live = versions(table).map(v => new java.io.File(versionDir(table, v)))
+      .map(_.getCanonicalPath).toSet
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Seq(f)
+    val root = tableDir(table)
+    if (!root.exists()) return Seq.empty
+    val doomed = walk(root)
+      .filter(_ != root)
+      .filterNot(f => live.exists(p => f.getCanonicalPath.startsWith(p)))
+      .filterNot(f => f.isDirectory && f.getName.startsWith("v="))
+    doomed.filter(_.isFile).map { f => val p = f.getPath; f.delete(); p } ++
+      doomed.filter(_.isDirectory).flatMap { d =>
+        if (d.listFiles().isEmpty) { val p = d.getPath; d.delete(); Seq(p) }
+        else Seq.empty
+      }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.plans.{Maintenance, Snapshots}
+
+/** M1-M4, M6, M9 + D5 snapshot semantics — the filesystem-effect
+  * operators the SQL oracle can't see. */
+class MaintenanceSpec extends SparkSpec {
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft_maint").toString
+
+  test("M1: compaction reduces a fragmented table to the target file count") {
+    val dir = scratch()
+    // fragment: 40 tiny files
+    T.load(spark, sfDir, "lineitem").repartition(40)
+      .write.mode("overwrite").parquet(s"$dir/frag")
+    val before = Maintenance.fileStats(s"$dir/frag")
+    assert(before.nFiles == 40)
+    val rep = Maintenance.compact(spark, s"$dir/frag", s"$dir/compacted", 128)
+    // ~0.5 MB of data vs 128 MB target → exactly one output file
+    assert(rep.after.nFiles == 1)
+    assert(spark.read.parquet(s"$dir/compacted").count() ==
+      spark.read.parquet(s"$dir/frag").count())
+  }
+
+  test("M3: sort rewrite clusters rows within files by the sort key") {
+    val dir = scratch()
+    T.load(spark, sfDir, "lineitem")
+      .write.mode("overwrite").parquet(s"$dir/raw")
+    Maintenance.sortRewrite(spark, s"$dir/raw", s"$dir/sorted",
+      Seq("l_suppkey", "l_shipdate"), nPartitions = 2)
+    val sorted = spark.read.parquet(s"$dir/sorted")
+    assert(sorted.count() == T.load(spark, sfDir, "lineitem").count())
+    // within every file, l_suppkey must be non-decreasing
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
+    val violations = sorted
+      .withColumn("prev", lag(col("l_suppkey"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("l_suppkey"))
+      .count()
+    assert(violations == 0)
+  }
+
+  test("M2/D5: snapshot commit, time travel, and expiry") {
+    val sn = new Snapshots(scratch())
+    val o = T.load(spark, sfDir, "orders")
+    val v1 = sn.commit(o.limit(100), "orders_t")
+    val v2 = sn.commit(o.limit(300), "orders_t")
+    val v3 = sn.commit(o.limit(600), "orders_t")
+    assert((v1, v2, v3) == (1, 2, 3))
+    assert(sn.asOf(spark, "orders_t", 1).count() == 100)
+    assert(sn.current(spark, "orders_t").count() == 600)
+    val removed = sn.expire("orders_t", keep = 2)
+    assert(removed == Seq(1))
+    assert(sn.versions("orders_t") == Seq(2, 3))
+    assert(sn.asOf(spark, "orders_t", 2).count() == 300)
+  }
+
+  test("M4: orphan cleanup removes files outside live snapshots only") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    sn.commit(T.load(spark, sfDir, "orders").limit(10), "t")
+    // plant an orphan next to the live snapshot
+    val orphan = new java.io.File(s"$root/t/_aborted_write.tmp")
+    Files.writeString(orphan.toPath, "junk")
+    val removed = sn.cleanOrphans("t")
+    assert(removed.exists(_.endsWith("_aborted_write.tmp")))
+    assert(!orphan.exists())
+    assert(sn.current(spark, "t").count() == 10)
+  }
+
+  test("M6: ANALYZE TABLE computes catalog statistics") {
+    spark.sql("DROP TABLE IF EXISTS nation_m6")
+    // a stale warehouse dir from an aborted run blocks CTAS
+    val loc = new java.io.File("spark-warehouse/nation_m6")
+    if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
+    T.load(spark, sfDir, "nation").write.mode("overwrite")
+      .saveAsTable("nation_m6")
+    Maintenance.analyzeTable(spark, "nation_m6")
+    val stats = spark.sql("DESCRIBE EXTENDED nation_m6")
+      .filter(col("col_name") === "Statistics")
+      .collect()
+    assert(stats.nonEmpty, "ANALYZE must publish table statistics")
+    assert(stats.head.getString(1).contains("rows"))
+  }
+
+  test("M9: full maintenance orchestration reports every step") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.commit(o.limit(200).repartition(10), "m9t")
+    sn.commit(o.limit(400).repartition(10), "m9t")
+    sn.commit(o.repartition(10), "m9t")
+    val report = Maintenance.fullMaintenance(spark, sn, "m9t",
+      scratch(), Seq("o_orderstatus"), retainSnapshots = 2)
+    val steps = report.map(_._1).toSet
+    assert(steps == Set("table_stats", "compaction", "sort_rewrite",
+      "expire_snapshots", "orphan_cleanup", "before_files"))
+    assert(report.find(_._1 == "compaction").get._3 == 1) // 10 files → 1
+    assert(sn.versions("m9t") == Seq(2, 3))
+  }
+}

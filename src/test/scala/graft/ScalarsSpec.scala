@@ -1,0 +1,30 @@
+package graft
+
+import graft.functions.Geo
+
+/** Geohash known-vector tests (the one scalar DuckDB cannot oracle). */
+class ScalarsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("geohash matches published test vectors") {
+    assert(Geo.encode(42.605, -5.603, 5) == "ezs42")
+    assert(Geo.encode(57.64911, 10.40744, 11) == "u4pruydqqvj")
+    assert(Geo.encode(0.0, 0.0, 7) == "s000000")
+    assert(Geo.encode(-90.0, -180.0, 5) == "00000")
+  }
+
+  test("geohash UDF runs as a column over a DataFrame") {
+    val out = Seq((57.64911, 10.40744)).toDF("lat", "lon")
+      .withColumn("gh", Geo.geohashCol($"lat", $"lon", 7))
+      .select("gh").as[String].head()
+    assert(out == "u4pruyd")
+  }
+
+  test("geohash prefix property: nearby points share prefixes") {
+    val a = Geo.encode(40.7484, -73.9857, 8)
+    val b = Geo.encode(40.7485, -73.9858, 8)
+    assert(a.take(6) == b.take(6))
+    val far = Geo.encode(-33.8688, 151.2093, 8)
+    assert(a.take(2) != far.take(2))
+  }
+}
