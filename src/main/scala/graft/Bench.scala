@@ -27,7 +27,18 @@ object Bench {
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Global warmup: absorb one-time JVM/codegen/shuffle-machinery init
+    // so the alphabetically-first query isn't charged for it.
+    spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .repartition(4).groupBy("n_regionkey").count().collect()
+
+    // Optional comma-separated prefix filter for targeted profiling.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       runOnce(fn) // warmup: discard
       name -> runOnce(fn)
     }

@@ -43,17 +43,18 @@ object Text {
     "fr" -> Seq("le", "la", "les", "des", "et", "une"),
     "zh" -> Seq("de", "shi", "le", "zai", "he"))
 
-  /** Word n-gram shingles of the normalized text (empty array for texts
-    * shorter than n tokens). Takes the source COLUMN NAME (expr-based,
-    * like every builder that needs lambda nesting). */
-  def shingles(textCol: String, n: Int): Column = {
-    val toks = s"split(lower(trim(regexp_replace($textCol, '\\\\s+', ' '))), ' ')"
+  /** Word n-gram shingles over a PRE-TOKENIZED array column (empty
+    * array for texts shorter than n tokens). Takes a column NAME that
+    * must hold the token array — inlining the tokenizer here would
+    * splice the regex into the per-shingle lambda and re-tokenize the
+    * document once per shingle (observed: a single regex-bound core at
+    * bench scale). Materialize `tokens(...)` as its own column first. */
+  def shinglesFromTokens(toksCol: String, n: Int): Column =
     expr(
-      s"""CASE WHEN size($toks) < $n THEN cast(array() AS array<string>)
-         |ELSE transform(sequence(0, size($toks) - $n),
-         |       i -> array_join(slice($toks, i + 1, $n), ' '))
+      s"""CASE WHEN size($toksCol) < $n THEN cast(array() AS array<string>)
+         |ELSE transform(sequence(0, size($toksCol) - $n),
+         |       i -> array_join(slice($toksCol, i + 1, $n), ' '))
          |END""".stripMargin)
-  }
 
   /** MinHash signature over a shingle array: `perms` independent
     * hash functions simulated by seeding xxhash64 with the permutation
@@ -82,21 +83,26 @@ object Text {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** 32-bit SimHash of the token stream: per-bit sign sums of token
-    * hashes folded with one `aggregate`, then packed into a long. */
-  def simhash32(toksCol: String): Column =
+  /** 32-bit SimHash, phase 1: per-bit sign sums of token hashes in ONE
+    * fold over the tokens. Keep this as its own column — packing must
+    * not re-evaluate it per bit. */
+  def simhashBitCounts(toksCol: String): Column =
+    expr(
+      s"""aggregate($toksCol,
+         |  array_repeat(0L, 32),
+         |  (acc, t) -> zip_with(acc,
+         |    transform(sequence(0, 31),
+         |      j -> IF(((xxhash64(t) >> j) & 1) = 1, 1L, -1L)),
+         |    (x, y) -> x + y))""".stripMargin)
+
+  /** 32-bit SimHash, phase 2: pack the sign of each bit-count into a
+    * long. O(32) given the counts column. */
+  def packSimhash(countsCol: String): Column =
     expr(
       s"""aggregate(
          |  transform(sequence(0, 31),
-         |    i -> CASE WHEN element_at(
-         |           aggregate($toksCol,
-         |             array_repeat(0L, 32),
-         |             (acc, t) -> zip_with(acc,
-         |               transform(sequence(0, 31),
-         |                 j -> IF(((xxhash64(t) >> j) & 1) = 1, 1L, -1L)),
-         |               (x, y) -> x + y)),
-         |           i + 1) > 0
-         |         THEN shiftleft(1L, i) ELSE 0L END),
+         |    i -> IF(element_at($countsCol, i + 1) > 0,
+         |            shiftleft(1L, i), 0L)),
          |  0L, (a, x) -> a + x)""".stripMargin)
 
   /** Hamming distance between two packed simhashes. */
@@ -120,9 +126,18 @@ object Text {
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity with a fixed evaluation shape:
-    * dot / (norm(a) * norm(b)). */
+    * dot / (norm(a) * norm(b)). For pairwise workloads, hoist the norms
+    * into per-row columns first (cosineWithNorms) — recomputing them per
+    * PAIR triples the dominant cost. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine from precomputed norms — same arithmetic shape (and bits)
+    * as `cosine`, with the two l2norm folds hoisted out of the pair
+    * loop. */
+  def cosineWithNorms(a: Column, b: Column,
+      normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
 
   /** Random-hyperplane LSH bucket: `planes` sign bits packed into an
     * int. Hyperplane components are pseudo-random in {-1,+1} derived

@@ -62,7 +62,11 @@ object Ingest extends QueryPack {
   /** S4-style in-memory JSONL synthesis: one raw JSON line per event
     * (generator analog: `taxi_trip_simulator.py:73-100`). */
   def rawRecords(s: SparkSession, dir: String): DataFrame = {
-    val ev = T.load(s, dir, "events")
+    // The events table arrives as one small parquet split; the JSON
+    // build/parse work downstream is CPU-bound, so spread it across the
+    // local cores (on a cluster the scan itself would carry the
+    // parallelism and this repartition would be a no-op cost-wise).
+    val ev = T.load(s, dir, "events").repartition(32)
     val payload = to_json(struct(
       when(mod10 === ModNoTripId, lit(null).cast(StringType))
         .otherwise(concat(lit("trip_"), col("event_id"))).as("trip_id"),

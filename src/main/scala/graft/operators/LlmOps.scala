@@ -151,24 +151,39 @@ object LlmOps extends QueryPack {
 
   /** MinHash + banded LSH near-dedup (the scale path): shingle → 16-perm
     * signature → 4 bands × 4 rows → bucket-join on band keys → exact
-    * Jaccard confirm on candidates only. */
+    * Jaccard confirm on candidates only. The band join is NARROW
+    * (doc ids + band key only); shingle arrays are fetched per-side
+    * AFTER the candidate pairs are deduped, so wide array rows never
+    * shuffle through the O(pairs) join. */
   def minhashCandidates(d: DataFrame, perms: Int = 16, bands: Int = 4,
       jaccardThreshold: Double = 0.8): DataFrame = {
-    val sh = d.select(col("doc_id"), Text.shingles("text", 3).as("sh"))
+    // Tokenize BELOW an exchange and shingle above it: the repartition is
+    // an optimizer barrier that stops CollapseProject from splicing the
+    // regex tokenizer into the per-shingle lambda (which would re-run the
+    // regex once per shingle — observed as a 200s single-core stall).
+    // The shingle frame is reused three times (signatures + two jaccard
+    // fetches), so cache it rather than re-deriving the lineage.
+    val sh = d
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .repartition(32)
+      .select(col("doc_id"), Text.shinglesFromTokens("toks", 3).as("sh"))
       .filter(size(col("sh")) > 0)
+      .cache()
+    val keyed = sh
       .withColumn("sig", Text.minhashSignature("sh", perms))
       .withColumn("bands", Text.lshBands("sig", bands, perms / bands))
-    val keyed = sh.select(col("doc_id"), col("sh"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    val a = keyed.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = keyed.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val pairs = keyed.as("a")
+      .join(keyed.as("b"), Seq("band_idx", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .withColumn("confirmed", col("jaccard") >= jaccardThreshold)
   }
 
@@ -181,11 +196,16 @@ object LlmOps extends QueryPack {
 
   /** SimHash near-dedup: 32-bit signatures; collision + hamming≤4
     * pair counts (pairwise check over the bounded doc set — at scale
-    * you'd bucket by signature bands exactly like MinHash). */
+    * you'd bucket by signature bands exactly like MinHash). Signature
+    * computation is two-phase (one fold per doc, then a pack) and the
+    * self-join streams a repartitioned narrow (id, hash) frame. */
   private val simhashNearDedup: Q = (s, dir) => {
-    val sh = docs(s, dir).select(col("doc_id"),
-      Text.simhash32("split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')")
-        .as("simhash"))
+    val sh = docs(s, dir)
+      .withColumn("toks",
+        expr("split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')"))
+      .withColumn("counts", Text.simhashBitCounts("toks"))
+      .select(col("doc_id"), Text.packSimhash("counts").as("simhash"))
+      .repartition(32)
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.doc_id") < col("y.doc_id"))
       .select(Text.hamming(col("x.simhash"), col("y.simhash")).as("dist"))
@@ -201,24 +221,30 @@ object LlmOps extends QueryPack {
     * baseline every ANN variant is judged against). Broadcast the single
     * query row; the scan stays embarrassingly parallel. */
   private val cosineTopK: Q = (s, dir) => {
-    val e = embs(s, dir)
+    val e = embs(s, dir).withColumn("nrm", Text.l2norm(col("vec")))
     val q = e.filter(col("vec_id") === 0)
-      .select(col("vec").as("qvec"))
+      .select(col("vec").as("qvec"), col("nrm").as("qnrm"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
-        round(Text.cosine(col("vec"), col("qvec")), 6).as("cosine"))
+        round(Text.cosineWithNorms(col("vec"), col("qvec"),
+          col("nrm"), col("qnrm")), 6).as("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(10)
   }
 
   /** Embedding-cosine near-dup accounting over all pairs — correctness
-    * baseline on the fixed 500-vector table (the scale path is the LSH
-    * bucket variant below). */
+    * baseline for the LSH bucket variant below (which is the scale
+    * path). Norms are hoisted to one fold per VECTOR, so each pair
+    * costs a single dot product; the arithmetic shape
+    * dot/(na*nb) stays identical to the oracle. */
   private val embeddingNearDup: Q = (s, dir) => {
     val e = embs(s, dir).select(col("vec_id"), col("vec"))
+      .withColumn("nrm", Text.l2norm(col("vec")))
+      .repartition(32)
     val pairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .select(Text.cosine(col("x.vec"), col("y.vec")).as("cos"))
+      .select(Text.cosineWithNorms(col("x.vec"), col("y.vec"),
+        col("x.nrm"), col("y.nrm")).as("cos"))
     pairs.agg(
       count(lit(1)).as("n_pairs"),
       sum(when(col("cos") > 0.2, 1L).otherwise(0L)).as("n_above_02"),

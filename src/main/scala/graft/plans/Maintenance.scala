@@ -66,20 +66,26 @@ object Maintenance {
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
   }
 
-  /** M7: partition analysis with the reference's health bounds. Returns
-    * (partition value, rows, bytes, needs_split, needs_compaction). */
+  /** M7: partition analysis with the reference's health bounds. Row
+    * counts come from ONE scan grouped by the partition column (never a
+    * per-partition job loop — that's a driver-side O(partitions) job
+    * storm at scale); byte sizes come from the directory listing, joined
+    * in as a tiny broadcast frame. */
   def partitionAnalysis(spark: SparkSession, dir: String,
       partitionCol: String): DataFrame = {
-    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    val rows = spark.read.parquet(dir)
+      .groupBy(col(partitionCol).cast("string").as("partition_value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val bytes = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$partitionCol="))
-    val stats = parts.map { d =>
-      val bytes = d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.length()).sum
-      val rows = spark.read.parquet(d.getPath).count()
-      (d.getName.stripPrefix(s"$partitionCol="), rows, bytes)
-    }.toSeq
+      .map { d =>
+        (d.getName.stripPrefix(s"$partitionCol="),
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(_.length()).sum)
+      }.toSeq
     import spark.implicits._
-    stats.toDF("partition_value", "n_rows", "n_bytes")
+    val bytesDf = bytes.toDF("partition_value", "n_bytes")
+    rows.join(broadcast(bytesDf), Seq("partition_value"))
       .withColumn("needs_split", col("n_bytes") > 5L * 1024 * 1024 * 1024)
       .withColumn("needs_compaction",
         col("n_rows") < 10000 && col("n_bytes") < (0.1 * 1024 * 1024 * 1024).toLong)

@@ -52,7 +52,10 @@ class LlmSpec extends SparkSpec {
       doc(1, "one two three four five six seven eight"),
       doc(2, "one two three four five six seven eight"),
       doc(3, "nine ten eleven twelve thirteen fourteen fifteen sixteen")
-    ).toDF("doc_id", "text").withColumn("sh", Text.simhash32(toksExpr))
+    ).toDF("doc_id", "text")
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("counts", Text.simhashBitCounts("toks"))
+      .withColumn("sh", Text.packSimhash("counts"))
     val m = df.select("doc_id", "sh").as[(Long, Long)].collect().toMap
     assert(m(1L) == m(2L))
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 4)
