@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.ZOrderInterleave
+
+/** Engine extension point: registers graft's native Catalyst
+  * expressions. Two paths:
+  *
+  *  - `spark.sql.extensions=graft.core.GraftExtensions` at session
+  *    build (the standard SparkSessionExtensions hook), or
+  *  - `GraftExtensions.register(spark)` on an existing session (used by
+  *    Verify/Bench/tests, whose sessions the harness builds for us).
+  *
+  * Catalyst sees the registered function like any built-in: it
+  * constant-folds literal calls, participates in whole-stage codegen,
+  * and needs no UDF boxing.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.zorderDescriptor)
+}
+
+object GraftExtensions {
+  private val zorderDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder_interleave"),
+    new ExpressionInfo(classOf[ZOrderInterleave].getName, "zorder_interleave"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "zorder_interleave(a, b) takes exactly two arguments")
+      ZOrderInterleave(children.head, children(1))
+    })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      zorderDescriptor._1, zorderDescriptor._2, zorderDescriptor._3)
+}

@@ -60,6 +60,21 @@ object Maintenance {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
 
+  /** M3 (Z-order variant): rewrite clustered by the Morton interleave of
+    * two key columns — both dimensions land in parquet row-group min/max
+    * stats, so scans filtered on EITHER key prune (lexicographic sort
+    * only prunes the leading key). Uses the native codegen'd
+    * zorder_interleave expression, not a UDF. */
+  def zorderRewrite(spark: SparkSession, dir: String, outDir: String,
+      keyA: String, keyB: String, nPartitions: Int = 4): Unit = {
+    graft.core.GraftExtensions.register(spark)
+    spark.read.parquet(dir)
+      .repartition(nPartitions)
+      .sortWithinPartitions(
+        expr(s"zorder_interleave(CAST($keyA AS BIGINT), CAST($keyB AS BIGINT))"))
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
   /** M6: ANALYZE TABLE statistics refresh (needs a catalog table). */
   def analyzeTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")

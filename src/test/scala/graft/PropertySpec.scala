@@ -1,0 +1,120 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.operators.Ingest
+import graft.functions.{Geo, Text, ZOrderInterleave}
+
+/** Property-style invariants, mirroring the reference's statistical
+  * tests (SURVEY.md §5: totals ≈ Σ components, bounds, uniqueness). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal property driver over raw scalacheck Gens (the scalatest
+    * bridge artifact isn't in the offline cache): deterministic seeds,
+    * n samples per law. */
+  private def forSamples[A](g: Gen[A], n: Int = 20)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(a => f(a))
+    }
+
+  test("ingest totality: every input line lands in exactly one branch") {
+    val junk = Gen.listOfN(40, Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.const("""{"trip_id":"x"}"""),
+      Gen.const("{broken"),
+      Gen.const(""),
+      Gen.const("""{"pickup_datetime":"2024-01-01T01:00:00",
+        |"dropoff_datetime":"2024-01-01T02:00:00","trip_distance":1.0,
+        |"total_amount":5.0}""".stripMargin.replaceAll("\n", ""))))
+    forSamples(junk) { lines =>
+      if (lines.nonEmpty) {
+        val parsed = Ingest.parseRecords(lines.toDF("raw"), "prop")
+        val v = Ingest.valid(parsed).count()
+        val i = Ingest.invalid(parsed).count()
+        assert(v + i == lines.size)
+      }
+    }
+  }
+
+  test("dead-letter error types stay within the reference's six classes") {
+    val lines = Gen.listOfN(60, Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("{bad"), Gen.const("""{"a":1}""")))
+    val allowed = Set("json_parsing_failed", "missing_field",
+      "invalid_timestamp_format", "invalid_timestamp_order",
+      "validation_failed", "unexpected_error")
+    forSamples(lines) { ls =>
+      if (ls.nonEmpty) {
+        val types = Ingest.invalid(
+            Ingest.parseRecords(ls.toDF("raw"), "prop"))
+          .select("error_type").distinct().as[String].collect().toSet
+        assert(types.subsetOf(allowed))
+      }
+    }
+  }
+
+  test("moneyAvg2 matches BigDecimal HALF_UP for arbitrary cent amounts") {
+    val cents = Gen.listOfN(20, Gen.chooseNum(1L, 10000000L))
+    forSamples(cents, n = 8) { cs =>
+      if (cs.nonEmpty) {
+        val spark2dp = cs.zipWithIndex
+          .map { case (c, i) => (i % 3, c / 100.0) }
+          .toDF("g", "v")
+          .groupBy("g").agg(T.moneyAvg2(col("v")).as("avg2"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val expected = cs.zipWithIndex.groupBy(_._2 % 3).map { case (g, xs) =>
+          val sum = BigDecimal(xs.map(_._1).sum)
+          g -> (sum / xs.size).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble / 100.0
+        }
+        expected.foreach { case (g, e) =>
+          assert(math.abs(spark2dp(g) - e) < 1e-9,
+            s"group $g: spark=${spark2dp(g)} expected=$e")
+        }
+      }
+    }
+  }
+
+  test("zorder interleave is a bijection (deinterleave recovers inputs)") {
+    def unspread(v: Long): Long = {
+      var x = v & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0f0f0f0f0f0f0f0fL
+      x = (x | (x >> 4)) & 0x00ff00ff00ff00ffL
+      x = (x | (x >> 8)) & 0x0000ffff0000ffffL
+      x = (x | (x >> 16)) & 0x00000000ffffffffL
+      x
+    }
+    forSamples(Gen.zip(Gen.chooseNum(0L, 0xffffffffL),
+        Gen.chooseNum(0L, 0xffffffffL)), n = 200) { case (a, b) =>
+        val z = ZOrderInterleave.interleave(a, b)
+        assert(unspread(z) == a)
+        assert(unspread(z >> 1) == b)
+    }
+  }
+
+  test("geohash precision-prefix law: longer hashes refine shorter ones") {
+    val coords = for {
+      lat <- Gen.chooseNum(-89.9, 89.9)
+      lon <- Gen.chooseNum(-179.9, 179.9)
+    } yield (lat, lon)
+    forSamples(coords, n = 50) { case (lat, lon) =>
+      val h8 = Geo.encode(lat, lon, 8)
+      (1 to 7).foreach(p => assert(Geo.encode(lat, lon, p) == h8.take(p)))
+    }
+  }
+
+  test("S7 log-sink: invalid-record metric equals the dead-letter count") {
+    // The reference's log sink (main.py:324-330) reduces to a counted
+    // side channel; foreach with an accumulator is the Spark analog.
+    val lines = Seq("ok-but-not-json", """{"x":1}""", "also bad")
+    val invalid = Ingest.invalid(
+      Ingest.parseRecords(lines.toDF("raw"), "prop"))
+    val metric = spark.sparkContext.longAccumulator("invalid_records")
+    invalid.foreach(_ => metric.add(1))
+    assert(metric.value == invalid.count())
+  }
+}
