@@ -23,7 +23,8 @@ object SparkEntry {
     LlmOps,
     Dml,
     MaintenanceOps,
-    Scalars)
+    Scalars,
+    ScaleOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Fact ⋈ broadcast-dim revenue-by-zone with having + top-k

@@ -265,6 +265,29 @@ object LlmOps extends QueryPack {
         sum(col("n_vecs")).as("n_total"))
   }
 
+  /** Exact token-set (1-gram) Jaccard between consecutive doc pairs —
+    * the deterministic n-gram-Jaccard baseline the oracle can recompute
+    * (the 3-gram variant runs inside the LSH confirm step). Pairing by
+    * doc_id keeps the op linear; all-pairs Jaccard is exactly what the
+    * banded LSH exists to avoid. */
+  private val tokenJaccard: Q = (s, dir) => {
+    val t = docs(s, dir)
+      .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("ts"))
+    val a = t.select(col("doc_id"), col("ts").as("ts_a"))
+    val b = t.select((col("doc_id") - 1).as("doc_id"), col("ts").as("ts_b"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"),
+        (size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
+          size(array_union(col("ts_a"), col("ts_b"))).cast("double"))
+          .as("jaccard_next"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard_next") >= 0.5, 1L).otherwise(0L))
+          .as("n_similar"),
+        max(col("jaccard_next")).as("max_jaccard"),
+        min(col("jaccard_next")).as("min_jaccard"))
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   /** Multimodal column plumbing: media as an opaque binary column +
@@ -299,7 +322,8 @@ object LlmOps extends QueryPack {
     "l09_cosine_topk" -> cosineTopK,
     "l10_embedding_neardup" -> embeddingNearDup,
     "l11_ann_buckets" -> annBuckets,
-    "l12_multimodal_stats" -> multimodalStats)
+    "l12_multimodal_stats" -> multimodalStats,
+    "l13_token_jaccard" -> tokenJaccard)
 
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
@@ -390,6 +414,20 @@ object LlmOps extends QueryPack {
          |  CAST(SUM(CASE WHEN cos > 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_09
          |FROM pairs""".stripMargin
     },
+    "l13_token_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct($oToks) AS ts FROM documents),
+         |pairs AS (
+         |  SELECT CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE)
+         |      AS jaccard_next
+         |  FROM t a JOIN t b ON a.doc_id = b.doc_id - 1)
+         |SELECT COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN jaccard_next >= 0.5 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_similar,
+         |  MAX(jaccard_next) AS max_jaccard,
+         |  MIN(jaccard_next) AS min_jaccard
+         |FROM pairs""".stripMargin,
     "l12_multimodal_stats" ->
       """SELECT source, COUNT(*) AS n_items,
         |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,

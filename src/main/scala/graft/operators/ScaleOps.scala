@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T, QueryPack}
+
+/** Scale-pattern operators: the shuffle-shaping techniques the 100 TB
+  * design notes promise (salting for skew; bucketing for co-located
+  * joins lives in BucketingSpec because its observable is the absence
+  * of an Exchange, not a row set).
+  *
+  * k01 demonstrates the two-phase salted aggregation: a skewed group key
+  * (lineitem has only 3 return flags, so every flag is a hot key) is
+  * widened with a deterministic 16-way salt for the first, heavy
+  * shuffle; the second shuffle combines 3×16 partial rows. Identical
+  * results to the direct groupBy — the oracle proves it — but no single
+  * reducer ever sees a whole hot key's rows. AQE's skew handling covers
+  * joins; aggregation skew still wants this explicit pattern.
+  */
+object ScaleOps extends QueryPack {
+
+  private val saltedAgg: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    val partial = li
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(T.dec2(col("l_extendedprice"))).as("price_sum"),
+        sum((T.dec2(col("l_quantity")) * 100).cast("long")).as("qty_cents"))
+    partial
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("n")).as("n_lines"),
+        round(sum(col("price_sum")).cast("double"), 2).as("revenue"),
+        (floor((sum(col("qty_cents")).cast("double") * 2
+            + sum(col("n")).cast("double"))
+          / (sum(col("n")).cast("double") * 2)) / lit(100.0))
+          .as("avg_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "k01_salted_agg" -> saltedAgg)
+
+  val oracle: Map[String, String] = Map(
+    "k01_salted_agg" ->
+      s"""SELECT l_returnflag,
+         |  COUNT(*) AS n_lines,
+         |  ROUND(${T.oMoneySum("l_extendedprice")}, 2) AS revenue,
+         |  ${T.oMoneyAvg2("l_quantity")} AS avg_qty
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+}
