@@ -46,10 +46,17 @@ object Bench {
       case (k, Right(sec)) => s""""$k":$sec"""
       case (k, Left(_))    => s""""$k":-1"""
     }.mkString("{", ",", "}")
+    // escape ALL control chars — exception messages can embed arbitrary
+    // bytes, and one bad byte would make the whole JSON line unparseable
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val statuses = results.map {
       case (k, Right(_)) => s""""$k":"ok""""
-      case (k, Left(err)) =>
-        s""""$k":"error: ${err.replaceAll("[\"\\\\\\n\\r\\t]", " ")}""""
+      case (k, Left(err)) => s""""$k":"error: ${esc(err)}""""
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, Right(s)) => s }
     val total = ok.sum

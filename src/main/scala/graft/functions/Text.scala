@@ -12,12 +12,20 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Canonical text normalization: lowercase, collapse whitespace, trim.
-    * The shared first step of fingerprinting and dedup. */
+    * The shared first step of fingerprinting and dedup. Keep `norm`,
+    * `tokens`, and `toksSql` in lockstep — every fingerprint family
+    * (md5/minhash/simhash/rolling) and their DuckDB oracles derive from
+    * this one definition. */
   def norm(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(norm(c), " ")
+
+  /** The SAME tokenizer as a SQL string, for expr-based builders that
+    * need it spliced into a lambda-bearing expression. */
+  def toksSql(textCol: String): String =
+    s"split(lower(trim(regexp_replace($textCol, '\\\\s+', ' '))), ' ')"
 
   /** Exact-dedup fingerprint: md5 of normalized text (md5 is identical
     * in Spark and DuckDB, so the oracle can recompute it). */

@@ -117,6 +117,11 @@ object Ingest extends QueryPack {
       .withColumn("pickup_ts", ts("pickup_datetime"))
       .withColumn("dropoff_ts", ts("dropoff_datetime"))
       .withColumn("vendor_id_l", f("vendor_id").try_cast(LongType))
+      // try_cast EVERY untrusted numeric: plain ANSI casts would crash
+      // the whole job on one malformed field instead of dead-lettering
+      // it (the reference's catch-all, main.py:140-146).
+      .withColumn("distance_d", f("trip_distance").try_cast(DoubleType))
+      .withColumn("total_d", f("total_amount").try_cast(DoubleType))
       .withColumn("error_type",
         when(col("parsed").isNull, "json_parsing_failed")                 // P1
           .when(required.map(f(_).isNull).reduce(_ || _), "missing_field") // P2
@@ -124,8 +129,12 @@ object Ingest extends QueryPack {
             "invalid_timestamp_format")                                    // P4
           .when(col("pickup_ts") >= col("dropoff_ts"),
             "invalid_timestamp_order")                                     // P5
-          .when(f("trip_distance").cast(DoubleType) <= 0 ||
-              f("total_amount").cast(DoubleType) <= 0, "validation_failed") // P9
+          // field present (P2 passed) but not numeric → the reference's
+          // ValueError catch-all path
+          .when(col("distance_d").isNull || col("total_d").isNull,
+            "unexpected_error")                                            // P12
+          .when(col("distance_d") <= 0 || col("total_d") <= 0,
+            "validation_failed")                                           // P9
           .when(col("vendor_id_l").isNull && f("vendor_id").isNotNull,
             "unexpected_error")                                            // P12
           .otherwise(lit(null).cast(StringType)))
@@ -133,12 +142,12 @@ object Ingest extends QueryPack {
         coalesce(f("trip_id"),
           concat(lit("gen_"), f("pickup_location_id"), lit("_"),
             unix_timestamp(col("pickup_ts")))))
-      .withColumn("passenger_count", f("passenger_count").cast(LongType))
-      .withColumn("trip_distance", f("trip_distance").cast(DoubleType))
+      .withColumn("passenger_count", f("passenger_count").try_cast(LongType))
+      .withColumn("trip_distance", col("distance_d"))
       .withColumn("payment_type", f("payment_type"))
-      .withColumn("total_amount",                                          // P6
-        round(f("total_amount").cast(DoubleType), 2))
-      .withColumn("pickup_location_id", f("pickup_location_id").cast(LongType))
+      .withColumn("total_amount", round(col("total_d"), 2))                // P6
+      .withColumn("pickup_location_id",
+        f("pickup_location_id").try_cast(LongType))
       // P7: event_timestamp is parsed but never projected (dropped).
       .withColumn("created_at", current_timestamp())                       // P8
       .withColumn("pipeline_name", lit(pipelineName))

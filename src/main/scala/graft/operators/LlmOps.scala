@@ -141,7 +141,7 @@ object LlmOps extends QueryPack {
   private val fingerprints: Q = (s, dir) =>
     docs(s, dir)
       .select(col("doc_id"),
-        Text.rollingFingerprint("split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')")
+        Text.rollingFingerprint(Text.toksSql("text"))
           .as("roll_fp"),
         Text.fingerprint(col("text")).as("md5_fp"))
       .agg(
@@ -162,13 +162,16 @@ object LlmOps extends QueryPack {
     // regex tokenizer into the per-shingle lambda (which would re-run the
     // regex once per shingle — observed as a 200s single-core stall).
     // The shingle frame is reused three times (signatures + two jaccard
-    // fetches), so cache it rather than re-deriving the lineage.
+    // fetches); localCheckpoint materializes it once and, unlike cache(),
+    // its blocks are released by the ContextCleaner when the frame goes
+    // out of scope — repeated invocations don't accumulate pinned
+    // storage memory.
     val sh = d
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .repartition(32)
       .select(col("doc_id"), Text.shinglesFromTokens("toks", 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache()
+      .localCheckpoint()
     val keyed = sh
       .withColumn("sig", Text.minhashSignature("sh", perms))
       .withColumn("bands", Text.lshBands("sig", bands, perms / bands))
@@ -202,7 +205,7 @@ object LlmOps extends QueryPack {
   private val simhashNearDedup: Q = (s, dir) => {
     val sh = docs(s, dir)
       .withColumn("toks",
-        expr("split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')"))
+        expr(Text.toksSql("text")))
       .withColumn("counts", Text.simhashBitCounts("toks"))
       .select(col("doc_id"), Text.packSimhash("counts").as("simhash"))
       .repartition(32)

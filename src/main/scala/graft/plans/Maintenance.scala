@@ -127,6 +127,10 @@ object Maintenance {
       scratchDir: String, sortCols: Seq[String],
       retainSnapshots: Int = 2): Seq[(String, String, Long)] = {
     val cur = snaps.current(spark, table)
+    // count EAGERLY: expire() below deletes old versions, and with an
+    // aggressive retention the lazily-evaluated count would read
+    // already-deleted files
+    val curRows = cur.count()
     val curDir = s"${snaps.rootDir}/$table/v=${snaps.currentVersion(table).get}"
     val beforeFiles = fileStats(curDir).nFiles
     val rep = compact(spark, curDir, s"$scratchDir/${table}_compacted")
@@ -135,7 +139,7 @@ object Maintenance {
     val expired = snaps.expire(table, retainSnapshots)
     val orphans = snaps.cleanOrphans(table)
     Seq(
-      ("table_stats", "rows", cur.count()),
+      ("table_stats", "rows", curRows),
       ("compaction", s"files ${rep.before.nFiles} -> ${rep.after.nFiles}",
         rep.after.nFiles),
       ("sort_rewrite", sortCols.mkString(","),

@@ -26,7 +26,9 @@ class Snapshots(root: String) {
     val d = tableDir(table)
     if (!d.exists()) Seq.empty
     else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      // strict v=<digits> match: an aborted write can leave v=1_tmp-style
+      // dirs, which must read as orphans, not crash every operation
+      .filter(f => f.isDirectory && f.getName.matches("v=\\d+"))
       .map(_.getName.stripPrefix("v=").toInt).sorted
   }
 
@@ -48,16 +50,20 @@ class Snapshots(root: String) {
     asOf(spark, table, currentVersion(table)
       .getOrElse(sys.error(s"no snapshots for $table")))
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** M2: expire old snapshots, keeping the most recent `keep`. Returns
-    * the versions removed. */
+    * the versions removed. Deletion is recursive — an aborted Spark
+    * write leaves _temporary/ subdirs that a flat delete would silently
+    * keep alive. */
   def expire(table: String, keep: Int): Seq[Int] = {
     val vs = versions(table)
     val doomed = vs.dropRight(keep)
-    doomed.foreach { v =>
-      val dir = new java.io.File(versionDir(table, v))
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
-    }
+    doomed.foreach(v => deleteRecursively(new java.io.File(versionDir(table, v))))
     doomed
   }
 
@@ -67,18 +73,27 @@ class Snapshots(root: String) {
   def cleanOrphans(table: String): Seq[String] = {
     val live = versions(table).map(v => new java.io.File(versionDir(table, v)))
       .map(_.getCanonicalPath).toSet
+    // membership = exact dir or a path UNDER it — bare startsWith would
+    // keep .../v=1_aborted.tmp alive because it extends .../v=1
+    def isLive(f: java.io.File): Boolean = {
+      val p = f.getCanonicalPath
+      live.contains(p) ||
+        live.exists(l => p.startsWith(l + java.io.File.separator))
+    }
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Seq(f)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk) :+ f
+      else Seq(f)
     val root = tableDir(table)
     if (!root.exists()) return Seq.empty
     val doomed = walk(root)
       .filter(_ != root)
-      .filterNot(f => live.exists(p => f.getCanonicalPath.startsWith(p)))
-      .filterNot(f => f.isDirectory && f.getName.startsWith("v="))
+      .filterNot(isLive)
     doomed.filter(_.isFile).map { f => val p = f.getPath; f.delete(); p } ++
       doomed.filter(_.isDirectory).flatMap { d =>
-        if (d.listFiles().isEmpty) { val p = d.getPath; d.delete(); Seq(p) }
-        else Seq.empty
+        if (Option(d.listFiles()).getOrElse(Array.empty).isEmpty) {
+          val p = d.getPath; d.delete(); Seq(p)
+        } else Seq.empty
       }
   }
 }

@@ -127,7 +127,10 @@ object Sources extends QueryPack {
       StructField("pipeline_name", StringType)))
     val invalid = Ingest.invalid(
       Ingest.parseRecords(Ingest.rawRecords(s, dir), "graft-batch"))
-    s.createDataFrame(invalid.rdd, errorSchema)   // declared sink schema
+    // enforce the declared sink schema declaratively (stays inside
+    // codegen; a schema drift fails analysis, not a mid-write task)
+    invalid.select(errorSchema.fields.toIndexedSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
     s.read.schema(errorSchema).parquet(path)
       .groupBy(col("error_type"))

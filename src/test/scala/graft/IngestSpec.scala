@@ -59,6 +59,12 @@ class IngestSpec extends SparkSpec {
     assert(m.keySet == Set("validation_failed"))
   }
 
+  test("non-numeric required field dead-letters as unexpected_error, not a crash") {
+    val bad = validLine.replace("4.47", "\"n/a\"")
+    val m = classify(Seq(bad))
+    assert(m.keySet == Set("unexpected_error"))
+  }
+
   test("Z-suffixed ISO timestamp is canonicalized, not rejected") {
     val zulu = validLine
       .replace("2025-05-16T16:45:26", "2025-05-16T16:45:26Z")

@@ -47,7 +47,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("simhash: identical docs collide, different docs are far apart") {
-    val toksExpr = "split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')"
+    val toksExpr = Text.toksSql("text")
     val df = Seq(
       doc(1, "one two three four five six seven eight"),
       doc(2, "one two three four five six seven eight"),
