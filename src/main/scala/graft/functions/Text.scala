@@ -64,14 +64,21 @@ object Text {
          |       i -> array_join(slice($toksCol, i + 1, $n), ' '))
          |END""".stripMargin)
 
-  /** MinHash signature over a shingle array: `perms` independent
-    * hash functions simulated by seeding xxhash64 with the permutation
-    * index. O(perms × shingles) codegen'd work per row, no shuffle. */
-  def minhashSignature(shingleCol: String, perms: Int): Column =
+  /** One 64-bit hash per shingle — compute (and materialize) this ONCE;
+    * the per-permutation work then mixes longs instead of re-hashing
+    * strings. */
+  def shingleHashes(shingleCol: String): Column =
+    expr(s"transform($shingleCol, sh -> xxhash64(sh))")
+
+  /** MinHash signature over pre-hashed shingles: `perms` independent
+    * hash functions simulated by re-hashing the 64-bit shingle hash
+    * with the permutation index (xxhash64 over (bigint, int) — pure
+    * long mixing, no string building). O(perms × shingles) per row, no
+    * shuffle. */
+  def minhashSignature(hashesCol: String, perms: Int): Column =
     expr(
       s"""transform(sequence(0, ${perms - 1}),
-         |  p -> array_min(transform($shingleCol,
-         |         sh -> xxhash64(concat(cast(p AS string), '|', sh)))))"""
+         |  p -> array_min(transform($hashesCol, h -> xxhash64(h, p))))"""
         .stripMargin)
 
   /** LSH band keys: hash `rows`-sized slices of the signature. Two docs

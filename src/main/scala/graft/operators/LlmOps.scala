@@ -171,12 +171,17 @@ object LlmOps extends QueryPack {
       .repartition(32)
       .select(col("doc_id"), Text.shinglesFromTokens("toks", 3).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("shh", Text.shingleHashes("sh"))
       .localCheckpoint()
+    // Materialize the banded keys too: the self-join below consumes this
+    // frame on BOTH sides, and without a barrier each side would
+    // recompute the full 16-perm signature.
     val keyed = sh
-      .withColumn("sig", Text.minhashSignature("sh", perms))
+      .withColumn("sig", Text.minhashSignature("shh", perms))
       .withColumn("bands", Text.lshBands("sig", bands, perms / bands))
       .select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .localCheckpoint()
     val pairs = keyed.as("a")
       .join(keyed.as("b"), Seq("band_idx", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))

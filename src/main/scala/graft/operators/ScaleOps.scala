@@ -40,8 +40,27 @@ object ScaleOps extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** HLL-sketch COUNT DISTINCT beside the exact one — the reference only
+    * ever uses exact distinct (SURVEY §2.3 A9), but at 100 TB an exact
+    * distinct is a full shuffle of every key while the sketch merges
+    * fixed-size buffers; rows-only for the driver (sketches differ
+    * across engines), with the ≤5%-error contract asserted in
+    * ScaleSpec. */
+  private val approxDistinct: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .withColumn("rel_err",
+        abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts").cast("double"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
-    "k01_salted_agg" -> saltedAgg)
+    "k01_salted_agg" -> saltedAgg,
+    "k02_approx_distinct" -> approxDistinct)
 
   val oracle: Map[String, String] = Map(
     "k01_salted_agg" ->
