@@ -86,9 +86,12 @@ object LlmOps extends QueryPack {
   }
 
   /** Stopword language-ID heuristic vs the labeled lang: confusion
-    * counts. Highest hit count wins; ties resolve in lexicon order. */
+    * counts. Highest hit count wins; ties resolve in lexicon order.
+    * Tokens materialize below an exchange so the five per-language
+    * filter lambdas read an attribute, not five re-tokenizations
+    * (see [[graft.functions.Text]] inlining note). */
   private val langId: Q = (s, dir) => {
-    val toks = Text.tokens(col("text"))
+    val toks = col("toks")
     val scores = Text.langStopwords.map { case (lang, words) =>
       lang -> Text.stopwordHits(toks, words)
     }
@@ -99,6 +102,8 @@ object LlmOps extends QueryPack {
           struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
     }
     docs(s, dir)
+      .select(col("lang"), Text.tokens(col("text")).as("toks"))
+      .repartition(32)
       .select(col("lang"), best.getField("lang").as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
