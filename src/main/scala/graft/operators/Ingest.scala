@@ -221,22 +221,28 @@ object Ingest extends QueryPack {
     "p04_passthrough_count" -> passthroughCount)
 
   // Oracles compute the EXPECTED pipeline outcome analytically from the
-  // events table (the corruption class is event_id % 10), which checks the
-  // whole parse/validate/normalize path end-to-end.
-  private val oracleValid = "event_id % 10 NOT IN (0, 1, 2, 3, 4, 5)"
+  // events table: the corruption class is event_id % 10, AND the business
+  // rule applies to every class that reaches it — a zero-value event in a
+  // "valid" class is still validation_failed (value = 0 rows exist from
+  // sf0.1 up; class-only oracles break there).
+  private val oracleValid =
+    "event_id % 10 NOT IN (0, 1, 2, 3, 4, 5) AND value > 0"
+  private val oracleErrorType =
+    """CASE
+      |    WHEN event_id % 10 = 0 THEN 'json_parsing_failed'
+      |    WHEN event_id % 10 = 1 THEN 'missing_field'
+      |    WHEN event_id % 10 = 2 THEN 'invalid_timestamp_order'
+      |    WHEN event_id % 10 = 3 THEN 'invalid_timestamp_format'
+      |    WHEN event_id % 10 = 4 THEN 'validation_failed'
+      |    WHEN value <= 0 THEN 'validation_failed'
+      |    WHEN event_id % 10 = 5 THEN 'unexpected_error' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "p01_dead_letter_counts" ->
-      """SELECT CASE event_id % 10
-        |    WHEN 0 THEN 'json_parsing_failed'
-        |    WHEN 1 THEN 'missing_field'
-        |    WHEN 2 THEN 'invalid_timestamp_order'
-        |    WHEN 3 THEN 'invalid_timestamp_format'
-        |    WHEN 4 THEN 'validation_failed'
-        |    WHEN 5 THEN 'unexpected_error' END AS error_type,
-        |  'graft-batch' AS pipeline_name, COUNT(*) AS n_errors
-        |FROM events WHERE event_id % 10 <= 5
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+      s"""SELECT $oracleErrorType AS error_type,
+         |  'graft-batch' AS pipeline_name, COUNT(*) AS n_errors
+         |FROM events WHERE event_id % 10 <= 5 OR value <= 0
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "p02_valid_hourly_agg" ->
       s"""SELECT date_trunc('hour', ts) AS stat_hour,
          |  event_type AS payment_type, COUNT(*) AS trip_count,

@@ -164,13 +164,14 @@ object Sources extends QueryPack {
     "s09_federated_union" -> federatedUnion)
 
   val oracle: Map[String, String] = Map(
-    // Valid classes 6-9 have positive totals; classes 0/1 never parse a
-    // payment_type; 2/3/5 parse fine but class 4's total is negative.
+    // Classes 0/1 never parse a payment_type; class 4's total is negated;
+    // the scan-side filter also requires total > 0, which additionally
+    // drops zero-value events of ANY surviving class (present from sf0.1).
     "s01_jsonl_scan" ->
       s"""SELECT event_type AS payment_type, COUNT(*) AS n_rows,
          |  ROUND(${T.oMoneySum("value")}, 2) AS sum_total
          |FROM events
-         |WHERE event_id % 10 NOT IN (0, 1, 4)
+         |WHERE event_id % 10 NOT IN (0, 1, 4) AND value > 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s02_csv_scan" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_rows,
@@ -188,15 +189,16 @@ object Sources extends QueryPack {
          |WHERE month(o_orderdate) IN (1, 2)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s06_error_sink" ->
-      """SELECT CASE event_id % 10
-        |    WHEN 0 THEN 'json_parsing_failed'
-        |    WHEN 1 THEN 'missing_field'
-        |    WHEN 2 THEN 'invalid_timestamp_order'
-        |    WHEN 3 THEN 'invalid_timestamp_format'
-        |    WHEN 4 THEN 'validation_failed'
-        |    WHEN 5 THEN 'unexpected_error' END AS error_type,
+      """SELECT CASE
+        |    WHEN event_id % 10 = 0 THEN 'json_parsing_failed'
+        |    WHEN event_id % 10 = 1 THEN 'missing_field'
+        |    WHEN event_id % 10 = 2 THEN 'invalid_timestamp_order'
+        |    WHEN event_id % 10 = 3 THEN 'invalid_timestamp_format'
+        |    WHEN event_id % 10 = 4 THEN 'validation_failed'
+        |    WHEN value <= 0 THEN 'validation_failed'
+        |    WHEN event_id % 10 = 5 THEN 'unexpected_error' END AS error_type,
         |  COUNT(*) AS n_errors
-        |FROM events WHERE event_id % 10 <= 5
+        |FROM events WHERE event_id % 10 <= 5 OR value <= 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s09_federated_union" ->
       """SELECT o_source, o_orderpriority, COUNT(*) AS n_rows
