@@ -28,10 +28,14 @@ object Bench {
     }
 
     // Global warmup: absorb one-time JVM/codegen/shuffle-machinery init
-    // so the alphabetically-first query isn't charged for it.
-    spark.range(0, 1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/nation.parquet")
-      .repartition(4).groupBy("n_regionkey").count().collect()
+    // so the alphabetically-first query isn't charged for it. Best
+    // effort — a warmup failure (e.g. bad data dir) must NOT kill the
+    // run before per-query statuses can be reported.
+    try {
+      spark.range(0, 1000000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .repartition(4).groupBy("n_regionkey").count().collect()
+    } catch { case _: Throwable => () }
 
     // Optional comma-separated prefix filter for targeted profiling.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
@@ -46,17 +50,10 @@ object Bench {
       case (k, Right(sec)) => s""""$k":$sec"""
       case (k, Left(_))    => s""""$k":-1"""
     }.mkString("{", ",", "}")
-    // escape ALL control chars — exception messages can embed arbitrary
-    // bytes, and one bad byte would make the whole JSON line unparseable
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    import graft.core.Jsonish.jstr
     val statuses = results.map {
       case (k, Right(_)) => s""""$k":"ok""""
-      case (k, Left(err)) => s""""$k":"error: ${esc(err)}""""
+      case (k, Left(err)) => s""""$k":${jstr(s"error: $err")}"""
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, Right(s)) => s }
     val total = ok.sum

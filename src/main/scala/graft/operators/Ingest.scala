@@ -135,7 +135,14 @@ object Ingest extends QueryPack {
             "unexpected_error")                                            // P12
           .when(col("distance_d") <= 0 || col("total_d") <= 0,
             "validation_failed")                                           // P9
-          .when(col("vendor_id_l").isNull && f("vendor_id").isNotNull,
+          // optional fields present but unparsable → the same catch-all
+          // (silently nulling them into the valid branch would be data
+          // loss the reference's ValueError handler prevents)
+          .when((col("vendor_id_l").isNull && f("vendor_id").isNotNull) ||
+              (f("passenger_count").isNotNull &&
+                f("passenger_count").try_cast(LongType).isNull) ||
+              (f("pickup_location_id").isNotNull &&
+                f("pickup_location_id").try_cast(LongType).isNull),
             "unexpected_error")                                            // P12
           .otherwise(lit(null).cast(StringType)))
       .withColumn("trip_id",                                               // P3

@@ -284,8 +284,10 @@ object LlmOps extends QueryPack {
     * doc_id keeps the op linear; all-pairs Jaccard is exactly what the
     * banded LSH exists to avoid. */
   private val tokenJaccard: Q = (s, dir) => {
+    // materialize once — both join sides consume this frame
     val t = docs(s, dir)
       .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("ts"))
+      .localCheckpoint()
     val a = t.select(col("doc_id"), col("ts").as("ts_a"))
     val b = t.select((col("doc_id") - 1).as("doc_id"), col("ts").as("ts_b"))
     a.join(b, "doc_id")

@@ -65,6 +65,15 @@ class IngestSpec extends SparkSpec {
     assert(m.keySet == Set("unexpected_error"))
   }
 
+  test("non-numeric OPTIONAL field dead-letters too, never silently nulls") {
+    val badPax = validLine.replace(""""passenger_count":1""",
+      """"passenger_count":"two"""")
+    assert(classify(Seq(badPax)).keySet == Set("unexpected_error"))
+    val badLoc = validLine.replace(""""pickup_location_id":161""",
+      """"pickup_location_id":"x"""")
+    assert(classify(Seq(badLoc)).keySet == Set("unexpected_error"))
+  }
+
   test("Z-suffixed ISO timestamp is canonicalized, not rejected") {
     val zulu = validLine
       .replace("2025-05-16T16:45:26", "2025-05-16T16:45:26Z")
