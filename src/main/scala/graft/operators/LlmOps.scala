@@ -278,6 +278,44 @@ object LlmOps extends QueryPack {
         sum(col("n_vecs")).as("n_total"))
   }
 
+  /** IVF (inverted-file) assignment: every vector goes to its
+    * highest-dot "centroid" — here the first `nCells` vectors serve as
+    * deterministic seed centroids (k-means init without the iterations;
+    * the index structure, not the clustering quality, is the operator).
+    * The centroid table is a bounded model broadcast — at scale the
+    * assignment stays one narrow pass and searches probe only the
+    * closest cells' posting lists instead of the full corpus. */
+  def ivfAssign(e: DataFrame, nCells: Int): DataFrame = {
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(collect_list(struct(col("vec_id").cast("int").as("cid"),
+        col("vec").as("cvec"))).as("cents"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cid", expr(
+        """aggregate(cents,
+          |  named_struct('best', CAST(-1e308 AS DOUBLE), 'cid', -1),
+          |  (acc, c) -> IF(
+          |    aggregate(zip_with(vec, c.cvec, (x, y) -> x * y),
+          |      0.0D, (a, v) -> a + v) > acc.best,
+          |    named_struct(
+          |      'best', aggregate(zip_with(vec, c.cvec, (x, y) -> x * y),
+          |        0.0D, (a, v) -> a + v),
+          |      'cid', c.cid),
+          |    acc)).cid""".stripMargin))
+      .drop("cents")
+  }
+
+  /** IVF index profile: posting-list histogram (rows-only; recall on
+    * planted neighbors is asserted in LlmSpec). */
+  private val ivfIndex: Q = (s, dir) => {
+    ivfAssign(embs(s, dir), 16)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        max(col("n_vecs")).as("max_cell"),
+        min(col("n_vecs")).as("min_cell"),
+        sum(col("n_vecs")).as("n_total"))
+  }
+
   /** Exact token-set (1-gram) Jaccard between consecutive doc pairs —
     * the deterministic n-gram-Jaccard baseline the oracle can recompute
     * (the 3-gram variant runs inside the LSH confirm step). Pairing by
@@ -338,7 +376,8 @@ object LlmOps extends QueryPack {
     "l10_embedding_neardup" -> embeddingNearDup,
     "l11_ann_buckets" -> annBuckets,
     "l12_multimodal_stats" -> multimodalStats,
-    "l13_token_jaccard" -> tokenJaccard)
+    "l13_token_jaccard" -> tokenJaccard,
+    "l14_ivf_index" -> ivfIndex)
 
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"

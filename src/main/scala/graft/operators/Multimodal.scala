@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque binary + typed metadata,
+  * with a per-partition decode/feature-extract stage (the Scala analog
+  * of a batch mapInPandas UDF).
+  *
+  * !! The decode kernel itself is a STUB: image/audio codec libraries
+  * are not present in this build, so `decodeStub` produces a
+  * deterministic fake feature vector from the raw bytes. Everything
+  * around it — the binary+metadata schema, the per-partition batch
+  * shape, row accounting, and output schema — is the real plumbing a
+  * codec would drop into.
+  *
+  * Scale notes: mapPartitions processes each partition as one iterator
+  * (amortizing any per-batch model/codec setup, exactly like a Pandas
+  * UDF batch); the binary payloads never shuffle — decode happens
+  * in-place on the scan partitioning.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_bytes", BinaryType),
+    StructField("media_meta", StructType(Seq(
+      StructField("modality_tag", StringType),
+      StructField("declared_size", LongType))))))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** Wrap a documents-like frame into the media schema (text bytes stand
+    * in for the opaque payload). */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media_bytes"),
+      struct(col("lang").as("modality_tag"),
+        col("n_chars").as("declared_size")).as("media_meta"))
+
+  /** The decode/feature-extract stage. Swap the body of `extract` for a
+    * real codec; the signature and batch shape stay. */
+  def decodeStub(spark: SparkSession, media: DataFrame,
+      featureDims: Int = 4): DataFrame = {
+    def extract(bytes: Array[Byte]): Array[Double] =
+      Array.tabulate(featureDims)(i =>
+        bytes.slice(i * 8, i * 8 + 8).map(_.toDouble).sum)   // ??? real codec
+    spark.createDataFrame(
+      media.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media_bytes")
+          Row(r.getAs[Long]("doc_id"), bytes.length, extract(bytes))
+        }
+      }, featureSchema)
+  }
+}

@@ -89,31 +89,39 @@ class LlmSpec extends SparkSpec {
   }
 
   test("multimodal: binary column + stubbed per-partition decode keeps schema and rows") {
-    val media = T.load(spark, sfDir, "documents").limit(50)
-      .select($"doc_id", encode($"text", "UTF-8").as("media_bytes"),
-        struct($"lang".as("modality_tag"), $"n_chars".as("declared_size"))
-          .as("media_meta"))
-    // Decode/feature-extract stub: the real kernel (image/audio codec)
-    // is not in this build; the per-partition batch shape, schema, and
-    // row accounting are the plumbing under test.
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("n_bytes", IntegerType),
-      StructField("feature", ArrayType(DoubleType))))
-    val decoded = spark.createDataFrame(
-      media.rdd.mapPartitions { rows =>
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("media_bytes")
-          // deterministic fake "embedding" of the media payload
-          val feat = Array.tabulate(4)(i =>
-            bytes.slice(i * 8, i * 8 + 8).map(_.toDouble).sum)
-          Row(r.getAs[Long]("doc_id"), bytes.length, feat)
-        }
-      }, outSchema)
-    val n = decoded.count()
-    assert(n == 50)
+    import graft.operators.Multimodal
+    val media = Multimodal.asMedia(T.load(spark, sfDir, "documents").limit(50))
+    // compare shape, not nullability flags (struct() is non-nullable)
+    assert(media.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    val decoded = Multimodal.decodeStub(spark, media)
+    assert(decoded.count() == 50)
     val row = decoded.orderBy("doc_id").head()
     assert(row.getSeq[Double](2).length == 4)
     assert(row.getAs[Int]("n_bytes") > 0)
+  }
+
+  test("IVF: planted near-neighbors land in the query vector's cell") {
+    val base = T.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" === 0).select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].head().toArray
+    val planted = (1 to 20).map { j =>
+      (1000L + j, base.zipWithIndex.map { case (v, i) =>
+        v + 0.02 * (((i * 31 + j * 17) % 7) - 3)
+      }.toSeq)
+    }
+    val all = T.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+      .union(planted.toDF("vec_id", "vec"))
+    val assigned = graft.operators.LlmOps.ivfAssign(all, 16).cache()
+    // assignment is total: every vector lands in exactly one cell
+    assert(assigned.count() == 500 + 20)
+    assert(assigned.filter($"cid" === -1).count() == 0)
+    val qCell = assigned.filter($"vec_id" === 0).select("cid").as[Int].head()
+    val recall = assigned
+      .filter($"vec_id" >= 1000L && $"cid" === qCell).count().toDouble / 20
+    assert(recall >= 0.6, s"planted-neighbor IVF recall $recall too low")
+    // probing one cell scans far less than the corpus
+    assert(assigned.filter($"cid" === qCell).count() < 200)
   }
 }
