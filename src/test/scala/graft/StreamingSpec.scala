@@ -69,6 +69,75 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("5 minutes"))
   }
 
+  test("T7-adjacent: restart from checkpoint neither drops nor duplicates") {
+    // memory sinks can't recover; the parquet sink + checkpoint is the
+    // exactly-once path the engine's streaming story rests on.
+    val inDir = Files.createTempDirectory("graft_restart_in").toString
+    val ckDir = Files.createTempDirectory("graft_restart_ck").toString
+    val outDir = Files.createTempDirectory("graft_restart_out").toString
+    val batch1 = Ingest.rawRecords(spark, sfDir)
+      .filter(col("event_id") < 400).select(col("raw"))
+    val batch2 = Ingest.rawRecords(spark, sfDir)
+      .filter(col("event_id").between(400, 799)).select(col("raw"))
+    batch1.write.mode("overwrite").text(inDir)
+
+    def runToCompletion(): Unit = {
+      val q = spark.readStream.textFile(inDir).toDF("raw")
+        .transform(Ingest.parseRecords(_, "restart"))
+        .filter(col("error_type").isNull)
+        .select("trip_id")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    runToCompletion()
+    val afterFirst = spark.read.parquet(outDir).count()
+    // new input lands while the query is DOWN; restart from checkpoint
+    batch2.write.mode("append").text(inDir)
+    runToCompletion()
+    val out = spark.read.parquet(outDir).cache()
+    val expectedValid = Ingest.valid(Ingest.parseRecords(
+      batch1.union(batch2), "restart")).count()
+    assert(afterFirst > 0)
+    assert(out.count() == expectedValid,
+      s"restart lost or duplicated rows: got ${out.count()}, want $expectedValid")
+    assert(out.distinct().count() == out.count(), "duplicate trip ids emitted")
+  }
+
+  test("S2-adjacent: malformed CSV rows route to a corrupt-record column, not a crash") {
+    // The reference's CSV parse tests feed malformed lines
+    // (/root/reference/PRD.md:3193-3230); PERMISSIVE mode + a declared
+    // corrupt-record column is the Spark dead-letter analog.
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_badcsv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/data.csv"),
+      """id,amount,when
+        |1,10.5,2024-01-01T00:00:00
+        |2,not-a-number,2024-01-02T00:00:00
+        |3,30.25,2024-01-03T00:00:00
+        |totally,broken,line,with,extra,fields
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("amount", DoubleType),
+      StructField("when", TimestampType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(dir)
+      .cache()
+    assert(df.count() == 4)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 2)
+    assert(df.filter(col("_corrupt_record").isNull && col("amount").isNotNull)
+      .count() == 2)
+  }
+
   test("T3/T6/S3: file-source stream with dead-letter branch routes every line once") {
     val inDir = Files.createTempDirectory("graft_stream_in").toString
     val ckDir = Files.createTempDirectory("graft_stream_ck").toString
