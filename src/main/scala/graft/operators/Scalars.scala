@@ -138,9 +138,12 @@ object Scalars extends QueryPack {
       .orderBy("p_type")
   }
 
-  /** Geohash generated column (rows-only for the driver: DuckDB has no
-    * geohash; known-vector correctness lives in ScalarsSpec). Coords are
-    * deterministic pseudo-locations derived from the customer key. */
+  /** Geohash generated column. Coords are deterministic
+    * pseudo-locations derived from the customer key; known-vector
+    * correctness lives in ScalarsSpec. The 2-char prefix IS
+    * oracle-checked: at ≤5 bits per axis every bisection midpoint is a
+    * dyadic rational (exact in double), so the prefix equals a closed-
+    * form 5-bit quantization DuckDB can compute. */
   private val geohashCol: Q = (s, dir) => {
     val c = T.load(s, dir, "customer")
     c.select(
@@ -199,6 +202,31 @@ object Scalars extends QueryPack {
         |  COUNT(*) AS n_rows,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x07_geohash" -> {
+      // 5-bit/axis quantization; interleave lon(even)/lat(odd) bits:
+      // char0 = [lon4 lat4 lon3 lat3 lon2], char1 = [lat2 lon1 lat1 lon0 lat0]
+      def b(axis: String, i: Int) = s"(($axis >> $i) & 1)"
+      val c0 = s"${b("lonq", 4)}*16 + ${b("latq", 4)}*8 + ${b("lonq", 3)}*4 + " +
+        s"${b("latq", 3)}*2 + ${b("lonq", 2)}"
+      val c1 = s"${b("latq", 2)}*16 + ${b("lonq", 1)}*8 + ${b("latq", 1)}*4 + " +
+        s"${b("lonq", 0)}*2 + ${b("latq", 0)}"
+      s"""WITH coords AS (
+         |  SELECT CAST(c_custkey % 170 AS DOUBLE) - 85.0 + 0.5 AS lat,
+         |    CAST(c_custkey % 350 AS DOUBLE) - 175.0 + 0.5 AS lon
+         |  FROM customer),
+         |quant AS (
+         |  SELECT CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT) AS lonq,
+         |    CAST(floor((lat + 90.0) / 180.0 * 32.0) AS BIGINT) AS latq
+         |  FROM coords),
+         |pref AS (
+         |  SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz',
+         |      CAST($c0 AS INT) + 1, 1) ||
+         |    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+         |      CAST($c1 AS INT) + 1, 1) AS geo_prefix
+         |  FROM quant)
+         |SELECT geo_prefix, COUNT(*) AS n_customers
+         |FROM pref GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "x06_predicates" ->
       """SELECT p_type, COUNT(*) AS n_parts,
         |  CAST(SUM(CASE WHEN p_size BETWEEN 10 AND 30 THEN 1 ELSE 0 END)
