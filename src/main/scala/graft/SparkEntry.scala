@@ -38,6 +38,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
-  def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracle).toMap
+  def oracleSql: Map[String, String] = {
+    val sql = packs.flatMap(_.oracle).toMap
+    val orphans = sql.keySet -- queries.keySet
+    require(orphans.isEmpty,
+      s"oracle entries without a matching query: ${orphans.mkString(", ")}")
+    sql
+  }
 }
