@@ -124,12 +124,32 @@ object Text {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Rolling polynomial fingerprint (Karp-Rabin) of the token stream:
-    * h = (h*31 + (xxhash64(token) mod M)) mod M with M = 1e9+7 —
-    * order-sensitive, unlike the set-based shingle fingerprints, and
-    * overflow-free under ANSI arithmetic (h*31 < 3.1e10 << Long.Max). */
+    * each token folds its character codes as h = (h*31 + code) mod M,
+    * then the document folds the token hashes the same way (M = 1e9+7).
+    * Order-sensitive, unlike the set-based shingle fingerprints;
+    * overflow-free under ANSI arithmetic (h*31 + x < 3.3e10 << Long.Max);
+    * and built from char codes rather than engine hashes so the DuckDB
+    * oracle can recompute it exactly. */
   def rollingFingerprint(toksCol: String): Column =
-    expr(s"aggregate($toksCol, 0L, " +
-      "(h, t) -> pmod(h * 31L + pmod(xxhash64(t), 1000000007L), 1000000007L))")
+    expr(
+      s"""aggregate(
+         |  transform($toksCol,
+         |    t -> aggregate(split(t, ''), 0L,
+         |           (h, ch) -> pmod(h * 31L + ascii(ch), 1000000007L))),
+         |  0L, (h, x) -> pmod(h * 31L + x, 1000000007L))""".stripMargin)
+
+  /** The DuckDB spelling of the same fingerprint (list_reduce folds with
+    * the first element as init, so a 0 seed is prepended). */
+  def oRollingFingerprint(toksSqlStr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform($toksSqlStr,
+       |      t -> list_reduce(
+       |             list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(string_split(t, ''),
+       |                 ch -> CAST(ascii(ch) AS BIGINT))),
+       |             (h, c) -> (h * 31 + c) % 1000000007))),
+       |  (h, x) -> (h * 31 + x) % 1000000007)""".stripMargin
 
   // ---- embeddings ----------------------------------------------------
 

@@ -468,6 +468,15 @@ object LlmOps extends QueryPack {
          |  CAST(SUM(CASE WHEN cos > 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_09
          |FROM pairs""".stripMargin
     },
+    "l06_fingerprints" ->
+      s"""WITH fp AS (
+         |  SELECT ${Text.oRollingFingerprint(oToks)} AS roll_fp,
+         |    md5($oNorm) AS md5_fp
+         |  FROM documents)
+         |SELECT COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT roll_fp) AS n_rolling,
+         |  COUNT(DISTINCT md5_fp) AS n_md5
+         |FROM fp""".stripMargin,
     "l13_token_jaccard" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_distinct($oToks) AS ts FROM documents),
