@@ -98,27 +98,44 @@ object Text {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** 32-bit SimHash, phase 1: per-bit sign sums of token hashes in ONE
+  /** 64-bit SimHash, phase 1: per-bit sign sums of token hashes in ONE
     * fold over the tokens. Keep this as its own column — packing must
-    * not re-evaluate it per bit. */
+    * not re-evaluate it per bit. 64 bits (not 32) is the published
+    * near-dup standard (Manku et al., WWW'07): it keeps band keys wide
+    * enough to stay selective when the signature is banded for the
+    * candidate join. */
   def simhashBitCounts(toksCol: String): Column =
     expr(
       s"""aggregate($toksCol,
-         |  array_repeat(0L, 32),
+         |  array_repeat(0L, 64),
          |  (acc, t) -> zip_with(acc,
-         |    transform(sequence(0, 31),
+         |    transform(sequence(0, 63),
          |      j -> IF(((xxhash64(t) >> j) & 1) = 1, 1L, -1L)),
          |    (x, y) -> x + y))""".stripMargin)
 
-  /** 32-bit SimHash, phase 2: pack the sign of each bit-count into a
-    * long. O(32) given the counts column. */
+  /** 64-bit SimHash, phase 2: pack the sign of each bit-count into a
+    * long (bitwise OR of disjoint bits — safe for bit 63 under ANSI).
+    * O(64) given the counts column. */
   def packSimhash(countsCol: String): Column =
     expr(
       s"""aggregate(
-         |  transform(sequence(0, 31),
+         |  transform(sequence(0, 63),
          |    i -> IF(element_at($countsCol, i + 1) > 0,
          |            shiftleft(1L, i), 0L)),
-         |  0L, (a, x) -> a + x)""".stripMargin)
+         |  0L, (a, x) -> a | x)""".stripMargin)
+
+  /** SimHash band keys: the 64-bit signature split into 8 disjoint
+    * 8-bit blocks. Two signatures within hamming distance 7 differ in
+    * at most 7 blocks, so they MUST agree on at least one — an
+    * equi-join on (band index, block value) therefore has guaranteed
+    * recall for any hamming threshold ≤ 7, while shrinking the
+    * candidate set ~256× per band vs all-pairs (the Manku et al.
+    * block-permutation scheme, shaped like [[lshBands]]). */
+  def simhashBands(simhashCol: String): Column =
+    expr(
+      s"""transform(sequence(0, 7),
+         |  b -> cast(shiftrightunsigned($simhashCol, b * 8) & 255 AS int))"""
+        .stripMargin)
 
   /** Hamming distance between two packed simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -63,10 +63,12 @@ object Ingest extends QueryPack {
     * (generator analog: `taxi_trip_simulator.py:73-100`). */
   def rawRecords(s: SparkSession, dir: String): DataFrame = {
     // The events table arrives as one small parquet split; the JSON
-    // build/parse work downstream is CPU-bound, so spread it across the
-    // local cores (on a cluster the scan itself would carry the
-    // parallelism and this repartition would be a no-op cost-wise).
-    val ev = T.load(s, dir, "events").repartition(32)
+    // build/parse work downstream is CPU-bound, so spread it across
+    // whatever cores the cluster actually has (on a real cluster the
+    // scan itself would carry the parallelism and this repartition
+    // would be a no-op cost-wise).
+    val ev = T.load(s, dir, "events")
+      .repartition(s.sparkContext.defaultParallelism)
     val payload = to_json(struct(
       when(mod10 === ModNoTripId, lit(null).cast(StringType))
         .otherwise(concat(lit("trip_"), col("event_id"))).as("trip_id"),

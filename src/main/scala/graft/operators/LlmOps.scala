@@ -22,8 +22,10 @@ import graft.functions.Text
   *  - MinHash/LSH near-dedup: banded bucket-join — candidates share a
   *    band key, so the join is equi-join shaped and the all-pairs O(n²)
   *    compare never materializes. Band count/rows tune recall vs cost.
-  *  - SimHash: 32-bit packed signature; near-dups cluster by signature
-  *    prefix at scale (here: exact-signature + hamming spot-check).
+  *  - SimHash: 64-bit packed signature banded into 8×8-bit blocks —
+  *    candidates come from a band equi-join (guaranteed recall for
+  *    hamming ≤ 7), hamming-confirmed on candidates only; the O(n²)
+  *    all-pairs compare survives only as the LlmSpec ground truth.
   *  - ANN: hyperplane sign buckets shrink candidate sets ~2^planes-fold;
   *    brute-force cosine stays as the per-bucket (and ground-truth)
   *    kernel. The all-pairs variants below are correctness baselines
@@ -103,7 +105,7 @@ object LlmOps extends QueryPack {
     }
     docs(s, dir)
       .select(col("lang"), Text.tokens(col("text")).as("toks"))
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("lang"), best.getField("lang").as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
@@ -173,7 +175,7 @@ object LlmOps extends QueryPack {
     // storage memory.
     val sh = d
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .repartition(32)
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), Text.shinglesFromTokens("toks", 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("shh", Text.shingleHashes("sh"))
@@ -207,25 +209,45 @@ object LlmOps extends QueryPack {
       sum(when(col("confirmed"), 1L).otherwise(0L)).as("n_confirmed_pairs"))
   }
 
-  /** SimHash near-dedup: 32-bit signatures; collision + hamming≤4
-    * pair counts (pairwise check over the bounded doc set — at scale
-    * you'd bucket by signature bands exactly like MinHash). Signature
-    * computation is two-phase (one fold per doc, then a pack) and the
-    * self-join streams a repartitioned narrow (id, hash) frame. */
-  private val simhashNearDedup: Q = (s, dir) => {
-    val sh = docs(s, dir)
-      .withColumn("toks",
-        expr(Text.toksSql("text")))
+  /** 64-bit SimHash signatures (two-phase: one sign-sum fold per doc,
+    * then a pack) for a document frame with (doc_id, text). */
+  def simhashSignatures(d: DataFrame): DataFrame =
+    d.withColumn("toks", expr(Text.toksSql("text")))
       .withColumn("counts", Text.simhashBitCounts("toks"))
       .select(col("doc_id"), Text.packSimhash("counts").as("simhash"))
-      .repartition(32)
-    val pairs = sh.as("x").join(sh.as("y"),
-        col("x.doc_id") < col("y.doc_id"))
-      .select(Text.hamming(col("x.simhash"), col("y.simhash")).as("dist"))
-    pairs.agg(
-      count(lit(1)).as("n_pairs"),
+
+  /** SimHash near-dup candidates by signature-band equi-join — the
+    * scale path, mirroring [[minhashCandidates]]: the 64-bit signature
+    * splits into 8×8-bit bands; docs sharing any (band index, band
+    * value) key become candidates; hamming distance is confirmed on
+    * candidates only. Recall is GUARANTEED for hamming ≤ 7 (a pair
+    * within distance 7 differs in ≤ 7 bands, so at least one band
+    * matches — Manku et al., WWW'07), so no all-pairs O(n²) join ever
+    * runs. The banded frame stays narrow (id + 8-byte signature +
+    * band key); localCheckpoint keeps both self-join sides from
+    * recomputing the per-token signature fold. */
+  def simhashCandidates(d: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val sh = simhashSignatures(d).localCheckpoint()
+    val keyed = sh.select(col("doc_id"), col("simhash"),
+      posexplode(Text.simhashBands("simhash")).as(Seq("band_idx", "band_key")))
+    keyed.as("a")
+      .join(keyed.as("b"), Seq("band_idx", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Text.hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+      .distinct()
+      .withColumn("near_dup", col("dist") <= maxHamming)
+  }
+
+  /** SimHash near-dedup accounting: banded candidate counts + the
+    * collision / hamming≤4 splits. (All-pairs ground truth lives in
+    * LlmSpec, which asserts the banded path's recall against it.) */
+  private val simhashNearDedup: Q = (s, dir) => {
+    val cand = simhashCandidates(docs(s, dir))
+    cand.agg(
+      count(lit(1)).as("n_candidate_pairs"),
       sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_identical"),
-      sum(when(col("dist") <= 4, 1L).otherwise(0L)).as("n_hamming_le4"))
+      sum(when(col("near_dup"), 1L).otherwise(0L)).as("n_hamming_le4"))
   }
 
   // ---- similarity search ---------------------------------------------
@@ -254,7 +276,7 @@ object LlmOps extends QueryPack {
   private val embeddingNearDup: Q = (s, dir) => {
     val e = embs(s, dir).select(col("vec_id"), col("vec"))
       .withColumn("nrm", Text.l2norm(col("vec")))
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
     val pairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(Text.cosineWithNorms(col("x.vec"), col("y.vec"),
         col("x.nrm"), col("y.nrm")).as("cos"))

@@ -61,6 +61,44 @@ class LlmSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 4)
   }
 
+  test("simhash banded candidates recover every all-pairs hamming<=4 pair") {
+    // Ground truth = brute-force all-pairs hamming over the signatures
+    // (the O(n²) shape the banded path replaces). Recall must be total:
+    // a pair within hamming 4 differs in at most 4 of the 8 bands, so
+    // it is guaranteed to share a band key.
+    val base = T.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").limit(60)
+    val copies = base.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")  // exact dup: dist 0
+    val edits = base.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 200000).as("doc_id"),
+        concat($"text", lit(" coda")).as("text"))          // 1-token edit
+    val df = base.union(copies).union(edits).localCheckpoint()
+    val sigs = LlmOps.simhashSignatures(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 4
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "fixture must plant near-dup pairs")
+    val cand = LlmOps.simhashCandidates(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(3))).toMap
+    // (.filter+.keySet, NOT .collect{case (p,true)=>p}: Map.collect over
+    // pair results rebuilds a Map keyed by doc_a and silently merges
+    // pairs that share a left doc.)
+    val found = cand.filter(_._2).keySet
+    assert(truth.subsetOf(found),
+      s"banded path missed pairs: ${(truth -- found).mkString(", ")}")
+    // no false positives: every flagged candidate really is within 4
+    val bySig = sigs.toMap
+    found.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(bySig(a) ^ bySig(b)) <= 4) }
+    // and the join actually prunes vs the all-pairs cross product
+    val n = sigs.length.toLong
+    assert(cand.size < n * (n - 1) / 2,
+      s"candidate set ${cand.size} did not shrink below all-pairs")
+  }
+
   test("ANN hyperplane buckets: planted near-neighbors land in the query's bucket") {
     // The real embeddings are near-orthogonal random vectors (no
     // neighbor structure), so single-bucket recall there is chance by
