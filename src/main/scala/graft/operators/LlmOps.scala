@@ -204,15 +204,23 @@ object LlmOps extends QueryPack {
 
   private val minhashNearDedup: Q = (s, dir) => {
     val cand = minhashCandidates(docs(s, dir))
+    // coalesce: SUM over zero rows is NULL — keep the summary row
+    // NULL-free even when banding prunes every candidate.
     cand.agg(
       count(lit(1)).as("n_candidate_pairs"),
-      sum(when(col("confirmed"), 1L).otherwise(0L)).as("n_confirmed_pairs"))
+      coalesce(sum(when(col("confirmed"), 1L).otherwise(0L)), lit(0L))
+        .as("n_confirmed_pairs"))
   }
 
   /** 64-bit SimHash signatures (two-phase: one sign-sum fold per doc,
     * then a pack) for a document frame with (doc_id, text). */
   def simhashSignatures(d: DataFrame): DataFrame =
     d.withColumn("toks", expr(Text.toksSql("text")))
+      // Degenerate docs (empty/whitespace-only → zero tokens) all pack
+      // to simhash 0 and would share every band key downstream, forming
+      // an O(k²) hot-bucket clique in the band equi-join — drop them
+      // here, exactly as minhashCandidates drops empty shingle sets.
+      .filter(size(col("toks")) > 0)
       .withColumn("counts", Text.simhashBitCounts("toks"))
       .select(col("doc_id"), Text.packSimhash("counts").as("simhash"))
 
@@ -244,10 +252,14 @@ object LlmOps extends QueryPack {
     * LlmSpec, which asserts the banded path's recall against it.) */
   private val simhashNearDedup: Q = (s, dir) => {
     val cand = simhashCandidates(docs(s, dir))
+    // coalesce: SUM over zero rows is NULL — keep the summary row
+    // NULL-free even when banding prunes every candidate.
     cand.agg(
       count(lit(1)).as("n_candidate_pairs"),
-      sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_identical"),
-      sum(when(col("near_dup"), 1L).otherwise(0L)).as("n_hamming_le4"))
+      coalesce(sum(when(col("dist") === 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_identical"),
+      coalesce(sum(when(col("near_dup"), 1L).otherwise(0L)), lit(0L))
+        .as("n_hamming_le4"))
   }
 
   // ---- similarity search ---------------------------------------------
