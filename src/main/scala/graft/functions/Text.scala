@@ -98,44 +98,71 @@ object Text {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** 64-bit SimHash, phase 1: per-bit sign sums of token hashes in ONE
-    * fold over the tokens. Keep this as its own column — packing must
-    * not re-evaluate it per bit. 64 bits (not 32) is the published
-    * near-dup standard (Manku et al., WWW'07): it keeps band keys wide
-    * enough to stay selective when the signature is banded for the
-    * candidate join. */
-  def simhashBitCounts(toksCol: String): Column =
+  /** One 64-bit hash per token (same materialize-once discipline as
+    * [[shingleHashes]]): higher-order lambdas evaluate interpreted, so a
+    * hash left inside a per-bit lambda re-hashes the token STRING once
+    * per bit — 64× the work (observed: 13 s vs 0.5 s on the l08 bench).
+    * Hash once here; everything downstream mixes longs. */
+  def tokenHashes(toksCol: String): Column =
+    expr(s"transform($toksCol, t -> xxhash64(t))")
+
+  /** 64-bit SimHash, phase 1: per-bit sign sums over PRE-HASHED token
+    * longs ([[tokenHashes]]) in ONE fold. The input column appears ONLY
+    * in aggregate's input position — evaluated once per row no matter
+    * what CollapseProject inlines into it. (The transposed variant —
+    * 64 scalar aggregates, `$hashesCol` inside the per-bit lambda —
+    * re-evaluates the inlined hash+tokenize chain once per BIT:
+    * observed 272 s vs <1 s for the l08 bench at sf0.1. A derived array
+    * must never be referenced from inside a lambda body that executes
+    * k times.) 64 bits (not 32) is the published near-dup standard
+    * (Manku et al., WWW'07): it keeps band keys wide enough to stay
+    * selective when the signature is banded for the candidate join. */
+  def simhashBitCounts(hashesCol: String): Column =
     expr(
-      s"""aggregate($toksCol,
+      s"""aggregate($hashesCol,
          |  array_repeat(0L, 64),
-         |  (acc, t) -> zip_with(acc,
+         |  (acc, h) -> zip_with(acc,
          |    transform(sequence(0, 63),
-         |      j -> IF(((xxhash64(t) >> j) & 1) = 1, 1L, -1L)),
+         |      j -> IF(((h >> j) & 1) = 1, 1L, -1L)),
          |    (x, y) -> x + y))""".stripMargin)
 
   /** 64-bit SimHash, phase 2: pack the sign of each bit-count into a
     * long (bitwise OR of disjoint bits — safe for bit 63 under ANSI).
-    * O(64) given the counts column. */
+    * Folded with an index-carrying accumulator so `$countsCol` sits in
+    * aggregate's input position (one evaluation per row) instead of
+    * being element_at'd 64 times — the 64-reference form only survived
+    * because CollapseProject's many-reference guard happened to keep
+    * `counts` un-inlined; this shape doesn't depend on that. */
   def packSimhash(countsCol: String): Column =
     expr(
-      s"""aggregate(
-         |  transform(sequence(0, 63),
-         |    i -> IF(element_at($countsCol, i + 1) > 0,
-         |            shiftleft(1L, i), 0L)),
-         |  0L, (a, x) -> a | x)""".stripMargin)
+      s"""aggregate($countsCol, named_struct('i', 0, 'p', 0L),
+         |  (acc, c) -> named_struct('i', acc.i + 1,
+         |    'p', acc.p | IF(c > 0, shiftleft(1L, acc.i), 0L)),
+         |  acc -> acc.p)""".stripMargin)
 
-  /** SimHash band keys: the 64-bit signature split into 8 disjoint
-    * 8-bit blocks. Two signatures within hamming distance 7 differ in
-    * at most 7 blocks, so they MUST agree on at least one — an
-    * equi-join on (band index, block value) therefore has guaranteed
-    * recall for any hamming threshold ≤ 7, while shrinking the
-    * candidate set ~256× per band vs all-pairs (the Manku et al.
-    * block-permutation scheme, shaped like [[lshBands]]). */
-  def simhashBands(simhashCol: String): Column =
-    expr(
-      s"""transform(sequence(0, 7),
-         |  b -> cast(shiftrightunsigned($simhashCol, b * 8) & 255 AS int))"""
-        .stripMargin)
+  /** SimHash band keys: the 64-bit signature split into `bands`
+    * disjoint blocks (widths differ by at most one bit). Two signatures
+    * within hamming distance `bands - 1` differ in at most that many
+    * blocks, so they MUST agree on at least one — an equi-join on
+    * (band index, block value) therefore has guaranteed recall for any
+    * hamming threshold < bands (the Manku et al., WWW'07 block scheme,
+    * shaped like [[lshBands]]). Use the FEWEST bands the threshold
+    * allows: for hamming ≤ 4, 5 bands of 13/12 bits give ~2^13-value
+    * keys — ~32× more selective per band than an 8×8-bit split, and
+    * bucket size (hence candidate-pair count, which grows with the
+    * SQUARE of it) is what decides whether the join survives 10^9
+    * docs. */
+  def simhashBands(simhashCol: String, bands: Int = 5): Column = {
+    require(bands >= 1 && bands <= 64, s"bands out of range: $bands")
+    val base = 64 / bands
+    val extra = 64 % bands // first `extra` bands get one more bit
+    val pieces = (0 until bands).map { b =>
+      val width = if (b < extra) base + 1 else base
+      val off = b * base + math.min(b, extra)
+      s"shiftrightunsigned($simhashCol, $off) & ${(1L << width) - 1}L"
+    }
+    expr(s"array(${pieces.mkString(", ")})")
+  }
 
   /** Hamming distance between two packed simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -22,10 +22,11 @@ import graft.functions.Text
   *  - MinHash/LSH near-dedup: banded bucket-join — candidates share a
   *    band key, so the join is equi-join shaped and the all-pairs O(n²)
   *    compare never materializes. Band count/rows tune recall vs cost.
-  *  - SimHash: 64-bit packed signature banded into 8×8-bit blocks —
-  *    candidates come from a band equi-join (guaranteed recall for
-  *    hamming ≤ 7), hamming-confirmed on candidates only; the O(n²)
-  *    all-pairs compare survives only as the LlmSpec ground truth.
+  *  - SimHash: 64-bit packed signature banded into maxHamming+1 blocks
+  *    (5×13/12-bit for the default threshold 4) — candidates come from
+  *    a band equi-join with pigeonhole-guaranteed recall,
+  *    hamming-confirmed on candidates only; the O(n²) all-pairs
+  *    compare survives only as the LlmSpec ground truth.
   *  - ANN: hyperplane sign buckets shrink candidate sets ~2^planes-fold;
   *    brute-force cosine stays as the per-bucket (and ground-truth)
   *    kernel. The all-pairs variants below are correctness baselines
@@ -212,8 +213,8 @@ object LlmOps extends QueryPack {
         .as("n_confirmed_pairs"))
   }
 
-  /** 64-bit SimHash signatures (two-phase: one sign-sum fold per doc,
-    * then a pack) for a document frame with (doc_id, text). */
+  /** 64-bit SimHash signatures (three-phase: hash tokens once, sign-sum
+    * fold, pack) for a document frame with (doc_id, text). */
   def simhashSignatures(d: DataFrame): DataFrame =
     d.withColumn("toks", expr(Text.toksSql("text")))
       // Degenerate docs (empty/whitespace-only → zero tokens) all pack
@@ -221,23 +222,28 @@ object LlmOps extends QueryPack {
       // an O(k²) hot-bucket clique in the band equi-join — drop them
       // here, exactly as minhashCandidates drops empty shingle sets.
       .filter(size(col("toks")) > 0)
-      .withColumn("counts", Text.simhashBitCounts("toks"))
+      // hash each token ONCE; the 64-bit fold below mixes longs
+      .withColumn("hs", Text.tokenHashes("toks"))
+      .withColumn("counts", Text.simhashBitCounts("hs"))
       .select(col("doc_id"), Text.packSimhash("counts").as("simhash"))
 
   /** SimHash near-dup candidates by signature-band equi-join — the
     * scale path, mirroring [[minhashCandidates]]: the 64-bit signature
-    * splits into 8×8-bit bands; docs sharing any (band index, band
+    * splits into `maxHamming + 1` bands (the FEWEST the pigeonhole
+    * guarantee allows — for the default threshold 4 that is 5 bands of
+    * 13/12 bits, ~8k-value keys); docs sharing any (band index, band
     * value) key become candidates; hamming distance is confirmed on
-    * candidates only. Recall is GUARANTEED for hamming ≤ 7 (a pair
-    * within distance 7 differs in ≤ 7 bands, so at least one band
-    * matches — Manku et al., WWW'07), so no all-pairs O(n²) join ever
+    * candidates only. Recall is GUARANTEED: a pair within distance
+    * `maxHamming` differs in at most that many bands, so at least one
+    * band matches (Manku et al., WWW'07) — no all-pairs O(n²) join ever
     * runs. The banded frame stays narrow (id + 8-byte signature +
     * band key); localCheckpoint keeps both self-join sides from
     * recomputing the per-token signature fold. */
   def simhashCandidates(d: DataFrame, maxHamming: Int = 4): DataFrame = {
     val sh = simhashSignatures(d).localCheckpoint()
     val keyed = sh.select(col("doc_id"), col("simhash"),
-      posexplode(Text.simhashBands("simhash")).as(Seq("band_idx", "band_key")))
+      posexplode(Text.simhashBands("simhash", maxHamming + 1))
+        .as(Seq("band_idx", "band_key")))
     keyed.as("a")
       .join(keyed.as("b"), Seq("band_idx", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -54,7 +54,8 @@ class LlmSpec extends SparkSpec {
       doc(3, "nine ten eleven twelve thirteen fourteen fifteen sixteen")
     ).toDF("doc_id", "text")
       .withColumn("toks", expr(toksExpr))
-      .withColumn("counts", Text.simhashBitCounts("toks"))
+      .withColumn("hs", Text.tokenHashes("toks"))
+      .withColumn("counts", Text.simhashBitCounts("hs"))
       .withColumn("sh", Text.packSimhash("counts"))
     val m = df.select("doc_id", "sh").as[(Long, Long)].collect().toMap
     assert(m(1L) == m(2L))
@@ -64,7 +65,7 @@ class LlmSpec extends SparkSpec {
   test("simhash banded candidates recover every all-pairs hamming<=4 pair") {
     // Ground truth = brute-force all-pairs hamming over the signatures
     // (the O(n²) shape the banded path replaces). Recall must be total:
-    // a pair within hamming 4 differs in at most 4 of the 8 bands, so
+    // a pair within hamming 4 differs in at most 4 of the 5 bands, so
     // it is guaranteed to share a band key.
     // deterministic row selection (limit() without orderBy follows scan
     // order, which the planted-duplicate guarantees must not depend on)
