@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.ZOrderInterleave
+import graft.functions.{GeohashExpr, ZOrderInterleave}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions. Two paths:
@@ -19,8 +19,10 @@ import graft.functions.ZOrderInterleave
   * and needs no UDF boxing.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.zorderDescriptor)
+    ext.injectFunction(GraftExtensions.geohashDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -34,7 +36,20 @@ object GraftExtensions {
       ZOrderInterleave(children.head, children(1))
     })
 
-  def register(spark: SparkSession): Unit =
+  private val geohashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("geohash"),
+    new ExpressionInfo(classOf[GeohashExpr].getName, "geohash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "geohash(lat, lon, precision) takes exactly three arguments")
+      GeohashExpr(children.head, children(1), children(2))
+    })
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       zorderDescriptor._1, zorderDescriptor._2, zorderDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      geohashDescriptor._1, geohashDescriptor._2, geohashDescriptor._3)
+  }
 }

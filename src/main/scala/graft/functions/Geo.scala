@@ -1,17 +1,24 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Geohash encoding (the ST_GEOHASH analog the reference uses as a
-  * generated column, /root/reference/PRD.md:1074-1079). Pure Scala,
-  * registered as a UDF — geo functions sit on the schema-evolution
-  * surface, never in an aggregation hot path (SURVEY.md §2.12), so a
-  * UDF is acceptable; a codegen Expression would be the upgrade if it
-  * ever moved into a scan-wide projection. */
+  * generated column, /root/reference/PRD.md:1074-1079). Implemented as
+  * a codegen'd Catalyst [[GeohashExpr]] (pattern: [[ZOrderInterleave]])
+  * rather than a UDF, so a scan-wide generated-column projection stays
+  * inside whole-stage codegen with no boxing or closure dispatch. */
 object Geo {
   private val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
+  /** Reference geohash bisection. Called from generated code — must
+    * stay a static-reachable public method. */
   def encode(lat: Double, lon: Double, precision: Int): String = {
     require(precision > 0 && precision <= 12)
     var latLo = -90.0; var latHi = 90.0
@@ -37,8 +44,41 @@ object Geo {
     sb.toString()
   }
 
-  val geohash = udf((lat: Double, lon: Double, p: Int) => encode(lat, lon, p))
-
   def geohashCol(lat: Column, lon: Column, precision: Int): Column =
-    geohash(lat, lon, org.apache.spark.sql.functions.lit(precision))
+    ColumnBridge.column(GeohashExpr(
+      ColumnBridge.expression(lat),
+      ColumnBridge.expression(lon),
+      ColumnBridge.expression(lit(precision))))
+}
+
+/** `geohash(lat DOUBLE, lon DOUBLE, precision INT) -> STRING` as a
+  * native ternary expression: null-safe, constant-foldable, and
+  * whole-stage-codegen'd (the generated code calls the static
+  * [[Geo.encode]] directly). Registered as the SQL function `geohash`
+  * by `graft.core.GraftExtensions`. */
+case class GeohashExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == DoubleType && second.dataType == DoubleType &&
+      third.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"geohash expects (DOUBLE, DOUBLE, INT), got " +
+        s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "geohash"
+
+  override protected def nullSafeEval(lat: Any, lon: Any, p: Any): Any =
+    UTF8String.fromString(Geo.encode(lat.asInstanceOf[Double],
+      lon.asInstanceOf[Double], p.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo, p) =>
+      s"UTF8String.fromString(graft.functions.Geo.encode($la, $lo, $p))")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): GeohashExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ⇄ Expression converters (Spark 4
+  * moved `Column.apply(Expression)` behind `classic.ExpressionUtils`).
+  * Living under `org.apache.spark.sql` is the standard extension-library
+  * pattern for exposing native Catalyst expressions through the public
+  * Column API without a function-registry round-trip. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -13,10 +13,23 @@ class ScalarsSpec extends SparkSpec {
     assert(Geo.encode(-90.0, -180.0, 5) == "00000")
   }
 
-  test("geohash UDF runs as a column over a DataFrame") {
-    val out = Seq((57.64911, 10.40744)).toDF("lat", "lon")
+  test("geohash runs as a native codegen expression (no ScalaUDF node)") {
+    val df = Seq((57.64911, 10.40744)).toDF("lat", "lon")
       .withColumn("gh", Geo.geohashCol($"lat", $"lon", 7))
-      .select("gh").as[String].head()
+    assert(df.select("gh").as[String].head() == "u4pruyd")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"expected no UDF node in:\n$plan")
+    // null-safe: a null coordinate yields a null geohash, not a crash
+    val n = Seq((Option.empty[Double], Option(10.0))).toDF("lat", "lon")
+      .withColumn("gh", Geo.geohashCol($"lat", $"lon", 7))
+      .select("gh").as[Option[String]].head()
+    assert(n.isEmpty)
+  }
+
+  test("geohash is registered as a SQL function via GraftExtensions") {
+    graft.core.GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT geohash(57.64911D, 10.40744D, 7) AS gh").as[String].head()
     assert(out == "u4pruyd")
   }
 
