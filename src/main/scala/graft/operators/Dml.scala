@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Tables => T, QueryPack}
+import graft.core.{Tables => T, QueryPack, Scratch}
 import graft.plans.Snapshots
 
 /** DML / table-format operators D1, D3-D9 (SURVEY.md §2.9) — the
@@ -31,13 +31,12 @@ import graft.plans.Snapshots
   */
 object Dml extends QueryPack {
 
-  private def snaps = new Snapshots(
-    new java.io.File("target/scratch/snapshots").getAbsolutePath)
+  private def snaps = new Snapshots(Scratch.dir("snapshots"))
 
   /** D1: INSERT INTO ... SELECT — append a filtered/projected reload of
     * "staging" (months 4-6) into a table seeded with months 1-3. */
   private val insertSelect: Q = (s, dir) => {
-    val path = new java.io.File("target/scratch/d01_insert").getAbsolutePath
+    val path = Scratch.dir("d01_insert")
     val o = T.load(s, dir, "orders")
     o.filter(month(col("o_orderdate")).between(1, 3))
       .write.mode(SaveMode.Overwrite).parquet(path)
@@ -53,7 +52,7 @@ object Dml extends QueryPack {
   /** D3: DELETE WHERE as anti-filter rewrite: remove low-value orders,
     * rewrite, read back. */
   private val deleteWhere: Q = (s, dir) => {
-    val path = new java.io.File("target/scratch/d03_delete").getAbsolutePath
+    val path = Scratch.dir("d03_delete")
     val o = T.load(s, dir, "orders")
     o.write.mode(SaveMode.Overwrite).parquet(path)
     val tbl = s.read.parquet(path)
@@ -69,7 +68,7 @@ object Dml extends QueryPack {
   /** D4: UPDATE SET WHERE as conditional projection rewrite — the
     * payment-migration example: collapse low priorities to 'OTHER'. */
   private val updateWhere: Q = (s, dir) => {
-    val path = new java.io.File("target/scratch/d04_update").getAbsolutePath
+    val path = Scratch.dir("d04_update")
     T.load(s, dir, "orders")
       .withColumn("o_orderpriority",
         when(col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"),
@@ -142,7 +141,7 @@ object Dml extends QueryPack {
 
   /** D8: CTAS snapshot of an aggregate, then query the snapshot. */
   private val ctasSnapshot: Q = (s, dir) => {
-    val path = new java.io.File("target/scratch/d08_ctas").getAbsolutePath
+    val path = Scratch.dir("d08_ctas")
     T.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_lines"),
@@ -154,7 +153,7 @@ object Dml extends QueryPack {
   /** D9: materialized-view recompute — the daily stats matview rebuilt
     * from base tables with a deterministic refresh version stamp. */
   private val matviewRecompute: Q = (s, dir) => {
-    val path = new java.io.File("target/scratch/d09_matview").getAbsolutePath
+    val path = Scratch.dir("d09_matview")
     val mv = T.load(s, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("order_day"))
       .agg(count(lit(1)).as("n_orders"),

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Tables => T, QueryPack}
+import graft.core.{Tables => T, QueryPack, Scratch}
 import graft.plans.Maintenance
 
 /** Query-surface entries for the maintenance module (M5/M7/M8/M9 —
@@ -16,7 +16,7 @@ object MaintenanceOps extends QueryPack {
   /** M7: partition analysis with the reference's 5 GB / 10k-row health
     * bounds over a date-partitioned write of orders. */
   private val partitionAnalysis: Q = (s, dir) => {
-    val path = new java.io.File("target/scratch/m07_parts").getAbsolutePath
+    val path = Scratch.dir("m07_parts")
     T.load(s, dir, "orders")
       .withColumn("order_month", month(col("o_orderdate")).cast("long"))
       .write.mode(SaveMode.Overwrite)

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.core.{Tables => T, QueryPack}
+import graft.core.{Tables => T, QueryPack, Scratch}
 import graft.operators.Ingest
 
 /** Scan/source/sink operators S1/S2/S5/S6/S8/S9 + U1 (SURVEY.md §2.1,
@@ -34,8 +34,7 @@ import graft.operators.Ingest
   */
 object Sources extends QueryPack {
 
-  private def scratch(name: String): String =
-    new java.io.File(s"target/scratch/$name").getAbsolutePath
+  private def scratch(name: String): String = Scratch.dir(name)
 
   /** Declared schema for raw taxi-trip JSONL (FIXTURES.md §A1) — the
     * engine never schema-infers (SURVEY §1.3). */

@@ -12,6 +12,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.scheduler.mode", "FAIR")
     .appName(getClass.getSimpleName)
     .getOrCreate()
 
