@@ -24,7 +24,8 @@ object SparkEntry {
     Dml,
     MaintenanceOps,
     Scalars,
-    ScaleOps)
+    ScaleOps,
+    Concurrency)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Fact ⋈ broadcast-dim revenue-by-zone with having + top-k

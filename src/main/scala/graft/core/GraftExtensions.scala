@@ -43,7 +43,10 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 3,
         "geohash(lat, lon, precision) takes exactly three arguments")
-      GeohashExpr(children.head, children(1), children(2))
+      // withCasts: coerce numeric args (int literals, FLOAT/DECIMAL
+      // columns) to the (DOUBLE, DOUBLE, INT) signature, as the
+      // analyzer did for the pre-round-4 UDF form
+      GeohashExpr.withCasts(children.head, children(1), children(2))
     })
 
   def register(spark: SparkSession): Unit = {

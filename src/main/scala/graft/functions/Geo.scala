@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, NumericType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Geohash encoding (the ST_GEOHASH analog the reference uses as a
@@ -45,7 +45,7 @@ object Geo {
   }
 
   def geohashCol(lat: Column, lon: Column, precision: Int): Column =
-    ColumnBridge.column(GeohashExpr(
+    ColumnBridge.column(GeohashExpr.withCasts(
       ColumnBridge.expression(lat),
       ColumnBridge.expression(lon),
       ColumnBridge.expression(lit(precision))))
@@ -81,4 +81,26 @@ case class GeohashExpr(first: Expression, second: Expression, third: Expression)
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): GeohashExpr =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object GeohashExpr {
+  /** Numeric-argument coercion the old ScalaUDF path got from the
+    * analyzer for free: `geohash(57, 10, 7)` or FLOAT/DECIMAL
+    * coordinate columns insert an explicit Cast; non-numeric inputs
+    * pass through unchanged so `checkInputDataTypes` still rejects
+    * them with the precise message. (Spark 4 hides `AbstractDataType`
+    * from external expressions, so the `ImplicitCastInputTypes` trait
+    * itself is not implementable here — the builder inserts the casts
+    * instead.) */
+  private def coerce(e: Expression, t: DataType): Expression =
+    if (e.dataType == t) e
+    else e.dataType match {
+      case _: NumericType => Cast(e, t)
+      case _ => e
+    }
+
+  def withCasts(lat: Expression, lon: Expression,
+      precision: Expression): GeohashExpr =
+    GeohashExpr(coerce(lat, DoubleType), coerce(lon, DoubleType),
+      coerce(precision, IntegerType))
 }

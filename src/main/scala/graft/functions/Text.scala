@@ -159,7 +159,13 @@ object Text {
     val pieces = (0 until bands).map { b =>
       val width = if (b < extra) base + 1 else base
       val off = b * base + math.min(b, extra)
-      s"shiftrightunsigned($simhashCol, $off) & ${(1L << width) - 1}L"
+      // width == 64 (bands == 1): (1L << 64) is 1 under Java's
+      // shift-mod-64, so the mask must be spelled -1L explicitly or
+      // every signature collapses to band key 0 and the equi-join
+      // silently degenerates to the all-pairs join banding exists
+      // to avoid.
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      s"shiftrightunsigned($simhashCol, $off) & ${mask}L"
     }
     expr(s"array(${pieces.mkString(", ")})")
   }
@@ -218,11 +224,35 @@ object Text {
       normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Portable pseudo-random ±1 hyperplane component for (plane, dim):
+    * two multiply-mod-Mersenne-prime rounds with an xor-shift between
+    * them. Pure integer arithmetic with every intermediate < 2^62 (no
+    * ANSI overflow) that Spark AND DuckDB evaluate identically — unlike
+    * xxhash64, which only Spark has — so the bucket assignment itself
+    * is oracle-checkable (l11/l16), not rows-only. A single-round LCG
+    * is NOT usable here: the plane-to-plane seed stride (8192) lands on
+    * the LCG lattice and produced sign rows correlated up to 50/64
+    * (measured); the xor-shift round breaks the lattice (max 18/64,
+    * ~2σ for 64 fair coins). */
+  private def hyperplaneComp(p: String, i: String): String = {
+    val h1 = s"((($p * 8192 + $i + 1) * 2654435761) % 2147483647)"
+    s"IF(((shiftright((($h1 ^ shiftright($h1, 15)) * 1597334677)" +
+      s" % 2147483647, 7)) & 1) = 1, 1.0D, -1.0D)"
+  }
+
+  /** The DuckDB spelling of the same component (xor() function instead
+    * of the ^ operator; >> and & are shared syntax). */
+  private def oHyperplaneComp(p: String, i: String): String = {
+    val h1 = s"((($p * 8192 + $i + 1) * 2654435761) % 2147483647)"
+    s"CASE WHEN ((((xor($h1, $h1 >> 15)) * 1597334677)" +
+      s" % 2147483647) >> 7) & 1 = 1 THEN 1.0 ELSE -1.0 END"
+  }
+
   /** Random-hyperplane LSH bucket: `planes` sign bits packed into an
-    * int. Hyperplane components are pseudo-random in {-1,+1} derived
-    * from xxhash64(plane, dim) — deterministic, no stored model. At
-    * scale: bucket once (one narrow projection), then group/join by
-    * bucket — candidate sets shrink ~2^planes-fold. */
+    * int. Components come from [[hyperplaneComp]] — deterministic, no
+    * stored model, recomputable by the oracle. At scale: bucket once
+    * (one narrow projection), then group/join by bucket — candidate
+    * sets shrink ~2^planes-fold. */
   def hyperplaneBucket(vecCol: String, planes: Int): Column =
     expr(
       s"""aggregate(
@@ -230,10 +260,20 @@ object Text {
          |    p -> IF(aggregate(
          |           zip_with($vecCol,
          |             transform(sequence(0, size($vecCol) - 1),
-         |               i -> IF(((xxhash64(concat(cast(p AS string), '_',
-         |                 cast(i AS string))) >> 7) & 1) = 1, 1.0D, -1.0D)),
+         |               i -> ${hyperplaneComp("p", "i")}),
          |             (x, h) -> x * h),
          |           0.0D, (acc, v) -> acc + v) > 0,
          |         shiftleft(1, p), 0)),
          |  0, (a, x) -> a + x)""".stripMargin)
+
+  /** DuckDB spelling of [[hyperplaneBucket]] over a DOUBLE[] SQL
+    * expression: identical component signs, identical sequential dot
+    * fold (list_dot_product), identical bit packing — the oracle
+    * recomputes the same bucket for every vector. */
+  def oHyperplaneBucket(vecSql: String, planes: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, $planes), p ->
+       |  CASE WHEN list_dot_product($vecSql,
+       |      list_transform(range(0, len($vecSql)),
+       |        i -> ${oHyperplaneComp("p", "i")})) > 0
+       |    THEN (1 << p) ELSE 0 END)) AS BIGINT)""".stripMargin
 }

@@ -31,8 +31,6 @@ import graft.plans.Snapshots
   */
 object Dml extends QueryPack {
 
-  private def snaps = new Snapshots(Scratch.dir("snapshots"))
-
   /** D1: INSERT INTO ... SELECT — append a filtered/projected reload of
     * "staging" (months 4-6) into a table seeded with months 1-3. */
   private val insertSelect: Q = (s, dir) => {
@@ -85,17 +83,19 @@ object Dml extends QueryPack {
     * old counts. */
   private val timeTravel: Q = (s, dir) => {
     val o = T.load(s, dir, "orders")
-    val sn = snaps
+    // Per-invocation snapshot store, scoped HERE (not a shared-looking
+    // member): Scratch.dir is unique per call, so the store starts
+    // empty (commit 1 → v=1 deterministically) and two concurrent
+    // invocations never see each other's versions.
+    val sn = new Snapshots(Scratch.dir("snapshots"))
     val table = "orders_tt"
-    // reset the scratch table for a deterministic run
-    sn.expire(table, 0)
     sn.commit(o.filter(month(col("o_orderdate")) <= 6), table)
     sn.commit(o, table)
-    val v1 = sn.asOf(s, table, 1).agg(count(lit(1))).head().getLong(0)
-    val v2 = sn.asOf(s, table, 2).agg(count(lit(1))).head().getLong(0)
-    val cur = sn.current(s, table).agg(count(lit(1))).head().getLong(0)
-    import s.implicits._
-    Seq((v1, v2, cur)).toDF("v1_rows", "v2_rows", "current_rows")
+    // One deferred job: the three snapshot counts meet in a crossJoin
+    // of 1-row aggregates instead of three eager .head() round trips.
+    sn.asOf(s, table, 1).agg(count(lit(1)).as("v1_rows"))
+      .crossJoin(sn.asOf(s, table, 2).agg(count(lit(1)).as("v2_rows")))
+      .crossJoin(sn.current(s, table).agg(count(lit(1)).as("current_rows")))
   }
 
   /** D6: CDC change log between two snapshots — explicit _change_type

@@ -306,7 +306,9 @@ object LlmOps extends QueryPack {
   }
 
   /** Hyperplane-LSH ANN bucketing: 8 sign bits → ≤256 buckets; bucket
-    * histogram summary. Recall vs brute force is asserted in LlmSpec. */
+    * histogram summary. Oracle-checked since round 5 (the portable
+    * hyperplane hash lets DuckDB recompute every bucket); planted
+    * recall vs brute force is asserted in LlmSpec. */
   private val annBuckets: Q = (s, dir) => {
     val e = embs(s, dir)
       .withColumn("bucket", Text.hyperplaneBucket("vec", 8))
@@ -329,13 +331,20 @@ object LlmOps extends QueryPack {
     val cents = e.filter(col("vec_id") < nCells)
       .select(collect_list(struct(col("vec_id").cast("int").as("cid"),
         col("vec").as("cvec"))).as("cents"))
+    // Tie-break on equal dots: LOWER cid wins. collect_list order is
+    // not deterministic across partitions, so "first max wins" alone
+    // would make a tied assignment depend on array order; the explicit
+    // cid test makes the argmax order-independent (and exactly matches
+    // the oracle's ORDER BY dot DESC, cid).
     e.crossJoin(broadcast(cents))
       .withColumn("cid", expr(
         """aggregate(cents,
           |  named_struct('best', CAST(-1e308 AS DOUBLE), 'cid', -1),
           |  (acc, c) -> IF(
           |    aggregate(zip_with(vec, c.cvec, (x, y) -> x * y),
-          |      0.0D, (a, v) -> a + v) > acc.best,
+          |      0.0D, (a, v) -> a + v) > acc.best
+          |    OR (aggregate(zip_with(vec, c.cvec, (x, y) -> x * y),
+          |      0.0D, (a, v) -> a + v) = acc.best AND c.cid < acc.cid),
           |    named_struct(
           |      'best', aggregate(zip_with(vec, c.cvec, (x, y) -> x * y),
           |        0.0D, (a, v) -> a + v),
@@ -344,8 +353,10 @@ object LlmOps extends QueryPack {
       .drop("cents")
   }
 
-  /** IVF index profile: posting-list histogram (rows-only; recall on
-    * planted neighbors is asserted in LlmSpec). */
+  /** IVF index profile: posting-list histogram — oracle-checked since
+    * round 5 (the assignment argmax is portable dot-product
+    * arithmetic); recall on planted neighbors is asserted in
+    * LlmSpec. */
   private val ivfIndex: Q = (s, dir) => {
     ivfAssign(embs(s, dir), 16)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
@@ -355,6 +366,107 @@ object LlmOps extends QueryPack {
         min(col("n_vecs")).as("min_cell"),
         sum(col("n_vecs")).as("n_total"))
   }
+
+  /** IVF probe-side top-k search — the half of the index [[ivfAssign]]
+    * builds that answers queries: rank cells per query by centroid dot
+    * product, probe the top `nprobe` cells' posting lists, return the
+    * per-query cosine top-k among probed candidates (the query vector
+    * itself excluded).
+    *
+    * Scale shape: the centroid model and the (|Q| × nprobe) probe list
+    * are BROADCAST, so the corpus-side posting lists never shuffle —
+    * the probe is a broadcast hash join on cid over the assignment's
+    * existing partitioning. The only wide movement is the candidate
+    * set (|Q| · N · nprobe/nCells rows of (qid, id, cosine)) shuffling
+    * by qid for the top-k rank; at very large |Q| you would pre-reduce
+    * with a per-partition partial top-k before that exchange. */
+  def ivfSearch(e: DataFrame, nCells: Int, nprobe: Int, k: Int,
+      isQuery: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(e, nCells)
+      .select(col("vec_id"), col("vec"), col("cid"))
+      .withColumn("nrm", Text.l2norm(col("vec")))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
+    val queries = e.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", Text.l2norm(col("qvec")))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cdot", Text.dot(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cdot"), col("cid"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qnrm"), col("cid"))
+    val cand = assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Text.cosineWithNorms(col("vec"), col("qvec"),
+          col("nrm"), col("qnrm")).as("cosine"))
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** l15: IVF search over the embeddings table — queries are vec_ids
+    * 0-3, 16 cells, nprobe 4, top-10. Fully oracle-checked: cell
+    * assignment, probe ranking, and cosine ordering are all portable
+    * arithmetic DuckDB replays exactly (recall quality vs brute force
+    * is asserted on planted neighbors in LlmSpec). */
+  private val ivfSearchQ: Q = (s, dir) =>
+    ivfSearch(embs(s, dir), 16, 4, 10, col("vec_id") < 4)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
+  /** XOR masks for multi-probe LSH: every bucket within hamming
+    * `radius` of the query's own (mask 0 = the bucket itself). Radius
+    * 2 on 8 planes probes 37 of 256 buckets — a near-neighbor whose
+    * perturbation flips up to two marginal hyperplane signs is still
+    * found (radius 1 measurably misses: planted 0.02-perturbations
+    * land at bucket-hamming 2 on the sf0.001 corpus). */
+  def probeMasks(planes: Int, radius: Int): Seq[Int] =
+    (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
+
+  /** Hyperplane-bucket probe search — the query side of the l11
+    * buckets: probe every bucket within hamming `probeRadius` of the
+    * query's bucket (multi-probe LSH), cosine top-k on the candidates.
+    * Same broadcast/shuffle shape as [[ivfSearch]]: bucketing is one
+    * narrow pass over the corpus, probes broadcast, candidates shuffle
+    * by qid only for the final rank. */
+  def bucketSearch(e: DataFrame, planes: Int, k: Int,
+      isQuery: Column, probeRadius: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = e.select(col("vec_id"), col("vec"))
+      .withColumn("bucket", Text.hyperplaneBucket("vec", planes))
+      .withColumn("nrm", Text.l2norm(col("vec")))
+      .localCheckpoint() // consumed by both sides of the probe join
+    val masks = probeMasks(planes, probeRadius)
+    val probes = b.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"),
+        explode(array(masks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("pbucket"))
+    // a vector lives in exactly one bucket and the probe buckets are
+    // distinct (distinct XOR masks), so (qid, vec_id) pairs are
+    // already unique — no candidate dedup needed
+    val cand = b.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Text.cosineWithNorms(col("vec"), col("qvec"),
+          col("nrm"), col("qnrm")).as("cosine"))
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** l16: multi-probe hyperplane-LSH search, queries vec_id 0-3, 8
+    * planes, top-10 — oracle-checked end to end (the portable
+    * hyperplane hash lets DuckDB recompute every bucket). */
+  private val bucketSearchQ: Q = (s, dir) =>
+    bucketSearch(embs(s, dir), 8, 10, col("vec_id") < 4)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
 
   /** Exact token-set (1-gram) Jaccard between consecutive doc pairs —
     * the deterministic n-gram-Jaccard baseline the oracle can recompute
@@ -417,7 +529,23 @@ object LlmOps extends QueryPack {
     "l11_ann_buckets" -> annBuckets,
     "l12_multimodal_stats" -> multimodalStats,
     "l13_token_jaccard" -> tokenJaccard,
-    "l14_ivf_index" -> ivfIndex)
+    "l14_ivf_index" -> ivfIndex,
+    "l15_ivf_search" -> ivfSearchQ,
+    "l16_bucket_search" -> bucketSearchQ)
+
+  /** Shared oracle CTEs for the embedding operators: vectors as
+    * DOUBLE[], seed centroids, and the argmax-dot cell assignment
+    * (ties to lowest cid — same order as the ivfAssign fold). */
+  private val oAssignCtes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, vec AS cvec FROM e WHERE vec_id < 16),
+      |assign AS (
+      |  SELECT vec_id, vec, cid FROM (
+      |    SELECT e.vec_id, e.vec, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.vec, c.cvec) DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN cents c) WHERE rn = 1)""".stripMargin
 
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
@@ -535,5 +663,75 @@ object LlmOps extends QueryPack {
       """SELECT source, COUNT(*) AS n_items,
         |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
         |  MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l11_ann_buckets" -> {
+      val bucket = Text.oHyperplaneBucket("vec", 8)
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS vec
+         |  FROM embeddings),
+         |hist AS (
+         |  SELECT $bucket AS bucket, COUNT(*) AS n_vecs
+         |  FROM e GROUP BY 1)
+         |SELECT COUNT(*) AS n_buckets, MAX(n_vecs) AS max_bucket,
+         |  MIN(n_vecs) AS min_bucket,
+         |  CAST(SUM(n_vecs) AS BIGINT) AS n_total
+         |FROM hist""".stripMargin
+    },
+    "l14_ivf_index" ->
+      s"""WITH $oAssignCtes,
+         |cells AS (SELECT cid, COUNT(*) AS n_vecs FROM assign GROUP BY 1)
+         |SELECT COUNT(*) AS n_cells, MAX(n_vecs) AS max_cell,
+         |  MIN(n_vecs) AS min_cell,
+         |  CAST(SUM(n_vecs) AS BIGINT) AS n_total
+         |FROM cells""".stripMargin,
+    "l15_ivf_search" ->
+      s"""WITH $oAssignCtes,
+         |q AS (SELECT vec_id AS qid, vec AS qvec FROM e WHERE vec_id < 4),
+         |probe AS (
+         |  SELECT qid, qvec, cid FROM (
+         |    SELECT q.qid, q.qvec, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY list_dot_product(q.qvec, c.cvec) DESC, c.cid)
+         |        AS crank
+         |    FROM q CROSS JOIN cents c) WHERE crank <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id,
+         |    list_dot_product(a.vec, p.qvec)
+         |      / (sqrt(list_dot_product(a.vec, a.vec))
+         |         * sqrt(list_dot_product(p.qvec, p.qvec))) AS cos
+         |  FROM probe p JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  ROUND(cos, 6) AS cosine
+         |FROM (SELECT qid, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "l16_bucket_search" -> {
+      val bucket = Text.oHyperplaneBucket("vec", 8)
+      val masks = probeMasks(8, 2).mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, vec, $bucket AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, vec AS qvec, bucket AS qbucket
+         |  FROM b WHERE vec_id < 4),
+         |flips AS (SELECT unnest([$masks]) AS f),
+         |probe AS (
+         |  SELECT qid, qvec, xor(qbucket, f) AS pbucket
+         |  FROM q CROSS JOIN flips),
+         |cand AS (
+         |  SELECT p.qid, b.vec_id,
+         |    list_dot_product(b.vec, p.qvec)
+         |      / (sqrt(list_dot_product(b.vec, b.vec))
+         |         * sqrt(list_dot_product(p.qvec, p.qvec))) AS cos
+         |  FROM probe p JOIN b ON b.bucket = p.pbucket
+         |    AND b.vec_id <> p.qid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  ROUND(cos, 6) AS cosine
+         |FROM (SELECT qid, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    })
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -44,18 +44,24 @@ object Multimodal {
         col("n_chars").as("declared_size")).as("media_meta"))
 
   /** The decode/feature-extract stage. Swap the body of `extract` for a
-    * real codec; the signature and batch shape stay. */
+    * real codec; the signature and batch shape stay. Typed
+    * `Dataset.mapPartitions` (not an RDD hop): the plan stays a
+    * Deserialize→MapPartitions→Serialize span inside the Dataset
+    * pipeline — Tungsten row format on both sides, encoder-derived
+    * schema instead of driver-side reflection, and the same
+    * one-iterator-per-partition shape a codec needs to amortize its
+    * setup. */
   def decodeStub(spark: SparkSession, media: DataFrame,
       featureDims: Int = 4): DataFrame = {
+    import spark.implicits._
     def extract(bytes: Array[Byte]): Array[Double] =
       Array.tabulate(featureDims)(i =>
         bytes.slice(i * 8, i * 8 + 8).map(_.toDouble).sum)   // ??? real codec
-    spark.createDataFrame(
-      media.rdd.mapPartitions { rows =>
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("media_bytes")
-          Row(r.getAs[Long]("doc_id"), bytes.length, extract(bytes))
-        }
-      }, featureSchema)
+    media.select(col("doc_id"), col("media_bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => (id, bytes.length, extract(bytes)) }
+      }
+      .toDF("doc_id", "n_bytes", "feature")
   }
 }

@@ -18,9 +18,10 @@ import graft.functions.Geo
   * JSON_OBJECT route data (`PRD.md:1058-1066`), ST_GEOHASH
   * (`PRD.md:1074-1079`), predicate catalog (`PRD.md:839-856`).
   *
-  * Scale notes: everything here is a codegen'd scalar projection except
-  * the geohash UDF (schema-evolution surface only). Aggregations exist
-  * purely to make outputs deterministic for the oracle.
+  * Scale notes: everything here is a codegen'd scalar projection —
+  * including geohash, a native Catalyst expression since round 4
+  * ([[graft.functions.GeohashExpr]]). Aggregations exist purely to make
+  * outputs deterministic for the oracle.
   */
 object Scalars extends QueryPack {
 

@@ -146,6 +146,52 @@ class LlmSpec extends SparkSpec {
     assert(row.getAs[Int]("n_bytes") > 0)
   }
 
+  /** Planted fixture shared by the probe-search recall tests: corpus +
+    * 20 high-cosine perturbations of vec 0, plus the brute-force
+    * cosine top-10 for query 0 (the l09-style ground truth). */
+  private def plantedSearchFixture() = {
+    val base = T.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" === 0).select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].head().toArray
+    val planted = (1 to 20).map { j =>
+      (1000L + j, base.zipWithIndex.map { case (v, i) =>
+        v + 0.02 * (((i * 31 + j * 17) % 7) - 3)
+      }.toSeq)
+    }
+    val all = T.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+      .union(planted.toDF("vec_id", "vec"))
+      .localCheckpoint()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = all.filter($"vec_id" =!= 0)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, cos(base, v.toArray)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10).map(_._1).toSet
+    (all, truth)
+  }
+
+  test("IVF probe search: recall@10 >= 0.9 vs brute-force truth on planted neighbors") {
+    val (all, truth) = plantedSearchFixture()
+    val got = LlmOps.ivfSearch(all, 16, 4, 10, $"vec_id" === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"IVF recall@10 $recall; got=$got truth=$truth")
+    assert(got.size == 10)
+  }
+
+  test("bucket probe search: recall@10 >= 0.9 vs brute-force truth on planted neighbors") {
+    val (all, truth) = plantedSearchFixture()
+    val got = LlmOps.bucketSearch(all, 8, 10, $"vec_id" === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"bucket recall@10 $recall; got=$got truth=$truth")
+    assert(got.size == 10)
+  }
+
   test("IVF: planted near-neighbors land in the query vector's cell") {
     val base = T.load(spark, sfDir, "embeddings")
       .filter($"vec_id" === 0).select($"embedding".cast("array<double>"))
