@@ -21,6 +21,9 @@ import graft.plans.Snapshots
   *    (`PRD.md:1044-1111`)
   *  - D8 CTAS snapshot (`PRD.md:974-988`)
   *  - D9 materialized-view recompute (`PRD.md:881-902`)
+  *  - D10 `schema_evolution_log` audit table
+  *    (`sql/create_iceberg_tables.sql:108-123`)
+  *  - D11 NUMERIC→BIGNUMERIC type widening (`PRD.md:1214-1229`)
   *
   * Scale notes: every mutation is copy-on-write into a NEW snapshot
   * version — at 100 TB you rewrite only affected partitions, readers of
@@ -139,6 +142,78 @@ object Dml extends QueryPack {
       .orderBy("booking_channel")
   }
 
+  /** D10: `schema_evolution_log` audit table
+    * (/root/reference/sql/create_iceberg_tables.sql:108-123): every
+    * evolution op appends one audit row recording what changed and how
+    * to roll it back. Each step here ACTUALLY evolves the orders frame
+    * and commits its evolved SCHEMA as a snapshot (limit(0) — schema
+    * evolution is a metadata-only operation in the reference's table
+    * format, so the emulation must not rewrite data either; the data
+    * transforms themselves are verified by d07/d11). The logged
+    * `snapshot_version` is the version that commit returned, so the
+    * log provably tracks real schema history. Divergence from the
+    * reference: the audit column is a deterministic snapshot version,
+    * not `applied_timestamp` wall clock — same ordering information,
+    * oracle-comparable (the same trade P8/created_at makes). */
+  private val schemaEvolutionLog: Q = (s, dir) => {
+    val sn = new Snapshots(Scratch.dir("evolog"))
+    val o = T.load(s, dir, "orders")
+    val evolutions: Seq[(String, String, String, DataFrame => DataFrame)] =
+      Seq(
+        ("ev_001", "ADD_COLUMN",
+          "booking_channel STRING DEFAULT 'web'",
+          df => df.withColumn("booking_channel",
+            when(col("o_orderkey") % 3 === 0, lit("mobile"))
+              .otherwise(lit(null).cast("string")))),
+        ("ev_002", "ADD_GENERATED_COLUMN",
+          "order_date DATE GENERATED ALWAYS AS (DATE(o_orderdate))",
+          df => df.withColumn("order_date", to_date(col("o_orderdate")))),
+        ("ev_003", "TYPE_WIDENING",
+          "o_totalprice NUMERIC(18,2) -> BIGNUMERIC(38,8)",
+          df => df.withColumn("o_totalprice_precise",
+            T.dec2(col("o_totalprice")).cast("decimal(38,8)"))))
+    var cur = o
+    val logRows = evolutions.map { case (id, typ, desc, evolve) =>
+      cur = evolve(cur)
+      val v = sn.commit(cur.limit(0), "orders_evolved")
+      (id, "orders", typ, desc, v, "graft",
+        s"ALTER TABLE orders DROP COLUMN -- rollback of $id")
+    }
+    import s.implicits._
+    sn.commit(
+      logRows.toDF("evolution_id", "table_name", "change_type",
+        "change_description", "snapshot_version", "applied_by",
+        "rollback_script"),
+      "schema_evolution_log")
+    sn.current(s, "schema_evolution_log").orderBy("evolution_id")
+  }
+
+  /** D11: the NUMERIC → BIGNUMERIC type-widening migration
+    * (/root/reference/PRD.md:1214-1229): ADD COLUMN at the wider type,
+    * backfill by casting the old column, then a compat view exposing
+    * the precise column under the canonical name. Widening goes
+    * through the exact 2-dp decimal (never double→decimal directly —
+    * Spark casts the shortest decimal string while DuckDB casts the
+    * binary value, and extending a DECIMAL's scale is exact in both).
+    * Output: proof the backfill is total and value-preserving. */
+  private val typeWidening: Q = (s, dir) => {
+    val path = Scratch.dir("d11_widen")
+    T.load(s, dir, "orders")
+      .withColumn("o_totalprice_precise",
+        T.dec2(col("o_totalprice")).cast("decimal(38,8)"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    // compat view: old readers see the canonical column name at the
+    // new precision (reference: CREATE VIEW ... EXCEPT(fare_amount))
+    val precise = s.read.parquet(path)
+      .drop("o_totalprice")
+      .withColumnRenamed("o_totalprice_precise", "o_totalprice")
+    precise.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("o_totalprice").isNull, 1)).as("n_null"),
+      sum(col("o_totalprice")).cast("decimal(38,8)").as("sum_precise"),
+      max(col("o_totalprice")).as("max_precise"))
+  }
+
   /** D8: CTAS snapshot of an aggregate, then query the snapshot. */
   private val ctasSnapshot: Q = (s, dir) => {
     val path = Scratch.dir("d08_ctas")
@@ -173,7 +248,9 @@ object Dml extends QueryPack {
     "d06_cdc_changelog" -> cdcChangeLog,
     "d07_schema_evolution" -> schemaEvolution,
     "d08_ctas_snapshot" -> ctasSnapshot,
-    "d09_matview_recompute" -> matviewRecompute)
+    "d09_matview_recompute" -> matviewRecompute,
+    "d10_schema_evolution_log" -> schemaEvolutionLog,
+    "d11_type_widening" -> typeWidening)
 
   val oracle: Map[String, String] = Map(
     "d01_insert_select" ->
@@ -220,5 +297,28 @@ object Dml extends QueryPack {
          |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS revenue,
          |  1 AS refresh_version
          |FROM orders GROUP BY 1 HAVING COUNT(*) >= 2
-         |ORDER BY 1""".stripMargin)
+         |ORDER BY 1""".stripMargin,
+    "d10_schema_evolution_log" ->
+      """SELECT * FROM (VALUES
+        |  ('ev_001', 'orders', 'ADD_COLUMN',
+        |   'booking_channel STRING DEFAULT ''web''', 1, 'graft',
+        |   'ALTER TABLE orders DROP COLUMN -- rollback of ev_001'),
+        |  ('ev_002', 'orders', 'ADD_GENERATED_COLUMN',
+        |   'order_date DATE GENERATED ALWAYS AS (DATE(o_orderdate))', 2,
+        |   'graft',
+        |   'ALTER TABLE orders DROP COLUMN -- rollback of ev_002'),
+        |  ('ev_003', 'orders', 'TYPE_WIDENING',
+        |   'o_totalprice NUMERIC(18,2) -> BIGNUMERIC(38,8)', 3, 'graft',
+        |   'ALTER TABLE orders DROP COLUMN -- rollback of ev_003')
+        |) AS t(evolution_id, table_name, change_type, change_description,
+        |       snapshot_version, applied_by, rollback_script)
+        |ORDER BY evolution_id""".stripMargin,
+    "d11_type_widening" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS n_null,
+         |  CAST(SUM(CAST(${T.oDec2("o_totalprice")} AS DECIMAL(38,8)))
+         |    AS DECIMAL(38,8)) AS sum_precise,
+         |  MAX(CAST(${T.oDec2("o_totalprice")} AS DECIMAL(38,8)))
+         |    AS max_precise
+         |FROM orders""".stripMargin)
 }

@@ -59,6 +59,17 @@ object Ingest extends QueryPack {
       "yyyy-MM-dd'T'HH:mm:ss")
   }
 
+  /** Deterministic 12-decimal-place coordinate STRING in [0, mod/1e12):
+    * integer picodegrees formatted as `<deg>.<12 digits>`. A decimal
+    * string (never a double) keeps the downstream 9-dp rounding exact
+    * and portable — both engines parse it to the same DECIMAL(16,12).
+    * `mod` must be a multiple of 1e12 so the fractional part reduces to
+    * `(event_id * mult) % 1e12` independently of the degree part. */
+  private def coordStr(mult: Long, modPico: Long): Column = expr(
+    s"concat(CAST(((event_id * $mult) % $modPico) div 1000000000000" +
+      s" AS STRING), '.'," +
+      s" lpad(CAST((event_id * $mult) % 1000000000000 AS STRING), 12, '0'))")
+
   /** S4-style in-memory JSONL synthesis: one raw JSON line per event
     * (generator analog: `taxi_trip_simulator.py:73-100`). */
   def rawRecords(s: SparkSession, dir: String): DataFrame = {
@@ -82,6 +93,10 @@ object Ingest extends QueryPack {
       when(mod10 === ModNegative, -T.dec2(col("value")))
         .otherwise(T.dec2(col("value"))).as("total_amount"),
       col("user_id").as("pickup_location_id"),
+      // 12-dp GPS coordinates the parser must round to 9 dp (P6,
+      // main.py:108-111); latitudes in [0,90), longitudes in [0,180)
+      coordStr(7919L, 90000000000000L).as("pickup_latitude"),
+      coordStr(104729L, 180000000000000L).as("pickup_longitude"),
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .as("event_timestamp")))
     val raw =
@@ -155,6 +170,17 @@ object Ingest extends QueryPack {
       .withColumn("trip_distance", col("distance_d"))
       .withColumn("payment_type", f("payment_type"))
       .withColumn("total_amount", round(col("total_d"), 2))                // P6
+      // P6 coordinate path: GPS coordinates round to NINE decimal
+      // places (not two — main.py:108-111). Rounding happens in
+      // DECIMAL: the raw value parses exactly from its decimal string,
+      // and DECIMAL ROUND is half-up in both engines, unlike
+      // ROUND(double) which is not portable.
+      .withColumn("pickup_latitude",
+        round(f("pickup_latitude").try_cast(DecimalType(16, 12)), 9)
+          .cast(DecimalType(13, 9)))
+      .withColumn("pickup_longitude",
+        round(f("pickup_longitude").try_cast(DecimalType(16, 12)), 9)
+          .cast(DecimalType(13, 9)))
       .withColumn("pickup_location_id",
         f("pickup_location_id").try_cast(LongType))
       // P7: event_timestamp is parsed but never projected (dropped).
@@ -211,7 +237,8 @@ object Ingest extends QueryPack {
         col("dropoff_ts").as("dropoff_datetime"),
         col("passenger_count"), col("trip_distance"),
         col("payment_type"), col("total_amount"),
-        col("pickup_location_id"))
+        col("pickup_location_id"),
+        col("pickup_latitude"), col("pickup_longitude"))
       .orderBy("trip_id")
 
   /** P11: pass-through parse + count (simple_batch_processor.py:16-30):
@@ -236,6 +263,13 @@ object Ingest extends QueryPack {
   // sf0.1 up; class-only oracles break there).
   private val oracleValid =
     "event_id % 10 NOT IN (0, 1, 2, 3, 4, 5) AND value > 0"
+
+  /** DuckDB replay of [[coordStr]] + the parser's 9-dp DECIMAL round. */
+  private def oCoord9(mult: Long, modPico: Long): String =
+    s"CAST(ROUND(CAST(concat(CAST(((event_id * $mult) % $modPico)" +
+      s" // 1000000000000 AS VARCHAR), '.'," +
+      s" lpad(CAST((event_id * $mult) % 1000000000000 AS VARCHAR), 12, '0'))" +
+      s" AS DECIMAL(16,12)), 9) AS DECIMAL(13,9))"
   private val oracleErrorType =
     """CASE
       |    WHEN event_id % 10 = 0 THEN 'json_parsing_failed'
@@ -273,7 +307,9 @@ object Ingest extends QueryPack {
          |  CAST(event_id % 50 AS DOUBLE) / 2.0 + 0.5 AS trip_distance,
          |  event_type AS payment_type,
          |  CAST(${T.oDec2("value")} AS DOUBLE) AS total_amount,
-         |  user_id AS pickup_location_id
+         |  user_id AS pickup_location_id,
+         |  ${oCoord9(7919L, 90000000000000L)} AS pickup_latitude,
+         |  ${oCoord9(104729L, 180000000000000L)} AS pickup_longitude
          |FROM events WHERE $oracleValid
          |ORDER BY trip_id""".stripMargin,
     "p04_passthrough_count" ->
