@@ -378,8 +378,10 @@ object LlmOps extends QueryPack {
     * the probe is a broadcast hash join on cid over the assignment's
     * existing partitioning. The only wide movement is the candidate
     * set (|Q| · N · nprobe/nCells rows of (qid, id, cosine)) shuffling
-    * by qid for the top-k rank; at very large |Q| you would pre-reduce
-    * with a per-partition partial top-k before that exchange. */
+    * by qid for the top-k rank — and the executed plan pre-reduces it:
+    * Spark rewrites the rank<=k filter into WindowGroupLimit
+    * Partial/Final, so each map partition forwards only its own top k
+    * per query into the exchange. */
   def ivfSearch(e: DataFrame, nCells: Int, nprobe: Int, k: Int,
       isQuery: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

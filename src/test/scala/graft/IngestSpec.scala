@@ -29,6 +29,22 @@ class IngestSpec extends SparkSpec {
     assert(m.keySet == Set("VALID"))
   }
 
+  test("P6: GPS coordinates round to 9 dp half-up, in DECIMAL (never double)") {
+    // half-way tail ...500 must round UP (the reference's round(x, 9),
+    // main.py:108-111) — and exactly the same way the DuckDB oracle
+    // rounds it, which only holds on the DECIMAL path
+    val line = validLine.dropRight(1) +
+      ""","pickup_latitude":"41.123456789500","pickup_longitude":"73.000000000499"}"""
+    val raw = Seq(line).toDF("raw")
+      .withColumn("event_id", monotonically_increasing_id())
+    val row = Ingest.parseRecords(raw, "spec")
+      .select(col("pickup_latitude").cast("string"),
+        col("pickup_longitude").cast("string"))
+      .as[(String, String)].head()
+    assert(row._1 == "41.123456790", s"half-way tail must round up: ${row._1}")
+    assert(row._2 == "73.000000000", s"below-half tail must round down: ${row._2}")
+  }
+
   test("non-JSON bytes → json_parsing_failed") {
     val m = classify(Seq("definitely not json {{{"))
     assert(m.keySet == Set("json_parsing_failed"))
