@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, TernaryExpre
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, NumericType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, NullType, NumericType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Geohash encoding (the ST_GEOHASH analog the reference uses as a
@@ -84,18 +84,20 @@ case class GeohashExpr(first: Expression, second: Expression, third: Expression)
 }
 
 object GeohashExpr {
-  /** Numeric-argument coercion the old ScalaUDF path got from the
-    * analyzer for free: `geohash(57, 10, 7)` or FLOAT/DECIMAL
-    * coordinate columns insert an explicit Cast; non-numeric inputs
-    * pass through unchanged so `checkInputDataTypes` still rejects
-    * them with the precise message. (Spark 4 hides `AbstractDataType`
-    * from external expressions, so the `ImplicitCastInputTypes` trait
+  /** Argument coercion the old ScalaUDF path got from the analyzer
+    * for free: numeric args (`geohash(57, 10, 7)`, FLOAT/DECIMAL
+    * coordinate columns), string args (ANSI cast — throws on malformed
+    * input at runtime, exactly as the UDF-era implicit cast did), and
+    * bare NULL literals all insert an explicit Cast; other types pass
+    * through unchanged so `checkInputDataTypes` still rejects them
+    * with the precise message. (Spark 4 hides `AbstractDataType` from
+    * external expressions, so the `ImplicitCastInputTypes` trait
     * itself is not implementable here — the builder inserts the casts
     * instead.) */
   private def coerce(e: Expression, t: DataType): Expression =
     if (e.dataType == t) e
     else e.dataType match {
-      case _: NumericType => Cast(e, t)
+      case _: NumericType | StringType | NullType => Cast(e, t)
       case _ => e
     }
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.QueryPack
-import graft.operators.{Aggregates, Joins, Windows}
 
 import java.util.concurrent.Executors
 import scala.concurrent.{Await, ExecutionContext, Future}
@@ -60,23 +59,38 @@ object Concurrency extends QueryPack {
   def runWorkload(s: SparkSession, dir: String,
       threads: Int = 0,
       timeout: FiniteDuration = 10.minutes): Seq[(String, Long, Double)] = {
+    // Daemon threads + shutdownNow + job-group cancel: a query that
+    // hangs past the timeout must not wedge the JVM at exit (plain
+    // shutdown() would leave the non-daemon thread running forever)
+    // nor keep burning cluster slots under later queries.
+    val group = s"graft-concurrent-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val pool = Executors.newFixedThreadPool(
-      if (threads > 0) threads else workload.size)
+      if (threads > 0) threads else workload.size,
+      r => { val t = new Thread(r); t.setDaemon(true); t })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val fs = workload.map { case (name, q, _) =>
         Future {
+          s.sparkContext.setJobGroup(group, s"k03 $name",
+            interruptOnCancel = true)
           s.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$name")
           try {
             val t0 = System.nanoTime()
             val n = q(s, dir).count()
             (name, n, (System.nanoTime() - t0) / 1e9)
-          } finally
+          } finally {
             s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            s.sparkContext.clearJobGroup()
+          }
         }
       }
-      Await.result(Future.sequence(fs), timeout)
-    } finally pool.shutdown()
+      try Await.result(Future.sequence(fs), timeout)
+      catch { case e: Throwable =>
+        s.sparkContext.cancelJobGroup(group)
+        throw e
+      }
+    } finally pool.shutdownNow()
   }
 
   private val concurrentQueries: Q = (s, dir) => {

@@ -159,7 +159,11 @@ object Ingest extends QueryPack {
               (f("passenger_count").isNotNull &&
                 f("passenger_count").try_cast(LongType).isNull) ||
               (f("pickup_location_id").isNotNull &&
-                f("pickup_location_id").try_cast(LongType).isNull),
+                f("pickup_location_id").try_cast(LongType).isNull) ||
+              (f("pickup_latitude").isNotNull &&
+                f("pickup_latitude").try_cast(DecimalType(16, 12)).isNull) ||
+              (f("pickup_longitude").isNotNull &&
+                f("pickup_longitude").try_cast(DecimalType(16, 12)).isNull),
             "unexpected_error")                                            // P12
           .otherwise(lit(null).cast(StringType)))
       .withColumn("trip_id",                                               // P3

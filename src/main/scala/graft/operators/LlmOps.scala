@@ -335,20 +335,22 @@ object LlmOps extends QueryPack {
     // not deterministic across partitions, so "first max wins" alone
     // would make a tied assignment depend on array order; the explicit
     // cid test makes the argmax order-independent (and exactly matches
-    // the oracle's ORDER BY dot DESC, cid).
+    // the oracle's ORDER BY dot DESC, cid). The (dot, cid) structs
+    // materialize in transform FIRST so each centroid's O(dim) dot
+    // fold runs exactly once — referencing the dot from inside the
+    // argmax lambda would re-evaluate the interpreted fold per
+    // reference (the same once-per-row discipline as tokenHashes).
     e.crossJoin(broadcast(cents))
       .withColumn("cid", expr(
-        """aggregate(cents,
+        """aggregate(
+          |  transform(cents, c -> named_struct(
+          |    'd', aggregate(zip_with(vec, c.cvec, (x, y) -> x * y),
+          |           0.0D, (a, v) -> a + v),
+          |    'cid', c.cid)),
           |  named_struct('best', CAST(-1e308 AS DOUBLE), 'cid', -1),
-          |  (acc, c) -> IF(
-          |    aggregate(zip_with(vec, c.cvec, (x, y) -> x * y),
-          |      0.0D, (a, v) -> a + v) > acc.best
-          |    OR (aggregate(zip_with(vec, c.cvec, (x, y) -> x * y),
-          |      0.0D, (a, v) -> a + v) = acc.best AND c.cid < acc.cid),
-          |    named_struct(
-          |      'best', aggregate(zip_with(vec, c.cvec, (x, y) -> x * y),
-          |        0.0D, (a, v) -> a + v),
-          |      'cid', c.cid),
+          |  (acc, s) -> IF(
+          |    s.d > acc.best OR (s.d = acc.best AND s.cid < acc.cid),
+          |    named_struct('best', s.d, 'cid', s.cid),
           |    acc)).cid""".stripMargin))
       .drop("cents")
   }

@@ -29,6 +29,8 @@ object Multimodal {
       StructField("modality_tag", StringType),
       StructField("declared_size", LongType))))))
 
+  /** Declared output contract of [[decodeStub]] — the actual schema is
+    * encoder-derived; LlmSpec asserts the two stay in lockstep. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),

@@ -45,6 +45,14 @@ class IngestSpec extends SparkSpec {
     assert(row._2 == "73.000000000", s"below-half tail must round down: ${row._2}")
   }
 
+  test("unparsable OPTIONAL coordinate dead-letters as unexpected_error (P12)") {
+    val line = validLine.dropRight(1) +
+      ""","pickup_latitude":"not-a-coordinate"}"""
+    val m = classify(Seq(line))
+    assert(m.keySet == Set("unexpected_error"),
+      s"bad coordinate must dead-letter, got ${m.keySet}")
+  }
+
   test("non-JSON bytes → json_parsing_failed") {
     val m = classify(Seq("definitely not json {{{"))
     assert(m.keySet == Set("json_parsing_failed"))

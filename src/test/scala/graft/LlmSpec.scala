@@ -140,6 +140,9 @@ class LlmSpec extends SparkSpec {
     assert(media.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
       Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
     val decoded = Multimodal.decodeStub(spark, media)
+    assert(decoded.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
+      Multimodal.featureSchema.fields.map(f => (f.name, f.dataType.sql)).toSeq,
+      "encoder-derived output schema drifted from the declared featureSchema")
     assert(decoded.count() == 50)
     val row = decoded.orderBy("doc_id").head()
     assert(row.getSeq[Double](2).length == 4)
