@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Tables => T, QueryPack}
+import graft.core.{Barriers, Tables => T, QueryPack}
 import graft.functions.Text
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -170,26 +170,25 @@ object LlmOps extends QueryPack {
     // regex tokenizer into the per-shingle lambda (which would re-run the
     // regex once per shingle — observed as a 200s single-core stall).
     // The shingle frame is reused three times (signatures + two jaccard
-    // fetches); localCheckpoint materializes it once and, unlike cache(),
-    // its blocks are released by the ContextCleaner when the frame goes
-    // out of scope — repeated invocations don't accumulate pinned
-    // storage memory.
-    val sh = d
+    // fetches); the barrier materializes it once (localCheckpoint here;
+    // reliable checkpoint when a cluster sets a checkpoint dir — see
+    // core/Barriers) and, unlike cache(), local blocks are released by
+    // the ContextCleaner when the frame goes out of scope — repeated
+    // invocations don't accumulate pinned storage memory.
+    val sh = Barriers.materialize(d
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .repartition(d.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), Text.shinglesFromTokens("toks", 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("shh", Text.shingleHashes("sh"))
-      .localCheckpoint()
+      .withColumn("shh", Text.shingleHashes("sh")))
     // Materialize the banded keys too: the self-join below consumes this
     // frame on BOTH sides, and without a barrier each side would
     // recompute the full 16-perm signature.
-    val keyed = sh
+    val keyed = Barriers.materialize(sh
       .withColumn("sig", Text.minhashSignature("shh", perms))
       .withColumn("bands", Text.lshBands("sig", bands, perms / bands))
       .select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-      .localCheckpoint()
+        posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
     val pairs = keyed.as("a")
       .join(keyed.as("b"), Seq("band_idx", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -240,7 +239,7 @@ object LlmOps extends QueryPack {
     * band key); localCheckpoint keeps both self-join sides from
     * recomputing the per-token signature fold. */
   def simhashCandidates(d: DataFrame, maxHamming: Int = 4): DataFrame = {
-    val sh = simhashSignatures(d).localCheckpoint()
+    val sh = Barriers.materialize(simhashSignatures(d))
     val keyed = sh.select(col("doc_id"), col("simhash"),
       posexplode(Text.simhashBands("simhash", maxHamming + 1))
         .as(Seq("band_idx", "band_key")))
@@ -440,10 +439,10 @@ object LlmOps extends QueryPack {
   def bucketSearch(e: DataFrame, planes: Int, k: Int,
       isQuery: Column, probeRadius: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = e.select(col("vec_id"), col("vec"))
+    val b = Barriers.materialize(e.select(col("vec_id"), col("vec"))
       .withColumn("bucket", Text.hyperplaneBucket("vec", planes))
-      .withColumn("nrm", Text.l2norm(col("vec")))
-      .localCheckpoint() // consumed by both sides of the probe join
+      .withColumn("nrm", Text.l2norm(col("vec"))))
+      // ^ consumed by both sides of the probe join
     val masks = probeMasks(planes, probeRadius)
     val probes = b.filter(isQuery)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"),
@@ -479,9 +478,8 @@ object LlmOps extends QueryPack {
     * banded LSH exists to avoid. */
   private val tokenJaccard: Q = (s, dir) => {
     // materialize once — both join sides consume this frame
-    val t = docs(s, dir)
-      .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("ts"))
-      .localCheckpoint()
+    val t = Barriers.materialize(docs(s, dir)
+      .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("ts")))
     val a = t.select(col("doc_id"), col("ts").as("ts_a"))
     val b = t.select((col("doc_id") - 1).as("doc_id"), col("ts").as("ts_b"))
     a.join(b, "doc_id")

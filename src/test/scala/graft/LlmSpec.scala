@@ -33,6 +33,28 @@ class LlmSpec extends SparkSpec {
       "unrelated docs must not be candidates")
   }
 
+  test("barriers: reliable checkpoint engages once a checkpoint dir is set, results unchanged") {
+    // cluster deployments set a checkpoint dir so barrier blocks
+    // survive executor loss (core/Barriers); results must be identical
+    // to the localCheckpoint path the preceding tests exercised.
+    // NOTE: the checkpoint dir stays set on the shared context for the
+    // rest of this JVM — semantics are unchanged, later barriers just
+    // take the reliable path too.
+    val ckpt = graft.core.Scratch.dir("ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = Seq(
+      doc(1, base), doc(2, base.replace("today", "tonight")),
+      doc(3, "completely different content about spark shuffles and partition planning strategies here")
+    ).toDF("doc_id", "text")
+    val pairs = LlmOps.minhashCandidates(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(pairs.exists { case (a, b, conf) => a == 1 && b == 2 && conf },
+      s"planted pair not confirmed through reliable checkpoint: $pairs")
+    assert(new java.io.File(ckpt).exists,
+      "checkpoint dir untouched — reliable path did not engage")
+  }
+
   test("exact jaccard confirm rejects low-similarity candidates") {
     val df = Seq(
       doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
