@@ -15,7 +15,11 @@ import graft.core.{Tables => T, QueryPack}
   * shuffle; the second shuffle combines 3×16 partial rows. Identical
   * results to the direct groupBy — the oracle proves it — but no single
   * reducer ever sees a whole hot key's rows. AQE's skew handling covers
-  * joins; aggregation skew still wants this explicit pattern.
+  * joins (proven in SkewSpec: a 95%-hot-key sort-merge join gets its
+  * hot partition split at runtime, `skew=true` in the adaptive plan —
+  * with the caveat that AQE declines the split when a downstream
+  * operator reuses the join's output partitioning); aggregation skew
+  * still wants this explicit pattern.
   */
 object ScaleOps extends QueryPack {
 
