@@ -62,6 +62,28 @@ object Streaming extends QueryPack {
   def deadLetters(raw: DataFrame, pipelineName: String): DataFrame =
     Ingest.invalid(Ingest.parseRecords(raw, pipelineName))
 
+  /** Gap-based sessionization via `session_window` — the
+    * training-data-pipeline staple (user interaction episodes /
+    * conversation threading) the fixed tumbling windows above cannot
+    * express. A session closes when the next event arrives `gap` or
+    * more after the previous one (session windows merge only on STRICT
+    * overlap, so an exact-gap arrival starts a new session). Same
+    * batch ≡ streaming contract as [[windowedStats]]: static frames
+    * feed the DuckDB gaps-and-islands oracle, streaming frames run
+    * with the watermark closing sessions — which is also what bounds
+    * state: without it every open session for every key lives in the
+    * state store forever. */
+  def sessionStats(events: DataFrame, eventTime: String, keyCol: String,
+      gap: String = "30 minutes", lateness: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark(eventTime, lateness)
+      .groupBy(col(keyCol), session_window(col(eventTime), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** T1/T2: batch-equivalence gate for the tumbling window — the same
     * windowedStats chain over static events; DuckDB checks against
     * minute-bucket group-by (60s epoch-aligned windows ≡ date_trunc
@@ -78,9 +100,22 @@ object Streaming extends QueryPack {
       Config(windowSeconds = 3600))
       .orderBy("window_start", "event_type")
 
+  /** Per-user session profile over the full events table: session
+    * counts and sizes from 30-minute-gap sessionization. The oracle
+    * recomputes sessions as a gaps-and-islands query (LAG + running
+    * sum of session starts). */
+  private val sessionAgg: Q = (s, dir) =>
+    sessionStats(T.load(s, dir, "events"), "ts", "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).cast("long").as("n_events_total"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "t01_tumbling_window_agg" -> tumblingWindowAgg,
-    "t02_hour_window_agg" -> hourWindowAgg)
+    "t02_hour_window_agg" -> hourWindowAgg,
+    "t03_session_window_agg" -> sessionAgg)
 
   val oracle: Map[String, String] = Map(
     "t01_tumbling_window_agg" ->
@@ -100,5 +135,30 @@ object Streaming extends QueryPack {
          |  ${T.oMoneyAvg2("value")} AS avg_value,
          |  ROUND(${T.oMoneySum("value")}, 2) AS total_revenue
          |FROM events GROUP BY 1, 2, 3, 4
-         |ORDER BY 1, 4""".stripMargin)
+         |ORDER BY 1, 4""".stripMargin,
+    // gaps-and-islands: a session starts where the gap from the
+    // previous event is >= 30 min (matching session_window's
+    // strict-overlap merge rule); the running sum of starts numbers
+    // the sessions.
+    "t03_session_window_agg" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NULL
+        |         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, sess_id, COUNT(*) AS n_events
+        |  FROM numbered GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n_events) AS max_session_events,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events_total
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin)
 }

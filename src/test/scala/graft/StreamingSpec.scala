@@ -48,6 +48,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sessionization: streamed session windows equal batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val static = eventsStatic
+      .select($"ts", $"user_id").as[(java.sql.Timestamp, Long)]
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val streamDf = mem.toDF().toDF("ts", "user_id")
+
+    val q = Streaming.sessionStats(streamDf, "ts", "user_id")
+      .writeStream.format("memory").queryName("t3_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(static.collect().toSeq)
+      q.processAllAvailable()
+      // sessions only emit once the watermark passes their close;
+      // advance it with a sentinel user and drop that user after
+      mem.addData(Seq((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("t3_sessions")
+      .filter($"user_id" =!= -1L)
+      .orderBy("user_id", "session_start")
+      .collect().toSeq
+    val batch = Streaming.sessionStats(
+        eventsStatic.select($"ts", $"user_id"), "ts", "user_id")
+      .orderBy("user_id", "session_start")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("T2: window_start/window_end metadata is projected") {
     val row = Streaming.windowedStats(eventsStatic, "ts", "value", "event_type")
       .select("window_start", "window_end", "stat_hour").limit(1).collect().head
