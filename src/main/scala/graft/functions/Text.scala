@@ -234,19 +234,29 @@ object Text {
     * the LCG lattice and produced sign rows correlated up to 50/64
     * (measured); the xor-shift round breaks the lattice (max 18/64,
     * ~2σ for 64 fair coins). */
-  private def hyperplaneComp(p: String, i: String): String = {
-    val h1 = s"((($p * 8192 + $i + 1) * 2654435761) % 2147483647)"
-    s"IF(((shiftright((($h1 ^ shiftright($h1, 15)) * 1597334677)" +
-      s" % 2147483647, 7)) & 1) = 1, 1.0D, -1.0D)"
+  /** The shared two-round mixer as a SQL fragment over a non-negative
+    * integer seed expression: multiply mod 2^31-1, xor-shift, multiply
+    * mod 2^31-1 again. Result in [0, 2^31-1). Also the basis of
+    * deterministic train/val/test splitting (`% n` buckets). */
+  def portableMixSql(seed: String): String = {
+    val h1 = s"((($seed) * 2654435761) % 2147483647)"
+    s"((($h1 ^ shiftright($h1, 15)) * 1597334677) % 2147483647)"
   }
 
-  /** The DuckDB spelling of the same component (xor() function instead
-    * of the ^ operator; >> and & are shared syntax). */
-  private def oHyperplaneComp(p: String, i: String): String = {
-    val h1 = s"((($p * 8192 + $i + 1) * 2654435761) % 2147483647)"
-    s"CASE WHEN ((((xor($h1, $h1 >> 15)) * 1597334677)" +
-      s" % 2147483647) >> 7) & 1 = 1 THEN 1.0 ELSE -1.0 END"
+  /** DuckDB spelling of [[portableMixSql]] (xor() function instead of
+    * the ^ operator; >> and % are shared syntax). */
+  def oPortableMixSql(seed: String): String = {
+    val h1 = s"((($seed) * 2654435761) % 2147483647)"
+    s"(((xor($h1, $h1 >> 15)) * 1597334677) % 2147483647)"
   }
+
+  private def hyperplaneComp(p: String, i: String): String =
+    s"IF(((shiftright(${portableMixSql(s"$p * 8192 + $i + 1")}, 7)) & 1) = 1," +
+      s" 1.0D, -1.0D)"
+
+  private def oHyperplaneComp(p: String, i: String): String =
+    s"CASE WHEN (${oPortableMixSql(s"$p * 8192 + $i + 1")} >> 7) & 1 = 1" +
+      s" THEN 1.0 ELSE -1.0 END"
 
   /** Random-hyperplane LSH bucket: `planes` sign bits packed into an
     * int. Components come from [[hyperplaneComp]] — deterministic, no

@@ -495,6 +495,57 @@ object LlmOps extends QueryPack {
         min(col("jaccard_next")).as("min_jaccard"))
   }
 
+  /** l17: deterministic train/validation/test split — hash-bucket
+    * assignment (80/10/10) from the portable mixer over doc_id, the
+    * standard reproducible-split pattern (no sampling state, no
+    * ordering dependence; a doc's split never changes as the corpus
+    * grows). One narrow projection + one small aggregation; the split
+    * column itself would normally feed partitionBy on write. */
+  private val trainSplit: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("bucket", expr(s"${Text.portableMixSql("doc_id + 1")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy("split")
+
+  /** l18: benchmark decontamination — the count of corpus documents
+    * sharing at least one 8-token shingle with a probe ("benchmark")
+    * set, the standard contamination check before training. Probe
+    * shingles BROADCAST (a benchmark is small by definition), so the
+    * corpus-side shingle stream joins without shuffling; left_semi
+    * keeps candidate docs without multiplying rows per matching
+    * shingle; the only wide movement is the distinct on contaminated
+    * doc_ids. */
+  def contamination(d: DataFrame, isProbe: Column, n: Int = 8): DataFrame = {
+    val sh = d
+      .select(col("doc_id"), isProbe.as("is_probe"),
+        Text.tokens(col("text")).as("toks"))
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("is_probe"),
+        explode(Text.shinglesFromTokens("toks", n)).as("shingle"))
+    val probe = sh.filter(col("is_probe")).select(col("shingle")).distinct()
+    sh.filter(!col("is_probe"))
+      .join(broadcast(probe), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
+  private val decontamination: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val contaminated = contamination(d, col("doc_id") < 5)
+      .agg(count(lit(1)).as("n_contaminated"))
+    val corpus = d.filter(col("doc_id") >= 5)
+      .agg(count(lit(1)).as("n_docs"))
+    corpus.crossJoin(contaminated)
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   /** Multimodal column plumbing: media as an opaque binary column +
@@ -533,7 +584,9 @@ object LlmOps extends QueryPack {
     "l13_token_jaccard" -> tokenJaccard,
     "l14_ivf_index" -> ivfIndex,
     "l15_ivf_search" -> ivfSearchQ,
-    "l16_bucket_search" -> bucketSearchQ)
+    "l16_bucket_search" -> bucketSearchQ,
+    "l17_train_split" -> trainSplit,
+    "l18_decontamination" -> decontamination)
 
   /** Shared oracle CTEs for the embedding operators: vectors as
     * DOUBLE[], seed centroids, and the argmax-dot cell assignment
@@ -666,6 +719,37 @@ object LlmOps extends QueryPack {
         |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
         |  MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l17_train_split" ->
+      s"""WITH b AS (
+         |  SELECT source, n_chars,
+         |    ${Text.oPortableMixSql("doc_id + 1")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'validation'
+         |            ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT source) AS n_sources,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l18_decontamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $oToks AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+         |      i -> array_to_string(t[i + 1 : i + 8], ' '))) AS shingle
+         |  FROM toks),
+         |probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+         |cont AS (
+         |  SELECT DISTINCT s.doc_id
+         |  FROM sh s JOIN probe p USING (shingle)
+         |  WHERE s.doc_id >= 5)
+         |SELECT
+         |  (SELECT COUNT(*) FROM documents WHERE doc_id >= 5) AS n_docs,
+         |  (SELECT COUNT(*) FROM cont) AS n_contaminated,
+         |  CAST((SELECT COUNT(*) FROM cont) AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM documents WHERE doc_id >= 5)
+         |        AS DOUBLE) AS contamination_rate""".stripMargin,
     "l11_ann_buckets" -> {
       val bucket = Text.oHyperplaneBucket("vec", 8)
       s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS vec
