@@ -172,9 +172,10 @@ object LlmOps extends QueryPack {
     // The shingle frame is reused three times (signatures + two jaccard
     // fetches); the barrier materializes it once (localCheckpoint here;
     // reliable checkpoint when a cluster sets a checkpoint dir — see
-    // core/Barriers) and, unlike cache(), local blocks are released by
-    // the ContextCleaner when the frame goes out of scope — repeated
-    // invocations don't accumulate pinned storage memory.
+    // core/Barriers, incl. the checkpoint-data lifecycle caveat) and,
+    // on the local path, blocks are released by the ContextCleaner
+    // when the frame goes out of scope — repeated invocations don't
+    // accumulate pinned storage memory.
     val sh = Barriers.materialize(d
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .repartition(d.sparkSession.sparkContext.defaultParallelism)
@@ -523,14 +524,19 @@ object LlmOps extends QueryPack {
     * shingle; the only wide movement is the distinct on contaminated
     * doc_ids. */
   def contamination(d: DataFrame, isProbe: Column, n: Int = 8): DataFrame = {
-    val sh = d
-      .select(col("doc_id"), isProbe.as("is_probe"),
-        Text.tokens(col("text")).as("toks"))
-      .repartition(d.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("is_probe"),
+    // Shingle each side from its own FILTERED scan: the probe filter
+    // pushes down to the source, so only benchmark docs are tokenized
+    // on that side, and the corpus-side shingle explosion runs exactly
+    // once (a shared unfiltered shingle frame would re-shingle the
+    // full corpus for both join sides — or need a barrier for what a
+    // pushed-down filter gives for free).
+    def shingles(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
         explode(Text.shinglesFromTokens("toks", n)).as("shingle"))
-    val probe = sh.filter(col("is_probe")).select(col("shingle")).distinct()
-    sh.filter(!col("is_probe"))
+    val probe = shingles(d.filter(isProbe)).select(col("shingle")).distinct()
+    shingles(d.filter(!isProbe))
       .join(broadcast(probe), Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
   }

@@ -51,8 +51,16 @@ class LlmSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
     assert(pairs.exists { case (a, b, conf) => a == 1 && b == 2 && conf },
       s"planted pair not confirmed through reliable checkpoint: $pairs")
-    assert(new java.io.File(ckpt).exists,
-      "checkpoint dir untouched — reliable path did not engage")
+    // setCheckpointDir eagerly mkdirs ckpt/<uuid>, so a bare exists()
+    // check is vacuous — assert actual rdd-* checkpoint data was
+    // written, which only the reliable path does
+    def findRddDirs(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap { c =>
+        if (c.getName.startsWith("rdd-")) Seq(c)
+        else if (c.isDirectory) findRddDirs(c) else Seq.empty
+      }
+    assert(findRddDirs(new java.io.File(ckpt)).nonEmpty,
+      "no rdd-* checkpoint data written — reliable path did not engage")
   }
 
   test("exact jaccard confirm rejects low-similarity candidates") {
