@@ -496,6 +496,80 @@ object LlmOps extends QueryPack {
         min(col("jaccard_next")).as("min_jaccard"))
   }
 
+  /** l19: intra-document repetition filter (the Gopher/RefinedWeb
+    * quality-filter family): per-doc duplicate-token and duplicate-
+    * 2-gram fractions, rolled up per source as exact integer sums (a
+    * micro-averaged rate = ratio of two long sums stays bit-portable
+    * where a sum of per-doc double ratios would not) plus a count of
+    * docs over the 0.2 duplicate-2-gram threshold. Linear, one narrow
+    * pass; tokens materialize below the exchange (shingle-lambda
+    * inlining guard, as everywhere). */
+  private val repetitionFilter: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("source"), Text.tokens(col("text")).as("toks"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("source"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_tok_d"),
+        Text.shinglesFromTokens("toks", 2).as("gs"))
+      .select(col("source"), col("n_tok"), col("n_tok_d"),
+        size(col("gs")).cast("long").as("n_2g"),
+        size(array_distinct(col("gs"))).cast("long").as("n_2g_d"))
+      .withColumn("flagged",
+        col("n_2g") > 0 &&
+          (lit(1.0) - col("n_2g_d").cast("double") / col("n_2g").cast("double"))
+            > 0.2)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_tok") - col("n_tok_d")).as("dup_tokens"),
+        sum(col("n_tok")).as("total_tokens"),
+        (sum(col("n_2g") - col("n_2g_d")).cast("double") /
+          sum(col("n_2g")).cast("double")).as("micro_dup_2gram"))
+      .orderBy("source")
+
+  /** l20: PII scrubbing — regex redaction of emails and phone-shaped
+    * strings, the anonymization pass every training corpus gets.
+    * Deterministic PII is INJECTED first (the synthetic corpus has
+    * none), then scrubbed; the output proves totality: occurrences
+    * found, redactions applied, zero residual matches. Pure codegen'd
+    * regexp projections, linear. */
+  // Shared PII regexes, spelled with [.] instead of \. — a backslash
+  // inside a Spark SQL string literal is an ESCAPE (so '\.' parses to
+  // '.', any-char) while DuckDB keeps it verbatim; the character-class
+  // form needs no escaping and parses identically everywhere.
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+  private val phoneRe = "555-[0-9]{4}"
+
+  private val piiScrub: Q = (s, dir) => {
+    val seeded = docs(s, dir).select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    val scrubbed = seeded
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all(text, '$emailRe', 0)")).cast("long"))
+      .withColumn("n_phones",
+        size(expr(s"regexp_extract_all(text, '$phoneRe', 0)")).cast("long"))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+    scrubbed.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("n_emails") > 0, 1L).otherwise(0L)).as("n_docs_email"),
+      sum(when(col("n_phones") > 0, 1L).otherwise(0L)).as("n_docs_phone"),
+      sum(col("n_emails") + col("n_phones")).as("n_redactions"),
+      sum(size(expr(s"regexp_extract_all(clean, '$emailRe', 0)")) +
+        size(expr(s"regexp_extract_all(clean, '$phoneRe', 0)")))
+        .cast("long").as("n_residual"))
+  }
+
   /** l17: deterministic train/validation/test split — hash-bucket
     * assignment (80/10/10) from the portable mixer over doc_id, the
     * standard reproducible-split pattern (no sampling state, no
@@ -592,7 +666,9 @@ object LlmOps extends QueryPack {
     "l15_ivf_search" -> ivfSearchQ,
     "l16_bucket_search" -> bucketSearchQ,
     "l17_train_split" -> trainSplit,
-    "l18_decontamination" -> decontamination)
+    "l18_decontamination" -> decontamination,
+    "l19_repetition_filter" -> repetitionFilter,
+    "l20_pii_scrub" -> piiScrub)
 
   /** Shared oracle CTEs for the embedding operators: vectors as
     * DOUBLE[], seed centroids, and the argmax-dot cell assignment
@@ -725,6 +801,62 @@ object LlmOps extends QueryPack {
         |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
         |  MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l19_repetition_filter" ->
+      s"""WITH t AS (
+         |  SELECT source, $oToks AS tk FROM documents),
+         |g AS (
+         |  SELECT source,
+         |    CAST(len(tk) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_tok_d,
+         |    list_transform(range(0, greatest(len(tk) - 1, 0)),
+         |      i -> array_to_string(tk[i + 1 : i + 2], ' ')) AS gs
+         |  FROM t),
+         |m AS (
+         |  SELECT source, n_tok, n_tok_d,
+         |    CAST(len(gs) AS BIGINT) AS n_2g,
+         |    CAST(len(list_distinct(gs)) AS BIGINT) AS n_2g_d
+         |  FROM g)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_2g > 0 AND
+         |      (1.0 - CAST(n_2g_d AS DOUBLE) / CAST(n_2g AS DOUBLE)) > 0.2
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(SUM(n_tok - n_tok_d) AS BIGINT) AS dup_tokens,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_2g - n_2g_d) AS DOUBLE) / CAST(SUM(n_2g) AS DOUBLE)
+         |    AS micro_dup_2gram
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l20_pii_scrub" -> {
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' contact user' || doc_id || '@example.com'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+         |        4, '0')
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |counted AS (
+         |  SELECT
+         |    CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT)
+         |      AS n_emails,
+         |    CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT)
+         |      AS n_phones,
+         |    regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+         |      '$phoneRe', '<PHONE>', 'g') AS clean
+         |  FROM seeded)
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_email,
+         |  CAST(SUM(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_phone,
+         |  CAST(SUM(n_emails + n_phones) AS BIGINT) AS n_redactions,
+         |  CAST(SUM(len(regexp_extract_all(clean, '$emailRe'))
+         |    + len(regexp_extract_all(clean, '$phoneRe'))) AS BIGINT)
+         |    AS n_residual
+         |FROM counted""".stripMargin
+    },
     "l17_train_split" ->
       s"""WITH b AS (
          |  SELECT source, n_chars,
