@@ -12,7 +12,10 @@ import graft.functions.Text
   * BPE-ish token counting, md5 exact-dedup fingerprinting, rolling-hash
   * document fingerprints, MinHash+LSH banded near-dedup, SimHash
   * near-dedup, exact n-gram Jaccard confirmation, brute-force cosine
-  * top-k, all-pairs embedding near-dup, and hyperplane-LSH ANN buckets.
+  * top-k, all-pairs embedding near-dup, hyperplane-LSH ANN buckets +
+  * multi-probe search, IVF index + nprobe search, deterministic
+  * train/val/test splitting, benchmark decontamination, repetition
+  * quality filtering, and PII scrubbing.
   *
   * 100 TB design notes, per operator class:
   *  - Per-doc scoring/fingerprints: narrow codegen'd projections — scale
