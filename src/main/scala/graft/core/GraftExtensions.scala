@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{GeohashExpr, ZOrderInterleave}
+import graft.functions.{GeohashExpr, SimhashPackExpr, ZOrderInterleave}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions. Two paths:
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.zorderDescriptor)
     ext.injectFunction(GraftExtensions.geohashDescriptor)
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
   }
 }
 
@@ -49,10 +50,22 @@ object GraftExtensions {
       GeohashExpr.withCasts(children.head, children(1), children(2))
     })
 
+  private val simhashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_pack"),
+    new ExpressionInfo(classOf[SimhashPackExpr].getName, "simhash_pack"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "simhash_pack(token_hashes) takes exactly one argument")
+      SimhashPackExpr(children.head)
+    })
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       zorderDescriptor._1, zorderDescriptor._2, zorderDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       geohashDescriptor._1, geohashDescriptor._2, geohashDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      simhashDescriptor._1, simhashDescriptor._2, simhashDescriptor._3)
   }
 }

@@ -140,6 +140,16 @@ object Text {
          |    'p', acc.p | IF(c > 0, shiftleft(1L, acc.i), 0L)),
          |  acc -> acc.p)""".stripMargin)
 
+  /** The same 64-bit SimHash as a NATIVE codegen'd expression over the
+    * TOKEN array (hashing included — see [[SimhashPackExpr]] for why
+    * the HOF form can never be whole-stage-codegen'd). Semantics
+    * pinned bit-equal to [[tokenHashes]]+[[simhashBitCounts]]+
+    * [[packSimhash]] by SimhashPackSpec; this is what
+    * [[graft.operators.LlmOps.simhashSignatures]] runs. */
+  def simhashPack(tokens: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(SimhashPackExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
+
   /** SimHash band keys: the 64-bit signature split into `bands`
     * disjoint blocks (widths differ by at most one bit). Two signatures
     * within hamming distance `bands - 1` differ in at most that many

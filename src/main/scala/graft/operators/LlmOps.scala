@@ -225,10 +225,11 @@ object LlmOps extends QueryPack {
       // an O(k²) hot-bucket clique in the band equi-join — drop them
       // here, exactly as minhashCandidates drops empty shingle sets.
       .filter(size(col("toks")) > 0)
-      // hash each token ONCE; the 64-bit fold below mixes longs
-      .withColumn("hs", Text.tokenHashes("toks"))
-      .withColumn("counts", Text.simhashBitCounts("hs"))
-      .select(col("doc_id"), Text.packSimhash("counts").as("simhash"))
+      // the native packer hashes each token once and folds the bits in
+      // generated code — one whole-stage-codegen projection from doc
+      // to signature (the HOF hash/bit-count/pack chain remains as the
+      // specification — SimhashPackSpec pins bit-equality)
+      .select(col("doc_id"), Text.simhashPack(col("toks")).as("simhash"))
 
   /** SimHash near-dup candidates by signature-band equi-join — the
     * scale path, mirroring [[minhashCandidates]]: the 64-bit signature
