@@ -91,6 +91,17 @@ object Text {
          |         array_join(transform(slice($sigCol, b * $rows + 1, $rows),
          |           x -> cast(x AS string)), ','))))""".stripMargin)
 
+  /** The full shingle → MinHash signature → LSH band keys pipeline as
+    * a NATIVE codegen'd expression (see [[MinhashBandsExpr]] — the
+    * three HOF stages are CodegenFallback and ran interpreted).
+    * Bit-equal to [[shingleHashes]]+[[minhashSignature]]+[[lshBands]],
+    * pinned by MinhashBandsSpec; this is what
+    * [[graft.operators.LlmOps.minhashCandidates]] runs. */
+  def minhashBands(shingles: Column, perms: Int, bands: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(MinhashBandsExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(shingles),
+      perms, bands))
+
   /** Exact Jaccard similarity of two shingle arrays (used to confirm
     * LSH candidates — never run all-pairs). */
   def jaccard(a: Column, b: Column): Column =

@@ -183,16 +183,17 @@ object LlmOps extends QueryPack {
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .repartition(d.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), Text.shinglesFromTokens("toks", 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("shh", Text.shingleHashes("sh")))
+      .filter(size(col("sh")) > 0))
     // Materialize the banded keys too: the self-join below consumes this
     // frame on BOTH sides, and without a barrier each side would
-    // recompute the full 16-perm signature.
+    // recompute the signature. The shingle→signature→band-key chain is
+    // the native codegen'd minhash_bands expression (the HOF chain it
+    // replaces ran interpreted — CodegenFallback; MinhashBandsSpec
+    // pins bit-equality).
     val keyed = Barriers.materialize(sh
-      .withColumn("sig", Text.minhashSignature("shh", perms))
-      .withColumn("bands", Text.lshBands("sig", bands, perms / bands))
       .select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
+        posexplode(Text.minhashBands(col("sh"), perms, bands))
+          .as(Seq("band_idx", "band_key"))))
     val pairs = keyed.as("a")
       .join(keyed.as("b"), Seq("band_idx", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
