@@ -3,8 +3,9 @@ package graft.core
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{GeohashExpr, SimhashPackExpr, ZOrderInterleave}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{GeohashExpr, MinhashBandsExpr, SimhashPackExpr, ZOrderInterleave}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions. Two paths:
@@ -23,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.zorderDescriptor)
     ext.injectFunction(GraftExtensions.geohashDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
+    ext.injectFunction(GraftExtensions.minhashDescriptor)
   }
 }
 
@@ -60,6 +62,22 @@ object GraftExtensions {
       SimhashPackExpr(children.head)
     })
 
+  private val minhashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_bands"),
+    new ExpressionInfo(classOf[MinhashBandsExpr].getName, "minhash_bands"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "minhash_bands(shingles, perms, bands) takes exactly three arguments")
+      def intLit(e: Expression, name: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_bands: $name must be an INT literal, got $other")
+      }
+      MinhashBandsExpr(children.head,
+        intLit(children(1), "perms"), intLit(children(2), "bands"))
+    })
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       zorderDescriptor._1, zorderDescriptor._2, zorderDescriptor._3)
@@ -67,5 +85,7 @@ object GraftExtensions {
       geohashDescriptor._1, geohashDescriptor._2, geohashDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       simhashDescriptor._1, simhashDescriptor._2, simhashDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minhashDescriptor._1, minhashDescriptor._2, minhashDescriptor._3)
   }
 }

@@ -548,7 +548,7 @@ object LlmOps extends QueryPack {
   private val phoneRe = "555-[0-9]{4}"
 
   private val piiScrub: Q = (s, dir) => {
-    val seeded = docs(s, dir).select(col("doc_id"), col("source"),
+    val seeded = docs(s, dir).select(col("doc_id"),
       concat(col("text"),
         when(col("doc_id") % 7 === 0,
           concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
@@ -562,9 +562,14 @@ object LlmOps extends QueryPack {
         size(expr(s"regexp_extract_all(text, '$emailRe', 0)")).cast("long"))
       .withColumn("n_phones",
         size(expr(s"regexp_extract_all(text, '$phoneRe', 0)")).cast("long"))
-      .withColumn("clean",
-        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>"))
+      // expr() like the extract_all counts above — functions.regexp_
+      // replace takes the pattern as a RAW literal while expr() routes
+      // it through SQL string parsing; mixing the two is safe only
+      // while the patterns stay backslash-free, so route everything
+      // through one parser.
+      .withColumn("clean", expr(
+        s"regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>')," +
+          s" '$phoneRe', '<PHONE>')"))
     scrubbed.agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("n_emails") > 0, 1L).otherwise(0L)).as("n_docs_email"),

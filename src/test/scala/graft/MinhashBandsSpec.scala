@@ -17,7 +17,7 @@ class MinhashBandsSpec extends SparkSpec {
   // dropping the projection out of codegen (and re-shingling per
   // consumer) — in minhashCandidates the expression always reads the
   // materialized attribute.
-  private def shingled = T.load(spark, sfDir, "documents").limit(200)
+  private lazy val shingled = T.load(spark, sfDir, "documents").limit(200)
     .select($"doc_id", Text.tokens($"text").as("toks"))
     .repartition(4)
     .select($"doc_id", Text.shinglesFromTokens("toks", 3).as("sh"))
@@ -37,6 +37,17 @@ class MinhashBandsSpec extends SparkSpec {
     rows.foreach { case (id, hof, native) =>
       assert(hof == native, s"doc $id: hof=$hof native=$native")
     }
+  }
+
+  test("minhash_bands is registered as a SQL function with literal params") {
+    graft.core.GraftExtensions.register(spark)
+    shingled.createOrReplaceTempView("minhash_bands_input")
+    val n = spark.sql(
+      """SELECT COUNT(DISTINCT band) AS n FROM (
+        |  SELECT explode(minhash_bands(sh, 16, 4)) AS band
+        |  FROM minhash_bands_input)""".stripMargin)
+      .as[Long].head()
+    assert(n > 4, "registered minhash_bands produced degenerate band keys")
   }
 
   test("minhash_bands stays inside whole-stage codegen") {
