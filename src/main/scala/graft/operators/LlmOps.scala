@@ -636,6 +636,196 @@ object LlmOps extends QueryPack {
         col("n_contaminated").cast("double") / col("n_docs").cast("double"))
   }
 
+  // ---- cluster / packing / sampling / LM scoring ---------------------
+
+  /** l21: near-dup cluster construction — connected components over the
+    * shared-shingle candidate graph, the step that turns pairwise
+    * near-dup CANDIDATES (l07/l08's output shape) into dedup GROUPS
+    * with one survivor each. Transitivity matters: A~B and B~C must
+    * collapse to ONE cluster even when A and C share nothing, which no
+    * pairwise filter gets right.
+    *
+    * Edges: two docs sharing any discriminative n-shingle (document
+    * frequency in [minDf, maxDf]). The df cap is the hub-buster — a
+    * boilerplate shingle appearing in thousands of docs would emit
+    * C(df,2) edges and weld the corpus into one giant component, so
+    * frequent shingles are dropped exactly like stopwords in LSH
+    * practice; the cap also bounds the self-join fan-out per shingle
+    * at C(maxDf,2), making worst-case edge volume linear in shingles.
+    *
+    * Components: iterative min-label propagation — label(v) starts as
+    * doc_id, each round takes the min over v and its neighbors,
+    * converging to the component-min in diameter rounds. Each round is
+    * one shuffle-join + one partial-agg'd groupBy (both on the narrow
+    * (doc_id, label) pairs), barriered so lineage doesn't stack; the
+    * convergence probe rides the monotone label-sum (one tiny action
+    * per round, no second join). Near-dup components have tiny
+    * diameters (dup chains), so rounds stay single-digit at any scale;
+    * the driver-side loop is orchestration only — no row data ever
+    * reaches the driver. */
+  def dedupClusters(d: DataFrame, n: Int = 8, minDf: Int = 2,
+      maxDf: Int = 5, maxRounds: Int = 25): DataFrame = {
+    val par = d.sparkSession.sparkContext.defaultParallelism
+    val shd = d
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .repartition(par)
+      .select(col("doc_id"),
+        explode(Text.shinglesFromTokens("toks", n)).as("shingle"))
+      .distinct()
+    val discriminative = shd.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+      .select(col("shingle"))
+    val shdD = Barriers.materialize(
+      shd.join(discriminative, Seq("shingle"), "left_semi"))
+    val edges = Barriers.materialize(
+      shdD.as("x").join(shdD.as("y"), Seq("shingle"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct())
+    val sym = Barriers.materialize(
+      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
+
+    // Only docs that appear in an edge enter the loop — everything else
+    // is a singleton cluster by definition and is added back
+    // arithmetically at the end. At near-dup rates (a few % of the
+    // corpus) this shrinks the iterated frame by orders of magnitude;
+    // dragging 100 TB of singletons through every round would dominate
+    // the whole job.
+    val nodes = sym.select(col("a").as("doc_id")).distinct()
+    var labels = Barriers.materialize(
+      nodes.select(col("doc_id"), col("doc_id").as("label")))
+    var prevSum = Option(labels.agg(sum(col("label"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
+        .groupBy(col("a"))
+        .agg(min(col("label")).as("nbr_min"))
+        .withColumnRenamed("a", "doc_id")
+      val next = Barriers.materialize(
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label")))
+              .as("label")))
+      val newSum = Option(next.agg(sum(col("label"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      converged = newSum == prevSum
+      prevSum = newSum
+      labels = next
+      round += 1
+    }
+    require(converged, s"label propagation did not converge in $maxRounds")
+
+    val comp = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("csize"))
+    val compStats = comp.agg(
+      coalesce(sum(col("csize")), lit(0L)).cast("long").as("n_edge_docs"),
+      count(lit(1)).as("n_edge_clusters"),
+      coalesce(max(col("csize")), lit(1L)).as("max_cluster"))
+    d.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(compStats)
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .select(
+        col("n_docs"),
+        (col("n_edge_clusters") + col("n_docs") - col("n_edge_docs"))
+          .as("n_clusters"),
+        col("max_cluster"),
+        (col("n_edge_docs") - col("n_edge_clusters")).as("n_merged_docs"),
+        col("n_edges"))
+  }
+
+  private val dedupClustersQ: Q = (s, dir) => dedupClusters(docs(s, dir))
+
+  /** l22: sequence packing — the concat-and-chunk step that turns a
+    * filtered corpus into fixed-length training sequences. Documents
+    * are concatenated in doc_id order WITHIN each source shard and cut
+    * every seqLen tokens; the output is the per-shard packing ledger
+    * (sequences produced, docs straddling a cut, tail padding).
+    * Per-source windows keep every shard independent — the global
+    * variant would serialize the corpus through one partition, and
+    * real pipelines pack per shard precisely so this stays
+    * embarrassingly parallel. One narrow projection + one windowed
+    * cumsum + one agg; nothing wide ever moves. */
+  private val seqPacking: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val seqLen = 512
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("first_chunk", expr(s"cum_before div $seqLen"))
+      .withColumn("last_chunk",
+        expr(s"(cum_before + n_tok - 1) div $seqLen"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        sum(when(col("last_chunk") > col("first_chunk"), 1L).otherwise(0L))
+          .cast("long").as("n_split_docs"))
+      .withColumn("n_sequences",
+        expr(s"(total_tokens + ${seqLen - 1}) div $seqLen"))
+      .withColumn("tail_padding",
+        col("n_sequences") * seqLen - col("total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** l23: stratified sampling to a target mix — the data-mixing step
+    * that up/down-weights sources (web vs wiki vs code) before
+    * training. Keep/drop is a pure hash of doc_id against the
+    * stratum's per-mille rate: deterministic, rerunnable, no sampling
+    * state, and a doc's fate never changes as the corpus grows (same
+    * contract as l17's split). One narrow projection + one agg. */
+  private val stratifiedSample: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("target_permille",
+        expr("""CASE CAST(substring(source, 4, 8) AS INT) % 3
+                |  WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 900 END""".stripMargin))
+      .withColumn("bucket",
+        expr(s"${Text.portableMixSql("doc_id * 13 + 7")} % 1000"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("target_permille")).as("target_permille"),
+        sum(when(col("bucket") < col("target_permille"), 1L).otherwise(0L))
+          .cast("long").as("n_sampled"))
+      .withColumn("achieved_rate",
+        col("n_sampled").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+
+  /** l24: bigram-LM commonness scoring — fit a corpus-wide bigram
+    * count model, then score every document by how common its bigrams
+    * are (total corpus occurrences of the doc's bigrams / doc bigram
+    * count). The two-pass fit-then-score shape is the same data flow a
+    * real KenLM-style perplexity filter runs; counts stay integers end
+    * to end so the oracle is exact (a log-prob variant is one
+    * non-oracle-able `ln` away). The model fit is one hash agg on the
+    * bigram; scoring re-joins on the bigram — at 100 TB you'd prune
+    * the model to its top-K rows and broadcast it, turning the scoring
+    * join map-side. */
+  private val bigramCommonness: Q = (s, dir) => {
+    val par = s.sparkContext.defaultParallelism
+    val b = Barriers.materialize(
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .repartition(par)
+        .select(col("source"),
+          explode(Text.shinglesFromTokens("toks", 2)).as("bg")))
+    val model = b.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    b.join(model, Seq("bg"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("cnt")).cast("long").as("total_hits"))
+      .withColumn("commonness",
+        col("total_hits").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("source"))
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   /** Multimodal column plumbing: media as an opaque binary column +
@@ -678,7 +868,11 @@ object LlmOps extends QueryPack {
     "l17_train_split" -> trainSplit,
     "l18_decontamination" -> decontamination,
     "l19_repetition_filter" -> repetitionFilter,
-    "l20_pii_scrub" -> piiScrub)
+    "l20_pii_scrub" -> piiScrub,
+    "l21_dedup_clusters" -> dedupClustersQ,
+    "l22_sequence_packing" -> seqPacking,
+    "l23_stratified_sample" -> stratifiedSample,
+    "l24_bigram_commonness" -> bigramCommonness)
 
   /** Shared oracle CTEs for the embedding operators: vectors as
     * DOUBLE[], seed centroids, and the argmax-dot cell assignment
@@ -898,6 +1092,86 @@ object LlmOps extends QueryPack {
          |  CAST((SELECT COUNT(*) FROM cont) AS DOUBLE)
          |    / CAST((SELECT COUNT(*) FROM documents WHERE doc_id >= 5)
          |        AS DOUBLE) AS contamination_rate""".stripMargin,
+    "l21_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $oToks AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+         |      i -> array_to_string(t[i + 1 : i + 8], ' '))) AS shingle
+         |  FROM toks),
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |df AS (SELECT shingle, COUNT(*) AS df FROM shd GROUP BY 1),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM shd a JOIN shd b USING (shingle) JOIN df USING (shingle)
+         |  WHERE a.doc_id < b.doc_id AND df.df BETWEEN 2 AND 5),
+         |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |cc AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT s.b AS doc_id, cc.label FROM cc JOIN sym s ON s.a = cc.doc_id),
+         |lbl AS (SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1),
+         |comp AS (SELECT label, COUNT(*) AS csize FROM lbl GROUP BY 1)
+         |SELECT CAST(SUM(csize) AS BIGINT) AS n_docs,
+         |  COUNT(*) AS n_clusters,
+         |  MAX(csize) AS max_cluster,
+         |  CAST(SUM(csize) - COUNT(*) AS BIGINT) AS n_merged_docs,
+         |  (SELECT COUNT(*) FROM edges) AS n_edges
+         |FROM comp""".stripMargin,
+    "l22_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, CAST(len($oToks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM t),
+         |m AS (
+         |  SELECT source, n_tok,
+         |    cum_before // 512 AS first_chunk,
+         |    (cum_before + n_tok - 1) // 512 AS last_chunk
+         |  FROM c)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST((SUM(n_tok) + 511) // 512 AS BIGINT) AS n_sequences,
+         |  CAST(SUM(CASE WHEN last_chunk > first_chunk THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_split_docs,
+         |  CAST(((SUM(n_tok) + 511) // 512) * 512 - SUM(n_tok) AS BIGINT)
+         |    AS tail_padding
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l23_stratified_sample" ->
+      s"""WITH b AS (
+         |  SELECT source,
+         |    CASE CAST(substr(source, 4, 8) AS INT) % 3
+         |      WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 900 END
+         |      AS target_permille,
+         |    ${Text.oPortableMixSql("doc_id * 13 + 7")} % 1000 AS bucket
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  MAX(target_permille) AS target_permille,
+         |  CAST(SUM(CASE WHEN bucket < target_permille THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_sampled,
+         |  CAST(SUM(CASE WHEN bucket < target_permille THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS achieved_rate
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l24_bigram_commonness" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, $oToks AS tk FROM documents),
+         |g AS (
+         |  SELECT source,
+         |    unnest(list_transform(range(0, greatest(len(tk) - 1, 0)),
+         |      i -> array_to_string(tk[i + 1 : i + 2], ' '))) AS bg
+         |  FROM t),
+         |c AS (SELECT bg, COUNT(*) AS cnt FROM g GROUP BY 1)
+         |SELECT source, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(cnt) AS BIGINT) AS total_hits,
+         |  CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS commonness
+         |FROM g JOIN c USING (bg) GROUP BY 1 ORDER BY 1""".stripMargin,
     "l11_ann_buckets" -> {
       val bucket = Text.oHyperplaneBucket("vec", 8)
       s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS vec
