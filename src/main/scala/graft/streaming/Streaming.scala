@@ -84,6 +84,42 @@ object Streaming extends QueryPack {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming exactly-once event dedup — the ingestion guard every
+    * at-least-once delivery bus (Pub/Sub, Kafka) needs in front of a
+    * training-data pipeline, and the streaming face of l05's exact
+    * dedup. `dropDuplicatesWithinWatermark` keys the state store on
+    * `idCol` and — unlike plain streaming `dropDuplicates`, whose
+    * per-key state lives forever — evicts a key once the watermark
+    * passes its event time, so state is bounded by (event rate ×
+    * lateness window) no matter how long the stream runs. Spark 4
+    * rejects the operator on batch frames outright, so the batch
+    * branch runs plain dropDuplicates — the semantics the streaming
+    * form converges to over the data seen so far, which keeps one
+    * chain serving both the DuckDB gate and the streaming spec.
+    * Duplicates here are exact redelivered copies, so which copy
+    * survives is immaterial. */
+  def dedupedEvents(events: DataFrame, eventTime: String, idCol: String,
+      lateness: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(eventTime, lateness)
+        .dropDuplicatesWithinWatermark(idCol)
+    else events.dropDuplicates(idCol)
+
+  /** T-dedup batch gate: replay the events table with every 20th event
+    * redelivered (at-least-once delivery), dedup by event_id, and
+    * report per-type delivered vs unique counts. Both sides of the
+    * before/after compare hang off ONE shuffle each on small keys. */
+  private val streamDedup: Q = (s, dir) => {
+    val ev = T.load(s, dir, "events")
+    val atLeastOnce = ev.unionAll(ev.filter(col("event_id") % 20 === 0))
+    val delivered = atLeastOnce.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_delivered"))
+    val unique = dedupedEvents(atLeastOnce, "ts", "event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+    delivered.join(unique, Seq("event_type")).orderBy("event_type")
+  }
+
   /** T1/T2: batch-equivalence gate for the tumbling window — the same
     * windowedStats chain over static events; DuckDB checks against
     * minute-bucket group-by (60s epoch-aligned windows ≡ date_trunc
@@ -115,7 +151,8 @@ object Streaming extends QueryPack {
   val queries: Map[String, Q] = Map(
     "t01_tumbling_window_agg" -> tumblingWindowAgg,
     "t02_hour_window_agg" -> hourWindowAgg,
-    "t03_session_window_agg" -> sessionAgg)
+    "t03_session_window_agg" -> sessionAgg,
+    "t04_stream_dedup" -> streamDedup)
 
   val oracle: Map[String, String] = Map(
     "t01_tumbling_window_agg" ->
@@ -160,5 +197,11 @@ object Streaming extends QueryPack {
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  MAX(n_events) AS max_session_events,
         |  CAST(SUM(n_events) AS BIGINT) AS n_events_total
-        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t04_stream_dedup" ->
+      """SELECT event_type,
+        |  COUNT(*) + CAST(SUM(CASE WHEN event_id % 20 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_delivered,
+        |  COUNT(*) AS n_unique
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -138,6 +138,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.distinct().count() == out.count(), "duplicate trip ids emitted")
   }
 
+  test("streaming dedup: redelivered events within the watermark emit exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val streamDf = mem.toDF().toDF("ts", "event_id", "event_type")
+
+    val q = Streaming.dedupedEvents(streamDf, "ts", "event_id")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((ts(0), 1L, "a"), (ts(1), 2L, "b"), (ts(1), 2L, "b")))
+      q.processAllAvailable()
+      // redelivery in a LATER micro-batch, still inside the 10-minute
+      // state window — the state store must drop it
+      mem.addData(Seq((ts(2), 1L, "a"), (ts(3), 3L, "c")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("t_dedup").collect()
+    assert(out.length == 3, s"expected exactly-once ids, got ${out.toSeq}")
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("S2-adjacent: malformed CSV rows route to a corrupt-record column, not a crash") {
     // The reference's CSV parse tests feed malformed lines
     // (/root/reference/PRD.md:3193-3230); PERMISSIVE mode + a declared
