@@ -15,7 +15,9 @@ import graft.functions.Text
   * top-k, all-pairs embedding near-dup, hyperplane-LSH ANN buckets +
   * multi-probe search, IVF index + nprobe search, deterministic
   * train/val/test splitting, benchmark decontamination, repetition
-  * quality filtering, and PII scrubbing.
+  * quality filtering, PII scrubbing, near-dup cluster construction
+  * (connected components), sequence packing, stratified sampling to a
+  * target mix, and bigram-LM commonness scoring.
   *
   * 100 TB design notes, per operator class:
   *  - Per-doc scoring/fingerprints: narrow codegen'd projections — scale
