@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit entry point: dump the formatted physical plan of any
+  * registered query without running it.
+  *
+  *   sbt "runMain graft.tools.Explain l24_bigram_commonness"
+  *
+  * The per-operator scale review (is the filter pushed down? is the
+  * small side broadcast? how many exchanges?) reads these plans —
+  * keeping the dump one command away is what makes that review happen
+  * after every change rather than only when something is slow.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    args.foreach { q =>
+      println(s"==== $q ====")
+      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
