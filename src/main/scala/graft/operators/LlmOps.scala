@@ -828,6 +828,69 @@ object LlmOps extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** l25: the composed curation pipeline — the end-to-end recipe the
+    * individual operators exist for, as ONE declarative flow:
+    *
+    *   raw docs → repetition/length quality filter (l19's rule)
+    *            → exact-dedup survivors among the keepers (l05's rule)
+    *            → stratified sample to the target mix (l23's rule)
+    *            → per-source packing ledger (l22's math)
+    *
+    * Output: one funnel row per source with the document count after
+    * every stage plus the packed-sequence yield of the survivors.
+    *
+    * Scale shape: the per-doc stage predicates (quality, sample) are
+    * narrow codegen'd projections on ONE scan; survivorship is one
+    * shuffle on the 128-bit fingerprint (the text never moves); the
+    * funnel is one partial-agg'd groupBy on source. Nothing in the
+    * composition costs more than its standalone operator — the point
+    * of declaring the whole recipe in one plan instead of four jobs
+    * with three materialized intermediates. */
+  private val curationPipeline: Q = (s, dir) => {
+    val seqLen = 512
+    val scored = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        Text.tokens(col("text")).as("toks"), Text.norm(col("text")).as("norm"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("grams", Text.shinglesFromTokens("toks", 2))
+      .withColumn("n_2g", size(col("grams")).cast("long"))
+      .withColumn("n_2g_d", size(array_distinct(col("grams"))).cast("long"))
+      .withColumn("dup_frac",
+        when(col("n_2g") === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            col("n_2g_d").cast("double") / col("n_2g").cast("double")))
+      .withColumn("quality_ok",
+        col("n_tok") >= 10 && col("dup_frac") <= 0.2)
+      .withColumn("fp", md5(col("norm")))
+      .withColumn("target_permille",
+        expr("""CASE CAST(substring(source, 4, 8) AS INT) % 3
+                |  WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 900 END""".stripMargin))
+      .withColumn("sample_ok",
+        expr(s"${Text.portableMixSql("doc_id * 13 + 7")} % 1000")
+          < col("target_permille"))
+      .drop("toks", "norm", "grams")
+    val survivors = scored.filter(col("quality_ok"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("survivor_id"))
+    scored.join(survivors, Seq("fp"), "left")
+      .withColumn("is_survivor",
+        col("quality_ok") && col("doc_id") === col("survivor_id"))
+      .withColumn("is_sampled", col("is_survivor") && col("sample_ok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).cast("long")
+          .as("n_quality"),
+        sum(when(col("is_survivor"), 1L).otherwise(0L)).cast("long")
+          .as("n_unique"),
+        sum(when(col("is_sampled"), 1L).otherwise(0L)).cast("long")
+          .as("n_sampled"),
+        sum(when(col("is_sampled"), col("n_tok")).otherwise(0L)).cast("long")
+          .as("sampled_tokens"))
+      .withColumn("n_sequences",
+        expr(s"(sampled_tokens + ${seqLen - 1}) div $seqLen"))
+      .orderBy(col("source"))
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   /** Multimodal column plumbing: media as an opaque binary column +
@@ -874,7 +937,8 @@ object LlmOps extends QueryPack {
     "l21_dedup_clusters" -> dedupClustersQ,
     "l22_sequence_packing" -> seqPacking,
     "l23_stratified_sample" -> stratifiedSample,
-    "l24_bigram_commonness" -> bigramCommonness)
+    "l24_bigram_commonness" -> bigramCommonness,
+    "l25_curation_pipeline" -> curationPipeline)
 
   /** Shared oracle CTEs for the embedding operators: vectors as
     * DOUBLE[], seed centroids, and the argmax-dot cell assignment
@@ -1174,6 +1238,53 @@ object LlmOps extends QueryPack {
          |  CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
          |    AS commonness
          |FROM g JOIN c USING (bg) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l25_curation_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, $oToks AS tk, md5($oNorm) AS fp,
+         |    CASE CAST(substr(source, 4, 8) AS INT) % 3
+         |      WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 900 END
+         |      AS target_permille,
+         |    ${Text.oPortableMixSql("doc_id * 13 + 7")} % 1000 AS bucket
+         |  FROM documents),
+         |m AS (
+         |  SELECT source, doc_id, fp, target_permille, bucket,
+         |    CAST(len(tk) AS BIGINT) AS n_tok,
+         |    CAST(len(list_transform(range(0, greatest(len(tk) - 1, 0)),
+         |      i -> array_to_string(tk[i + 1 : i + 2], ' '))) AS BIGINT)
+         |      AS n_2g,
+         |    CAST(len(list_distinct(
+         |      list_transform(range(0, greatest(len(tk) - 1, 0)),
+         |        i -> array_to_string(tk[i + 1 : i + 2], ' '))))
+         |      AS BIGINT) AS n_2g_d
+         |  FROM t),
+         |q AS (
+         |  SELECT *,
+         |    (n_tok >= 10 AND (CASE WHEN n_2g = 0 THEN 0.0
+         |      ELSE 1.0 - CAST(n_2g_d AS DOUBLE) / CAST(n_2g AS DOUBLE)
+         |      END) <= 0.2) AS quality_ok,
+         |    bucket < target_permille AS sample_ok
+         |  FROM m),
+         |surv AS (
+         |  SELECT fp, MIN(doc_id) AS survivor_id
+         |  FROM q WHERE quality_ok GROUP BY 1),
+         |j AS (
+         |  SELECT q.*,
+         |    (quality_ok AND doc_id = survivor_id) AS is_survivor,
+         |    (quality_ok AND doc_id = survivor_id AND sample_ok)
+         |      AS is_sampled
+         |  FROM q LEFT JOIN surv USING (fp))
+         |SELECT source, COUNT(*) AS n_input,
+         |  CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality,
+         |  CAST(SUM(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  CAST(SUM(CASE WHEN is_sampled THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled,
+         |  CAST(SUM(CASE WHEN is_sampled THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS sampled_tokens,
+         |  CAST((SUM(CASE WHEN is_sampled THEN n_tok ELSE 0 END) + 511)
+         |    // 512 AS BIGINT) AS n_sequences
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "l11_ann_buckets" -> {
       val bucket = Text.oHyperplaneBucket("vec", 8)
       s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS vec
