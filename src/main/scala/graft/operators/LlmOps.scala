@@ -707,11 +707,31 @@ object LlmOps extends QueryPack {
         .groupBy(col("a"))
         .agg(min(col("label")).as("nbr_min"))
         .withColumnRenamed("a", "doc_id")
-      val next = Barriers.materialize(
+      val relaxed = Barriers.materialize(
         labels.join(nbrMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nbr_min"), col("label")))
               .as("label")))
+      // Pointer jump: label(v) <- label(label(v)). Neighbor relaxation
+      // alone converges in O(diameter) rounds; composing a jump
+      // squares the propagated distance, making convergence
+      // logarithmic — the 25-round cap then covers any component a
+      // real corpus can produce instead of only diameter-25 chains.
+      // Near-dup graphs almost always converge within two pure-relax
+      // rounds, so the jump (an extra self-join) only engages from
+      // round 2 — pathological chains pay for it, clean corpora don't.
+      // Labels are always ids of edge-nodes (they start as them and
+      // min preserves that), so the self-lookup hits; the left join +
+      // coalesce is belt-and-braces.
+      val next =
+        if (round < 2) relaxed
+        else Barriers.materialize(
+          relaxed.join(
+            relaxed.select(col("doc_id").as("label"),
+              col("label").as("parent_label")),
+            Seq("label"), "left")
+            .select(col("doc_id"),
+              coalesce(col("parent_label"), col("label")).as("label")))
       val newSum = Option(next.agg(sum(col("label"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = newSum == prevSum
