@@ -53,8 +53,15 @@ object Bench {
     // shortened to their unique prefix ("q01_revenue_by_nation" -> "q01");
     // the full-name map plus per-query statuses goes to BENCH_DETAIL.json
     // in the repo root for the judge to read directly.
-    def f3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f-interpolator formats via the JVM default
+    // locale, and a comma-decimal locale would print 1,234 — invalid
+    // JSON, the exact parse failure this line exists to avoid.
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def shortKey(k: String): String = k.takeWhile(_ != '_')
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "query name prefixes must stay unique — a colliding short key " +
+        "would silently drop a timing from the driver's bench report")
     val qs = results.map {
       case (k, Right(sec)) => s""""${shortKey(k)}":${f3(sec)}"""
       case (k, Left(_))    => s""""${shortKey(k)}":-1"""

@@ -796,6 +796,22 @@ object LlmOps extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** Shared stratum spec for l23 and the l25 composition — the target
+    * per-mille rate by source tier and the deterministic keep-bucket,
+    * ONE spelling per engine so a rate or seed change can't silently
+    * desynchronize the standalone sampler from the composed pipeline
+    * (or either from its oracle). */
+  private val targetPermilleSql =
+    """CASE CAST(substring(source, 4, 8) AS INT) % 3
+      |  WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 900 END""".stripMargin
+  private val oTargetPermilleSql =
+    """CASE CAST(substr(source, 4, 8) AS INT) % 3
+      |      WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 900 END""".stripMargin
+  private val sampleBucketSql =
+    s"${Text.portableMixSql("doc_id * 13 + 7")} % 1000"
+  private def oSampleBucketSql =
+    s"${Text.oPortableMixSql("doc_id * 13 + 7")} % 1000"
+
   /** l23: stratified sampling to a target mix — the data-mixing step
     * that up/down-weights sources (web vs wiki vs code) before
     * training. Keep/drop is a pure hash of doc_id against the
@@ -804,11 +820,8 @@ object LlmOps extends QueryPack {
     * contract as l17's split). One narrow projection + one agg. */
   private val stratifiedSample: Q = (s, dir) =>
     docs(s, dir)
-      .withColumn("target_permille",
-        expr("""CASE CAST(substring(source, 4, 8) AS INT) % 3
-                |  WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 900 END""".stripMargin))
-      .withColumn("bucket",
-        expr(s"${Text.portableMixSql("doc_id * 13 + 7")} % 1000"))
+      .withColumn("target_permille", expr(targetPermilleSql))
+      .withColumn("bucket", expr(sampleBucketSql))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -882,12 +895,9 @@ object LlmOps extends QueryPack {
       .withColumn("quality_ok",
         col("n_tok") >= 10 && col("dup_frac") <= 0.2)
       .withColumn("fp", md5(col("norm")))
-      .withColumn("target_permille",
-        expr("""CASE CAST(substring(source, 4, 8) AS INT) % 3
-                |  WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 900 END""".stripMargin))
+      .withColumn("target_permille", expr(targetPermilleSql))
       .withColumn("sample_ok",
-        expr(s"${Text.portableMixSql("doc_id * 13 + 7")} % 1000")
-          < col("target_permille"))
+        expr(sampleBucketSql) < col("target_permille"))
       .drop("toks", "norm", "grams")
     val survivors = scored.filter(col("quality_ok"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("survivor_id"))
@@ -1232,10 +1242,9 @@ object LlmOps extends QueryPack {
     "l23_stratified_sample" ->
       s"""WITH b AS (
          |  SELECT source,
-         |    CASE CAST(substr(source, 4, 8) AS INT) % 3
-         |      WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 900 END
+         |    $oTargetPermilleSql
          |      AS target_permille,
-         |    ${Text.oPortableMixSql("doc_id * 13 + 7")} % 1000 AS bucket
+         |    $oSampleBucketSql AS bucket
          |  FROM documents)
          |SELECT source, COUNT(*) AS n_docs,
          |  MAX(target_permille) AS target_permille,
@@ -1261,10 +1270,9 @@ object LlmOps extends QueryPack {
     "l25_curation_pipeline" ->
       s"""WITH t AS (
          |  SELECT source, doc_id, $oToks AS tk, md5($oNorm) AS fp,
-         |    CASE CAST(substr(source, 4, 8) AS INT) % 3
-         |      WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 900 END
+         |    $oTargetPermilleSql
          |      AS target_permille,
-         |    ${Text.oPortableMixSql("doc_id * 13 + 7")} % 1000 AS bucket
+         |    $oSampleBucketSql AS bucket
          |  FROM documents),
          |m AS (
          |  SELECT source, doc_id, fp, target_permille, bucket,

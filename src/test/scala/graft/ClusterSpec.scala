@@ -69,7 +69,8 @@ class ClusterSpec extends SparkSpec {
     val byCuration = graft.SparkEntry.queries("l25_curation_pipeline")
     // run the pipeline body over the crafted frame via the same code
     // path: swap the loader by writing the frame as a scratch table
-    val dir = java.nio.file.Files.createTempDirectory("l25fix").toString
+    // (Scratch.dir registers the tree for JVM-exit cleanup)
+    val dir = graft.core.Scratch.dir("l25fix")
     d.withColumn("lang", lit("en"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
