@@ -101,6 +101,24 @@ object Dml extends QueryPack {
       .crossJoin(sn.current(s, table).agg(count(lit(1)).as("current_rows")))
   }
 
+  /** D12: snapshot rollback — the recovery path the evolution log's
+    * rollback_script column (d10) promises but d01-d11 never execute:
+    * a bad write (v2 drops months 7-12) is undone by restoring v1 AS
+    * v3, so current == v1 while the full history v1..v3 stays
+    * readable. */
+  private val rollbackQ: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+    val sn = new Snapshots(Scratch.dir("d12_rollback"))
+    val table = "orders_rb"
+    sn.commit(o, table)                                        // v1 good
+    sn.commit(o.filter(month(col("o_orderdate")) <= 6), table) // v2 bad
+    sn.rollback(s, table, 1)                                   // v3 == v1
+    sn.current(s, table).agg(count(lit(1)).as("current_rows"))
+      .crossJoin(sn.asOf(s, table, 2).agg(count(lit(1)).as("bad_rows")))
+      .withColumn("n_versions",
+        lit(sn.versions(table).size).cast("long"))
+  }
+
   /** D6: CDC change log between two snapshots — explicit _change_type
     * per key (INSERT for new keys, UPDATE for changed rows), the
     * emulation of `APPENDS`/`_CHANGE_TYPE` pseudo-columns. */
@@ -259,7 +277,8 @@ object Dml extends QueryPack {
     "d08_ctas_snapshot" -> ctasSnapshot,
     "d09_matview_recompute" -> matviewRecompute,
     "d10_schema_evolution_log" -> schemaEvolutionLog,
-    "d11_type_widening" -> typeWidening)
+    "d11_type_widening" -> typeWidening,
+    "d12_rollback" -> rollbackQ)
 
   val oracle: Map[String, String] = Map(
     "d01_insert_select" ->
@@ -329,5 +348,11 @@ object Dml extends QueryPack {
          |    AS DECIMAL(38,8)) AS VARCHAR) AS sum_precise,
          |  CAST(MAX(CAST(${T.oDec2("o_totalprice")} AS DECIMAL(38,8)))
          |    AS VARCHAR) AS max_precise
-         |FROM orders""".stripMargin)
+         |FROM orders""".stripMargin,
+    "d12_rollback" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders) AS current_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE month(o_orderdate) <= 6)
+        |    AS bad_rows,
+        |  CAST(3 AS BIGINT) AS n_versions""".stripMargin)
 }

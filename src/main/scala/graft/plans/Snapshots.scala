@@ -50,6 +50,19 @@ class Snapshots(root: String) {
     asOf(spark, table, currentVersion(table)
       .getOrElse(sys.error(s"no snapshots for $table")))
 
+  /** D12: roll the table back to snapshot `v` — committed as a NEW
+    * version (Iceberg-rollback semantics: history is preserved, the
+    * bad version stays inspectable, readers mid-flight on it never
+    * break; nothing is deleted — that's expiry's job). At scale the
+    * restore is a metadata-only operation in a real table format; here
+    * it re-writes the restored version's parquet, the copy-on-write
+    * analog. Returns the new current version. */
+  def rollback(spark: SparkSession, table: String, v: Int): Int = {
+    require(versions(table).contains(v),
+      s"cannot roll $table back to missing version $v")
+    commit(asOf(spark, table, v), table)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
       .foreach(deleteRecursively)
