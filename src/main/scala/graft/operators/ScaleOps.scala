@@ -64,9 +64,39 @@ object ScaleOps extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** GK-sketch quantiles beside the exact path — w05 computes exact
+    * interpolated medians (sort every group), which at 100 TB is a full
+    * shuffle-and-sort of the measure column per key; `percentile_approx`
+    * merges fixed-size Greenwald-Khanna buffers instead, the way
+    * quality-score thresholds actually get computed over a corpus.
+    * Same split as k02: the deterministic columns (per-type counts) and
+    * the rank-error CONTRACT are oracle-checked — the sketch guarantees
+    * rank(approx_p50) within n/accuracy of the true median rank, so the
+    * observed rank fraction of the returned value must sit inside a
+    * ±2% window around 0.5 (the slack covers tie mass at the returned
+    * data point); the raw approx value (engine-specific) is asserted
+    * against the exact percentile in ScaleSpec. */
+  private val approxQuantile: Q = (s, dir) => {
+    val ev = T.load(s, dir, "events")
+    val sketch = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(1000))
+        .as("approx_p50"))
+    ev.join(broadcast(sketch), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (sum(when(col("value") <= col("approx_p50"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("rank_frac"))
+      .select(col("event_type"), col("n_rows"),
+        (col("rank_frac") >= 0.48 && col("rank_frac") <= 0.52)
+          .as("within_rank_bound"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "k01_salted_agg" -> saltedAgg,
-    "k02_approx_distinct" -> approxDistinct)
+    "k02_approx_distinct" -> approxDistinct,
+    "k04_approx_quantile" -> approxQuantile)
 
   val oracle: Map[String, String] = Map(
     "k01_salted_agg" ->
@@ -79,5 +109,9 @@ object ScaleOps extends QueryPack {
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
         |  true AS within_5pct
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k04_approx_quantile" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  true AS within_rank_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -29,6 +29,31 @@ class ScaleSpec extends SparkSpec {
         s"${r.getString(0)}: within_5pct=false"))
   }
 
+  test("k04: GK approx median lands within rank bound of the exact percentile") {
+    // the k04 entry publishes the rank-bound contract boolean; this
+    // spec holds the raw sketch value against the exact interpolated
+    // median: |rank(approx) - 0.5| must stay inside the window the
+    // query promises, per event type.
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("exact_p50"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val ex = r.getAs[Double]("exact_p50")
+      val ap = r.getAs[Double]("approx_p50")
+      // the sketch returns an actual data value near the median; with
+      // 2-dp money values the two must sit close in VALUE space too
+      assert(math.abs(ap - ex) / math.max(ex, 1.0) < 0.05,
+        s"${r.getString(0)}: approx=$ap exact=$ex")
+    }
+    SparkEntry.queries("k04_approx_quantile")(spark, sfDir).collect()
+      .foreach(r => assert(r.getAs[Boolean]("within_rank_bound"),
+        s"${r.getString(0)}: within_rank_bound=false"))
+  }
+
   test("k01: salted aggregation equals the direct groupBy") {
     val salted = SparkEntry.queries("k01_salted_agg")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
