@@ -120,6 +120,38 @@ object Streaming extends QueryPack {
     delivered.join(unique, Seq("event_type")).orderBy("event_type")
   }
 
+  /** Continuous CDC apply: merge one micro-batch of keyed updates into
+    * the versioned snapshot table — the body [[upsertSink]] hands to
+    * foreachBatch, kept public so batch callers and the spec can apply
+    * it directly. Within-batch duplicate keys collapse first (a batch
+    * must have one effect per key); existing rows the batch doesn't
+    * touch survive via anti-join; the union commits as a NEW version
+    * (copy-on-write — at scale only affected partitions rewrite). One
+    * shuffle on the key per batch. */
+  def applyUpsertBatch(sn: graft.plans.Snapshots, table: String,
+      key: String)(batch: DataFrame): Unit = {
+    val updates = batch.dropDuplicates(key)
+    val current = sn.current(batch.sparkSession, table)
+    sn.commit(
+      current.join(updates, Seq(key), "left_anti").unionByName(updates),
+      table)
+  }
+
+  /** Streaming MERGE sink — the lakehouse continuous-ingestion write
+    * the reference's streaming inserts approximate. foreachBatch may
+    * REPLAY a batch after a failure/restart, so exactly-once here means
+    * idempotent batch effects: re-merging the same updates produces an
+    * identical row set (one more version of identical content), which
+    * with the checkpoint is Structured Streaming's effective
+    * exactly-once contract for non-transactional sinks. */
+  def upsertSink(updates: DataFrame, sn: graft.plans.Snapshots,
+      table: String, key: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        _: Long) => applyUpsertBatch(sn, table, key)(batch.toDF())
+    }
+
   /** T1/T2: batch-equivalence gate for the tumbling window — the same
     * windowedStats chain over static events; DuckDB checks against
     * minute-bucket group-by (60s epoch-aligned windows ≡ date_trunc

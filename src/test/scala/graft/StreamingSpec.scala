@@ -161,6 +161,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming upsert: foreachBatch merges micro-batches into the versioned table, idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val sn = new graft.plans.Snapshots(graft.core.Scratch.dir("stream_upsert"))
+    val table = "kv"
+    sn.commit(Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)).toDF("k", "v"), table)
+
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streaming.upsertSink(mem.toDF().toDF("k", "v"), sn, table, "k")
+      .option("checkpointLocation",
+        graft.core.Scratch.dir("stream_upsert_ck"))
+      .start()
+    try {
+      mem.addData(Seq((1L, 10.0), (4L, 4.0)))   // update + insert
+      q.processAllAvailable()
+      mem.addData(Seq((2L, 20.0)))              // second micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def snapshot() = sn.current(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val afterStream = snapshot()
+    assert(afterStream == Map(1L -> 10.0, 2L -> 20.0, 3L -> 0.0, 4L -> 4.0),
+      s"merge result wrong: $afterStream")
+    assert(sn.versions(table).size == 3, "one version per micro-batch")
+
+    // replay the last batch (what foreachBatch does after a crash
+    // between effect and checkpoint): the row set must not change —
+    // idempotent effects are the exactly-once contract
+    Streaming.applyUpsertBatch(sn, table, "k")(Seq((2L, 20.0)).toDF("k", "v"))
+    assert(snapshot() == afterStream, "batch replay must be idempotent")
+  }
+
   test("S2-adjacent: malformed CSV rows route to a corrupt-record column, not a crash") {
     // The reference's CSV parse tests feed malformed lines
     // (/root/reference/PRD.md:3193-3230); PERMISSIVE mode + a declared
