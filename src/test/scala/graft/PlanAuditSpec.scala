@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-shape regression net: no registered analytic query may plan a
+  * CartesianProduct. Every intentional cross join in the repo is a
+  * broadcast nested-loop over a singleton aggregate or a ≤16-row model
+  * frame (d05/d12 counts, l09 query vector, l14/l15 centroids, l21
+  * stats) — a CartesianProduct appearing instead means someone dropped
+  * a join predicate or defeated the broadcast, the classic silent
+  * scale-killer that still "passes" on 60k test rows.
+  *
+  * Scope: the queries whose constructors are LAZY (pure plan builders).
+  * Side-effecting constructors (the d-, s05/s06 and m-families) execute
+  * scratch writes, and the barrier-bearing candidate builders (l07,
+  * l08, l14-l16, l21, l24) run materialization jobs at construction —
+  * their plan shapes are reviewed via `graft.tools.Explain` instead. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val lazyQueries = Seq(
+    "q01_revenue_by_nation", "q02_hourly_stats", "q03_duration_agg",
+    "q04_global_count", "q05_count_distinct", "q06_conditional_ratio",
+    "q07_having", "q08_stddev", "q09_agg_of_agg", "q10_null_counts",
+    "q11_minmax", "q12_prepost_compare", "q13_left_join_expr",
+    "q14_semi_join", "q15_rank_join", "q16_merge_upsert",
+    "w01_row_number_ids", "w03_lag_features", "w04_rolling_avg",
+    "w05_median_per_group", "o03_bare_limit",
+    "x01_string_funcs", "x02_datetime_funcs", "x03_conditional_null",
+    "x04_uuid", "x05_json_roundtrip", "x06_predicates", "x07_geohash",
+    "p01_dead_letter_counts", "p02_valid_hourly_agg",
+    "p03_normalized_projection", "p04_passthrough_count",
+    "t01_tumbling_window_agg", "t02_hour_window_agg",
+    "t03_session_window_agg", "t04_stream_dedup",
+    "l01_text_stats", "l02_quality_score", "l03_langid",
+    "l04_token_count", "l05_exact_dedup", "l06_fingerprints",
+    "l09_cosine_topk", "l10_embedding_neardup", "l12_multimodal_stats",
+    "l13_token_jaccard", "l17_train_split", "l19_repetition_filter",
+    "l20_pii_scrub", "l22_sequence_packing", "l23_stratified_sample",
+    "k01_salted_agg", "k02_approx_distinct", "k04_approx_quantile")
+
+  test("no lazily-planned query contains a CartesianProduct") {
+    val offenders = lazyQueries.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product planned in: ${offenders.mkString(", ")}")
+  }
+}
