@@ -921,6 +921,30 @@ object LlmOps extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** l26: incremental dedup — dedup an INCOMING batch against the
+    * accumulated corpus, the daily-ingestion flow the batch operators
+    * don't show (l05 dedups a corpus against itself; a pipeline
+    * ingesting 100 TB/day dedups each day against the fingerprint
+    * index of everything before it). Docs below the split stand in for
+    * the historical corpus, the rest for today's batch. Two checks in
+    * one plan: within-batch collapse (min-doc-id survivor) and the
+    * anti-join against the historical index. The index side carries
+    * ONLY the 128-bit fingerprint — at scale that's the persisted
+    * index you merge daily, 16 bytes per historical doc, never the
+    * text. */
+  private val incrementalDedup: Q = (s, dir) => {
+    val split = 400L
+    val d = docs(s, dir)
+      .select(col("doc_id"), md5(Text.norm(col("text"))).as("fp"))
+    val index = d.filter(col("doc_id") < split).select(col("fp")).distinct()
+    val incoming = d.filter(col("doc_id") >= split)
+    val batchUnique = incoming.select(col("fp")).distinct()
+    incoming.agg(count(lit(1)).as("n_incoming"))
+      .crossJoin(batchUnique.agg(count(lit(1)).as("n_batch_unique")))
+      .crossJoin(batchUnique.join(index, Seq("fp"), "left_anti")
+        .agg(count(lit(1)).as("n_new")))
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   /** Multimodal column plumbing: media as an opaque binary column +
@@ -968,7 +992,8 @@ object LlmOps extends QueryPack {
     "l22_sequence_packing" -> seqPacking,
     "l23_stratified_sample" -> stratifiedSample,
     "l24_bigram_commonness" -> bigramCommonness,
-    "l25_curation_pipeline" -> curationPipeline)
+    "l25_curation_pipeline" -> curationPipeline,
+    "l26_incremental_dedup" -> incrementalDedup)
 
   /** Shared oracle CTEs for the embedding operators: vectors as
     * DOUBLE[], seed centroids, and the argmax-dot cell assignment
@@ -1313,6 +1338,16 @@ object LlmOps extends QueryPack {
          |  CAST((SUM(CASE WHEN is_sampled THEN n_tok ELSE 0 END) + 511)
          |    // 512 AS BIGINT) AS n_sequences
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l26_incremental_dedup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, md5($oNorm) AS fp FROM documents),
+         |inc AS (SELECT DISTINCT fp FROM f WHERE doc_id >= 400)
+         |SELECT
+         |  (SELECT COUNT(*) FROM f WHERE doc_id >= 400) AS n_incoming,
+         |  (SELECT COUNT(*) FROM inc) AS n_batch_unique,
+         |  (SELECT COUNT(*) FROM inc
+         |   WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id < 400))
+         |    AS n_new""".stripMargin,
     "l11_ann_buckets" -> {
       val bucket = Text.oHyperplaneBucket("vec", 8)
       s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS vec
