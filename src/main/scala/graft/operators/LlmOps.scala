@@ -927,8 +927,10 @@ object LlmOps extends QueryPack {
     * ingesting 100 TB/day dedups each day against the fingerprint
     * index of everything before it). Docs below the split stand in for
     * the historical corpus, the rest for today's batch. Two checks in
-    * one plan: within-batch collapse (min-doc-id survivor) and the
-    * anti-join against the historical index. The index side carries
+    * one plan: the within-batch distinct-fingerprint count (survivor
+    * IDENTITY — min-doc-id — is l05's job; here only cardinality
+    * matters) and the anti-join against the historical index. The
+    * index side carries
     * ONLY the 128-bit fingerprint — at scale that's the persisted
     * index you merge daily, 16 bytes per historical doc, never the
     * text. */
@@ -1345,8 +1347,9 @@ object LlmOps extends QueryPack {
          |SELECT
          |  (SELECT COUNT(*) FROM f WHERE doc_id >= 400) AS n_incoming,
          |  (SELECT COUNT(*) FROM inc) AS n_batch_unique,
-         |  (SELECT COUNT(*) FROM inc
-         |   WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id < 400))
+         |  (SELECT COUNT(*) FROM inc i
+         |   WHERE NOT EXISTS (SELECT 1 FROM f
+         |     WHERE doc_id < 400 AND f.fp = i.fp))
          |    AS n_new""".stripMargin,
     "l11_ann_buckets" -> {
       val bucket = Text.oHyperplaneBucket("vec", 8)

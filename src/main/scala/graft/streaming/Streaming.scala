@@ -123,18 +123,32 @@ object Streaming extends QueryPack {
   /** Continuous CDC apply: merge one micro-batch of keyed updates into
     * the versioned snapshot table — the body [[upsertSink]] hands to
     * foreachBatch, kept public so batch callers and the spec can apply
-    * it directly. Within-batch duplicate keys collapse first (a batch
-    * must have one effect per key); existing rows the batch doesn't
-    * touch survive via anti-join; the union commits as a NEW version
-    * (copy-on-write — at scale only affected partitions rewrite). One
-    * shuffle on the key per batch. */
+    * it directly. Within-batch duplicate keys collapse to the row with
+    * the highest `seqCol` (a CDC batch can carry insert-then-correct
+    * for one key, and "keep an arbitrary row" would commit the stale
+    * value nondeterministically; CDC streams carry a unique sequence /
+    * LSN per key-change precisely for this). Existing rows the batch
+    * doesn't touch survive via anti-join; the union commits as a NEW
+    * version (copy-on-write — at scale only affected partitions
+    * rewrite). One shuffle on the key per batch. An empty batch
+    * (restart replay, stateful no-data trigger) commits nothing — a
+    * full-table rewrite for zero effect would be pure version churn. */
   def applyUpsertBatch(sn: graft.plans.Snapshots, table: String,
-      key: String)(batch: DataFrame): Unit = {
-    val updates = batch.dropDuplicates(key)
-    val current = sn.current(batch.sparkSession, table)
-    sn.commit(
-      current.join(updates, Seq(key), "left_anti").unionByName(updates),
-      table)
+      key: String, seqCol: String)(batch: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val updates = batch
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    if (!updates.isEmpty) {
+      val merged = sn.currentVersion(table) match {
+        case None => updates // bootstrap: first batch seeds the table
+        case Some(_) =>
+          sn.current(batch.sparkSession, table)
+            .join(updates, Seq(key), "left_anti").unionByName(updates)
+      }
+      sn.commit(merged, table)
+    }
   }
 
   /** Streaming MERGE sink — the lakehouse continuous-ingestion write
@@ -145,11 +159,11 @@ object Streaming extends QueryPack {
     * with the checkpoint is Structured Streaming's effective
     * exactly-once contract for non-transactional sinks. */
   def upsertSink(updates: DataFrame, sn: graft.plans.Snapshots,
-      table: String, key: String)
+      table: String, key: String, seqCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-        _: Long) => applyUpsertBatch(sn, table, key)(batch.toDF())
+        _: Long) => applyUpsertBatch(sn, table, key, seqCol)(batch.toDF())
     }
 
   /** T1/T2: batch-equivalence gate for the tumbling window — the same

@@ -165,17 +165,19 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val sn = new graft.plans.Snapshots(graft.core.Scratch.dir("stream_upsert"))
     val table = "kv"
-    sn.commit(Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)).toDF("k", "v"), table)
 
-    val mem = MemoryStream[(Long, Double)]
-    val q = Streaming.upsertSink(mem.toDF().toDF("k", "v"), sn, table, "k")
+    val mem = MemoryStream[(Long, Double, Long)]
+    val q = Streaming.upsertSink(mem.toDF().toDF("k", "v", "seq"),
+        sn, table, "k", "seq")
       .option("checkpointLocation",
         graft.core.Scratch.dir("stream_upsert_ck"))
       .start()
     try {
-      mem.addData(Seq((1L, 10.0), (4L, 4.0)))   // update + insert
+      // bootstrap: first batch against a fresh table seeds it, and an
+      // insert-then-correct pair for k=1 must resolve to the higher seq
+      mem.addData(Seq((1L, 9.0, 1L), (1L, 10.0, 2L), (3L, 0.0, 3L)))
       q.processAllAvailable()
-      mem.addData(Seq((2L, 20.0)))              // second micro-batch
+      mem.addData(Seq((2L, 20.0, 4L), (4L, 4.0, 5L)))  // update + insert
       q.processAllAvailable()
     } finally q.stop()
 
@@ -184,13 +186,21 @@ class StreamingSpec extends SparkSpec {
     val afterStream = snapshot()
     assert(afterStream == Map(1L -> 10.0, 2L -> 20.0, 3L -> 0.0, 4L -> 4.0),
       s"merge result wrong: $afterStream")
-    assert(sn.versions(table).size == 3, "one version per micro-batch")
+    assert(sn.versions(table).size == 2, "one version per non-empty batch")
 
     // replay the last batch (what foreachBatch does after a crash
     // between effect and checkpoint): the row set must not change —
     // idempotent effects are the exactly-once contract
-    Streaming.applyUpsertBatch(sn, table, "k")(Seq((2L, 20.0)).toDF("k", "v"))
+    Streaming.applyUpsertBatch(sn, table, "k", "seq")(
+      Seq((2L, 20.0, 4L), (4L, 4.0, 5L)).toDF("k", "v", "seq"))
     assert(snapshot() == afterStream, "batch replay must be idempotent")
+
+    // an empty batch must not commit a new (identical) version
+    val before = sn.versions(table).size
+    Streaming.applyUpsertBatch(sn, table, "k", "seq")(
+      Seq.empty[(Long, Double, Long)].toDF("k", "v", "seq"))
+    assert(sn.versions(table).size == before,
+      "empty batch must not churn a version")
   }
 
   test("S2-adjacent: malformed CSV rows route to a corrupt-record column, not a crash") {
