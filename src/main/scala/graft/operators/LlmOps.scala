@@ -685,6 +685,36 @@ object LlmOps extends QueryPack {
         .where(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct())
+    val labels = clusterEdges(edges, maxRounds)
+
+    val comp = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("csize"))
+    val compStats = comp.agg(
+      coalesce(sum(col("csize")), lit(0L)).cast("long").as("n_edge_docs"),
+      count(lit(1)).as("n_edge_clusters"),
+      coalesce(max(col("csize")), lit(1L)).as("max_cluster"))
+    d.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(compStats)
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .select(
+        col("n_docs"),
+        (col("n_edge_clusters") + col("n_docs") - col("n_edge_docs"))
+          .as("n_clusters"),
+        col("max_cluster"),
+        (col("n_edge_docs") - col("n_edge_clusters")).as("n_merged_docs"),
+        col("n_edges"))
+  }
+
+  /** Connected components over an ARBITRARY candidate-pair edge set
+    * `(a, b)` — the shared core under [[dedupClusters]], public so any
+    * near-dup detector's pairs feed cluster construction: l07's
+    * confirmed MinHash candidates, l08's SimHash pairs, or an
+    * embedding-similarity join all produce exactly this shape, and
+    * turning pairwise candidates into transitive dedup groups is the
+    * step every one of them needs next. Returns `(doc_id, label)` for
+    * edge nodes only (label = component-min doc_id); callers add
+    * singletons back arithmetically. */
+  def clusterEdges(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
     val sym = Barriers.materialize(
       edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
 
@@ -740,23 +770,7 @@ object LlmOps extends QueryPack {
       round += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds")
-
-    val comp = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("csize"))
-    val compStats = comp.agg(
-      coalesce(sum(col("csize")), lit(0L)).cast("long").as("n_edge_docs"),
-      count(lit(1)).as("n_edge_clusters"),
-      coalesce(max(col("csize")), lit(1L)).as("max_cluster"))
-    d.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(compStats)
-      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-      .select(
-        col("n_docs"),
-        (col("n_edge_clusters") + col("n_docs") - col("n_edge_docs"))
-          .as("n_clusters"),
-        col("max_cluster"),
-        (col("n_edge_docs") - col("n_edge_clusters")).as("n_merged_docs"),
-        col("n_edges"))
+    labels
   }
 
   private val dedupClustersQ: Q = (s, dir) => dedupClusters(docs(s, dir))

@@ -51,6 +51,30 @@ class ClusterSpec extends SparkSpec {
     assert(r.getAs[Long]("max_cluster") == 1)
   }
 
+  test("minhash candidates feed cluster construction transitively") {
+    // The integration the two operators exist for: l07's confirmed
+    // candidate pairs ARE a clusterEdges edge set. A near-dup chain
+    // A~B~C (each link one token edit apart, A and C two apart) must
+    // come out as ONE cluster even if the A-C pair itself was never a
+    // candidate.
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today again"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("today", "tonight")),
+      (3L, base.replace("today", "tonight").replace("quick", "swift")),
+      (4L, "completely different content about spark shuffles and partition planning strategies here")
+    ).toDF("doc_id", "text")
+    val edges = LlmOps.minhashCandidates(d, jaccardThreshold = 0.5)
+      .filter(col("confirmed"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = LlmOps.clusterEdges(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.get(1L).contains(1L) && labels.get(2L).contains(1L)
+      && labels.get(3L).contains(1L),
+      s"chain must collapse to the min-id label: $labels")
+    assert(!labels.contains(4L), "unrelated doc must stay a singleton")
+  }
+
   test("curation funnel: every stage bites on a corpus built to trip it") {
     // The parquet fixture's word-salad text passes quality and has no
     // exact dups at small SFs, so the oracle gate only exercises the
