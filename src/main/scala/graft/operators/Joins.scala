@@ -159,8 +159,44 @@ object Joins extends QueryPack {
       .orderBy("o_orderstatus", "merge_action")
   }
 
+  /** Q17: SCD2 as-of join — each fact row joins the dimension epoch
+    * valid at its event time, the slowly-changing-dimension lookup
+    * every lakehouse star schema runs. The dimension synthesizes four
+    * quarterly price-tier epochs per nation (a [valid_from, valid_to)
+    * interval table); the join is equi on the nation key with the
+    * interval as a range predicate — Spark plans the hash join on the
+    * equi key and applies the range as a post-join filter, so the
+    * small dim BROADCASTS and the fact side never shuffles. That plan
+    * shape (never a cartesian, never a fact shuffle) is the entire
+    * point of keying SCD2 lookups on entity + interval. */
+  private val asofScd2: Q = (s, dir) => {
+    val epochs = T.load(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("dim_nationkey"),
+        explode(sequence(lit(0), lit(3))).as("epoch"))
+      .select(col("dim_nationkey"),
+        (col("epoch") * 3 + 1).cast("long").as("valid_from_month"),
+        (col("epoch") * 3 + 4).cast("long").as("valid_to_month"),
+        ((col("dim_nationkey") + col("epoch")) % 5).cast("long").as("price_tier"))
+    val fact = T.load(s, dir, "orders")
+      .join(broadcast(T.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(month(col("o_orderdate")).cast("long").as("m"),
+        col("o_totalprice"),
+        col("c_nationkey").cast("long").as("nationkey"))
+    fact.join(broadcast(epochs),
+        col("nationkey") === col("dim_nationkey")
+          && col("m") >= col("valid_from_month")
+          && col("m") < col("valid_to_month"))
+      .groupBy(col("price_tier"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(T.moneySum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("price_tier")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_revenue_by_nation" -> revenueByNation,
+    "q17_asof_scd2" -> asofScd2,
     "q12_prepost_compare" -> prePostCompare,
     "q13_left_join_expr" -> leftJoinExpr,
     "q14_semi_join" -> semiJoin,
@@ -168,6 +204,23 @@ object Joins extends QueryPack {
     "q16_merge_upsert" -> mergeUpsert)
 
   val oracle: Map[String, String] = Map(
+    "q17_asof_scd2" ->
+      s"""WITH e AS (SELECT unnest([0, 1, 2, 3]) AS epoch),
+         |epochs AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+         |    CAST(epoch * 3 + 1 AS BIGINT) AS vfrom,
+         |    CAST(epoch * 3 + 4 AS BIGINT) AS vto,
+         |    CAST((n_nationkey + epoch) % 5 AS BIGINT) AS price_tier
+         |  FROM nation CROSS JOIN e),
+         |f AS (
+         |  SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+         |    o_totalprice, CAST(c_nationkey AS BIGINT) AS nationkey
+         |  FROM orders JOIN customer ON o_custkey = c_custkey)
+         |SELECT price_tier, COUNT(*) AS n_orders,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS revenue
+         |FROM f JOIN epochs ON f.nationkey = epochs.nationkey
+         |  AND m >= vfrom AND m < vto
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_revenue_by_nation" ->
       s"""SELECT n_name, COUNT(*) AS trip_count,
          |  ROUND(${T.oRevenueSum("l_extendedprice", "l_discount")}, 2)
