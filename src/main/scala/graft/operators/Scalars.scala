@@ -157,7 +157,41 @@ object Scalars extends QueryPack {
       .orderBy("geo_prefix")
   }
 
+  /** X8: pivot — event counts spread into one column per event type.
+    * The value list is EXPLICIT: Spark's values-less pivot runs an
+    * extra distinct pass over the data to discover the columns and
+    * makes the output schema data-dependent — at scale the explicit
+    * list is one scan instead of two and a stable contract. The oracle
+    * replays the pivot as conditional aggregation (what pivot
+    * compiles to anyway). */
+  private val pivotCounts: Q = (s, dir) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    T.loadEvents(s, dir)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("dow")
+  }
+
+  /** X9: ROLLUP — hierarchical subtotal rows (flag×status, per-flag,
+    * grand total) in ONE pass with partial aggregation, instead of
+    * three jobs unioned; GROUPING() disambiguates real NULL keys from
+    * subtotal rows, which is the part naive union-of-aggregates gets
+    * wrong. */
+  private val rollupRevenue: Q = (s, dir) =>
+    T.load(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(T.moneySum(col("l_extendedprice")), 2).as("revenue"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag"), col("l_linestatus"))
+
   val queries: Map[String, Q] = Map(
+    "x08_pivot" -> pivotCounts,
+    "x09_rollup" -> rollupRevenue,
     "x01_string_funcs" -> stringFuncs,
     "x02_datetime_funcs" -> datetimeFuncs,
     "x03_conditional_null" -> conditionalNull,
@@ -167,6 +201,28 @@ object Scalars extends QueryPack {
     "x07_geohash" -> geohashCol)
 
   val oracle: Map[String, String] = Map(
+    // dayofweek: DuckDB Sunday=0, Spark Sunday=1 → +1 on the oracle side
+    "x08_pivot" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x09_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+         |  ROUND(${T.oMoneySum("l_extendedprice")}, 2) AS revenue,
+         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
     "x01_string_funcs" ->
       """SELECT c_mktsegment, COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN regexp_matches(c_name, 'Customer#\d+')
