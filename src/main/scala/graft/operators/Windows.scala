@@ -112,12 +112,52 @@ object Windows extends QueryPack {
     T.load(s, dir, "lineitem").limit(100)
       .agg(count(lit(1)).as("n_sampled"))
 
+  /** W6-ext: the remaining ranking/navigation window functions —
+    * dense_rank (no rank gaps), ntile quartiles, first_value over the
+    * full partition frame. Monthly order counts per status, windowed
+    * within each status; ties on the count break by month so every
+    * rank is deterministic in both engines. The window partitions by
+    * the 3-value status key over ~36 aggregated rows — ranking runs
+    * AFTER the aggregation, never over raw facts (the same discipline
+    * as w01/q15). */
+  private val windowExtras: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n_orders").desc, col("m"))
+    T.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("m"), col("n_orders"),
+        dense_rank().over(w).cast("long").as("dr"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first_value(col("m")).over(w).as("busiest_month"))
+      .orderBy("o_orderstatus", "dr", "m")
+  }
+
+  /** O4-ext: EXCEPT / INTERSECT / UNION-distinct set semantics over
+    * the H1 vs H2 active-customer sets — the one set-op family s09's
+    * UNION ALL doesn't exercise (these dedupe, so each is a shuffle on
+    * the full row as key). */
+  private val setOps: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+    val h1 = o.filter(month(col("o_orderdate")) <= 6).select(col("o_custkey"))
+    val h2 = o.filter(month(col("o_orderdate")) > 6).select(col("o_custkey"))
+    h1.intersect(h2).agg(count(lit(1)).as("n_both"))
+      .crossJoin(h1.except(h2).agg(count(lit(1)).as("n_h1_only")))
+      .crossJoin(h2.except(h1).agg(count(lit(1)).as("n_h2_only")))
+      .crossJoin(h1.union(h2).distinct()
+        .agg(count(lit(1)).as("n_active")))
+  }
+
   val queries: Map[String, Q] = Map(
     "w01_row_number_ids" -> rowNumberIds,
     "w03_lag_features" -> lagFeatures,
     "w04_rolling_avg" -> rollingAvg,
     "w05_median_per_group" -> medianPerGroup,
-    "o03_bare_limit" -> bareLimit)
+    "w06_window_extras" -> windowExtras,
+    "o03_bare_limit" -> bareLimit,
+    "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
     "w01_row_number_ids" ->
@@ -163,5 +203,30 @@ object Windows extends QueryPack {
          |  ON b.l_returnflag = m.l_returnflag
          |ORDER BY b.l_returnflag, b.l_linestatus""".stripMargin,
     "o03_bare_limit" ->
-      "SELECT COUNT(*) AS n_sampled FROM (SELECT * FROM lineitem LIMIT 100)")
+      "SELECT COUNT(*) AS n_sampled FROM (SELECT * FROM lineitem LIMIT 100)",
+    "w06_window_extras" ->
+      """SELECT o_orderstatus, m, n_orders,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS dr,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  FIRST_VALUE(m) OVER w AS busiest_month
+        |FROM (SELECT o_orderstatus,
+        |        CAST(month(o_orderdate) AS BIGINT) AS m,
+        |        COUNT(*) AS n_orders
+        |      FROM orders GROUP BY 1, 2)
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY n_orders DESC, m)
+        |ORDER BY o_orderstatus, dr, m""".stripMargin,
+    "o04_set_ops" ->
+      """WITH h1 AS (SELECT o_custkey FROM orders
+        |            WHERE month(o_orderdate) <= 6),
+        |h2 AS (SELECT o_custkey FROM orders
+        |       WHERE month(o_orderdate) > 6)
+        |SELECT
+        |  (SELECT COUNT(*) FROM (SELECT * FROM h1 INTERSECT
+        |    SELECT * FROM h2)) AS n_both,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM h1 EXCEPT
+        |    SELECT * FROM h2)) AS n_h1_only,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM h2 EXCEPT
+        |    SELECT * FROM h1)) AS n_h2_only,
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_active""".stripMargin)
 }
