@@ -189,7 +189,27 @@ object Scalars extends QueryPack {
       .orderBy(col("g_flag"), col("g_status"),
         col("l_returnflag"), col("l_linestatus"))
 
+  /** X10: complex-type aggregation — collect_set into a sorted array,
+    * reduced back to scalars at the output boundary. The array is
+    * serialized with array_join rather than emitted raw: collect_set
+    * order is nondeterministic, sort_array pins it, and a string
+    * column hashes identically across engines where an array-typed
+    * column would not (same class of boundary rule as the decimal
+    * ban). */
+  private val complexTypes: Q = (s, dir) =>
+    T.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderpriority"))), "|")
+          .as("priorities"),
+        size(collect_set(col("o_orderpriority"))).cast("long")
+          .as("n_priorities"),
+        size(collect_set(month(col("o_orderdate")))).cast("long")
+          .as("n_active_months"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, Q] = Map(
+    "x10_complex_types" -> complexTypes,
     "x08_pivot" -> pivotCounts,
     "x09_rollup" -> rollupRevenue,
     "x01_string_funcs" -> stringFuncs,
@@ -201,6 +221,14 @@ object Scalars extends QueryPack {
     "x07_geohash" -> geohashCol)
 
   val oracle: Map[String, String] = Map(
+    "x10_complex_types" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
+        |    AS priorities,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+        |  CAST(COUNT(DISTINCT month(o_orderdate)) AS BIGINT)
+        |    AS n_active_months
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // dayofweek: DuckDB Sunday=0, Spark Sunday=1 → +1 on the oracle side
     "x08_pivot" ->
       """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
