@@ -123,30 +123,33 @@ object Streaming extends QueryPack {
   /** Continuous CDC apply: merge one micro-batch of keyed updates into
     * the versioned snapshot table — the body [[upsertSink]] hands to
     * foreachBatch, kept public so batch callers and the spec can apply
-    * it directly. Within-batch duplicate keys collapse to the row with
-    * the highest `seqCol` (a CDC batch can carry insert-then-correct
-    * for one key, and "keep an arbitrary row" would commit the stale
-    * value nondeterministically; CDC streams carry a unique sequence /
-    * LSN per key-change precisely for this). Existing rows the batch
-    * doesn't touch survive via anti-join; the union commits as a NEW
-    * version (copy-on-write — at scale only affected partitions
-    * rewrite). One shuffle on the key per batch. An empty batch
-    * (restart replay, stateful no-data trigger) commits nothing — a
-    * full-table rewrite for zero effect would be pure version churn. */
+    * it directly. The merge is union + highest-`seqCol`-per-key over
+    * table and batch TOGETHER, which settles ordering everywhere at
+    * once: within a batch (insert-then-correct resolves to the
+    * correction), and ACROSS batches (a lagging partition delivering
+    * an older change for an already-updated key must NOT overwrite the
+    * newer committed row — the stored seq outranks it; CDC streams
+    * carry a sequence/LSN per key-change precisely for this, and the
+    * table keeps the seq column so it can referee). Equal seqs must be
+    * exact redeliveries (identical rows — then the pick is immaterial
+    * and replay is idempotent). One shuffle on the key per batch,
+    * committed as a NEW copy-on-write version; at scale only affected
+    * partitions rewrite. An empty batch (restart replay, stateful
+    * no-data trigger) commits nothing — a full-table rewrite for zero
+    * effect would be pure version churn. */
   def applyUpsertBatch(sn: graft.plans.Snapshots, table: String,
       key: String, seqCol: String)(batch: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val updates = batch
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
-      .filter(col("_rn") === 1).drop("_rn")
-    if (!updates.isEmpty) {
-      val merged = sn.currentVersion(table) match {
-        case None => updates // bootstrap: first batch seeds the table
+    if (!batch.isEmpty) {
+      val all = sn.currentVersion(table) match {
+        case None => batch // bootstrap: first batch seeds the table
         case Some(_) =>
-          sn.current(batch.sparkSession, table)
-            .join(updates, Seq(key), "left_anti").unionByName(updates)
+          sn.current(batch.sparkSession, table).unionByName(batch)
       }
+      val merged = all
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+        .filter(col("_rn") === 1).drop("_rn")
       sn.commit(merged, table)
     }
   }

@@ -75,6 +75,32 @@ class ClusterSpec extends SparkSpec {
     assert(!labels.contains(4L), "unrelated doc must stay a singleton")
   }
 
+  test("incremental dedup collapses within-batch dups and drops index hits") {
+    // The parquet fixture has no duplicate fingerprints, so the oracle
+    // gate can't tell l26's dedup machinery from the identity function
+    // there. This corpus plants both failure modes: an incoming doc
+    // that already exists in the historical index (doc 400 = doc 1),
+    // and a within-batch duplicate pair (401/402).
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val c = "one two three four five six seven eight nine"
+    val d = Seq(
+      (1L, a), (2L, "historical only doc with its own words"),
+      (400L, a),                    // index hit: dup of doc 1
+      (401L, c), (402L, c),         // within-batch duplicate pair
+      (403L, "fresh incoming document nothing matches")
+    ).toDF("doc_id", "text")
+    val dir = graft.core.Scratch.dir("l26fix")
+    d.withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.SparkEntry.queries("l26_incremental_dedup")(spark, dir).head()
+    assert(r.getAs[Long]("n_incoming") == 4)
+    assert(r.getAs[Long]("n_batch_unique") == 3,
+      s"401/402 must collapse within the batch: $r")
+    assert(r.getAs[Long]("n_new") == 2,
+      s"doc 400 must be dropped as an index hit: $r")
+  }
+
   test("curation funnel: every stage bites on a corpus built to trip it") {
     // The parquet fixture's word-salad text passes quality and has no
     // exact dups at small SFs, so the oracle gate only exercises the

@@ -201,6 +201,13 @@ class StreamingSpec extends SparkSpec {
       Seq.empty[(Long, Double, Long)].toDF("k", "v", "seq"))
     assert(sn.versions(table).size == before,
       "empty batch must not churn a version")
+
+    // a LATER batch carrying an OLDER change (lagging source partition,
+    // seq below the stored one) must not overwrite the newer row
+    Streaming.applyUpsertBatch(sn, table, "k", "seq")(
+      Seq((1L, 9.0, 1L)).toDF("k", "v", "seq"))
+    assert(snapshot() == afterStream,
+      "stale cross-batch update must lose to the stored seq")
   }
 
   test("S2-adjacent: malformed CSV rows route to a corrupt-record column, not a crash") {
