@@ -194,9 +194,43 @@ object Joins extends QueryPack {
       .orderBy("price_tier")
   }
 
+  /** Q18: the textual-SQL entry path — reference users type SQL, so
+    * the engine must accept a whole analytics query as TEXT over
+    * registered views, not only the DataFrame API. The query string is
+    * deliberately ANSI-portable (decimal money sums, explicit BIGINT
+    * casts for rank/month) and is shared VERBATIM with the DuckDB
+    * oracle: one string, two engines, identical rows — the strongest
+    * form of the SQL-compatibility claim. Top-3 revenue months per
+    * nation: join + group + window rank, all planned by Catalyst from
+    * the text exactly as the DataFrame form would be. */
+  private[operators] val sqlEntryText =
+    """WITH monthly AS (
+      |  SELECT n.n_name AS nation_name,
+      |    CAST(month(o.o_orderdate) AS BIGINT) AS m,
+      |    COUNT(*) AS n_orders,
+      |    ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+      |      AS DOUBLE), 2) AS revenue
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT nation_name, m, n_orders, revenue, rnk FROM (
+      |  SELECT nation_name, m, n_orders, revenue,
+      |    CAST(RANK() OVER (PARTITION BY nation_name
+      |      ORDER BY n_orders DESC, m) AS BIGINT) AS rnk
+      |  FROM monthly)
+      |WHERE rnk <= 3
+      |ORDER BY nation_name, rnk, m""".stripMargin
+
+  private val sqlEntry: Q = (s, dir) => {
+    T.registerAll(s, dir)
+    s.sql(sqlEntryText)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_revenue_by_nation" -> revenueByNation,
     "q17_asof_scd2" -> asofScd2,
+    "q18_sql_entry" -> sqlEntry,
     "q12_prepost_compare" -> prePostCompare,
     "q13_left_join_expr" -> leftJoinExpr,
     "q14_semi_join" -> semiJoin,
@@ -204,6 +238,7 @@ object Joins extends QueryPack {
     "q16_merge_upsert" -> mergeUpsert)
 
   val oracle: Map[String, String] = Map(
+    "q18_sql_entry" -> sqlEntryText, // the SAME text both engines run
     "q17_asof_scd2" ->
       s"""WITH e AS (SELECT unnest([0, 1, 2, 3]) AS epoch),
          |epochs AS (

@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     "q07_having", "q08_stddev", "q09_agg_of_agg", "q10_null_counts",
     "q11_minmax", "q12_prepost_compare", "q13_left_join_expr",
     "q14_semi_join", "q15_rank_join", "q16_merge_upsert",
-    "q17_asof_scd2",
+    "q17_asof_scd2", "q18_sql_entry",
     "w01_row_number_ids", "w03_lag_features", "w04_rolling_avg",
     "w05_median_per_group", "w06_window_extras",
     "o03_bare_limit", "o04_set_ops",
