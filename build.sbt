@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt relogs the forked JVM's stdout with an "[info] "
+// prefix — which breaks the driver's JSON-line parse of Bench output
+// (BENCH_r{1..6}.json all show parsed:null). StdoutOutput passes the
+// child's stdout/stderr through verbatim, so the one JSON line Bench
+// prints reaches the captured tail bare and machine-parseable.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

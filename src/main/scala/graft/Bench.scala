@@ -43,6 +43,12 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.forall(_.exists(name.startsWith)) }
+    // Validate short-key uniqueness BEFORE the (expensive) timing loop:
+    // a future name collision must fail fast, not discard a finished run.
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    require(selected.map(s => shortKey(s._1)).distinct.size == selected.size,
+      "query name prefixes must stay unique — a colliding short key " +
+        "would silently drop a timing from the driver's bench report")
     val results = selected.map { case (name, fn) =>
       runOnce(fn) // warmup: discard
       name -> runOnce(fn)
@@ -58,10 +64,6 @@ object Bench {
     // JSON, the exact parse failure this line exists to avoid.
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    def shortKey(k: String): String = k.takeWhile(_ != '_')
-    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
-      "query name prefixes must stay unique — a colliding short key " +
-        "would silently drop a timing from the driver's bench report")
     val qs = results.map {
       case (k, Right(sec)) => s""""${shortKey(k)}":${f3(sec)}"""
       case (k, Left(_))    => s""""${shortKey(k)}":-1"""
