@@ -22,6 +22,11 @@ object Verify {
     // checks exactly what was run. The driver sets no filter.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    // A narrowed run must be VISIBLY narrowed: a leaked filter env var in
+    // a gate run would otherwise produce an all-pass report over a subset
+    // with no trace in any artifact.
+    val filterDesc = only.map(_.mkString(",")).getOrElse("<none>")
+    System.err.println(s"[verify] SPARK_GRAFT_ONLY filter: $filterDesc")
     val statuses = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => keep(q._1)).map { case (name, fn) =>
       try {
@@ -41,7 +46,8 @@ object Verify {
     // output dir, not only on stderr (a missing parquet dir silently
     // drops the query from the driver's correctness report otherwise).
     Files.writeString(Paths.get(s"$outDir/_verify_status.json"),
-      statuses.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      (statuses :+ ("_filter" -> filterDesc))
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
     spark.stop()
   }

@@ -70,25 +70,36 @@ object ScaleOps extends QueryPack {
     * merges fixed-size Greenwald-Khanna buffers instead, the way
     * quality-score thresholds actually get computed over a corpus.
     * Same split as k02: the deterministic columns (per-type counts) and
-    * the rank-error CONTRACT are oracle-checked — the sketch guarantees
-    * rank(approx_p50) within n/accuracy of the true median rank, so the
-    * observed rank fraction of the returned value must sit inside a
-    * ±2% window around 0.5 (the slack covers tie mass at the returned
-    * data point); the raw approx value (engine-specific) is asserted
-    * against the exact percentile in ScaleSpec. */
+    * the rank-error CONTRACT are oracle-checked; the raw approx value
+    * (engine-specific) is asserted against the exact percentile in
+    * ScaleSpec. The bound is the sketch's own, not a fixed window: the
+    * returned value v is a data point whose admissible rank interval is
+    * (count(<v), count(<=v)], and the sketch bounds that interval's
+    * distance from 0.5n. So count(<=v)/n >= 0.5 - eps AND
+    * count(<v)/n <= 0.5 + eps, with count(<v) = count(<=v) - tie mass
+    * at v — the slack absorbs ties structurally instead of guessing a
+    * window for them, so a heavier-tied distribution or another scale
+    * factor cannot flip the check while the sketch is in-contract.
+    * eps is 2/accuracy, not 1/accuracy: Spark executes this as a
+    * MERGE of per-partition GK summaries, and merging eps'-summaries
+    * is guaranteed only to ~2*eps' rank error (measured: le_frac
+    * 0.49899 at sf0.01 — outside 1/accuracy, inside the merge bound). */
   private val approxQuantile: Q = (s, dir) => {
     val ev = T.load(s, dir, "events")
     val sketch = ev.groupBy(col("event_type"))
       .agg(percentile_approx(col("value"), lit(0.5), lit(1000))
         .as("approx_p50"))
+    val eps = 2.0 / 1000 + 1e-9 // merged-GK rank error + float-div slack
     ev.join(broadcast(sketch), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_rows"),
         (sum(when(col("value") <= col("approx_p50"), 1L).otherwise(0L))
-          .cast("double") / count(lit(1)).cast("double")).as("rank_frac"))
+          .cast("double") / count(lit(1)).cast("double")).as("le_frac"),
+        (sum(when(col("value") < col("approx_p50"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("lt_frac"))
       .select(col("event_type"), col("n_rows"),
-        (col("rank_frac") >= 0.48 && col("rank_frac") <= 0.52)
+        (col("le_frac") >= 0.5 - eps && col("lt_frac") <= 0.5 + eps)
           .as("within_rank_bound"))
       .orderBy("event_type")
   }

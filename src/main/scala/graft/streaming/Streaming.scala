@@ -146,9 +146,16 @@ object Streaming extends QueryPack {
         case Some(_) =>
           sn.current(batch.sparkSession, table).unionByName(batch)
       }
+      // Tie-break equal seqs on the full remaining row (struct ordering
+      // is total over these column types), so merge output is a pure
+      // function of the delivered row SET: if a CDC source ever emits
+      // DISTINCT rows with equal seqs, replays still converge on the
+      // same survivor instead of flip-flopping with partition order.
+      val others = all.columns.filterNot(_ == seqCol).map(col)
       val merged = all
         .withColumn("_rn", row_number().over(
-          Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+          Window.partitionBy(col(key))
+            .orderBy(col(seqCol).desc, struct(others: _*).desc)))
         .filter(col("_rn") === 1).drop("_rn")
       sn.commit(merged, table)
     }
@@ -247,10 +254,14 @@ object Streaming extends QueryPack {
         |  MAX(n_events) AS max_session_events,
         |  CAST(SUM(n_events) AS BIGINT) AS n_events_total
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    // n_unique as COUNT(DISTINCT event_id) — not COUNT(*) — so the
+    // oracle STATES the dedup semantics instead of silently assuming
+    // the fixture keeps event_id unique; a regenerated corpus with
+    // duplicate ids would then fail the query, not falsify the oracle.
     "t04_stream_dedup" ->
       """SELECT event_type,
         |  COUNT(*) + CAST(SUM(CASE WHEN event_id % 20 = 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_delivered,
-        |  COUNT(*) AS n_unique
+        |  COUNT(DISTINCT event_id) AS n_unique
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }
