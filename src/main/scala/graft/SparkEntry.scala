@@ -21,6 +21,7 @@ object SparkEntry {
     Sources,
     Streaming,
     LlmOps,
+    CurationOps,
     Dml,
     MaintenanceOps,
     Scalars,

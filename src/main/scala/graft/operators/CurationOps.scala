@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T, QueryPack}
+import graft.functions.Text
+
+/** Web-corpus curation operators in the C4/RefinedWeb mold, rounding out
+  * the LlmOps training-data set: span-level (not document-level) dedup,
+  * boilerplate line removal, corpus heavy hitters, and tf-idf keyword
+  * extraction. All pure expression trees — no UDFs — same as LlmOps.
+  *
+  * 100 TB design notes:
+  *  - l27 paragraph dedup: the only shuffle is on the paragraph's
+  *    128-bit md5 (never the text); survivor choice is a window over
+  *    that fingerprint. At web scale this is exactly C4's "repeated
+  *    three-sentence span" pass, and the span fingerprint (16 bytes +
+  *    position ints) is what flows, not the span.
+  *  - l28 boilerplate filter: per-row higher-order filter, no shuffle
+  *    until the final per-source rollup. Linear.
+  *  - l29 heavy hitters: explode → hash aggregate. Token frequency is
+  *    Zipf-skewed, which works FOR the plan: map-side partial
+  *    aggregation collapses the hot tokens before the exchange, so the
+  *    shuffle carries ~vocabulary rows per partition, not ~token
+  *    occurrences. The top-k is TakeOrdered, never a global sort.
+  *  - l30 tf-idf: document frequency is derived from the tf aggregate
+  *    (already distinct per (doc, token)) — one exploded shuffle total —
+  *    and joined back broadcast (a vocabulary fits executor memory at
+  *    any corpus size that fits a language).
+  */
+object CurationOps extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "documents")
+
+  // ---- l27: paragraph-level dedup (C4-style span removal) ------------
+
+  /** Paragraph size in tokens. The corpus is single-line word salad, so
+    * "paragraphs" are fixed 5-token chunks of the token stream — the
+    * span granularity is a parameter of the technique, not its point.
+    * At sf0.01 this yields a natural ~5.7% cross-document duplicate
+    * rate to bite on. */
+  private val paraTokens = 5
+
+  /** Explode documents into (doc_id, source, pos, para, n_tok) chunks. */
+  def paragraphs(d: DataFrame, k: Int = paraTokens): DataFrame = {
+    val chunks =
+      s"""CASE WHEN size(tk) = 0
+         |  THEN cast(array() AS array<struct<para:string, n_tok:bigint>>)
+         |  ELSE transform(sequence(0, ((size(tk) + ${k - 1}) div $k) - 1),
+         |    i -> named_struct(
+         |      'para', array_join(slice(tk, i * $k + 1, $k), ' '),
+         |      'n_tok', least(cast($k AS bigint),
+         |        cast(size(tk) AS bigint) - i * $k)))
+         |END""".stripMargin
+    d.select(col("doc_id"), col("source"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(chunks)).as(Seq("pos", "u")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        col("u.para").as("para"), col("u.n_tok").as("n_tok"))
+  }
+
+  /** C4-style global span dedup: any paragraph seen before (in
+    * (doc_id, pos) order) is removed; the first occurrence survives.
+    * One shuffle, keyed on the paragraph fingerprint. Takes any
+    * documents-shaped frame so CurationSpec can drive it on planted
+    * duplicates. */
+  def paragraphDedupStats(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))
+    paragraphs(d)
+      .select(col("doc_id"), col("source"), col("pos"), col("n_tok"),
+        md5(col("para")).as("fp")) // text itself never shuffles
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_removed"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("rn") === 1, col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  private val paragraphDedup: Q = (s, dir) => paragraphDedupStats(docs(s, dir))
+
+  // ---- l28: boilerplate line filter ----------------------------------
+
+  /** The C4 line rules this corpus can express: minimum word count and
+    * a boilerplate pattern list. (C4's terminal-punctuation rule would
+    * delete every line of this punctuation-free synthetic corpus —
+    * deliberately not enforced here.) */
+  private val boilerRe = "(javascript|cookie|copyright|all rights reserved)"
+
+  /** Deterministically seed multi-line structure: the corpus has no
+    * newlines, so boilerplate lines (and one clean line that must
+    * SURVIVE the filter) are appended by doc_id residue — same
+    * fixture-seeding pattern as l20's PII. */
+  private def seededLines(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit("\nplease enable javascript and cookies to continue"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        lit("\nthe quick brown fox jumps again")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("\nok")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("\ncopyright 2024 example corp all rights reserved"))
+        .otherwise(lit(""))).as("text"))
+
+  /** The line filter itself, as a Column: lines surviving the minimum
+    * word count and the boilerplate pattern list. */
+  def keptLines(text: Column): Column =
+    filter(split(text, "\n"), l =>
+      size(split(l, " ")) >= 3 && !l.rlike(boilerRe))
+
+  private val boilerplateLines: Q = (s, dir) => {
+    val ls = split(col("text"), "\n")
+    val kept = keptLines(col("text"))
+    seededLines(docs(s, dir))
+      .select(col("source"), size(ls).cast("long").as("n_lines"),
+        kept.as("kept"))
+      .select(col("source"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        length(array_join(col("kept"), "\n")).cast("long").as("chars_kept"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_lines")).as("n_lines_total"),
+        sum(col("n_kept")).as("n_lines_kept"),
+        sum(col("chars_kept")).as("n_chars_kept"),
+        sum(when(col("n_kept") < col("n_lines"), 1L).otherwise(0L))
+          .as("n_docs_modified"))
+      .orderBy("source")
+  }
+
+  // ---- l29: corpus heavy hitters -------------------------------------
+
+  /** Exact global top-k terms, deterministic ties (count desc, token
+    * asc). The approximate path (count-min sketch over the same stream)
+    * is contract-tested in CurationSpec — its binary sketch is
+    * engine-specific, the exact top-k is the oracle-checkable face. */
+  private val heavyHitters: Q = (s, dir) =>
+    docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  // ---- l30: tf-idf keyword extraction --------------------------------
+
+  /** Per-document top keyword ranked by tf/df — tf-idf with the
+    * monotone idf spelled as a ratio so the comparison is an exact
+    * IEEE division of two integer counts (identical bits in Spark and
+    * DuckDB), not a libm log whose last ulp may differ between
+    * engines. Ties break on token order. */
+  def tfidfTop(d: DataFrame): DataFrame = {
+    val w = d
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val tf = w.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, token): df is a rollup of it —
+    // no second pass over the exploded stream.
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val rank = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df").cast("double")).desc,
+        col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("keyword"), col("tf"), col("df"))
+      .orderBy("doc_id")
+  }
+
+  private val tfidfKeywords: Q = (s, dir) => tfidfTop(docs(s, dir))
+
+  val queries: Map[String, Q] = Map(
+    "l27_paragraph_dedup" -> paragraphDedup,
+    "l28_boilerplate_lines" -> boilerplateLines,
+    "l29_heavy_hitters" -> heavyHitters,
+    "l30_tfidf_keywords" -> tfidfKeywords)
+
+  private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val oToks = s"string_split($oNorm, ' ')"
+
+  val oracle: Map[String, String] = Map(
+    "l27_paragraph_dedup" ->
+      s"""WITH t AS (SELECT doc_id, source, $oToks AS tk FROM documents),
+         |p0 AS (SELECT doc_id, source,
+         |  unnest(list_transform(
+         |    range(0, CAST((len(tk) + ${paraTokens - 1}) // $paraTokens
+         |      AS BIGINT)),
+         |    i -> struct_pack(
+         |      pos := i,
+         |      para := array_to_string(
+         |        tk[i * $paraTokens + 1 : i * $paraTokens + $paraTokens],
+         |        ' '),
+         |      n_tok := least($paraTokens,
+         |        CAST(len(tk) AS BIGINT) - i * $paraTokens)))) AS u
+         |  FROM t),
+         |p AS (SELECT doc_id, source, u.pos AS pos, u.para AS para,
+         |  u.n_tok AS n_tok FROM p0),
+         |k AS (SELECT source, n_tok,
+         |  ROW_NUMBER() OVER (PARTITION BY md5(para)
+         |    ORDER BY doc_id, pos) AS rn
+         |  FROM p)
+         |SELECT source, COUNT(*) AS n_paras,
+         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_removed,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l28_boilerplate_lines" ->
+      s"""WITH seeded AS (
+         |  SELECT doc_id, source,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+         |      'please enable javascript and cookies to continue'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+         |      'the quick brown fox jumps again' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ok' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+         |      'copyright 2024 example corp all rights reserved'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |    list_filter(string_split(text, chr(10)),
+         |      l -> len(string_split(l, ' ')) >= 3
+         |        AND NOT regexp_matches(l, '$boilerRe')) AS kept
+         |  FROM seeded)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_lines) AS BIGINT) AS n_lines_total,
+         |  CAST(SUM(len(kept)) AS BIGINT) AS n_lines_kept,
+         |  CAST(SUM(length(array_to_string(kept, chr(10)))) AS BIGINT)
+         |    AS n_chars_kept,
+         |  CAST(SUM(CASE WHEN len(kept) < n_lines THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_modified
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l29_heavy_hitters" ->
+      s"""WITH w AS (
+         |  SELECT unnest($oToks) AS token FROM documents)
+         |SELECT token, COUNT(*) AS cnt FROM w GROUP BY 1
+         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "l30_tfidf_keywords" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($oToks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |    ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+         |      tf.token) AS rn
+         |  FROM tf JOIN df USING (token))
+         |SELECT doc_id, token AS keyword, tf, df FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CurationOps
+
+/** Semantic contracts for the CurationOps pack (l27-l30) on crafted
+  * fixtures where each rule provably bites — the synthetic corpus only
+  * exercises them at its natural (low) rates. */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("l27: duplicated paragraph is removed everywhere but its first " +
+      "occurrence, in (doc_id, pos) order") {
+    // 5-token-aligned spans; "alpha beta gamma delta epsilon" appears in
+    // doc 1 (pos 0), doc 2 (pos 1), and doc 3 (pos 0).
+    val span = "alpha beta gamma delta epsilon"
+    val d = Seq(
+      (1L, "a", s"$span one two three four five"),
+      (2L, "a", s"one two three four five $span"),
+      (3L, "b", s"$span")).toDF("doc_id", "source", "text")
+    val out = CurationOps.paragraphDedupStats(d)
+      .orderBy("source")
+      .collect()
+    // source a: 4 paragraphs; BOTH of doc 2's are dups (the span copies
+    // doc 1 pos 0, and "one two three four five" copies doc 1 pos 1) —
+    // 20 tokens total, doc 1's 10 kept.
+    assert(out(0).getString(0) == "a")
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 2)
+    assert(out(0).getLong(3) == 20 && out(0).getLong(4) == 10)
+    // source b: doc 3's copy also removed — dedup is global, not
+    // per-source.
+    assert(out(1).getString(0) == "b")
+    assert(out(1).getLong(1) == 1 && out(1).getLong(2) == 1)
+    assert(out(1).getLong(4) == 0)
+  }
+
+  test("l27: ragged tail paragraph keeps its true token count") {
+    val d = Seq((1L, "a", "one two three four five six seven"))
+      .toDF("doc_id", "source", "text")
+    val paras = CurationOps.paragraphs(d).orderBy("pos").collect()
+    assert(paras.length == 2)
+    assert(paras(0).getAs[String]("para") == "one two three four five")
+    assert(paras(0).getAs[Long]("n_tok") == 5L)
+    assert(paras(1).getAs[String]("para") == "six seven")
+    assert(paras(1).getAs[Long]("n_tok") == 2L)
+  }
+
+  test("l28: line filter drops short and boilerplate lines, keeps " +
+      "clean prose") {
+    val text = Seq(
+      "this line is long enough to keep",
+      "ok",                                    // < 3 words
+      "please enable javascript to continue",  // boilerplate pattern
+      "copyright 2024 example corp",           // boilerplate pattern
+      "another perfectly fine line").mkString("\n")
+    val kept = Seq(text).toDF("text")
+      .select(CurationOps.keptLines(col("text")).as("kept"))
+      .head().getSeq[String](0)
+    assert(kept == Seq("this line is long enough to keep",
+      "another perfectly fine line"))
+  }
+
+  test("l29: count-min sketch estimates bound the exact heavy-hitter " +
+      "counts (contract for the approximate path)") {
+    val toks = SparkEntry.queries("l29_heavy_hitters")(spark, sfDir)
+    val exact = toks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stream = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("token"))
+    val total = stream.count()
+    val eps = 0.005
+    val cms = stream.stat.countMinSketch("token", eps, 0.99, 42)
+    exact.foreach { case (tok, cnt) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= cnt, s"CMS must never undercount ($tok: $est < $cnt)")
+      assert(est <= cnt + (eps * total).toLong,
+        s"CMS overcount for $tok out of contract: $est vs $cnt + ${eps * total}")
+    }
+  }
+
+  test("l30: tf/df ranking picks the distinctive term, not the common one") {
+    val d = Seq(
+      (1L, "a", "rare rare common"),
+      (2L, "a", "common other other")).toDF("doc_id", "source", "text")
+    // df: rare=1, common=2, other=1.
+    // doc 1: rare 2/1 = 2.0 beats common 1/2; doc 2: other 2/1 = 2.0
+    // beats common 1/2.
+    val top = CurationOps.tfidfTop(d)
+      .select("doc_id", "keyword").as[(Long, String)].collect().toMap
+    assert(top(1L) == "rare" && top(2L) == "other")
+  }
+}

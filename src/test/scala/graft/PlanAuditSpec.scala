@@ -40,6 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "l19_repetition_filter", "l20_pii_scrub", "l22_sequence_packing",
     "l23_stratified_sample", "l25_curation_pipeline",
     "l26_incremental_dedup",
+    "l27_paragraph_dedup", "l28_boilerplate_lines", "l29_heavy_hitters",
+    "l30_tfidf_keywords",
     "k01_salted_agg", "k02_approx_distinct", "k04_approx_quantile")
 
   test("no lazily-planned query contains a CartesianProduct") {
