@@ -24,10 +24,15 @@ import graft.functions.Text
   *    aggregation collapses the hot tokens before the exchange, so the
   *    shuffle carries ~vocabulary rows per partition, not ~token
   *    occurrences. The top-k is TakeOrdered, never a global sort.
-  *  - l30 tf-idf: document frequency is derived from the tf aggregate
-  *    (already distinct per (doc, token)) — one exploded shuffle total —
-  *    and joined back broadcast (a vocabulary fits executor memory at
-  *    any corpus size that fits a language).
+  *  - l30 tf-idf: document frequency is a rollup of the tf aggregate
+  *    (already distinct per (doc, token)), joined back broadcast — the
+  *    big tf side never reshuffles for the join, and a vocabulary fits
+  *    executor memory at any corpus size that fits a language. Spark
+  *    plans the df branch as its own column-pruned scan (no exchange
+  *    reuse across the branches) — an extra linear pass, not an extra
+  *    shuffle of the wide side; the rank filter plans as
+  *    WindowGroupLimit, so each partition forwards one row per doc to
+  *    the window exchange.
   */
 object CurationOps extends QueryPack {
 
