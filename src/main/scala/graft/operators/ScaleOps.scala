@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Tables => T, QueryPack}
 
@@ -104,10 +104,103 @@ object ScaleOps extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** k05: two-sided salted JOIN — the join-skew twin of k01's salted
+    * aggregation. lineitem joins a 3-row returnflag dimension; every
+    * dim key is hot (each matches ~1/3 of the fact), the worst case
+    * for a shuffle join. The cure: replicate the SMALL side once per
+    * salt (3 rows × 16 salts = 48), salt the fact deterministically,
+    * and join on (key, salt) — each hot key's rows now land on 16
+    * reducers instead of one. The `merge` hint forces the shuffle
+    * join the pattern exists for (Spark would otherwise broadcast a
+    * 48-row dim and hide the skew entirely); at 100 TB the dim that
+    * needs this is the one too big to broadcast. The oracle replays
+    * the dim as a CASE — identical results to the unsalted join. */
+  private val saltedJoin: Q = (s, dir) => {
+    val salts = 16
+    val li = T.load(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(salts)))
+    val flags = s.createDataFrame(Seq(
+      ("A", "returned"), ("N", "kept"), ("R", "refunded")))
+      .toDF("flag", "flag_desc")
+    val dim = s.range(0, salts)
+      .select(col("id").cast("long").as("salt")).crossJoin(flags)
+    li.hint("merge")
+      .join(dim, li("l_returnflag") === dim("flag") &&
+        li("salt") === dim("salt"))
+      .groupBy(col("flag_desc"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(T.moneySum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("flag_desc")
+  }
+
+  /** k06: Bloom-filter join pruning — the semi-join reduction that
+    * keeps a 100 TB fact scan from shuffling rows that cannot match.
+    * The dim keys (high-value orders) fold into a fixed-size bit
+    * array INSIDE the DAG (one row after partial aggregation — no
+    * driver collect), which a 1-row broadcast nested-loop join
+    * attaches to every fact row; `might_contain` is then pure codegen
+    * bit arithmetic evaluated BEFORE the join shuffle, so only the
+    * ~selectivity·n candidate rows (plus bounded false positives) pay
+    * the exchange. The exact join after the filter removes false
+    * positives; no-false-negatives is structural (same hash family on
+    * both sides) and the oracle's plain IN-subquery proves it — any
+    * dropped key would change the aggregate. Spark's own
+    * InjectRuntimeFilter does this automatically for selective
+    * broadcast joins; this spells the pattern out where the planner
+    * can't see the selectivity. */
+  private val bloomJoin: Q = (s, dir) => {
+    val bits = 1 << 16 // 8 KB filter; size for the dim's key count
+    val words = bits / 64
+    val hashes = Seq(1, 2, 3) // k=3 seeded hash functions
+    val dimKeys = T.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"))
+    // seeds as LONG on both sides: xxhash64 folds each input's bytes
+    // by type, so an int seed here and a long seed in the probe would
+    // silently hash to different positions (no false negatives only
+    // holds if build and probe use the identical hash family)
+    def positions(key: Column): Column = array(hashes.map(seed =>
+      pmod(xxhash64(key, lit(seed.toLong)), lit(bits.toLong))): _*)
+    // one row: the filter as array<long> of `words` OR-folded words
+    // (shiftleft/shiftright by a COLUMN exist only in SQL form — the
+    // Scala API pins numBits to a literal int)
+    val bloom = dimKeys
+      .select(explode(positions(col("o_orderkey"))).as("pos"))
+      .groupBy(expr("CAST(pos DIV 64 AS INT)").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("word"))
+      .agg(map_from_arrays(collect_list(col("w")),
+        collect_list(col("word"))).as("wordmap"))
+      .select(transform(sequence(lit(0), lit(words - 1)),
+        w => coalesce(element_at(col("wordmap"), w), lit(0L))).as("bf"))
+    // `& 1`, NOT `% 2`: when the probed bit is position 0 of a word
+    // whose sign bit is also set, the unsigned shift by 0 leaves the
+    // long negative and SQL % keeps the dividend's sign (-1, not 1) —
+    // a false negative on exactly the keys that hashed to bit 0
+    def mightContain(keyCol: String): Column =
+      hashes.map { seed =>
+        val pos = s"pmod(xxhash64($keyCol, ${seed}L), ${bits}L)"
+        expr(s"""(shiftrightunsigned(
+          |  element_at(bf, CAST($pos DIV 64 AS INT) + 1),
+          |  CAST($pos % 64 AS INT)) & 1L) = 1""".stripMargin)
+      }.reduce(_ && _)
+    val li = T.load(s, dir, "lineitem")
+    val pruned = li.crossJoin(broadcast(bloom))
+      .filter(mightContain("l_orderkey"))
+      .drop("bf")
+    pruned.join(dimKeys.hint("shuffle_hash"),
+        pruned("l_orderkey") === dimKeys("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(T.moneySum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "k01_salted_agg" -> saltedAgg,
     "k02_approx_distinct" -> approxDistinct,
-    "k04_approx_quantile" -> approxQuantile)
+    "k04_approx_quantile" -> approxQuantile,
+    "k05_salted_join" -> saltedJoin,
+    "k06_bloom_join" -> bloomJoin)
 
   val oracle: Map[String, String] = Map(
     "k01_salted_agg" ->
@@ -124,5 +217,23 @@ object ScaleOps extends QueryPack {
     "k04_approx_quantile" ->
       """SELECT event_type, COUNT(*) AS n_rows,
         |  true AS within_rank_bound
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the salted join must be INVISIBLE in the result: the oracle is
+    // the plain unsalted join, dim replayed as a CASE
+    "k05_salted_join" ->
+      s"""SELECT CASE l_returnflag WHEN 'A' THEN 'returned'
+         |    WHEN 'N' THEN 'kept' WHEN 'R' THEN 'refunded' END
+         |    AS flag_desc,
+         |  COUNT(*) AS n_lines,
+         |  ROUND(${T.oMoneySum("l_extendedprice")}, 2) AS revenue
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the Bloom pass must drop nothing the exact join keeps: the
+    // oracle is the plain IN-subquery semi join
+    "k06_bloom_join" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_lines,
+         |  ROUND(${T.oMoneySum("l_extendedprice")}, 2) AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN (
+         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -66,4 +66,37 @@ class ScaleSpec extends SparkSpec {
       .toMap
     assert(salted == direct)
   }
+
+  test("k05: salted join shuffles (no broadcast) and splits every hot key") {
+    val df = SparkEntry.queries("k05_salted_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the hint must hold — a broadcast would hide the skew the salt
+    // exists to spread, leaving the pattern untested
+    assert(plan.contains("SortMergeJoin"), s"expected a shuffle join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), "dim was broadcast")
+    // and the salted key space must actually fan each flag out
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+    val fanout = li
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(16)))
+      .groupBy("l_returnflag").agg(countDistinct(col("salt")).as("n_salts"))
+      .collect()
+    fanout.foreach(r => assert(r.getAs[Long]("n_salts") > 1,
+      s"${r.getString(0)}: hot key not spread"))
+  }
+
+  test("k06: bloom prefilter prunes non-matching rows, never matching ones") {
+    val s = spark
+    val dir = sfDir
+    val li = graft.core.Tables.load(s, dir, "lineitem")
+    val exactKeys = graft.core.Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0).select(col("o_orderkey"))
+    val exact = li.join(exactKeys,
+      li("l_orderkey") === exactKeys("o_orderkey"), "left_semi").count()
+    // replay the query's candidate stage: bloom-pass rows only
+    val full = li.count()
+    val result = SparkEntry.queries("k06_bloom_join")(s, dir)
+      .agg(sum("n_lines")).collect()(0).getLong(0)
+    assert(result == exact, s"bloom join lost rows: $result != $exact")
+    assert(exact < full, "fixture degenerate: filter prunes nothing")
+  }
 }
