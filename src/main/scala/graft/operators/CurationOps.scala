@@ -181,11 +181,58 @@ object CurationOps extends QueryPack {
 
   private val tfidfKeywords: Q = (s, dir) => tfidfTop(docs(s, dir))
 
+  // ---- l31: fixed-window token chunking (pretraining splitter) -------
+
+  /** Window/stride of the chunker — the l22 sequence-packer's
+    * complement: packing concatenates short docs up to a budget,
+    * chunking splits long docs into overlapping windows (stride <
+    * window ⇒ 16-token overlap carries context across cuts, the
+    * standard pretraining setup). */
+  private val chunkW = 64
+  private val chunkS = 48
+
+  /** Explode each document into its token windows: chunk i covers
+    * tokens [i·S, i·S+W); the last window may run short. Chunk count
+    * is 1 for docs that fit one window, else ceil((n-W)/S)+1 in exact
+    * integer arithmetic (the oracle replays the same closed form).
+    *
+    * 100 TB shape: one narrow pass — tokenize, per-row transform,
+    * explode, hash-agg rollup. The token arrays materialize below a
+    * repartition exchange so the chunk lambdas slice a computed
+    * array instead of re-running the tokenizer per window (the same
+    * inlining hazard the minhash shingles hit); the explode's output
+    * is consumed by a map-side partial agg, so the only shuffle is
+    * ~|langs| rollup rows. */
+  /** Per-chunk token counts of every document: one (lang, chunk_tokens)
+    * row per window. Exposed for the coverage-property spec. */
+  def chunkSizes(d: DataFrame, w: Int, stride: Int): DataFrame =
+    d.select(col("lang"), Text.tokens(col("text")).as("tk"))
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("n_chunks", when(col("n_tok") <= w, 1L)
+        .otherwise(expr(
+          s"(n_tok - $w + ${stride - 1}) div $stride + 1")))
+      .select(col("lang"), explode(expr(
+        s"""transform(sequence(0, n_chunks - 1),
+           |  i -> size(slice(tk, CAST(i * $stride + 1 AS INT), $w)))"""
+          .stripMargin)).as("chunk_tokens"))
+
+  private val tokenChunks: Q = (s, dir) =>
+    chunkSizes(docs(s, dir), chunkW, chunkS)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).cast("long").as("sum_chunk_tokens"),
+        max(col("chunk_tokens")).cast("long").as("max_chunk_tokens"),
+        min(col("chunk_tokens")).cast("long").as("min_chunk_tokens"))
+      .orderBy("lang")
+
   val queries: Map[String, Q] = Map(
     "l27_paragraph_dedup" -> paragraphDedup,
     "l28_boilerplate_lines" -> boilerplateLines,
     "l29_heavy_hitters" -> heavyHitters,
-    "l30_tfidf_keywords" -> tfidfKeywords)
+    "l30_tfidf_keywords" -> tfidfKeywords,
+    "l31_token_chunks" -> tokenChunks)
 
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
@@ -263,5 +310,29 @@ object CurationOps extends QueryPack {
          |      tf.token) AS rn
          |  FROM tf JOIN df USING (token))
          |SELECT doc_id, token AS keyword, tf, df FROM r WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    // closed-form replay of the chunker: c = ceil((n-W)/S)+1 windows,
+    // every non-last window holds exactly W tokens, the last holds
+    // n-(c-1)·S — so the per-doc chunk-size multiset is fully
+    // determined by n and the constants, no list manipulation needed
+    "l31_token_chunks" ->
+      s"""WITH t AS (
+         |  SELECT lang, len($oToks) AS n FROM documents),
+         |c AS (
+         |  SELECT lang, n,
+         |    CASE WHEN n <= $chunkW THEN 1
+         |      ELSE (n - $chunkW + ${chunkS - 1}) // $chunkS + 1 END AS c
+         |  FROM t),
+         |d AS (
+         |  SELECT lang, c,
+         |    n - (c - 1) * $chunkS AS last_sz,
+         |    CASE WHEN c = 1 THEN n
+         |      ELSE (c - 1) * $chunkW + n - (c - 1) * $chunkS END AS sum_sz,
+         |    CASE WHEN c = 1 THEN n ELSE $chunkW END AS max_sz
+         |  FROM c)
+         |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(sum_sz) AS BIGINT) AS sum_chunk_tokens,
+         |  CAST(MAX(max_sz) AS BIGINT) AS max_chunk_tokens,
+         |  CAST(MIN(last_sz) AS BIGINT) AS min_chunk_tokens
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -90,4 +90,27 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "keyword").as[(Long, String)].collect().toMap
     assert(top(1L) == "rare" && top(2L) == "other")
   }
+
+  test("l31: chunk windows cover every token exactly per the stride") {
+    // w=4, stride=3: 10 tokens -> chunks at 0,3,6 with sizes 4,4,4
+    // (starts 0/3/6 cover [0,10) with 1-token overlap); 3 tokens -> one
+    // short chunk; 4 tokens -> exactly one full window.
+    val d = Seq(
+      (1L, "en", (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "en", "a b c"),
+      (3L, "en", "a b c d")).toDF("doc_id", "lang", "text")
+    val sizes = CurationOps.chunkSizes(d, 4, 3)
+      .groupBy("lang").agg(
+        count(lit(1)).as("n"), sum("chunk_tokens").as("tot"),
+        collect_list("chunk_tokens").as("all"))
+      .collect()(0)
+    // doc1: ceil((10-4)/3)+1 = 3 chunks, sizes 4+4+4 (last starts at 6,
+    // slice(7,4) = tokens 7..10 = 4 tokens); doc2: 1 chunk of 3;
+    // doc3: 1 chunk of 4. Coverage: each doc's final chunk must reach
+    // its last token — sum per doc = (c-1)*w + (n-(c-1)*s).
+    assert(sizes.getAs[Long]("n") == 5, s"chunk count: $sizes")
+    assert(sizes.getAs[Long]("tot") == 12 + 3 + 4, s"token mass: $sizes")
+    assert(sizes.getAs[scala.collection.Seq[Int]]("all")
+      .toSeq.sorted == Seq(3, 4, 4, 4, 4))
+  }
 }
