@@ -22,6 +22,7 @@ object SparkEntry {
     Streaming,
     LlmOps,
     CurationOps,
+    KMeansOps,
     Dml,
     MaintenanceOps,
     Scalars,

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.{Tables => T, QueryPack}
+
+/** Distributed Lloyd's k-means over the embedding corpus — the training
+  * half of the IVF index: l14/l15 assign and search against SEED
+  * centroids (first-k init); this learns better ones from the data,
+  * completing the index-build story (reference similarity surface,
+  * `/root/reference/PRD.md` vector-search appendix; init matches
+  * ivfAssign's deterministic first-k seeds so iteration 0 reproduces
+  * l14's assignment exactly).
+  *
+  * 100 TB design:
+  *  - The MODEL is the loop state: k·d doubles broadcast down each
+  *    iteration (as a literal expression tree — no side channel) and
+  *    collected back up as k·d aggregated sums. Both transfers are
+  *    bounded by the model size, never by the corpus: this is the same
+  *    shape MLlib's KMeans hand-rolls with treeAggregate.
+  *  - Assignment is one narrow codegen pass: an argmin fold over the
+  *    centroid array with (dist, cid) structs materialized inside the
+  *    fold — each centroid's O(d) distance evaluates exactly once per
+  *    row (the tokenHashes discipline), ties to lowest cid.
+  *  - Mean recompute flows posexplode(vec) → hash agg on (cid, pos):
+  *    the n·d exploded rows are consumed by map-side partial
+  *    aggregation, so the exchange carries ~k·d rows per partition.
+  *  - Each iteration's assignment is persisted (MEMORY_AND_DISK) for
+  *    the duration of its two reads (WCSS + sums) and explicitly
+  *    unpersisted — recomputing the lineage would re-scan the corpus
+  *    twice per iteration.
+  *  - Empty cells keep their previous centroid (deterministic, no
+  *    respawn randomness).
+  */
+object KMeansOps extends QueryPack {
+
+  /** Trained model + within-cluster-sum-of-squares per iteration
+    * (wcss(i) is measured against the model BEFORE iteration i's
+    * update, so wcss.head is the seed model's score). */
+  final case class KMeansModel(
+      centroids: Array[Array[Double]], wcss: Seq[Double])
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "embeddings")
+      .withColumn("vec", col("embedding").cast("array<double>"))
+
+  /** (squared-distance, cid) argmin fold over the attached `cents`
+    * column. Same expression shape as LlmOps.ivfAssign's argmax: the
+    * (d, cid) structs materialize inside the transform FIRST, so each
+    * centroid's O(d) distance fold runs exactly once per row. */
+  private val assignExpr: Column = expr(
+    """aggregate(
+      |  transform(cents, c -> named_struct(
+      |    'd', aggregate(zip_with(vec, c.cvec, (x, y) -> (x-y)*(x-y)),
+      |           0.0D, (a, v) -> a + v),
+      |    'cid', c.cid)),
+      |  named_struct('best', CAST(1e308 AS DOUBLE), 'cid', -1),
+      |  (acc, s) -> IF(
+      |    s.d < acc.best OR (s.d = acc.best AND s.cid < acc.cid),
+      |    named_struct('best', s.d, 'cid', s.cid),
+      |    acc))""".stripMargin)
+
+  /** Lloyd's iterations from the deterministic first-k seed init. */
+  def train(e: DataFrame, k: Int, iters: Int): KMeansModel = {
+    val seeds = e.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("vec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    var model = seeds
+    val wcss = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val cents = array(model.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("cid"),
+          array(c.map(lit).toIndexedSeq: _*).as("cvec"))
+      }.toIndexedSeq: _*)
+      val assigned = e.select(col("vec"))
+        .withColumn("cents", cents)
+        .withColumn("a", assignExpr)
+        .select(col("vec"), col("a.best").as("dist"), col("a.cid").as("cid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        wcss += assigned.agg(sum(col("dist"))).collect()(0).getDouble(0)
+        val sums = assigned
+          .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val byCell = sums.groupBy(_.getAs[Int]("cid"))
+        model = model.zipWithIndex.map { case (old, cid) =>
+          byCell.get(cid) match {
+            case None => old // empty cell: centroid carries over
+            case Some(rows) =>
+              val c = old.clone()
+              rows.foreach { r =>
+                c(r.getAs[Int]("pos")) =
+                  r.getAs[Double]("sx") / r.getAs[Long]("n")
+              }
+              c
+          }
+        }
+      } finally assigned.unpersist()
+    }
+    KMeansModel(model, wcss.result())
+  }
+
+  /** l32: train k=8 for 5 iterations on the embeddings table. The
+    * oracle checks the deterministic columns (corpus size, model
+    * shape) and the Lloyd CONTRACT — WCSS never increases from the
+    * seed model — while the learned float centroids themselves stay
+    * engine-specific (KMeansSpec pins cluster recovery on planted
+    * data and per-iteration monotonicity). */
+  private val kmeansTrain: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val k = 8
+    val m = train(e, k, 5)
+    val improved = m.wcss.last <= m.wcss.head + 1e-6
+    e.agg(count(lit(1)).as("n_points"))
+      .select(
+        col("n_points"),
+        lit(k).cast("long").as("k"),
+        lit(5L).as("n_iters"),
+        lit(improved).as("wcss_improved"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "l32_kmeans_train" -> kmeansTrain)
+
+  val oracle: Map[String, String] = Map(
+    "l32_kmeans_train" ->
+      """SELECT COUNT(*) AS n_points, CAST(8 AS BIGINT) AS k,
+        |  CAST(5 AS BIGINT) AS n_iters, true AS wcss_improved
+        |FROM embeddings""".stripMargin)
+}
