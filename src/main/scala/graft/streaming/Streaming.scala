@@ -120,6 +120,50 @@ object Streaming extends QueryPack {
     delivered.join(unique, Seq("event_type")).orderBy("event_type")
   }
 
+  /** T7-ext: stream-stream INNER join with event-time range — the
+    * click→purchase attribution join, the canonical two-stream
+    * pattern (impressions ⋈ conversions within an attribution
+    * window). Both sides carry watermarks and the join condition
+    * bounds purchase time to [click, click+window), which is what
+    * lets the state store EVICT: a buffered click can stop waiting
+    * once the purchase watermark passes click_ts + window, and a
+    * buffered purchase once the click watermark passes its ts —
+    * without the time bound both sides' state grows forever. Batch
+    * frames run the identical plan minus the watermark nodes
+    * (Catalyst eliminates them), so the DuckDB range-join oracle
+    * checks the join semantics and StreamingSpec checks the streamed
+    * result converges to the same rows. Scale shape: shuffles both
+    * streams on user_id only; the range predicate filters inside the
+    * joined state, never fanning out beyond true (click, purchase)
+    * pairs. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes", lateness: String = "0 seconds")
+      : DataFrame = {
+    val c = clicks.withWatermark("click_ts", lateness)
+    val p = purchases.withWatermark("buy_ts", lateness)
+    c.join(p, c("user_id") === p("user_id") &&
+        p("buy_ts") >= c("click_ts") &&
+        p("buy_ts") < c("click_ts") + expr(s"INTERVAL $window"))
+      .select(c("user_id"), col("click_ts"), col("buy_ts"), col("value"))
+  }
+
+  /** t05 batch gate: attribute each purchase to the user's clicks in
+    * the preceding 30 minutes and roll up per user. Purchases matching
+    * several clicks count once per pair — the join's row set, not a
+    * dedup of it, is the operator under test. */
+  private val attributionAgg: Q = (s, dir) => {
+    val ev = T.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("value"))
+    attributionJoin(clicks, buys)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+        round(T.moneySum(col("value")), 2).as("attributed_revenue"))
+      .orderBy("user_id")
+  }
+
   /** Continuous CDC apply: merge one micro-batch of keyed updates into
     * the versioned snapshot table — the body [[upsertSink]] hands to
     * foreachBatch, kept public so batch callers and the spec can apply
@@ -208,7 +252,8 @@ object Streaming extends QueryPack {
     "t01_tumbling_window_agg" -> tumblingWindowAgg,
     "t02_hour_window_agg" -> hourWindowAgg,
     "t03_session_window_agg" -> sessionAgg,
-    "t04_stream_dedup" -> streamDedup)
+    "t04_stream_dedup" -> streamDedup,
+    "t05_attribution_join" -> attributionAgg)
 
   val oracle: Map[String, String] = Map(
     "t01_tumbling_window_agg" ->
@@ -263,5 +308,18 @@ object Streaming extends QueryPack {
         |  COUNT(*) + CAST(SUM(CASE WHEN event_id % 20 = 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_delivered,
         |  COUNT(DISTINCT event_id) AS n_unique
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t05_attribution_join" ->
+      s"""WITH c AS (
+         |  SELECT user_id, ts AS click_ts FROM events
+         |  WHERE event_type = 'click'),
+         |p AS (
+         |  SELECT user_id, ts AS buy_ts, value FROM events
+         |  WHERE event_type = 'purchase')
+         |SELECT c.user_id, COUNT(*) AS n_attributed,
+         |  ROUND(${T.oMoneySum("value")}, 2) AS attributed_revenue
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |  AND p.buy_ts >= c.click_ts
+         |  AND p.buy_ts < c.click_ts + INTERVAL 30 MINUTE
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

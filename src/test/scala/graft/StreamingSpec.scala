@@ -271,4 +271,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("t6_dead").columns.toSeq ==
       Seq("error", "record", "error_type", "pipeline_name"))
   }
+
+  test("t05: streamed click->purchase attribution equals the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = eventsStatic
+    val clicksStatic = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"))
+    val buysStatic = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("buy_ts"), $"value")
+
+    val memC = MemoryStream[(Long, java.sql.Timestamp)]
+    val memP = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = Streaming.attributionJoin(
+        memC.toDF().toDF("user_id", "click_ts"),
+        memP.toDF().toDF("user_id", "buy_ts", "value"))
+      .writeStream.format("memory").queryName("t5_attr")
+      .outputMode("append").start()
+    try {
+      memC.addData(clicksStatic.as[(Long, java.sql.Timestamp)].collect().toSeq)
+      memP.addData(
+        buysStatic.as[(Long, java.sql.Timestamp, Double)].collect().toSeq)
+      q.processAllAvailable()
+      // inner stream-stream join emits matches as both sides arrive;
+      // advance both watermarks so every buffered pair flushes
+      val far = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      memC.addData(Seq((-1L, far)))
+      memP.addData(Seq((-1L, far, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3))
+    val streamed = spark.table("t5_attr").filter($"user_id" >= 0)
+      .collect().map(key).sorted
+    val batch = Streaming.attributionJoin(clicksStatic, buysStatic)
+      .collect().map(key).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
