@@ -227,12 +227,51 @@ object CurationOps extends QueryPack {
         min(col("chunk_tokens")).cast("long").as("min_chunk_tokens"))
       .orderBy("lang")
 
+  // ---- l33: temperature-resampled language mix -----------------------
+
+  /** l33: temperature resampling (T=2): language weight
+    * w = sqrt(n_min / n_lang) keeps the scarcest language whole and
+    * downsamples the rest toward the square root of their share — the
+    * standard multilingual rebalance between native proportions (T=1)
+    * and uniform (T=∞). Selection thresholds the deterministic
+    * portable mix hash of doc_id at w (the l17 split's hash family),
+    * so the kept set is reproducible across runs AND engines: the
+    * count inputs are exact integers, IEEE division and sqrt are
+    * correctly rounded, so both engines derive bit-identical weights
+    * and the oracle replays the exact sample membership.
+    *
+    * 100 TB shape: the per-language count table is a tiny rollup,
+    * broadcast back onto the corpus; sampling is then one narrow
+    * stateless pass (no shuffle of documents at all) — rerunnable
+    * incrementally on new partitions because membership depends only
+    * on (doc_id, weight). */
+  private val temperatureSample: Q = (s, dir) => {
+    val counts = docs(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val weights = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("min_n"))))
+      .withColumn("w",
+        sqrt(col("min_n").cast("double") / col("n_docs").cast("double")))
+      .select(col("lang"), col("n_docs"), col("w"))
+    docs(s, dir).select(col("lang"), col("doc_id"))
+      .join(broadcast(weights), Seq("lang"))
+      .withColumn("u", expr(
+        s"(${Text.portableMixSql("doc_id + 1")} % 10000) / 10000.0D"))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        sum(when(col("u") < col("w"), 1L).otherwise(0L)).as("n_sampled"),
+        max(col("w")).as("weight"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "l27_paragraph_dedup" -> paragraphDedup,
     "l28_boilerplate_lines" -> boilerplateLines,
     "l29_heavy_hitters" -> heavyHitters,
     "l30_tfidf_keywords" -> tfidfKeywords,
-    "l31_token_chunks" -> tokenChunks)
+    "l31_token_chunks" -> tokenChunks,
+    "l33_temperature_sample" -> temperatureSample)
 
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
@@ -334,5 +373,23 @@ object CurationOps extends QueryPack {
          |  CAST(SUM(sum_sz) AS BIGINT) AS sum_chunk_tokens,
          |  CAST(MAX(max_sz) AS BIGINT) AS max_chunk_tokens,
          |  CAST(MIN(last_sz) AS BIGINT) AS min_chunk_tokens
-         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // weights from exact integer counts through IEEE div + sqrt (both
+    // correctly rounded) → bit-identical doubles in both engines; the
+    // sample membership compare then replays exactly
+    "l33_temperature_sample" ->
+      s"""WITH c AS (
+         |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT lang, n_docs,
+         |    sqrt(CAST(MIN(n_docs) OVER () AS DOUBLE) /
+         |         CAST(n_docs AS DOUBLE)) AS w
+         |  FROM c)
+         |SELECT d.lang, CAST(MAX(w.n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN
+         |      (${Text.oPortableMixSql("d.doc_id + 1")} % 10000) / 10000.0
+         |        < w.w THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  MAX(w.w) AS weight
+         |FROM documents d JOIN w ON d.lang = w.lang
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -267,6 +267,44 @@ object Dml extends QueryPack {
       .orderBy("order_day")
   }
 
+  /** D9-ext: INCREMENTAL matview maintenance — the refresh d09 does by
+    * full recompute, done by merging partial aggregates instead: the
+    * view stores decomposable state (count + exact decimal sum), a
+    * delta batch aggregates ONLY its own rows, and the new version is
+    * a small groupBy over (stored state ∪ delta state). History is
+    * never rescanned — at 100 TB the full recompute rereads the world
+    * while this reads yesterday's partial rows (|days| rows) plus the
+    * delta. The oracle is the full recompute over all rows: merged
+    * partials must be indistinguishable from it (sum/count are
+    * self-decomposable; the exact-decimal state dodges float
+    * reassociation). Final projection casts the decimal state out to
+    * double — the published schema carries no DECIMAL column. */
+  private val incrementalMatview: Q = (s, dir) => {
+    val path = Scratch.dir("d13_incr_mv")
+    val o = T.load(s, dir, "orders")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(to_date(col("o_orderdate")).as("order_day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(T.dec2(col("o_totalprice"))).as("price_state"))
+    // v1: bootstrap from history (months 1-6)
+    partial(o.filter(month(col("o_orderdate")) <= 6))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    // delta arrives (months 7-12): aggregate the delta alone, merge
+    // states — one shuffle over |days| + |delta days| partial rows
+    val delta = partial(o.filter(month(col("o_orderdate")) > 6))
+    // both sides carry identical types: the stored state is the same
+    // sum(decimal(18,2)) the delta produces, round-tripped via parquet
+    val merged = s.read.parquet(path)
+      .unionByName(delta)
+      .groupBy(col("order_day"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("price_state")).as("price_state"))
+    merged
+      .select(col("order_day"), col("n_orders").cast("long").as("n_orders"),
+        round(col("price_state").cast("double"), 2).as("revenue"))
+      .orderBy("order_day")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_insert_select" -> insertSelect,
     "d03_delete_where" -> deleteWhere,
@@ -278,7 +316,8 @@ object Dml extends QueryPack {
     "d09_matview_recompute" -> matviewRecompute,
     "d10_schema_evolution_log" -> schemaEvolutionLog,
     "d11_type_widening" -> typeWidening,
-    "d12_rollback" -> rollbackQ)
+    "d12_rollback" -> rollbackQ,
+    "d13_incremental_matview" -> incrementalMatview)
 
   val oracle: Map[String, String] = Map(
     "d01_insert_select" ->
@@ -354,5 +393,11 @@ object Dml extends QueryPack {
         |  (SELECT COUNT(*) FROM orders) AS current_rows,
         |  (SELECT COUNT(*) FROM orders WHERE month(o_orderdate) <= 6)
         |    AS bad_rows,
-        |  CAST(3 AS BIGINT) AS n_versions""".stripMargin)
+        |  CAST(3 AS BIGINT) AS n_versions""".stripMargin,
+    // merged partials must equal the full recompute over ALL rows
+    "d13_incremental_matview" ->
+      s"""SELECT CAST(o_orderdate AS DATE) AS order_day,
+         |  COUNT(*) AS n_orders,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS revenue
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
 }

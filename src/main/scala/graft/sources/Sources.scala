@@ -155,12 +155,33 @@ object Sources extends QueryPack {
       .orderBy("o_source", "o_orderpriority")
   }
 
+  /** S-ext: ORC round-trip — the second columnar format a lakehouse
+    * ingests beside parquet (the reference's federated sources are
+    * format-heterogeneous by design, `PRD.md:1300-1357`). Projection +
+    * predicate push into the ORC reader the same as parquet
+    * (`PushedFilters` in the scan), so the scan-level pruning story
+    * carries over; writer shards one file per partition. */
+  private val orcRoundtrip: Q = (s, dir) => {
+    val path = scratch("s10_orc")
+    T.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).orc(path)
+    s.read.orc(path)
+      .filter(col("o_totalprice") > 100000.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_jsonl_scan" -> jsonlScan,
     "s02_csv_scan" -> csvScan,
     "s05_append_sink" -> appendSink,
     "s06_error_sink" -> errorSink,
-    "s09_federated_union" -> federatedUnion)
+    "s09_federated_union" -> federatedUnion,
+    "s10_orc_roundtrip" -> orcRoundtrip)
 
   val oracle: Map[String, String] = Map(
     // Classes 0/1 never parse a payment_type; class 4's total is negated;
@@ -206,5 +227,10 @@ object Sources extends QueryPack {
         |  UNION ALL
         |  SELECT o_orderpriority, 'aws' AS o_source FROM orders
         |  WHERE o_totalprice > 200000.0)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s10_orc_roundtrip" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_rows,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS sum_price
+         |FROM orders WHERE o_totalprice > 100000.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
