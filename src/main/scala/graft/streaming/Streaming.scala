@@ -164,6 +164,57 @@ object Streaming extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** Per-user running profile the stateful operators fold: event count,
+    * exact cents total, max inter-event gap. Cents keep the money
+    * arithmetic associative-exact; the gap uses truncated epoch millis
+    * (both engines truncate the same way). */
+  final case class UserEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  final case class UserProfile(user_id: Long, n_events: Long,
+      total_value: Double, max_gap_ms: Long)
+
+  /** The ONE state transition both execution modes share: sort the
+    * user's events (ts, event_id — total order) and fold. */
+  def foldUser(userId: Long, events: Iterator[UserEvent]): UserProfile = {
+    val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    var cents = 0L
+    var maxGap = 0L
+    var prev = -1L
+    sorted.foreach { e =>
+      cents += math.rint(e.value * 100).toLong
+      val ms = e.ts.toInstant.toEpochMilli
+      if (prev >= 0 && ms - prev > maxGap) maxGap = ms - prev
+      prev = ms
+    }
+    UserProfile(userId, sorted.length.toLong, cents.toDouble / 100.0, maxGap)
+  }
+
+  /** T-state: arbitrary stateful processing (`mapGroupsWithState`) —
+    * the escape hatch for per-key logic no built-in window expresses,
+    * here a running user profile. The SAME [[foldUser]] transition
+    * runs three ways: batch `mapGroups` (this entry — a typed
+    * `Dataset[UserEvent]` pass, checked against a DuckDB window-
+    * function replay), streaming `mapGroupsWithState` (StreamingSpec,
+    * converging to the batch answer), and incrementally (state + new
+    * events re-fold). Scale shape: one shuffle on user_id; each
+    * group's events sort in memory — bounded by a single user's
+    * history, the same per-key bound the streaming state store
+    * carries; a pathological key would salt-and-merge like k01. */
+  private val statefulUserProfile: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[UserEvent]
+    // no ROUND on total_value: cents/100.0 is the same IEEE division
+    // the oracle performs on the same exact integer — identical bits
+    ev.groupByKey(_.user_id)
+      .mapGroups((uid, it) => foldUser(uid, it))
+      .toDF()
+      .select(col("user_id"), col("n_events"),
+        col("total_value"), col("max_gap_ms"))
+      .orderBy("user_id")
+  }
+
   /** Continuous CDC apply: merge one micro-batch of keyed updates into
     * the versioned snapshot table — the body [[upsertSink]] hands to
     * foreachBatch, kept public so batch callers and the spec can apply
@@ -253,7 +304,8 @@ object Streaming extends QueryPack {
     "t02_hour_window_agg" -> hourWindowAgg,
     "t03_session_window_agg" -> sessionAgg,
     "t04_stream_dedup" -> streamDedup,
-    "t05_attribution_join" -> attributionAgg)
+    "t05_attribution_join" -> attributionAgg,
+    "t06_stateful_profile" -> statefulUserProfile)
 
   val oracle: Map[String, String] = Map(
     "t01_tumbling_window_agg" ->
@@ -321,5 +373,17 @@ object Streaming extends QueryPack {
          |FROM c JOIN p ON c.user_id = p.user_id
          |  AND p.buy_ts >= c.click_ts
          |  AND p.buy_ts < c.click_ts + INTERVAL 30 MINUTE
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the state fold replayed relationally: cents sum + LAG-gap max
+    "t06_stateful_profile" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS total_value,
+        |  CAST(COALESCE(MAX(ms - prev_ms), 0) AS BIGINT) AS max_gap_ms
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -309,4 +309,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("t06: mapGroupsWithState converges to the batch fold") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import Streaming.{UserEvent, UserProfile}
+    implicit val sqlCtx = spark.sqlContext
+
+    val static = eventsStatic
+      .select($"user_id", $"event_id", $"ts", $"value").as[UserEvent]
+    val mem = MemoryStream[UserEvent]
+
+    // state = the events seen so far; each batch re-folds state ∪ new.
+    // (A real deployment folds incrementally; buffering keeps the spec
+    // honest about WHAT converges without duplicating the transition.)
+    def update(uid: Long, batch: Iterator[UserEvent],
+        st: GroupState[Seq[UserEvent]]): UserProfile = {
+      val all = st.getOption.getOrElse(Seq.empty) ++ batch
+      st.update(all)
+      Streaming.foldUser(uid, all.iterator)
+    }
+    val q = mem.toDS().groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .writeStream.format("memory").queryName("t6_profile")
+      .outputMode("update").start()
+    try {
+      // two batches: the second must REVISE the first's emitted state
+      val (a, b) = static.collect().toSeq.splitAt(800)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+
+    // update mode emits one row per touched key per batch; the LAST
+    // emission per key is the converged state
+    val streamed = spark.table("t6_profile")
+      .withColumn("emit", monotonically_increasing_id())
+      .groupBy($"user_id").agg(max(struct($"emit", $"n_events",
+        $"total_value", $"max_gap_ms")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.total_value", $"s.max_gap_ms")
+      .as[UserProfile].collect().sortBy(_.user_id).toSeq
+    val batch = static.groupByKey(_.user_id)
+      .mapGroups((uid, it) => Streaming.foldUser(uid, it))
+      .collect().sortBy(_.user_id).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
