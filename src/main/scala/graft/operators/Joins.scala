@@ -106,6 +106,48 @@ object Joins extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** J4-ext: ANTI join — the semi join's complement (NOT EXISTS):
+    * customers who placed no urgent order. Same scale shape as q14:
+    * the probe side reduces to distinct keys before broadcast, the
+    * fact never shuffles; `left_anti` keeps rows with NO match, which
+    * a NOT IN subquery only equals when the subquery is null-free
+    * (o_custkey is a key — the oracle states NOT EXISTS to dodge the
+    * NOT IN null trap entirely). */
+  private val antiJoin: Q = (s, dir) => {
+    val c = T.load(s, dir, "customer")
+    val o = T.load(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** J-ext: FULL OUTER join — reconciliation between two aggregates
+    * that each carry keys the other lacks (the audit query shape: which
+    * days have orders but no events, and vice versa). Both sides
+    * pre-aggregate to |days| rows BEFORE the join, so the full outer —
+    * which cannot broadcast (both sides must keep unmatched rows) —
+    * shuffles only the two small rollups, never the facts. */
+  private val fullOuterJoin: Q = (s, dir) => {
+    val od = T.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ed = T.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    od.join(ed, Seq("day"), "full_outer")
+      .select(
+        col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("n_orders").isNull, "events_only")
+          .when(col("n_events").isNull, "orders_only")
+          .otherwise("both").as("presence"))
+      .orderBy("day")
+  }
+
   /** J5: join against a window-ranked aggregate, filtered on rank
     * (`PRD.md:3686-3691`): top suppliers by revenue joined back to the
     * supplier dim. The rank-then-filter form would move every group to ONE
@@ -235,7 +277,9 @@ object Joins extends QueryPack {
     "q13_left_join_expr" -> leftJoinExpr,
     "q14_semi_join" -> semiJoin,
     "q15_rank_join" -> rankJoin,
-    "q16_merge_upsert" -> mergeUpsert)
+    "q16_merge_upsert" -> mergeUpsert,
+    "q19_anti_join" -> antiJoin,
+    "q20_full_outer" -> fullOuterJoin)
 
   val oracle: Map[String, String] = Map(
     "q18_sql_entry" -> sqlEntryText, // the SAME text both engines run
@@ -305,6 +349,29 @@ object Joins extends QueryPack {
          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
          |                     WHERE o_orderpriority = '1-URGENT')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_full_outer" ->
+      """WITH od AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |ed AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT COALESCE(od.day, ed.day) AS day,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_events, 0) AS n_events,
+        |  CASE WHEN n_orders IS NULL THEN 'events_only'
+        |       WHEN n_events IS NULL THEN 'orders_only'
+        |       ELSE 'both' END AS presence
+        |FROM od FULL OUTER JOIN ed ON od.day = ed.day
+        |ORDER BY 1""".stripMargin,
     "q15_rank_join" ->
       s"""WITH bysupp AS (
          |  SELECT l_suppkey,
