@@ -136,18 +136,22 @@ object ScaleOps extends QueryPack {
   /** k06: Bloom-filter join pruning — the semi-join reduction that
     * keeps a 100 TB fact scan from shuffling rows that cannot match.
     * The dim keys (high-value orders) fold into a fixed-size bit
-    * array INSIDE the DAG (one row after partial aggregation — no
-    * driver collect), which a 1-row broadcast nested-loop join
-    * attaches to every fact row; `might_contain` is then pure codegen
-    * bit arithmetic evaluated BEFORE the join shuffle, so only the
-    * ~selectivity·n candidate rows (plus bounded false positives) pay
-    * the exchange. The exact join after the filter removes false
-    * positives; no-false-negatives is structural (same hash family on
-    * both sides) and the oracle's plain IN-subquery proves it — any
-    * dropped key would change the aggregate. Spark's own
-    * InjectRuntimeFilter does this automatically for selective
-    * broadcast joins; this spells the pattern out where the planner
-    * can't see the selectivity. */
+    * array by DISTRIBUTED aggregation; only the finished 8 KB filter
+    * returns to the driver and re-enters the plan as a literal — the
+    * exact materialize-and-rebroadcast shape of Spark's own runtime
+    * filters, with transfer bounded by the sketch size, never the dim.
+    * Inlining (rather than cross-joining the 1-row filter frame) is
+    * load-bearing: as a literal, `might_contain` is a plain codegen
+    * Filter sitting directly on the fact scan, so only ~selectivity·n
+    * candidate rows (plus bounded false positives) pay the semi-join
+    * exchange — the join-reorderer CANNOT hoist a scan-level filter
+    * above the join, whereas the cross-join form got exactly that
+    * treatment (BNLJ re-planned above the semi join, filtering after
+    * the full shuffle it existed to prevent). The exact join after
+    * the filter removes false positives; no-false-negatives is
+    * structural (same hash family both sides) and the oracle's plain
+    * IN-subquery proves it — any dropped key would change the
+    * aggregate. */
   private val bloomJoin: Q = (s, dir) => {
     val bits = 1 << 16 // 8 KB filter; size for the dim's key count
     val words = bits / 64
@@ -184,7 +188,8 @@ object ScaleOps extends QueryPack {
           |  CAST($pos % 64 AS INT)) & 1L) = 1""".stripMargin)
       }.reduce(_ && _)
     val li = T.load(s, dir, "lineitem")
-    val pruned = li.crossJoin(broadcast(bloom))
+    val bfWords = bloom.collect()(0).getSeq[Long](0).toArray
+    val pruned = li.withColumn("bf", lit(bfWords))
       .filter(mightContain("l_orderkey"))
       .drop("bf")
     pruned.join(dimKeys.hint("shuffle_hash"),

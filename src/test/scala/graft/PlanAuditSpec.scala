@@ -41,8 +41,11 @@ class PlanAuditSpec extends SparkSpec {
     "l23_stratified_sample", "l25_curation_pipeline",
     "l26_incremental_dedup",
     "l27_paragraph_dedup", "l28_boilerplate_lines", "l29_heavy_hitters",
-    "l30_tfidf_keywords",
-    "k01_salted_agg", "k02_approx_distinct", "k04_approx_quantile")
+    "l30_tfidf_keywords", "l31_token_chunks", "l33_temperature_sample",
+    "k01_salted_agg", "k02_approx_distinct", "k04_approx_quantile",
+    "k05_salted_join", "k06_bloom_join",
+    "q19_anti_join", "q20_full_outer",
+    "t05_attribution_join", "t06_stateful_profile")
 
   test("no lazily-planned query contains a CartesianProduct") {
     val offenders = lazyQueries.flatMap { name =>
