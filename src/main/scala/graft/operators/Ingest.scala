@@ -117,8 +117,15 @@ object Ingest extends QueryPack {
     * format → temporal order → field casts → business rules. */
   def parseRecords(raw: DataFrame, pipelineName: String): DataFrame = {
     // P1: permissive JSON parse into a string map; malformed → null map.
-    val parsed = from_json(col("raw"), MapType(StringType, StringType))
-    def f(k: String): Column = element_at(parsed, k)
+    // Every downstream field reference goes through the MATERIALIZED
+    // `parsed` column, not the from_json expression itself — embedding
+    // the expression would splice a fresh JSON parse into each of the
+    // ~12 field lookups (observed in the executed plan: one
+    // from_json(raw) per element_at), a 12× per-row parser bill.
+    // Referencing the column keeps exactly one parse per row:
+    // CollapseProject declines to inline an alias referenced this many
+    // times, the same once-per-row discipline as Text.tokenHashes.
+    def f(k: String): Column = element_at(col("parsed"), k)
 
     // P4: canonicalize ISO-8601 (strip Z like main.py:74-76) and parse.
     // try_* variants: ANSI mode (Spark 4 default) would otherwise THROW on
@@ -130,7 +137,7 @@ object Ingest extends QueryPack {
       "trip_distance", "total_amount")
 
     raw
-      .withColumn("parsed", parsed)
+      .withColumn("parsed", from_json(col("raw"), MapType(StringType, StringType)))
       .withColumn("pickup_ts", ts("pickup_datetime"))
       .withColumn("dropoff_ts", ts("dropoff_datetime"))
       .withColumn("vendor_id_l", f("vendor_id").try_cast(LongType))
