@@ -269,6 +269,34 @@ object Joins extends QueryPack {
     s.sql(sqlEntryText)
   }
 
+  /** Q21: correlated scalar subqueries — the textual form analysts
+    * reach for first, and the optimizer feature (decorrelation) that
+    * decides whether it scales: Catalyst rewrites each correlated
+    * subquery into an aggregate + join (visible in the plan as
+    * left-outer joins over pre-aggregated orders), so the inner query
+    * runs ONCE as a set operation instead of once per customer row.
+    * Shared verbatim with DuckDB like q18. The NULL branch (customers
+    * with no orders) rides the outer join, exercised because customer
+    * keys without orders exist at every scale factor. */
+  private[operators] val correlatedSubqueryText =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN (
+      |    SELECT COUNT(*) FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey) = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
+      |  ROUND(CAST(SUM(COALESCE((
+      |    SELECT MAX(CAST(o.o_totalprice AS DECIMAL(18,2)))
+      |    FROM orders o WHERE o.o_custkey = c.c_custkey),
+      |    CAST(0 AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_max_order
+      |FROM customer c
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val correlatedSubquery: Q = (s, dir) => {
+    T.registerAll(s, dir)
+    s.sql(correlatedSubqueryText)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_revenue_by_nation" -> revenueByNation,
     "q17_asof_scd2" -> asofScd2,
@@ -279,10 +307,12 @@ object Joins extends QueryPack {
     "q15_rank_join" -> rankJoin,
     "q16_merge_upsert" -> mergeUpsert,
     "q19_anti_join" -> antiJoin,
-    "q20_full_outer" -> fullOuterJoin)
+    "q20_full_outer" -> fullOuterJoin,
+    "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
     "q18_sql_entry" -> sqlEntryText, // the SAME text both engines run
+    "q21_correlated_subquery" -> correlatedSubqueryText, // ditto
     "q17_asof_scd2" ->
       s"""WITH e AS (SELECT unnest([0, 1, 2, 3]) AS epoch),
          |epochs AS (

@@ -150,12 +150,46 @@ object Windows extends QueryPack {
         .agg(count(lit(1)).as("n_active")))
   }
 
+  /** W4-ext: time-RANGE window frame — w04's rolling average counts
+    * ROWS; real event streams roll over TIME (all events in the
+    * preceding hour, however many there are). The frame is RANGE over
+    * epoch millis: order by `unix_millis(ts)` with
+    * `rangeBetween(-(3600s-1ms), 0)` — irregular event spacing means
+    * a row's frame holds a VARIABLE number of peers, which no ROWS
+    * frame can express. Scale: the window partitions by event_type
+    * (bounded key space) over per-type time-sorted runs — one shuffle
+    * on the partition key, then a single ordered pass with a sliding
+    * frame (Spark's WindowExec range mode advances two pointers; no
+    * per-row rescan). */
+  private val timeRangeWindow: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourMs = 3600L * 1000
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ms"))
+      .rangeBetween(-(hourMs - 1), 0)
+    T.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"),
+        T.dec2(col("value")).as("v"))
+      .select(col("event_type"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(col("v")).over(w).cast("double").as("sum_last_hour"))
+      // per-type tails keep the output deterministic AND small: the
+      // newest 5 events per type (ties impossible: event_id unique)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("event_id").desc)))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy("event_type", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "w01_row_number_ids" -> rowNumberIds,
     "w03_lag_features" -> lagFeatures,
     "w04_rolling_avg" -> rollingAvg,
     "w05_median_per_group" -> medianPerGroup,
     "w06_window_extras" -> windowExtras,
+    "w07_time_range_window" -> timeRangeWindow,
     "o03_bare_limit" -> bareLimit,
     "o04_set_ops" -> setOps)
 
@@ -228,5 +262,24 @@ object Windows extends QueryPack {
         |    SELECT * FROM h2)) AS n_h1_only,
         |  (SELECT COUNT(*) FROM (SELECT * FROM h2 EXCEPT
         |    SELECT * FROM h1)) AS n_h2_only,
-        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_active""".stripMargin)
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_active""".stripMargin,
+    // epoch_ms mirrors unix_millis (both truncate toward zero); the
+    // RANGE frame bound is the same 3599999 ms on both engines
+    "w07_time_range_window" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_ms(ts) AS ms,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, event_id,
+        |    COUNT(*) OVER win AS n_last_hour,
+        |    CAST(SUM(v) OVER win AS DOUBLE) AS sum_last_hour,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ms
+        |    RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, n_last_hour, sum_last_hour
+        |FROM w WHERE rn <= 5
+        |ORDER BY 1, 2""".stripMargin)
 }

@@ -44,7 +44,8 @@ class PlanAuditSpec extends SparkSpec {
     "l30_tfidf_keywords", "l31_token_chunks", "l33_temperature_sample",
     "k01_salted_agg", "k02_approx_distinct", "k04_approx_quantile",
     "k05_salted_join", "k06_bloom_join",
-    "q19_anti_join", "q20_full_outer",
+    "q19_anti_join", "q20_full_outer", "q21_correlated_subquery",
+    "w07_time_range_window",
     "t05_attribution_join", "t06_stateful_profile")
 
   test("no lazily-planned query contains a CartesianProduct") {
