@@ -297,8 +297,34 @@ object Joins extends QueryPack {
     s.sql(correlatedSubqueryText)
   }
 
+  /** Q22: the full star join (TPC-H Q5 shape) — fact ⋈ fact-side
+    * orders ⋈ customer ⋈ nation ⋈ region, five tables at once, the
+    * arity where join ORDER starts to matter. The two key-to-key
+    * joins (lineitem-orders, orders-customer) shuffle on their keys;
+    * nation and region are broadcast lookups that never move the fact.
+    * Catalyst's reorder keeps the selective region filter driving the
+    * broadcast chain; at 100 TB the only wide exchanges are the two
+    * fact-key shuffles AQE can further coalesce. */
+  private val starJoin: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    val o = T.load(s, dir, "orders")
+    val c = T.load(s, dir, "customer")
+    val n = T.load(s, dir, "nation")
+    val r = T.load(s, dir, "region").filter(col("r_name") =!= "EUROPE")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(T.revenueSum(col("l_extendedprice"), col("l_discount")), 2)
+          .as("revenue"))
+      .orderBy("r_name", "o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_revenue_by_nation" -> revenueByNation,
+    "q22_star_join" -> starJoin,
     "q17_asof_scd2" -> asofScd2,
     "q18_sql_entry" -> sqlEntry,
     "q12_prepost_compare" -> prePostCompare,
@@ -313,6 +339,18 @@ object Joins extends QueryPack {
   val oracle: Map[String, String] = Map(
     "q18_sql_entry" -> sqlEntryText, // the SAME text both engines run
     "q21_correlated_subquery" -> correlatedSubqueryText, // ditto
+    "q22_star_join" ->
+      s"""SELECT r.r_name, o.o_orderpriority,
+         |  COUNT(*) AS n_lines,
+         |  ROUND(${T.oRevenueSum("l.l_extendedprice", "l.l_discount")}, 2)
+         |    AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name <> 'EUROPE'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q17_asof_scd2" ->
       s"""WITH e AS (SELECT unnest([0, 1, 2, 3]) AS epoch),
          |epochs AS (

@@ -189,6 +189,24 @@ object Scalars extends QueryPack {
       .orderBy(col("g_flag"), col("g_status"),
         col("l_returnflag"), col("l_linestatus"))
 
+  /** X9-ext: explicit GROUPING SETS — disjoint per-dimension subtotal
+    * sets ((status), (priority), ()) that neither ROLLUP's nesting nor
+    * CUBE's full cross can state; one pass expands each row into its
+    * grouping-set copies before the hash agg (same Expand-operator
+    * plan as x09), GROUPING() disambiguates the NULL-as-subtotal rows.
+    */
+  private val groupingSetsQ: Q = (s, dir) =>
+    T.load(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(T.moneySum(col("o_totalprice")), 2).as("revenue"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority"))
+
   /** X10: complex-type aggregation — collect_set into a sorted array,
     * reduced back to scalars at the output boundary. The array is
     * serialized with array_join rather than emitted raw: collect_set
@@ -212,6 +230,7 @@ object Scalars extends QueryPack {
     "x10_complex_types" -> complexTypes,
     "x08_pivot" -> pivotCounts,
     "x09_rollup" -> rollupRevenue,
+    "x12_grouping_sets" -> groupingSetsQ,
     "x01_string_funcs" -> stringFuncs,
     "x02_datetime_funcs" -> datetimeFuncs,
     "x03_conditional_null" -> conditionalNull,
@@ -251,6 +270,15 @@ object Scalars extends QueryPack {
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "x12_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS revenue,
+         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
+        .stripMargin,
     "x01_string_funcs" ->
       """SELECT c_mktsegment, COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN regexp_matches(c_name, 'Customer#\d+')

@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     "k01_salted_agg", "k02_approx_distinct", "k04_approx_quantile",
     "k05_salted_join", "k06_bloom_join",
     "q19_anti_join", "q20_full_outer", "q21_correlated_subquery",
+    "q22_star_join", "x12_grouping_sets",
     "w07_time_range_window",
     "t05_attribution_join", "t06_stateful_profile")
 
