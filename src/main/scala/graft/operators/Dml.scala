@@ -305,6 +305,38 @@ object Dml extends QueryPack {
       .orderBy("order_day")
   }
 
+  /** D-ext: dynamic partition overwrite — the idempotent daily-reload
+    * primitive: rewriting one day's partition must not touch the
+    * others (static overwrite mode would wipe the whole table; the
+    * reference's WRITE_TRUNCATE per-partition loads assume exactly
+    * this). Writes month-partitioned orders, then reloads ONLY month
+    * 3 with a filtered (corrected) copy in dynamic mode; months ≠ 3
+    * must survive byte-for-byte. The read-back proves both halves:
+    * month 3 shows the correction (low-value rows dropped), other
+    * months show original counts. At 100 TB this is the difference
+    * between rewriting ~1/365th of the table and rewriting the
+    * table. */
+  private val dynamicPartitionOverwrite: Q = (s, dir) => {
+    val path = Scratch.dir("d14_dyn_overwrite")
+    val o = T.load(s, dir, "orders")
+      .withColumn("o_month", month(col("o_orderdate")))
+    o.write.mode(SaveMode.Overwrite)
+      .partitionBy("o_month").parquet(path)
+    // daily reload, corrected: month 3 drops its sub-1000 rows
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      o.filter(col("o_month") === 3 && col("o_totalprice") >= 1000.0)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("o_month").parquet(path)
+    } finally
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    s.read.parquet(path)
+      .groupBy(col("o_month").cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("o_month")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_insert_select" -> insertSelect,
     "d03_delete_where" -> deleteWhere,
@@ -317,7 +349,8 @@ object Dml extends QueryPack {
     "d10_schema_evolution_log" -> schemaEvolutionLog,
     "d11_type_widening" -> typeWidening,
     "d12_rollback" -> rollbackQ,
-    "d13_incremental_matview" -> incrementalMatview)
+    "d13_incremental_matview" -> incrementalMatview,
+    "d14_dynamic_partition_overwrite" -> dynamicPartitionOverwrite)
 
   val oracle: Map[String, String] = Map(
     "d01_insert_select" ->
@@ -399,5 +432,14 @@ object Dml extends QueryPack {
       s"""SELECT CAST(o_orderdate AS DATE) AS order_day,
          |  COUNT(*) AS n_orders,
          |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS revenue
-         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // month 3 reflects the corrected reload; every other month must
+    // still aggregate to its ORIGINAL content
+    "d14_dynamic_partition_overwrite" ->
+      s"""SELECT CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         |  COUNT(*) AS n_rows,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS sum_price
+         |FROM orders
+         |WHERE month(o_orderdate) <> 3 OR o_totalprice >= 1000.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

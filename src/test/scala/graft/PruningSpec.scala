@@ -74,4 +74,27 @@ class PruningSpec extends SparkSpec {
     assert(bytesRead < sizeOf(root) / 4,
       s"scan size $bytesRead is not a small fraction of ${sizeOf(root)}")
   }
+
+  test("s10: predicate and projection push into the ORC scan like parquet") {
+    val path = Scratch.dir("prune_orc")
+    T.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").orc(path)
+    val q = spark.read.orc(path)
+      .filter(col("o_totalprice") > 100000.0)
+      .select(col("o_orderstatus"))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in executed plan"))
+    // the price predicate must reach the ORC reader as a pushed filter
+    // (search-argument row-group skipping), not stay a post-scan Filter
+    assert(scan.metadata.get("PushedFilters")
+        .exists(_.contains("GreaterThan(o_totalprice")),
+      s"predicate not pushed: ${scan.metadata.get("PushedFilters")}")
+    // and column pruning: the 3-column file must be read 2-wide
+    assert(scan.requiredSchema.fieldNames.toSet ==
+        Set("o_orderstatus", "o_totalprice"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
 }
