@@ -665,8 +665,12 @@ object LlmOps extends QueryPack {
     * diameters (dup chains), so rounds stay single-digit at any scale;
     * the driver-side loop is orchestration only — no row data ever
     * reaches the driver. */
-  def dedupClusters(d: DataFrame, n: Int = 8, minDf: Int = 2,
-      maxDf: Int = 5, maxRounds: Int = 25): DataFrame = {
+  /** Shared-shingle candidate edges (a < b) between documents whose
+    * common n-shingle is discriminative (df in [minDf, maxDf] — the
+    * hub-buster cap). Extracted from [[dedupClusters]] so survivor
+    * selection (l34) builds on the identical graph. */
+  def shingleEdges(d: DataFrame, n: Int = 8, minDf: Int = 2,
+      maxDf: Int = 5): DataFrame = {
     val par = d.sparkSession.sparkContext.defaultParallelism
     val shd = d
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
@@ -680,11 +684,16 @@ object LlmOps extends QueryPack {
       .select(col("shingle"))
     val shdD = Barriers.materialize(
       shd.join(discriminative, Seq("shingle"), "left_semi"))
-    val edges = Barriers.materialize(
+    Barriers.materialize(
       shdD.as("x").join(shdD.as("y"), Seq("shingle"))
         .where(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct())
+  }
+
+  def dedupClusters(d: DataFrame, n: Int = 8, minDf: Int = 2,
+      maxDf: Int = 5, maxRounds: Int = 25): DataFrame = {
+    val edges = shingleEdges(d, n, minDf, maxDf)
     val labels = clusterEdges(edges, maxRounds)
 
     val comp = labels.groupBy(col("label"))
@@ -774,6 +783,45 @@ object LlmOps extends QueryPack {
   }
 
   private val dedupClustersQ: Q = (s, dir) => dedupClusters(docs(s, dir))
+
+  /** l34: quality-aware survivor selection — which copy a dedup KEEPS.
+    * Min-id survivorship (l05/l21) is arbitrary; a curation pipeline
+    * keeps the best copy: per near-dup cluster, the document with the
+    * highest alpha-ratio quality (ties → lowest doc_id — total order,
+    * so the survivor set is deterministic in both engines; the ratio
+    * compare is the same IEEE division l30 ranks by). Clusters come
+    * from the identical shingle graph as l21 ([[shingleEdges]] +
+    * [[clusterEdges]]); singletons survive trivially via the left
+    * join. `n_upgrades` counts clusters where quality actually
+    * changed the pick vs min-id — the measurable value of this
+    * operator over naive survivorship. Scale shape: the quality score
+    * is a narrow per-row projection; survivor ranking is one window
+    * over (label) — cluster-sized partitions, never corpus-sized. */
+  def qualitySurvivors(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = clusterEdges(shingleEdges(d))
+    val quality = d.select(col("doc_id"), col("source"),
+      (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        length(col("text")).cast("double")).as("q"))
+    val labeled = quality.join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+    val ranked = labeled
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("q").desc, col("doc_id"))))
+      .withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("label"))))
+    ranked.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rn") === 1 && col("doc_id") =!= col("min_id"), 1L)
+          .otherwise(0L)).as("n_upgrades"))
+      .orderBy("source")
+  }
+
+  private val qualitySurvivorsQ: Q = (s, dir) => qualitySurvivors(docs(s, dir))
 
   /** l22: sequence packing — the concat-and-chunk step that turns a
     * filtered corpus into fixed-length training sequences. Documents
@@ -1005,6 +1053,7 @@ object LlmOps extends QueryPack {
     "l19_repetition_filter" -> repetitionFilter,
     "l20_pii_scrub" -> piiScrub,
     "l21_dedup_clusters" -> dedupClustersQ,
+    "l34_quality_survivors" -> qualitySurvivorsQ,
     "l22_sequence_packing" -> seqPacking,
     "l23_stratified_sample" -> stratifiedSample,
     "l24_bigram_commonness" -> bigramCommonness,
@@ -1256,6 +1305,46 @@ object LlmOps extends QueryPack {
          |  CAST(SUM(csize) - COUNT(*) AS BIGINT) AS n_merged_docs,
          |  (SELECT COUNT(*) FROM edges) AS n_edges
          |FROM comp""".stripMargin,
+    // l21's component labels + per-cluster argmax(quality, min doc_id)
+    "l34_quality_survivors" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $oToks AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+         |      i -> array_to_string(t[i + 1 : i + 8], ' '))) AS shingle
+         |  FROM toks),
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |df AS (SELECT shingle, COUNT(*) AS df FROM shd GROUP BY 1),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM shd a JOIN shd b USING (shingle) JOIN df USING (shingle)
+         |  WHERE a.doc_id < b.doc_id AND df.df BETWEEN 2 AND 5),
+         |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |cc AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT s.b AS doc_id, cc.label FROM cc JOIN sym s ON s.a = cc.doc_id),
+         |lbl AS (SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         |      AS DOUBLE) / CAST(length(text) AS DOUBLE) AS q
+         |  FROM documents),
+         |r AS (
+         |  SELECT q.source, q.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lbl.label
+         |      ORDER BY q.q DESC, q.doc_id) AS rn,
+         |    MIN(q.doc_id) OVER (PARTITION BY lbl.label) AS min_id
+         |  FROM q JOIN lbl ON q.doc_id = lbl.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(SUM(CASE WHEN rn = 1 AND doc_id <> min_id
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_upgrades
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "l22_sequence_packing" ->
       s"""WITH t AS (
          |  SELECT source, doc_id, CAST(len($oToks) AS BIGINT) AS n_tok

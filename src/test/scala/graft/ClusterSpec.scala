@@ -138,4 +138,22 @@ class ClusterSpec extends SparkSpec {
     assert(s2.getAs[Long]("n_sequences") ==
       (s2.getAs[Long]("sampled_tokens") + 511) / 512)
   }
+
+  test("l34: the higher-quality near-dup survives, not the lower id") {
+    // two near-dups sharing an 8-token run; doc 1 (lower id) is noisier
+    // (digits cut its alpha ratio), doc 2 is clean — quality-aware
+    // survivorship must pick doc 2 where min-id would keep doc 1
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val d = Seq(
+      (1L, s"$run 000 111 222 333", "s"),
+      (2L, s"$run clean extra words here", "s"),
+      (9L, "lone doc with its own text entirely", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = LlmOps.qualitySurvivors(d).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 3)
+    assert(r.getAs[Long]("n_kept") == 2, s"cluster + singleton: $r")
+    assert(r.getAs[Long]("n_dropped") == 1)
+    assert(r.getAs[Long]("n_upgrades") == 1,
+      s"quality must beat min-id survivorship: $r")
+  }
 }
