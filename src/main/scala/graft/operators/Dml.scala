@@ -322,14 +322,19 @@ object Dml extends QueryPack {
       .withColumn("o_month", month(col("o_orderdate")))
     o.write.mode(SaveMode.Overwrite)
       .partitionBy("o_month").parquet(path)
-    // daily reload, corrected: month 3 drops its sub-1000 rows
+    // daily reload, corrected: month 3 drops its sub-1000 rows.
+    // Restore the PREVIOUS mode, not a hardcoded "static" — the conf
+    // is session-shared and a harness that runs dynamic by default
+    // must not be silently flipped.
+    val prevMode = s.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "static")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       o.filter(col("o_month") === 3 && col("o_totalprice") >= 1000.0)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("o_month").parquet(path)
     } finally
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     s.read.parquet(path)
       .groupBy(col("o_month").cast("long").as("o_month"))
       .agg(count(lit(1)).as("n_rows"),

@@ -66,6 +66,11 @@ object KMeansOps extends QueryPack {
     val seeds = e.filter(col("vec_id") < k).orderBy("vec_id")
       .select("vec").collect()
       .map(_.getSeq[Double](0).toArray)
+    // fail fast on a corpus whose ids don't cover [0, k): training a
+    // truncated (or empty) model would still report plausible metrics
+    require(seeds.length == k,
+      s"first-k seed init found ${seeds.length} of $k seed vectors — " +
+        "vec_ids must cover [0, k)")
     var model = seeds
     val wcss = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {

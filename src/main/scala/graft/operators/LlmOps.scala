@@ -800,9 +800,15 @@ object LlmOps extends QueryPack {
   def qualitySurvivors(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labels = clusterEdges(shingleEdges(d))
+    // empty text guard: 0.0/0.0 is NaN in Spark (which sorts ABOVE
+    // every number — an empty doc would win its cluster) but NULL in
+    // DuckDB (which sorts last) — pin both engines to the same worst
+    // score explicitly
     val quality = d.select(col("doc_id"), col("source"),
-      (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-        length(col("text")).cast("double")).as("q"))
+      when(length(col("text")) === 0, lit(-1.0))
+        .otherwise(
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+            length(col("text")).cast("double")).as("q"))
     val labeled = quality.join(labels, Seq("doc_id"), "left")
       .withColumn("label", coalesce(col("label"), col("doc_id")))
     val ranked = labeled
@@ -1328,8 +1334,9 @@ object LlmOps extends QueryPack {
          |lbl AS (SELECT doc_id, MIN(label) AS label FROM cc GROUP BY 1),
          |q AS (
          |  SELECT doc_id, source,
-         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-         |      AS DOUBLE) / CAST(length(text) AS DOUBLE) AS q
+         |    CASE WHEN length(text) = 0 THEN -1.0
+         |      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         |        AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS q
          |  FROM documents),
          |r AS (
          |  SELECT q.source, q.doc_id,

@@ -152,7 +152,12 @@ object ScaleOps extends QueryPack {
     * structural (same hash family both sides) and the oracle's plain
     * IN-subquery proves it — any dropped key would change the
     * aggregate. */
-  private val bloomJoin: Q = (s, dir) => {
+  /** The Bloom-pruned fact frame k06 joins — public so the spec can
+    * assert the PRUNING property itself (candidates strictly between
+    * the exact match count and the full scan), which the end result
+    * cannot show: an always-true filter would still produce correct
+    * joined output. */
+  def bloomPruned(s: SparkSession, dir: String): DataFrame = {
     val bits = 1 << 16 // 8 KB filter; size for the dim's key count
     val words = bits / 64
     val hashes = Seq(1, 2, 3) // k=3 seeded hash functions
@@ -189,9 +194,19 @@ object ScaleOps extends QueryPack {
       }.reduce(_ && _)
     val li = T.load(s, dir, "lineitem")
     val bfWords = bloom.collect()(0).getSeq[Long](0).toArray
-    val pruned = li.withColumn("bf", lit(bfWords))
+    li.withColumn("bf", lit(bfWords))
       .filter(mightContain("l_orderkey"))
       .drop("bf")
+  }
+
+  private def bloomDimKeys(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"))
+
+  private val bloomJoin: Q = (s, dir) => {
+    val pruned = bloomPruned(s, dir)
+    val dimKeys = bloomDimKeys(s, dir)
     pruned.join(dimKeys.hint("shuffle_hash"),
         pruned("l_orderkey") === dimKeys("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))

@@ -139,12 +139,17 @@ object Streaming extends QueryPack {
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
       window: String = "30 minutes", lateness: String = "0 seconds")
       : DataFrame = {
-    val c = clicks.withWatermark("click_ts", lateness)
-    val p = purchases.withWatermark("buy_ts", lateness)
-    c.join(p, c("user_id") === p("user_id") &&
-        p("buy_ts") >= c("click_ts") &&
-        p("buy_ts") < c("click_ts") + expr(s"INTERVAL $window"))
-      .select(c("user_id"), col("click_ts"), col("buy_ts"), col("value"))
+    // explicit aliases: both batch inputs typically derive from the
+    // SAME events scan, and an unaliased self-join key resolves only
+    // through Spark's plan-id disambiguation (warned as a trivially
+    // true predicate; degrades to a cross product if frame metadata
+    // is ever stripped)
+    val c = clicks.withWatermark("click_ts", lateness).alias("c")
+    val p = purchases.withWatermark("buy_ts", lateness).alias("p")
+    c.join(p, col("c.user_id") === col("p.user_id") &&
+        col("p.buy_ts") >= col("c.click_ts") &&
+        col("p.buy_ts") < col("c.click_ts") + expr(s"INTERVAL $window"))
+      .select(col("c.user_id"), col("click_ts"), col("buy_ts"), col("value"))
   }
 
   /** t05 batch gate: attribute each purchase to the user's clicks in
@@ -180,8 +185,14 @@ object Streaming extends QueryPack {
     var cents = 0L
     var maxGap = 0L
     var prev = -1L
+    // half-AWAY-from-zero, matching the DECIMAL(18,2) cast convention
+    // every other money operator (and the oracle) uses — math.rint's
+    // half-to-even would drop a cent on exact half-cent values
+    def toCents(v: Double): Long =
+      if (v >= 0) math.floor(v * 100 + 0.5).toLong
+      else -math.floor(-v * 100 + 0.5).toLong
     sorted.foreach { e =>
-      cents += math.rint(e.value * 100).toLong
+      cents += toCents(e.value)
       val ms = e.ts.toInstant.toEpochMilli
       if (prev >= 0 && ms - prev > maxGap) maxGap = ms - prev
       prev = ms

@@ -92,11 +92,19 @@ class ScaleSpec extends SparkSpec {
       .filter(col("o_totalprice") > 450000.0).select(col("o_orderkey"))
     val exact = li.join(exactKeys,
       li("l_orderkey") === exactKeys("o_orderkey"), "left_semi").count()
-    // replay the query's candidate stage: bloom-pass rows only
     val full = li.count()
+    assert(exact < full, "fixture degenerate: filter prunes nothing")
+    // the PRUNING property itself: the bloom candidate set must be a
+    // strict subset of the scan (an always-true filter would still
+    // give correct joined output) and a superset of the true matches
+    // (no false negatives)
+    val candidates = graft.operators.ScaleOps.bloomPruned(s, dir).count()
+    assert(candidates >= exact,
+      s"bloom dropped true matches: $candidates < $exact")
+    assert(candidates < full,
+      s"bloom filter degenerated to always-true: $candidates of $full")
     val result = SparkEntry.queries("k06_bloom_join")(s, dir)
       .agg(sum("n_lines")).collect()(0).getLong(0)
     assert(result == exact, s"bloom join lost rows: $result != $exact")
-    assert(exact < full, "fixture degenerate: filter prunes nothing")
   }
 }
