@@ -169,6 +169,36 @@ object Streaming extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** T-ext: stream-STATIC enrichment join — the most common production
+    * streaming shape: each micro-batch joins a static (slowly-refreshed)
+    * dimension, no state store involved because the static side is
+    * complete by definition. The dim here is a deterministic user-tier
+    * table derived from user_id (a stand-in for any profile/feature
+    * lookup); broadcast, so the stream side never shuffles for the
+    * join — at 100 TB/day of events that is the difference between a
+    * per-batch broadcast lookup and a per-batch full shuffle. Works
+    * identically on batch frames (the entry) and readStream frames
+    * (StreamingSpec). */
+  def userTierDim(s: SparkSession): DataFrame =
+    s.range(0, 150)
+      .select(col("id").as("user_id"),
+        when(col("id") % 10 < 2, "heavy")
+          .when(col("id") % 10 < 6, "regular")
+          .otherwise("light").as("tier"))
+
+  def enrichWithTier(events: DataFrame): DataFrame = {
+    val dim = userTierDim(events.sparkSession)
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("tier", coalesce(col("tier"), lit("unknown")))
+  }
+
+  private val streamStaticEnrich: Q = (s, dir) =>
+    enrichWithTier(T.load(s, dir, "events"))
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(T.moneySum(col("value")), 2).as("sum_value"))
+      .orderBy("tier", "event_type")
+
   /** Per-user running profile the stateful operators fold: event count,
     * exact cents total, max inter-event gap. Cents keep the money
     * arithmetic associative-exact; the gap uses truncated epoch millis
@@ -316,7 +346,8 @@ object Streaming extends QueryPack {
     "t03_session_window_agg" -> sessionAgg,
     "t04_stream_dedup" -> streamDedup,
     "t05_attribution_join" -> attributionAgg,
-    "t06_stateful_profile" -> statefulUserProfile)
+    "t06_stateful_profile" -> statefulUserProfile,
+    "t07_stream_static_enrich" -> streamStaticEnrich)
 
   val oracle: Map[String, String] = Map(
     "t01_tumbling_window_agg" ->
@@ -396,5 +427,16 @@ object Streaming extends QueryPack {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |    AS DOUBLE) / 100.0 AS total_value,
         |  CAST(COALESCE(MAX(ms - prev_ms), 0) AS BIGINT) AS max_gap_ms
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the tier dim replayed as a CASE over user_id — including the
+    // dim's [0, 150) key range, so an out-of-range user falls to
+    // 'unknown' exactly like the left join's unmatched branch
+    "t07_stream_static_enrich" ->
+      s"""SELECT CASE WHEN user_id < 0 OR user_id >= 150 THEN 'unknown'
+         |    WHEN user_id % 10 < 2 THEN 'heavy'
+         |    WHEN user_id % 10 < 6 THEN 'regular'
+         |    ELSE 'light' END AS tier,
+         |  event_type, COUNT(*) AS n_events,
+         |  ROUND(${T.oMoneySum("value")}, 2) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -47,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "q19_anti_join", "q20_full_outer", "q21_correlated_subquery",
     "q22_star_join", "x12_grouping_sets",
     "w07_time_range_window",
-    "t05_attribution_join", "t06_stateful_profile")
+    "t05_attribution_join", "t06_stateful_profile",
+    "t07_stream_static_enrich")
 
   test("no lazily-planned query contains a CartesianProduct") {
     val offenders = lazyQueries.flatMap { name =>

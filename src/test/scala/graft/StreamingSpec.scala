@@ -310,6 +310,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("t07: stream-static enrichment joins each micro-batch against the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val static = eventsStatic.select($"user_id", $"event_type")
+      .as[(Long, String)]
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.enrichWithTier(
+        mem.toDF().toDF("user_id", "event_type"))
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("t7_enrich")
+      .outputMode("complete").start()
+    try {
+      mem.addData(static.collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t7_enrich")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Streaming.enrichWithTier(eventsStatic)
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // the join must be a broadcast lookup — a shuffled stream side
+    // would defeat the whole shape
+    val plan = Streaming.enrichWithTier(eventsStatic)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+  }
+
   test("t06: mapGroupsWithState converges to the batch fold") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import Streaming.{UserEvent, UserProfile}
