@@ -1021,6 +1021,20 @@ object LlmOps extends QueryPack {
     * typed metadata struct (the decode/feature kernel itself is the
     * stubbed per-partition stage in LlmSpec — media codecs aren't in
     * this build). Byte-level stats are checked against the oracle. */
+  /** l35: frame sampling over the media payloads — the byte-level
+    * slicing is [[Multimodal.frameSample]]; the oracle replays the
+    * frame arithmetic in closed form over octet lengths (all frames
+    * are full except a possibly-partial LAST frame, which is sampled
+    * iff its index lands on the stride). */
+  private val frameSampling: Q = (s, dir) =>
+    Multimodal.frameSample(s,
+        Multimodal.asMedia(docs(s, dir)))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_frames")).cast("long").as("total_frames"),
+        sum(col("n_sampled")).cast("long").as("total_sampled"),
+        sum(col("sampled_bytes")).cast("long").as("total_sampled_bytes"))
+
   private val multimodalStats: Q = (s, dir) =>
     docs(s, dir)
       .select(col("source"),
@@ -1050,6 +1064,7 @@ object LlmOps extends QueryPack {
     "l10_embedding_neardup" -> embeddingNearDup,
     "l11_ann_buckets" -> annBuckets,
     "l12_multimodal_stats" -> multimodalStats,
+    "l35_frame_sampling" -> frameSampling,
     "l13_token_jaccard" -> tokenJaccard,
     "l14_ivf_index" -> ivfIndex,
     "l15_ivf_search" -> ivfSearchQ,
@@ -1197,6 +1212,24 @@ object LlmOps extends QueryPack {
         |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
         |  MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // frames of 32 bytes, stride 4: every frame is full except the
+    // last, whose deficit (32·n_frames − n) subtracts only when its
+    // index (n_frames − 1) is on the stride
+    "l35_frame_sampling" ->
+      """WITH b AS (
+        |  SELECT octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        |f AS (
+        |  SELECT n, (n + 31) // 32 AS n_frames,
+        |    ((n + 31) // 32 + 3) // 4 AS n_sampled
+        |  FROM b)
+        |SELECT COUNT(*) AS n_items,
+        |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+        |  CAST(SUM(n_sampled) AS BIGINT) AS total_sampled,
+        |  CAST(SUM(32 * n_sampled -
+        |    CASE WHEN n_frames > 0 AND (n_frames - 1) % 4 = 0
+        |      THEN 32 * n_frames - n ELSE 0 END) AS BIGINT)
+        |    AS total_sampled_bytes
+        |FROM f""".stripMargin,
     "l19_repetition_filter" ->
       s"""WITH t AS (
          |  SELECT source, $oToks AS tk FROM documents),

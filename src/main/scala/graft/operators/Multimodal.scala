@@ -66,4 +66,31 @@ object Multimodal {
       }
       .toDF("doc_id", "n_bytes", "feature")
   }
+
+  /** Frame sampling over the opaque payload — the video-style stage:
+    * treat the byte stream as fixed-size frames, keep every `every`-th
+    * (a real pipeline decodes only those — sampling must happen BEFORE
+    * decode to be worth anything). The frame slicing here is real byte
+    * work on the payload; only the per-frame decode remains stubbed.
+    * Same per-partition shape as [[decodeStub]]: payloads never
+    * shuffle, the sampler runs on the scan partitioning, and the
+    * output is a tiny per-item stat row. */
+  def frameSample(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 32, every: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val n = bytes.length
+          val nFrames = (n + frameBytes - 1) / frameBytes
+          val sampled = (0 until nFrames by every)
+            .map(i => bytes.slice(i * frameBytes,
+              math.min((i + 1) * frameBytes, n)))
+          (id, nFrames.toLong, sampled.size.toLong,
+            sampled.map(_.length.toLong).sum)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "sampled_bytes")
+  }
 }

@@ -179,6 +179,25 @@ class LlmSpec extends SparkSpec {
     assert(row.getAs[Int]("n_bytes") > 0)
   }
 
+  test("multimodal: frame sampler hits the exact stride/boundary cases") {
+    import graft.operators.Multimodal
+    // payload sizes chosen to hit each boundary with 32-byte frames,
+    // stride 4: 0 bytes → no frames; 128 → 4 full frames, 1 sampled
+    // (frame 0); 129 → 5 frames, frames {0,4} sampled and frame 4 is
+    // the 1-byte partial; 256 → 8 frames, {0,4} sampled, all full.
+    val d = Seq(
+      (0L, ""), (1L, "x" * 128), (2L, "x" * 129), (3L, "x" * 256))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
+    val r = Multimodal.frameSample(spark, d)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(0L) == ((0L, 0L, 0L)))
+    assert(r(1L) == ((4L, 1L, 32L)))
+    assert(r(2L) == ((5L, 2L, 33L)), s"partial sampled frame: ${r(2L)}")
+    assert(r(3L) == ((8L, 2L, 64L)))
+  }
+
   /** Planted fixture shared by the probe-search recall tests: corpus +
     * 20 high-cosine perturbations of vec 0, plus the brute-force
     * cosine top-10 for query 0 (the l09-style ground truth). */

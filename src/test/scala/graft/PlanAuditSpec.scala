@@ -35,7 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     "l01_text_stats", "l02_quality_score", "l03_langid",
     "l04_token_count", "l05_exact_dedup", "l06_fingerprints",
     "l09_cosine_topk", "l10_embedding_neardup", "l11_ann_buckets",
-    "l12_multimodal_stats",
+    "l12_multimodal_stats", "l35_frame_sampling",
     "l13_token_jaccard", "l17_train_split", "l18_decontamination",
     "l19_repetition_filter", "l20_pii_scrub", "l22_sequence_packing",
     "l23_stratified_sample", "l25_curation_pipeline",
