@@ -19,6 +19,7 @@ object Bench {
       .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.core.GraftExtensions.register(spark)
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated prefix filter (same contract as Bench's
     // SPARK_GRAFT_ONLY) for fast local iteration on a few queries; the

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.geohashDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.minhashDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.IdempotentStringOps)
   }
 }
 
@@ -79,6 +80,14 @@ object GraftExtensions {
     })
 
   def register(spark: SparkSession): Unit = {
+    // optimizer rules can't be injected into a built session through
+    // SparkSessionExtensions; extraOptimizations is the sanctioned
+    // post-hoc hook (idempotent: guard against double-registration)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.IdempotentStringOps))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.IdempotentStringOps
     spark.sessionState.functionRegistry.registerFunction(
       zorderDescriptor._1, zorderDescriptor._2, zorderDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
