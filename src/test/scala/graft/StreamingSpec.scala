@@ -100,6 +100,39 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("5 minutes"))
   }
 
+  test("T4: an event older than the watermark is dropped and ACCOUNTED") {
+    // the operational half of lateness: the row must not reach the
+    // aggregate, and the engine must say so (numRowsDroppedByWatermark
+    // in the state-operator progress) — silent late-data loss is how
+    // streaming pipelines lie about completeness
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Streaming.windowedStats(
+        mem.toDF().toDF("ts", "event_type", "value"),
+        "ts", "value", "event_type")
+      .writeStream.format("memory").queryName("t4_late")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1 advances the watermark to 12:00 (lateness 0)
+      mem.addData(Seq((t("2024-01-01 12:00:00"), "on_time", 5.0)))
+      q.processAllAvailable()
+      // batch 2: an 11:00 event is behind the watermark -> dropped
+      mem.addData(Seq((t("2024-01-01 11:00:00"), "late", 3.0)))
+      q.processAllAvailable()
+      // sentinel flushes the open 12:00 window
+      mem.addData(Seq((t("2030-01-01 00:00:00"), "sentinel", 0.0)))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1, s"late row not accounted: dropped=$dropped")
+    } finally q.stop()
+    val types = spark.table("t4_late").select("event_type")
+      .collect().map(_.getString(0)).toSet
+    assert(types.contains("on_time") && !types.contains("late"),
+      s"late row leaked into output: $types")
+  }
+
   test("T7-adjacent: restart from checkpoint neither drops nor duplicates") {
     // memory sinks can't recover; the parquet sink + checkpoint is the
     // exactly-once path the engine's streaming story rests on.
