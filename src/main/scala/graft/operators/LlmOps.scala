@@ -1017,10 +1017,6 @@ object LlmOps extends QueryPack {
 
   // ---- multimodal ----------------------------------------------------
 
-  /** Multimodal column plumbing: media as an opaque binary column +
-    * typed metadata struct (the decode/feature kernel itself is the
-    * stubbed per-partition stage in LlmSpec — media codecs aren't in
-    * this build). Byte-level stats are checked against the oracle. */
   /** l35: frame sampling over the media payloads — the byte-level
     * slicing is [[Multimodal.frameSample]]; the oracle replays the
     * frame arithmetic in closed form over octet lengths (all frames
@@ -1035,12 +1031,12 @@ object LlmOps extends QueryPack {
         sum(col("n_sampled")).cast("long").as("total_sampled"),
         sum(col("sampled_bytes")).cast("long").as("total_sampled_bytes"))
 
+  /** l12: multimodal column plumbing: media as an opaque binary column
+    * + typed metadata struct (the decode/feature kernel itself is the
+    * stubbed per-partition stage in LlmSpec — media codecs aren't in
+    * this build). Byte-level stats are checked against the oracle. */
   private val multimodalStats: Q = (s, dir) =>
-    docs(s, dir)
-      .select(col("source"),
-        encode(col("text"), "UTF-8").as("media_bytes"),
-        struct(col("lang").as("modality_tag"),
-          col("n_chars").as("declared_size")).as("media_meta"))
+    Multimodal.asMedia(docs(s, dir), carry = Seq("source"))
       .select(col("source"),
         octet_length(col("media_bytes")).cast("long").as("n_bytes"),
         col("media_meta"))

@@ -37,13 +37,15 @@ object Multimodal {
     StructField("feature", ArrayType(DoubleType))))
 
   /** Wrap a documents-like frame into the media schema (text bytes stand
-    * in for the opaque payload). */
-  def asMedia(docs: DataFrame): DataFrame =
-    docs.select(
+    * in for the opaque payload). `carry` appends pass-through columns
+    * after the media triple (the no-carry schema is [[mediaSchema]]). */
+  def asMedia(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("media_bytes"),
       struct(col("lang").as("modality_tag"),
-        col("n_chars").as("declared_size")).as("media_meta"))
+        col("n_chars").as("declared_size")).as("media_meta")) ++
+      carry.map(col): _*)
 
   /** The decode/feature-extract stage. Swap the body of `extract` for a
     * real codec; the signature and batch shape stay. Typed

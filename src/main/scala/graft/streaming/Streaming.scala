@@ -432,7 +432,8 @@ object Streaming extends QueryPack {
     // dim's [0, 150) key range, so an out-of-range user falls to
     // 'unknown' exactly like the left join's unmatched branch
     "t07_stream_static_enrich" ->
-      s"""SELECT CASE WHEN user_id < 0 OR user_id >= 150 THEN 'unknown'
+      s"""SELECT CASE WHEN user_id IS NULL THEN 'unknown'
+         |    WHEN user_id < 0 OR user_id >= 150 THEN 'unknown'
          |    WHEN user_id % 10 < 2 THEN 'heavy'
          |    WHEN user_id % 10 < 6 THEN 'regular'
          |    ELSE 'light' END AS tier,

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The optimizer rules a SparkSessionExtensions instance would hand a
+    * session being built (`buildOptimizerRules` is `private[sql]`) —
+    * lets the spec verify the `injectOptimizerRule` wiring itself, not
+    * only the post-hoc extraOptimizations path. */
+  def builtOptimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+      session: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
 }

@@ -40,4 +40,17 @@ class OptimizerRuleSpec extends SparkSpec {
     assert(spark.experimental.extraOptimizations
       .count(_ == IdempotentStringOps) == 1)
   }
+
+  test("the injectOptimizerRule wiring itself carries the rule") {
+    // the other tests go through register()/extraOptimizations; this
+    // one asserts the spark.sql.extensions path: a session built with
+    // GraftExtensions must receive IdempotentStringOps from the
+    // extensions instance
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.core.GraftExtensions().apply(ext)
+    val rules = org.apache.spark.sql.graft.ColumnBridge
+      .builtOptimizerRules(ext, spark)
+    assert(rules.contains(IdempotentStringOps),
+      s"injectOptimizerRule lost the rule: $rules")
+  }
 }

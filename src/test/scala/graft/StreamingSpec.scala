@@ -368,6 +368,16 @@ class StreamingSpec extends SparkSpec {
     val plan = Streaming.enrichWithTier(eventsStatic)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+    // the unmatched-dim branch must actually fire (at the gate scale
+    // factors every fixture user_id falls inside the dim's [0,150)
+    // range, so only this planted out-of-range user exercises it — an
+    // inner join or dropped coalesce would silently discard the row)
+    val planted = Streaming.enrichWithTier(
+      Seq((9999L, "click"), (3L, "click")).toDF("user_id", "event_type"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[String]("tier")).toMap
+    assert(planted(9999L) == "unknown", s"unmatched user lost: $planted")
+    assert(planted(3L) == "regular") // 3 % 10 = 3 -> the 2..5 band
   }
 
   test("t06: mapGroupsWithState converges to the batch fold") {
