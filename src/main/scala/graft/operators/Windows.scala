@@ -183,8 +183,43 @@ object Windows extends QueryPack {
       .orderBy("event_type", "event_id")
   }
 
+  /** O-ext: explicit NULLS placement — the ordering semantic engines
+    * genuinely disagree on by default (Spark sorts NULLS FIRST on ASC,
+    * DuckDB NULLS LAST), so portable ordered output MUST state it.
+    * A sparse column (discount only when > 0.05, like s02) is ranked
+    * NULLS LAST both ascending and descending; the unique orderkey
+    * tiebreak makes every position deterministic. */
+  private val nullsOrdering: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def sparse = T.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") > 0.05, col("l_discount")).as("d"))
+    // each half: top-5 under its explicit NULLS LAST order, re-ranked
+    // (window over the 5 surviving rows only) so the union's final
+    // (half, rn) sort is total — cross-engine row order never rides
+    // on UNION ALL's incidental ordering
+    val asc5 = sparse
+      .orderBy(col("d").asc_nulls_last, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(5)
+      .select(lit(1L).as("half"), row_number().over(
+          Window.orderBy(col("d").asc_nulls_last, col("l_orderkey"),
+            col("l_linenumber"))).cast("long").as("rn"),
+        col("l_orderkey"), col("l_linenumber"), col("d"))
+    val desc5 = sparse
+      .orderBy(col("d").desc_nulls_last, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+      .limit(5)
+      .select(lit(2L).as("half"), row_number().over(
+          Window.orderBy(col("d").desc_nulls_last, col("l_orderkey").desc,
+            col("l_linenumber").desc)).cast("long").as("rn"),
+        col("l_orderkey"), col("l_linenumber"), col("d"))
+    asc5.unionAll(desc5).orderBy("half", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
     "w01_row_number_ids" -> rowNumberIds,
+    "o05_nulls_ordering" -> nullsOrdering,
     "w03_lag_features" -> lagFeatures,
     "w04_rolling_avg" -> rollingAvg,
     "w05_median_per_group" -> medianPerGroup,
@@ -281,5 +316,27 @@ object Windows extends QueryPack {
         |    RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW))
         |SELECT event_type, event_id, n_last_hour, sum_last_hour
         |FROM w WHERE rn <= 5
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    "o05_nulls_ordering" ->
+      """WITH s AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_discount > 0.05 THEN l_discount END AS d
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT CAST(1 AS BIGINT) AS half,
+        |    ROW_NUMBER() OVER (ORDER BY d ASC NULLS LAST,
+        |      l_orderkey, l_linenumber) AS rn,
+        |    l_orderkey, l_linenumber, d
+        |  FROM s
+        |  ORDER BY d ASC NULLS LAST, l_orderkey, l_linenumber LIMIT 5),
+        |b AS (
+        |  SELECT CAST(2 AS BIGINT) AS half,
+        |    ROW_NUMBER() OVER (ORDER BY d DESC NULLS LAST,
+        |      l_orderkey DESC, l_linenumber DESC) AS rn,
+        |    l_orderkey, l_linenumber, d
+        |  FROM s
+        |  ORDER BY d DESC NULLS LAST, l_orderkey DESC, l_linenumber DESC
+        |  LIMIT 5)
+        |SELECT * FROM a UNION ALL SELECT * FROM b
+        |ORDER BY half, rn""".stripMargin)
 }

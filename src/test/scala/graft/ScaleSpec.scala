@@ -84,6 +84,21 @@ class ScaleSpec extends SparkSpec {
       s"${r.getString(0)}: hot key not spread"))
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the configured shuffle partition count is sized for the big
+    // stages; AQE must shrink it for small exchanges instead of
+    // spraying a handful of rows over every reducer — at 1000
+    // executors an uncoalesced 3-row aggregate schedules thousands of
+    // no-op tasks per query
+    val df = graft.core.Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"post-shuffle coalesce missing from the adaptive plan:\n$plan")
+  }
+
   test("k06: bloom prefilter prunes non-matching rows, never matching ones") {
     val s = spark
     val dir = sfDir
