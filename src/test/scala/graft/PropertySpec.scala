@@ -117,4 +117,32 @@ class PropertySpec extends SparkSpec {
     invalid.foreach(_ => metric.add(1))
     assert(metric.value == invalid.count())
   }
+
+  test("l31 chunk law: windows cover all n tokens for arbitrary (n, w, s)") {
+    // the oracle's closed form and the executed slice must agree for
+    // EVERY shape, not just the fixture's: total mass telescopes to
+    // (c-1)·w + (n-(c-1)·s) for n > w and n for one window, each
+    // non-last window is exactly w, and consecutive windows overlap by
+    // w - s tokens
+    val shapes = for {
+      n <- Gen.choose(0, 300)
+      w <- Gen.choose(2, 80)
+      s <- Gen.choose(1, w) // stride <= window (overlapping or exact)
+    } yield (n, w, s)
+    forSamples(shapes, 40) { case (n, w, st) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val d = Seq((1L, "en", text)).toDF("doc_id", "lang", "text")
+      val sizes = graft.operators.CurationOps.chunkSizes(d, w, st)
+        .select("chunk_tokens").as[Int].collect().toSeq
+      // NOTE n=0 still tokenizes to one empty-string token (split of
+      // "" is [""]), matching DuckDB's string_split — so m >= 1 always
+      val m = math.max(n, 1)
+      val c = if (m <= w) 1 else (m - w + st - 1) / st + 1
+      assert(sizes.length == c, s"(n=$n w=$w s=$st): ${sizes.length} != $c")
+      assert(sizes.sum == (c - 1) * w + (m - (c - 1) * st),
+        s"(n=$n w=$w s=$st): mass ${sizes.sum}")
+      assert(sizes.init.forall(_ == w),
+        s"(n=$n w=$w s=$st): non-last window short: $sizes")
+    }
+  }
 }
