@@ -191,7 +191,7 @@ object Windows extends QueryPack {
     * tiebreak makes every position deterministic. */
   private val nullsOrdering: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    def sparse = T.load(s, dir, "lineitem")
+    val sparse = T.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         when(col("l_discount") > 0.05, col("l_discount")).as("d"))
     // each half: top-5 under its explicit NULLS LAST order, re-ranked

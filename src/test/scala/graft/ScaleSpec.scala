@@ -90,13 +90,25 @@ class ScaleSpec extends SparkSpec {
     // spraying a handful of rows over every reducer — at 1000
     // executors an uncoalesced 3-row aggregate schedules thousands of
     // no-op tasks per query
-    val df = graft.core.Tables.load(spark, sfDir, "orders")
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"))
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
-      s"post-shuffle coalesce missing from the adaptive plan:\n$plan")
+    // pin the configs the assertion rides on (SkewSpec discipline) —
+    // the test must fail only when AQE coalescing breaks, not when a
+    // neighbor spec or spark-defaults flips a session flag
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      prev.foreach { case (k, _) => spark.conf.set(k, "true") }
+      val df = graft.core.Tables.load(spark, sfDir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+        s"post-shuffle coalesce missing from the adaptive plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("k06: bloom prefilter prunes non-matching rows, never matching ones") {
