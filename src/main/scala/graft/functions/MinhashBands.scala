@@ -1,11 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** `minhash_bands(array<string>) -> array<bigint>`: the complete
   * shingle → `perms`-permutation MinHash signature → `bands` LSH band
@@ -13,15 +12,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Bit-identical to the HOF chain ([[Text.shingleHashes]] →
   * [[Text.minhashSignature]] → [[Text.lshBands]], pinned by
-  * MinhashBandsSpec): per shingle `xxhash64(shingle)` seeds the
-  * per-permutation rehash `xxhash64(h, p)` (= hash(p, hash(h, 42)) —
-  * Spark folds multi-arg xxhash64 left to right), minima form the
-  * signature, and each band key is `xxhash64('<b>:<m0>,<m1>,...')`
-  * over the band's signature slice, exactly the string the HOF form
-  * concatenates. Why native: all three HOF stages are CodegenFallback,
-  * so the l07 signature projection ran interpreted at O(perms) lambda
-  * trees per shingle; here it is a generated-code loop over the array
-  * with primitive minima. */
+  * MinhashBandsSpec) AND to the DuckDB oracle replay (l07 is
+  * oracle-checked end to end): per shingle the portable character fold
+  * [[PortableHash.strHash]] seeds the per-permutation rehash
+  * [[PortableHash.minhashPerm]] (two-round multiply/xor-shift mixer —
+  * pure integer arithmetic both engines evaluate identically, unlike
+  * the xxhash64 this expression originally used), minima form the
+  * signature, and each band key folds the band's signature slice as
+  * (acc*31 + m) mod 1e9+7 seeded with the band index. Why native: all
+  * three HOF stages are CodegenFallback, so the l07 signature
+  * projection ran interpreted at O(perms) lambda trees per shingle;
+  * here it is a generated-code loop over the array with primitive
+  * minima. Empty shingle arrays never reach this expression
+  * (minhashCandidates filters them); for completeness n == 0 folds no
+  * elements (key = band index), where the HOF spec yields NULL keys. */
 case class MinhashBandsExpr(child: Expression, perms: Int, bands: Int)
     extends UnaryExpression {
   require(perms > 0 && bands > 0 && perms % bands == 0,
@@ -54,20 +58,17 @@ object MinhashBandsExpr {
     val mins = Array.fill(perms)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      // null shingle → xxhash64(null) leaves the seed unchanged (42),
-      // mirroring the HOF transform exactly (unreachable in practice:
-      // shinglesFromTokens never emits nulls)
-      val h0 =
-        if (shingles.isNullAt(i)) 42L
-        else XxHash64Function.hash(shingles.getUTF8String(i), StringType, 42L)
-      // xxhash64(h, p) = hash(p, hash(h, 42)); the inner term is
-      // permutation-independent — hoist it per shingle
-      val g = XxHash64Function.hash(h0, LongType, 42L)
-      var p = 0
-      while (p < perms) {
-        val hp = XxHash64Function.hash(p, IntegerType, g)
-        if (hp < mins(p)) mins(p) = hp
-        p += 1
+      // null shingle → the HOF fold over split(null) is NULL and
+      // array_min skips it (unreachable in practice: shinglesFromTokens
+      // never emits nulls) — skip it here too
+      if (!shingles.isNullAt(i)) {
+        val h0 = PortableHash.strHash(shingles.getUTF8String(i))
+        var p = 0
+        while (p < perms) {
+          val hp = PortableHash.minhashPerm(h0, p)
+          if (hp < mins(p)) mins(p) = hp
+          p += 1
+        }
       }
       i += 1
     }
@@ -75,20 +76,15 @@ object MinhashBandsExpr {
     val keys = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      val sb = new java.lang.StringBuilder
-      sb.append(b).append(':')
-      var r = 0
-      while (r < rows) {
-        // empty input → the HOF's array_min over no elements is NULL,
-        // and array_join drops nulls: the joined slice is empty
-        if (n > 0) {
-          if (r > 0) sb.append(',')
-          sb.append(mins(b * rows + r))
+      var acc = b.toLong
+      if (n > 0) {
+        var r = 0
+        while (r < rows) {
+          acc = (acc * 31L + mins(b * rows + r)) % PortableHash.StrMod
+          r += 1
         }
-        r += 1
       }
-      keys(b) = XxHash64Function.hash(
-        UTF8String.fromString(sb.toString), StringType, 42L)
+      keys(b) = acc
       b += 1
     }
     new GenericArrayData(keys)

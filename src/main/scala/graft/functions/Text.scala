@@ -5,9 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Text/embedding column builders for the LLM-data-pipeline operators
   * (SURVEY.md §7.1 step 10 north-star set). Everything here is a pure
-  * Catalyst expression tree — higher-order array functions, codegen'd
-  * hashes (xxhash64/md5), no UDFs — so the hot path stays inside
-  * whole-stage codegen and scales by partition.
+  * Catalyst expression tree — higher-order array functions, portable
+  * integer hashes (md5 where both engines share it), no UDFs — so the
+  * hot path stays inside whole-stage codegen and scales by partition.
+  * Hash choices favor PORTABILITY: every signature (rolling, minhash,
+  * simhash, hyperplane) is built from arithmetic DuckDB evaluates
+  * identically, so the correctness oracle replays candidate sets
+  * end to end instead of trusting engine-specific hashes.
   */
 object Text {
 
@@ -64,32 +68,77 @@ object Text {
          |       i -> array_join(slice($toksCol, i + 1, $n), ' '))
          |END""".stripMargin)
 
-  /** One 64-bit hash per shingle — compute (and materialize) this ONCE;
-    * the per-permutation work then mixes longs instead of re-hashing
-    * strings. */
-  def shingleHashes(shingleCol: String): Column =
-    expr(s"transform($shingleCol, sh -> xxhash64(sh))")
+  /** Portable per-character string hash as a SQL fragment over a
+    * string expression: (h*31 + ascii) mod 1e9+7 — the same fold (and
+    * prime) as the inner token step of [[rollingFingerprint]], whose
+    * DuckDB parity the l06 oracle proves. The basis of every minhash/
+    * simhash signature, so the l07/l08 candidate sets are
+    * oracle-replayable ([[PortableHash.strHash]] is the native
+    * spelling). */
+  def portableStrHashSql(sVar: String): String =
+    s"aggregate(split($sVar, ''), 0L, (h, ch) -> pmod(h * 31L + ascii(ch), 1000000007L))"
 
-  /** MinHash signature over pre-hashed shingles: `perms` independent
-    * hash functions simulated by re-hashing the 64-bit shingle hash
-    * with the permutation index (xxhash64 over (bigint, int) — pure
-    * long mixing, no string building). O(perms × shingles) per row, no
-    * shuffle. */
+  /** DuckDB spelling of [[portableStrHashSql]] (list_reduce folds with
+    * the first element as init, so a 0 seed is prepended; string_split
+    * on '' yields the same per-character pieces as Spark's split). */
+  def oPortableStrHashSql(sVar: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($sVar, ''),
+       |      ch -> CAST(ascii(ch) AS BIGINT))),
+       |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
+  /** One portable hash per shingle ([[portableStrHashSql]] character
+    * fold) — compute (and materialize) this ONCE; the per-permutation
+    * work then mixes longs instead of re-hashing strings. */
+  def shingleHashes(shingleCol: String): Column =
+    expr(s"transform($shingleCol, sh -> ${portableStrHashSql("sh")})")
+
+  /** MinHash signature over pre-hashed shingles: `perms` hash functions
+    * simulated by re-mixing the shingle hash with a stride-8192
+    * permutation offset through the portable two-round mixer (pure long
+    * arithmetic — no string building, and DuckDB replays it exactly).
+    * O(perms × shingles) per row, no shuffle. */
   def minhashSignature(hashesCol: String, perms: Int): Column =
     expr(
       s"""transform(sequence(0, ${perms - 1}),
-         |  p -> array_min(transform($hashesCol, h -> xxhash64(h, p))))"""
-        .stripMargin)
+         |  p -> array_min(transform($hashesCol,
+         |    h -> ${portableMixSql("h + p * 8192 + 1")})))""".stripMargin)
 
-  /** LSH band keys: hash `rows`-sized slices of the signature. Two docs
-    * are candidates iff they share a (band index, band hash) key — the
+  /** LSH band keys: fold `rows`-sized slices of the signature as
+    * (acc*31 + m) mod 1e9+7, seeded with the band index. Two docs are
+    * candidates iff they share a (band index, band key) pair — the
     * banded bucket-join that replaces the O(n²) all-pairs compare. */
   def lshBands(sigCol: String, bands: Int, rows: Int): Column =
     expr(
       s"""transform(sequence(0, ${bands - 1}),
-         |  b -> xxhash64(concat(cast(b AS string), ':',
-         |         array_join(transform(slice($sigCol, b * $rows + 1, $rows),
-         |           x -> cast(x AS string)), ','))))""".stripMargin)
+         |  b -> aggregate(slice($sigCol, b * $rows + 1, $rows),
+         |         cast(b AS bigint),
+         |         (acc, m) -> pmod(acc * 31L + m, 1000000007L)))"""
+        .stripMargin)
+
+  /** DuckDB replay of the full shingle → signature → band-key pipeline
+    * over a token-list SQL expression; mirrors [[shinglesFromTokens]] +
+    * [[shingleHashes]] + [[minhashSignature]] + [[lshBands]] (and the
+    * native [[MinhashBandsExpr]] that actually runs). Returns the
+    * (shingles, band-keys) column pair for a SELECT. */
+  def oMinhashShinglesSql(toksSql: String, n: Int): String =
+    s"""CASE WHEN len($toksSql) < $n
+       |  THEN CAST([] AS VARCHAR[])
+       |  ELSE list_transform(range(0, len($toksSql) - ${n - 1}),
+       |         i -> array_to_string(($toksSql)[i + 1 : i + $n], ' '))
+       |END""".stripMargin
+
+  def oMinhashSigSql(hashesSql: String, perms: Int): String =
+    s"""list_transform(range(0, $perms),
+       |  p -> list_min(list_transform($hashesSql,
+       |    h -> ${oPortableMixSql("h + p * 8192 + 1")})))""".stripMargin
+
+  def oLshBandKeySql(sigSql: String, bVar: String, rows: Int): String =
+    s"""list_reduce(
+       |  list_prepend(CAST($bVar AS BIGINT),
+       |    ($sigSql)[$bVar * $rows + 1 : $bVar * $rows + $rows]),
+       |  (acc, m) -> (acc * 31 + m) % 1000000007)""".stripMargin
 
   /** The full shingle → MinHash signature → LSH band keys pipeline as
     * a NATIVE codegen'd expression (see [[MinhashBandsExpr]] — the
@@ -109,36 +158,53 @@ object Text {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** One 64-bit hash per token (same materialize-once discipline as
-    * [[shingleHashes]]): higher-order lambdas evaluate interpreted, so a
-    * hash left inside a per-bit lambda re-hashes the token STRING once
-    * per bit — 64× the work (observed: 13 s vs 0.5 s on the l08 bench).
-    * Hash once here; everything downstream mixes longs. */
-  def tokenHashes(toksCol: String): Column =
-    expr(s"transform($toksCol, t -> xxhash64(t))")
+  /** One 62-bit portable hash per token (same materialize-once
+    * discipline as [[shingleHashes]]): higher-order lambdas evaluate
+    * interpreted, so a hash left inside a per-bit lambda re-hashes the
+    * token STRING once per bit — 62× the work (observed: 13 s vs 0.5 s
+    * on the l08 bench). Hash once here; everything downstream mixes
+    * longs. The hash is two side-by-side 31-bit portable mixes over the
+    * [[portableStrHashSql]] character fold ([[PortableHash.tokenHash62]]
+    * is the native spelling) — DuckDB replays it exactly, which is what
+    * makes l08 oracle-checkable. */
+  def tokenHashes(toksCol: String): Column = {
+    val h0 = portableStrHashSql("t")
+    expr(
+      s"""transform($toksCol, t ->
+         |  ${portableMixSql(s"($h0) + 1")} |
+         |  shiftleft(${portableMixSql(s"($h0) + 1073741824")}, 31))"""
+        .stripMargin)
+  }
 
-  /** 64-bit SimHash, phase 1: per-bit sign sums over PRE-HASHED token
-    * longs ([[tokenHashes]]) in ONE fold. The input column appears ONLY
+  /** Signature width: 62 bits = two 31-bit portable mixes packed side
+    * by side. Two bits narrower than the Manku et al. (WWW'07) 64-bit
+    * standard, traded for exact DuckDB replayability: 62 bits keeps the
+    * packed value and every sliced band key non-negative in both
+    * engines (no sign-bit special cases), while 5-band keys stay
+    * 13/12 bits wide — ~8k-value selective — and the pigeonhole recall
+    * guarantee is width-independent. */
+  val simhashWidth = 62
+
+  /** SimHash, phase 1: per-bit sign sums over PRE-HASHED token longs
+    * ([[tokenHashes]]) in ONE fold. The input column appears ONLY
     * in aggregate's input position — evaluated once per row no matter
     * what CollapseProject inlines into it. (The transposed variant —
-    * 64 scalar aggregates, `$hashesCol` inside the per-bit lambda —
+    * 62 scalar aggregates, `$hashesCol` inside the per-bit lambda —
     * re-evaluates the inlined hash+tokenize chain once per BIT:
     * observed 272 s vs <1 s for the l08 bench at sf0.1. A derived array
     * must never be referenced from inside a lambda body that executes
-    * k times.) 64 bits (not 32) is the published near-dup standard
-    * (Manku et al., WWW'07): it keeps band keys wide enough to stay
-    * selective when the signature is banded for the candidate join. */
+    * k times.) */
   def simhashBitCounts(hashesCol: String): Column =
     expr(
       s"""aggregate($hashesCol,
-         |  array_repeat(0L, 64),
+         |  array_repeat(0L, $simhashWidth),
          |  (acc, h) -> zip_with(acc,
-         |    transform(sequence(0, 63),
+         |    transform(sequence(0, ${simhashWidth - 1}),
          |      j -> IF(((h >> j) & 1) = 1, 1L, -1L)),
          |    (x, y) -> x + y))""".stripMargin)
 
-  /** 64-bit SimHash, phase 2: pack the sign of each bit-count into a
-    * long (bitwise OR of disjoint bits — safe for bit 63 under ANSI).
+  /** SimHash, phase 2: pack the sign of each bit-count into a
+    * long (bitwise OR of disjoint bits).
     * Folded with an index-carrying accumulator so `$countsCol` sits in
     * aggregate's input position (one evaluation per row) instead of
     * being element_at'd 64 times — the 64-reference form only survived
@@ -151,7 +217,7 @@ object Text {
          |    'p', acc.p | IF(c > 0, shiftleft(1L, acc.i), 0L)),
          |  acc -> acc.p)""".stripMargin)
 
-  /** The same 64-bit SimHash as a NATIVE codegen'd expression over the
+  /** The same 62-bit SimHash as a NATIVE codegen'd expression over the
     * TOKEN array (hashing included — see [[SimhashPackExpr]] for why
     * the HOF form can never be whole-stage-codegen'd). Semantics
     * pinned bit-equal to [[tokenHashes]]+[[simhashBitCounts]]+
@@ -161,7 +227,22 @@ object Text {
     org.apache.spark.sql.graft.ColumnBridge.column(SimhashPackExpr(
       org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
 
-  /** SimHash band keys: the 64-bit signature split into `bands`
+  /** The (offset, mask) block layout that splits the [[simhashWidth]]-bit
+    * signature into `bands` disjoint blocks whose widths differ by at
+    * most one bit — shared by the Spark band extraction and the DuckDB
+    * oracle replay so both engines slice identical keys. */
+  def simhashBandLayout(bands: Int): Seq[(Int, Long)] = {
+    require(bands >= 1 && bands <= simhashWidth, s"bands out of range: $bands")
+    val base = simhashWidth / bands
+    val extra = simhashWidth % bands // first `extra` bands get one more bit
+    (0 until bands).map { b =>
+      val width = if (b < extra) base + 1 else base
+      val off = b * base + math.min(b, extra)
+      (off, (1L << width) - 1)
+    }
+  }
+
+  /** SimHash band keys: the 62-bit signature split into `bands`
     * disjoint blocks (widths differ by at most one bit). Two signatures
     * within hamming distance `bands - 1` differ in at most that many
     * blocks, so they MUST agree on at least one — an equi-join on
@@ -169,23 +250,13 @@ object Text {
     * hamming threshold < bands (the Manku et al., WWW'07 block scheme,
     * shaped like [[lshBands]]). Use the FEWEST bands the threshold
     * allows: for hamming ≤ 4, 5 bands of 13/12 bits give ~2^13-value
-    * keys — ~32× more selective per band than an 8×8-bit split, and
+    * keys — ~32× more selective per band than an 8-bit split, and
     * bucket size (hence candidate-pair count, which grows with the
     * SQUARE of it) is what decides whether the join survives 10^9
-    * docs. */
+    * docs. The signature is non-negative (62-bit), so plain shifts
+    * would do, but shiftrightunsigned keeps the intent explicit. */
   def simhashBands(simhashCol: String, bands: Int = 5): Column = {
-    require(bands >= 1 && bands <= 64, s"bands out of range: $bands")
-    val base = 64 / bands
-    val extra = 64 % bands // first `extra` bands get one more bit
-    val pieces = (0 until bands).map { b =>
-      val width = if (b < extra) base + 1 else base
-      val off = b * base + math.min(b, extra)
-      // width == 64 (bands == 1): (1L << 64) is 1 under Java's
-      // shift-mod-64, so the mask must be spelled -1L explicitly or
-      // every signature collapses to band key 0 and the equi-join
-      // silently degenerates to the all-pairs join banding exists
-      // to avoid.
-      val mask = if (width == 64) -1L else (1L << width) - 1
+    val pieces = simhashBandLayout(bands).map { case (off, mask) =>
       s"shiftrightunsigned($simhashCol, $off) & ${mask}L"
     }
     expr(s"array(${pieces.mkString(", ")})")

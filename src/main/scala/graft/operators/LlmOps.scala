@@ -219,8 +219,9 @@ object LlmOps extends QueryPack {
         .as("n_confirmed_pairs"))
   }
 
-  /** 64-bit SimHash signatures (three-phase: hash tokens once, sign-sum
-    * fold, pack) for a document frame with (doc_id, text). */
+  /** 62-bit portable SimHash signatures (three-phase: hash tokens once,
+    * sign-sum fold, pack — see Text.simhashWidth for the 62-vs-64
+    * tradeoff) for a document frame with (doc_id, text). */
   def simhashSignatures(d: DataFrame): DataFrame =
     d.withColumn("toks", expr(Text.toksSql("text")))
       // Degenerate docs (empty/whitespace-only → zero tokens) all pack
@@ -235,7 +236,7 @@ object LlmOps extends QueryPack {
       .select(col("doc_id"), Text.simhashPack(col("toks")).as("simhash"))
 
   /** SimHash near-dup candidates by signature-band equi-join — the
-    * scale path, mirroring [[minhashCandidates]]: the 64-bit signature
+    * scale path, mirroring [[minhashCandidates]]: the 62-bit signature
     * splits into `maxHamming + 1` bands (the FEWEST the pigeonhole
     * guarantee allows — for the default threshold 4 that is 5 bands of
     * 13/12 bits, ~8k-value keys); docs sharing any (band index, band
@@ -1095,6 +1096,101 @@ object LlmOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   val oracle: Map[String, String] = Map(
+    // Full DuckDB replay of the banded MinHash pipeline: shingle →
+    // portable char-fold hash → 16-perm signature → 4 band keys →
+    // candidate equi-join → exact-Jaccard confirm. Every hash is the
+    // portable mixer family (Text.portableStrHashSql/portableMixSql),
+    // so the candidate SET — not just the row count — is checked.
+    "l07_minhash_neardup" -> {
+      val sh = Text.oMinhashShinglesSql("toks", 3)
+      val sig = Text.oMinhashSigSql("hh", 16)
+      val key = Text.oLshBandKeySql("sig", "b", 4)
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |shf AS (
+         |  SELECT doc_id, sh FROM (SELECT doc_id, $sh AS sh FROM t)
+         |  WHERE len(sh) > 0),
+         |hs AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(sh, s -> ${Text.oPortableStrHashSql("s")}) AS hh
+         |  FROM shf),
+         |sigs AS (SELECT doc_id, $sig AS sig FROM hs),
+         |keyed AS (
+         |  SELECT doc_id, b AS band_idx, $key AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keyed a JOIN keyed b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |conf AS (
+         |  SELECT CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+         |      AS j
+         |  FROM pairs p
+         |  JOIN shf x ON x.doc_id = p.doc_a
+         |  JOIN shf y ON y.doc_id = p.doc_b)
+         |SELECT COUNT(*) AS n_candidate_pairs,
+         |  CAST(COALESCE(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_confirmed_pairs
+         |FROM conf""".stripMargin
+    },
+    // Full DuckDB replay of the banded SimHash pipeline: portable
+    // 62-bit signature (two 31-bit mixes per token) → Manku block
+    // band keys (same layout as Text.simhashBandLayout) → candidate
+    // equi-join → hamming splits.
+    "l08_simhash_neardup" -> {
+      val w = Text.simhashWidth
+      val bandRows = Text.simhashBandLayout(5).zipWithIndex
+        .map { case ((off, mask), b) => s"($b, $off, ${mask})" }
+        .mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |tf AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(toks, tk -> ${Text.oPortableStrHashSql("tk")})
+         |      AS h0s
+         |  FROM tf),
+         |h62 AS (
+         |  SELECT doc_id,
+         |    list_transform(h0s, h ->
+         |      ${Text.oPortableMixSql("h + 1")} |
+         |      (${Text.oPortableMixSql("h + 1073741824")} << 31)) AS hh
+         |  FROM hs),
+         |cnt AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, $w), j ->
+         |      list_sum(list_transform(hh,
+         |        h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)))
+         |      AS cts
+         |  FROM h62),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(0, $w), j ->
+         |          CASE WHEN cts[j + 1] > 0
+         |            THEN (CAST(1 AS BIGINT) << j)
+         |            ELSE CAST(0 AS BIGINT) END)),
+         |      (a, x) -> a | x) AS simhash
+         |  FROM cnt),
+         |keyed AS (
+         |  SELECT doc_id, simhash, band_idx,
+         |    (simhash >> band_off) & band_mask AS band_key
+         |  FROM sigs
+         |  CROSS JOIN (VALUES $bandRows) AS bl(band_idx, band_off, band_mask)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.simhash, b.simhash)) AS dist
+         |  FROM keyed a JOIN keyed b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT COUNT(*) AS n_candidate_pairs,
+         |  CAST(COALESCE(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_identical,
+         |  CAST(COALESCE(SUM(CASE WHEN dist <= 4 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_hamming_le4
+         |FROM pairs""".stripMargin
+    },
     "l01_text_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
