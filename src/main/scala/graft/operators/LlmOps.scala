@@ -294,13 +294,25 @@ object LlmOps extends QueryPack {
       .limit(10)
   }
 
-  /** Embedding-cosine near-dup accounting over all pairs — correctness
-    * baseline for the LSH bucket variant below (which is the scale
-    * path). Norms are hoisted to one fold per VECTOR, so each pair
-    * costs a single dot product; the arithmetic shape
-    * dot/(na*nb) stays identical to the oracle. */
+  /** Fixed panel size of the all-pairs baseline below: the quadratic
+    * join runs over AT MOST this many vectors no matter how large the
+    * corpus grows (vec_id is unique, so the pushed `vec_id < panel`
+    * filter is a hard row bound). 2000 covers every test SF exactly
+    * while capping the pair count at ~2M forever. */
+  val allPairsPanel = 2000
+
+  /** Embedding-cosine near-dup accounting over all pairs of a FIXED
+    * [[allPairsPanel]]-vector panel — correctness baseline for the LSH
+    * bucket variant below (which is the scale path). The panel bound is
+    * what keeps this registered entry safe to run at any corpus scale:
+    * the O(n²) shape never sees more than the panel (PlanAuditSpec
+    * allowlists its BroadcastNestedLoopJoin on that basis; unbounded
+    * all-pairs truth lives only in LlmSpec fixtures). Norms are hoisted
+    * to one fold per VECTOR, so each pair costs a single dot product;
+    * the arithmetic shape dot/(na*nb) stays identical to the oracle. */
   private val embeddingNearDup: Q = (s, dir) => {
-    val e = embs(s, dir).select(col("vec_id"), col("vec"))
+    val e = embs(s, dir).filter(col("vec_id") < allPairsPanel)
+      .select(col("vec_id"), col("vec"))
       .withColumn("nrm", Text.l2norm(col("vec")))
       .repartition(s.sparkContext.defaultParallelism)
     val pairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
@@ -1269,7 +1281,8 @@ object LlmOps extends QueryPack {
       val ny = "sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))"
       s"""WITH pairs AS (
          |  SELECT $dot / ($nx * $ny) AS cos
-         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+         |  WHERE x.vec_id < $allPairsPanel AND y.vec_id < $allPairsPanel)
          |SELECT COUNT(*) AS n_pairs,
          |  CAST(SUM(CASE WHEN cos > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_02,
          |  CAST(SUM(CASE WHEN cos > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_05,

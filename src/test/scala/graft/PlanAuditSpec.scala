@@ -1,12 +1,13 @@
 package graft
 
 /** Plan-shape regression net: no registered analytic query may plan a
-  * CartesianProduct. Every intentional cross join in the repo is a
-  * broadcast nested-loop over a singleton aggregate or a ≤16-row model
-  * frame (d05/d12 counts, l09 query vector, l14/l15 centroids, l21
-  * stats) — a CartesianProduct appearing instead means someone dropped
-  * a join predicate or defeated the broadcast, the classic silent
-  * scale-killer that still "passes" on 60k test rows.
+  * CartesianProduct, and a BroadcastNestedLoopJoin may appear only on
+  * the bounded-input allowlist below. Every intentional cross join in
+  * the repo is a broadcast nested-loop over a singleton aggregate or a
+  * ≤model-row frame (d05/d12 counts, l09 query vector, l14/l15
+  * centroids, l21 stats) — a CartesianProduct appearing instead means
+  * someone dropped a join predicate or defeated the broadcast, the
+  * classic silent scale-killer that still "passes" on 60k test rows.
   *
   * Scope: the queries whose constructors are LAZY (pure plan builders).
   * Side-effecting constructors (the d-, s05/s06 and m-families) execute
@@ -59,4 +60,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"cartesian product planned in: ${offenders.mkString(", ")}")
   }
+
+  test("BroadcastNestedLoopJoin appears only where its input is bounded by construction") {
+    val offenders = lazyQueries.filterNot(bnljBounded).flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded BroadcastNestedLoopJoin planned in: ${offenders.mkString(", ")}")
+  }
+
+  /** The exhaustive list of queries allowed to plan a
+    * BroadcastNestedLoopJoin — the shape of a non-equi or free join,
+    * whose cost grows with the PRODUCT of its inputs. Allowed only
+    * where one side is bounded by construction, so the product is
+    * linear (singleton/model broadcast) or constant (fixed panel) in
+    * corpus size:
+    *  - singleton-aggregate broadcasts (one row meets each probe row):
+    *    o04's set-op count frames, l26's index/batch count frames,
+    *    l33's 1-row min-share frame
+    *  - model-row broadcasts: l09's single query vector, l18's
+    *    contaminated-probe shingle set (fixed probe list), k05's
+    *    48-row salted dim build (16 salts × 3 literal flags)
+    *  - l10: the all-pairs embedding baseline over a FIXED
+    *    `LlmOps.allPairsPanel`-id panel (`vec_id < 2000` pushed to the
+    *    scan; vec_id unique ⇒ hard row bound) — O(panel²) forever,
+    *    regardless of corpus scale. The corpus-scale near-dup paths are
+    *    the banded/bucketed l07/l08/l11.
+    * A name NOT on this list planning a BNLJ means a join predicate was
+    * dropped or a broadcast defeated — the silent scale-killer this
+    * audit exists to catch. (Names here that STOP planning a BNLJ are
+    * fine — the list is an upper bound, not an expectation.) */
+  private lazy val bnljBounded: Set[String] = Set(
+    "o04_set_ops", "l26_incremental_dedup", "l33_temperature_sample",
+    "l09_cosine_topk", "l18_decontamination", "k05_salted_join",
+    "l10_embedding_neardup")
 }
