@@ -342,6 +342,21 @@ object Text {
     s"(((xor($h1, $h1 >> 15)) * 1597334677) % 2147483647)"
   }
 
+  /** [[portableMixSql]] over an UNBOUNDED non-negative seed (doc ids):
+    * the raw mixer's first multiply needs seed ≲ 3.4e9 to stay below
+    * 2^63 — a doc_id past that would overflow, THROWING under Spark's
+    * ANSI default while DuckDB wraps, i.e. the engines would diverge
+    * exactly where the "reproducible at any scale" claim matters.
+    * Pre-reducing mod 2^31-1 caps the seed; identity for every id
+    * below 2^31, so existing sample membership is unchanged. */
+  def portableMixWideSql(seed: String): String =
+    portableMixSql(s"pmod($seed, 2147483647L)")
+
+  /** DuckDB spelling of [[portableMixWideSql]] (seeds here are
+    * non-negative, so plain % matches pmod). */
+  def oPortableMixWideSql(seed: String): String =
+    oPortableMixSql(s"(($seed) % 2147483647)")
+
   private def hyperplaneComp(p: String, i: String): String =
     s"IF(((shiftright(${portableMixSql(s"$p * 8192 + $i + 1")}, 7)) & 1) = 1," +
       s" 1.0D, -1.0D)"

@@ -205,7 +205,13 @@ object CurationOps extends QueryPack {
     * ~|langs| rollup rows. */
   /** Per-chunk token counts of every document: one (lang, chunk_tokens)
     * row per window. Exposed for the coverage-property spec. */
-  def chunkSizes(d: DataFrame, w: Int, stride: Int): DataFrame =
+  def chunkSizes(d: DataFrame, w: Int, stride: Int): DataFrame = {
+    // the coverage law (every token lands in >= 1 chunk) only holds for
+    // overlapping-or-adjacent windows; stride > w would silently skip
+    // tokens between i*s+w and (i+1)*s — make it a checked precondition
+    // rather than a property the tests happen not to generate
+    require(stride >= 1 && stride <= w,
+      s"stride ($stride) must be in [1, window ($w)] or chunking skips tokens")
     d.select(col("lang"), Text.tokens(col("text")).as("tk"))
       .repartition(d.sparkSession.sparkContext.defaultParallelism)
       .withColumn("n_tok", size(col("tk")).cast("long"))
@@ -216,6 +222,7 @@ object CurationOps extends QueryPack {
         s"""transform(sequence(0, n_chunks - 1),
            |  i -> size(slice(tk, CAST(i * $stride + 1 AS INT), $w)))"""
           .stripMargin)).as("chunk_tokens"))
+  }
 
   private val tokenChunks: Q = (s, dir) =>
     chunkSizes(docs(s, dir), chunkW, chunkS)
@@ -256,7 +263,7 @@ object CurationOps extends QueryPack {
     docs(s, dir).select(col("lang"), col("doc_id"))
       .join(broadcast(weights), Seq("lang"))
       .withColumn("u", expr(
-        s"(${Text.portableMixSql("doc_id + 1")} % 10000) / 10000.0D"))
+        s"(${Text.portableMixWideSql("doc_id + 1")} % 10000) / 10000.0D"))
       .groupBy(col("lang"))
       .agg(
         max(col("n_docs")).as("n_docs"),
@@ -387,7 +394,7 @@ object CurationOps extends QueryPack {
          |  FROM c)
          |SELECT d.lang, CAST(MAX(w.n_docs) AS BIGINT) AS n_docs,
          |  CAST(SUM(CASE WHEN
-         |      (${Text.oPortableMixSql("d.doc_id + 1")} % 10000) / 10000.0
+         |      (${Text.oPortableMixWideSql("d.doc_id + 1")} % 10000) / 10000.0
          |        < w.w THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
          |  MAX(w.w) AS weight
          |FROM documents d JOIN w ON d.lang = w.lang

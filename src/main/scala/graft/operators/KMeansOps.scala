@@ -118,7 +118,12 @@ object KMeansOps extends QueryPack {
     val e = embs(s, dir)
     val k = 8
     val m = train(e, k, 5)
-    val improved = m.wcss.last <= m.wcss.head + 1e-6
+    // RELATIVE tolerance: WCSS scales with corpus size, so a fixed
+    // absolute slack (1e-6) is one distributed-summation-order float
+    // wobble away from flipping the boolean at large scale; the 1e-9
+    // relative term grows with the statistic, the absolute term only
+    // covers the near-zero regime where the relative one vanishes.
+    val improved = m.wcss.last <= m.wcss.head * (1 + 1e-9) + 1e-6
     e.agg(count(lit(1)).as("n_points"))
       .select(
         col("n_points"),

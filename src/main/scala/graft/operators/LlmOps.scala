@@ -603,7 +603,7 @@ object LlmOps extends QueryPack {
     * column itself would normally feed partitionBy on write. */
   private val trainSplit: Q = (s, dir) =>
     docs(s, dir)
-      .withColumn("bucket", expr(s"${Text.portableMixSql("doc_id + 1")} % 100"))
+      .withColumn("bucket", expr(s"${Text.portableMixWideSql("doc_id + 1")} % 100"))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "validation")
@@ -889,9 +889,9 @@ object LlmOps extends QueryPack {
     """CASE CAST(substr(source, 4, 8) AS INT) % 3
       |      WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 900 END""".stripMargin
   private val sampleBucketSql =
-    s"${Text.portableMixSql("doc_id * 13 + 7")} % 1000"
+    s"${Text.portableMixWideSql("doc_id * 13 + 7")} % 1000"
   private def oSampleBucketSql =
-    s"${Text.oPortableMixSql("doc_id * 13 + 7")} % 1000"
+    s"${Text.oPortableMixWideSql("doc_id * 13 + 7")} % 1000"
 
   /** l23: stratified sampling to a target mix — the data-mixing step
     * that up/down-weights sources (web vs wiki vs code) before
@@ -1394,7 +1394,7 @@ object LlmOps extends QueryPack {
     "l17_train_split" ->
       s"""WITH b AS (
          |  SELECT source, n_chars,
-         |    ${Text.oPortableMixSql("doc_id + 1")} % 100 AS bucket
+         |    ${Text.oPortableMixWideSql("doc_id + 1")} % 100 AS bucket
          |  FROM documents)
          |SELECT CASE WHEN bucket < 80 THEN 'train'
          |            WHEN bucket < 90 THEN 'validation'

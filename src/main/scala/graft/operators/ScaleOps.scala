@@ -161,9 +161,11 @@ object ScaleOps extends QueryPack {
     val bits = 1 << 16 // 8 KB filter; size for the dim's key count
     val words = bits / 64
     val hashes = Seq(1, 2, 3) // k=3 seeded hash functions
-    val dimKeys = T.load(s, dir, "orders")
-      .filter(col("o_totalprice") > 450000.0)
-      .select(col("o_orderkey"))
+    // THE shared dim-key frame (same definition the semi join probes):
+    // a build-side predicate that drifted from the probe side would
+    // build the filter on different keys and silently DROP matching
+    // rows — a false negative, not a visible error.
+    val dimKeys = bloomDimKeys(s, dir)
     // seeds as LONG on both sides: xxhash64 folds each input's bytes
     // by type, so an int seed here and a long seed in the probe would
     // silently hash to different positions (no false negatives only
@@ -199,6 +201,10 @@ object ScaleOps extends QueryPack {
       .drop("bf")
   }
 
+  /** The high-value-order key set — the ONE definition both the Bloom
+    * build side ([[bloomPruned]]) and the exact semi-join probe use;
+    * no-false-negatives requires build and probe to agree on the key
+    * set, so the predicate must never be duplicated. */
   private def bloomDimKeys(s: SparkSession, dir: String): DataFrame =
     T.load(s, dir, "orders")
       .filter(col("o_totalprice") > 450000.0)

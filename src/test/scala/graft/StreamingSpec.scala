@@ -410,10 +410,14 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
 
     // update mode emits one row per touched key per batch; the LAST
-    // emission per key is the converged state
+    // emission per key is the converged state. Select it by max
+    // n_events — monotone per key because the state buffer only ever
+    // grows (a batch touching a key appends >= 1 event). NOT by
+    // monotonically_increasing_id over the sink table: that id encodes
+    // partition index, not commit order, so a later micro-batch landing
+    // in a lower-indexed partition would pick a stale profile.
     val streamed = spark.table("t6_profile")
-      .withColumn("emit", monotonically_increasing_id())
-      .groupBy($"user_id").agg(max(struct($"emit", $"n_events",
+      .groupBy($"user_id").agg(max(struct($"n_events",
         $"total_value", $"max_gap_ms")).as("s"))
       .select($"user_id", $"s.n_events", $"s.total_value", $"s.max_gap_ms")
       .as[UserProfile].collect().sortBy(_.user_id).toSeq
