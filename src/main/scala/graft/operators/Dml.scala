@@ -24,6 +24,9 @@ import graft.plans.Snapshots
   *  - D10 `schema_evolution_log` audit table
   *    (`sql/create_iceberg_tables.sql:108-123`)
   *  - D11 NUMERIC→BIGNUMERIC type widening (`PRD.md:1214-1229`)
+  *  - D15 CHECK-constraint evolution step (`PRD.md:1086-1105`)
+  *  - D16 FOR SYSTEM_TIME BETWEEN change enumeration
+  *    (`README.md:573-589`)
   *
   * Scale notes: every mutation is copy-on-write into a NEW snapshot
   * version — at 100 TB you rewrite only affected partitions, readers of
@@ -342,7 +345,89 @@ object Dml extends QueryPack {
       .orderBy("o_month")
   }
 
+  /** D15: CHECK-constraint evolution — the last step of the reference's
+    * payment-migration story (`PRD.md:1086-1105`): ADD COLUMN
+    * payment_method + migrate via business-logic CASE, then ADD
+    * CONSTRAINT valid_payment_method enforced as a validation filter
+    * (the engine has no declarative CHECK): conforming rows commit,
+    * violations dead-letter with a reason (the s06 pattern), and the
+    * evolution lands as a d10-style audit row whose snapshot_version is
+    * the commit the constraint first gated. Every output value is read
+    * BACK from the three sinks, so the split/commit/log side effects —
+    * not the in-memory frames — are what the oracle checks. */
+  private val checkConstraint: Q = (s, dir) => {
+    import s.implicits._
+    val sn = new Snapshots(Scratch.dir("d15_check"))
+    // Step 1+2: ADD COLUMN + migrate existing data with business logic
+    val migrated = T.load(s, dir, "orders")
+      .withColumn("payment_method",
+        when(col("o_orderpriority") === "1-URGENT", "credit_card")
+          .when(col("o_orderpriority") === "2-HIGH", "debit_card")
+          .when(col("o_orderpriority") === "3-MEDIUM", "cash")
+          .when(col("o_orderpriority") === "4-NOT SPECIFIED", "comp")
+          .otherwise("unknown")) // 5-LOW falls outside the domain
+    // Step 3: ADD CONSTRAINT valid_payment_method CHECK (payment_method
+    // IN (...)) — as a filter + dead letter, one narrow pass each side
+    val allowed = Seq("credit_card", "debit_card", "cash", "comp")
+    val inDomain = col("payment_method").isin(allowed: _*)
+    val errPath = Scratch.dir("d15_violations")
+    migrated.filter(!inDomain)
+      .withColumn("error_reason",
+        concat(lit("CHECK valid_payment_method failed: "),
+          col("payment_method")))
+      .write.mode(SaveMode.Overwrite).parquet(errPath)
+    val v = sn.commit(migrated.filter(inDomain), "orders_checked")
+    sn.commit(Seq(("ev_004", "orders", "ADD_CONSTRAINT",
+      s"valid_payment_method CHECK (payment_method IN (${allowed.mkString(", ")}))",
+      v, "graft",
+      "ALTER TABLE orders DROP CONSTRAINT valid_payment_method"))
+      .toDF("evolution_id", "table_name", "change_type",
+        "change_description", "snapshot_version", "applied_by",
+        "rollback_script"),
+      "schema_evolution_log")
+    sn.current(s, "schema_evolution_log")
+      .select(col("evolution_id"), col("change_type"),
+        col("snapshot_version"))
+      .crossJoin(sn.current(s, "orders_checked")
+        .agg(count(lit(1)).as("n_valid")))
+      .crossJoin(s.read.parquet(errPath)
+        .agg(count(lit(1)).as("n_violations"),
+          max(col("payment_method")).as("violating_method")))
+  }
+
+  /** D16: `FOR SYSTEM_TIME BETWEEN` change enumeration
+    * (`README.md:573-589`) — the D5×D6 composition the reference's
+    * audit query runs: three snapshots (H1 → bumped 9 months → full
+    * year with a correction delete), then every change between v1 and
+    * v3 with its `_change_type` and `_change_version`, rolled up per
+    * (version, type). The diff itself is [[Snapshots.changesBetween]];
+    * the oracle re-derives each count from the month/priority/status
+    * predicates that defined the snapshots. */
+  private val systemTimeBetween: Q = (s, dir) => {
+    val sn = new Snapshots(Scratch.dir("d16_changes"))
+    val t = "orders_hist"
+    val o = T.load(s, dir, "orders")
+    val bumped = o.withColumn("o_totalprice",
+      when(col("o_orderpriority") === "1-URGENT",
+        round(T.dec2(col("o_totalprice")) * lit(BigDecimal("1.05")), 2)
+          .cast("double"))
+        .otherwise(col("o_totalprice")))
+    def snap(df: DataFrame) =
+      df.select(col("o_orderkey"), col("o_totalprice"))
+    sn.commit(snap(o.filter(month(col("o_orderdate")) <= 6)), t)      // v1
+    sn.commit(snap(bumped.filter(month(col("o_orderdate")) <= 9)), t) // v2
+    sn.commit(snap(bumped.filter(!(month(col("o_orderdate")) <= 3 &&
+      col("o_orderstatus") === "F"))), t)                             // v3
+    sn.changesBetween(s, t, 1, 3, "o_orderkey")
+      .groupBy(col("_change_version").cast("long").as("_change_version"),
+        col("_change_type"))
+      .agg(count(lit(1)).as("n_changes"))
+      .orderBy("_change_version", "_change_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d15_check_constraint" -> checkConstraint,
+    "d16_system_time_between" -> systemTimeBetween,
     "d01_insert_select" -> insertSelect,
     "d03_delete_where" -> deleteWhere,
     "d04_update_where" -> updateWhere,
@@ -438,6 +523,36 @@ object Dml extends QueryPack {
          |  COUNT(*) AS n_orders,
          |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS revenue
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the constraint splits exactly on the priority CASE: 5-LOW maps to
+    // 'unknown', the one value outside the CHECK domain
+    "d15_check_constraint" ->
+      """SELECT 'ev_004' AS evolution_id, 'ADD_CONSTRAINT' AS change_type,
+        |  1 AS snapshot_version,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderpriority <> '5-LOW')
+        |    AS n_valid,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderpriority = '5-LOW')
+        |    AS n_violations,
+        |  'unknown' AS violating_method""".stripMargin,
+    // each change count re-derived from the predicates that defined the
+    // snapshots: v2 inserts Q3 and bumps H1's urgent rows (price > 0, so
+    // the 5% bump always differs); v3 inserts Q4 and deletes Q1's 'F'
+    // rows — surviving values identical on both sides (both bumped)
+    "d16_system_time_between" ->
+      """SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS _change_version,
+        |    'INSERT' AS _change_type,
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE month(o_orderdate) BETWEEN 7 AND 9) AS n_changes
+        |  UNION ALL SELECT 2, 'UPDATE',
+        |    (SELECT COUNT(*) FROM orders WHERE month(o_orderdate) <= 6
+        |     AND o_orderpriority = '1-URGENT')
+        |  UNION ALL SELECT 3, 'INSERT',
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE month(o_orderdate) BETWEEN 10 AND 12)
+        |  UNION ALL SELECT 3, 'DELETE',
+        |    (SELECT COUNT(*) FROM orders WHERE month(o_orderdate) <= 3
+        |     AND o_orderstatus = 'F'))
+        |ORDER BY 1, 2""".stripMargin,
     // month 3 reflects the corrected reload; every other month must
     // still aggregate to its ORIGINAL content
     "d14_dynamic_partition_overwrite" ->

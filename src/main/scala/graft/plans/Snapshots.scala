@@ -63,6 +63,40 @@ class Snapshots(root: String) {
     commit(asOf(spark, table, v), table)
   }
 
+  /** D16: `FOR SYSTEM_TIME BETWEEN` change enumeration
+    * (/root/reference/README.md:573-589 pairs AS-OF with a BETWEEN
+    * change-history window) — every keyed change the table went through
+    * from version `fromV` to `toV`, tagged with the D6 pseudo-columns:
+    * `_change_type` (INSERT/UPDATE/DELETE) and `_change_version` (the
+    * version that introduced the change — the deterministic stand-in
+    * for `_CHANGE_TIMESTAMP`, same trade D10 makes).
+    *
+    * Each consecutive version pair diffs by ONE full-outer join on the
+    * key with the non-key payload struct-compared (null-safe) — one
+    * shuffle per step, the same plan shape MERGE uses; unchanged rows
+    * drop before the union, so the result is O(changes), not O(rows ×
+    * versions). */
+  def changesBetween(spark: SparkSession, table: String, fromV: Int,
+      toV: Int, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(table).filter(v => v >= fromV && v <= toV)
+    require(vs.contains(fromV) && vs.contains(toV) && fromV < toV,
+      s"changesBetween needs existing versions $fromV < $toV; have ${versions(table)}")
+    vs.sliding(2).map { case Seq(pv, nv) =>
+      val others = asOf(spark, table, nv).columns.filterNot(_ == key)
+      def payload(v: Int, as: String) = asOf(spark, table, v)
+        .select(col(key), struct(others.map(col): _*).as(as))
+      payload(pv, "_prev").join(payload(nv, "_next"), Seq(key), "full_outer")
+        .withColumn("_change_type",
+          when(col("_prev").isNull, "INSERT")
+            .when(col("_next").isNull, "DELETE")
+            .when(!(col("_prev") <=> col("_next")), "UPDATE"))
+        .filter(col("_change_type").isNotNull) // unchanged rows drop here
+        .select(col(key), col("_change_type"),
+          lit(nv).cast("int").as("_change_version"))
+    }.reduce(_ unionByName _)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
       .foreach(deleteRecursively)

@@ -60,6 +60,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(sn.asOf(spark, "orders_t", 2).count() == 300)
   }
 
+  test("D16: changesBetween enumerates exactly the keyed diffs, tagged by version") {
+    import spark.implicits._
+    val sn = new Snapshots(scratch())
+    val t = "ct"
+    sn.commit(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null, 30.0))
+      .toDF("k", "s", "v"), t)
+    // v2: key 2 updated, key 4 inserted, key 3 unchanged (null payload
+    // field — the null-safe struct compare must NOT flag it)
+    sn.commit(Seq((1L, "a", 10.0), (2L, "B", 20.0), (3L, null, 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v"), t)
+    // v3: key 1 deleted, key 3's null flips to a value (an UPDATE)
+    sn.commit(Seq((2L, "B", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v"), t)
+    val changes = sn.changesBetween(spark, t, 1, 3, "k")
+      .as[(Long, String, Int)].collect().toSet
+    assert(changes == Set(
+      (2L, "UPDATE", 2), (4L, "INSERT", 2),
+      (1L, "DELETE", 3), (3L, "UPDATE", 3)))
+  }
+
   test("M4: orphan cleanup removes files outside live snapshots only") {
     val root = scratch()
     val sn = new Snapshots(root)
