@@ -152,9 +152,42 @@ object Scalars extends QueryPack {
         ((col("c_custkey") % 170).cast("double") - 85.0 + 0.5).as("lat"),
         ((col("c_custkey") % 350).cast("double") - 175.0 + 0.5).as("lon"))
       .withColumn("geohash", Geo.geohashCol(col("lat"), col("lon"), 7))
+      // the per-prefix distinct/min/max over FULL 7-char strings pins
+      // every one of the 35 bits against the oracle's closed form — a
+      // wrong bit anywhere flips a cell into a different min/max/count
       .groupBy(substring(col("geohash"), 1, 2).as("geo_prefix"))
-      .agg(count(lit(1)).as("n_customers"))
+      .agg(count(lit(1)).as("n_customers"),
+        countDistinct(col("geohash")).as("n_cells"),
+        min(col("geohash")).as("min_cell"),
+        max(col("geohash")).as("max_cell"))
       .orderBy("geo_prefix")
+  }
+
+  /** x11: the array / higher-order-function catalog — split, size,
+    * transform, filter, aggregate (fold), array_contains, array_sort +
+    * element_at, each over part-name word lists and all replayable in
+    * DuckDB's list_* family. Rounds out §2.8 alongside the scalar
+    * families (the reference's SQL surface has ARRAY_AGG/UNNEST-style
+    * list handling in its verification queries). */
+  private val arrayFuncs: Q = (s, dir) => {
+    val p = T.load(s, dir, "part")
+    p.select((col("p_size") % 5).cast("long").as("grp"),
+        split(col("p_name"), " ").as("w"))
+      .select(col("grp"),
+        size(col("w")).cast("long").as("nw"),
+        expr("size(filter(w, x -> length(x) > 5))").cast("long").as("nlong"),
+        array_contains(col("w"), "green").as("has_green"),
+        element_at(array_sort(col("w")), 1).as("first_sorted"),
+        expr("aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)")
+          .as("total_len"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("nw")).as("n_words"),
+        sum(col("nlong")).as("n_long_words"),
+        sum(when(col("has_green"), 1L).otherwise(0L)).as("n_green"),
+        min(col("first_sorted")).as("min_first_word"),
+        sum(col("total_len")).as("total_chars"))
+      .orderBy("grp")
   }
 
   /** X8: pivot — event counts spread into one column per event type.
@@ -237,7 +270,8 @@ object Scalars extends QueryPack {
     "x04_uuid" -> uuidGen,
     "x05_json_roundtrip" -> jsonRoundtrip,
     "x06_predicates" -> predicates,
-    "x07_geohash" -> geohashCol)
+    "x07_geohash" -> geohashCol,
+    "x11_array_funcs" -> arrayFuncs)
 
   val oracle: Map[String, String] = Map(
     "x10_complex_types" ->
@@ -316,30 +350,67 @@ object Scalars extends QueryPack {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x07_geohash" -> {
-      // 5-bit/axis quantization; interleave lon(even)/lat(odd) bits:
-      // char0 = [lon4 lat4 lon3 lat3 lon2], char1 = [lat2 lon1 lat1 lon0 lat0]
-      def b(axis: String, i: Int) = s"(($axis >> $i) & 1)"
-      val c0 = s"${b("lonq", 4)}*16 + ${b("latq", 4)}*8 + ${b("lonq", 3)}*4 + " +
-        s"${b("latq", 3)}*2 + ${b("lonq", 2)}"
-      val c1 = s"${b("latq", 2)}*16 + ${b("lonq", 1)}*8 + ${b("latq", 1)}*4 + " +
-        s"${b("lonq", 0)}*2 + ${b("latq", 0)}"
+      // Full precision-7 closed form (PRD.md:1074-1079 uses precision
+      // 7): quantize each axis to its bit budget (lon 18, lat 17 of the
+      // 35 interleaved bits), Morton-interleave lon onto even bit
+      // positions, then read the 7 base32 digits. Equivalent to the
+      // bisection algorithm: every bisection midpoint is a dyadic
+      // rational (360/2^i, 180/2^i scales — exact doubles), and for the
+      // k+0.5 coordinate grid the quotient (lon+180)/360 either IS a
+      // representable dyadic (division returns it exactly) or sits
+      // >= 1/45 away from the quantization boundary — 6 orders beyond
+      // double rounding error — so floor never crosses a boundary.
+      val lonBits = 18
+      val latBits = 17
+      val morton = ((0 until lonBits).map(j => s"(((lonq >> $j) & 1) << ${2 * j})")
+        ++ (0 until latBits).map(j => s"(((latq >> $j) & 1) << ${2 * j + 1})"))
+        .mkString(" + ")
+      val chars = (0 until 7).map { d =>
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((h >> ${30 - 5 * d}) & 31 AS INT) + 1, 1)"
+      }.mkString(" || ")
       s"""WITH coords AS (
          |  SELECT CAST(c_custkey % 170 AS DOUBLE) - 85.0 + 0.5 AS lat,
          |    CAST(c_custkey % 350 AS DOUBLE) - 175.0 + 0.5 AS lon
          |  FROM customer),
          |quant AS (
-         |  SELECT CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT) AS lonq,
-         |    CAST(floor((lat + 90.0) / 180.0 * 32.0) AS BIGINT) AS latq
+         |  SELECT CAST(floor((lon + 180.0) / 360.0 * ${1 << lonBits})
+         |      AS BIGINT) AS lonq,
+         |    CAST(floor((lat + 90.0) / 180.0 * ${1 << latBits})
+         |      AS BIGINT) AS latq
          |  FROM coords),
-         |pref AS (
-         |  SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz',
-         |      CAST($c0 AS INT) + 1, 1) ||
-         |    substr('0123456789bcdefghjkmnpqrstuvwxyz',
-         |      CAST($c1 AS INT) + 1, 1) AS geo_prefix
-         |  FROM quant)
-         |SELECT geo_prefix, COUNT(*) AS n_customers
-         |FROM pref GROUP BY 1 ORDER BY 1""".stripMargin
+         |gh AS (
+         |  SELECT $chars AS geohash
+         |  FROM (SELECT $morton AS h FROM quant))
+         |SELECT substr(geohash, 1, 2) AS geo_prefix,
+         |  COUNT(*) AS n_customers,
+         |  COUNT(DISTINCT geohash) AS n_cells,
+         |  MIN(geohash) AS min_cell,
+         |  MAX(geohash) AS max_cell
+         |FROM gh GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "x11_array_funcs" ->
+      """WITH w AS (
+        |  SELECT CAST(p_size % 5 AS BIGINT) AS grp,
+        |    string_split(p_name, ' ') AS w
+        |  FROM part),
+        |r AS (
+        |  SELECT grp,
+        |    CAST(len(w) AS BIGINT) AS nw,
+        |    CAST(len(list_filter(w, x -> length(x) > 5)) AS BIGINT)
+        |      AS nlong,
+        |    list_contains(w, 'green') AS has_green,
+        |    list_sort(w)[1] AS first_sorted,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        |      AS total_len
+        |  FROM w)
+        |SELECT grp,
+        |  CAST(SUM(nw) AS BIGINT) AS n_words,
+        |  CAST(SUM(nlong) AS BIGINT) AS n_long_words,
+        |  CAST(SUM(CASE WHEN has_green THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_green,
+        |  MIN(first_sorted) AS min_first_word,
+        |  CAST(SUM(total_len) AS BIGINT) AS total_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "x06_predicates" ->
       """SELECT p_type, COUNT(*) AS n_parts,
         |  CAST(SUM(CASE WHEN p_size BETWEEN 10 AND 30 THEN 1 ELSE 0 END)
