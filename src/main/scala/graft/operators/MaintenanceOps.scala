@@ -42,8 +42,12 @@ object MaintenanceOps extends QueryPack {
   }
 
   /** M5: query-performance analysis — run a canned workload, report
-    * rows + reference-threshold flags (timings are environmental, so the
-    * driver records rows-only for this entry). */
+    * rows + reference-threshold flags. The raw wall-clock seconds stay
+    * OUT of the published columns (environmental), but the flags ARE
+    * oracle-asserted false: the reference's envelope (slow > 30 s,
+    * expensive > 60 s) has ~100× headroom over this workload at gate
+    * scale, so the assertion states the M5 contract itself — the same
+    * trade k02/k04 make for their sketch-accuracy booleans. */
   private val queryPerf: Q = (s, dir) => {
     val workload = Seq(
       "count_orders" -> (() => T.load(s, dir, "orders")),
@@ -66,6 +70,21 @@ object MaintenanceOps extends QueryPack {
     "m05_query_perf" -> queryPerf)
 
   val oracle: Map[String, String] = Map(
+    // the workload's row counts are exact (join_probe = every lineitem
+    // matches exactly one order); the flags assert the reference's
+    // 30/60 s envelope holds — the M5 contract, not a measurement
+    "m05_query_perf" ->
+      """SELECT * FROM (
+        |  SELECT 'count_lineitem' AS name,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_rows,
+        |    false AS slow, false AS expensive
+        |  UNION ALL SELECT 'count_orders',
+        |    (SELECT COUNT(*) FROM orders), false, false
+        |  UNION ALL SELECT 'join_probe',
+        |    (SELECT COUNT(*) FROM lineitem l
+        |     JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |    false, false)
+        |ORDER BY name""".stripMargin,
     "m07_partition_analysis" ->
       """SELECT month(o_orderdate) AS order_month, COUNT(*) AS n_rows,
         |  false AS needs_split,
