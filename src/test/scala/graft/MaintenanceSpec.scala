@@ -73,8 +73,15 @@ class MaintenanceSpec extends SparkSpec {
     // v3: key 1 deleted, key 3's null flips to a value (an UPDATE)
     sn.commit(Seq((2L, "B", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
       .toDF("k", "s", "v"), t)
-    val changes = sn.changesBetween(spark, t, 1, 3, "k")
-      .as[(Long, String, Int)].collect().toSet
+    val frame = sn.changesBetween(spark, t, 1, 3, "k")
+    // plan shape: each consecutive diff is a keyed shuffle join (full
+    // outer cannot broadcast) — never a nested-loop/cartesian product,
+    // which the side-effecting d16 entry can't get from PlanAuditSpec
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"changesBetween must diff via keyed joins:\n$plan")
+    val changes = frame.as[(Long, String, Int)].collect().toSet
     assert(changes == Set(
       (2L, "UPDATE", 2), (4L, "INSERT", 2),
       (1L, "DELETE", 3), (3L, "UPDATE", 3)))
