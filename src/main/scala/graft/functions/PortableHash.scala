@@ -32,16 +32,26 @@ object PortableHash {
     ((h1 ^ (h1 >> 15)) * 1597334677L) % MixMod
   }
 
-  /** Per-character polynomial fold of a string: (h*31 + ascii) mod
+  /** Per-character polynomial fold of a string: (h*131 + ascii) mod
     * 1e9+7, bit-equal to the HOF spelling
-    * `aggregate(split(s, ''), 0L, (h, ch) -> pmod(h*31 + ascii(ch), M))`
+    * `aggregate(split(s, ''), 0L, (h, ch) -> pmod(h*131 + ascii(ch), M))`
     * ([[Text.portableStrHashSql]]). Spark's `split(s, '')` yields one
     * piece per code point with no empty pieces (verified against Spark
     * 4), and `ascii` reads the piece's first byte — so the fold walks
     * UTF-8 bytes and folds exactly the non-continuation ones. The
     * corpus is ASCII; for multi-byte input this matches Spark's
     * first-byte semantics, and pmod keeps the fold non-negative either
-    * way. */
+    * way.
+    *
+    * Base 131, NOT the rolling fingerprint's 31: printable-ASCII byte
+    * diffs are at most 94, so with base > 94+36 no short-string diff
+    * pattern can telescope to zero (a base-b collision needs
+    * Σ dᵢ·bⁱ ≡ 0 with |dᵢ| < b ⇒ all dᵢ = 0 while the sum is below the
+    * modulus) — the base-31 variant admits ("ab","bC")-style structural
+    * collisions and measured 75× the birthday rate on random tokens
+    * (PropertySpec pins the collision law). l06's fingerprint keeps its
+    * own base-31 fold; it is an order-sensitivity DEMO, not a hash
+    * uniqueness primitive. */
   def strHash(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = 0L
@@ -49,7 +59,7 @@ object PortableHash {
     while (i < bytes.length) {
       // continuation bytes are 10xxxxxx; every other byte starts a char
       if ((bytes(i) & 0xC0) != 0x80) {
-        val v = (h * 31L + bytes(i).toInt) % StrMod
+        val v = (h * 131L + bytes(i).toInt) % StrMod
         h = if (v < 0) v + StrMod else v
       }
       i += 1

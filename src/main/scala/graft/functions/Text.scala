@@ -69,14 +69,16 @@ object Text {
          |END""".stripMargin)
 
   /** Portable per-character string hash as a SQL fragment over a
-    * string expression: (h*31 + ascii) mod 1e9+7 — the same fold (and
-    * prime) as the inner token step of [[rollingFingerprint]], whose
-    * DuckDB parity the l06 oracle proves. The basis of every minhash/
-    * simhash signature, so the l07/l08 candidate sets are
-    * oracle-replayable ([[PortableHash.strHash]] is the native
-    * spelling). */
+    * string expression: (h*131 + ascii) mod 1e9+7 — the same char-fold
+    * SHAPE (and prime) as the inner token step of
+    * [[rollingFingerprint]], whose DuckDB parity the l06 oracle proves,
+    * but with base 131 so printable-ASCII diff patterns cannot
+    * telescope to a collision (see [[PortableHash.strHash]] for the
+    * argument; base 31 measured 75× the birthday collision rate). The
+    * basis of every minhash/simhash signature, so the l07/l08
+    * candidate sets are oracle-replayable. */
   def portableStrHashSql(sVar: String): String =
-    s"aggregate(split($sVar, ''), 0L, (h, ch) -> pmod(h * 31L + ascii(ch), 1000000007L))"
+    s"aggregate(split($sVar, ''), 0L, (h, ch) -> pmod(h * 131L + ascii(ch), 1000000007L))"
 
   /** DuckDB spelling of [[portableStrHashSql]] (list_reduce folds with
     * the first element as init, so a 0 seed is prepended; string_split
@@ -86,7 +88,7 @@ object Text {
        |  list_prepend(CAST(0 AS BIGINT),
        |    list_transform(string_split($sVar, ''),
        |      ch -> CAST(ascii(ch) AS BIGINT))),
-       |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+       |  (h, c) -> (h * 131 + c) % 1000000007)""".stripMargin
 
   /** One portable hash per shingle ([[portableStrHashSql]] character
     * fold) — compute (and materialize) this ONCE; the per-permutation

@@ -145,4 +145,55 @@ class PropertySpec extends SparkSpec {
         s"(n=$n w=$w s=$st): non-last window short: $sizes")
     }
   }
+
+  test("portable hash family: uniform bits, independent perms, rare collisions") {
+    // The portable minhash/simhash signatures trade xxhash64 for
+    // DuckDB-replayable integer mixing — these laws are what keep LSH
+    // band buckets balanced at 10^9 docs (bucket sizes, hence
+    // candidate-join cost, grow with the SQUARE of any bias). The
+    // corpus cannot pin them (31 distinct tokens at sf0.01), so check
+    // the family itself over random token strings. Deterministic Gen
+    // seeds: the measured values are fixed, the bounds have 4-5 sigma
+    // slack, so this cannot flake.
+    import graft.functions.PortableHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokens = (0 until 200).flatMap { i =>
+      Gen.listOfN(100, Gen.identifier)
+        .apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(Seq.empty)
+    }.distinct
+    assert(tokens.size > 15000, s"generator yielded only ${tokens.size}")
+    val h0s = tokens.map(t => PortableHash.strHash(UTF8String.fromString(t)))
+    // (1) char-fold collisions stay at birthday-bound scale: expected
+    // n^2 / (2 * 1e9+7) ~ 0.2 for ~20k tokens; allow a 5x margin
+    assert(h0s.size - h0s.distinct.size <= 3,
+      s"strHash collisions: ${h0s.size - h0s.distinct.size}")
+    val hs = h0s.map(PortableHash.tokenHash62)
+    val n = hs.size.toDouble
+    val sigma = math.sqrt(n) / 2
+    // (2) every one of the 62 signature bits is ~fair (dev < 5 sigma)
+    (0 until 62).foreach { j =>
+      val ones = hs.count(h => ((h >> j) & 1L) == 1L)
+      assert(math.abs(ones - n / 2) < 5 * sigma,
+        s"bit $j biased: $ones of $n")
+    }
+    // (3) adjacent bits are independent (agreement ~ n/2): a lattice
+    // artifact in the mixer shows up exactly here
+    (0 until 61).foreach { j =>
+      val agree = hs.count(h => ((h >> j) & 1L) == ((h >> (j + 1)) & 1L))
+      assert(math.abs(agree - n / 2) < 5 * sigma,
+        s"bits $j,${j + 1} correlated: $agree of $n")
+    }
+    // (4) minhash permutations pick DIFFERENT minima: over 16 perms of
+    // a 50-element set, independent hashes select ~13.7 distinct
+    // argmins on average ( n(1-(1-1/n)^16) ); identical-permutation
+    // degeneracy would select 1. Require an average >= 10.
+    val sets = h0s.grouped(50).take(100).toSeq.filter(_.size == 50)
+    val avgDistinct = sets.map { s =>
+      (0 until 16).map(p => s.minBy(h => PortableHash.minhashPerm(h, p)))
+        .distinct.size
+    }.sum.toDouble / sets.size
+    assert(avgDistinct >= 10.0,
+      s"perms nearly identical: avg distinct argmins $avgDistinct")
+  }
 }
