@@ -195,5 +195,21 @@ class PropertySpec extends SparkSpec {
     }.sum.toDouble / sets.size
     assert(avgDistinct >= 10.0,
       s"perms nearly identical: avg distinct argmins $avgDistinct")
+    // (5) SEQUENTIAL seeds (the l17/l23/l33 doc_id splits) land in
+    // balanced % 100 buckets: sequential inputs are exactly where a
+    // single LCG round's lattice shows up (the documented reason the
+    // mixer has two rounds + xor-shift). 100k ids, every bucket within
+    // 5 sigma of 1000.
+    val nIds = 100000
+    val buckets = new Array[Int](100)
+    (0 until nIds).foreach { i =>
+      buckets((PortableHash.mix(i + 1L) % 100).toInt) += 1
+    }
+    val exp = nIds / 100.0
+    val sigmaB = math.sqrt(nIds * 0.01 * 0.99)
+    buckets.zipWithIndex.foreach { case (c, b) =>
+      assert(math.abs(c - exp) < 5 * sigmaB,
+        s"sequential-seed bucket $b skewed: $c vs $exp")
+    }
   }
 }
