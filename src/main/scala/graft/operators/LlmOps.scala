@@ -191,7 +191,11 @@ object LlmOps extends QueryPack {
     // recompute the signature. The shingle→signature→band-key chain is
     // the native codegen'd minhash_bands expression (the HOF chain it
     // replaces ran interpreted — CodegenFallback; MinhashBandsSpec
-    // pins bit-equality).
+    // pins bit-equality). Folding this barrier INTO the shingle
+    // checkpoint (bands as a column there, explode per consumer)
+    // measured ~25% slower at sf0.1: all four consumers then re-read
+    // the wide shingle blocks, while this narrow (id, band) frame is
+    // read twice nearly for free.
     val keyed = Barriers.materialize(sh
       .select(col("doc_id"),
         posexplode(Text.minhashBands(col("sh"), perms, bands))
