@@ -79,9 +79,9 @@ class PlanAuditSpec extends SparkSpec {
     * corpus size:
     *  - singleton-aggregate broadcasts (one row meets each probe row):
     *    o04's set-op count frames, l26's index/batch count frames,
-    *    l33's 1-row min-share frame
-    *  - model-row broadcasts: l09's single query vector, l18's
-    *    contaminated-probe shingle set (fixed probe list), k05's
+    *    l33's 1-row min-share frame, l18's corpus-count × probe-count
+    *    1-row frames
+    *  - model-row broadcasts: l09's single query vector, k05's
     *    48-row salted dim build (16 salts × 3 literal flags)
     *  - l10: the all-pairs embedding baseline over a FIXED
     *    `LlmOps.allPairsPanel`-id panel (`vec_id < 2000` pushed to the
