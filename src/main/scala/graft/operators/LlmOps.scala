@@ -496,6 +496,120 @@ object LlmOps extends QueryPack {
         col("vec_id"), round(col("cosine"), 6).as("cosine"))
       .orderBy("qid", "rank")
 
+  // ---- product quantization (PQ) --------------------------------------
+
+  /** PQ geometry: 64-dim vectors split into 8 subspaces of 8 dims, 16
+    * codewords per subspace (seeded from the first 16 vectors, the same
+    * deterministic convention as [[ivfAssign]]). A vector's code is 8
+    * small ints — at K ≤ 256 that is 8 BYTES against 256 raw float
+    * bytes, the 32× memory compression that lets a billion-vector index
+    * live in RAM (Jégou et al., TPAMI'11 product quantization). */
+  val pqM = 8       // subspaces
+  val pqSub = 8     // dims per subspace
+  val pqK = 16      // codewords per subspace
+  /** ADC distances are quantized to integer MICRO-units before any
+    * cross-subspace summation: integer sums are exact and
+    * order-independent, so Spark's sequential lambda fold and DuckDB's
+    * unordered SUM cannot diverge by a float-reassociation ulp (the
+    * per-subspace distances themselves are single sequential folds,
+    * bit-identical in both engines — the l09/l15 precedent). */
+  val pqMicro = 1000000.0
+
+  /** Squared-L2 between aligned `sub`-dim slices of two vector columns
+    * — the single sequential fold both engines replay bit-identically
+    * (DuckDB spells it list_dot_product(diff, diff)). `m` is a SQL
+    * variable in scope (the subspace index). */
+  private def pqSubDistSql(vecA: String, vecB: String): String =
+    s"""aggregate(zip_with(slice($vecA, m * $pqSub + 1, $pqSub),
+       |  slice($vecB, m * $pqSub + 1, $pqSub),
+       |  (x, y) -> (x - y) * (x - y)), 0.0D, (a, v) -> a + v)""".stripMargin
+
+  /** PQ encoding: one narrow pass — the 16×64-double codebook rides a
+    * singleton broadcast row, each vector's 8-int code is an argmin per
+    * subspace (ties to lowest cid, the ivfAssign convention). At scale
+    * the corpus never shuffles; the output is the 8-byte-per-vector
+    * frame every downstream ADC search scans instead of raw floats. */
+  def pqEncode(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id") < pqK)
+      .select(collect_list(struct(col("vec_id").cast("int").as("cid"),
+        col("vec").as("cvec"))).as("cents"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("code", expr(
+        s"""transform(sequence(0, ${pqM - 1}), m ->
+           |  aggregate(
+           |    transform(cents, c -> named_struct(
+           |      'd', ${pqSubDistSql("vec", "c.cvec")},
+           |      'cid', c.cid)),
+           |    named_struct('best', CAST(1e308 AS DOUBLE), 'cid', -1),
+           |    (acc, s) -> IF(
+           |      s.d < acc.best OR (s.d = acc.best AND s.cid < acc.cid),
+           |      named_struct('best', s.d, 'cid', s.cid),
+           |      acc)).cid)""".stripMargin))
+      .drop("cents")
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search: per query, an 8×16
+    * lookup table of micro-unit subspace distances to every codeword;
+    * each corpus CODE (8 bytes, never the raw vector) scores as the sum
+    * of 8 table lookups. Scale shape: LUTs broadcast (|Q| rows), the
+    * code scan is one narrow pass, and the per-query top-k rank plans
+    * as WindowGroupLimit — the same pre-reduced shuffle as ivfSearch.
+    * Lossy by construction: ranks use quantized distances (LlmSpec
+    * pins recall on planted near-duplicates; the exact re-rank of the
+    * returned candidates is l09's brute-force path). */
+  def pqSearch(e: DataFrame, topK: Int, isQuery: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = pqEncode(e).select(col("vec_id"), col("code"))
+    val cents = e.filter(col("vec_id") < pqK)
+      .select(collect_list(struct(col("vec_id").cast("int").as("cid"),
+        col("vec").as("cvec"))).as("cents"))
+    val luts = e.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("lut", expr(
+        s"""transform(sequence(0, ${pqM - 1}), m ->
+           |  transform(sequence(0, ${pqK - 1}), k ->
+           |    CAST(ROUND(${pqSubDistSql("qvec",
+                  s"element_at(filter(cents, c -> c.cid = k), 1).cvec")}
+           |      * ${pqMicro}D) AS BIGINT)))""".stripMargin))
+      .select(col("qid"), col("lut"))
+    codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc_micro", expr(
+        s"""aggregate(sequence(0, ${pqM - 1}), 0L, (a, m) ->
+           |  a + element_at(element_at(lut, m + 1),
+           |        element_at(code, m + 1) + 1))""".stripMargin))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc_micro"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc_micro"))
+  }
+
+  /** l36: PQ codebook/compression profile — code-space usage plus the
+    * bytes-per-vector accounting that IS the operator's reason to
+    * exist. */
+  private val pqIndexQ: Q = (s, dir) =>
+    pqEncode(embs(s, dir))
+      .select(expr("array_join(transform(code, c -> cast(c AS string)), ',')")
+        .as("code_str"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        countDistinct(col("code_str")).as("n_distinct_codes"))
+      .select(col("n_vectors"), col("n_distinct_codes"),
+        lit(pqM.toLong).as("m_subspaces"),
+        lit(pqK.toLong).as("k_codewords"),
+        lit(pqM.toLong).as("code_bytes"),      // one byte per subspace at K<=256
+        lit(4L * pqM * pqSub).as("raw_bytes")) // float32 per dim
+
+  /** l37: ADC search over the embeddings table — queries vec_id 0-3,
+    * top-10 by quantized distance, fully oracle-checked (codes, LUTs,
+    * and integer ADC sums replay exactly in DuckDB). */
+  private val pqSearchQ: Q = (s, dir) =>
+    pqSearch(embs(s, dir), 10, col("vec_id") < 4)
+      .orderBy("qid", "rank")
+
   /** Exact token-set (1-gram) Jaccard between consecutive doc pairs —
     * the deterministic n-gram-Jaccard baseline the oracle can recompute
     * (the 3-gram variant runs inside the LSH confirm step). Pairing by
@@ -1082,6 +1196,8 @@ object LlmOps extends QueryPack {
     "l14_ivf_index" -> ivfIndex,
     "l15_ivf_search" -> ivfSearchQ,
     "l16_bucket_search" -> bucketSearchQ,
+    "l36_pq_index" -> pqIndexQ,
+    "l37_pq_search" -> pqSearchQ,
     "l17_train_split" -> trainSplit,
     "l18_decontamination" -> decontamination,
     "l19_repetition_filter" -> repetitionFilter,
@@ -1107,6 +1223,39 @@ object LlmOps extends QueryPack {
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_dot_product(e.vec, c.cvec) DESC, c.cid) AS rn
       |    FROM e CROSS JOIN cents c) WHERE rn = 1)""".stripMargin
+
+  /** Shared oracle CTEs for the PQ operators: per-(vector, subspace)
+    * squared-L2 to every codeword (the same single sequential fold the
+    * Spark side runs, spelled list_dot_product(diff, diff)), the
+    * argmin assignment (ties to lowest cid), and the per-vector code
+    * string. */
+  private val oPqCtes: String = {
+    val dsq =
+      s"""list_dot_product(
+         |  list_transform(range(1, ${pqSub + 1}),
+         |    i -> e.vec[ms.m * $pqSub + i] - c.cvec[ms.m * $pqSub + i]),
+         |  list_transform(range(1, ${pqSub + 1}),
+         |    i -> e.vec[ms.m * $pqSub + i] - c.cvec[ms.m * $pqSub + i]))"""
+        .stripMargin
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, vec AS cvec FROM e
+       |  WHERE vec_id < $pqK),
+       |ms AS (SELECT unnest(range(0, $pqM)) AS m),
+       |dsub AS (
+       |  SELECT e.vec_id, ms.m, c.cid, $dsq AS d
+       |  FROM e CROSS JOIN ms CROSS JOIN cents c),
+       |best AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |        ORDER BY d, cid) AS rn
+       |    FROM dsub) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id,
+       |    string_agg(CAST(cid AS VARCHAR), ',' ORDER BY m) AS code_str
+       |  FROM best GROUP BY 1)""".stripMargin
+  }
 
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
@@ -1614,6 +1763,43 @@ object LlmOps extends QueryPack {
          |  MIN(n_vecs) AS min_bucket,
          |  CAST(SUM(n_vecs) AS BIGINT) AS n_total
          |FROM hist""".stripMargin
+    },
+    "l36_pq_index" -> {
+      s"""WITH $oPqCtes
+         |SELECT
+         |  (SELECT COUNT(*) FROM codes) AS n_vectors,
+         |  (SELECT COUNT(DISTINCT code_str) FROM codes)
+         |    AS n_distinct_codes,
+         |  CAST($pqM AS BIGINT) AS m_subspaces,
+         |  CAST($pqK AS BIGINT) AS k_codewords,
+         |  CAST($pqM AS BIGINT) AS code_bytes,
+         |  CAST(${4 * pqM * pqSub} AS BIGINT) AS raw_bytes""".stripMargin
+    },
+    "l37_pq_search" -> {
+      val qdist = // same single-fold shape as the Spark side
+        s"""list_dot_product(
+           |  list_transform(range(1, ${pqSub + 1}),
+           |    i -> q.vec[ms.m * $pqSub + i] - c.cvec[ms.m * $pqSub + i]),
+           |  list_transform(range(1, ${pqSub + 1}),
+           |    i -> q.vec[ms.m * $pqSub + i] - c.cvec[ms.m * $pqSub + i]))"""
+          .stripMargin
+      s"""WITH $oPqCtes,
+         |lut AS (
+         |  SELECT q.vec_id AS qid, ms.m, c.cid,
+         |    CAST(ROUND(($qdist) * ${pqMicro}) AS BIGINT) AS dm
+         |  FROM e q CROSS JOIN ms CROSS JOIN cents c
+         |  WHERE q.vec_id < 4),
+         |adc AS (
+         |  SELECT l.qid, b.vec_id, CAST(SUM(l.dm) AS BIGINT) AS adc_micro
+         |  FROM best b JOIN lut l ON l.m = b.m AND l.cid = b.cid
+         |  WHERE b.vec_id <> l.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, adc_micro
+         |FROM (SELECT qid, vec_id, adc_micro,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adc_micro, vec_id) AS rank
+         |  FROM adc)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
     },
     "l14_ivf_index" ->
       s"""WITH $oAssignCtes,

@@ -244,6 +244,37 @@ class LlmSpec extends SparkSpec {
     assert(got.size == 10)
   }
 
+  test("PQ ADC search: planted neighbors fill the top-10, decent recall vs exact truth") {
+    val (all, truth) = plantedSearchFixture()
+    val got = LlmOps.pqSearch(all, 10, $"vec_id" === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.size == 10)
+    // The PQ property under test: quantized distance SEPARATES the
+    // planted near-duplicates from the corpus (coarse candidate
+    // generation) — every returned id must be a planted neighbor...
+    assert(got.forall(_ > 1000L),
+      s"ADC let corpus vectors outrank planted near-dups: $got")
+    // ...while ranking WITHIN one shared code is beyond a 16-codeword
+    // codebook (ties break by id), so recall against the exact cosine
+    // top-10 is only bounded, not total — the exact re-rank of ADC
+    // candidates is l09's job.
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.5, s"PQ recall@10 $recall; got=$got truth=$truth")
+  }
+
+  test("PQ codes: a vector and its tiny perturbation share a code; 32x fewer bytes") {
+    val (all, _) = plantedSearchFixture()
+    val codes = LlmOps.pqEncode(all)
+      .select($"vec_id", expr("array_join(transform(code, c -> cast(c AS string)), ',')"))
+      .as[(Long, String)].collect().toMap
+    // planted 0.02-perturbations of vec 0 quantize to vec 0's code in
+    // (nearly) every subspace: identical codes for most planted ids
+    val same = (1 to 20).count(j => codes(1000L + j) == codes(0L))
+    assert(same >= 15, s"only $same/20 perturbations share vec 0's code")
+    assert(LlmOps.pqM * 1 * 32 == 4 * LlmOps.pqM * LlmOps.pqSub,
+      "code bytes must be 32x smaller than raw float bytes")
+  }
+
   test("IVF: planted near-neighbors land in the query vector's cell") {
     val base = T.load(spark, sfDir, "embeddings")
       .filter($"vec_id" === 0).select($"embedding".cast("array<double>"))

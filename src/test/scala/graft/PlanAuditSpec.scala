@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "l09_cosine_topk", "l10_embedding_neardup", "l11_ann_buckets",
     "l12_multimodal_stats", "l35_frame_sampling",
     "l13_token_jaccard", "l17_train_split", "l18_decontamination",
+    "l36_pq_index", "l37_pq_search",
     "l19_repetition_filter", "l20_pii_scrub", "l22_sequence_packing",
     "l23_stratified_sample", "l25_curation_pipeline",
     "l26_incremental_dedup",
@@ -82,7 +83,9 @@ class PlanAuditSpec extends SparkSpec {
     *    l33's 1-row min-share frame, l18's corpus-count × probe-count
     *    1-row frames
     *  - model-row broadcasts: l09's single query vector, k05's
-    *    48-row salted dim build (16 salts × 3 literal flags)
+    *    48-row salted dim build (16 salts × 3 literal flags), l36/l37's
+    *    PQ codebook (a singleton collect_list row) and |Q|-row LUT
+    *    frame
     *  - l10: the all-pairs embedding baseline over a FIXED
     *    `LlmOps.allPairsPanel`-id panel (`vec_id < 2000` pushed to the
     *    scan; vec_id unique ⇒ hard row bound) — O(panel²) forever,
@@ -95,5 +98,6 @@ class PlanAuditSpec extends SparkSpec {
   private lazy val bnljBounded: Set[String] = Set(
     "o04_set_ops", "l26_incremental_dedup", "l33_temperature_sample",
     "l09_cosine_topk", "l18_decontamination", "k05_salted_join",
+    "l36_pq_index", "l37_pq_search",
     "l10_embedding_neardup")
 }
