@@ -425,9 +425,52 @@ object Dml extends QueryPack {
       .orderBy("_change_version", "_change_type")
   }
 
+  /** D17: write-audit-publish — the branch workflow a production
+    * lakehouse runs every load through (Iceberg's WAP pattern; the
+    * reference's staging-then-publish loads assume it): the candidate
+    * batch lands on a STAGING branch, an audit query gates it, a
+    * failed audit triggers a fix + restage (main never sees the bad
+    * rows), and only the passing snapshot publishes. Here the Q3 load
+    * arrives with deterministic corruption (negated prices on
+    * orderkey % 97 == 0); audit v1 fails, the fixed batch restages,
+    * audit v2 passes, publish fast-forwards main. Every count is read
+    * back from the branch/main snapshots, so the isolation property —
+    * main's row count changes only at publish — is what the oracle
+    * checks. */
+  private val writeAuditPublish: Q = (s, dir) => {
+    val sn = new Snapshots(Scratch.dir("d17_wap"))
+    val o = T.load(s, dir, "orders")
+    sn.commit(o.filter(month(col("o_orderdate")) <= 6), "main")   // main v1
+    // staging branches FROM main, then the Q3 load appends onto it
+    // WITH a defect (negated prices on a deterministic key slice)
+    val q3 = o.filter(month(col("o_orderdate")).between(7, 9))
+    sn.commit(
+      sn.current(s, "main").unionByName(
+        q3.withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))), "staging")         // staging v1
+    val mainBefore = sn.current(s, "main").agg(count(lit(1)).as("main_before"))
+    def audit(df: DataFrame) =
+      df.agg(coalesce(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)),
+        lit(0L)).as("n"))
+    val audit1 = audit(sn.current(s, "staging"))
+      .select(col("n").as("audit1_violations"))
+    // audit failed -> fix and RESTAGE (staging v2); main untouched
+    sn.commit(sn.current(s, "staging").filter(col("o_totalprice") > 0),
+      "staging")
+    val audit2 = audit(sn.current(s, "staging"))
+      .select(col("n").as("audit2_violations"))
+    sn.publish(s, "staging", "main")                              // main v2
+    val mainAfter = sn.current(s, "main").agg(count(lit(1)).as("main_after"))
+    mainBefore.crossJoin(audit1).crossJoin(audit2).crossJoin(mainAfter)
+      .withColumn("main_versions",
+        lit(sn.versions("main").size).cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d15_check_constraint" -> checkConstraint,
     "d16_system_time_between" -> systemTimeBetween,
+    "d17_write_audit_publish" -> writeAuditPublish,
     "d01_insert_select" -> insertSelect,
     "d03_delete_where" -> deleteWhere,
     "d04_update_where" -> updateWhere,
@@ -553,6 +596,23 @@ object Dml extends QueryPack {
         |    (SELECT COUNT(*) FROM orders WHERE month(o_orderdate) <= 3
         |     AND o_orderstatus = 'F'))
         |ORDER BY 1, 2""".stripMargin,
+    // isolation is the property: main_before sees only H1, violations
+    // exist only on the staging branch (audit1 counts them, the fixed
+    // restage zeroes them), and main_after = everything that survived
+    // the audit — published in ONE version step
+    "d17_write_audit_publish" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE month(o_orderdate) <= 6)
+        |    AS main_before,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE month(o_orderdate) BETWEEN 7 AND 9
+        |     AND o_orderkey % 97 = 0) AS audit1_violations,
+        |  CAST(0 AS BIGINT) AS audit2_violations,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE month(o_orderdate) <= 9
+        |     AND NOT (month(o_orderdate) BETWEEN 7 AND 9
+        |              AND o_orderkey % 97 = 0)) AS main_after,
+        |  CAST(2 AS BIGINT) AS main_versions""".stripMargin,
     // month 3 reflects the corrected reload; every other month must
     // still aggregate to its ORIGINAL content
     "d14_dynamic_partition_overwrite" ->

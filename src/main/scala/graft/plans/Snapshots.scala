@@ -63,6 +63,18 @@ class Snapshots(root: String) {
     commit(asOf(spark, table, v), table)
   }
 
+  /** D17: publish a branch — promote `fromTable`'s current snapshot to
+    * be `toTable`'s next version (the write-audit-publish pattern:
+    * loads land on a staging branch, audit queries gate them, publish
+    * fast-forwards main). Readers of main never see pre-audit data;
+    * a failed audit leaves main untouched and the staging history
+    * inspectable. In a real table format this is a metadata-only
+    * branch fast-forward; here it re-commits the staged parquet, the
+    * copy-on-write analog (same trade as [[rollback]]). Returns main's
+    * new version. */
+  def publish(spark: SparkSession, fromTable: String, toTable: String): Int =
+    commit(current(spark, fromTable), toTable)
+
   /** D16: `FOR SYSTEM_TIME BETWEEN` change enumeration
     * (/root/reference/README.md:573-589 pairs AS-OF with a BETWEEN
     * change-history window) — every keyed change the table went through
