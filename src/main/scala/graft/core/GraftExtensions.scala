@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{GeohashExpr, MinhashBandsExpr, SimhashPackExpr, ZOrderInterleave}
+import graft.functions.{GeohashExpr, MinhashBandsExpr, SimhashPackExpr, VectorSumAgg, ZOrderInterleave}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions. Two paths:
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.geohashDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.minhashDescriptor)
+    ext.injectFunction(GraftExtensions.vectorSumDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.IdempotentStringOps)
   }
 }
@@ -79,6 +80,20 @@ object GraftExtensions {
         intLit(children(1), "perms"), intLit(children(2), "bands"))
     })
 
+  private val vectorSumDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_sum"),
+    new ExpressionInfo(classOf[VectorSumAgg].getName, "vector_sum"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "vector_sum(vec) takes exactly one argument")
+      // the registry expects the bare aggregate function; the analyzer
+      // wraps it in AggregateExpression like any built-in aggregate.
+      // withCasts lifts float/decimal element types to double, as the
+      // implicit-cast trait would for a built-in.
+      VectorSumAgg.withCasts(children.head)
+    })
+
   def register(spark: SparkSession): Unit = {
     // optimizer rules can't be injected into a built session through
     // SparkSessionExtensions; extraOptimizations is the sanctioned
@@ -96,5 +111,7 @@ object GraftExtensions {
       simhashDescriptor._1, simhashDescriptor._2, simhashDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       minhashDescriptor._1, minhashDescriptor._2, minhashDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      vectorSumDescriptor._1, vectorSumDescriptor._2, vectorSumDescriptor._3)
   }
 }

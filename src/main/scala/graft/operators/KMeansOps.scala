@@ -23,9 +23,10 @@ import graft.core.{Tables => T, QueryPack}
   *    centroid array with (dist, cid) structs materialized inside the
   *    fold — each centroid's O(d) distance evaluates exactly once per
   *    row (the tokenHashes discipline), ties to lowest cid.
-  *  - Mean recompute flows posexplode(vec) → hash agg on (cid, pos):
-  *    the n·d exploded rows are consumed by map-side partial
-  *    aggregation, so the exchange carries ~k·d rows per partition.
+  *  - Mean recompute is one `vector_sum` object-hash aggregate on cid
+  *    (a primitive double[] buffer per cell, map-side partial merge):
+  *    the exchange carries k buffers per partition and the driver gets
+  *    k rows — no posexplode row multiplication anywhere.
   *  - Each iteration's assignment is persisted (MEMORY_AND_DISK) for
   *    the duration of its two reads (WCSS + sums) and explicitly
   *    unpersisted — recomputing the lineage would re-scan the corpus
@@ -85,22 +86,24 @@ object KMeansOps extends QueryPack {
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         wcss += assigned.agg(sum(col("dist"))).collect()(0).getDouble(0)
+        // mean recompute: ONE aggregated row per cell via the native
+        // vector_sum aggregate (a primitive double[] buffer per cell,
+        // map-side partial merge) — the posexplode → (cid, pos) hash
+        // agg it replaces multiplied the aggregated row count by d
+        // before partial aggregation could absorb it and returned k·d
+        // rows for the driver to reassemble
         val sums = assigned
-          .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .groupBy(col("cid"))
+          .agg(graft.functions.VectorSum.vectorSum(col("vec")).as("sx"),
+            count(lit(1)).as("n"))
           .collect()
-        val byCell = sums.groupBy(_.getAs[Int]("cid"))
+        val byCell = sums.map(r => r.getAs[Int]("cid") -> r).toMap
         model = model.zipWithIndex.map { case (old, cid) =>
           byCell.get(cid) match {
             case None => old // empty cell: centroid carries over
-            case Some(rows) =>
-              val c = old.clone()
-              rows.foreach { r =>
-                c(r.getAs[Int]("pos")) =
-                  r.getAs[Double]("sx") / r.getAs[Long]("n")
-              }
-              c
+            case Some(r) =>
+              val n = r.getAs[Long]("n").toDouble
+              r.getAs[Seq[Double]]("sx").map(_ / n).toArray
           }
         }
       } finally assigned.unpersist()
