@@ -587,6 +587,66 @@ object LlmOps extends QueryPack {
         col("vec_id"), col("adc_micro"))
   }
 
+  /** IVF+PQ composed search — the billion-scale ANN architecture
+    * (FAISS IVFPQ): the corpus is indexed ONCE into (cell, 8-byte
+    * code) — a single narrow pass attaching both the IVF cell
+    * ([[ivfAssign]]) and the PQ code ([[pqEncode]]), two singleton
+    * model broadcasts over one scan — then a query probes its top
+    * `nprobe` cells and ranks ONLY those posting lists by table-lookup
+    * ADC, never touching a raw vector. Scale shape: probes and LUTs
+    * broadcast; the candidate set is |Q|·N·nprobe/nCells CODE rows
+    * (8 bytes each); top-k plans as WindowGroupLimit. This composes
+    * the IVF pruning (which cells to read) with the PQ compression
+    * (what a posting-list entry costs) — each covered alone by
+    * l15/l37. */
+  def ivfPqSearch(e: DataFrame, nCells: Int, nprobe: Int, topK: Int,
+      isQuery: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val indexed = ivfAssign(pqEncode(e), nCells)
+      .select(col("vec_id"), col("cid"), col("code"))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
+    val queries = e.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cdot", Text.dot(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cdot"), col("cid"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("cid"))
+    val centsList = e.filter(col("vec_id") < pqK)
+      .select(collect_list(struct(col("vec_id").cast("int").as("cid"),
+        col("vec").as("cvec"))).as("cents"))
+    val luts = queries.crossJoin(broadcast(centsList))
+      .withColumn("lut", expr(
+        s"""transform(sequence(0, ${pqM - 1}), m ->
+           |  transform(sequence(0, ${pqK - 1}), k ->
+           |    CAST(ROUND(${pqSubDistSql("qvec",
+                  s"element_at(filter(cents, c -> c.cid = k), 1).cvec")}
+           |      * ${pqMicro}D) AS BIGINT)))""".stripMargin))
+      .select(col("qid"), col("lut"))
+    indexed.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(luts), "qid")
+      .withColumn("adc_micro", expr(
+        s"""aggregate(sequence(0, ${pqM - 1}), 0L, (a, m) ->
+           |  a + element_at(element_at(lut, m + 1),
+           |        element_at(code, m + 1) + 1))""".stripMargin))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc_micro"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc_micro"))
+  }
+
+  /** l38: IVF+PQ search over the embeddings table — queries vec_id
+    * 0-3, 16 cells, nprobe 4, top-10 by quantized distance within the
+    * probed cells; fully oracle-checked. */
+  private val ivfPqSearchQ: Q = (s, dir) =>
+    ivfPqSearch(embs(s, dir), 16, 4, 10, col("vec_id") < 4)
+      .orderBy("qid", "rank")
+
   /** l36: PQ codebook/compression profile — code-space usage plus the
     * bytes-per-vector accounting that IS the operator's reason to
     * exist. */
@@ -1198,6 +1258,7 @@ object LlmOps extends QueryPack {
     "l16_bucket_search" -> bucketSearchQ,
     "l36_pq_index" -> pqIndexQ,
     "l37_pq_search" -> pqSearchQ,
+    "l38_ivfpq_search" -> ivfPqSearchQ,
     "l17_train_split" -> trainSplit,
     "l18_decontamination" -> decontamination,
     "l19_repetition_filter" -> repetitionFilter,
@@ -1793,6 +1854,54 @@ object LlmOps extends QueryPack {
          |  SELECT l.qid, b.vec_id, CAST(SUM(l.dm) AS BIGINT) AS adc_micro
          |  FROM best b JOIN lut l ON l.m = b.m AND l.cid = b.cid
          |  WHERE b.vec_id <> l.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, adc_micro
+         |FROM (SELECT qid, vec_id, adc_micro,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adc_micro, vec_id) AS rank
+         |  FROM adc)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    },
+    // IVF cell probe (the l15 CTEs) composed with PQ code ranking (the
+    // l36/l37 CTEs): candidates come from the probed cells' posting
+    // lists, scores from the integer ADC lookup
+    "l38_ivfpq_search" -> {
+      val qdist =
+        s"""list_dot_product(
+           |  list_transform(range(1, ${pqSub + 1}),
+           |    i -> q.qvec[ms.m * $pqSub + i] - c.cvec[ms.m * $pqSub + i]),
+           |  list_transform(range(1, ${pqSub + 1}),
+           |    i -> q.qvec[ms.m * $pqSub + i] - c.cvec[ms.m * $pqSub + i]))"""
+          .stripMargin
+      s"""WITH $oPqCtes,
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.vec, c.cvec) DESC, c.cid)
+         |        AS rn
+         |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, vec AS qvec FROM e WHERE vec_id < 4),
+         |probe AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY list_dot_product(q.qvec, c.cvec) DESC, c.cid)
+         |        AS crank
+         |    FROM q CROSS JOIN cents c) WHERE crank <= 4),
+         |lut AS (
+         |  SELECT q.qid, ms.m, c.cid,
+         |    CAST(ROUND(($qdist) * ${pqMicro}) AS BIGINT) AS dm
+         |  FROM q CROSS JOIN ms CROSS JOIN cents c),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id
+         |  FROM probe p JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> p.qid),
+         |adc AS (
+         |  SELECT cd.qid, cd.vec_id, CAST(SUM(l.dm) AS BIGINT) AS adc_micro
+         |  FROM cand cd
+         |  JOIN best b ON b.vec_id = cd.vec_id
+         |  JOIN lut l ON l.qid = cd.qid AND l.m = b.m AND l.cid = b.cid
          |  GROUP BY 1, 2)
          |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, adc_micro
          |FROM (SELECT qid, vec_id, adc_micro,

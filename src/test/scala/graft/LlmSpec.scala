@@ -262,6 +262,21 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@10 $recall; got=$got truth=$truth")
   }
 
+  test("IVFPQ search: planted neighbors survive both the cell prune and ADC ranking") {
+    val (all, truth) = plantedSearchFixture()
+    val got = LlmOps.ivfPqSearch(all, 16, 4, 10, $"vec_id" === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.size == 10)
+    // composed lossiness: a neighbor must land in a probed CELL (IVF)
+    // and then outrank the cell's other members by quantized distance
+    // (PQ) — planted near-dups of the query satisfy both by
+    // construction, so the top-10 must still be all-planted
+    assert(got.forall(_ > 1000L),
+      s"IVFPQ let corpus vectors outrank planted near-dups: $got")
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.5, s"IVFPQ recall@10 $recall; got=$got truth=$truth")
+  }
+
   test("PQ codes: a vector and its tiny perturbation share a code; 32x fewer bytes") {
     val (all, _) = plantedSearchFixture()
     val codes = LlmOps.pqEncode(all)

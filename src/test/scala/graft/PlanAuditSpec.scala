@@ -38,7 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "l09_cosine_topk", "l10_embedding_neardup", "l11_ann_buckets",
     "l12_multimodal_stats", "l35_frame_sampling",
     "l13_token_jaccard", "l17_train_split", "l18_decontamination",
-    "l36_pq_index", "l37_pq_search",
+    "l36_pq_index", "l37_pq_search", "l38_ivfpq_search",
     "l19_repetition_filter", "l20_pii_scrub", "l22_sequence_packing",
     "l23_stratified_sample", "l25_curation_pipeline",
     "l26_incremental_dedup",
@@ -98,6 +98,6 @@ class PlanAuditSpec extends SparkSpec {
   private lazy val bnljBounded: Set[String] = Set(
     "o04_set_ops", "l26_incremental_dedup", "l33_temperature_sample",
     "l09_cosine_topk", "l18_decontamination", "k05_salted_join",
-    "l36_pq_index", "l37_pq_search",
+    "l36_pq_index", "l37_pq_search", "l38_ivfpq_search",
     "l10_embedding_neardup")
 }
