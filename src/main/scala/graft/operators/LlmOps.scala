@@ -496,6 +496,53 @@ object LlmOps extends QueryPack {
         col("vec_id"), round(col("cosine"), 6).as("cosine"))
       .orderBy("qid", "rank")
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query (anchor), the nearest probed candidates whose LABEL differs
+    * (near the anchor in embedding space but semantically distinct =
+    * the gradient-rich negatives). Same broadcast/probe/WindowGroupLimit
+    * shape as [[ivfSearch]]; the label-mismatch filter runs BEFORE the
+    * top-k rank, so negatives aren't crowded out of a fixed-k window by
+    * same-label neighbors. */
+  def hardNegatives(e: DataFrame, nCells: Int, nprobe: Int, k: Int,
+      isQuery: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(e, nCells)
+      .select(col("vec_id"), col("vec"), col("label"), col("cid"))
+      .withColumn("nrm", Text.l2norm(col("vec")))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
+    val queries = e.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("label").as("qlabel"))
+      .withColumn("qnrm", Text.l2norm(col("qvec")))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cdot", Text.dot(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cdot"), col("cid"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qnrm"), col("qlabel"), col("cid"))
+    val cand = assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid") &&
+        col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        Text.cosineWithNorms(col("vec"), col("qvec"),
+          col("nrm"), col("qnrm")).as("cosine"))
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** l39: hard negatives for queries vec_id 0-3 (16 cells, nprobe 4,
+    * top-10) — fully oracle-checked like l15, plus the mined rows carry
+    * their label so the "different label" contract is visible in the
+    * output itself. */
+  private val hardNegativesQ: Q = (s, dir) =>
+    hardNegatives(embs(s, dir), 16, 4, 10, col("vec_id") < 4)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("label").cast("long").as("neg_label"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
   // ---- product quantization (PQ) --------------------------------------
 
   /** PQ geometry: 64-dim vectors split into 8 subspaces of 8 dims, 16
@@ -1259,6 +1306,7 @@ object LlmOps extends QueryPack {
     "l36_pq_index" -> pqIndexQ,
     "l37_pq_search" -> pqSearchQ,
     "l38_ivfpq_search" -> ivfPqSearchQ,
+    "l39_hard_negatives" -> hardNegativesQ,
     "l17_train_split" -> trainSplit,
     "l18_decontamination" -> decontamination,
     "l19_repetition_filter" -> repetitionFilter,
@@ -1917,6 +1965,42 @@ object LlmOps extends QueryPack {
          |  MIN(n_vecs) AS min_cell,
          |  CAST(SUM(n_vecs) AS BIGINT) AS n_total
          |FROM cells""".stripMargin,
+    // the l15 probe replay with labels carried and the same-label
+    // candidates removed BEFORE the per-query rank
+    "l39_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         |    label FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, vec AS cvec FROM e
+         |  WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, vec, label, cid FROM (
+         |    SELECT e.vec_id, e.vec, e.label, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.vec, c.cvec) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, vec AS qvec, label AS qlabel
+         |  FROM e WHERE vec_id < 4),
+         |probe AS (
+         |  SELECT qid, qvec, qlabel, cid FROM (
+         |    SELECT q.qid, q.qvec, q.qlabel, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY list_dot_product(q.qvec, c.cvec) DESC, c.cid)
+         |        AS crank
+         |    FROM q CROSS JOIN cents c) WHERE crank <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id, a.label,
+         |    list_dot_product(a.vec, p.qvec)
+         |      / (sqrt(list_dot_product(a.vec, a.vec))
+         |         * sqrt(list_dot_product(p.qvec, p.qvec))) AS cos
+         |  FROM probe p JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> p.qid AND a.label <> p.qlabel)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(label AS BIGINT) AS neg_label, ROUND(cos, 6) AS cosine
+         |FROM (SELECT qid, vec_id, label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "l15_ivf_search" ->
       s"""WITH $oAssignCtes,
          |q AS (SELECT vec_id AS qid, vec AS qvec FROM e WHERE vec_id < 4),

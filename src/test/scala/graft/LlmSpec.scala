@@ -277,6 +277,31 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVFPQ recall@10 $recall; got=$got truth=$truth")
   }
 
+  test("hard negatives: mined rows never share the anchor's label and rank by cosine") {
+    val e = T.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"), $"label")
+    val qLabels = e.filter($"vec_id" < 4)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val mined = LlmOps.hardNegatives(e, 16, 4, 10, $"vec_id" < 4)
+      .select($"qid", $"vec_id", $"label", $"cosine", $"rank")
+      .as[(Long, Long, Int, Double, Int)].collect()
+    assert(mined.nonEmpty)
+    mined.foreach { case (qid, vid, lbl, _, _) =>
+      assert(lbl != qLabels(qid), s"negative $vid shares label of anchor $qid")
+      assert(vid != qid)
+    }
+    // within each anchor, ranks are dense and cosine is non-increasing
+    mined.groupBy(_._1).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1 to byRank.size),
+        s"anchor $qid ranks not dense")
+      assert(byRank.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._4 >= b._4
+        case _ => true
+      }, s"anchor $qid cosine not sorted")
+    }
+  }
+
   test("PQ codes: a vector and its tiny perturbation share a code; 32x fewer bytes") {
     val (all, _) = plantedSearchFixture()
     val codes = LlmOps.pqEncode(all)
