@@ -146,7 +146,48 @@ object Aggregates extends QueryPack {
       .orderBy("l_linestatus")
   }
 
+  /** Q23: funnel analysis — the per-user ordered view → click →
+    * purchase progression (the standard product-analytics funnel over
+    * an event stream, same family as the reference's event pipeline,
+    * `/root/reference/main.py:163-181`). A user advances a stage only
+    * with an event STRICTLY LATER than their previous stage's first
+    * event, so this is ordered sequence matching, not mere presence.
+    *
+    * Shape: three min-aggregates and two joins, every one keyed on
+    * user_id — Spark reuses the same hash partitioning across all five
+    * exchanges (ReusedExchange / no re-shuffle), and each stage's input
+    * shrinks monotonically (clicks join only users who viewed). At
+    * 100 TB the stage frames are per-user singletons — orders of
+    * magnitude smaller than the event table — so the final funnel agg
+    * is over |users|, not |events|. */
+  private val funnelQ: Q = (s, dir) => {
+    val ev = T.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicked = ev.filter(col("event_type") === "click")
+      .join(viewed, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchased = ev.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    viewed
+      .join(clicked, Seq("user_id"), "left")
+      .join(purchased, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
+      .withColumn("view_to_click",
+        col("n_click").cast("double") / col("n_view").cast("double"))
+      .withColumn("click_to_purchase",
+        col("n_purchase").cast("double") / col("n_click").cast("double"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q23_funnel" -> funnelQ,
     "q02_hourly_stats" -> hourlyStats,
     "q03_duration_agg" -> durationAgg,
     "q04_global_count" -> globalCount,
@@ -159,6 +200,27 @@ object Aggregates extends QueryPack {
     "q11_minmax" -> minMaxQ)
 
   val oracle: Map[String, String] = Map(
+    "q23_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT COUNT(*) AS n_view,
+        |  COUNT(t_click) AS n_click,
+        |  COUNT(t_purchase) AS n_purchase,
+        |  CAST(COUNT(t_click) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS view_to_click,
+        |  CAST(COUNT(t_purchase) AS DOUBLE) / CAST(COUNT(t_click) AS DOUBLE)
+        |    AS click_to_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+        .stripMargin,
     "q02_hourly_stats" ->
       s"""SELECT date_trunc('hour', ts) AS stat_hour, event_type,
          |  COUNT(*) AS trip_count,

@@ -272,7 +272,221 @@ object CurationOps extends QueryPack {
       .orderBy("lang")
   }
 
+  // ---- l40: DSIR-style importance resampling --------------------------
+
+  /** Hashed-feature space of the importance model (Xie et al., NeurIPS'23
+    * "Data Selection for Language Models via Importance Resampling").
+    * 2^12 buckets keeps the model a broadcastable 4096-row frame at ANY
+    * corpus size — the model never grows with the data. */
+  private val dsirBuckets = 4096
+
+  /** l40: domain-targeted importance resampling — fit hashed-unigram
+    * count models of a TARGET domain (here: the English slice stands in
+    * for "wiki-quality") and the BACKGROUND corpus, weight every doc by
+    * how target-like its tokens are, and keep docs with probability
+    * proportional to that weight. The real DSIR uses log-ratios of
+    * n-gram probabilities; this keeps the ratio RATIONAL (integer hit
+    * sums, integer permille threshold) so sample membership is
+    * bit-reproducible across engines — same determinism contract as
+    * l17/l23/l33.
+    *
+    * 100 TB shape: two passes over the exploded token stream, both
+    * ending in map-side-combined hash aggs; the model is a fixed
+    * 4096-row frame broadcast back (the scoring join never shuffles the
+    * corpus); keep/drop is a pure hash of doc_id — no sampling state,
+    * a doc's fate never changes as the corpus grows. */
+  private val dsirResample: Q = (s, dir) => {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(expr(
+          s"""transform(${Text.toksSql("text")},
+             |  t -> pmod(${Text.portableStrHashSql("t")}, $dsirBuckets))"""
+            .stripMargin)).as("bucket"))
+    val model = toks.groupBy(col("bucket"))
+      .agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_target"),
+        count(lit(1)).as("cnt_all"))
+    toks.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum(col("cnt_target")).as("hits_target"),
+        sum(col("cnt_all")).as("hits_all"))
+      .withColumn("keep_permille",
+        least(lit(999L), expr("(1000 * hits_target) div hits_all")))
+      .withColumn("keep",
+        expr(s"${Text.portableMixWideSql("doc_id * 31 + 11")} % 1000") <
+          col("keep_permille"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("keep_permille")).cast("long").as("sum_permille"))
+      .orderBy("source")
+  }
+
+  // ---- l41: duplicated-span detection (substring-level dedup) ---------
+
+  /** Span width in tokens — the unit of the rolling window. Real
+    * substring dedup (Lee et al., ACL'22 "Deduplicating Training Data
+    * Makes Language Models Better") uses 50-token spans over a suffix
+    * array; the distributed re-expression hashes every w-token window
+    * (stride 1) and equi-joins on the span hash, which preserves the
+    * property that matters — any shared substring of ≥ w tokens is
+    * caught — without any all-pairs or suffix-array machinery. */
+  private val spanW = 8
+
+  /** l41: per-document duplicated-span fraction + flags. A span is
+    * "duplicated" iff its hash occurs in ≥ 2 DISTINCT documents; a doc
+    * is flagged when ≥ 20% of its spans are duplicated (the
+    * cross-multiplied integer test `5·dup ≥ spans`, no float
+    * threshold). Span hashes fold portable per-token hashes at base
+    * 131 mod 1e9+7 — order-sensitive like l06's rolling fingerprint,
+    * windowed like l27's paragraphs, and DuckDB-replayable end to end.
+    *
+    * 100 TB shape: only (span_hash, doc_id) longs ever shuffle — 16
+    * bytes per span, never text. The dup-set agg and the flag join key
+    * on the same span_hash, so the exchange is computed once and
+    * reused. The token-hash array materializes below a repartition
+    * exchange so the per-window lambda slices a computed array instead
+    * of re-hashing the document once per window (the l07/l31
+    * inlining hazard). */
+  /** The l41 computation over any documents-shaped frame, so
+    * CurationSpec can drive it on planted duplicate spans. */
+  def spanDupStats(d: DataFrame): DataFrame = {
+    val hashed = d
+      .select(col("doc_id"), col("source"),
+        expr(s"""transform(${Text.toksSql("text")},
+                |  t -> ${Text.portableStrHashSql("t")})""".stripMargin)
+          .as("th"))
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+    val spans = hashed.select(col("doc_id"), col("source"),
+      explode(expr(
+        s"""CASE WHEN size(th) < $spanW THEN cast(array() AS array<bigint>)
+           |ELSE transform(sequence(0, size(th) - $spanW),
+           |  i -> aggregate(slice(th, i + 1, $spanW), cast(0 AS bigint),
+           |         (h, x) -> pmod(h * 131L + x, 1000000007L)))
+           |END""".stripMargin)).as("span_h"))
+    val dup = spans.groupBy(col("span_h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("span_h"), lit(1L).as("dup"))
+    spans.join(dup, Seq("span_h"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs_spanned"),
+        sum(when(col("n_dup") * 5 >= col("n_spans"), 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("n_spans")).cast("long").as("total_spans"),
+        sum(col("n_dup")).cast("long").as("total_dup_spans"))
+      .withColumn("dup_frac",
+        col("total_dup_spans").cast("double") /
+          col("total_spans").cast("double"))
+      .orderBy("source")
+  }
+
+  private val spanDedup: Q = (s, dir) => spanDupStats(docs(s, dir))
+
+  // ---- l42: token-budget domain mixing --------------------------------
+
+  /** Token budget as a multiple of the corpus size — the "train for
+    * 3 epochs' worth of tokens" setting that forces some domains to
+    * repeat (epochs > 1) while others downsample. */
+  private val mixBudgetMult = 3L
+
+  /** l42: the domain-mixing ledger — given per-source token
+    * availability, a target weight per source, and a total token
+    * budget, compute each source's desired token share, the number of
+    * passes (epochs) over that source it implies, and the sampling
+    * rate of the final partial pass. This is the planning table behind
+    * every published data-mixture (weights → epochs per domain); all
+    * arithmetic is integer (floor div + ceil div), so the ledger is
+    * exact in both engines.
+    *
+    * 100 TB shape: one hash agg to per-source rows (thousands at
+    * most), then a broadcast singleton for the totals — the plan costs
+    * one scan regardless of corpus size. */
+  private val domainMixing: Q = (s, dir) => {
+    val perSource = docs(s, dir)
+      .select(col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("avail_tokens"))
+      .withColumn("weight", expr(
+        """CASE CAST(substring(source, 4, 8) AS INT) % 3
+          |  WHEN 0 THEN 1L WHEN 1 THEN 2L ELSE 4L END""".stripMargin))
+    val totals = perSource.agg(
+      sum(col("avail_tokens")).as("total_avail"),
+      sum(col("weight")).as("weight_sum"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("desired_tokens",
+        expr(s"(($mixBudgetMult * total_avail) * weight) div weight_sum"))
+      .withColumn("epochs",
+        expr("(desired_tokens + avail_tokens - 1) div avail_tokens"))
+      .withColumn("last_epoch_permille",
+        expr("""(1000 * (desired_tokens - (epochs - 1) * avail_tokens))
+                | div avail_tokens""".stripMargin))
+      .select(col("source"), col("avail_tokens"), col("weight"),
+        col("desired_tokens"), col("epochs"), col("last_epoch_permille"))
+      .orderBy("source")
+  }
+
+  // ---- l43: BM25 ranked retrieval -------------------------------------
+
+  /** The fixed query terms (all present in the synthetic vocabulary). */
+  private val bm25Terms = Seq("spark", "hash", "window")
+
+  /** l43: BM25 top-k retrieval over the corpus. Classic Okapi BM25
+    * with k1=1.2, b=0.75, except the idf is the RATIONAL form
+    * (N − df + 0.5)/(df + 0.5) rather than its log: log is the one
+    * piece of BM25 that is not IEEE-exact across engines (libm last-ulp
+    * divergence), and it is monotone, so dropping it reorders nothing
+    * — same trick as l30's ratio idf. Every remaining operation
+    * (+, −, ×, ÷) is correctly rounded, and the three per-term scores
+    * are added in one fixed spelling, so the final double is
+    * bit-identical in Spark and DuckDB and the oracle checks the exact
+    * scores, not just the ranking.
+    *
+    * 100 TB shape: term frequencies come from per-row higher-order
+    * filters over the token array (no explode, no join — the query is
+    * a literal list); the corpus-level df/avgdl stats are one singleton
+    * aggregate broadcast back; the top-k plans as
+    * TakeOrderedAndProject. One scan, no wide shuffle. */
+  private val bm25TopK: Q = (s, dir) => {
+    val base = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("double"))
+    val withTf = bm25Terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"tf$i",
+        size(filter(col("tk"), x => x === lit(t))).cast("double"))
+    }
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double")
+            .as(s"df$i")): _*)
+    val termScore = bm25Terms.indices.map(i =>
+      s"""(((n_docs - df$i) + 0.5) / (df$i + 0.5)) *
+         |  ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * (dl / avgdl))))"""
+        .stripMargin)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("sum_dl / n_docs"))
+      .withColumn("score", expr(termScore.mkString("(", " + ", ")")))
+      .filter(expr("tf0 + tf1 + tf2") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .select(col("doc_id"), col("score"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "l40_dsir_resample" -> dsirResample,
+    "l41_span_dedup" -> spanDedup,
+    "l42_domain_mixing" -> domainMixing,
+    "l43_bm25_topk" -> bm25TopK,
     "l27_paragraph_dedup" -> paragraphDedup,
     "l28_boilerplate_lines" -> boilerplateLines,
     "l29_heavy_hitters" -> heavyHitters,
@@ -284,6 +498,129 @@ object CurationOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   val oracle: Map[String, String] = Map(
+    // full replay of the hashed-feature importance model: same portable
+    // char-fold bucket hash, same integer hit sums, same permille
+    // threshold and keep hash — the kept SET is checked, not a count
+    "l40_dsir_resample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source, lang,
+         |    unnest(list_transform($oToks,
+         |      t -> (${Text.oPortableStrHashSql("t")}) % $dsirBuckets))
+         |      AS bucket
+         |  FROM documents),
+         |m AS (
+         |  SELECT bucket,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cnt_target,
+         |    COUNT(*) AS cnt_all
+         |  FROM w GROUP BY 1),
+         |sc AS (
+         |  SELECT w.doc_id, w.source,
+         |    CAST(SUM(m.cnt_target) AS BIGINT) AS hits_target,
+         |    CAST(SUM(m.cnt_all) AS BIGINT) AS hits_all
+         |  FROM w JOIN m USING (bucket) GROUP BY 1, 2),
+         |k AS (
+         |  SELECT doc_id, source,
+         |    least(999, (1000 * hits_target) // hits_all) AS keep_permille
+         |  FROM sc)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN
+         |      (${Text.oPortableMixWideSql("doc_id * 31 + 11")} % 1000)
+         |        < keep_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(keep_permille) AS BIGINT) AS sum_permille
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // span hashes re-derived from the same portable token hashes and
+    // the same base-131 window fold, so the duplicated-span SET (and
+    // every per-doc fraction) replays exactly
+    "l41_span_dedup" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, source,
+         |    list_transform($oToks, t -> ${Text.oPortableStrHashSql("t")})
+         |      AS th
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id, source,
+         |    unnest(CASE WHEN len(th) < $spanW THEN CAST([] AS BIGINT[])
+         |      ELSE list_transform(range(0, len(th) - ${spanW - 1}),
+         |        i -> list_reduce(
+         |               list_prepend(CAST(0 AS BIGINT),
+         |                 th[i + 1 : i + $spanW]),
+         |               (h2, x) -> (h2 * 131 + x) % 1000000007))
+         |      END) AS span_h
+         |  FROM hs),
+         |d AS (
+         |  SELECT span_h, 1 AS dup FROM sp GROUP BY 1
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |pd AS (
+         |  SELECT sp.doc_id, sp.source, COUNT(*) AS n_spans,
+         |    SUM(COALESCE(d.dup, 0)) AS n_dup
+         |  FROM sp LEFT JOIN d USING (span_h) GROUP BY 1, 2)
+         |SELECT source, COUNT(*) AS n_docs_spanned,
+         |  CAST(SUM(CASE WHEN n_dup * 5 >= n_spans THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_flagged,
+         |  CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+         |  CAST(SUM(n_dup) AS BIGINT) AS total_dup_spans,
+         |  CAST(SUM(n_dup) AS DOUBLE) / CAST(SUM(n_spans) AS DOUBLE)
+         |    AS dup_frac
+         |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l42_domain_mixing" ->
+      s"""WITH ps AS (
+         |  SELECT source, CAST(SUM(len($oToks)) AS BIGINT) AS avail_tokens
+         |  FROM documents GROUP BY 1),
+         |pw AS (
+         |  SELECT source, avail_tokens,
+         |    CAST(CASE CAST(substr(source, 4, 8) AS INT) % 3
+         |      WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS BIGINT) AS weight
+         |  FROM ps),
+         |t AS (
+         |  SELECT source, avail_tokens, weight,
+         |    CAST(SUM(avail_tokens) OVER () AS BIGINT) AS total_avail,
+         |    CAST(SUM(weight) OVER () AS BIGINT) AS weight_sum
+         |  FROM pw),
+         |d AS (
+         |  SELECT source, avail_tokens, weight,
+         |    (($mixBudgetMult * total_avail) * weight) // weight_sum
+         |      AS desired_tokens
+         |  FROM t),
+         |e AS (
+         |  SELECT source, avail_tokens, weight, desired_tokens,
+         |    (desired_tokens + avail_tokens - 1) // avail_tokens AS epochs
+         |  FROM d)
+         |SELECT source, avail_tokens, weight,
+         |  CAST(desired_tokens AS BIGINT) AS desired_tokens,
+         |  CAST(epochs AS BIGINT) AS epochs,
+         |  CAST((1000 * (desired_tokens - (epochs - 1) * avail_tokens))
+         |    // avail_tokens AS BIGINT) AS last_epoch_permille
+         |FROM e ORDER BY 1""".stripMargin,
+    // same rational-idf BM25, same fixed spelling of every float op —
+    // the exact double scores replay, not just the top-10 order
+    "l43_bm25_topk" -> {
+      val oTermScore = bm25Terms.indices.map(i =>
+        s"""(((n_docs - df$i) + 0.5) / (df$i + 0.5)) *
+           |  ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 *
+           |    (dl / (sum_dl / n_docs)))))""".stripMargin)
+      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }
+      val dfCols = bm25Terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      s"""WITH base AS (
+         |  SELECT doc_id, $oToks AS tk FROM documents),
+         |wtf AS (
+         |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+         |    ${tfCols.mkString(",\n    ")}
+         |  FROM base),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    SUM(dl) AS sum_dl,
+         |    ${dfCols.mkString(",\n    ")}
+         |  FROM wtf)
+         |SELECT doc_id,
+         |  ${oTermScore.mkString("(", " + ", ")")} AS score
+         |FROM wtf CROSS JOIN st
+         |WHERE tf0 + tf1 + tf2 > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
     "l27_paragraph_dedup" ->
       s"""WITH t AS (SELECT doc_id, source, $oToks AS tk FROM documents),
          |p0 AS (SELECT doc_id, source,

@@ -113,4 +113,54 @@ class CurationSpec extends SparkSpec {
     assert(sizes.getAs[scala.collection.Seq[Int]]("all")
       .toSeq.sorted == Seq(3, 4, 4, 4, 4))
   }
+
+  test("l41: a shared 8-token span is caught in BOTH docs; within-doc " +
+      "repeats and short docs don't count") {
+    val shared = (1 to 8).map(i => s"a$i").mkString(" ")
+    val selfRep = (1 to 8).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      // source a: docs 1 and 2 share one 8-token run at different
+      // offsets — substring dedup must catch it regardless of position
+      (1L, "a", s"$shared x y"),
+      (2L, "a", s"p q $shared"),
+      // source b: doc 3 is unique; doc 4 is too short to span at all
+      (3L, "b", (1 to 8).map(i => s"c$i").mkString(" ")),
+      (4L, "b", "short text"),
+      // source c: the same span twice in ONE doc — cross-doc distinct
+      // count is 1, so nothing is "duplicated"
+      (5L, "c", s"$selfRep $selfRep")).toDF("doc_id", "source", "text")
+    val out = CurationOps.spanDupStats(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // source a: 3 spans per 10-token doc, exactly one (the shared run)
+    // duplicated in each; 1/3 ≥ 20% flags both docs
+    assert(out("a").getLong(1) == 2 && out("a").getLong(2) == 2)
+    assert(out("a").getLong(3) == 6 && out("a").getLong(4) == 2)
+    // source b: doc 4 never reaches the span stage
+    assert(out("b").getLong(1) == 1 && out("b").getLong(2) == 0)
+    assert(out("b").getLong(3) == 1 && out("b").getLong(4) == 0)
+    // source c: 9 spans, first and last identical but same-doc only
+    assert(out("c").getLong(1) == 1 && out("c").getLong(2) == 0)
+    assert(out("c").getLong(3) == 9 && out("c").getLong(4) == 0)
+  }
+
+  test("l42: the mixing ledger's epochs/permille satisfy the ceil-div " +
+      "laws for every source") {
+    val rows = graft.SparkEntry.queries("l42_domain_mixing")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avail = r.getAs[Long]("avail_tokens")
+      val weight = r.getAs[Long]("weight")
+      val desired = r.getAs[Long]("desired_tokens")
+      val epochs = r.getAs[Long]("epochs")
+      val permille = r.getAs[Long]("last_epoch_permille")
+      assert(Seq(1L, 2L, 4L).contains(weight), s"weight: $r")
+      // epochs = ceil(desired / avail): tight from both sides
+      assert(epochs >= 1 && desired <= epochs * avail, s"epochs high: $r")
+      assert((epochs - 1) * avail < desired || desired == 0,
+        s"epochs low: $r")
+      // the final partial pass samples a valid rate
+      assert(permille >= 0 && permille <= 1000, s"permille: $r")
+    }
+  }
 }

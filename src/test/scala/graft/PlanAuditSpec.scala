@@ -48,7 +48,9 @@ class PlanAuditSpec extends SparkSpec {
     "k01_salted_agg", "k02_approx_distinct", "k04_approx_quantile",
     "k05_salted_join", "k06_bloom_join",
     "q19_anti_join", "q20_full_outer", "q21_correlated_subquery",
-    "q22_star_join", "x12_grouping_sets",
+    "q22_star_join", "q23_funnel", "x12_grouping_sets",
+    "l40_dsir_resample", "l41_span_dedup", "l42_domain_mixing",
+    "l43_bm25_topk",
     "w07_time_range_window",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
@@ -82,7 +84,8 @@ class PlanAuditSpec extends SparkSpec {
     *  - singleton-aggregate broadcasts (one row meets each probe row):
     *    o04's set-op count frames, l26's index/batch count frames,
     *    l33's 1-row min-share frame, l18's corpus-count × probe-count
-    *    1-row frames
+    *    1-row frames, l42's 1-row budget-totals frame, l43's 1-row
+    *    corpus-stats (df/avgdl) frame
     *  - model-row broadcasts: l09's single query vector, k05's
     *    48-row salted dim build (16 salts × 3 literal flags), l36/l37's
     *    PQ codebook (a singleton collect_list row) and |Q|-row LUT
@@ -98,6 +101,7 @@ class PlanAuditSpec extends SparkSpec {
     * fine — the list is an upper bound, not an expectation.) */
   private lazy val bnljBounded: Set[String] = Set(
     "o04_set_ops", "l26_incremental_dedup", "l33_temperature_sample",
+    "l42_domain_mixing", "l43_bm25_topk",
     "l09_cosine_topk", "l18_decontamination", "k05_salted_join",
     "l36_pq_index", "l37_pq_search", "l38_ivfpq_search",
     "l39_hard_negatives",
