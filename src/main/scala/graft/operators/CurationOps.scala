@@ -482,7 +482,140 @@ object CurationOps extends QueryPack {
       .limit(10)
   }
 
+  // ---- l44: curriculum difficulty bands -------------------------------
+
+  /** l44: curriculum schedule table — band every document into one of
+    * 10 difficulty levels by lexical diversity (distinct-token
+    * fraction: repetitive docs are "easy", diverse docs "hard"), then
+    * emit the banded token ledger with a cumulative schedule column —
+    * the table a curriculum loader walks from easy to hard. Fixed
+    * threshold banding (not ntile): equal-width bands are a narrow
+    * stateless projection at any scale, where an equal-count ntile
+    * would demand a global sort through one window partition — the
+    * classic 100 TB non-starter. The running total is a window over
+    * the 10 POST-AGGREGATION rows, not the corpus.
+    *
+    * Exactness: the fraction is one IEEE division of two exact
+    * integers; ×10, floor, and the least() clamp are all exact, so
+    * band membership replays bit-identically in DuckDB. */
+  private val curriculumBands: Q = (s, dir) => {
+    val banded = docs(s, dir)
+      .select(Text.tokens(col("text")).as("tk"))
+      .select(
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_dist"))
+      .withColumn("band",
+        least(lit(9L), floor(
+          (col("n_dist").cast("double") / col("n_tok").cast("double"))
+            * 10.0).cast("long")))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("band_tokens"))
+    banded
+      .withColumn("cum_tokens",
+        sum(col("band_tokens")).over(
+          Window.orderBy(col("band"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("band")
+  }
+
+  // ---- l45: contamination overlap fraction ----------------------------
+
+  /** Shingle width of the overlap score. Narrower than l18's 8-token
+    * membership test by design: the score measures PARTIAL overlap, so
+    * it wants a gram size with measurable hit rates, the way the GPT-3
+    * 13-gram spec was tuned to real prose (this corpus is a ~40-word
+    * vocabulary). */
+  private val overlapN = 3
+
+  /** l45: per-document benchmark-overlap scoring — not the l18 boolean
+    * "touches the benchmark anywhere" but the graded fraction of a
+    * doc's distinct n-gram shingles that appear in the benchmark set,
+    * with a ≥10% flag threshold (cross-multiplied integers, no float
+    * cutoff). This is the measurement arm of decontamination: l18
+    * excises, l45 quantifies what remains.
+    *
+    * 100 TB shape: benchmark shingles broadcast (a benchmark is small
+    * by definition); the corpus side is one shingle explosion with a
+    * pushed-down doc_id filter, one distinct per (doc, shingle), and
+    * one left join against the broadcast set — the corpus never
+    * shuffles on anything wider than (doc_id, shingle-hash). */
+  private val contaminationScore: Q = (s, dir) => {
+    val d = docs(s, dir)
+    def shingled(src: DataFrame): DataFrame = src
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+      .repartition(src.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        explode(Text.shinglesFromTokens("toks", overlapN)).as("shingle"))
+    val probe = shingled(d.filter(col("doc_id") < 5))
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    shingled(d.filter(col("doc_id") >= 5))
+      .select(col("doc_id"), col("source"), col("shingle")).distinct()
+      .join(broadcast(probe), Seq("shingle"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_shingles")).cast("long").as("total_shingles"),
+        sum(col("n_overlap")).cast("long").as("total_overlap"),
+        sum(when(col("n_overlap") * 10 >= col("n_shingles"), 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .withColumn("overlap_frac",
+        col("total_overlap").cast("double") /
+          col("total_shingles").cast("double"))
+      .orderBy("source")
+  }
+
+  // ---- l46: source drift score (chi-square on the language mix) ------
+
+  /** The closed language set of the corpus — fixed, like l43's query
+    * terms, so the χ² sum is a FIXED SPELLING of five terms instead of
+    * an order-nondeterministic float aggregation. */
+  private val driftLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** l46: per-source distribution-drift score — the χ² distance
+    * between each source's language mix and the corpus-wide mix,
+    * Σ_l (p_sl − p_l)² / p_l. The standard data-quality audit that
+    * catches a crawl slice whose composition silently shifted. All
+    * inputs are exact integer counts; every float op (÷, −, ×) is
+    * correctly rounded and spelled identically in both engines, and
+    * the five per-language terms are added in one fixed order — so
+    * the scores replay bit-exactly, same discipline as l43.
+    *
+    * 100 TB shape: one conditional-aggregate pass to a per-source
+    * frame (|sources| rows), a singleton totals broadcast, and a
+    * 5-term projection. One scan, no wide shuffle. */
+  private val sourceDrift: Q = (s, dir) => {
+    val perSource = docs(s, dir).groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("double").as("n_s"),
+        driftLangs.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).cast("double")
+            .as(s"c_$l")): _*)
+    val totals = docs(s, dir).agg(
+      count(lit(1)).cast("double").as("n_tot"),
+      driftLangs.map(l =>
+        sum(when(col("lang") === l, 1L).otherwise(0L)).cast("double")
+          .as(s"t_$l")): _*)
+    val chi2Terms = driftLangs.map(l =>
+      s"""(((c_$l / n_s) - (t_$l / n_tot)) * ((c_$l / n_s) - (t_$l / n_tot))
+         |  / (t_$l / n_tot))""".stripMargin)
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("chi2", expr(chi2Terms.mkString("(", " + ", ")")))
+      .select(col("source"), col("n_s").cast("long").as("n_docs"),
+        col("chi2"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l44_curriculum_bands" -> curriculumBands,
+    "l45_contamination_score" -> contaminationScore,
+    "l46_source_drift" -> sourceDrift,
     "l40_dsir_resample" -> dsirResample,
     "l41_span_dedup" -> spanDedup,
     "l42_domain_mixing" -> domainMixing,
@@ -498,6 +631,70 @@ object CurationOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   val oracle: Map[String, String] = Map(
+    "l44_curriculum_bands" ->
+      s"""WITH t AS (
+         |  SELECT len($oToks) AS n_tok, len(list_distinct($oToks)) AS n_dist
+         |  FROM documents),
+         |b AS (
+         |  SELECT least(9, CAST(floor(
+         |      (CAST(n_dist AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 10.0)
+         |    AS BIGINT)) AS band,
+         |    n_tok
+         |  FROM t),
+         |g AS (
+         |  SELECT band, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS band_tokens
+         |  FROM b GROUP BY 1)
+         |SELECT band, n_docs, band_tokens,
+         |  CAST(SUM(band_tokens) OVER (ORDER BY band
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |FROM g ORDER BY band""".stripMargin,
+    "l45_contamination_score" -> {
+      val sh = Text.oMinhashShinglesSql("toks", overlapN)
+      s"""WITH pr AS (
+         |  SELECT DISTINCT shingle FROM (
+         |    SELECT unnest($sh) AS shingle FROM (
+         |      SELECT $oToks AS toks FROM documents WHERE doc_id < 5))),
+         |cs AS (
+         |  SELECT DISTINCT doc_id, source, shingle FROM (
+         |    SELECT doc_id, source, unnest($sh) AS shingle FROM (
+         |      SELECT doc_id, source, $oToks AS toks FROM documents
+         |      WHERE doc_id >= 5))),
+         |pd AS (
+         |  SELECT cs.doc_id, cs.source, COUNT(*) AS n_shingles,
+         |    SUM(CASE WHEN pr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS n_overlap
+         |  FROM cs LEFT JOIN pr USING (shingle) GROUP BY 1, 2)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+         |  CAST(SUM(n_overlap) AS BIGINT) AS total_overlap,
+         |  CAST(SUM(CASE WHEN n_overlap * 10 >= n_shingles THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_flagged,
+         |  CAST(SUM(n_overlap) AS DOUBLE) / CAST(SUM(n_shingles) AS DOUBLE)
+         |    AS overlap_frac
+         |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "l46_source_drift" -> {
+      val cCols = driftLangs.map(l =>
+        s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS DOUBLE) AS c_$l")
+      val tCols = driftLangs.map(l =>
+        s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS DOUBLE) AS t_$l")
+      val terms = driftLangs.map(l =>
+        s"""(((c_$l / n_s) - (t_$l / n_tot)) * ((c_$l / n_s) - (t_$l / n_tot))
+           |  / (t_$l / n_tot))""".stripMargin)
+      s"""WITH ps AS (
+         |  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_s,
+         |    ${cCols.mkString(",\n    ")}
+         |  FROM documents GROUP BY 1),
+         |tt AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_tot,
+         |    ${tCols.mkString(",\n    ")}
+         |  FROM documents)
+         |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+         |  ${terms.mkString("(", " + ", ")")} AS chi2
+         |FROM ps CROSS JOIN tt ORDER BY source""".stripMargin
+    },
     // full replay of the hashed-feature importance model: same portable
     // char-fold bucket hash, same integer hit sums, same permille
     // threshold and keep hash — the kept SET is checked, not a count
