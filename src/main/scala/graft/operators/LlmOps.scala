@@ -1285,7 +1285,74 @@ object LlmOps extends QueryPack {
         max(col("n_bytes")).as("max_bytes"))
       .orderBy("source")
 
+  /** l47: behavioral sequence-example construction — turn the event
+    * stream into (context → next-event) training pairs, the dataset
+    * builder for next-action prediction models: per user, each event
+    * is labeled with the 3 events that preceded it, then the corpus of
+    * examples is summarized as (context, label) counts with a
+    * deterministic top-20. The (ts, event_id) ordering key makes the
+    * sequence total (simultaneous events can't swap between runs or
+    * engines).
+    *
+    * 100 TB shape: one shuffle on user_id; the lag window sorts WITHIN
+    * each user's partition slice (bounded by per-user history, never
+    * global); the example vocabulary (|event types|⁴) is tiny, so the
+    * final agg is map-side collapsed. */
+  private val sequenceExamples: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    T.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .withColumn("p3", lag(col("event_type"), 3).over(w))
+      .filter(col("p3").isNotNull)
+      .withColumn("context",
+        concat_ws(">", col("p3"), col("p2"), col("p1")))
+      .groupBy(col("context"), col("event_type").as("label"))
+      .agg(count(lit(1)).as("n_examples"))
+      .orderBy(col("n_examples").desc, col("context"), col("label"))
+      .limit(20)
+  }
+
+  /** l48: deterministic class balancing of a labeled embedding set —
+    * downsample every class to the scarcest class's size by ranking
+    * members on the portable doc-hash and keeping the first min-count
+    * of each (the label-balance step before classifier / probe
+    * training). The kept MEMBERSHIP is pinned by the id-sum checksum,
+    * not just the counts, and replays in DuckDB because the rank key
+    * is the portable mixer.
+    *
+    * 100 TB shape: one shuffle on label; the rank sorts within each
+    * class partition. Exact equal-count balance inherently ranks per
+    * class — when a class no longer fits a partition's sort budget,
+    * the rate-based keep (l23's threshold hash, no ranking) is the
+    * approximate fallback; this operator is the exact contract. */
+  private val classBalance: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = T.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val minc = e.groupBy(col("label")).agg(count(lit(1)).as("n_class"))
+      .agg(min(col("n_class")).as("min_class"))
+    val ranked = e
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(expr(Text.portableMixWideSql("vec_id * 7 + 3")),
+            col("vec_id"))))
+    ranked.crossJoin(broadcast(minc))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_class"),
+        sum(when(col("r") <= col("min_class"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("r") <= col("min_class"), col("vec_id"))
+          .otherwise(0L)).cast("long").as("kept_id_sum"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l47_sequence_examples" -> sequenceExamples,
+    "l48_class_balance" -> classBalance,
     "l01_text_stats" -> textStats,
     "l02_quality_score" -> qualityScore,
     "l03_langid" -> langId,
@@ -1370,6 +1437,35 @@ object LlmOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   val oracle: Map[String, String] = Map(
+    "l47_sequence_examples" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2,
+        |    lag(event_type, 3) OVER w AS p3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p3 || '>' || p2 || '>' || p1 AS context,
+        |  event_type AS label, COUNT(*) AS n_examples
+        |FROM e WHERE p3 IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n_examples DESC, context, label LIMIT 20""".stripMargin,
+    "l48_class_balance" ->
+      s"""WITH r AS (
+         |  SELECT vec_id, label,
+         |    ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY ${Text.oPortableMixWideSql("vec_id * 7 + 3")},
+         |        vec_id) AS r
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT MIN(cnt) AS min_class FROM (
+         |    SELECT COUNT(*) AS cnt FROM embeddings GROUP BY label))
+         |SELECT label, COUNT(*) AS n_class,
+         |  CAST(SUM(CASE WHEN r <= min_class THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN r <= min_class THEN vec_id ELSE 0 END)
+         |    AS BIGINT) AS kept_id_sum
+         |FROM r CROSS JOIN m GROUP BY 1 ORDER BY 1""".stripMargin,
     // Full DuckDB replay of the banded MinHash pipeline: shingle →
     // portable char-fold hash → 16-perm signature → 4 band keys →
     // candidate equi-join → exact-Jaccard confirm. Every hash is the

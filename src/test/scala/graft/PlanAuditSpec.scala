@@ -51,7 +51,7 @@ class PlanAuditSpec extends SparkSpec {
     "q22_star_join", "q23_funnel", "x12_grouping_sets",
     "l40_dsir_resample", "l41_span_dedup", "l42_domain_mixing",
     "l43_bm25_topk", "l44_curriculum_bands", "l45_contamination_score",
-    "l46_source_drift",
+    "l46_source_drift", "l47_sequence_examples", "l48_class_balance",
     "w07_time_range_window",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
@@ -86,7 +86,8 @@ class PlanAuditSpec extends SparkSpec {
     *    o04's set-op count frames, l26's index/batch count frames,
     *    l33's 1-row min-share frame, l18's corpus-count × probe-count
     *    1-row frames, l42's 1-row budget-totals frame, l43's 1-row
-    *    corpus-stats (df/avgdl) frame, l46's 1-row language-totals frame
+    *    corpus-stats (df/avgdl) frame, l46's 1-row language-totals
+    *    frame, l48's 1-row min-class-count frame
     *  - model-row broadcasts: l09's single query vector, k05's
     *    48-row salted dim build (16 salts × 3 literal flags), l36/l37's
     *    PQ codebook (a singleton collect_list row) and |Q|-row LUT
@@ -103,6 +104,7 @@ class PlanAuditSpec extends SparkSpec {
   private lazy val bnljBounded: Set[String] = Set(
     "o04_set_ops", "l26_incremental_dedup", "l33_temperature_sample",
     "l42_domain_mixing", "l43_bm25_topk", "l46_source_drift",
+    "l48_class_balance",
     "l09_cosine_topk", "l18_decontamination", "k05_salted_join",
     "l36_pq_index", "l37_pq_search", "l38_ivfpq_search",
     "l39_hard_negatives",
