@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashDescriptor)
     ext.injectFunction(GraftExtensions.vectorSumDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.IdempotentStringOps)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -103,6 +104,11 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.IdempotentStringOps
+    // planner strategies take the same post-hoc path as optimizer rules
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     spark.sessionState.functionRegistry.registerFunction(
       zorderDescriptor._1, zorderDescriptor._2, zorderDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(

@@ -322,7 +322,33 @@ object Joins extends QueryPack {
       .orderBy("r_name", "o_orderpriority")
   }
 
+  /** Q24: native AS-OF join — each purchase event picks up the user's
+    * most recent signup at or before it, through the custom
+    * whole-operator extension ([[graft.plans.AsOfJoin]]: LogicalPlan +
+    * injected SparkStrategy + merge-pass SparkPlan; see that file for
+    * the plan shape). q17 emulates one as-of lookup by pre-building
+    * interval epochs; this runs the lookup as a first-class operator —
+    * one co-partitioned shuffle per side, one merge pass, |L| output
+    * rows by construction. Oracle: DuckDB's NATIVE `ASOF LEFT JOIN` —
+    * two independent implementations of the same operator semantics
+    * checked value-for-value. */
+  private val asofNative: Q = (s, dir) => {
+    val ev = T.load(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("t")).distinct()
+      .select(col("user_id").as("s_user"), col("t").as("s_t"))
+    graft.plans.AsOfJoin(purchases, "user_id", "t", signups, "s_user", "s_t")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("s_t")).as("n_matched"),
+        sum(when(col("s_t").isNotNull, expr("(t - s_t) div 1000000"))
+          .otherwise(0L)).cast("long").as("sum_gap_seconds"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q24_asof_native" -> asofNative,
     "q01_revenue_by_nation" -> revenueByNation,
     "q22_star_join" -> starJoin,
     "q17_asof_scd2" -> asofScd2,
@@ -337,6 +363,23 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's native ASOF JOIN vs graft's native AsOfJoinExec — the
+    // same operator, two engines, value-for-value
+    "q24_asof_native" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT DISTINCT user_id AS s_user, epoch_us(ts) AS s_t
+        |  FROM events WHERE event_type = 'signup'),
+        |j AS (
+        |  SELECT p.t, s.s_t FROM p ASOF LEFT JOIN s
+        |    ON p.user_id = s.s_user AND p.t >= s.s_t)
+        |SELECT COUNT(*) AS n_purchases,
+        |  COUNT(s_t) AS n_matched,
+        |  CAST(SUM(CASE WHEN s_t IS NOT NULL THEN (t - s_t) // 1000000
+        |    ELSE 0 END) AS BIGINT) AS sum_gap_seconds
+        |FROM j""".stripMargin,
     "q18_sql_entry" -> sqlEntryText, // the SAME text both engines run
     "q21_correlated_subquery" -> correlatedSubqueryText, // ditto
     "q22_star_join" ->

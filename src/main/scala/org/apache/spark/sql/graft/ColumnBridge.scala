@@ -13,6 +13,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]`) — the constructor for whole-operator extensions
+    * like `graft.plans.AsOfJoinPlan`. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The optimizer rules a SparkSessionExtensions instance would hand a
     * session being built (`buildOptimizerRules` is `private[sql]`) —
     * lets the spec verify the `injectOptimizerRule` wiring itself, not
