@@ -612,7 +612,45 @@ object CurationOps extends QueryPack {
       .orderBy("source")
   }
 
+  // ---- l49: vocabulary coverage / OOV audit ---------------------------
+
+  /** Vocabulary size of the coverage audit (top-k corpus tokens). */
+  private val vocabK = 50
+
+  /** l49: tokenizer-vocabulary coverage — fit a top-k vocabulary from
+    * corpus frequencies (deterministic ties: count desc, token asc) and
+    * measure, per source, the out-of-vocabulary rate by token
+    * OCCURRENCE and by distinct TYPE. The audit that decides whether a
+    * tokenizer's vocab (or a frozen embedding table) actually covers a
+    * new data source before training on it.
+    *
+    * 100 TB shape: the vocab fit is l29's explode → map-side-combined
+    * hash agg with a TakeOrdered top-k (never a global sort); the
+    * vocab is broadcast back, so the scoring pass adds no corpus
+    * shuffle beyond the per-source rollup. */
+  private val vocabCoverage: Q = (s, dir) => {
+    val toks = docs(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(vocabK)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(col("token")).as("n_types"),
+        countDistinct(when(col("in_vocab").isNull, col("token")))
+          .as("n_oov_types"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l49_vocab_coverage" -> vocabCoverage,
     "l44_curriculum_bands" -> curriculumBands,
     "l45_contamination_score" -> contaminationScore,
     "l46_source_drift" -> sourceDrift,
@@ -631,6 +669,24 @@ object CurationOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   val oracle: Map[String, String] = Map(
+    "l49_vocab_coverage" ->
+      s"""WITH w AS (
+         |  SELECT source, unnest($oToks) AS token FROM documents),
+         |v AS (
+         |  SELECT token FROM (
+         |    SELECT token, COUNT(*) AS c FROM w GROUP BY 1
+         |    ORDER BY c DESC, token LIMIT $vocabK)),
+         |j AS (
+         |  SELECT w.source, w.token,
+         |    CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS iv
+         |  FROM w LEFT JOIN v USING (token))
+         |SELECT source, COUNT(*) AS n_tokens,
+         |  CAST(SUM(1 - iv) AS BIGINT) AS n_oov,
+         |  COUNT(DISTINCT token) AS n_types,
+         |  COUNT(DISTINCT CASE WHEN iv = 0 THEN token END) AS n_oov_types,
+         |  CAST(SUM(1 - iv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS oov_rate
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "l44_curriculum_bands" ->
       s"""WITH t AS (
          |  SELECT len($oToks) AS n_tok, len(list_distinct($oToks)) AS n_dist

@@ -53,6 +53,7 @@ class PlanAuditSpec extends SparkSpec {
     "l40_dsir_resample", "l41_span_dedup", "l42_domain_mixing",
     "l43_bm25_topk", "l44_curriculum_bands", "l45_contamination_score",
     "l46_source_drift", "l47_sequence_examples", "l48_class_balance",
+    "l49_vocab_coverage",
     "w07_time_range_window",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
