@@ -467,7 +467,43 @@ object Dml extends QueryPack {
         lit(sn.versions("main").size).cast("long"))
   }
 
+  /** D-ext: partition-spec evolution — the Iceberg capability the
+    * BigQuery-Iceberg reference platform leans on (partition layout
+    * can change without rewriting history): months 1-6 were written
+    * under the ORIGINAL spec (partitioned by month), the table then
+    * evolves to (month, orderpriority), and months 7-12 land under the
+    * new spec. Old files are never rewritten — evolution is a
+    * metadata-only change — and readers see one logical table across
+    * both layouts (`unionByName` aligns the differing column orders).
+    *
+    * 100 TB shape: the evolution itself costs ZERO data movement; a
+    * predicate on the new partition key partition-prunes every
+    * new-spec file and falls back to row-group stats on old-spec
+    * files — exactly Iceberg's documented read behavior after
+    * evolution. The read-back aggregates across both specs to prove
+    * the logical table is seamless. */
+  private val partitionEvolution: Q = (s, dir) => {
+    val path = Scratch.dir("d18_partition_evolution")
+    val o = T.load(s, dir, "orders")
+      .withColumn("o_month", month(col("o_orderdate")))
+    o.filter(col("o_month") <= 6)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("o_month").parquet(s"$path/spec1")
+    o.filter(col("o_month") >= 7)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("o_month", "o_orderpriority").parquet(s"$path/spec2")
+    s.read.parquet(s"$path/spec1")
+      .unionByName(s.read.parquet(s"$path/spec2"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_month")).as("n_months"),
+        round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d18_partition_evolution" -> partitionEvolution,
     "d15_check_constraint" -> checkConstraint,
     "d16_system_time_between" -> systemTimeBetween,
     "d17_write_audit_publish" -> writeAuditPublish,
@@ -613,6 +649,12 @@ object Dml extends QueryPack {
         |     AND NOT (month(o_orderdate) BETWEEN 7 AND 9
         |              AND o_orderkey % 97 = 0)) AS main_after,
         |  CAST(2 AS BIGINT) AS main_versions""".stripMargin,
+    // both partition specs must aggregate back to the one logical table
+    "d18_partition_evolution" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT month(o_orderdate)) AS n_months,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // month 3 reflects the corrected reload; every other month must
     // still aggregate to its ORIGINAL content
     "d14_dynamic_partition_overwrite" ->

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.LongType
 
 /** AS-OF JOIN as a first-class operator — the canonical "operator Spark
@@ -93,6 +94,15 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  /** Standard exec observability: output cardinality is |L| by
+    * construction, so the interesting number is how many rows actually
+    * found a match. */
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -119,6 +129,8 @@ case class AsOfJoinExec(
       BindReferences.bindReference(rightTime: Expression, right.output)
     val nRightFields = right.output.size
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(nRightFields)
@@ -153,6 +165,7 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val l = li.next()
+          numOutputRows += 1
           val kAny = lKeyB.eval(l)
           val tAny = lTimeB.eval(l)
           if (kAny == null || tAny == null) return proj(joined(l, nullRight))
@@ -164,8 +177,10 @@ case class AsOfJoinExec(
             lastKey = rKeyV
             haveR = advanceRight()
           }
-          if (lastRow != null && lastKey == lk) proj(joined(l, lastRow))
-          else proj(joined(l, nullRight))
+          if (lastRow != null && lastKey == lk) {
+            numMatchedRows += 1
+            proj(joined(l, lastRow))
+          } else proj(joined(l, nullRight))
         }
       }
     }

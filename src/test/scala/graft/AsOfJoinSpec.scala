@@ -71,6 +71,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("asof metrics report output and matched row counts") {
+    val l = Seq((1L, 5L), (1L, 2L), (2L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 3L), (1L, 7L)).toDF("rk", "rt")
+    val df = asof(l, r)
+    df.collect()
+    // descend through AQE wrappers: QueryStageExec is a LEAF node whose
+    // subtree hangs off .plan, so TreeNode collect never enters it
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[graft.plans.AsOfJoinExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(q.plan)
+      case e: graft.plans.AsOfJoinExec => Some(e)
+      case other => other.children.view.flatMap(find).headOption
+    }
+    val exec = find(df.queryExecution.executedPlan)
+      .getOrElse(fail("AsOfJoinExec not found in executed plan"))
+    assert(exec.metrics("numOutputRows").value == 3)
+    // (1,5) matches (1,3); (1,2) precedes all; key 2 absent
+    assert(exec.metrics("numMatchedRows").value == 1)
+  }
+
   test("asof plans one merge operator with one exchange per side, and " +
       "a downstream same-key agg reuses the left partitioning") {
     val l = spark.range(0, 1000)

@@ -75,6 +75,45 @@ class PruningSpec extends SparkSpec {
       s"scan size $bytesRead is not a small fraction of ${sizeOf(root)}")
   }
 
+  test("d18: after partition evolution, the new key prunes new-spec " +
+      "files at planning time") {
+    val path = Scratch.dir("prune_evolved")
+    val o = T.load(spark, sfDir, "orders")
+      .withColumn("o_month", month(col("o_orderdate")))
+    o.filter(col("o_month") <= 6)
+      .write.mode("overwrite").partitionBy("o_month")
+      .parquet(s"$path/spec1")
+    o.filter(col("o_month") >= 7)
+      .write.mode("overwrite").partitionBy("o_month", "o_orderpriority")
+      .parquet(s"$path/spec2")
+    val q = spark.read.parquet(s"$path/spec2")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in executed plan"))
+    // under the evolved spec the priority predicate is a PARTITION
+    // filter — metadata-pruned, zero data touched for other priorities
+    // (old-spec files would fall back to row-group stats; the logical
+    // union over both specs is d18's oracle-checked query)
+    assert(scan.partitionFilters.exists(_.references.exists(
+        _.name == "o_orderpriority")),
+      s"priority not in partitionFilters: ${scan.partitionFilters}")
+    val priorities = o.filter(col("o_month") >= 7)
+      .select(countDistinct(col("o_orderpriority"))).head().getLong(0)
+    assert(priorities > 1, "fixture degenerate: one priority")
+    // files read must be well under the spec2 total (1 of N priorities)
+    def countFiles(dir: java.io.File): Long =
+      Option(dir.listFiles()).getOrElse(Array.empty).map { f =>
+        if (f.isDirectory) countFiles(f)
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      }.sum
+    val total = countFiles(new java.io.File(s"$path/spec2"))
+    val read = scan.metrics("numFiles").value
+    assert(read > 0 && read < total,
+      s"scan read $read of $total spec2 files — no pruning happened")
+  }
+
   test("s10: predicate and projection push into the ORC scan like parquet") {
     val path = Scratch.dir("prune_orc")
     T.load(spark, sfDir, "orders")
