@@ -649,7 +649,111 @@ object CurationOps extends QueryPack {
       .orderBy("source")
   }
 
+  // ---- l50: chunk-level BM25 retrieval (the RAG indexing path) -------
+
+  /** l50: retrieval over CHUNKS instead of documents — the RAG shape:
+    * split every document into overlapping token windows (l31's
+    * chunker, here with the chunk TEXT kept), score each chunk with
+    * the same rational-idf BM25 as l43 (df/avgdl computed over the
+    * chunk corpus), and return the top-5 chunks with their provenance
+    * (doc_id, chunk position). Retrieval granularity is the point:
+    * a long document with one relevant window outranks at chunk level
+    * but drowns at document level.
+    *
+    * 100 TB shape: chunking is l31's narrow explode (token arrays
+    * materialized below a repartition so window lambdas slice, not
+    * re-tokenize); corpus stats are one singleton broadcast; the
+    * top-k plans as TakeOrderedAndProject. No shuffle wider than the
+    * final 5 rows. */
+  private val chunkRetrieval: Q = (s, dir) => {
+    val w = 64
+    val stride = 48
+    val chunks = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("n_chunks", when(col("n_tok") <= w, 1L)
+        .otherwise(expr(s"(n_tok - $w + ${stride - 1}) div $stride + 1")))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, n_chunks - 1),
+           |  i -> slice(tk, CAST(i * $stride + 1 AS INT), $w))"""
+          .stripMargin)).as(Seq("pos", "ck")))
+      .withColumn("dl", size(col("ck")).cast("double"))
+    val withTf = bm25Terms.zipWithIndex.foldLeft(chunks) { case (d, (t, i)) =>
+      d.withColumn(s"tf$i",
+        size(filter(col("ck"), x => x === lit(t))).cast("double"))
+    }
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double")
+            .as(s"df$i")): _*)
+    val termScore = bm25Terms.indices.map(i =>
+      s"""(((n_docs - df$i) + 0.5) / (df$i + 0.5)) *
+         |  ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * (dl / avgdl))))"""
+        .stripMargin)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("sum_dl / n_docs"))
+      .withColumn("score", expr(termScore.mkString("(", " + ", ")")))
+      .filter(expr("tf0 + tf1 + tf2") > 0)
+      .orderBy(col("score").desc, col("doc_id"), col("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("score"))
+      .limit(5)
+  }
+
+  // ---- l51: per-source corpus datasheet -------------------------------
+
+  /** l51: the datasheet — one wide row per source bundling the audit
+    * numbers a dataset release ships ("Datasheets for Datasets",
+    * Gebru et al.): volume (docs, tokens, mean length), language
+    * spread, exact-duplicate exposure (fraction of docs whose
+    * normalized fingerprint appears ≥2 times ANYWHERE in the corpus —
+    * cross-source dups count), and mean lexical diversity. Diversity
+    * is carried as per-doc integer micro-units so the per-source mean
+    * divides two exact integers — the same order-independence
+    * discipline as the PQ/ADC sums (a naive AVG over doubles would
+    * depend on aggregation order and break the oracle).
+    *
+    * 100 TB shape: one narrow scoring pass; the only shuffle beyond
+    * the per-source rollup is the 128-bit fingerprint agg (l05's
+    * shape — the text never moves). */
+  private val corpusDatasheet: Q = (s, dir) => {
+    val base = docs(s, dir)
+      .select(col("source"), col("lang"),
+        Text.fingerprint(col("text")).as("fp"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"),
+        size(array_distinct(Text.tokens(col("text")))).cast("long")
+          .as("n_dist"))
+      .withColumn("lexdiv_micro",
+        floor((col("n_dist").cast("double") / col("n_tok").cast("double"))
+          * 1000000.0).cast("long"))
+    val dupFps = base.groupBy(col("fp"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("fp"), lit(1L).as("dup"))
+    base.join(dupFps, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_docs"),
+        sum(col("lexdiv_micro")).as("sum_lexdiv_micro"))
+      .withColumn("avg_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("dup_rate",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .withColumn("mean_lexdiv",
+        (col("sum_lexdiv_micro").cast("double") /
+          col("n_docs").cast("double")) / 1000000.0)
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l51_corpus_datasheet" -> corpusDatasheet,
+    "l50_chunk_retrieval" -> chunkRetrieval,
     "l49_vocab_coverage" -> vocabCoverage,
     "l44_curriculum_bands" -> curriculumBands,
     "l45_contamination_score" -> contaminationScore,
@@ -669,6 +773,74 @@ object CurationOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   val oracle: Map[String, String] = Map(
+    "l51_corpus_datasheet" ->
+      s"""WITH b AS (
+         |  SELECT source, lang, md5($oNorm) AS fp,
+         |    CAST(len($oToks) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct($oToks)) AS BIGINT) AS n_dist
+         |  FROM documents),
+         |b2 AS (
+         |  SELECT source, lang, fp, n_tok,
+         |    CAST(floor((CAST(n_dist AS DOUBLE) / CAST(n_tok AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS lexdiv_micro
+         |  FROM b),
+         |d AS (
+         |  SELECT fp, 1 AS dup FROM b GROUP BY 1 HAVING COUNT(*) >= 2),
+         |g AS (
+         |  SELECT b2.source, COUNT(*) AS n_docs,
+         |    CAST(SUM(b2.n_tok) AS BIGINT) AS total_tokens,
+         |    COUNT(DISTINCT b2.lang) AS n_langs,
+         |    CAST(SUM(COALESCE(d.dup, 0)) AS BIGINT) AS n_dup_docs,
+         |    CAST(SUM(b2.lexdiv_micro) AS BIGINT) AS sum_lexdiv_micro
+         |  FROM b2 LEFT JOIN d USING (fp) GROUP BY 1)
+         |SELECT source, n_docs, total_tokens, n_langs, n_dup_docs,
+         |  sum_lexdiv_micro,
+         |  CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |    AS avg_tokens,
+         |  CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+         |  (CAST(sum_lexdiv_micro AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |    / 1000000.0 AS mean_lexdiv
+         |FROM g ORDER BY 1""".stripMargin,
+    // l43's replay over the chunk corpus: same closed-form chunk count,
+    // same slices, same fixed-spelling BM25 — exact double scores
+    "l50_chunk_retrieval" -> {
+      val oTermScore = bm25Terms.indices.map(i =>
+        s"""(((n_docs - df$i) + 0.5) / (df$i + 0.5)) *
+           |  ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 *
+           |    (dl / (sum_dl / n_docs)))))""".stripMargin)
+      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(ck, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }
+      val dfCols = bm25Terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      s"""WITH t AS (
+         |  SELECT doc_id, $oToks AS tk FROM documents),
+         |c AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN len(tk) <= 64 THEN 1
+         |      ELSE (len(tk) - 64 + 47) // 48 + 1 END AS n_chunks
+         |  FROM t),
+         |ch AS (
+         |  SELECT doc_id, u.pos AS pos, u.ck AS ck FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, n_chunks),
+         |      i -> struct_pack(pos := i,
+         |             ck := tk[i * 48 + 1 : i * 48 + 64]))) AS u
+         |    FROM c)),
+         |wtf AS (
+         |  SELECT doc_id, pos, CAST(len(ck) AS DOUBLE) AS dl,
+         |    ${tfCols.mkString(",\n    ")}
+         |  FROM ch),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    SUM(dl) AS sum_dl,
+         |    ${dfCols.mkString(",\n    ")}
+         |  FROM wtf)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  ${oTermScore.mkString("(", " + ", ")")} AS score
+         |FROM wtf CROSS JOIN st
+         |WHERE tf0 + tf1 + tf2 > 0
+         |ORDER BY score DESC, doc_id, pos LIMIT 5""".stripMargin
+    },
     "l49_vocab_coverage" ->
       s"""WITH w AS (
          |  SELECT source, unnest($oToks) AS token FROM documents),

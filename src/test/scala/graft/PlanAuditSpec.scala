@@ -53,7 +53,7 @@ class PlanAuditSpec extends SparkSpec {
     "l40_dsir_resample", "l41_span_dedup", "l42_domain_mixing",
     "l43_bm25_topk", "l44_curriculum_bands", "l45_contamination_score",
     "l46_source_drift", "l47_sequence_examples", "l48_class_balance",
-    "l49_vocab_coverage",
+    "l49_vocab_coverage", "l50_chunk_retrieval", "l51_corpus_datasheet",
     "w07_time_range_window",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
@@ -106,7 +106,7 @@ class PlanAuditSpec extends SparkSpec {
   private lazy val bnljBounded: Set[String] = Set(
     "o04_set_ops", "l26_incremental_dedup", "l33_temperature_sample",
     "l42_domain_mixing", "l43_bm25_topk", "l46_source_drift",
-    "l48_class_balance",
+    "l48_class_balance", "l50_chunk_retrieval",
     "l09_cosine_topk", "l18_decontamination", "k05_salted_join",
     "l36_pq_index", "l37_pq_search", "l38_ivfpq_search",
     "l39_hard_negatives",
