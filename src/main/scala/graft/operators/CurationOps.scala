@@ -439,6 +439,62 @@ object CurationOps extends QueryPack {
   /** The fixed query terms (all present in the synthetic vocabulary). */
   private val bm25Terms = Seq("spark", "hash", "window")
 
+  // ONE spelling of the BM25 machinery, shared by the document-level
+  // (l43) and chunk-level (l50) retrievers AND their DuckDB oracles —
+  // four independent copies of a float formula is exactly how silent
+  // last-ulp drift starts (same hazard class as the r7 Bloom-predicate
+  // advice). The score fragment is plain arithmetic both engines parse
+  // identically, so Spark and the oracle literally share the string.
+
+  /** tf0..tfN per-term frequency columns over a token-array column. */
+  private def bm25WithTf(d: DataFrame, tokCol: String): DataFrame =
+    bm25Terms.zipWithIndex.foldLeft(d) { case (acc, (t, i)) =>
+      acc.withColumn(s"tf$i",
+        size(filter(col(tokCol), x => x === lit(t))).cast("double"))
+    }
+
+  /** The singleton corpus-stats frame: n_docs, sum_dl, df0..dfN. */
+  private def bm25Stats(withTf: DataFrame): DataFrame =
+    withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double")
+            .as(s"df$i")): _*)
+
+  /** The engine-shared score fragment over columns tf0../df0../dl and
+    * the average document length spelled as `avgdlSql`. */
+  private def bm25ScoreSql(avgdlSql: String): String =
+    bm25Terms.indices.map(i =>
+      s"""(((n_docs - df$i) + 0.5) / (df$i + 0.5)) *
+         |  ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 *
+         |    (dl / $avgdlSql))))""".stripMargin)
+      .mkString("(", " + ", ")")
+
+  /** The engine-shared ≥1-term-matched predicate. */
+  private val bm25MatchSql: String =
+    bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
+
+  /** Score every row of a (tokCol, dl) frame: tf columns, broadcast
+    * stats, one fixed-spelling score column, matched-rows filter. */
+  private def bm25Scored(d: DataFrame, tokCol: String): DataFrame = {
+    val withTf = bm25WithTf(d, tokCol)
+    withTf.crossJoin(broadcast(bm25Stats(withTf)))
+      .withColumn("avgdl", expr("sum_dl / n_docs"))
+      .withColumn("score", expr(bm25ScoreSql("avgdl")))
+      .filter(expr(bm25MatchSql) > 0)
+  }
+
+  /** Oracle spellings of the tf / df column lists. */
+  private def oBm25TfCols(tokSql: String): String =
+    bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter($tokSql, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n    ")
+  private val oBm25DfCols: String =
+    bm25Terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n    ")
+
   /** l43: BM25 top-k retrieval over the corpus. Classic Okapi BM25
     * with k1=1.2, b=0.75, except the idf is the RATIONAL form
     * (N − df + 0.5)/(df + 0.5) rather than its log: log is the one
@@ -455,32 +511,15 @@ object CurationOps extends QueryPack {
     * a literal list); the corpus-level df/avgdl stats are one singleton
     * aggregate broadcast back; the top-k plans as
     * TakeOrderedAndProject. One scan, no wide shuffle. */
-  private val bm25TopK: Q = (s, dir) => {
-    val base = docs(s, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-      .withColumn("dl", size(col("tk")).cast("double"))
-    val withTf = bm25Terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
-      d.withColumn(s"tf$i",
-        size(filter(col("tk"), x => x === lit(t))).cast("double"))
-    }
-    val stats = withTf.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      sum(col("dl")).as("sum_dl") +:
-        bm25Terms.indices.map(i =>
-          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double")
-            .as(s"df$i")): _*)
-    val termScore = bm25Terms.indices.map(i =>
-      s"""(((n_docs - df$i) + 0.5) / (df$i + 0.5)) *
-         |  ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * (dl / avgdl))))"""
-        .stripMargin)
-    withTf.crossJoin(broadcast(stats))
-      .withColumn("avgdl", expr("sum_dl / n_docs"))
-      .withColumn("score", expr(termScore.mkString("(", " + ", ")")))
-      .filter(expr("tf0 + tf1 + tf2") > 0)
+  private val bm25TopK: Q = (s, dir) =>
+    bm25Scored(
+      docs(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        .withColumn("dl", size(col("tk")).cast("double")),
+      "tk")
       .orderBy(col("score").desc, col("doc_id"))
       .select(col("doc_id"), col("score"))
       .limit(10)
-  }
 
   // ---- l44: curriculum difficulty bands -------------------------------
 
@@ -679,24 +718,7 @@ object CurationOps extends QueryPack {
            |  i -> slice(tk, CAST(i * $stride + 1 AS INT), $w))"""
           .stripMargin)).as(Seq("pos", "ck")))
       .withColumn("dl", size(col("ck")).cast("double"))
-    val withTf = bm25Terms.zipWithIndex.foldLeft(chunks) { case (d, (t, i)) =>
-      d.withColumn(s"tf$i",
-        size(filter(col("ck"), x => x === lit(t))).cast("double"))
-    }
-    val stats = withTf.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      sum(col("dl")).as("sum_dl") +:
-        bm25Terms.indices.map(i =>
-          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double")
-            .as(s"df$i")): _*)
-    val termScore = bm25Terms.indices.map(i =>
-      s"""(((n_docs - df$i) + 0.5) / (df$i + 0.5)) *
-         |  ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * (dl / avgdl))))"""
-        .stripMargin)
-    withTf.crossJoin(broadcast(stats))
-      .withColumn("avgdl", expr("sum_dl / n_docs"))
-      .withColumn("score", expr(termScore.mkString("(", " + ", ")")))
-      .filter(expr("tf0 + tf1 + tf2") > 0)
+    bm25Scored(chunks, "ck")
       .orderBy(col("score").desc, col("doc_id"), col("pos"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("score"))
@@ -802,17 +824,8 @@ object CurationOps extends QueryPack {
          |    / 1000000.0 AS mean_lexdiv
          |FROM g ORDER BY 1""".stripMargin,
     // l43's replay over the chunk corpus: same closed-form chunk count,
-    // same slices, same fixed-spelling BM25 — exact double scores
-    "l50_chunk_retrieval" -> {
-      val oTermScore = bm25Terms.indices.map(i =>
-        s"""(((n_docs - df$i) + 0.5) / (df$i + 0.5)) *
-           |  ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 *
-           |    (dl / (sum_dl / n_docs)))))""".stripMargin)
-      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(ck, x -> x = '$t')) AS DOUBLE) AS tf$i"
-      }
-      val dfCols = bm25Terms.indices.map(i =>
-        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+    // same slices, same ENGINE-SHARED score fragment
+    "l50_chunk_retrieval" ->
       s"""WITH t AS (
          |  SELECT doc_id, $oToks AS tk FROM documents),
          |c AS (
@@ -828,19 +841,18 @@ object CurationOps extends QueryPack {
          |    FROM c)),
          |wtf AS (
          |  SELECT doc_id, pos, CAST(len(ck) AS DOUBLE) AS dl,
-         |    ${tfCols.mkString(",\n    ")}
+         |    ${oBm25TfCols("ck")}
          |  FROM ch),
          |st AS (
          |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
          |    SUM(dl) AS sum_dl,
-         |    ${dfCols.mkString(",\n    ")}
+         |    $oBm25DfCols
          |  FROM wtf)
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |  ${oTermScore.mkString("(", " + ", ")")} AS score
+         |  ${bm25ScoreSql("(sum_dl / n_docs)")} AS score
          |FROM wtf CROSS JOIN st
-         |WHERE tf0 + tf1 + tf2 > 0
-         |ORDER BY score DESC, doc_id, pos LIMIT 5""".stripMargin
-    },
+         |WHERE $bm25MatchSql > 0
+         |ORDER BY score DESC, doc_id, pos LIMIT 5""".stripMargin,
     "l49_vocab_coverage" ->
       s"""WITH w AS (
          |  SELECT source, unnest($oToks) AS token FROM documents),
@@ -1017,35 +1029,25 @@ object CurationOps extends QueryPack {
          |  CAST((1000 * (desired_tokens - (epochs - 1) * avail_tokens))
          |    // avail_tokens AS BIGINT) AS last_epoch_permille
          |FROM e ORDER BY 1""".stripMargin,
-    // same rational-idf BM25, same fixed spelling of every float op —
-    // the exact double scores replay, not just the top-10 order
-    "l43_bm25_topk" -> {
-      val oTermScore = bm25Terms.indices.map(i =>
-        s"""(((n_docs - df$i) + 0.5) / (df$i + 0.5)) *
-           |  ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 *
-           |    (dl / (sum_dl / n_docs)))))""".stripMargin)
-      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) AS tf$i"
-      }
-      val dfCols = bm25Terms.indices.map(i =>
-        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+    // the ENGINE-SHARED score fragment (bm25ScoreSql) with avgdl
+    // inlined — the exact double scores replay, not just the order
+    "l43_bm25_topk" ->
       s"""WITH base AS (
          |  SELECT doc_id, $oToks AS tk FROM documents),
          |wtf AS (
          |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
-         |    ${tfCols.mkString(",\n    ")}
+         |    ${oBm25TfCols("tk")}
          |  FROM base),
          |st AS (
          |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
          |    SUM(dl) AS sum_dl,
-         |    ${dfCols.mkString(",\n    ")}
+         |    $oBm25DfCols
          |  FROM wtf)
          |SELECT doc_id,
-         |  ${oTermScore.mkString("(", " + ", ")")} AS score
+         |  ${bm25ScoreSql("(sum_dl / n_docs)")} AS score
          |FROM wtf CROSS JOIN st
-         |WHERE tf0 + tf1 + tf2 > 0
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-    },
+         |WHERE $bm25MatchSql > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "l27_paragraph_dedup" ->
       s"""WITH t AS (SELECT doc_id, source, $oToks AS tk FROM documents),
          |p0 AS (SELECT doc_id, source,
