@@ -350,6 +350,17 @@ object CurationOps extends QueryPack {
     * exchange so the per-window lambda slices a computed array instead
     * of re-hashing the document once per window (the l07/l31
     * inlining hazard). */
+  /** The rolling span-hash array over a pre-hashed token column: one
+    * base-131 mod 1e9+7 fold per w-token window (stride 1). Exposed so
+    * the PropertySpec can pin the fold against a Scala reference. */
+  def spanHashesExpr(thCol: String, w: Int): Column =
+    expr(
+      s"""CASE WHEN size($thCol) < $w THEN cast(array() AS array<bigint>)
+         |ELSE transform(sequence(0, size($thCol) - $w),
+         |  i -> aggregate(slice($thCol, i + 1, $w), cast(0 AS bigint),
+         |         (h, x) -> pmod(h * 131L + x, 1000000007L)))
+         |END""".stripMargin)
+
   /** The l41 computation over any documents-shaped frame, so
     * CurationSpec can drive it on planted duplicate spans. */
   def spanDupStats(d: DataFrame): DataFrame = {
@@ -360,12 +371,7 @@ object CurationOps extends QueryPack {
           .as("th"))
       .repartition(d.sparkSession.sparkContext.defaultParallelism)
     val spans = hashed.select(col("doc_id"), col("source"),
-      explode(expr(
-        s"""CASE WHEN size(th) < $spanW THEN cast(array() AS array<bigint>)
-           |ELSE transform(sequence(0, size(th) - $spanW),
-           |  i -> aggregate(slice(th, i + 1, $spanW), cast(0 AS bigint),
-           |         (h, x) -> pmod(h * 131L + x, 1000000007L)))
-           |END""".stripMargin)).as("span_h"))
+      explode(spanHashesExpr("th", spanW)).as("span_h"))
     val dup = spans.groupBy(col("span_h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

@@ -208,6 +208,13 @@ object Streaming extends QueryPack {
   final case class UserProfile(user_id: Long, n_events: Long,
       total_value: Double, max_gap_ms: Long)
 
+  /** half-AWAY-from-zero, matching the DECIMAL(18,2) cast convention
+    * every other money operator (and the oracle) uses — math.rint's
+    * half-to-even would drop a cent on exact half-cent values */
+  private[streaming] def toCents(v: Double): Long =
+    if (v >= 0) math.floor(v * 100 + 0.5).toLong
+    else -math.floor(-v * 100 + 0.5).toLong
+
   /** The ONE state transition both execution modes share: sort the
     * user's events (ts, event_id — total order) and fold. */
   def foldUser(userId: Long, events: Iterator[UserEvent]): UserProfile = {
@@ -215,12 +222,6 @@ object Streaming extends QueryPack {
     var cents = 0L
     var maxGap = 0L
     var prev = -1L
-    // half-AWAY-from-zero, matching the DECIMAL(18,2) cast convention
-    // every other money operator (and the oracle) uses — math.rint's
-    // half-to-even would drop a cent on exact half-cent values
-    def toCents(v: Double): Long =
-      if (v >= 0) math.floor(v * 100 + 0.5).toLong
-      else -math.floor(-v * 100 + 0.5).toLong
     sorted.foreach { e =>
       cents += toCents(e.value)
       val ms = e.ts.toInstant.toEpochMilli
@@ -228,6 +229,54 @@ object Streaming extends QueryPack {
       prev = ms
     }
     UserProfile(userId, sorted.length.toLong, cents.toDouble / 100.0, maxGap)
+  }
+
+  // ---- transformWithState (the Spark 4 arbitrary-state API) ----------
+
+  /** The INCREMENTAL face of [[foldUser]]'s transition: running state
+    * (count, exact cents, last event millis, max gap) + one ordered
+    * slice of a user's events → updated state. Drives
+    * [[ProfileProcessor]]; equals the batch fold whenever slices
+    * arrive in (ts, event_id) order — the StreamingSpec contract. */
+  final case class ProfileState(n_events: Long, cents: Long,
+      last_ms: Long, max_gap_ms: Long)
+
+  def advanceProfile(st: ProfileState, slice: Seq[UserEvent]): ProfileState =
+    slice.sortBy(e => (e.ts.getTime, e.event_id)).foldLeft(st) { (s, e) =>
+      val ms = e.ts.toInstant.toEpochMilli
+      val gap = if (s.last_ms >= 0) math.max(s.max_gap_ms, ms - s.last_ms)
+        else s.max_gap_ms
+      ProfileState(s.n_events + 1, s.cents + toCents(e.value), ms, gap)
+    }
+
+  /** T-state, next-generation API: the same per-user profile through
+    * Spark 4's `transformWithState` (`StatefulProcessor` + typed
+    * `ValueState`, RocksDB-backed). Where `mapGroupsWithState` hands
+    * the whole accumulated group model to one callback,
+    * `transformWithState` exposes named state primitives
+    * (Value/List/Map), timers, and TTL — this processor keeps ONE
+    * fixed-size `ProfileState` per user, so state is O(users), not
+    * O(events), and each micro-batch folds only its own slice.
+    * StreamingSpec pins stream ≡ batch on ordered feeds. */
+  class ProfileProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, UserEvent, UserProfile] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var state: ValueState[ProfileState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ProfileState]("profile",
+        Encoders.product[ProfileState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserProfile] = {
+      val prev = if (state.exists()) state.get()
+        else ProfileState(0L, 0L, -1L, 0L)
+      val next = advanceProfile(prev, rows.toSeq)
+      state.update(next)
+      Iterator.single(UserProfile(key, next.n_events,
+        next.cents.toDouble / 100.0, next.max_gap_ms))
+    }
   }
 
   /** T-state: arbitrary stateful processing (`mapGroupsWithState`) —

@@ -212,4 +212,37 @@ class PropertySpec extends SparkSpec {
         s"sequential-seed bucket $b skewed: $c vs $exp")
     }
   }
+
+  test("l41 span fold: SQL spans equal the Scala reference; " +
+      "transpositions change the hash") {
+    import graft.functions.PortableHash
+    import graft.operators.CurationOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val w = 8
+    def refSpans(toks: Seq[String]): Seq[Long] = {
+      val th = toks.map(t => PortableHash.strHash(UTF8String.fromString(t)))
+      if (th.size < w) Seq.empty
+      else th.sliding(w).map(_.foldLeft(0L)((h, x) =>
+        ((h * 131L + x) % 1000000007L + 1000000007L) % 1000000007L)).toSeq
+    }
+    val docsGen = Gen.chooseNum(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier.suchThat(_.nonEmpty)))
+    forSamples(docsGen, n = 15) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("th0")
+        .select(expr(s"transform(th0, t -> ${Text.portableStrHashSql("t")})")
+          .as("th"))
+        .select(CurationOps.spanHashesExpr("th", w).as("spans"))
+      val got = df.collect()(0).getSeq[Long](0)
+      assert(got == refSpans(toks),
+        s"SQL spans diverge from reference for $toks")
+      // order sensitivity: swapping two adjacent distinct tokens inside
+      // the first window must change that window's hash (the property
+      // separating substring dedup from bag-of-words dedup)
+      if (toks.size >= w && toks(0) != toks(1)) {
+        val swapped = toks.updated(0, toks(1)).updated(1, toks(0))
+        assert(refSpans(swapped).head != refSpans(toks).head,
+          s"transposition invisible to span hash: $toks")
+      }
+    }
+  }
 }

@@ -427,4 +427,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("t08: transformWithState (StatefulProcessor + ValueState) " +
+      "converges to the batch fold with O(users) state") {
+    import Streaming.{UserEvent, UserProfile}
+    implicit val sqlCtx = spark.sqlContext
+
+    // transformWithState requires the RocksDB state store; restore the
+    // session default afterwards (other suites share this session)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val static = eventsStatic
+        .select($"user_id", $"event_id", $"ts", $"value").as[UserEvent]
+      val mem = MemoryStream[UserEvent]
+      val q = mem.toDS().groupByKey(_.user_id)
+        .transformWithState(new Streaming.ProfileProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .writeStream.format("memory").queryName("t8_profile")
+        .outputMode("update").start()
+      try {
+        // ordered slices per key (the spec contract under which the
+        // incremental fold equals the batch fold): split by TIME, so
+        // every key's batch-2 events follow its batch-1 events
+        val all = static.collect().toSeq
+          .sortBy(e => (e.ts.getTime, e.event_id))
+        val (a, b) = all.splitAt(all.size / 2)
+        mem.addData(a); q.processAllAvailable()
+        mem.addData(b); q.processAllAvailable()
+      } finally q.stop()
+
+      // last emission per key = converged profile (max n_events is
+      // monotone per key, same selection rule as t06)
+      val streamed = spark.table("t8_profile")
+        .groupBy($"user_id").agg(max(struct($"n_events",
+          $"total_value", $"max_gap_ms")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.total_value", $"s.max_gap_ms")
+        .as[UserProfile].collect().sortBy(_.user_id).toSeq
+      val batch = static.groupByKey(_.user_id)
+        .mapGroups((uid, it) => Streaming.foldUser(uid, it))
+        .collect().sortBy(_.user_id).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
 }
