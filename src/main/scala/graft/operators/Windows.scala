@@ -217,7 +217,40 @@ object Windows extends QueryPack {
     asc5.unionAll(desc5).orderBy("half", "rn")
   }
 
+  /** W8: sequence-pattern detection (complex event processing) — find
+    * per-user runs of ≥3 CONSECUTIVE error events via gaps-and-islands:
+    * a running count of non-error events is constant exactly within an
+    * unbroken error run, so grouping errors by (user, that count)
+    * yields one row per maximal run — the standard SQL re-expression
+    * of MATCH_RECOGNIZE's `E{3,}` pattern, which neither Spark nor
+    * DuckDB ships. The (ts, event_id) ordering key makes runs total
+    * and engine-stable.
+    *
+    * 100 TB shape: one shuffle on user_id; the window and both
+    * groupings share that partitioning (islands key = (user, grp) is
+    * a refinement, so the exchange is reused); per-user window sorts
+    * are bounded by per-user history. */
+  private val patternRuns: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    T.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "error").as("is_err"))
+      .withColumn("grp",
+        sum(when(col("is_err"), 0L).otherwise(1L)).over(w))
+      .filter(col("is_err"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("run_len") >= 3, 1L).otherwise(0L)).as("n_runs3"),
+        max(col("run_len")).as("max_run_len"))
+      .filter(col("n_runs3") >= 1)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "w08_pattern_runs" -> patternRuns,
     "w01_row_number_ids" -> rowNumberIds,
     "o05_nulls_ordering" -> nullsOrdering,
     "w03_lag_features" -> lagFeatures,
@@ -229,6 +262,23 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    "w08_pattern_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, (event_type = 'error') AS is_err,
+        |    SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS run_len
+        |  FROM e WHERE is_err GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_runs3,
+        |    CAST(MAX(run_len) AS BIGINT) AS max_run_len
+        |  FROM runs GROUP BY 1)
+        |SELECT user_id, n_runs3, max_run_len FROM agg
+        |WHERE n_runs3 >= 1 ORDER BY user_id""".stripMargin,
     "w01_row_number_ids" ->
       """SELECT 'hist_' || CAST(ROW_NUMBER() OVER (
         |    ORDER BY n_orders DESC, nation_name) AS VARCHAR) AS synthetic_id,

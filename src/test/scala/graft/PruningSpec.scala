@@ -114,6 +114,51 @@ class PruningSpec extends SparkSpec {
       s"scan read $read of $total spec2 files — no pruning happened")
   }
 
+  test("dynamic partition pruning: a runtime dim-side filter prunes " +
+      "fact partitions the static planner cannot") {
+    val path = Scratch.dir("dpp_orders")
+    T.load(spark, sfDir, "orders")
+      .withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_month").parquet(path)
+    val fact = spark.read.parquet(path)
+    // the dim's selective predicate is on grp, NOT the join key — so no
+    // static filter on o_month exists anywhere in the query; only DPP
+    // (runtime subquery reuse of the broadcast dim) can avoid reading
+    // all 12 partitions
+    val dim = spark.range(1, 13)
+      .select(col("id").cast("int").as("m"), (col("id") % 4).as("grp"))
+    val q = fact.join(dim, fact("o_month") === dim("m"))
+      .filter(col("grp") === 1) // months 1, 5, 9
+      .groupBy(col("o_month")).agg(count(lit(1)).as("n"))
+    val got = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1, 5, 9), s"wrong months survived: $got")
+
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the fact scan:\n$scan")
+    // and the runtime effect: the fact scan read 3 of 12 partitions
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case q2: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(q2.plan)
+      case f: FileSourceScanExec => Some(f)
+      case other => other.children.view.flatMap(find).headOption
+    }
+    val factScan = find(q.queryExecution.executedPlan)
+      .getOrElse(fail("fact FileSourceScanExec not found"))
+    def countFiles(dir: java.io.File): Long =
+      Option(dir.listFiles()).getOrElse(Array.empty).map { f =>
+        if (f.isDirectory) countFiles(f)
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      }.sum
+    val total = countFiles(new java.io.File(path))
+    val read = factScan.metrics("numFiles").value
+    assert(read > 0 && read < total,
+      s"DPP read $read of $total files — pruning did not engage")
+  }
+
   test("s10: predicate and projection push into the ORC scan like parquet") {
     val path = Scratch.dir("prune_orc")
     T.load(spark, sfDir, "orders")
