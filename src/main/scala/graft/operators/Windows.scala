@@ -249,8 +249,37 @@ object Windows extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** W9: sessionization via Spark's native `session_window` — merge each
+    * user's events into activity sessions separated by ≥ 6 h of
+    * inactivity, keeping bursts of ≥ 3 events. This is THE idiomatic
+    * Spark spelling (one `groupBy(session_window(...))`, no self-join,
+    * no window-function pre-pass); the oracle replays it in DuckDB as
+    * classic gaps-and-islands (LAG gap ≥ 6 h starts an island), which
+    * also pins Spark's merge rule: a session's end is last-event + gap,
+    * and an event exactly at the previous end starts a NEW session
+    * (strict `<` merge), matching the oracle's `>=` break test.
+    *
+    * 100 TB shape: one shuffle on user_id, then per-key local sort +
+    * linear merge inside `UpdatingSessionsIterator` — no O(n²), no
+    * global sort; per-user state is one open session. */
+  private val sessionization: Q = (s, dir) => {
+    T.load(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(T.moneySum(col("value")), 2).as("session_value"))
+      .filter(col("n_events") >= 3)
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, Q] = Map(
     "w08_pattern_runs" -> patternRuns,
+    "w09_sessionization" -> sessionization,
     "w01_row_number_ids" -> rowNumberIds,
     "o05_nulls_ordering" -> nullsOrdering,
     "w03_lag_features" -> lagFeatures,
@@ -262,6 +291,30 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    "w09_sessionization" ->
+      s"""WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS sid
+        |  FROM g),
+        |c AS (
+        |  SELECT user_id,
+        |    MIN(ts) AS session_start,
+        |    MAX(ts) + INTERVAL 6 HOUR AS session_end,
+        |    COUNT(*) AS n_events,
+        |    ROUND(${T.oMoneySum("value")}, 2) AS session_value
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events,
+        |  session_value
+        |FROM c WHERE n_events >= 3
+        |ORDER BY user_id, session_start""".stripMargin,
     "w08_pattern_runs" ->
       """WITH e AS (
         |  SELECT user_id, (event_type = 'error') AS is_err,

@@ -54,7 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     "l43_bm25_topk", "l44_curriculum_bands", "l45_contamination_score",
     "l46_source_drift", "l47_sequence_examples", "l48_class_balance",
     "l49_vocab_coverage", "l50_chunk_retrieval", "l51_corpus_datasheet",
-    "w07_time_range_window", "w08_pattern_runs",
+    "w07_time_range_window", "w08_pattern_runs", "w09_sessionization",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
 
