@@ -446,6 +446,49 @@ object LlmOps extends QueryPack {
         col("vec_id"), round(col("cosine"), 6).as("cosine"))
       .orderBy("qid", "rank")
 
+  /** l52: ANN recall audit — measure the IVF index's recall@10 against
+    * exact brute-force truth, per query and as integer hit counts, so
+    * index-quality regressions (bad centroids, too-low nprobe) surface
+    * as data instead of anecdotes. This is the quality gate every
+    * production ANN deployment runs before swapping an index in.
+    *
+    * Scale shape: the exact side is |Q| × N dot products with the
+    * 4-row query panel BROADCAST (one narrow corpus pass, no shuffle
+    * until the per-query top-k WindowGroupLimit); the approx side is
+    * [[ivfSearch]]'s broadcast-probe shape. Both sides break cosine
+    * ties by vec_id, so the top-k SETS are deterministic and the whole
+    * audit — including the recall ratio, an IEEE division of small
+    * integers — replays bit-identically in DuckDB. */
+  private val annRecallAudit: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val e = embs(s, dir)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", Text.l2norm(col("qvec")))
+    val exact = e.withColumn("nrm", Text.l2norm(col("vec")))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Text.cosineWithNorms(col("vec"), col("qvec"),
+          col("nrm"), col("qnrm")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"))
+    val approx = ivfSearch(e, 16, 4, k, col("vec_id") < 4)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_at_10",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+      .orderBy("qid")
+  }
+
   /** XOR masks for multi-probe LSH: every bucket within hamming
     * `radius` of the query's own (mask 0 = the bucket itself). Radius
     * 2 on 8 planes probes 37 of 256 buckets — a near-neighbor whose
@@ -1350,7 +1393,71 @@ object LlmOps extends QueryPack {
       .orderBy("label")
   }
 
+  /** l53: BPE merge-pair counting — the first iteration of byte-pair-
+    * encoding tokenizer training: count adjacent character pairs across
+    * the corpus, weighted by word frequency, and rank the top merges.
+    * l24 counts word bigrams (an LM statistic); this counts CHAR pairs
+    * inside words (a vocabulary-induction statistic) — the two are
+    * different operators.
+    *
+    * Scale shape: the only corpus-sized pass is tokenize → explode →
+    * word count (map-side partial aggregation). The pair explosion
+    * runs over the DISTINCT vocabulary — sublinear in corpus size
+    * (Heaps' law), which is exactly how production BPE trainers stay
+    * tractable at 100 TB: they count words once, then iterate merges
+    * over the weighted vocabulary. Top-k plans as
+    * TakeOrderedAndProject. */
+  private val bpePairCounts: Q = (s, dir) => {
+    val words = docs(s, dir)
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+      .filter(length(col("word")) >= 2)
+    words
+      .select(col("n_word"), explode(expr(
+        """transform(sequence(0, length(word) - 2),
+          |  i -> substring(word, i + 1, 2))""".stripMargin)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n_word")).as("n_pair"))
+      .orderBy(desc("n_pair"), col("pair"))
+      .limit(20)
+  }
+
+  /** l54: order-independent dataset checksum — a content fingerprint
+    * for reproducibility audits ("is the corpus you trained on
+    * bit-identical to mine?"). Each doc hashes to one 62-bit portable
+    * value over (doc_id, normalized text); per-source XOR-folds of two
+    * independent mixes plus the count form the checksum.
+    *
+    * XOR is the aggregation for this job at 100 TB: commutative and
+    * associative (no global sort, any partitioning, map-side partial),
+    * CANNOT overflow no matter the row count (a modular SUM would need
+    * mid-aggregate reduction Spark can't express declaratively), and
+    * any single-row change flips the fold. Two independent mixes guard
+    * the classic XOR blind spot (a pair of identical rows cancelling):
+    * doc_id participates in the hash, so true duplicate ROWS differ.
+    * Portable arithmetic end to end — DuckDB recomputes the identical
+    * checksums, which is the point: the fingerprint must be
+    * engine-independent to certify a corpus across stacks. */
+  private val datasetChecksum: Q = (s, dir) => {
+    val strHash = Text.portableStrHashSql("lower(trim(regexp_replace(text, '\\\\s+', ' ')))")
+    val d = docs(s, dir)
+      .withColumn("h", expr(strHash))
+      .withColumn("fp1",
+        expr(Text.portableMixWideSql("h * 31 + pmod(doc_id, 2147483647)")))
+      .withColumn("fp2",
+        expr(Text.portableMixWideSql("h * 37 + pmod(doc_id, 2147483647) + 17")))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(fp1)").as("xor_fp1"),
+        expr("bit_xor(fp2)").as("xor_fp2"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l53_bpe_pairs" -> bpePairCounts,
+    "l54_dataset_checksum" -> datasetChecksum,
     "l47_sequence_examples" -> sequenceExamples,
     "l48_class_balance" -> classBalance,
     "l01_text_stats" -> textStats,
@@ -1369,6 +1476,7 @@ object LlmOps extends QueryPack {
     "l13_token_jaccard" -> tokenJaccard,
     "l14_ivf_index" -> ivfIndex,
     "l15_ivf_search" -> ivfSearchQ,
+    "l52_ann_recall" -> annRecallAudit,
     "l16_bucket_search" -> bucketSearchQ,
     "l36_pq_index" -> pqIndexQ,
     "l37_pq_search" -> pqSearchQ,
@@ -1437,6 +1545,35 @@ object LlmOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   val oracle: Map[String, String] = Map(
+    "l53_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, COUNT(*) AS n_word FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS word
+        |    FROM documents) GROUP BY 1),
+        |v AS (SELECT word, n_word FROM w WHERE length(word) >= 2),
+        |p AS (
+        |  SELECT n_word,
+        |    unnest(list_transform(range(0, length(word) - 1),
+        |      i -> substring(word, CAST(i + 1 AS INT), 2))) AS pair
+        |  FROM v)
+        |SELECT pair, CAST(SUM(n_word) AS BIGINT) AS n_pair
+        |FROM p GROUP BY 1
+        |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin,
+    "l54_dataset_checksum" -> {
+      val h = Text.oPortableStrHashSql(
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")
+      s"""WITH d AS (
+         |  SELECT source,
+         |    ${Text.oPortableMixWideSql(
+               "h * 31 + (doc_id % 2147483647)")} AS fp1,
+         |    ${Text.oPortableMixWideSql(
+               "h * 37 + (doc_id % 2147483647) + 17")} AS fp2
+         |  FROM (SELECT source, doc_id, $h AS h FROM documents))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  bit_xor(fp1) AS xor_fp1, bit_xor(fp2) AS xor_fp2
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "l47_sequence_examples" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -2121,6 +2258,45 @@ object LlmOps extends QueryPack {
          |      ORDER BY cos DESC, vec_id) AS rank
          |  FROM cand)
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "l52_ann_recall" ->
+      s"""WITH $oAssignCtes,
+         |q AS (SELECT vec_id AS qid, vec AS qvec FROM e WHERE vec_id < 4),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY list_dot_product(e.vec, q.qvec)
+         |          / (sqrt(list_dot_product(e.vec, e.vec))
+         |             * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+         |          e.vec_id) AS rank
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.qid)
+         |  WHERE rank <= 10),
+         |probe AS (
+         |  SELECT qid, qvec, cid FROM (
+         |    SELECT q.qid, q.qvec, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY list_dot_product(q.qvec, c.cvec) DESC, c.cid)
+         |        AS crank
+         |    FROM q CROSS JOIN cents c) WHERE crank <= 4),
+         |approx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT p.qid, a.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.qid
+         |        ORDER BY list_dot_product(a.vec, p.qvec)
+         |          / (sqrt(list_dot_product(a.vec, a.vec))
+         |             * sqrt(list_dot_product(p.qvec, p.qvec))) DESC,
+         |          a.vec_id) AS rank
+         |    FROM probe p JOIN assign a USING (cid)
+         |    WHERE a.vec_id <> p.qid)
+         |  WHERE rank <= 10)
+         |SELECT x.qid, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_10
+         |FROM exact x LEFT JOIN approx ap
+         |  ON x.qid = ap.qid AND x.vec_id = ap.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "l16_bucket_search" -> {
       val bucket = Text.oHyperplaneBucket("vec", 8)
       val masks = probeMasks(8, 2).mkString(", ")

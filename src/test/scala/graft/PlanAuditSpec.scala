@@ -39,7 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     "l12_multimodal_stats", "l35_frame_sampling",
     "l13_token_jaccard", "l17_train_split", "l18_decontamination",
     "l36_pq_index", "l37_pq_search", "l38_ivfpq_search",
-    "l39_hard_negatives",
+    "l39_hard_negatives", "l52_ann_recall",
     "l19_repetition_filter", "l20_pii_scrub", "l22_sequence_packing",
     "l23_stratified_sample", "l25_curation_pipeline",
     "l26_incremental_dedup",
@@ -54,6 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     "l43_bm25_topk", "l44_curriculum_bands", "l45_contamination_score",
     "l46_source_drift", "l47_sequence_examples", "l48_class_balance",
     "l49_vocab_coverage", "l50_chunk_retrieval", "l51_corpus_datasheet",
+    "l53_bpe_pairs", "l54_dataset_checksum",
     "w07_time_range_window", "w08_pattern_runs", "w09_sessionization",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
@@ -109,6 +110,6 @@ class PlanAuditSpec extends SparkSpec {
     "l48_class_balance", "l50_chunk_retrieval",
     "l09_cosine_topk", "l18_decontamination", "k05_salted_join",
     "l36_pq_index", "l37_pq_search", "l38_ivfpq_search",
-    "l39_hard_negatives",
+    "l39_hard_negatives", "l52_ann_recall",
     "l10_embedding_neardup")
 }
