@@ -489,6 +489,48 @@ object LlmOps extends QueryPack {
       .orderBy("qid")
   }
 
+  /** l55: semantic dedup — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540) re-expressed: bucket embeddings (they k-means;
+    * we reuse the portable hyperplane-LSH cells so the oracle can
+    * replay bucket membership), compare pairs ONLY within a bucket,
+    * and drop every vector with a ≥ τ cosine neighbor of lower vec_id
+    * — keeping one representative per near-dup group. The corpus is
+    * replayed with a scaled copy of every 10th vector (scaling
+    * preserves cosine and the hyperplane signs, so each copy lands in
+    * its original's bucket at cosine ≈ 1.0 — planted truth the
+    * fixture's random vectors, all pairs < 0.8, cannot supply).
+    *
+    * Scale shape: the pair join is an equi-join on bucket — candidate
+    * count is Σ bucket² not corpus², the same bound the paper gets
+    * from clustering; the barrier materializes the bucketed corpus
+    * once so the self-join's two sides share one scan/computation.
+    * Survivor checksum XOR-folds a portable mix (commutative,
+    * overflow-free at any count — the l54 argument). */
+  private val semanticDedup: Q = (s, dir) => {
+    val tau = 0.95
+    val e = embs(s, dir).select(col("vec_id"), col("vec"))
+    val planted = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(vec, x -> x * 1.01D)").as("vec"))
+    val corpus = Barriers.materialize(e.unionByName(planted)
+      .withColumn("bucket", Text.hyperplaneBucket("vec", 8))
+      .withColumn("nrm", Text.l2norm(col("vec"))))
+    val dups = corpus.as("a").join(corpus.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(Text.cosineWithNorms(col("a.vec"), col("b.vec"),
+        col("a.nrm"), col("b.nrm")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(1L))
+    corpus.join(dups, Seq("vec_id"), "left")
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_removed"),
+        sum(when(col("dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        expr(s"bit_xor(IF(dup IS NULL, " +
+          s"${Text.portableMixWideSql("vec_id")}, 0L))").as("kept_xor"))
+  }
+
   /** XOR masks for multi-probe LSH: every bucket within hamming
     * `radius` of the query's own (mask 0 = the bucket itself). Radius
     * 2 on 8 planes probes 37 of 256 buckets — a near-neighbor whose
@@ -1477,6 +1519,7 @@ object LlmOps extends QueryPack {
     "l14_ivf_index" -> ivfIndex,
     "l15_ivf_search" -> ivfSearchQ,
     "l52_ann_recall" -> annRecallAudit,
+    "l55_semantic_dedup" -> semanticDedup,
     "l16_bucket_search" -> bucketSearchQ,
     "l36_pq_index" -> pqIndexQ,
     "l37_pq_search" -> pqSearchQ,
@@ -2297,6 +2340,34 @@ object LlmOps extends QueryPack {
          |FROM exact x LEFT JOIN approx ap
          |  ON x.qid = ap.qid AND x.vec_id = ap.vec_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l55_semantic_dedup" -> {
+      val bucket = Text.oHyperplaneBucket("vec", 8)
+      val cos = "list_dot_product(a.vec, b.vec)" +
+        " / (sqrt(list_dot_product(a.vec, a.vec))" +
+        " * sqrt(list_dot_product(b.vec, b.vec)))"
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id, vec FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(vec, x -> x * 1.01) AS vec
+         |  FROM base WHERE vec_id % 10 = 0),
+         |c AS (SELECT vec_id, vec, $bucket AS bucket FROM c0),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id FROM c a JOIN c b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE $cos >= 0.95)
+         |SELECT COUNT(*) AS n_input,
+         |  CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed,
+         |  CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  bit_xor(CASE WHEN d.vec_id IS NULL
+         |    THEN ${Text.oPortableMixWideSql("c.vec_id")} ELSE 0 END)
+         |    AS kept_xor
+         |FROM c LEFT JOIN dups d ON c.vec_id = d.vec_id""".stripMargin
+    },
     "l16_bucket_search" -> {
       val bucket = Text.oHyperplaneBucket("vec", 8)
       val masks = probeMasks(8, 2).mkString(", ")

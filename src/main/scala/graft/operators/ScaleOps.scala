@@ -221,7 +221,48 @@ object ScaleOps extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** k07: bucketed range join — the equi-join rewrite of t05's
+    * attribution range join. A range join on (user_id, time-interval)
+    * equi-joins on user_id alone and evaluates the interval as a
+    * post-condition, so ONE hot user's clicks × purchases explode
+    * into a per-key product no matter how far apart in time they are.
+    * The rewrite quantizes time into gap-sized buckets, duplicates
+    * each click into its own and the NEXT bucket (a purchase within
+    * [click, click+gap) can only land in those two), and joins on
+    * (user_id, bucket) — the join key now bounds candidates to
+    * TEMPORALLY ADJACENT events, cutting the hot-key product from
+    * |clicks|·|purchases| to Σ per-bucket products, at the cost of a
+    * 2× click-side replication. This is the rewrite behind range-join
+    * optimizers (e.g. Databricks' range join binning); the oracle is
+    * the PLAIN range join — the optimization must be invisible in the
+    * result. The `merge` hint pins the shuffle join the pattern
+    * exists for (a broadcast would hide the hot-key product at test
+    * scale). */
+  private val bucketedRangeJoin: Q = (s, dir) => {
+    val gapSec = 1800L
+    val ev = T.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withColumn("cb", expr(s"CAST(click_ts AS LONG) div $gapSec"))
+      .withColumn("jb", explode(array(col("cb"), col("cb") + 1L)))
+      .alias("c")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("value"))
+      .withColumn("pb", expr(s"CAST(buy_ts AS LONG) div $gapSec"))
+      .alias("p")
+    clicks.hint("merge").join(buys,
+        col("c.user_id") === col("p.user_id") &&
+        col("c.jb") === col("p.pb"))
+      .filter(col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("c.user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+        round(T.moneySum(col("value")), 2).as("attributed_revenue"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "k07_bucketed_range_join" -> bucketedRangeJoin,
     "k01_salted_agg" -> saltedAgg,
     "k02_approx_distinct" -> approxDistinct,
     "k04_approx_quantile" -> approxQuantile,
@@ -229,6 +270,21 @@ object ScaleOps extends QueryPack {
     "k06_bloom_join" -> bloomJoin)
 
   val oracle: Map[String, String] = Map(
+    // the bucketing must be INVISIBLE in the result: the oracle is the
+    // plain (unbucketed) range join — t05's semantics
+    "k07_bucketed_range_join" ->
+      s"""WITH c AS (
+         |  SELECT user_id, ts AS click_ts FROM events
+         |  WHERE event_type = 'click'),
+         |p AS (
+         |  SELECT user_id, ts AS buy_ts, value FROM events
+         |  WHERE event_type = 'purchase')
+         |SELECT c.user_id, COUNT(*) AS n_attributed,
+         |  ROUND(${T.oMoneySum("value")}, 2) AS attributed_revenue
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |  AND p.buy_ts >= c.click_ts
+         |  AND p.buy_ts < c.click_ts + INTERVAL 30 MINUTE
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "k01_salted_agg" ->
       s"""SELECT l_returnflag,
          |  COUNT(*) AS n_lines,
