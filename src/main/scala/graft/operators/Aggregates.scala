@@ -186,8 +186,43 @@ object Aggregates extends QueryPack {
         col("n_purchase").cast("double") / col("n_click").cast("double"))
   }
 
+  /** Q25: cohort retention — users grouped by first-activity week
+    * (the cohort), tracked by distinct-active count at each week
+    * offset, with the rate normalized against the cohort's own size
+    * (its offset-0 count — every member is active in their first
+    * week by construction). The product-analytics staple beside
+    * q23's funnel.
+    *
+    * Shape: one distinct on (user, week) — the corpus-sized shuffle —
+    * then everything downstream (cohort min, the join back, the
+    * retention agg) is per-user or per-(cohort, offset) scale, all
+    * keyed on user_id so the exchange is reused. The rate divides two
+    * exact integers in double (identical IEEE bits both engines);
+    * first_value over the offset-ordered cohort partition is
+    * deterministic because (cohort, offset) rows are unique. */
+  private val cohortRetention: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val activity = T.load(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val counts = activity.join(cohort, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    counts
+      .withColumn("cohort_size", first_value(col("n_active")).over(
+        Window.partitionBy(col("cohort_wk")).orderBy(col("week_offset"))))
+      .withColumn("retention_rate",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
     "q23_funnel" -> funnelQ,
+    "q25_cohort_retention" -> cohortRetention,
     "q02_hourly_stats" -> hourlyStats,
     "q03_duration_agg" -> durationAgg,
     "q04_global_count" -> globalCount,
@@ -200,6 +235,24 @@ object Aggregates extends QueryPack {
     "q11_minmax" -> minMaxQ)
 
   val oracle: Map[String, String] = Map(
+    "q25_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM a GROUP BY 1),
+        |r AS (
+        |  SELECT cohort_wk,
+        |    CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT)
+        |      AS week_offset,
+        |    COUNT(DISTINCT a.user_id) AS n_active
+        |  FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_wk, week_offset, n_active,
+        |  FIRST_VALUE(n_active) OVER (PARTITION BY cohort_wk
+        |    ORDER BY week_offset) AS cohort_size,
+        |  CAST(n_active AS DOUBLE)
+        |    / CAST(FIRST_VALUE(n_active) OVER (PARTITION BY cohort_wk
+        |        ORDER BY week_offset) AS DOUBLE) AS retention_rate
+        |FROM r ORDER BY cohort_wk, week_offset""".stripMargin,
     "q23_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS t_view FROM events

@@ -240,6 +240,24 @@ object Scalars extends QueryPack {
       .orderBy(col("g_status"), col("g_priority"),
         col("o_orderstatus"), col("o_orderpriority"))
 
+  /** X13: CUBE — the full 2^n grouping-set cross (cell, per-status,
+    * per-priority, grand total), completing the subtotal lane beside
+    * ROLLUP (x09, nested prefixes) and explicit GROUPING SETS (x12,
+    * hand-picked sets). Same single-pass Expand plan: each input row
+    * fans into its 4 grouping-set copies before ONE hash aggregate —
+    * at 100 TB that 4× expand feeds map-side partial aggregation, so
+    * the exchange carries only (cells × sets) partial rows, never 4×
+    * the scan. */
+  private val cubeRevenue: Q = (s, dir) =>
+    T.load(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(T.moneySum(col("o_totalprice")), 2).as("revenue"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority"))
+
   /** X10: complex-type aggregation — collect_set into a sorted array,
     * reduced back to scalars at the output boundary. The array is
     * serialized with array_join rather than emitted raw: collect_set
@@ -264,6 +282,7 @@ object Scalars extends QueryPack {
     "x08_pivot" -> pivotCounts,
     "x09_rollup" -> rollupRevenue,
     "x12_grouping_sets" -> groupingSetsQ,
+    "x13_cube" -> cubeRevenue,
     "x01_string_funcs" -> stringFuncs,
     "x02_datetime_funcs" -> datetimeFuncs,
     "x03_conditional_null" -> conditionalNull,
@@ -311,6 +330,15 @@ object Scalars extends QueryPack {
          |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
+        .stripMargin,
+    "x13_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS revenue,
+         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
          |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
         .stripMargin,
     "x01_string_funcs" ->

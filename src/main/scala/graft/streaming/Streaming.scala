@@ -377,6 +377,38 @@ object Streaming extends QueryPack {
       Config(windowSeconds = 3600))
       .orderBy("window_start", "event_type")
 
+  /** Sliding (hopping) event-time windows — the third window type
+    * beside tumbling (t01/t02) and session (t03/w09): one hour of
+    * history re-evaluated every 15 minutes, the shape behind
+    * moving-rate dashboards and rolling anomaly baselines. Each event
+    * belongs to windowLen/slide = 4 overlapping windows; Spark's
+    * `window(ts, len, slide)` expands that membership BEFORE the
+    * shuffle, so the aggregate is still one exchange on
+    * (window, key) with map-side partial aggregation — the fan-out
+    * costs 4× the agg input rows, never 4× the raw scan. Same
+    * batch ≡ streaming contract as [[windowedStats]]. */
+  def slidingStats(events: DataFrame, eventTime: String, valueCol: String,
+      keyCol: String, windowLen: String = "1 hour",
+      slide: String = "15 minutes", lateness: String = "0 seconds")
+      : DataFrame =
+    events
+      .withWatermark(eventTime, lateness)
+      .groupBy(window(col(eventTime), windowLen, slide), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(T.moneySum(col(valueCol)), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
+  /** t09 batch gate: hour-long windows sliding by 15 min over the
+    * events table. The oracle replays the 4-way membership by
+    * exploding each event into its 4 covering window starts. */
+  private val slidingWindowAgg: Q = (s, dir) =>
+    slidingStats(T.load(s, dir, "events"), "ts", "value", "event_type")
+      .orderBy("window_start", "event_type")
+
   /** Per-user session profile over the full events table: session
     * counts and sizes from 30-minute-gap sessionization. The oracle
     * recomputes sessions as a gaps-and-islands query (LAG + running
@@ -390,6 +422,7 @@ object Streaming extends QueryPack {
       .orderBy("user_id")
 
   val queries: Map[String, Q] = Map(
+    "t09_sliding_window_agg" -> slidingWindowAgg,
     "t01_tumbling_window_agg" -> tumblingWindowAgg,
     "t02_hour_window_agg" -> hourWindowAgg,
     "t03_session_window_agg" -> sessionAgg,
@@ -399,6 +432,21 @@ object Streaming extends QueryPack {
     "t07_stream_static_enrich" -> streamStaticEnrich)
 
   val oracle: Map[String, String] = Map(
+    // each event's 4 covering hour-windows enumerated from its 15-min
+    // epoch bucket (Spark windows are epoch-aligned)
+    "t09_sliding_window_agg" ->
+      s"""WITH w AS (
+         |  SELECT event_type, value,
+         |    make_timestamp(
+         |      (epoch_us(ts) // 900000000 - i) * 900000000)
+         |      AS window_start
+         |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+         |SELECT window_start,
+         |  window_start + INTERVAL 1 HOUR AS window_end,
+         |  event_type, COUNT(*) AS n_events,
+         |  ROUND(${T.oMoneySum("value")}, 2) AS sum_value
+         |FROM w GROUP BY 1, 2, 3
+         |ORDER BY 1, 3""".stripMargin,
     "t01_tumbling_window_agg" ->
       s"""SELECT date_trunc('minute', ts) AS window_start,
          |  date_trunc('minute', ts) + INTERVAL 60 SECOND AS window_end,

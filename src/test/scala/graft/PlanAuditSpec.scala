@@ -49,7 +49,8 @@ class PlanAuditSpec extends SparkSpec {
     "k05_salted_join", "k06_bloom_join", "k07_bucketed_range_join",
     "q19_anti_join", "q20_full_outer", "q21_correlated_subquery",
     "q22_star_join", "q23_funnel", "q24_asof_native",
-    "x12_grouping_sets",
+    "q25_cohort_retention",
+    "x12_grouping_sets", "x13_cube", "t09_sliding_window_agg",
     "l40_dsir_resample", "l41_span_dedup", "l42_domain_mixing",
     "l43_bm25_topk", "l44_curriculum_bands", "l45_contamination_score",
     "l46_source_drift", "l47_sequence_examples", "l48_class_balance",
