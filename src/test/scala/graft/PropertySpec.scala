@@ -245,4 +245,33 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("w09 session laws: sessions partition events, never overlap, " +
+      "and always span at least the gap") {
+    val ev = T.load(spark, sfDir, "events")
+    val sess = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n"))
+      .cache()
+    try {
+      // partition: every event lands in exactly one session
+      val total = sess.agg(sum(col("n"))).collect()(0).getLong(0)
+      assert(total == ev.count(), s"session event counts sum to $total")
+      // no overlap: a user's next session starts at/after the previous
+      // session's end (end = last event + gap, so the inactivity gap
+      // between sessions is >= the threshold by construction)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("s"))
+      val overlaps = sess.withColumn("prev_e", lag(col("e"), 1).over(w))
+        .filter(col("prev_e").isNotNull && col("s") < col("prev_e"))
+        .count()
+      assert(overlaps == 0, s"$overlaps overlapping sessions")
+      // minimum span: end = last event + gap >= start + gap
+      val short = sess
+        .filter(col("e") < col("s") + expr("INTERVAL 6 HOURS")).count()
+      assert(short == 0, s"$short sessions shorter than the gap")
+    } finally sess.unpersist()
+  }
 }

@@ -79,6 +79,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("t09: streamed sliding windows equal batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val static = eventsStatic
+      .select($"ts", $"event_type", $"value")
+      .as[(java.sql.Timestamp, String, Double)]
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = Streaming.slidingStats(streamDf, "ts", "value", "event_type")
+      .writeStream.format("memory").queryName("t9_sliding")
+      .outputMode("append").start()
+    try {
+      mem.addData(static.collect().toSeq)
+      q.processAllAvailable()
+      mem.addData(Seq(
+        (java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "sentinel", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("t9_sliding")
+      .filter($"event_type" =!= "sentinel")
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    val batch = Streaming.slidingStats(
+        eventsStatic.select($"ts", $"event_type", $"value"),
+        "ts", "value", "event_type")
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // 4-way membership: total per-window event count = 4 × raw count
+    val total = batch.map(_.getLong(3)).sum
+    assert(total == 4L * eventsStatic.count(),
+      s"each event must land in exactly 4 sliding windows ($total)")
+  }
+
   test("T2: window_start/window_end metadata is projected") {
     val row = Streaming.windowedStats(eventsStatic, "ts", "value", "event_type")
       .select("window_start", "window_end", "stat_hour").limit(1).collect().head
