@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashDescriptor)
     ext.injectFunction(GraftExtensions.vectorSumDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.IdempotentStringOps)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -104,6 +105,11 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.IdempotentStringOps
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RangeJoinBinning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.RangeJoinBinning
     // planner strategies take the same post-hoc path as optimizer rules
     if (!spark.experimental.extraStrategies
         .contains(graft.plans.AsOfJoinStrategy))

@@ -261,8 +261,39 @@ object ScaleOps extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** k08: the AUTOMATIC face of k07 — the same attribution range join
+    * written PLAINLY (no manual buckets) and rewritten by the injected
+    * [[graft.plans.RangeJoinBinning]] optimizer rule, enabled on a
+    * cloned session so the flag cannot leak into other queries (t05
+    * runs the identical plain join un-rewritten in the same process).
+    * The oracle is the plain range join — identical to k07's, which
+    * is the whole contract: hand-binned, auto-binned, and un-binned
+    * plans must be row-for-row equal. RangeJoinBinningSpec asserts
+    * the plan difference (Generate + bucket equi-keys fire only under
+    * the flag). */
+  private val autoBinnedRangeJoin: Q = (s, dir) => {
+    val s2 = s.newSession()
+    graft.core.GraftExtensions.register(s2)
+    s2.conf.set(graft.plans.RangeJoinBinning.confKey, "true")
+    val ev = T.load(s2, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts")).alias("c")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("value"))
+      .alias("p")
+    clicks.join(buys,
+        col("c.user_id") === col("p.user_id") &&
+        col("p.buy_ts") >= col("c.click_ts") &&
+        col("p.buy_ts") < col("c.click_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("c.user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+        round(T.moneySum(col("value")), 2).as("attributed_revenue"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "k07_bucketed_range_join" -> bucketedRangeJoin,
+    "k08_auto_binned_range_join" -> autoBinnedRangeJoin,
     "k01_salted_agg" -> saltedAgg,
     "k02_approx_distinct" -> approxDistinct,
     "k04_approx_quantile" -> approxQuantile,
@@ -273,6 +304,20 @@ object ScaleOps extends QueryPack {
     // the bucketing must be INVISIBLE in the result: the oracle is the
     // plain (unbucketed) range join — t05's semantics
     "k07_bucketed_range_join" ->
+      s"""WITH c AS (
+         |  SELECT user_id, ts AS click_ts FROM events
+         |  WHERE event_type = 'click'),
+         |p AS (
+         |  SELECT user_id, ts AS buy_ts, value FROM events
+         |  WHERE event_type = 'purchase')
+         |SELECT c.user_id, COUNT(*) AS n_attributed,
+         |  ROUND(${T.oMoneySum("value")}, 2) AS attributed_revenue
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |  AND p.buy_ts >= c.click_ts
+         |  AND p.buy_ts < c.click_ts + INTERVAL 30 MINUTE
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same contract as k07: the rewrite must be invisible in the result
+    "k08_auto_binned_range_join" ->
       s"""WITH c AS (
          |  SELECT user_id, ts AS click_ts FROM events
          |  WHERE event_type = 'click'),

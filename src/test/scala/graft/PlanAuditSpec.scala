@@ -47,6 +47,7 @@ class PlanAuditSpec extends SparkSpec {
     "l30_tfidf_keywords", "l31_token_chunks", "l33_temperature_sample",
     "k01_salted_agg", "k02_approx_distinct", "k04_approx_quantile",
     "k05_salted_join", "k06_bloom_join", "k07_bucketed_range_join",
+    "k08_auto_binned_range_join",
     "q19_anti_join", "q20_full_outer", "q21_correlated_subquery",
     "q22_star_join", "q23_funnel", "q24_asof_native",
     "q25_cohort_retention",
