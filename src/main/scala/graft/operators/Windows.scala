@@ -277,9 +277,47 @@ object Windows extends QueryPack {
       .orderBy("user_id", "session_start")
   }
 
+  /** W10: rolling z-score anomaly detection — flag hours whose event
+    * count spikes ≥ 3 sample standard deviations above/below the
+    * trailing 24-hour baseline (window excludes the current hour, so a
+    * spike cannot suppress itself), the standard operational-metrics
+    * anomaly monitor over the w03/w04 hourly frame.
+    *
+    * Exactness: the z² > 9 test is evaluated ENTIRELY in integer
+    * arithmetic — (24x − S)²·23 > 9·24·(24Q − S²) with S = Σx,
+    * Q = Σx² over the trailing window — so the oracle hash-matches
+    * bit for bit; no engine's stddev/sqrt spelling is trusted. Safe
+    * while hourly counts stay below ~6×10⁸ (the squared terms then
+    * approach int64); beyond that, pre-aggregate to coarser keys or
+    * lift to DECIMAL.
+    *
+    * 100 TB shape: the corpus-sized pass is the hourly pre-aggregate
+    * (map-side partial); the window runs over |event_type × hours|
+    * rows — thousands, not billions. */
+  private val anomalyHours: Q = (s, dir) => {
+    val tw = Window.partitionBy(col("event_type"))
+      .orderBy(col("stat_hour")).rowsBetween(-24, -1)
+    hourly(s, dir)
+      .select(col("event_type"), col("stat_hour"),
+        col("n_events").as("x"))
+      .withColumn("n", count(lit(1)).over(tw))
+      .withColumn("s", sum(col("x")).over(tw))
+      .withColumn("q", sum(col("x") * col("x")).over(tw))
+      .filter(col("n") === 24)
+      .withColumn("dev_score",
+        (col("x") * 24 - col("s")) * (col("x") * 24 - col("s")) * 23)
+      .withColumn("threshold",
+        lit(9L) * 24 * (col("q") * 24 - col("s") * col("s")))
+      .filter(col("dev_score") > col("threshold"))
+      .select(col("event_type"), col("stat_hour"),
+        col("x").as("n_events"), col("dev_score"), col("threshold"))
+      .orderBy("event_type", "stat_hour")
+  }
+
   val queries: Map[String, Q] = Map(
     "w08_pattern_runs" -> patternRuns,
     "w09_sessionization" -> sessionization,
+    "w10_anomaly_hours" -> anomalyHours,
     "w01_row_number_ids" -> rowNumberIds,
     "o05_nulls_ordering" -> nullsOrdering,
     "w03_lag_features" -> lagFeatures,
@@ -291,6 +329,25 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    "w10_anomaly_hours" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, stat_hour, x,
+        |    COUNT(*) OVER tw AS n,
+        |    SUM(x) OVER tw AS s,
+        |    SUM(x * x) OVER tw AS q
+        |  FROM h WINDOW tw AS (PARTITION BY event_type
+        |    ORDER BY stat_hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, stat_hour, x AS n_events,
+        |  CAST((24 * x - s) * (24 * x - s) * 23 AS BIGINT) AS dev_score,
+        |  CAST(9 * 24 * (24 * q - s * s) AS BIGINT) AS threshold
+        |FROM w
+        |WHERE n = 24
+        |  AND (24 * x - s) * (24 * x - s) * 23 > 9 * 24 * (24 * q - s * s)
+        |ORDER BY event_type, stat_hour""".stripMargin,
     "w09_sessionization" ->
       s"""WITH g AS (
         |  SELECT user_id, ts, event_id, value,

@@ -58,6 +58,7 @@ class PlanAuditSpec extends SparkSpec {
     "l49_vocab_coverage", "l50_chunk_retrieval", "l51_corpus_datasheet",
     "l53_bpe_pairs", "l54_dataset_checksum",
     "w07_time_range_window", "w08_pattern_runs", "w09_sessionization",
+    "w10_anomaly_hours",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
 
