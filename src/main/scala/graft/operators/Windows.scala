@@ -314,10 +314,62 @@ object Windows extends QueryPack {
       .orderBy("event_type", "stat_hour")
   }
 
+  /** W11: calendar gap-fill — materialize the dense hour spine
+    * (min…max observed hour × every event type), left-join the
+    * observed hourly counts, zero-fill, and account the gaps
+    * per series (count + longest consecutive run, via the same
+    * islands technique as w08). Time-series models need the dense
+    * grid — a LAG over sparse rows silently compares across holes
+    * (which is exactly what w03's per-row offsets would do on a
+    * sparse frame) — and the gap-run report is the data-quality
+    * signal that says whether a series is usable at all.
+    *
+    * 100 TB shape: the corpus-sized pass is the hourly pre-aggregate;
+    * the spine is |hours| × |types| rows built from a 1-row bounds
+    * aggregate (broadcast) and a bounded type dim (broadcast) — both
+    * joins are model-frame BNLJ/broadcast shapes, never a shuffle of
+    * the fact. */
+  private val gapFill: Q = (s, dir) => {
+    val h = hourly(s, dir)
+    val bounds = h.agg(min(col("stat_hour")).as("h0"),
+      max(col("stat_hour")).as("h1"))
+    val spine = bounds
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)"))
+        .as("stat_hour"))
+    val types = h.select(col("event_type")).distinct()
+    val grid = spine.crossJoin(broadcast(types))
+      .join(h, Seq("event_type", "stat_hour"), "left")
+      .withColumn("n", coalesce(col("n_events"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("stat_hour"))
+    grid
+      .withColumn("grp",
+        sum(when(col("n") > 0, 1L).otherwise(0L)).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours_spine"),
+        sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_observed"),
+        sum(when(col("n") === 0, 1L).otherwise(0L)).as("n_gap_hours"))
+      .join(
+        // longest consecutive gap run per series: group the zero
+        // hours by the islands key and take the max run length
+        grid.withColumn("grp",
+            sum(when(col("n") > 0, 1L).otherwise(0L)).over(w))
+          .filter(col("n") === 0)
+          .groupBy(col("event_type"), col("grp"))
+          .agg(count(lit(1)).as("run"))
+          .groupBy(col("event_type"))
+          .agg(max(col("run")).as("longest_gap_run")),
+        Seq("event_type"), "left")
+      .withColumn("longest_gap_run",
+        coalesce(col("longest_gap_run"), lit(0L)))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "w08_pattern_runs" -> patternRuns,
     "w09_sessionization" -> sessionization,
     "w10_anomaly_hours" -> anomalyHours,
+    "w11_gapfill" -> gapFill,
     "w01_row_number_ids" -> rowNumberIds,
     "o05_nulls_ordering" -> nullsOrdering,
     "w03_lag_features" -> lagFeatures,
@@ -329,6 +381,40 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    "w11_gapfill" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(stat_hour) AS h0, MAX(stat_hour) AS h1 FROM h),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+        |    AS stat_hour FROM b),
+        |grid AS (
+        |  SELECT t.event_type, s.stat_hour, COALESCE(h.n, 0) AS n
+        |  FROM (SELECT DISTINCT event_type FROM h) t
+        |  CROSS JOIN spine s
+        |  LEFT JOIN h ON h.event_type = t.event_type
+        |    AND h.stat_hour = s.stat_hour),
+        |g AS (
+        |  SELECT event_type, stat_hour, n,
+        |    SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY event_type ORDER BY stat_hour) AS grp
+        |  FROM grid),
+        |runs AS (
+        |  SELECT event_type, MAX(run) AS longest_gap_run FROM (
+        |    SELECT event_type, grp, COUNT(*) AS run
+        |    FROM g WHERE n = 0 GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT g.event_type,
+        |  COUNT(*) AS n_hours_spine,
+        |  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_observed,
+        |  CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gap_hours,
+        |  COALESCE(MAX(r.longest_gap_run), 0) AS longest_gap_run
+        |FROM g LEFT JOIN runs r ON g.event_type = r.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "w10_anomaly_hours" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,

@@ -58,7 +58,7 @@ class PlanAuditSpec extends SparkSpec {
     "l49_vocab_coverage", "l50_chunk_retrieval", "l51_corpus_datasheet",
     "l53_bpe_pairs", "l54_dataset_checksum",
     "w07_time_range_window", "w08_pattern_runs", "w09_sessionization",
-    "w10_anomaly_hours",
+    "w10_anomaly_hours", "w11_gapfill",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
 
@@ -94,6 +94,8 @@ class PlanAuditSpec extends SparkSpec {
     *    1-row frames, l42's 1-row budget-totals frame, l43's 1-row
     *    corpus-stats (df/avgdl) frame, l46's 1-row language-totals
     *    frame, l48's 1-row min-class-count frame
+    *  - w11: the hour spine explodes from a 1-row bounds aggregate and
+    *    crosses a ≤|event types| dim — both sides bounded models
     *  - model-row broadcasts: l09's single query vector, k05's
     *    48-row salted dim build (16 salts × 3 literal flags), l36/l37's
     *    PQ codebook (a singleton collect_list row) and |Q|-row LUT
@@ -113,6 +115,6 @@ class PlanAuditSpec extends SparkSpec {
     "l48_class_balance", "l50_chunk_retrieval",
     "l09_cosine_topk", "l18_decontamination", "k05_salted_join",
     "l36_pq_index", "l37_pq_search", "l38_ivfpq_search",
-    "l39_hard_negatives", "l52_ann_recall",
+    "l39_hard_negatives", "l52_ann_recall", "w11_gapfill",
     "l10_embedding_neardup")
 }
