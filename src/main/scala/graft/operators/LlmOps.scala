@@ -1497,9 +1497,43 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  /** l56: sharded-export manifest — the LAST step of a curation
+    * pipeline: assign every document to one of 16 output shards by a
+    * portable hash (so any engine reproduces the same shard
+    * membership), and emit the manifest a training job consumes:
+    * per-shard doc count, token count, and content checksum (the l54
+    * XOR fold scoped per shard). Hash sharding is what balances
+    * shards WITHOUT a global sort or size accounting pass — the
+    * manifest's count spread is the check that it worked.
+    *
+    * 100 TB shape: one narrow projection (hash, token count, doc
+    * fingerprint) then one 16-group aggregate with map-side partials;
+    * the actual sharded WRITE is `partitionBy("shard")` on exactly
+    * this column — d14/d18 prove that path; this query is its
+    * manifest. */
+  private val shardManifest: Q = (s, dir) => {
+    val nShards = 16
+    val strHash = Text.portableStrHashSql(
+      "lower(trim(regexp_replace(text, '\\\\s+', ' ')))")
+    docs(s, dir)
+      .withColumn("shard",
+        expr(s"pmod(${Text.portableMixWideSql(s"doc_id * 11 + 5")}, $nShards)"))
+      .withColumn("n_bpe", Text.bpeTokenCount(col("text")).cast("long"))
+      .withColumn("h", expr(strHash))
+      .withColumn("fp",
+        expr(Text.portableMixWideSql("h * 31 + pmod(doc_id, 2147483647)")))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("n_tokens"),
+        expr("bit_xor(fp)").as("shard_checksum"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
     "l53_bpe_pairs" -> bpePairCounts,
     "l54_dataset_checksum" -> datasetChecksum,
+    "l56_shard_manifest" -> shardManifest,
     "l47_sequence_examples" -> sequenceExamples,
     "l48_class_balance" -> classBalance,
     "l01_text_stats" -> textStats,
@@ -1615,6 +1649,22 @@ object LlmOps extends QueryPack {
          |  FROM (SELECT source, doc_id, $h AS h FROM documents))
          |SELECT source, COUNT(*) AS n_docs,
          |  bit_xor(fp1) AS xor_fp1, bit_xor(fp2) AS xor_fp2
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "l56_shard_manifest" -> {
+      val h = Text.oPortableStrHashSql(
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")
+      s"""WITH d AS (
+         |  SELECT (${Text.oPortableMixWideSql("doc_id * 11 + 5")}) % 16
+         |      AS shard,
+         |    len(regexp_extract_all(text, '${Text.bpeTokenPattern}'))
+         |      AS n_bpe,
+         |    ${Text.oPortableMixWideSql(
+               "h * 31 + (doc_id % 2147483647)")} AS fp
+         |  FROM (SELECT doc_id, text, $h AS h FROM documents))
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+         |  bit_xor(fp) AS shard_checksum
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "l47_sequence_examples" ->

@@ -56,7 +56,7 @@ class PlanAuditSpec extends SparkSpec {
     "l43_bm25_topk", "l44_curriculum_bands", "l45_contamination_score",
     "l46_source_drift", "l47_sequence_examples", "l48_class_balance",
     "l49_vocab_coverage", "l50_chunk_retrieval", "l51_corpus_datasheet",
-    "l53_bpe_pairs", "l54_dataset_checksum",
+    "l53_bpe_pairs", "l54_dataset_checksum", "l56_shard_manifest",
     "w07_time_range_window", "w08_pattern_runs", "w09_sessionization",
     "w10_anomaly_hours", "w11_gapfill",
     "t05_attribution_join", "t06_stateful_profile",
