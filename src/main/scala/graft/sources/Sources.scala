@@ -175,7 +175,29 @@ object Sources extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** S11: the native DataSourceV2 generator ([[SeqSource]], the
+    * reference's publisher side as a `TableProvider`) driven through
+    * a real query: an event_id range predicate that must PUSH into
+    * the source (pruning generated splits — SeqSourceSpec asserts the
+    * partition count), then a per-type rollup. The oracle recomputes
+    * the identical rows from DuckDB `range()` via the shared portable
+    * mixer — a data SOURCE held to the same engine-replayability bar
+    * as the hash signatures. */
+  private val generatedSource: Q = (s, dir) => {
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "100000").option("slices", "8").load()
+      .filter(col("event_id") >= 20000 && col("event_id") < 60000)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(T.moneySum(col("value")), 2).as("sum_value"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s11_generated_source" -> generatedSource,
     "s01_jsonl_scan" -> jsonlScan,
     "s02_csv_scan" -> csvScan,
     "s05_append_sink" -> appendSink,
@@ -184,6 +206,32 @@ object Sources extends QueryPack {
     "s10_orc_roundtrip" -> orcRoundtrip)
 
   val oracle: Map[String, String] = Map(
+    // the generator formula replayed row for row from range(): same
+    // mixer, same distribution cuts, same micros arithmetic
+    "s11_generated_source" -> {
+      import graft.functions.Text
+      val roll = Text.oPortableMixWideSql("i * 5 + 2")
+      val vmix = Text.oPortableMixWideSql("i * 7 + 3")
+      val tmix = Text.oPortableMixWideSql("i * 11 + 4")
+      s"""WITH m AS (
+         |  SELECT i, ($roll) % 100 AS roll,
+         |    ($vmix) % 10000 AS vraw,
+         |    ($tmix) % 2592000 AS toff
+         |  FROM range(20000, 60000) t(i)),
+         |g AS (
+         |  SELECT CASE WHEN roll < 40 THEN 'view'
+         |      WHEN roll < 65 THEN 'click'
+         |      WHEN roll < 80 THEN 'purchase'
+         |      WHEN roll < 95 THEN 'signup'
+         |      ELSE 'error' END AS event_type,
+         |    vraw / 100.0 AS value,
+         |    make_timestamp((1704067200 + toff) * 1000000) AS ts
+         |  FROM m)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  ROUND(${T.oMoneySum("value")}, 2) AS sum_value,
+         |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // Classes 0/1 never parse a payment_type; class 4's total is negated;
     // the scan-side filter also requires total > 0, which additionally
     // drops zero-value events of ANY surviving class (present from sf0.1).

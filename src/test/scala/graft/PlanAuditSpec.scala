@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "x01_string_funcs", "x02_datetime_funcs", "x03_conditional_null",
     "x04_uuid", "x05_json_roundtrip", "x06_predicates", "x07_geohash",
     "x08_pivot", "x09_rollup", "x10_complex_types", "x11_array_funcs",
+    "s11_generated_source",
     "p01_dead_letter_counts", "p02_valid_hourly_agg",
     "p03_normalized_projection", "p04_passthrough_count",
     "t01_tumbling_window_agg", "t02_hour_window_agg",
