@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -75,19 +76,23 @@ class SeqSourceProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SeqTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("batchRows", "1000").toLong)
 }
 
-class SeqTable(n: Long, slices: Int) extends Table with SupportsRead {
+class SeqTable(n: Long, slices: Int, batchRows: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_seq($n)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, slices)
+    new SeqScanBuilder(n, slices, batchRows)
 }
 
-class SeqScanBuilder(n: Long, slices: Int) extends ScanBuilder
+class SeqScanBuilder(n: Long, slices: Int, batchRows: Long)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = n
@@ -131,13 +136,26 @@ class SeqScanBuilder(n: Long, slices: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(n, lo, hi, slices, required)
+  override def build(): Scan =
+    new SeqScan(n, lo, hi, slices, batchRows, required)
 }
 
-class SeqScan(n: Long, lo: Long, hi: Long, slices: Int,
+class SeqScan(n: Long, lo: Long, hi: Long, slices: Int, batchRows: Long,
     required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The STREAMING face: the same generated grid delivered as
+    * micro-batches of `batchRows` ids per trigger — the continuous
+    * event-publisher mode the reference runs against Pub/Sub, minus
+    * the broker. Offsets are plain row positions within the pushed
+    * [lo, hi) window, so a restart from checkpoint resumes mid-grid
+    * exactly (offset JSON is the position), and batch ≡ streaming
+    * equality is structural: the union of micro-batch id ranges IS
+    * the batch scan's range (SeqSourceSpec pins it). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, batchRows, required)
   override def description(): String =
     s"graft_seq n=$n bounds=[$lo, $hi) slices=$slices"
 
@@ -161,6 +179,35 @@ class SeqScan(n: Long, lo: Long, hi: Long, slices: Int,
 }
 
 case class SeqPartition(start: Long, end: Long) extends InputPartition
+
+case class SeqOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+class SeqMicroBatchStream(lo: Long, hi: Long, batchRows: Long,
+    required: StructType) extends MicroBatchStream {
+  // how much of the grid has been "published" — advanced by one
+  // batchRows quantum per trigger, the generator's rate limit
+  private var available = lo
+
+  override def initialOffset(): Offset = SeqOffset(lo)
+  override def latestOffset(): Offset = {
+    available = math.min(hi, available + math.max(1L, batchRows))
+    SeqOffset(available)
+  }
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val a = start.asInstanceOf[SeqOffset].pos
+    val b = end.asInstanceOf[SeqOffset].pos
+    if (a < b) Array(SeqPartition(a, b)) else Array.empty
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required.fieldNames)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class SeqReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {

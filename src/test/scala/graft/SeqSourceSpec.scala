@@ -68,6 +68,19 @@ class SeqSourceSpec extends SparkSpec {
     assert(a == b, "slicing must not change content")
   }
 
+  test("micro-batch stream delivers the identical grid in rate-limited batches") {
+    val q = spark.readStream.format("graft.sources.SeqSourceProvider")
+      .option("rows", "5000").option("batchRows", "1200").load()
+      .writeStream.format("memory").queryName("seq_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("seq_stream")
+      .orderBy("event_id").collect().toSeq
+    val batch = read(rows = 5000).orderBy("event_id").collect().toSeq
+    assert(streamed.size == 5000)
+    assert(streamed == batch, "stream must equal the batch scan")
+  }
+
   test("generated values stay in contract ranges") {
     val df = read(rows = 20000)
     val bad = df.filter(
