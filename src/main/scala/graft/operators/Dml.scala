@@ -502,7 +502,81 @@ object Dml extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** D19: SCD Type-2 dimension build — the versioned-dimension staple a
+    * lakehouse warehouse layer runs on every batch (the reference's
+    * MERGE story, `PRD.md:799-815`, only updates in place; Type-2 is
+    * what its BI consumers need for as-was reporting). v1 seeds the
+    * dimension (keys with custkey % 5 != 0) with
+    * (valid_from, valid_to, is_current) lifecycle columns; a full
+    * update feed then arrives where every custkey % 7 == 0 moved to
+    * the MACHINERY segment, and the merge must: close changed rows
+    * (valid_to = batch version), open their replacements, insert
+    * brand-new keys, and leave unchanged rows untouched.
+    *
+    * Shape: ONE left join of the feed against current rows, then each
+    * joined row explodes into exactly the lifecycle rows it produces
+    * (close+open / open / keep) — the three-way outcome is a single
+    * pass, not three filters each re-running the join. History rows
+    * never join at all. At 100 TB the cost is one shuffle on the dim
+    * key over current rows only — the same plan MERGE (q16) uses —
+    * and the explode adds no exchange. Every output value is read
+    * back from the committed v2 snapshot. */
+  private val scd2Build: Q = (s, dir) => {
+    val sn = new Snapshots(Scratch.dir("d19_scd2"))
+    val t = "dim_customer"
+    val c = T.load(s, dir, "customer")
+    sn.commit(
+      c.filter(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit(1L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"),
+          lit(true).as("is_current")),
+      t)
+    val updates = c.select(col("c_custkey"),
+      when(col("c_custkey") % 7 === 0, lit("MACHINERY"))
+        .otherwise(col("c_mktsegment")).as("new_segment"))
+    val dim = sn.current(s, t)
+    val cur = dim.filter(col("is_current"))
+      .select(col("c_custkey"), col("c_mktsegment").as("old_segment"),
+        col("valid_from").as("old_from"))
+    val batchV = lit((sn.currentVersion(t).get + 1).toLong)
+    val open = struct(col("new_segment").as("c_mktsegment"),
+      batchV.as("valid_from"), lit(null).cast("long").as("valid_to"),
+      lit(true).as("is_current"))
+    val close = struct(col("old_segment").as("c_mktsegment"),
+      col("old_from").as("valid_from"), batchV.as("valid_to"),
+      lit(false).as("is_current"))
+    val keep = struct(col("old_segment").as("c_mktsegment"),
+      col("old_from").as("valid_from"),
+      lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+    val merged = updates.join(cur, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), explode(
+        when(col("old_segment").isNull, array(open))          // new key
+          .when(col("old_segment") =!= col("new_segment"),
+            array(close, open))                               // changed
+          .otherwise(array(keep))).as("r"))                   // unchanged
+      .select(col("c_custkey"), col("r.*"))
+    // current keys absent from the feed stay current; closed history
+    // rows pass through untouched (v1 has none — kept for generality,
+    // both legs prune to empty scans here)
+    val untouched = cur.join(updates, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("old_segment").as("c_mktsegment"),
+        col("old_from").as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+    sn.commit(
+      dim.filter(!col("is_current")).unionByName(merged)
+        .unionByName(untouched), t)
+    sn.current(s, t)
+      .groupBy(col("valid_from"), col("valid_to"), col("is_current"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_custkey")).as("key_sum"),
+        count(when(col("c_mktsegment") === "MACHINERY", 1))
+          .as("n_machinery"))
+      .orderBy("valid_from", "is_current")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d19_scd2" -> scd2Build,
     "d18_partition_evolution" -> partitionEvolution,
     "d15_check_constraint" -> checkConstraint,
     "d16_system_time_between" -> systemTimeBetween,
@@ -522,6 +596,31 @@ object Dml extends QueryPack {
     "d14_dynamic_partition_overwrite" -> dynamicPartitionOverwrite)
 
   val oracle: Map[String, String] = Map(
+    // each lifecycle group re-derived from the predicates that defined
+    // the feed: "changed" = in the v1 dim (custkey%5<>0), moved by the
+    // feed (custkey%7=0) and not already MACHINERY; "new" = custkey%5=0
+    "d19_scd2" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS valid_from,
+        |    CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current,
+        |    COUNT(*) AS n_rows,
+        |    CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+        |    COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END)
+        |      AS n_machinery
+        |  FROM customer WHERE c_custkey % 5 <> 0
+        |    AND NOT (c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY')
+        |  UNION ALL
+        |  SELECT 1, 2, FALSE, COUNT(*), CAST(SUM(c_custkey) AS BIGINT),
+        |    CAST(0 AS BIGINT)
+        |  FROM customer WHERE c_custkey % 5 <> 0
+        |    AND c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'
+        |  UNION ALL
+        |  SELECT 2, NULL, TRUE, COUNT(*), CAST(SUM(c_custkey) AS BIGINT),
+        |    COUNT(CASE WHEN c_custkey % 7 = 0 OR c_mktsegment = 'MACHINERY'
+        |               THEN 1 END)
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |    OR (c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'))
+        |ORDER BY valid_from, is_current""".stripMargin,
     "d01_insert_select" ->
       """SELECT month(o_orderdate) AS m, COUNT(*) AS n_rows
         |FROM orders

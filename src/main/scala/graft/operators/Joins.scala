@@ -347,7 +347,58 @@ object Joins extends QueryPack {
           .otherwise(0L)).cast("long").as("sum_gap_seconds"))
   }
 
+  /** Q26: variable-depth hierarchy flattening — root distance for every
+    * node of a parent-pointer tree, the org-chart/category-rollup query
+    * the reference's BI layer answers with BigQuery's recursive CTEs.
+    * Spark has no `WITH RECURSIVE`; the naive loop (join once per
+    * level) costs O(depth) shuffles. This is the pointer-DOUBLING
+    * spelling: state (node, anc, steps) where anc is the 2^i-th
+    * ancestor, each round self-joins state on `anc = node` so the
+    * known-ancestor distance doubles — O(log depth) keyed shuffles
+    * total, the only scalable shape when depth is thousands (lineage
+    * chains), with the root held as its own fixpoint so convergence
+    * is idempotent. Each round materializes via [[Barriers]] — without
+    * the barrier round i's plan embeds 2^i scans of the base.
+    *
+    * Fixture: the tree is the binary heap over ids 1..N densified from
+    * c_custkey (parent = id div 2) — deterministic, variable-depth
+    * (floor(log2 N) + 1 levels), replayable in DuckDB, where the
+    * oracle walks it with a real `WITH RECURSIVE`. The row_number
+    * densification is fixture prep (real hierarchies arrive with
+    * parent pointers); the round count comes from ONE count action:
+    * depth ≤ log2(N), so ceil(log2(log2(N)+1)) rounds clamp every
+    * ancestor to the root. */
+  private val hierarchyFlatten: Q = (s, dir) => {
+    val ids = T.load(s, dir, "customer")
+      .select(row_number().over(Window.orderBy(col("c_custkey")))
+        .cast("long").as("id"))
+    val n = ids.count()
+    val depthBound = 63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    val rounds = math.max(1,
+      math.ceil(math.log(depthBound + 1.0) / math.log(2.0)).toInt)
+    var state = graft.core.Barriers.materialize(
+      ids.select(col("id").as("node"),
+        when(col("id") === 1, lit(1L))
+          .otherwise(expr("id div 2")).as("anc"),
+        when(col("id") === 1, lit(0L)).otherwise(lit(1L)).as("steps")))
+    for (_ <- 1 to rounds) {
+      val hop = state.select(col("node").as("h_node"),
+        col("anc").as("h_anc"), col("steps").as("h_steps"))
+      state = graft.core.Barriers.materialize(
+        state.join(hop, col("anc") === col("h_node"))
+          .select(col("node"), col("h_anc").as("anc"),
+            (col("steps") + col("h_steps")).as("steps")))
+    }
+    state.groupBy(col("steps").as("depth"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("node")).as("id_sum"),
+        min(col("node")).as("min_id"),
+        max(col("node")).as("max_id"))
+      .orderBy("depth")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q26_hierarchy_flatten" -> hierarchyFlatten,
     "q24_asof_native" -> asofNative,
     "q01_revenue_by_nation" -> revenueByNation,
     "q22_star_join" -> starJoin,
@@ -363,6 +414,23 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    // the oracle walks the same heap top-down with a REAL recursive
+    // CTE — BigQuery's spelling — so the pointer-doubling loop is
+    // checked against the textbook semantics, not against itself
+    "q26_hierarchy_flatten" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+        |    AS id FROM customer),
+        |walk AS (
+        |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT n.id, w.depth + 1
+        |  FROM nodes n JOIN walk w ON n.id // 2 = w.id
+        |  WHERE n.id > 1)
+        |SELECT depth, COUNT(*) AS n_nodes,
+        |  CAST(SUM(id) AS BIGINT) AS id_sum,
+        |  MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB's native ASOF JOIN vs graft's native AsOfJoinExec — the
     // same operator, two engines, value-for-value
     "q24_asof_native" ->

@@ -87,6 +87,29 @@ class MaintenanceSpec extends SparkSpec {
       (1L, "DELETE", 3), (3L, "UPDATE", 3)))
   }
 
+  test("D19: SCD2 lifecycle invariants — one current row per key, " +
+    "closed rows chain into their replacements") {
+    val out = SparkEntry.queries("d19_scd2")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString),
+        r.getBoolean(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val nCustomers = T.load(spark, sfDir, "customer").count()
+    val keyTotal = T.load(spark, sfDir, "customer")
+      .agg(sum(col("c_custkey"))).head().getLong(0)
+    // the feed covers every key, so current rows partition the key set:
+    // exactly one current row per customer, key-sum conserved
+    val currents = out.filter(_._3)
+    assert(currents.map(_._4).sum == nCustomers)
+    assert(currents.map(_._5).sum == keyTotal)
+    // closed rows carry pre-change segments (never MACHINERY) and their
+    // replacements all landed in the batch-2 open group as MACHINERY
+    val closed = out.filter(!_._3)
+    assert(closed.length == 1 && closed.head._2.contains("2"))
+    assert(closed.head._6 == 0)
+    val opened = out.filter(r => r._3 && r._1 == 2L).head
+    assert(opened._6 >= closed.head._4,
+      "every changed-row replacement must be MACHINERY in the open group")
+  }
+
   test("M4: orphan cleanup removes files outside live snapshots only") {
     val root = scratch()
     val sn = new Snapshots(root)
