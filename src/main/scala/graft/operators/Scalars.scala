@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.{Tables => T, QueryPack}
 import graft.functions.Geo
 
@@ -277,7 +278,94 @@ object Scalars extends QueryPack {
           .as("n_active_months"))
       .orderBy("o_orderstatus")
 
+  // ---- x14: statistical aggregates from exact sums --------------------
+
+  /** The five moment sums every two-variable statistic reduces to, and
+    * the closed forms over them — ONE spelling shared verbatim by the
+    * Spark `expr()` and the DuckDB oracle, so both engines execute the
+    * identical IEEE expression tree over identical (exactly-summed)
+    * inputs and the doubles match bit-for-bit. Engine-native corr/
+    * covar/regr_* are NOT portable this way: each engine picks its own
+    * update algorithm (streaming co-moments vs naive sums) with
+    * different rounding, so their last bits disagree. */
+  private val corrF =
+    "(n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))"
+  private val covarSampF = "(n*sxy - sx*sy) / (n*(n - 1.0))"
+  private val slopeF = "(n*sxy - sx*sy) / (n*sxx - sx*sx)"
+  private val interceptF =
+    "(sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n"
+
+  /** X14: statistical aggregates — CORR / COVAR_SAMP / REGR_SLOPE /
+    * REGR_INTERCEPT of (quantity, price-in-cents) per return flag.
+    * Both inputs are integral, so the moment sums are computed EXACTLY
+    * (longs, escalated to decimal(38,0) where the square-sum can pass
+    * 2^63 — Σy² at ~10¹⁴/row crosses long range around 10⁵ rows per
+    * group) and only the final closed forms run in floating point.
+    *
+    * 100 TB shape: one map-side-combined hash aggregate — five extra
+    * long/decimal sums ride the same exchange as the count; the
+    * closed-form projection runs on |groups| rows. The decimal(38,0)
+    * accumulator holds Σy² exactly to ~10²³ rows per group. */
+  private val statAggs: Q = (s, dir) => {
+    val xq = col("l_quantity").cast("long")
+    val yc = (T.dec2(col("l_extendedprice")) * 100).cast("long")
+    T.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(xq).cast("double").as("sx"),
+        sum(yc.cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((xq * xq).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((xq * yc).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((yc * yc).cast("decimal(38,0)")).cast("double").as("syy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        expr(corrF).as("corr_qty_price"),
+        expr(covarSampF).as("covar_samp_cents"),
+        expr(slopeF).as("regr_slope_cents"),
+        expr(interceptF).as("regr_intercept_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** X15: exact order statistics — SQL-standard PERCENTILE_DISC (0.5 /
+    * 0.9) and a DETERMINISTIC mode, per return flag. percentile_disc(p)
+    * = the first value whose cumulative row count reaches ceil(p·n),
+    * spelled in pure integer arithmetic (`(9n+9) div 10` — no float
+    * rank); mode ties break to the smallest value (engine-native
+    * `mode()` is tie-nondeterministic in both engines, so the oracle
+    * can't use it and neither do we). The DuckDB oracle runs its
+    * native `percentile_disc` WITHIN GROUP for the percentiles — the
+    * standard's own definition — so the integer-rank construction is
+    * checked against the spec, not against a mirror of itself.
+    *
+    * 100 TB shape: the heavy pass is ONE map-side-combined count over
+    * the (flag, value) domain; every window after runs on |domain|
+    * rows (≤ flags × 50 here), never corpus rows. This is the
+    * value-domain percentile algorithm — exact answers without a
+    * global sort, the reason it beats percentile_approx when the
+    * domain is bounded. */
+  private val orderStats: Q = (s, dir) => {
+    val counts = T.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy("l_returnflag")
+    val ranked = counts
+      .withColumn("cum", sum(col("c")).over(wAll.orderBy("q")))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("mx", max(col("c")).over(wAll))
+    ranked.groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n_rows"),
+        min(when(col("c") === col("mx"), col("q"))).as("mode_qty"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("q")))
+          .as("p50_qty"),
+        min(when(col("cum") >= expr("(9*n + 9) div 10"), col("q")))
+          .as("p90_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x15_order_stats" -> orderStats,
+    "x14_stat_aggs" -> statAggs,
     "x10_complex_types" -> complexTypes,
     "x08_pivot" -> pivotCounts,
     "x09_rollup" -> rollupRevenue,
@@ -293,6 +381,56 @@ object Scalars extends QueryPack {
     "x11_array_funcs" -> arrayFuncs)
 
   val oracle: Map[String, String] = Map(
+    // percentiles via DuckDB's NATIVE percentile_disc (the standard's
+    // definition), mode via the explicit min-of-argmax spelling (the
+    // native mode() breaks ties nondeterministically in both engines)
+    "x15_order_stats" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag,
+        |    MIN(CASE WHEN c = mx THEN q END) AS mode_qty,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows
+        |  FROM (SELECT *, MAX(c) OVER (PARTITION BY l_returnflag) AS mx
+        |        FROM counts)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT l_returnflag,
+        |    percentile_disc(0.5) WITHIN GROUP
+        |      (ORDER BY CAST(l_quantity AS BIGINT)) AS p50_qty,
+        |    percentile_disc(0.9) WITHIN GROUP
+        |      (ORDER BY CAST(l_quantity AS BIGINT)) AS p90_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT m.l_returnflag, m.n_rows, m.mode_qty, p.p50_qty, p.p90_qty
+        |FROM m JOIN p USING (l_returnflag)
+        |ORDER BY m.l_returnflag""".stripMargin,
+    // same exact integer moment sums, same closed-form strings — the
+    // formulas are interpolated from the SAME Scala constants the
+    // Spark side executes
+    "x14_stat_aggs" ->
+      s"""WITH sums AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(${T.oDec2("l_extendedprice")} * 100 AS BIGINT))
+         |      AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)
+         |           * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)
+         |           * CAST(${T.oDec2("l_extendedprice")} * 100 AS BIGINT))
+         |      AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(${T.oDec2("l_extendedprice")} * 100 AS BIGINT)
+         |           * CAST(${T.oDec2("l_extendedprice")} * 100 AS BIGINT))
+         |      AS DOUBLE) AS syy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+         |  $corrF AS corr_qty_price,
+         |  $covarSampF AS covar_samp_cents,
+         |  $slopeF AS regr_slope_cents,
+         |  $interceptF AS regr_intercept_cents
+         |FROM sums ORDER BY l_returnflag""".stripMargin,
     "x10_complex_types" ->
       """SELECT o_orderstatus,
         |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')

@@ -40,4 +40,33 @@ class ScalarsSpec extends SparkSpec {
     val far = Geo.encode(-33.8688, 151.2093, 8)
     assert(a.take(2) != far.take(2))
   }
+
+  test("x14: exact-sum closed forms agree with Spark's native statistics") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("x"),
+        (col("l_extendedprice") * 100).as("y"))
+    val native = li.groupBy("l_returnflag")
+      .agg(corr(col("x"), col("y")).as("c"),
+        covar_samp(col("x"), col("y")).as("cv"),
+        regr_slope(col("y"), col("x")).as("sl"),
+        regr_intercept(col("y"), col("x")).as("ic"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val ours = SparkEntry.queries("x14_stat_aggs")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(ours.keySet == native.keySet)
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    ours.foreach { case (flag, (c, cv, sl, ic)) =>
+      val (nc, ncv, nsl, nic) = native(flag)
+      assert(close(c, nc), s"$flag corr $c vs native $nc")
+      assert(close(cv, ncv), s"$flag covar $cv vs native $ncv")
+      assert(close(sl, nsl), s"$flag slope $sl vs native $nsl")
+      assert(close(ic, nic), s"$flag intercept $ic vs native $nic")
+    }
+  }
 }
