@@ -397,7 +397,53 @@ object Joins extends QueryPack {
       .orderBy("depth")
   }
 
+  /** Q27: market-basket affinity — co-occurrence support and lift for
+    * part pairs bought in the same order, the association-mining query
+    * behind "frequently bought together". Pairs come from a self
+    * equi-join ON the basket key with `a.pk < b.pk`: per-basket fanout
+    * is C(lines, 2), bounded by the basket size (≤ C(13,2) here), so
+    * the pair stream is O(corpus × basket), NEVER O(parts²) — the
+    * same bounded-clique discipline as the LSH band joins. Lift's
+    * division runs as one closed-form double expression shared with
+    * the oracle (exact integer counts in, bit-identical out). The
+    * item frame materializes once ([[graft.core.Barriers]]) so the
+    * self-join's two sides don't each recompute the distinct.
+    *
+    * 100 TB shape: distinct + self-join + pair rollup are all keyed
+    * shuffles; the support side-tables are |parts|-sized keyed joins
+    * (no broadcast assumption), and the final top-k plans as
+    * TakeOrderedAndProject, never a global sort. */
+  private val basketAffinity: Q = (s, dir) => {
+    val items = graft.core.Barriers.materialize(
+      T.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+    val nBaskets = items.select(countDistinct(col("ok"))
+      .cast("double").as("n_baskets"))
+    val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 3)
+    pairs
+      .join(supp.select(col("pk").as("part_a"), col("n_item").as("n_a")),
+        Seq("part_a"))
+      .join(supp.select(col("pk").as("part_b"), col("n_item").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(nBaskets)
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        (col("n_pair").cast("double") * col("n_baskets") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(desc("n_pair"), col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q27_basket_affinity" -> basketAffinity,
     "q26_hierarchy_flatten" -> hierarchyFlatten,
     "q24_asof_native" -> asofNative,
     "q01_revenue_by_nation" -> revenueByNation,
@@ -414,6 +460,26 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    "q27_basket_affinity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |tot AS (
+        |  SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n_baskets FROM items),
+        |supp AS (SELECT pk, COUNT(*) AS n_item FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_pair
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT p.part_a, p.part_b, p.n_pair,
+        |  sa.n_item AS n_a, sb.n_item AS n_b,
+        |  CAST(p.n_pair AS DOUBLE) * n_baskets
+        |    / (CAST(sa.n_item AS DOUBLE) * CAST(sb.n_item AS DOUBLE))
+        |    AS lift
+        |FROM pairs p
+        |JOIN supp sa ON p.part_a = sa.pk
+        |JOIN supp sb ON p.part_b = sb.pk
+        |CROSS JOIN tot
+        |ORDER BY p.n_pair DESC, p.part_a, p.part_b LIMIT 20""".stripMargin,
     // the oracle walks the same heap top-down with a REAL recursive
     // CTE — BigQuery's spelling — so the pointer-doubling loop is
     // checked against the textbook semantics, not against itself

@@ -1530,7 +1530,55 @@ object LlmOps extends QueryPack {
       .orderBy("shard")
   }
 
+  /** Power-of-2 length buckets, descending (2^20 … 1) — one list
+    * generates both the Spark CASE chain and the oracle's. */
+  private val lengthBuckets: Seq[Long] = (0 to 20).map(1L << _).reverse
+
+  /** l57: sequence-length histogram — the batch-shape audit run before
+    * every training job: per source, doc counts and token mass in
+    * power-of-2 length buckets, plus exact p50/p95/max token counts.
+    * This is what picks max_seq_len and predicts packing efficiency
+    * (l22): the p95-vs-bucket-mass tradeoff says how much of the
+    * corpus a given context length truncates and how much padding a
+    * given bucket mix costs. Percentiles use the value-domain
+    * construction (x15): cumulative counts over DISTINCT lengths with
+    * a pure-integer rank, never a corpus sort. Bucketing is an exact
+    * integer CASE chain — no float log2, whose last-bit disagreement
+    * at exact powers of two would flip a bucket.
+    *
+    * 100 TB shape: one tokenize pass feeds two map-side-combined
+    * aggregates over (source × value-domain) rows; the join back is
+    * |sources|-sized. */
+  private val lengthHistogram: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir)
+      .select(col("source"),
+        Text.bpeTokenCount(col("text")).cast("long").as("n_tok"))
+    val bucket = lengthBuckets.tail
+      .foldLeft(when(col("n_tok") >= lengthBuckets.head,
+        lit(lengthBuckets.head))) { (w, p) =>
+        w.when(col("n_tok") >= p, lit(p))
+      }.otherwise(lit(0L))
+    val wSrc = Window.partitionBy("source")
+    val perSource = base.groupBy(col("source"), col("n_tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wSrc.orderBy("n_tok")))
+      .withColumn("n", sum(col("c")).over(wSrc))
+      .groupBy(col("source"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("n_tok")))
+          .as("p50_tok"),
+        min(when(col("cum") >= expr("(19*n + 19) div 20"), col("n_tok")))
+          .as("p95_tok"),
+        max(col("n_tok")).as("max_tok"))
+    base.groupBy(col("source"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .join(perSource, Seq("source"))
+      .orderBy("source", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l57_length_histogram" -> lengthHistogram,
     "l53_bpe_pairs" -> bpePairCounts,
     "l54_dataset_checksum" -> datasetChecksum,
     "l56_shard_manifest" -> shardManifest,
@@ -1622,6 +1670,39 @@ object LlmOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   val oracle: Map[String, String] = Map(
+    // bucket CASE chain generated from the same lengthBuckets list the
+    // Spark side folds over; percentile ranks in pure integers
+    "l57_length_histogram" -> {
+      val bucketCase = lengthBuckets
+        .map(p => s"WHEN n_tok >= $p THEN $p").mkString(
+          "CASE ", " ", " ELSE 0 END")
+      s"""WITH base AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(text, '${Text.bpeTokenPattern}'))
+         |      AS BIGINT) AS n_tok
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT source, n_tok, c,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
+         |    SUM(c) OVER (PARTITION BY source) AS n
+         |  FROM (SELECT source, n_tok, COUNT(*) AS c FROM base
+         |        GROUP BY 1, 2)),
+         |per_source AS (
+         |  SELECT source,
+         |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN n_tok END) AS p50_tok,
+         |    MIN(CASE WHEN cum >= (19*n + 19) // 20 THEN n_tok END)
+         |      AS p95_tok,
+         |    MAX(n_tok) AS max_tok
+         |  FROM ranked GROUP BY 1),
+         |hist AS (
+         |  SELECT source, CAST($bucketCase AS BIGINT) AS bucket,
+         |    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+         |  FROM base GROUP BY 1, 2)
+         |SELECT h.source, h.bucket, h.n_docs, h.sum_tokens,
+         |  p.p50_tok, p.p95_tok, p.max_tok
+         |FROM hist h JOIN per_source p USING (source)
+         |ORDER BY 1, 2""".stripMargin
+    },
     "l53_bpe_pairs" ->
       """WITH w AS (
         |  SELECT word, COUNT(*) AS n_word FROM (

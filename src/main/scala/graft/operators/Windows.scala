@@ -365,7 +365,49 @@ object Windows extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** EWMA tap count: 8 taps at α=1/2 leaves (1/2)^8 ≈ 0.4% of the
+    * kernel mass beyond the window — the truncation error bound. */
+  private val ewmaTaps = 0 to 7
+
+  /** W12: exponentially-weighted moving average over the hourly series
+    * — the smoothing pass behind monitoring dashboards and forecast
+    * baselines. The textbook recursion y_t = αx_t + (1-α)y_{t-1}
+    * cannot run as a window function (each row depends on the
+    * previous OUTPUT, an O(n) sequential chain no frame expresses);
+    * the scalable spelling truncates the kernel at 8 taps and
+    * evaluates it as 8 LAGs over ONE window pass with integer weights
+    * 2^(7-j) — exact long arithmetic, renormalized by the weight mass
+    * actually present so the series head (< 8 rows) is an average of
+    * what exists, not damped toward zero. The single float op is the
+    * final num/den division, identical in both engines.
+    *
+    * 100 TB shape: the corpus pass is the hourly pre-aggregate; the
+    * window runs over |types × hours| rows in one partition-sorted
+    * sweep (all 8 LAGs share the frame), and the per-type tail keeps
+    * the output bounded. */
+  private val ewmaHours: Q = (s, dir) => {
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("stat_hour"))
+    val num = ewmaTaps.map(j =>
+      coalesce(lag(col("x"), j).over(tw), lit(0L)) * lit(1L << (7 - j)))
+      .reduce(_ + _)
+    val den = ewmaTaps.map(j =>
+      when(lag(col("x"), j).over(tw).isNotNull, lit(1L << (7 - j)))
+        .otherwise(lit(0L))).reduce(_ + _)
+    hourly(s, dir)
+      .select(col("event_type"), col("stat_hour"), col("n_events").as("x"))
+      .withColumn("num", num)
+      .withColumn("den", den)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(desc("stat_hour"))))
+      .filter(col("rn") <= 48)
+      .select(col("event_type"), col("stat_hour"), col("x").as("n_events"),
+        col("num"), col("den"),
+        (col("num").cast("double") / col("den").cast("double")).as("ewma"))
+      .orderBy("event_type", "stat_hour")
+  }
+
   val queries: Map[String, Q] = Map(
+    "w12_ewma" -> ewmaHours,
     "w08_pattern_runs" -> patternRuns,
     "w09_sessionization" -> sessionization,
     "w10_anomaly_hours" -> anomalyHours,
@@ -381,6 +423,33 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    // the 8-tap kernel terms are GENERATED from the same ewmaTaps the
+    // Spark side reduces over — one tap list, two engines
+    "w12_ewma" -> {
+      val numTerms = ewmaTaps.map(j =>
+        s"COALESCE(LAG(x, $j) OVER tw, 0) * ${1L << (7 - j)}")
+        .mkString(" + ")
+      val denTerms = ewmaTaps.map(j =>
+        s"CASE WHEN LAG(x, $j) OVER tw IS NOT NULL THEN ${1L << (7 - j)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,
+         |    COUNT(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, stat_hour, x,
+         |    $numTerms AS num,
+         |    $denTerms AS den
+         |  FROM h WINDOW tw AS (PARTITION BY event_type
+         |    ORDER BY stat_hour))
+         |SELECT event_type, stat_hour, x AS n_events,
+         |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+         |        ORDER BY stat_hour DESC) AS rn FROM w)
+         |WHERE rn <= 48
+         |ORDER BY event_type, stat_hour""".stripMargin
+    },
     "w11_gapfill" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,
