@@ -291,6 +291,69 @@ object ScaleOps extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** k09: EXACT distinct via roaring-style bitmap aggregation — the
+    * third point on the distinct-count design space beside A9's plain
+    * COUNT DISTINCT (exact, but shuffles every key occurrence) and
+    * k02's HLL (fixed state, but approximate). Keys fold into per-
+    * (group, 32k-bucket) bitmaps — `bitmap_bit_position` picks the bit,
+    * `bitmap_construct_agg` ORs a partition's keys map-side — so the
+    * shuffle carries at most one ≤4 KB bitmap per populated bucket
+    * instead of one row per key occurrence: exactness at sketch-like
+    * transfer cost. The payoff this query proves is REUSE: the same
+    * bucket bitmaps roll up twice — summed per flag, and OR-merged
+    * across flags for the global distinct — without rescanning the
+    * fact, the cube-materialization trick exact COUNT DISTINCT can
+    * never do (distincts don't add across groups; bitmaps OR). */
+  private val bitmapDistinct: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    val buckets = li
+      .groupBy(col("l_returnflag"),
+        expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+        .as("bm"))
+    val perFlag = buckets.groupBy(col("l_returnflag"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_parts"))
+    // global distinct from the SAME bitmaps: OR within bucket across
+    // flags, then count — a one-row frame broadcast back onto the
+    // per-flag rows (singleton crossJoin, the audited BNLJ shape)
+    val global = buckets.groupBy(col("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_parts_all"))
+    perFlag.crossJoin(broadcast(global)).orderBy("l_returnflag")
+  }
+
+  /** k10: re-aggregatable HLL sketches — what k02's
+    * `approx_count_distinct` CANNOT do: its partials never leave the
+    * plan, so a per-(flag, status) rollup table answers no per-flag
+    * question. `hll_sketch_agg` makes the sketch a COLUMN: build once
+    * at the fine grain, `hll_union_agg` merges up any coarser grain
+    * without touching the fact again — the mergeable-summary property
+    * (Agarwal et al., "Mergeable Summaries", PODS'12) that makes
+    * sketch rollup tables work at 100 TB. Deterministic columns (group
+    * count, exact distinct) and the ≤5% CONTRACT are oracle-checked;
+    * the estimate itself is engine-specific (ScaleSpec asserts its
+    * actual error and the build-once-merge-up equivalence). */
+  def hllRolled(s: SparkSession, dir: String): DataFrame = {
+    val li = T.load(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_groups_merged"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_parts"))
+  }
+
+  private val hllRollup: Q = (s, dir) => {
+    val exact = T.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    exact.join(hllRolled(s, dir), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_groups_merged"),
+        col("exact_parts"),
+        (abs(col("est_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts").cast("double") <= 0.05).as("within_5pct"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "k07_bucketed_range_join" -> bucketedRangeJoin,
     "k08_auto_binned_range_join" -> autoBinnedRangeJoin,
@@ -298,7 +361,9 @@ object ScaleOps extends QueryPack {
     "k02_approx_distinct" -> approxDistinct,
     "k04_approx_quantile" -> approxQuantile,
     "k05_salted_join" -> saltedJoin,
-    "k06_bloom_join" -> bloomJoin)
+    "k06_bloom_join" -> bloomJoin,
+    "k09_bitmap_distinct" -> bitmapDistinct,
+    "k10_hll_rollup" -> hllRollup)
 
   val oracle: Map[String, String] = Map(
     // the bucketing must be INVISIBLE in the result: the oracle is the
@@ -354,6 +419,22 @@ object ScaleOps extends QueryPack {
          |  COUNT(*) AS n_lines,
          |  ROUND(${T.oMoneySum("l_extendedprice")}, 2) AS revenue
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bitmaps must be INVISIBLE in the result: exact distinct,
+    // plain COUNT(DISTINCT) both grains
+    "k09_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+        |    AS n_parts_all
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // deterministic columns + the error contract; the estimate itself
+    // is engine-specific (asserted against exact in ScaleSpec)
+    "k10_hll_rollup" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_linestatus) AS n_groups_merged,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  true AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // the Bloom pass must drop nothing the exact join keeps: the
     // oracle is the plain IN-subquery semi join
     "k06_bloom_join" ->

@@ -111,6 +111,50 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("k09: bitmap distinct is exact at both rollup grains") {
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+    val exactPer = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = li.select(countDistinct(col("l_partkey")))
+      .collect()(0).getLong(0)
+    val got = SparkEntry.queries("k09_bitmap_distinct")(spark, sfDir)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_parts") == exactPer(r.getString(0)),
+        s"${r.getString(0)}: bitmap per-flag distinct off")
+      assert(r.getAs[Long]("n_parts_all") == exactAll,
+        s"${r.getString(0)}: OR-merged global distinct off")
+    }
+  }
+
+  test("k10: HLL union of fine-grain sketches IS the coarse-grain sketch") {
+    // mergeability is lossless for HLL: union takes register-wise max,
+    // so merging per-(flag, status) sketches must give the IDENTICAL
+    // estimate to sketching per flag directly — not merely a close one.
+    // (This is what makes a fine-grain sketch rollup table answer every
+    // coarser grain exactly as well as a rescan would.)
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))")
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+    val merged = graft.operators.ScaleOps.hllRolled(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_parts"))
+      .toMap
+    assert(merged == direct,
+      s"sketch merge not lossless: merged=$merged direct=$direct")
+    // and the raw estimate actually honors the published 5% contract
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    direct.foreach { case (flag, est) =>
+      val err = math.abs(est - exact(flag)).toDouble / exact(flag)
+      assert(err <= 0.05, s"$flag: est=$est exact=${exact(flag)} err=$err")
+    }
+  }
+
   test("k06: bloom prefilter prunes non-matching rows, never matching ones") {
     val s = spark
     val dir = sfDir
