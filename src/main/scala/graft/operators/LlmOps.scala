@@ -802,6 +802,76 @@ object LlmOps extends QueryPack {
     pqSearch(embs(s, dir), 10, col("vec_id") < 4)
       .orderBy("qid", "rank")
 
+  /** Scalar-quantized (int8) search + exact re-rank — the middle point
+    * of the compression spectrum between raw floats (l09, 8 bytes/dim)
+    * and PQ codes (l37, 1 byte per 8 dims): one byte PER DIM, no
+    * codebook to train. Pass 1 scans only int8 vectors — symmetric
+    * integer dot products, exact and order-independent, so candidate
+    * ranks replay bit-identically in any engine — and keeps `candC`
+    * per query; pass 2 re-ranks ONLY those candidates with exact float
+    * cosine. At scale pass 1 reads a 4-8× smaller corpus and the raw
+    * floats are fetched (equi-join by id) for |Q|·candC rows, never
+    * scanned — the standard SQ8+refine recipe (FAISS
+    * `IndexScalarQuantizer` + refine; Milvus SQ8R).
+    *
+    * Quantization is symmetric max-abs: one corpus-wide scale (a
+    * singleton broadcast, the k06 literal discipline would be overkill
+    * for one double), `q = round(x / amax * 127)` ∈ [-127, 127]. The
+    * scale rides a max-aggregate — order-independent, so the quantized
+    * corpus is deterministic. With candC ≥ |corpus|-1 the operator IS
+    * brute force (quantization only prunes candidates, the re-rank is
+    * exact) — LlmSpec pins that equivalence law plus the recall floor
+    * at the working candC. */
+  def sqSearch(e: DataFrame, candC: Int, topK: Int,
+      isQuery: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val amax = e.agg(max(expr(
+      "aggregate(vec, 0.0D, (a, x) -> greatest(a, abs(x)))")).as("amax"))
+    // materialize once: the quantized corpus feeds the query panel, the
+    // pass-1 scan, and the pass-2 fetch — three consumers, one scan
+    val qz = Barriers.materialize(e.crossJoin(broadcast(amax))
+      .withColumn("qv", expr(
+        "transform(vec, x -> CAST(ROUND(x / amax * 127.0D) AS INT))"))
+      .select(col("vec_id"), col("vec"), col("qv")))
+    val queries = qz.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("qv").as("qqv"))
+      .withColumn("qnrm", Text.l2norm(col("qvec")))
+    // pass 1: int8-only scan; per-query top-candC plans as
+    // WindowGroupLimit (each map partition forwards its own top candC)
+    val cand = qz.select(col("vec_id"), col("qv"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qqv"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("iscore", expr(
+        """aggregate(zip_with(qv, qqv, (x, y) -> CAST(x AS BIGINT) * y),
+          |  0L, (a, v) -> a + v)""".stripMargin))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(desc("iscore"), col("vec_id"))))
+      .filter(col("crank") <= candC)
+      .select(col("qid"), col("vec_id"))
+    // pass 2: fetch raw vectors by id for the survivors only, exact
+    // cosine, final top-k
+    cand.join(qz.select(col("vec_id"), col("vec")), "vec_id")
+      .join(broadcast(queries.select(col("qid"), col("qvec"),
+        col("qnrm"))), "qid")
+      .withColumn("cosine", Text.cosineWithNorms(col("vec"), col("qvec"),
+        Text.l2norm(col("vec")), col("qnrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** l58: SQ8 + re-rank over the embeddings table — queries vec_id 0-3,
+    * 32 candidates, top-10; fully oracle-checked (integer candidate
+    * ranks and IEEE cosine re-ranks both replay exactly in DuckDB). */
+  private val sqSearchQ: Q = (s, dir) =>
+    sqSearch(embs(s, dir), 32, 10, col("vec_id") < 4)
+      .orderBy("qid", "rank")
+
   /** Exact token-set (1-gram) Jaccard between consecutive doc pairs —
     * the deterministic n-gram-Jaccard baseline the oracle can recompute
     * (the 3-gram variant runs inside the LSH confirm step). Pairing by
@@ -1606,6 +1676,7 @@ object LlmOps extends QueryPack {
     "l36_pq_index" -> pqIndexQ,
     "l37_pq_search" -> pqSearchQ,
     "l38_ivfpq_search" -> ivfPqSearchQ,
+    "l58_sq_rerank" -> sqSearchQ,
     "l39_hard_negatives" -> hardNegativesQ,
     "l17_train_split" -> trainSplit,
     "l18_decontamination" -> decontamination,
@@ -2317,6 +2388,43 @@ object LlmOps extends QueryPack {
          |  FROM adc)
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
     },
+    // symmetric max-abs int8 quantization, integer candidate dots,
+    // exact cosine re-rank — every stage portable arithmetic (the
+    // quantized values are integers; products stay < 2^53 so DuckDB's
+    // double list_dot_product is exact)
+    "l58_sq_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |amax AS (SELECT MAX(list_aggregate(
+        |    list_transform(vec, x -> abs(x)), 'max')) AS a FROM e),
+        |qz AS (SELECT e.vec_id, e.vec,
+        |    list_transform(e.vec, x -> ROUND(x / am.a * 127.0)) AS qv
+        |  FROM e CROSS JOIN amax am),
+        |q AS (SELECT vec_id AS qid, vec AS qvec, qv AS qqv
+        |  FROM qz WHERE vec_id < 4),
+        |cand AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT q.qid, z.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.qid
+        |        ORDER BY list_dot_product(z.qv, q.qqv) DESC, z.vec_id)
+        |        AS crank
+        |    FROM qz z CROSS JOIN q WHERE z.vec_id <> q.qid)
+        |  WHERE crank <= 32)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+        |FROM (
+        |  SELECT c.qid, c.vec_id,
+        |    ROUND(list_dot_product(z.vec, q.qvec)
+        |      / (sqrt(list_dot_product(z.vec, z.vec))
+        |         * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY c.qid
+        |      ORDER BY list_dot_product(z.vec, q.qvec)
+        |        / (sqrt(list_dot_product(z.vec, z.vec))
+        |           * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+        |        c.vec_id) AS rank
+        |  FROM cand c
+        |  JOIN qz z ON z.vec_id = c.vec_id
+        |  JOIN q ON q.qid = c.qid)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // IVF cell probe (the l15 CTEs) composed with PQ code ranking (the
     // l36/l37 CTEs): candidates come from the probed cells' posting
     // lists, scores from the integer ADC lookup

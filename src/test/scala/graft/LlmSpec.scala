@@ -277,6 +277,25 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVFPQ recall@10 $recall; got=$got truth=$truth")
   }
 
+  test("SQ8 re-rank: planted neighbors survive the int8 prune; full-width candC IS brute force") {
+    val (all, truth) = plantedSearchFixture()
+    // working width: the int8 candidate prune must pass the planted
+    // near-duplicates through to the exact re-rank
+    val got = LlmOps.sqSearch(all, 32, 10, $"vec_id" === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.size == 10)
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"SQ8 recall@10 $recall; got=$got truth=$truth")
+    // the equivalence LAW: quantization only prunes candidates and the
+    // re-rank is exact, so candC >= |corpus|-1 must return exactly the
+    // brute-force cosine top-10 — not approximately
+    val n = all.count().toInt
+    val full = LlmOps.sqSearch(all, n, 10, $"vec_id" === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == truth,
+      s"full-width SQ8 diverged from brute force: got=$full truth=$truth")
+  }
+
   test("hard negatives: mined rows never share the anchor's label and rank by cosine") {
     val e = T.load(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"), $"label")
