@@ -27,6 +27,7 @@ import graft.plans.Snapshots
   *  - D15 CHECK-constraint evolution step (`PRD.md:1086-1105`)
   *  - D16 FOR SYSTEM_TIME BETWEEN change enumeration
   *    (`README.md:573-589`)
+  *  - D20 MERGE with mid-merge schema evolution (D2 × D7)
   *
   * Scale notes: every mutation is copy-on-write into a NEW snapshot
   * version — at 100 TB you rewrite only affected partitions, readers of
@@ -207,6 +208,61 @@ object Dml extends QueryPack {
         "rollback_script"),
       "schema_evolution_log")
     sn.current(s, "schema_evolution_log").orderBy("evolution_id")
+  }
+
+  /** D20: MERGE with schema evolution — the composition d02 (MERGE) and
+    * d07 (ADD COLUMN) each cover alone: the SOURCE carries a column the
+    * target has never seen (`channel`), so the upsert must evolve the
+    * target schema mid-merge — matched rows update price AND gain the
+    * new column, source-only rows insert with it, target-only rows
+    * carry through with NULL (Iceberg's
+    * `spark.sql.merge.schema.evolution` / Delta `autoMerge` behavior).
+    * Both schema states are PHYSICAL parquet round trips, and the
+    * output pins the column counts of each version — the evolution is
+    * proven on disk, not on a DataFrame in flight.
+    *
+    * Scale notes: same copy-on-write shape as q16 — one shuffle join on
+    * the key, no broadcast of the ~50% update set; the schema change
+    * itself costs nothing extra (new column = new parquet footer, old
+    * files never rewritten under a real table format; here v2 is a full
+    * rewrite because plain parquet has no delete files). */
+  private val mergeSchemaEvolution: Q = (s, dir) => {
+    val path = Scratch.dir("d20_merge_evo")
+    val o = T.load(s, dir, "orders")
+    o.filter(month(col("o_orderdate")).between(1, 6))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).parquet(path + "/v1")
+    val target = s.read.parquet(path + "/v1")
+    val source = o.filter(month(col("o_orderdate")).between(4, 9))
+      .select(col("o_orderkey").as("src_key"),
+        col("o_orderstatus").as("src_status"),
+        col("o_totalprice").as("src_price"),
+        when(col("o_orderkey") % 3 === 0, lit("mobile"))
+          .when(col("o_orderkey") % 3 === 1, lit("web"))
+          .otherwise(lit("partner")).as("channel"))
+    val merged = target
+      .join(source, target("o_orderkey") === source("src_key"),
+        "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("src_key")).as("o_orderkey"),
+        coalesce(col("src_status"), col("o_orderstatus"))
+          .as("o_orderstatus"),
+        coalesce(col("src_price"), col("o_totalprice")).as("o_totalprice"),
+        col("channel"),
+        when(col("o_orderkey").isNull, lit("inserted"))
+          .when(col("src_key").isNull, lit("unchanged"))
+          .otherwise(lit("updated")).as("merge_action"))
+    merged.write.mode(SaveMode.Overwrite).parquet(path + "/v2")
+    val evolved = s.read.parquet(path + "/v2")
+    evolved
+      .groupBy(col("merge_action"),
+        coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))
+      // the on-disk schema proof: v1 never had the column, v2 does
+      .withColumn("v1_n_cols", lit(target.columns.length.toLong))
+      .withColumn("v2_n_cols", lit(evolved.columns.length.toLong))
+      .orderBy("merge_action", "channel")
   }
 
   /** D11: the NUMERIC → BIGNUMERIC type-widening migration
@@ -577,6 +633,7 @@ object Dml extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "d19_scd2" -> scd2Build,
+    "d20_merge_schema_evolution" -> mergeSchemaEvolution,
     "d18_partition_evolution" -> partitionEvolution,
     "d15_check_constraint" -> checkConstraint,
     "d16_system_time_between" -> systemTimeBetween,
@@ -626,6 +683,30 @@ object Dml extends QueryPack {
         |FROM orders
         |WHERE month(o_orderdate) BETWEEN 1 AND 6 AND o_totalprice > 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the merge replayed as a full outer join; the column counts are
+    // the on-disk schema contract (v1: key/status/price, v2: + channel
+    // + merge_action)
+    "d20_merge_schema_evolution" ->
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  WHERE month(o_orderdate) BETWEEN 1 AND 6),
+         |s AS (
+         |  SELECT o_orderkey, o_totalprice,
+         |    CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'mobile'
+         |      WHEN 1 THEN 'web' ELSE 'partner' END AS channel
+         |  FROM orders WHERE month(o_orderdate) BETWEEN 4 AND 9),
+         |m AS (
+         |  SELECT COALESCE(s.o_totalprice, t.o_totalprice) AS price,
+         |    COALESCE(s.channel, 'none') AS channel,
+         |    CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+         |         WHEN s.o_orderkey IS NULL THEN 'unchanged'
+         |         ELSE 'updated' END AS merge_action
+         |  FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+         |SELECT merge_action, channel, COUNT(*) AS n_rows,
+         |  ROUND(${T.oMoneySum("price")}, 2) AS sum_price,
+         |  CAST(3 AS BIGINT) AS v1_n_cols,
+         |  CAST(5 AS BIGINT) AS v2_n_cols
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d03_delete_where" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
          |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS sum_price
