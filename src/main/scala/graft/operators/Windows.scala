@@ -406,7 +406,44 @@ object Windows extends QueryPack {
       .orderBy("event_type", "stat_hour")
   }
 
+  /** W13: peak concurrency by sweep line — how many 30-minute sessions
+    * overlap at the busiest instant, per event type. The naive spelling
+    * is a self-join (each session counts sessions overlapping it):
+    * O(n²) pairs on a hot key, the t05/k07 explosion all over again.
+    * The sweep line is O(n log n) and join-free: every session becomes
+    * a +1 at its start and a -1 at its end, one running sum per type
+    * gives the live-session count at every boundary instant, and the
+    * max of that series is the peak. Intervals are half-open
+    * [start, start+30min): the default RANGE frame makes all deltas at
+    * one instant land together, so a session ending exactly when
+    * another starts never counts as overlap — and tie ORDER within an
+    * instant cannot matter, which is what makes the max deterministic.
+    *
+    * 100 TB shape: one narrow union (2n slim rows), one shuffle+sort
+    * per type partition, no join anywhere. Skewed types at real scale
+    * split by (type, day) with per-day carry-in — the same
+    * boundary-fixup w09's scaladoc walks through. */
+  private val peakConcurrency: Q = (s, dir) => {
+    val ev = T.load(s, dir, "events")
+      .select(col("event_type"), col("ts").cast("long").as("t0"))
+    val deltas = ev.select(col("event_type"), col("t0").as("t"),
+        lit(1L).as("delta"))
+      .unionByName(ev.select(col("event_type"),
+        (col("t0") + 1800L).as("t"), lit(-1L).as("delta")))
+    // default frame with an ORDER BY = RANGE UNBOUNDED..CURRENT, i.e.
+    // every row at instant t sees the full delta mass of t — exactly
+    // the half-open-interval semantics (both engines default the same)
+    val live = sum(col("delta")).over(
+      Window.partitionBy(col("event_type")).orderBy(col("t")))
+    deltas.withColumn("live", live)
+      .groupBy(col("event_type"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
+        max(col("live")).as("peak_concurrent"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "w13_peak_concurrency" -> peakConcurrency,
     "w12_ewma" -> ewmaHours,
     "w08_pattern_runs" -> patternRuns,
     "w09_sessionization" -> sessionization,
@@ -423,6 +460,22 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    "w13_peak_concurrency" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS t0 FROM events),
+        |deltas AS (
+        |  SELECT event_type, t0 AS t, CAST(1 AS BIGINT) AS delta FROM ev
+        |  UNION ALL
+        |  SELECT event_type, t0 + 1800 AS t, CAST(-1 AS BIGINT) AS delta
+        |  FROM ev),
+        |live AS (
+        |  SELECT event_type,
+        |    SUM(delta) OVER (PARTITION BY event_type ORDER BY t) AS live
+        |  FROM deltas)
+        |SELECT event_type,
+        |  CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions,
+        |  CAST(MAX(live) AS BIGINT) AS peak_concurrent
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
     // the 8-tap kernel terms are GENERATED from the same ewmaTaps the
     // Spark side reduces over — one tap list, two engines
     "w12_ewma" -> {
