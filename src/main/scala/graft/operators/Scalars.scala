@@ -363,7 +363,36 @@ object Scalars extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** X16: bitwise catalog — the AND/OR/XOR aggregates plus the scalar
+    * shift/mask/popcount family, the idiom behind packed feature masks
+    * and permission bitmaps. One trap each way: Spark's `^` on Columns
+    * is XOR but DuckDB's `^` is POWER (its XOR is the `xor()`
+    * function), and DuckDB's bit_count returns TINYINT whose SUM
+    * escalates to HUGEINT — both sides pin BIGINT explicitly so the
+    * engines can't drift on output type.
+    *
+    * 100 TB shape: one map-side-combined hash aggregate; the bitwise
+    * accumulators are commutative+associative longs, so partial
+    * aggregation is exact and the exchange carries |groups| rows. */
+  private val bitwiseOps: Q = (s, dir) => {
+    val k = col("o_orderkey")
+    T.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("bit_and(o_orderkey)").as("and_key"),
+        expr("bit_or(o_orderkey)").as("or_key"),
+        expr("bit_xor(o_orderkey)").as("xor_key"),
+        sum(expr("bit_count(o_orderkey & 4095)").cast("long"))
+          .as("popcount_low12"),
+        sum(shiftright(k, 3).bitwiseAND(lit(7L))).as("sum_oct_digit"),
+        max(shiftleft(k.bitwiseAND(lit(255L)), 8).bitwiseOR(lit(1L)))
+          .as("max_packed"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x16_bitwise" -> bitwiseOps,
     "x15_order_stats" -> orderStats,
     "x14_stat_aggs" -> statAggs,
     "x10_complex_types" -> complexTypes,
@@ -381,6 +410,19 @@ object Scalars extends QueryPack {
     "x11_array_funcs" -> arrayFuncs)
 
   val oracle: Map[String, String] = Map(
+    // DuckDB XOR is xor()/bit_xor() — its ^ operator is POWER; SUMs
+    // over TINYINT popcounts escalate to HUGEINT, hence the casts
+    "x16_bitwise" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  bit_and(o_orderkey) AS and_key,
+        |  bit_or(o_orderkey) AS or_key,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(bit_count(o_orderkey & 4095)) AS BIGINT)
+        |    AS popcount_low12,
+        |  CAST(SUM((o_orderkey >> 3) & 7) AS BIGINT) AS sum_oct_digit,
+        |  MAX(((o_orderkey & 255) << 8) | 1) AS max_packed
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // percentiles via DuckDB's NATIVE percentile_disc (the standard's
     // definition), mode via the explicit min-of-argmax spelling (the
     // native mode() breaks ties nondeterministically in both engines)

@@ -442,7 +442,43 @@ object Windows extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** W14: ranking-function catalog — ntile / percent_rank / cume_dist /
+    * first_value / nth_value / last_value over one shared window, the
+    * remaining SQL:2003 ranking functions w01/q15/w06 don't cover.
+    * The ORDER key (n_events DESC, stat_hour) is a total order — ties
+    * on the count alone would make ntile assignment depend on physical
+    * row order, which is exactly the nondeterminism the driver's hash
+    * compare would catch. The value functions use an explicit
+    * UNBOUNDED..UNBOUNDED frame: under the default frame nth_value(2)
+    * is NULL at row 1 (frame ends at CURRENT ROW), a classic silent
+    * cross-engine trap both engines share but no one wants.
+    *
+    * 100 TB shape: the window runs on the pre-aggregated hourly frame
+    * (types × hours, bounded regardless of fact cardinality), so the
+    * per-type sort is small even when the fact table is not; the only
+    * full-scale work is the groupBy feeding it, which aggregates
+    * map-side. percent_rank/cume_dist divide small exact integers in
+    * double — identical IEEE results in both engines. */
+  private val rankCatalog: Q = (s, dir) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(desc("n_events"), col("stat_hour"))
+    val full = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    hourly(s, dir).select(
+        col("event_type"), col("stat_hour"), col("n_events"),
+        row_number().over(w).cast("long").as("rn"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first_value(col("n_events")).over(full).as("top_n"),
+        nth_value(col("n_events"), 2).over(full).as("second_n"),
+        last_value(col("n_events")).over(full).as("bottom_n"))
+      .filter(col("rn") <= 24)
+      .orderBy("event_type", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "w14_rank_catalog" -> rankCatalog,
     "w13_peak_concurrency" -> peakConcurrency,
     "w12_ewma" -> ewmaHours,
     "w08_pattern_runs" -> patternRuns,
@@ -460,6 +496,30 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    "w14_rank_catalog" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, stat_hour, n_events,
+        |    row_number() OVER tw AS rn,
+        |    ntile(4) OVER tw AS quartile,
+        |    percent_rank() OVER tw AS pct_rank,
+        |    cume_dist() OVER tw AS cume,
+        |    first_value(n_events) OVER tf AS top_n,
+        |    nth_value(n_events, 2) OVER tf AS second_n,
+        |    last_value(n_events) OVER tf AS bottom_n
+        |  FROM h WINDOW
+        |    tw AS (PARTITION BY event_type
+        |      ORDER BY n_events DESC, stat_hour),
+        |    tf AS (PARTITION BY event_type
+        |      ORDER BY n_events DESC, stat_hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, stat_hour, n_events, rn, quartile, pct_rank,
+        |  cume, top_n, second_n, bottom_n
+        |FROM r WHERE rn <= 24 ORDER BY event_type, rn""".stripMargin,
     "w13_peak_concurrency" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS t0 FROM events),
