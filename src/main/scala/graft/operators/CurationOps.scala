@@ -779,7 +779,58 @@ object CurationOps extends QueryPack {
       .orderBy("source")
   }
 
+  // ---- l59: systematic weighted sampling ------------------------------
+
+  /** Sample target size and shard width for [[systematicSample]]. */
+  private val sysTarget = 200L
+  private val sysShard = 4096L
+
+  /** l59: systematic (stride) weighted sampling — lay every document's
+    * integer weight (n_chars) end to end along the doc_id order, then
+    * select the document under each multiple of stride = total/target.
+    * Unlike Bernoulli sampling the output size is fixed (±1) and
+    * selection probability is exactly proportional to weight with NO
+    * randomness: everything is integer arithmetic, so membership is
+    * bit-reproducible across runs and engines. Documents heavier than
+    * the stride are hit multiple times (`hits` > 1) — that multiplicity
+    * IS the correct with-replacement count, not a bug.
+    *
+    * The interesting part at scale is the prefix sum. The oracle spells
+    * it as one global `SUM(w) OVER (ORDER BY doc_id)` — a single-
+    * partition sort at 100 TB. The Spark side instead runs the
+    * two-phase decomposition: per-shard totals (map-side-combined agg
+    * over a tiny #shards frame), a cumulative offset per shard computed
+    * by a window over that TINY frame, offsets broadcast back, then a
+    * partition-local cumsum per shard (each shard sorts its own ~4096
+    * ids independently). The DuckDB equality proves the decomposition
+    * exact — same technique that makes w09's sessionization and l22's
+    * packing shardable. */
+  private val systematicSample: Q = (s, dir) => {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("w"))
+      .withColumn("shard", expr(s"doc_id div $sysShard"))
+    val shardTot = d.groupBy(col("shard")).agg(sum(col("w")).as("shard_w"))
+    val offsets = shardTot
+      .withColumn("off", coalesce(
+        sum(col("shard_w")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("off"))
+    val total = shardTot.agg(sum(col("shard_w")).as("tot"))
+    d.join(broadcast(offsets), Seq("shard"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum", col("off") + sum(col("w")).over(
+        Window.partitionBy(col("shard")).orderBy(col("doc_id"))))
+      .withColumn("stride", greatest(expr(s"tot div $sysTarget"), lit(1L)))
+      .withColumn("hit_k", expr("cum div stride"))
+      .withColumn("hits", expr("cum div stride - (cum - w) div stride"))
+      .filter(col("hits") > 0)
+      .select(col("doc_id"), col("source"), col("w"), col("hit_k"),
+        col("hits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l59_systematic_sample" -> systematicSample,
     "l51_corpus_datasheet" -> corpusDatasheet,
     "l50_chunk_retrieval" -> chunkRetrieval,
     "l49_vocab_coverage" -> vocabCoverage,
@@ -801,6 +852,24 @@ object CurationOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   val oracle: Map[String, String] = Map(
+    // the oracle's single global window is the SPEC; the Spark side
+    // runs the sharded two-phase prefix sum this equality proves exact
+    "l59_systematic_sample" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, source, n_chars AS w,
+         |    CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+         |    CAST(SUM(n_chars) OVER () AS BIGINT) AS tot
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, source, w, cum,
+         |    GREATEST(tot // $sysTarget, 1) AS stride
+         |  FROM c)
+         |SELECT doc_id, source, w,
+         |  CAST(cum // stride AS BIGINT) AS hit_k,
+         |  CAST(cum // stride - (cum - w) // stride AS BIGINT) AS hits
+         |FROM k
+         |WHERE cum // stride - (cum - w) // stride > 0
+         |ORDER BY doc_id""".stripMargin,
     "l51_corpus_datasheet" ->
       s"""WITH b AS (
          |  SELECT source, lang, md5($oNorm) AS fp,
