@@ -442,7 +442,72 @@ object Joins extends QueryPack {
       .limit(20)
   }
 
+  /** q28: triangle count + transitivity of the co-purchase graph
+    * (parts are nodes, "appeared in the same order" is an edge).
+    * Triads are the classic graph-analytics kernel whose naive
+    * spelling — three-way self-join on id order — floods on hub
+    * nodes. The Spark side runs the degree-ordered node-iterator
+    * instead: orient every edge from its lower-(degree, id) endpoint
+    * to the higher, enumerate wedges only from each node's OUT-edges,
+    * and close them against the oriented edge set. Orientation makes
+    * every out-degree O(√E) regardless of raw degree skew (a hub's
+    * edges point INTO it, so the hub spawns no wedges), which bounds
+    * the wedge stage at O(E^1.5) — the Schank/Wagner bound. Each
+    * triangle has exactly one source under a total order, so the
+    * count needs no /3 fixup. The DuckDB oracle spells the same count
+    * with the naive id-ordered triple join: equality proves the
+    * orientation trick changes the plan, not the answer.
+    *
+    * 100 TB shape: edges materialize once and reuse across the three
+    * joins; the degree frame is |nodes| rows broadcast back; the
+    * wedge join shuffles on src and the closing join on (src, dst) —
+    * all equi-joins, no driver-side graph. Transitivity divides two
+    * exact longs in double, identical IEEE in both engines. */
+  private val triangleCount: Q = (s, dir) => {
+    val items = T.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = graft.core.Barriers.materialize(
+      items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct())
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val keyed = e
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))),
+        Seq("u"))
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))),
+        Seq("v"))
+    val oriented = graft.core.Barriers.materialize(keyed.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        col("u")).otherwise(col("v")).as("src"),
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        col("v")).otherwise(col("u")).as("dst"),
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("dv").as("dk"), col("v").as("nk")))
+        .otherwise(struct(col("du").as("dk"), col("u").as("nk")))
+        .as("dkey")))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dkey") < col("e2.dkey"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val shape = e.agg(count(lit(1)).as("n_edges"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    nodes.crossJoin(shape).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (col("n_triangles").cast("double") * 3.0 /
+          col("n_wedges").cast("double")).as("transitivity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q28_triangle_count" -> triangleCount,
     "q27_basket_affinity" -> basketAffinity,
     "q26_hierarchy_flatten" -> hierarchyFlatten,
     "q24_asof_native" -> asofNative,
@@ -460,6 +525,33 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    // naive id-ordered triple join — the SPEC the degree-ordered
+    // node-iterator must agree with
+    "q28_triangle_count" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |shape AS (SELECT COUNT(*) AS n_edges FROM e),
+        |nodes AS (
+        |  SELECT COUNT(*) AS n_nodes,
+        |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CAST(n_triangles AS DOUBLE) * 3.0 / CAST(n_wedges AS DOUBLE)
+        |    AS transitivity
+        |FROM nodes, shape, tri""".stripMargin,
     "q27_basket_affinity" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
