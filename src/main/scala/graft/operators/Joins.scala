@@ -506,7 +506,57 @@ object Joins extends QueryPack {
           col("n_wedges").cast("double")).as("transitivity"))
   }
 
+  /** q29: PageRank, three synchronous iterations over the symmetrized
+    * co-purchase graph, ENTIRELY in integer arithmetic. Float PageRank
+    * is not reproducible across engines (distributed sums re-order),
+    * so ranks live in micro-units: r₀ = 1e6, each step is
+    * r' = 0.15·1e6 + 0.85·Σ(r(m) div deg(m)) with floor division —
+    * every engine computes the identical lattice of longs, which is
+    * what lets the top-20 (tie-broken by node id) hash-match exactly.
+    * Floor-div loses < 1 micro-unit per edge — quantization noise,
+    * not drift, since both sides share it.
+    *
+    * 100 TB shape: the classic iterate-join — edges materialize ONCE
+    * and every iteration is contribs = edges ⋈ ranks (shuffle on the
+    * join key) then a map-side-combined sum by dst. Degree rides in
+    * the rank frame so contributions need no second join. Three
+    * iterations unroll into one plan here; a 50-iteration run would
+    * checkpoint ranks each round to cut lineage, same barrier this
+    * query already uses for edges. Dangling nodes cannot exist in a
+    * symmetrized graph, so no mass-leak correction term is needed. */
+  private val pageRank: Q = (s, dir) => {
+    val items = T.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val d = graft.core.Barriers.materialize(
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst"))))
+    val deg = d.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var r = deg.select(col("src").as("n"), col("deg"),
+      lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contribs = d
+        .join(r.select(col("n").as("src"), expr("r div deg").as("c")),
+          Seq("src"))
+        .groupBy(col("dst").as("n")).agg(sum(col("c")).as("s"))
+      r = deg.select(col("src").as("n"), col("deg"))
+        .join(contribs, Seq("n"), "left")
+        .withColumn("r",
+          lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100"))
+        .select(col("n"), col("deg"), col("r"))
+    }
+    r.orderBy(desc("r"), col("n")).limit(20)
+      .select(col("n").as("part"), col("deg").as("degree"),
+        col("r").as("rank_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q29_pagerank" -> pageRank,
     "q28_triangle_count" -> triangleCount,
     "q27_basket_affinity" -> basketAffinity,
     "q26_hierarchy_flatten" -> hierarchyFlatten,
@@ -525,6 +575,38 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    // the three iterations unrolled as CTEs — integer micro-unit
+    // ranks make the lattice identical in both engines
+    "q29_pagerank" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |d AS (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v AS src, u AS dst FROM e),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM d GROUP BY 1),
+        |r0 AS (SELECT src AS n, deg, CAST(1000000 AS BIGINT) AS r
+        |  FROM deg),
+        |c1 AS (SELECT d.dst AS n, SUM(r0.r // r0.deg) AS s
+        |  FROM d JOIN r0 ON r0.n = d.src GROUP BY 1),
+        |r1 AS (SELECT deg.src AS n, deg.deg,
+        |    CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM deg LEFT JOIN c1 ON c1.n = deg.src),
+        |c2 AS (SELECT d.dst AS n, SUM(r1.r // r1.deg) AS s
+        |  FROM d JOIN r1 ON r1.n = d.src GROUP BY 1),
+        |r2 AS (SELECT deg.src AS n, deg.deg,
+        |    CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM deg LEFT JOIN c2 ON c2.n = deg.src),
+        |c3 AS (SELECT d.dst AS n, SUM(r2.r // r2.deg) AS s
+        |  FROM d JOIN r2 ON r2.n = d.src GROUP BY 1),
+        |r3 AS (SELECT deg.src AS n, deg.deg,
+        |    CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM deg LEFT JOIN c3 ON c3.n = deg.src)
+        |SELECT n AS part, deg AS degree, r AS rank_micro
+        |FROM r3 ORDER BY r DESC, n LIMIT 20""".stripMargin,
     // naive id-ordered triple join — the SPEC the degree-ordered
     // node-iterator must agree with
     "q28_triangle_count" ->
