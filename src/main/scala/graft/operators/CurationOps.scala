@@ -396,6 +396,88 @@ object CurationOps extends QueryPack {
 
   private val spanDedup: Q = (s, dir) => spanDupStats(docs(s, dir))
 
+  /** The distinct (doc_id, source, span_h) stream shared by l60/l61:
+    * the l41 span-hash spelling, deduplicated within each document so
+    * "this doc contains this span" is a set-membership fact. */
+  private def docSpans(d: DataFrame): DataFrame = {
+    val hashed = d
+      .select(col("doc_id"), col("source"),
+        expr(s"""transform(${Text.toksSql("text")},
+                |  t -> ${Text.portableStrHashSql("t")})""".stripMargin)
+          .as("th"))
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+    hashed.select(col("doc_id"), col("source"),
+        explode(spanHashesExpr("th", spanW)).as("span_h"))
+      .distinct()
+  }
+
+  /** l60: corpus novelty audit — what fraction of each document's
+    * spans is FIRST seen in that document, under the doc_id ingestion
+    * order? A span's owner is the minimum doc_id containing it; spans
+    * whose owner is an earlier document are memorized repeats. Per
+    * source this yields the novelty ratio a curation pipeline watches
+    * to decide when additional data stops adding information (the
+    * declining-marginal-novelty curve). All counts are exact longs
+    * over the portable span hashes, so the ratio divides identically
+    * in both engines.
+    *
+    * 100 TB shape: identical to l41 — only (span_h, doc_id) longs
+    * shuffle, the owner rollup and the ownership join key on the SAME
+    * span_h exchange, and the per-doc then per-source rollups are
+    * map-side-combined. min(doc_id) as the owner makes the audit
+    * incremental: new documents can only lose novelty, never steal
+    * ownership from earlier ones. */
+  private val noveltyAudit: Q = (s, dir) => {
+    val spans = docSpans(docs(s, dir))
+    val owner = spans.groupBy(col("span_h"))
+      .agg(min(col("doc_id")).as("owner"))
+    spans.join(owner, Seq("span_h"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs_spanned"),
+        sum(col("n_spans")).cast("long").as("total_spans"),
+        sum(col("n_novel")).cast("long").as("total_novel"))
+      .withColumn("novelty_frac",
+        col("total_novel").cast("double") /
+          col("total_spans").cast("double"))
+      .orderBy("source")
+  }
+
+  /** l61: cross-source leakage matrix — for every span present in
+    * more than one SOURCE, count one incident per unordered source
+    * pair. Off-diagonal mass is content leaking between supposedly
+    * independent corpus slices (the thing that silently turns a
+    * held-out source into training data); the matrix is the artifact
+    * a datasheet publishes. Pairs come from exploding each span's
+    * distinct-source set — bounded by C(|sources|, 2) per span, and
+    * |sources| is a catalog-sized constant, so the explosion cannot
+    * amplify.
+    *
+    * 100 TB shape: one shuffle on span_h to build per-span source
+    * sets (collect_set over a catalog-bounded domain), then a
+    * flat-map to at most C(k,2) pairs and a map-side-combined count;
+    * the output is |sources|² rows regardless of corpus size. */
+  private val leakageMatrix: Q = (s, dir) => {
+    val spanSources = docSpans(docs(s, dir))
+      .select(col("span_h"), col("source")).distinct()
+      .groupBy(col("span_h"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+    spanSources
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    b -> struct(a AS sa, b AS sb))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy("source_a", "source_b")
+  }
+
   // ---- l42: token-budget domain mixing --------------------------------
 
   /** Token budget as a multiple of the corpus size — the "train for
@@ -830,6 +912,8 @@ object CurationOps extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "l60_novelty_audit" -> noveltyAudit,
+    "l61_leakage_matrix" -> leakageMatrix,
     "l59_systematic_sample" -> systematicSample,
     "l51_corpus_datasheet" -> corpusDatasheet,
     "l50_chunk_retrieval" -> chunkRetrieval,
@@ -851,7 +935,54 @@ object CurationOps extends QueryPack {
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
 
+  /** Shared oracle CTEs for the span family (l41/l60/l61): per-token
+    * portable hashes, the base-131 rolling span fold, and the
+    * per-document DISTINCT span set. One spelling, three oracles. */
+  private def oSpanCtes: String =
+    s"""hs AS (
+       |  SELECT doc_id, source,
+       |    list_transform($oToks, t -> ${Text.oPortableStrHashSql("t")})
+       |      AS th
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, source,
+       |    unnest(CASE WHEN len(th) < $spanW THEN CAST([] AS BIGINT[])
+       |      ELSE list_transform(range(0, len(th) - ${spanW - 1}),
+       |        i -> list_reduce(
+       |               list_prepend(CAST(0 AS BIGINT),
+       |                 th[i + 1 : i + $spanW]),
+       |               (h2, x) -> (h2 * 131 + x) % 1000000007))
+       |      END) AS span_h
+       |  FROM hs),
+       |dspans AS (SELECT DISTINCT doc_id, source, span_h FROM sp)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    "l60_novelty_audit" ->
+      s"""WITH $oSpanCtes,
+         |own AS (
+         |  SELECT span_h, MIN(doc_id) AS owner FROM dspans GROUP BY 1),
+         |pd AS (
+         |  SELECT ds.doc_id, ds.source, COUNT(*) AS n_spans,
+         |    SUM(CASE WHEN own.owner = ds.doc_id THEN 1 ELSE 0 END)
+         |      AS n_novel
+         |  FROM dspans ds JOIN own USING (span_h) GROUP BY 1, 2)
+         |SELECT source, COUNT(*) AS n_docs_spanned,
+         |  CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+         |  CAST(SUM(n_novel) AS BIGINT) AS total_novel,
+         |  CAST(SUM(n_novel) AS DOUBLE) / CAST(SUM(n_spans) AS DOUBLE)
+         |    AS novelty_frac
+         |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // unordered source pairs via self-join on the distinct
+    // (source, span_h) set — same pair set the Spark side explodes
+    "l61_leakage_matrix" ->
+      s"""WITH $oSpanCtes,
+         |ss AS (SELECT DISTINCT source, span_h FROM dspans)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  COUNT(*) AS n_shared_spans
+         |FROM ss a JOIN ss b
+         |  ON a.span_h = b.span_h AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the oracle's single global window is the SPEC; the Spark side
     // runs the sharded two-phase prefix sum this equality proves exact
     "l59_systematic_sample" ->
@@ -1045,21 +1176,7 @@ object CurationOps extends QueryPack {
     // the same base-131 window fold, so the duplicated-span SET (and
     // every per-doc fraction) replays exactly
     "l41_span_dedup" ->
-      s"""WITH hs AS (
-         |  SELECT doc_id, source,
-         |    list_transform($oToks, t -> ${Text.oPortableStrHashSql("t")})
-         |      AS th
-         |  FROM documents),
-         |sp AS (
-         |  SELECT doc_id, source,
-         |    unnest(CASE WHEN len(th) < $spanW THEN CAST([] AS BIGINT[])
-         |      ELSE list_transform(range(0, len(th) - ${spanW - 1}),
-         |        i -> list_reduce(
-         |               list_prepend(CAST(0 AS BIGINT),
-         |                 th[i + 1 : i + $spanW]),
-         |               (h2, x) -> (h2 * 131 + x) % 1000000007))
-         |      END) AS span_h
-         |  FROM hs),
+      s"""WITH $oSpanCtes,
          |d AS (
          |  SELECT span_h, 1 AS dup FROM sp GROUP BY 1
          |  HAVING COUNT(DISTINCT doc_id) >= 2),
