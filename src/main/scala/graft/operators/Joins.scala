@@ -471,16 +471,23 @@ object Joins extends QueryPack {
     * bounded by the orientation at O(√E) elements per node, so no
     * array can blow a partition. Transitivity divides two exact longs
     * in double, identical IEEE in both engines. */
-  private val triangleCount: Q = (s, dir) => {
+  /** The undirected co-purchase edge list (u < v), shared by q28/q29:
+    * per-basket-bounded pair fanout, never O(parts²). */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val items = T.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val e = graft.core.Barriers.materialize(
-      items.as("a")
-        .join(items.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct())
+    items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+  }
+
+  /** The q28 computation over any canonical (u < v) edge list, exposed
+    * so GraphSpec can drive it on planted cliques / paths / stars. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = graft.core.Barriers.materialize(edges)
     val deg = e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -513,6 +520,9 @@ object Joins extends QueryPack {
           col("n_wedges").cast("double")).as("transitivity"))
   }
 
+  private val triangleCount: Q = (s, dir) =>
+    triangleStats(copurchaseEdges(s, dir))
+
   /** q29: PageRank, three synchronous iterations over the symmetrized
     * co-purchase graph, ENTIRELY in integer arithmetic. Float PageRank
     * is not reproducible across engines (distributed sums re-order),
@@ -531,22 +541,16 @@ object Joins extends QueryPack {
     * checkpoint ranks each round to cut lineage, same barrier this
     * query already uses for edges. Dangling nodes cannot exist in a
     * symmetrized graph, so no mass-leak correction term is needed. */
-  private val pageRank: Q = (s, dir) => {
-    val items = T.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = items.as("a")
-      .join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
+  /** The q29 ranks over any canonical (u < v) edge list, exposed so
+    * GraphSpec can pin the regular-graph fixpoint law. */
+  def pageRankRanks(e: DataFrame, iters: Int): DataFrame = {
     val d = graft.core.Barriers.materialize(
       e.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(e.select(col("v").as("src"), col("u").as("dst"))))
     val deg = d.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var r = deg.select(col("src").as("n"), col("deg"),
       lit(1000000L).as("r"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       val contribs = d
         .join(r.select(col("n").as("src"), expr("r div deg").as("c")),
           Seq("src"))
@@ -557,10 +561,14 @@ object Joins extends QueryPack {
           lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100"))
         .select(col("n"), col("deg"), col("r"))
     }
-    r.orderBy(desc("r"), col("n")).limit(20)
+    r
+  }
+
+  private val pageRank: Q = (s, dir) =>
+    pageRankRanks(copurchaseEdges(s, dir), 3)
+      .orderBy(desc("r"), col("n")).limit(20)
       .select(col("n").as("part"), col("deg").as("degree"),
         col("r").as("rank_micro"))
-  }
 
   val queries: Map[String, Q] = Map(
     "q29_pagerank" -> pageRank,
