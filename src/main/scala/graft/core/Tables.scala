@@ -25,15 +25,24 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw long nanos
-    * and convert once at load — integer `div` (not `/`) because an
-    * epoch-nanos value (~1.7e18) overflows double's 53-bit mantissa.
-    * DuckDB truncates nanos→micros the same way, so results hash-match. */
+  /** `events.ts` has shipped in two physical spellings across testdata
+    * generations: INT64 TIMESTAMP(NANOS) — which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless read as raw long nanos and truncated
+    * to micros at load (integer `div`, not `/`: an epoch-nanos value
+    * ~1.7e18 overflows double's 53-bit mantissa) — and plain
+    * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. Branch on
+    * the decoded type so either generation loads to the same
+    * session-local TIMESTAMP column (sessions pin UTC, so the NTZ cast
+    * is wall-clock identity and DuckDB hash-matches both ways). */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Register each table as a temp view (for spark.sql surfaces). */
