@@ -22,6 +22,7 @@ object SparkEntry {
     Streaming,
     LlmOps,
     CurationOps,
+    QualityOps,
     KMeansOps,
     Dml,
     MaintenanceOps,

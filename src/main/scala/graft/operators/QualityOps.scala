@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Barriers, Tables => T, QueryPack}
+import graft.functions.Text
+
+/** Corpus-quality gate operators in the Gopher/CCNet mold — the rule
+  * batteries and model-based filters a pretraining pipeline runs
+  * between raw ingestion and dedup (Rae et al. 2021 "Scaling Language
+  * Models" table A1; Wenzek et al. 2020 CCNet; reference corpus ops:
+  * /root/reference/README.md:236-268 quality pipeline stage).
+  *
+  * Everything is a pure Catalyst expression tree (no UDFs), and every
+  * statistic is computed in INTEGER arithmetic (cross-multiplied
+  * thresholds, floored ratios) so the DuckDB oracle replays results
+  * bit-exactly — the same determinism contract as l19/l24/l57.
+  *
+  * 100 TB design notes:
+  *  - l62 rule battery: one narrow projection per document (every rule
+  *    is per-row arithmetic over the token array), then one map-side-
+  *    combined rollup on source. No join, one exchange of ~|sources|
+  *    partial rows per partition. Linear, codegen'd end to end.
+  *  - l63 perplexity bands: the bigram model is a hash agg over the
+  *    exploded token stream (map-side combine collapses Zipf-hot
+  *    bigrams before the exchange); scoring re-joins the stream on the
+  *    bigram key. At 100 TB the model would be pruned to top-K rows
+  *    and broadcast (l24 documents the same cut); band assignment is
+  *    integer CASE bucketing — no float log2 in either engine.
+  *  - l64 fuzzy dedup: candidate pairs come from an equi-join on a
+  *    prefix fingerprint, so pair work is Σ bucket² (l55's bound),
+  *    never corpus². The Levenshtein confirm runs only on candidates.
+  */
+object QualityOps extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "documents")
+
+  // ---- l62: Gopher-style quality rule battery -------------------------
+
+  /** Stopword list for the R4 rule — tokens that actually occur in the
+    * synthetic corpus so the rule discriminates (a list the corpus
+    * never hits would pass/fail uniformly and test nothing). */
+  private val ruleStops = Seq("the", "a", "of", "to", "and", "in")
+
+  /** l62: per-document quality rule battery, rolled up per source.
+    *
+    * Five Gopher-table-A1-shaped rules, each an integer comparison:
+    *   R1 length:     20 <= n_tok <= 60
+    *   R2 word size:  mean token length in [3.5, 4.5] chars, spelled
+    *                  35*n_tok <= 10*n_chars <= 45*n_tok (no division)
+    *   R3 diversity:  distinct tokens >= half the tokens
+    *   R4 stopwords:  >= 2 hits from [[ruleStops]]
+    *   R5 dominance:  no single token exceeds 20% of the document,
+    *                  spelled 5*top_tok <= n_tok
+    *
+    * Token char mass is length(norm) - (n_tok - 1): the normalized text
+    * IS the tokens joined by single spaces, so no per-token fold is
+    * needed. The dominance count nests higher-order lambdas (count of
+    * each distinct token via filter) — O(distinct × n_tok) per row,
+    * bounded by the document, independent of corpus size. */
+  /** The per-document rule columns over any docs-shaped frame (source,
+    * text), exposed so QualitySpec can drive planted single-rule
+    * violations through the exact production expressions. */
+  def ruleColumns(d: DataFrame): DataFrame =
+    d.select(col("source"),
+        Text.norm(col("text")).as("nrm"), Text.tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("n_chars",
+        (length(col("nrm")) - (col("n_tok") - 1)).cast("long"))
+      .withColumn("n_dist", size(array_distinct(col("tk"))).cast("long"))
+      .withColumn("n_stop",
+        Text.stopwordHits(col("tk"), ruleStops).cast("long"))
+      .withColumn("top_tok", expr(
+        "cast(array_max(transform(array_distinct(tk)," +
+          " u -> size(filter(tk, t -> t = u)))) as bigint)"))
+      .withColumn("r1", col("n_tok").between(20L, 60L))
+      .withColumn("r2",
+        lit(35L) * col("n_tok") <= lit(10L) * col("n_chars") &&
+          lit(10L) * col("n_chars") <= lit(45L) * col("n_tok"))
+      .withColumn("r3", col("n_dist") * 2 >= col("n_tok"))
+      .withColumn("r4", col("n_stop") >= 2L)
+      .withColumn("r5", col("top_tok") * 5 <= col("n_tok"))
+
+  private val gopherRules: Q = (s, dir) => {
+    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"pass_$c")
+    ruleColumns(docs(s, dir))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        cnt("r1"), cnt("r2"), cnt("r3"), cnt("r4"), cnt("r5"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4")
+          && col("r5"), 1L).otherwise(0L)).as("pass_all"))
+      .orderBy(col("source"))
+  }
+
+  // ---- l63: bigram-LM perplexity bands --------------------------------
+
+  /** Power-of-2 band of a non-negative integer commonness score —
+    * integer CASE chain (l57's histogram trick), identical SQL in both
+    * engines, so no float log2 enters the comparison. */
+  def bandSql(c: String): String = {
+    val arms = (0 to 19)
+      .map(b => s"WHEN $c < ${1L << (b + 1)} THEN $b")
+      .mkString(" ")
+    s"CASE $arms ELSE 20 END"
+  }
+
+  /** l63: CCNet-style model-based banding — fit the corpus bigram count
+    * model (l24's fit), score each DOCUMENT by its mean bigram
+    * commonness (total corpus hits of its bigrams, floor-divided by its
+    * bigram count — the rational stand-in for negative log-perplexity,
+    * kept integer so membership is bit-reproducible), then band
+    * documents by power-of-2 score and report the per-(source, band)
+    * population. CCNet keeps the middle bands; the band populations
+    * here are exactly that decision's input.
+    *
+    * Documents with fewer than 2 tokens have no bigrams and drop out of
+    * the banding (both engines agree; documented contract). */
+  private val perplexityBands: Q = (s, dir) => {
+    val par = s.sparkContext.defaultParallelism
+    val bg = Barriers.materialize(
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          Text.tokens(col("text")).as("tk"))
+        .repartition(par)
+        .select(col("source"), col("doc_id"),
+          explode(Text.shinglesFromTokens("tk", 2)).as("bg")))
+    val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    bg.join(model, Seq("bg"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("cnt")).as("hits"))
+      .withColumn("score", expr("hits div n_bg"))
+      .withColumn("band", expr(bandSql("score")))
+      .groupBy(col("source"), col("band"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("source"), col("band"))
+  }
+
+  // ---- l64: bucketed edit-distance fuzzy dedup ------------------------
+
+  /** Tokens in the prefix fingerprint that buckets candidate pairs. */
+  private val fuzzyPrefixTokens = 5
+  /** Max Levenshtein distance for two documents to count as fuzzy
+    * duplicates (full normalized text). */
+  private val fuzzyMaxDist = 20
+
+  /** l64: fuzzy (edit-distance) near-duplicate detection — the catch-net
+    * for duplicates that token-set methods (l07/l08) and exact
+    * fingerprints (l05) miss: small in-place edits. Candidates are
+    * pairs sharing the md5 of their first [[fuzzyPrefixTokens]] tokens;
+    * the Levenshtein confirm (classic unit-cost edit distance — Spark
+    * and DuckDB implement the same definition) runs only on candidate
+    * pairs, and the pair is ordered (id_a < id_b) so each is counted
+    * once.
+    *
+    * 100 TB shape: the self-join is an equi-join on the 128-bit prefix
+    * key — candidate work is Σ bucket² like l55, never corpus². Edit
+    * distance is O(len_a × len_b) per pair; at web scale you'd carry
+    * only (key, id, text-length) through the join and fetch text for
+    * the surviving id pairs, and band the key with a length bucket so
+    * wildly different sizes never pair. */
+  /** Candidate pairs + edit distance over any docs-shaped frame
+    * (source, doc_id, text) — exposed for QualitySpec's planted
+    * near-dup / disjoint-prefix contracts. */
+  def fuzzyPairs(docsDf: DataFrame): DataFrame = {
+    val d = docsDf
+      .select(col("source"), col("doc_id"), Text.norm(col("text")).as("nrm"),
+        Text.tokens(col("text")).as("tk"))
+      .withColumn("pfx",
+        md5(array_join(slice(col("tk"), 1, fuzzyPrefixTokens), " ")))
+      .select(col("source"), col("doc_id"), col("nrm"), col("pfx"))
+    d.as("a")
+      .join(d.as("b"),
+        col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.nrm"), col("b.nrm")).cast("long").as("dist"))
+  }
+
+  private val fuzzyDedup: Q = (s, dir) => {
+    fuzzyPairs(docs(s, dir))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("dist") <= fuzzyMaxDist, 1L).otherwise(0L))
+          .as("n_fuzzy_dups"),
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact_dups"),
+        min(col("dist")).as("min_dist"),
+        max(col("dist")).as("max_dist"))
+      .orderBy(col("source"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "l62_gopher_rules" -> gopherRules,
+    "l63_perplexity_bands" -> perplexityBands,
+    "l64_fuzzy_dedup" -> fuzzyDedup)
+
+  private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val oToks = s"string_split($oNorm, ' ')"
+
+  def oracle: Map[String, String] = Map(
+    "l62_gopher_rules" ->
+      // Dominance (top_tok) via unnest + per-(doc, token) counts: the
+      // relational spelling of the Spark side's nested lambda — same
+      // values, shuffle-friendly shape.
+      s"""WITH t AS (
+         |  SELECT source, doc_id, $oNorm AS nrm, $oToks AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT source, doc_id, unnest(tk) AS tok FROM t)
+         |  GROUP BY 1, 2, 3),
+         |topt AS (
+         |  SELECT source, doc_id, MAX(c) AS top_tok FROM g GROUP BY 1, 2),
+         |m AS (
+         |  SELECT t.source,
+         |    CAST(len(tk) AS BIGINT) AS n_tok,
+         |    CAST(length(nrm) - (len(tk) - 1) AS BIGINT) AS n_chars,
+         |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_dist,
+         |    CAST(len(list_filter(tk,
+         |      x -> x IN ('the','a','of','to','and','in'))) AS BIGINT)
+         |      AS n_stop,
+         |    topt.top_tok AS top_tok
+         |  FROM t JOIN topt ON t.source = topt.source
+         |    AND t.doc_id = topt.doc_id),
+         |r AS (
+         |  SELECT source,
+         |    (n_tok BETWEEN 20 AND 60) AS r1,
+         |    (35 * n_tok <= 10 * n_chars AND 10 * n_chars <= 45 * n_tok)
+         |      AS r2,
+         |    (n_dist * 2 >= n_tok) AS r3,
+         |    (n_stop >= 2) AS r4,
+         |    (top_tok * 5 <= n_tok) AS r5
+         |  FROM m)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_r1,
+         |  CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_r2,
+         |  CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_r3,
+         |  CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_r4,
+         |  CAST(SUM(CASE WHEN r5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_r5,
+         |  CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l63_perplexity_bands" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, $oToks AS tk FROM documents),
+         |g AS (
+         |  SELECT source, doc_id,
+         |    unnest(list_transform(range(0, greatest(len(tk) - 1, 0)),
+         |      i -> array_to_string(tk[i + 1 : i + 2], ' '))) AS bg
+         |  FROM t),
+         |c AS (SELECT bg, COUNT(*) AS cnt FROM g GROUP BY 1),
+         |d AS (
+         |  SELECT source, doc_id, COUNT(*) AS n_bg,
+         |    CAST(SUM(cnt) AS BIGINT) AS hits
+         |  FROM g JOIN c USING (bg) GROUP BY 1, 2),
+         |b AS (
+         |  SELECT source, hits // n_bg AS score,
+         |    ${bandSql("(hits // n_bg)")} AS band
+         |  FROM d)
+         |SELECT source, band, COUNT(*) AS n_docs,
+         |  MIN(score) AS min_score, MAX(score) AS max_score
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "l64_fuzzy_dedup" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, $oNorm AS nrm,
+         |    md5(array_to_string(($oToks)[1 : $fuzzyPrefixTokens], ' '))
+         |      AS pfx
+         |  FROM documents),
+         |p AS (
+         |  SELECT a.source AS source, levenshtein(a.nrm, b.nrm) AS dist
+         |  FROM t a JOIN t b
+         |    ON a.pfx = b.pfx AND a.doc_id < b.doc_id)
+         |SELECT source, COUNT(*) AS n_candidates,
+         |  CAST(SUM(CASE WHEN dist <= $fuzzyMaxDist THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fuzzy_dups,
+         |  CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact_dups,
+         |  MIN(dist) AS min_dist, MAX(dist) AS max_dist
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)
+}

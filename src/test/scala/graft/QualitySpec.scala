@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityOps
+
+/** Semantic contracts for the QualityOps pack (l62-l64) on crafted
+  * fixtures where each rule provably bites — the synthetic corpus only
+  * exercises them at its natural rates. */
+class QualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // A document that passes all five l62 rules: 25 distinct 4-char-ish
+  // tokens including two stopwords, no token repeated.
+  private val cleanDoc =
+    "the data lake runs fast scan with wide rows over cold disk and " +
+      "warm heap plus tidy sort keys that pack neat byte maps well"
+
+  test("l62: the clean document passes all five rules") {
+    val out = QualityOps.ruleColumns(Seq(("a", cleanDoc)).toDF("source", "text"))
+      .select("r1", "r2", "r3", "r4", "r5").collect()(0)
+    assert((0 to 4).forall(i => out.getBoolean(i)), out.toString)
+  }
+
+  test("l62: each planted violation flips exactly its own rule") {
+    // r1: too short (5 tokens). Keep words 4-char avg, two stopwords.
+    val shortDoc = "the lake runs and byte"
+    // r2: mean word length out of [3.5, 4.5] — all 2-char tokens.
+    val tinyWords = "the a it is we do my up on at " +
+      "ab cd ef gh ij kl mn op qr st uv wx yz aa bb"
+    // r3: low diversity — half the doc is one alternating pair, spelled
+    // so every token appears >= 2 times (distinct < half) but no token
+    // exceeds 20% (r5 still passes): 5 tokens × 4 repeats, shuffled.
+    // 20 tokens, top token 4 => 5*4=20 <= 20 passes r5; distinct 5,
+    // 2*5=10 < 20 fails r3. Add stopwords among the 5 so r4 passes;
+    // 4-char mass keeps r2.
+    val lowDiversity = Array.fill(4)("the lake runs and byte").mkString(" ")
+    // r4: no stopwords — clean doc with stop tokens swapped out.
+    val noStops = cleanDoc.replaceAll("\\bthe\\b", "big")
+      .replaceAll("\\band\\b", "hot")
+    // r5: dominance — one token is 8 of 25.
+    val dominated = ("lake " * 8) + cleanDoc.split(" ").take(15)
+      .mkString(" ") + " the and"
+    val d = Seq(
+      ("r1", shortDoc), ("r2", tinyWords), ("r3", lowDiversity),
+      ("r4", noStops), ("r5", dominated)).toDF("source", "text")
+    val rows = QualityOps.ruleColumns(d)
+      .select(col("source"), col("r1"), col("r2"), col("r3"), col("r4"),
+        col("r5"))
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5))).toMap
+    for ((planted, flags) <- rows; (f, i) <- flags.zipWithIndex) {
+      val rule = s"r${i + 1}"
+      if (rule == planted) assert(!f, s"$planted should fail $rule")
+      else assert(f, s"$planted should still pass $rule (${flags})")
+    }
+  }
+
+  test("l63: band function is the floor-log2 of the score") {
+    val bands = spark.sql(
+      "SELECT " + Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L,
+        (1L << 20) + 5L)
+        .map(v => QualityOps.bandSql(v.toString)).mkString(", "))
+      .collect()(0)
+    val expected = Seq(0, 0, 1, 1, 2, 2, 3, 9, 10, 20)
+    expected.zipWithIndex.foreach { case (e, i) =>
+      assert(bands.getInt(i) == e, s"band(${i}) = ${bands.getInt(i)} != $e")
+    }
+  }
+
+  test("l64: shared-prefix near-edit pair is a fuzzy dup; disjoint " +
+      "prefix is never a candidate") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nearEdit = base.replace("theta", "thetaa") // distance 1
+    val farText = "omega psi chi phi upsilon tau sigma rho pi omicron"
+    val d = Seq(
+      (1L, "a", base), (2L, "a", nearEdit), (3L, "a", farText))
+      .toDF("doc_id", "source", "text")
+    val pairs = QualityOps.fuzzyPairs(d).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("id_a") == 1L)
+    assert(pairs(0).getAs[Long]("id_b") == 2L)
+    assert(pairs(0).getAs[Long]("dist") == 1L)
+  }
+
+  test("l64: identical docs land at distance zero") {
+    val d = Seq((1L, "a", cleanDoc), (2L, "b", cleanDoc))
+      .toDF("doc_id", "source", "text")
+    val pairs = QualityOps.fuzzyPairs(d).collect()
+    assert(pairs.length == 1 && pairs(0).getAs[Long]("dist") == 0L)
+  }
+}
