@@ -32,5 +32,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g, deliberately: raising to 20g made the iterative/materialize
+  // queries (q29, l21) 5x SLOWER, reproducibly — G1 on the bigger heap
+  // defers collection until localCheckpoint blocks dominate, then
+  // churns. Small heap + the Bench per-query System.gc() keeps the
+  // block manager lean. Override with SPARK_DRIVER_MEM if needed.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

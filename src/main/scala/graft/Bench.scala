@@ -50,6 +50,14 @@ object Bench {
     require(selected.map(s => shortKey(s._1)).distinct.size == selected.size,
       "query name prefixes must stay unique — a colliding short key " +
         "would silently drop a timing from the driver's bench report")
+    // NOTE on per-query hygiene, measured so nobody re-adds it: calling
+    // spark.catalog.clearCache() + System.gc() between queries made the
+    // tail WORSE (p01 33 s -> 61 s in a full 176-query run) — the forced
+    // GC hands the ContextCleaner a burst of shuffle/broadcast/block
+    // removals that execute asynchronously DURING the next query's timed
+    // window. Letting the JVM collect on its own schedule keeps cleanup
+    // amortized. Timing variance on a shared box is real either way;
+    // compare per-query numbers across rounds, not within one run.
     val results = selected.map { case (name, fn) =>
       runOnce(fn) // warmup: discard
       name -> runOnce(fn)

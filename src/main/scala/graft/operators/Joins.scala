@@ -570,7 +570,64 @@ object Joins extends QueryPack {
       .select(col("n").as("part"), col("deg").as("degree"),
         col("r").as("rank_micro"))
 
+  /** BFS hop bound for q30 — enough to reach the whole co-purchase
+    * component at test scale while keeping the oracle's recursive CTE
+    * row count at |V| × depth. */
+  private val bfsDepth = 3
+
+  /** The bounded-depth BFS frontier expansion over any canonical
+    * (u < v) edge list, exposed so GraphSpec can drive it on planted
+    * paths/stars: returns (node, d) with d = min hop distance from
+    * `srcNode`, d <= depth. */
+  def bfsDistances(edges: DataFrame, srcNode: DataFrame,
+      depth: Int): DataFrame = {
+    val e = graft.core.Barriers.materialize(edges)
+    val und = e.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    var dist = srcNode.select(col("node"), lit(0).as("d"))
+    for (i <- 1 to depth) {
+      // Expand the WHOLE known set each round (not just the new
+      // frontier) and re-take the min hop: one extra bounded join per
+      // round buys idempotence — no tracking of "newly discovered"
+      // state, so each iteration is a pure function of the last and
+      // the unrolled plan stays a DAG Catalyst can reason about.
+      val next = dist.join(und, dist("node") === und("a"))
+        .select(col("b").as("node"), (col("d") + 1).as("d"))
+      dist = graft.core.Barriers.materialize(
+        dist.unionAll(next)
+          .groupBy(col("node")).agg(min(col("d")).as("d")))
+    }
+    dist
+  }
+
+  /** q30: single-source shortest hops (bounded BFS) over the
+    * co-purchase graph — "how far does part X's co-purchase
+    * neighborhood reach in 3 hops", the reachability kernel behind
+    * recommendation radius and blast-radius queries. Source = the
+    * lowest part id in the edge list (every edge stores u < v, so
+    * min(u) IS the global min node). Output: nodes per hop distance.
+    *
+    * Spark spelling: iterative frontier joins with a min-hop combine,
+    * one materialization barrier per level (3 levels unrolled). The
+    * DuckDB oracle is a recursive CTE with UNION-distinct semantics;
+    * equality proves the iterative DataFrame loop computes the same
+    * fixpoint prefix.
+    *
+    * 100 TB shape: each round shuffles (node, d) pairs — 12 bytes a
+    * row, never the adjacency text — joined against the edge list on
+    * its key; the barrier caps lineage growth (q26's pointer-doubling
+    * notes apply). Deeper searches would switch to pointer doubling
+    * (O(log diameter) rounds) exactly as q26 does for hierarchies. */
+  private val bfsHops: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    val src = e.agg(min(col("u")).as("node"))
+    bfsDistances(e, src, bfsDepth)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q30_bfs_hops" -> bfsHops,
     "q29_pagerank" -> pageRank,
     "q28_triangle_count" -> triangleCount,
     "q27_basket_affinity" -> basketAffinity,
@@ -590,6 +647,27 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    // recursive CTE with UNION-distinct frontier; min-hop per node
+    // replayed relationally, depth bound matches bfsDepth
+    "q30_bfs_hops" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |ud AS (
+        |  SELECT u AS a, v AS b FROM e
+        |  UNION ALL SELECT v AS a, u AS b FROM e),
+        |bfs(node, dpt) AS (
+        |  SELECT (SELECT MIN(u) FROM e) AS node, 0 AS dpt
+        |  UNION
+        |  SELECT ud.b, bfs.dpt + 1
+        |  FROM bfs JOIN ud ON ud.a = bfs.node
+        |  WHERE bfs.dpt < 3),
+        |m AS (SELECT node, MIN(dpt) AS d FROM bfs GROUP BY 1)
+        |SELECT d, COUNT(*) AS n_nodes FROM m GROUP BY 1 ORDER BY 1"""
+        .stripMargin,
     // the three iterations unrolled as CTEs — integer micro-unit
     // ranks make the lattice identical in both engines
     "q29_pagerank" ->

@@ -365,6 +365,61 @@ object Windows extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** W15: linear interpolation of the gap hours — the imputation pass
+    * that turns w11's dense-but-zero-filled grid into a usable model
+    * input. For each missing hour with an observed neighbor on BOTH
+    * sides, the imputed count is the linear blend
+    * (prev·(len−pos) + next·pos) / len, evaluated in integer
+    * milli-units with a single floor division — numerator and
+    * denominator are non-negative, where Spark `div` and DuckDB `//`
+    * agree, so imputed values are bit-identical across engines (no
+    * IEEE division enters). Gap hours before the first or after the
+    * last observation have no bracket and are counted as boundary
+    * holes, not imputed (leading/trailing extrapolation is a modeling
+    * choice, not an interpolation).
+    *
+    * 100 TB shape: identical to w11 — the corpus-sized pass is the
+    * hourly pre-aggregate; the spine is a broadcast-built model frame,
+    * and the neighbor scan is two window sweeps (backward last, forward
+    * first) over |types × hours| rows, one partition-sort each. */
+  private val interpolateGaps: Q = (s, dir) => {
+    val h = hourly(s, dir)
+    val bounds = h.agg(min(col("stat_hour")).as("h0"),
+      max(col("stat_hour")).as("h1"))
+    val spine = bounds
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)"))
+        .as("stat_hour"))
+    val types = h.select(col("event_type")).distinct()
+    val grid = spine.crossJoin(broadcast(types))
+      .join(h, Seq("event_type", "stat_hour"), "left")
+      .withColumn("n", coalesce(col("n_events"), lit(0L)))
+      .withColumn("ms", unix_millis(col("stat_hour")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("stat_hour"))
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wn = w.rowsBetween(1, Window.unboundedFollowing)
+    def obs(c: Column): Column = when(col("n") > 0, c)
+    grid
+      .withColumn("prev_n", last(obs(col("n")), ignoreNulls = true).over(wp))
+      .withColumn("next_n", first(obs(col("n")), ignoreNulls = true).over(wn))
+      .withColumn("prev_ms", last(obs(col("ms")), ignoreNulls = true).over(wp))
+      .withColumn("next_ms", first(obs(col("ms")), ignoreNulls = true).over(wn))
+      .filter(col("n") === 0)
+      .withColumn("interior",
+        col("prev_n").isNotNull && col("next_n").isNotNull)
+      .withColumn("pos", expr("(ms - prev_ms) div 3600000"))
+      .withColumn("len", expr("(next_ms - prev_ms) div 3600000"))
+      .withColumn("interp_milli",
+        when(col("interior"),
+          expr("((prev_n * (len - pos) + next_n * pos) * 1000) div len")))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("interior"), 1L).otherwise(0L)).as("n_interpolated"),
+        sum(when(!col("interior"), 1L).otherwise(0L)).as("n_boundary"),
+        sum(col("interp_milli")).as("sum_interp_milli"),
+        max(col("interp_milli")).as("max_interp_milli"))
+      .orderBy("event_type")
+  }
+
   /** EWMA tap count: 8 taps at α=1/2 leaves (1/2)^8 ≈ 0.4% of the
     * kernel mass beyond the window — the truncation error bound. */
   private val ewmaTaps = 0 to 7
@@ -478,6 +533,7 @@ object Windows extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "w15_interpolate" -> interpolateGaps,
     "w14_rank_catalog" -> rankCatalog,
     "w13_peak_concurrency" -> peakConcurrency,
     "w12_ewma" -> ewmaHours,
@@ -496,6 +552,56 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    "w15_interpolate" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(stat_hour) AS h0, MAX(stat_hour) AS h1 FROM h),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+        |    AS stat_hour FROM b),
+        |grid AS (
+        |  SELECT t.event_type, s.stat_hour, COALESCE(h.n, 0) AS n,
+        |    epoch_ms(s.stat_hour) AS ms
+        |  FROM (SELECT DISTINCT event_type FROM h) t
+        |  CROSS JOIN spine s
+        |  LEFT JOIN h ON h.event_type = t.event_type
+        |    AND h.stat_hour = s.stat_hour),
+        |nb AS (
+        |  SELECT event_type, stat_hour, n, ms,
+        |    last_value(CASE WHEN n > 0 THEN n END IGNORE NULLS) OVER wp
+        |      AS prev_n,
+        |    first_value(CASE WHEN n > 0 THEN n END IGNORE NULLS) OVER wn
+        |      AS next_n,
+        |    last_value(CASE WHEN n > 0 THEN ms END IGNORE NULLS) OVER wp
+        |      AS prev_ms,
+        |    first_value(CASE WHEN n > 0 THEN ms END IGNORE NULLS) OVER wn
+        |      AS next_ms
+        |  FROM grid WINDOW
+        |    wp AS (PARTITION BY event_type ORDER BY stat_hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wn AS (PARTITION BY event_type ORDER BY stat_hour
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |i AS (
+        |  SELECT event_type,
+        |    (prev_n IS NOT NULL AND next_n IS NOT NULL) AS interior,
+        |    (ms - prev_ms) // 3600000 AS pos,
+        |    (next_ms - prev_ms) // 3600000 AS len,
+        |    prev_n, next_n
+        |  FROM nb WHERE n = 0)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN interior THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_interpolated,
+        |  CAST(SUM(CASE WHEN NOT interior THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boundary,
+        |  CAST(SUM(CASE WHEN interior THEN
+        |    ((prev_n * (len - pos) + next_n * pos) * 1000) // len
+        |    END) AS BIGINT) AS sum_interp_milli,
+        |  MAX(CASE WHEN interior THEN
+        |    ((prev_n * (len - pos) + next_n * pos) * 1000) // len
+        |    END) AS max_interp_milli
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
     "w14_rank_catalog" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,

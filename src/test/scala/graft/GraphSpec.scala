@@ -76,4 +76,37 @@ class GraphSpec extends SparkSpec {
     // leaves are symmetric: identical integer ranks, no tie noise
     assert((1L to 6L).map(r).toSet.size == 1)
   }
+
+  test("q30 BFS: hop counts on a path are one node per level") {
+    val path = edges(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val src = Seq(1L).toDF("node")
+    val d = Joins.bfsDistances(path, src, 3)
+      .orderBy("d").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(d.toSeq == Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3)))
+  }
+
+  test("q30 BFS: star reaches every leaf in one hop from the hub, " +
+      "two from a leaf") {
+    val star = edges((1L to 50L).map(i => (0L, i)))
+    val fromHub = Joins.bfsDistances(star, Seq(0L).toDF("node"), 3)
+      .groupBy("d").count().orderBy("d").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(fromHub.toSeq == Seq((0, 1L), (1, 50L)))
+    val fromLeaf = Joins.bfsDistances(star, Seq(7L).toDF("node"), 3)
+      .groupBy("d").count().orderBy("d").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // hop 0: the leaf; hop 1: the hub; hop 2: the other 49 leaves
+    assert(fromLeaf.toSeq == Seq((0, 1L), (1, 1L), (2, 49L)))
+  }
+
+  test("q30 BFS: depth bound truncates, min-hop wins on multi-path") {
+    // diamond + tail: 1-2, 1-3, 2-4, 3-4, 4-5, 5-6; from 1, node 4 is
+    // reachable via two length-2 paths (min wins, counted once), node
+    // 6 is at hop 4 — beyond depth 3, absent.
+    val g = edges(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)))
+    val d = Joins.bfsDistances(g, Seq(1L).toDF("node"), 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(d.toSeq == Seq((1L, 0), (2L, 1), (3L, 1), (4L, 2), (5L, 3)))
+  }
 }
