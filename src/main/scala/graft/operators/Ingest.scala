@@ -213,8 +213,18 @@ object Ingest extends QueryPack {
         col("error_type"),
         col("pipeline_name"))
 
+  /** The parsed frame behind every p-query, MATERIALIZED. The barrier is
+    * load-bearing for cost, not correctness: valid()/invalid() filter on
+    * `error_type`, and predicate pushdown substitutes an attribute with
+    * its defining expression when pushing a filter through a Project —
+    * the pushed condition inlined the whole from_json(raw) parse once
+    * per field reference (23 copies, measured in the p02 physical plan)
+    * AND landed below the repartition, so the 23× parse bill ran on the
+    * scan's single input split. The checkpoint pins the parse at one
+    * evaluation per row, after the repartition's full parallelism. */
   private def pipeline(s: SparkSession, dir: String): DataFrame =
-    parseRecords(rawRecords(s, dir), "graft-batch")
+    graft.core.Barriers.materialize(
+      parseRecords(rawRecords(s, dir), "graft-batch"))
 
   /** P10 dead-letter routing: invalid counts per error_type — the
     * reference's error-table content by class. */
@@ -262,7 +272,10 @@ object Ingest extends QueryPack {
   /** P11: pass-through parse + count (simple_batch_processor.py:16-30):
     * per-class record counts over the whole input, valid + invalid. */
   private val passthroughCount: Q = (s, dir) =>
-    pipeline(s, dir)
+    // No filter on error_type → no predicate-pushdown re-inlining (the
+    // reason pipeline() checkpoints) → the barrier would be pure cost
+    // here: use the raw parse plan (one from_json per row already).
+    parseRecords(rawRecords(s, dir), "graft-batch")
       .agg(
         count(lit(1)).as("n_records"),
         count(when(col("error_type").isNull, 1)).as("n_valid"),
