@@ -544,10 +544,23 @@ object Joins extends QueryPack {
   /** The q29 ranks over any canonical (u < v) edge list, exposed so
     * GraphSpec can pin the regular-graph fixpoint law. */
   def pageRankRanks(e: DataFrame, iters: Int): DataFrame = {
+    // The doubled edge list is checkpointed PRE-PARTITIONED on dst:
+    // checkpoint preserves output partitioning (LogicalRDD carries it),
+    // and the per-iteration contribution aggregate groups by dst after
+    // a broadcast-able rank join (broadcast joins preserve the probe
+    // side's partitioning) — so the 2|E|-row frame is shuffled ONCE at
+    // build instead of once per iteration. At billion-node scale the
+    // rank join outgrows broadcast and planning falls back to
+    // sort-merge; the dst partitioning then still serves the agg side.
     val d = graft.core.Barriers.materialize(
       e.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(e.select(col("v").as("src"), col("u").as("dst"))))
-    val deg = d.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("dst")))
+    // Degrees pinned once: without the barrier the deg subplan (a full
+    // aggregate over d) is stamped into the unrolled plan once per
+    // iteration plus once per rank rebuild.
+    val deg = graft.core.Barriers.materialize(
+      d.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     var r = deg.select(col("src").as("n"), col("deg"),
       lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
