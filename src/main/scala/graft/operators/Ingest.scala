@@ -222,7 +222,7 @@ object Ingest extends QueryPack {
     * AND landed below the repartition, so the 23× parse bill ran on the
     * scan's single input split. The checkpoint pins the parse at one
     * evaluation per row, after the repartition's full parallelism. */
-  private def pipeline(s: SparkSession, dir: String): DataFrame =
+  def pipeline(s: SparkSession, dir: String): DataFrame =
     graft.core.Barriers.materialize(
       parseRecords(rawRecords(s, dir), "graft-batch"))
 

@@ -124,8 +124,10 @@ object Sources extends QueryPack {
       StructField("record", StringType),
       StructField("error_type", StringType),
       StructField("pipeline_name", StringType)))
-    val invalid = Ingest.invalid(
-      Ingest.parseRecords(Ingest.rawRecords(s, dir), "graft-batch"))
+    // Ingest.pipeline, not a bare parseRecords: the invalid() filter
+    // otherwise re-inlines the whole parse per field reference (see the
+    // pipeline scaladoc; the p-family fix applies here identically).
+    val invalid = Ingest.invalid(Ingest.pipeline(s, dir))
     // enforce the declared sink schema declaratively (stays inside
     // codegen; a schema drift fails analysis, not a mid-write task)
     invalid.select(errorSchema.fields.toIndexedSeq.map(f =>
