@@ -191,6 +191,44 @@ object Scalars extends QueryPack {
       .orderBy("grp")
   }
 
+  /** X17: map/struct function catalog — the complex-type surface a
+    * semi-structured pipeline leans on (`map_from_entries`, `map_keys`/
+    * `map_values`, `element_at`, `map_filter`, `transform_values`), as
+    * one per-user usage-profile map. The per-user entry list is sorted
+    * before map construction so the map's iteration order is defined by
+    * construction, and every map-derived statistic is an integer — the
+    * DuckDB oracle replays the VALUES as plain conditional aggregation
+    * (maps are a representation choice; the numbers are the contract).
+    *
+    * Scale shape: the map is bounded by |event types| (a model-sized
+    * per-group collect over the pre-aggregated (user, type) frame, never
+    * raw events); both aggs are map-side-combined hash aggs. */
+  private val mapCatalog: Q = (s, dir) => {
+    val perType = T.loadEvents(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    perType
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+      .select(
+        size(map_keys(col("m"))).cast("long").as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        size(map_filter(col("m"), (_, v) => v >= 3)).cast("long")
+          .as("n_heavy"),
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("total"),
+        expr("aggregate(map_values(transform_values(m, (k, v) -> v * 2))," +
+          " 0L, (a, x) -> a + x)").as("total2x"))
+      .groupBy(col("n_types"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("clicks")).as("sum_clicks"),
+        sum(col("n_heavy")).as("sum_heavy_types"),
+        sum(col("total")).as("sum_events"),
+        sum(col("total2x")).as("sum_events_2x"))
+      .orderBy("n_types")
+  }
+
   /** X8: pivot — event counts spread into one column per event type.
     * The value list is EXPLICIT: Spark's values-less pivot runs an
     * extra distinct pass over the data to discover the columns and
@@ -392,6 +430,7 @@ object Scalars extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "x17_map_funcs" -> mapCatalog,
     "x16_bitwise" -> bitwiseOps,
     "x15_order_stats" -> orderStats,
     "x14_stat_aggs" -> statAggs,
@@ -412,8 +451,26 @@ object Scalars extends QueryPack {
   val oracle: Map[String, String] = Map(
     // DuckDB XOR is xor()/bit_xor() — its ^ operator is POWER; SUMs
     // over TINYINT popcounts escalate to HUGEINT, hence the casts
+    "x17_map_funcs" ->
+      """WITH pt AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, COUNT(*) AS n_types,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN c ELSE 0 END)
+        |      AS BIGINT) AS clicks,
+        |    CAST(SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_heavy,
+        |    CAST(SUM(c) AS BIGINT) AS total
+        |  FROM pt GROUP BY 1)
+        |SELECT n_types, COUNT(*) AS n_users,
+        |  CAST(SUM(clicks) AS BIGINT) AS sum_clicks,
+        |  CAST(SUM(n_heavy) AS BIGINT) AS sum_heavy_types,
+        |  CAST(SUM(total) AS BIGINT) AS sum_events,
+        |  CAST(SUM(total * 2) AS BIGINT) AS sum_events_2x
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "x16_bitwise" ->
-      """SELECT o_orderstatus,
+"""SELECT o_orderstatus,
         |  COUNT(*) AS n_orders,
         |  bit_and(o_orderkey) AS and_key,
         |  bit_or(o_orderkey) AS or_key,

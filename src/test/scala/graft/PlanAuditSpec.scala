@@ -59,9 +59,29 @@ class PlanAuditSpec extends SparkSpec {
     "l49_vocab_coverage", "l50_chunk_retrieval", "l51_corpus_datasheet",
     "l53_bpe_pairs", "l54_dataset_checksum", "l56_shard_manifest",
     "w07_time_range_window", "w08_pattern_runs", "w09_sessionization",
-    "w10_anomaly_hours", "w11_gapfill",
+    "w10_anomaly_hours", "w11_gapfill", "w15_interpolate",
+    "x17_map_funcs", "l62_gopher_rules", "l64_fuzzy_dedup",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
+
+  test("ingest parse stays behind its barrier (one parse per row, " +
+      "not one per pushed-down field reference)") {
+    // Regression net for the r8 p-family finding: predicate pushdown
+    // substitutes error_type with its defining expression, splicing the
+    // whole from_json(raw) parse into the pushed filter once per field
+    // reference (23 copies, measured) and below the repartition. The
+    // barrier in Ingest.pipeline keeps the parse on the checkpointed
+    // side, so the branch plans must contain NO from_json at all.
+    import graft.operators.Ingest
+    Seq("valid" -> Ingest.valid(Ingest.pipeline(spark, sfDir)),
+        "invalid" -> Ingest.invalid(Ingest.pipeline(spark, sfDir)))
+      .foreach { case (branch, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("from_json"),
+          s"$branch() re-inlined the ingest parse — the barrier in " +
+            "Ingest.pipeline was removed or bypassed")
+      }
+  }
 
   test("no lazily-planned query contains a CartesianProduct") {
     val offenders = lazyQueries.flatMap { name =>
@@ -95,8 +115,8 @@ class PlanAuditSpec extends SparkSpec {
     *    1-row frames, l42's 1-row budget-totals frame, l43's 1-row
     *    corpus-stats (df/avgdl) frame, l46's 1-row language-totals
     *    frame, l48's 1-row min-class-count frame
-    *  - w11: the hour spine explodes from a 1-row bounds aggregate and
-    *    crosses a ≤|event types| dim — both sides bounded models
+    *  - w11/w15: the hour spine explodes from a 1-row bounds aggregate
+    *    and crosses a ≤|event types| dim — both sides bounded models
     *  - model-row broadcasts: l09's single query vector, k05's
     *    48-row salted dim build (16 salts × 3 literal flags), l36/l37's
     *    PQ codebook (a singleton collect_list row) and |Q|-row LUT
@@ -117,5 +137,5 @@ class PlanAuditSpec extends SparkSpec {
     "l09_cosine_topk", "l18_decontamination", "k05_salted_join",
     "l36_pq_index", "l37_pq_search", "l38_ivfpq_search",
     "l39_hard_negatives", "l52_ann_recall", "w11_gapfill",
-    "l10_embedding_neardup")
+    "w15_interpolate", "l10_embedding_neardup")
 }
