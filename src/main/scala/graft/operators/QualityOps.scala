@@ -194,10 +194,86 @@ object QualityOps extends QueryPack {
       .orderBy(col("source"))
   }
 
+  // ---- l65: Zipf / hapax corpus audit ---------------------------------
+
+  /** l65: token rank-frequency audit per source — the Zipf-shape
+    * datasheet row: vocabulary size, token mass, hapax-legomenon count
+    * (types seen once; the classic OCR-garbage / boilerplate signal at
+    * the two ends), and the corpus share of the top-10 types. Shares
+    * are integer permille with a deterministic (count DESC, token)
+    * tie-break, so both engines rank and sum identically.
+    *
+    * 100 TB shape: explode → map-side-combined (source, token) hash agg
+    * (Zipf skew works FOR the combine, l29's note); everything after is
+    * vocabulary-sized. The rank window partitions by source — no global
+    * single-partition sort. */
+  private val zipfAudit: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("tok"))
+    counts
+      .withColumn("r", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("vocab_size"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("r") <= 10, col("c")).otherwise(0L)).as("top10_mass"))
+      .withColumn("top10_permille",
+        expr("(1000 * top10_mass) div n_tokens"))
+      .withColumn("hapax_permille",
+        expr("(1000 * n_hapax) div vocab_size"))
+      .orderBy("source")
+  }
+
+  // ---- l66: vocabulary-size coverage sweep ----------------------------
+
+  /** Candidate vocabulary sizes for the coverage curve. */
+  private val vocabSizes = Seq(256, 1024, 4096, 16384)
+
+  /** l66: tokenizer-budget sweep — for each candidate vocabulary size
+    * k, the corpus share covered by the top-k types (rank by count,
+    * deterministic tie-break). l49 audits ONE fixed vocabulary's OOV;
+    * this is the curve that picks the budget in the first place. The
+    * k-membership join is a broadcast of a 4-row literal frame against
+    * the vocabulary-ranked counts; coverage is integer permille.
+    *
+    * 100 TB shape: corpus pass = one exploded hash agg; the ranked
+    * frame is vocabulary-sized. The rank window is global but runs
+    * over the vocabulary, not the corpus — and at a real multi-billion-
+    * type web vocabulary the same sweep would rank within hash shards
+    * and merge shard-local prefixes (l59's two-phase prefix pattern). */
+  private val vocabSweep: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))))
+    val totals = counts.agg(
+      count(lit(1)).as("vocab_size"), sum(col("c")).as("n_tokens"))
+    val ks = { import s.implicits._; vocabSizes.toDF("k") }
+    ranked.join(broadcast(ks), col("r") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("c")).as("covered_tokens"))
+      .crossJoin(broadcast(totals))
+      .withColumn("coverage_permille",
+        expr("(1000 * covered_tokens) div n_tokens"))
+      .select(col("k").cast("long").as("k"), col("covered_tokens"),
+        col("n_tokens"), col("vocab_size"), col("coverage_permille"))
+      .orderBy("k")
+  }
+
   def queries: Map[String, Q] = Map(
     "l62_gopher_rules" -> gopherRules,
     "l63_perplexity_bands" -> perplexityBands,
-    "l64_fuzzy_dedup" -> fuzzyDedup)
+    "l64_fuzzy_dedup" -> fuzzyDedup,
+    "l65_zipf_audit" -> zipfAudit,
+    "l66_vocab_sweep" -> vocabSweep)
 
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
@@ -265,6 +341,43 @@ object QualityOps extends QueryPack {
          |SELECT source, band, COUNT(*) AS n_docs,
          |  MIN(score) AS min_score, MAX(score) AS max_score
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "l65_zipf_audit" ->
+      s"""WITH t AS (
+         |  SELECT source, unnest($oToks) AS tok FROM documents),
+         |c AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source, c,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY c DESC, tok) AS r
+         |  FROM c)
+         |SELECT source, COUNT(*) AS vocab_size,
+         |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hapax,
+         |  CAST(SUM(CASE WHEN r <= 10 THEN c ELSE 0 END) AS BIGINT)
+         |    AS top10_mass,
+         |  (1000 * CAST(SUM(CASE WHEN r <= 10 THEN c ELSE 0 END)
+         |    AS BIGINT)) // CAST(SUM(c) AS BIGINT) AS top10_permille,
+         |  (1000 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // COUNT(*) AS hapax_permille
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l66_vocab_sweep" ->
+      s"""WITH t AS (
+         |  SELECT unnest($oToks) AS tok FROM documents),
+         |c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+         |r AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+         |  FROM c),
+         |tot AS (SELECT COUNT(*) AS vocab_size,
+         |  CAST(SUM(c) AS BIGINT) AS n_tokens FROM c),
+         |ks AS (SELECT unnest([256, 1024, 4096, 16384]) AS k)
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  CAST(SUM(c) AS BIGINT) AS covered_tokens,
+         |  n_tokens, vocab_size,
+         |  (1000 * CAST(SUM(c) AS BIGINT)) // n_tokens
+         |    AS coverage_permille
+         |FROM r JOIN ks ON r.r <= ks.k CROSS JOIN tot
+         |GROUP BY 1, n_tokens, vocab_size ORDER BY 1""".stripMargin,
     "l64_fuzzy_dedup" ->
       s"""WITH t AS (
          |  SELECT source, doc_id, $oNorm AS nrm,
