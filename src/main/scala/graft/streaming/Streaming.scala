@@ -152,6 +152,50 @@ object Streaming extends QueryPack {
       .select(col("c.user_id"), col("click_ts"), col("buy_ts"), col("value"))
   }
 
+  /** T-ext: stream-stream LEFT OUTER attribution — the outer variant of
+    * [[attributionJoin]]: every purchase is preserved, and purchases
+    * with no qualifying click in the preceding window surface once with
+    * a null click side ("organic" conversions — the number marketing
+    * actually argues about). Outer stream-stream joins are semantically
+    * heavier than inner: the unmatched row can only be EMITTED once the
+    * click-side watermark has passed the purchase's whole join window
+    * (the state-eviction point proves no match can still arrive) — the
+    * spec drives exactly that with a watermark-advancing sentinel and
+    * asserts no organic rows exist before it. Same plan on batch
+    * frames minus the state store; the t10 entry is the batch gate. */
+  def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes", lateness: String = "0 seconds")
+      : DataFrame = {
+    val c = clicks.withWatermark("click_ts", lateness).alias("c")
+    val p = purchases.withWatermark("buy_ts", lateness).alias("p")
+    p.join(c, col("c.user_id") === col("p.user_id") &&
+        col("p.buy_ts") >= col("c.click_ts") &&
+        col("p.buy_ts") < col("c.click_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("p.user_id"), col("click_ts"), col("buy_ts"), col("value"))
+  }
+
+  /** t10 batch gate: per-user attributed-pair vs organic-purchase
+    * accounting over the outer attribution join. */
+  private val organicAgg: Q = (s, dir) => {
+    val ev = T.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("value"))
+    attributionJoinOuter(clicks, buys)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("click_ts").isNotNull, 1L).otherwise(0L))
+          .as("n_attributed_pairs"),
+        sum(when(col("click_ts").isNull, 1L).otherwise(0L))
+          .as("n_organic"),
+        coalesce(round(T.moneySum(
+          when(col("click_ts").isNull, col("value"))), 2), lit(0.0))
+          .as("organic_revenue"))
+      .orderBy("user_id")
+  }
+
   /** t05 batch gate: attribute each purchase to the user's clicks in
     * the preceding 30 minutes and roll up per user. Purchases matching
     * several clicks count once per pair — the join's row set, not a
@@ -429,7 +473,8 @@ object Streaming extends QueryPack {
     "t04_stream_dedup" -> streamDedup,
     "t05_attribution_join" -> attributionAgg,
     "t06_stateful_profile" -> statefulUserProfile,
-    "t07_stream_static_enrich" -> streamStaticEnrich)
+    "t07_stream_static_enrich" -> streamStaticEnrich,
+    "t10_outer_attribution" -> organicAgg)
 
   val oracle: Map[String, String] = Map(
     // each event's 4 covering hour-windows enumerated from its 15-min
@@ -513,6 +558,27 @@ object Streaming extends QueryPack {
          |  AND p.buy_ts >= c.click_ts
          |  AND p.buy_ts < c.click_ts + INTERVAL 30 MINUTE
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t10_outer_attribution" ->
+      s"""WITH c AS (
+         |  SELECT user_id, ts AS click_ts FROM events
+         |  WHERE event_type = 'click'),
+         |p AS (
+         |  SELECT user_id, ts AS buy_ts, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT p.user_id, c.click_ts, p.value
+         |  FROM p LEFT JOIN c ON c.user_id = p.user_id
+         |    AND p.buy_ts >= c.click_ts
+         |    AND p.buy_ts < c.click_ts + INTERVAL 30 MINUTE)
+         |SELECT user_id,
+         |  CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_attributed_pairs,
+         |  CAST(SUM(CASE WHEN click_ts IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_organic,
+         |  COALESCE(ROUND(${T.oMoneySum(
+             "CASE WHEN click_ts IS NULL THEN value END")}, 2), 0.0)
+         |    AS organic_revenue
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // the state fold replayed relationally: cents sum + LAG-gap max
     "t06_stateful_profile" ->
       """WITH e AS (

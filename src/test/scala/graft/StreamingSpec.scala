@@ -379,6 +379,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("t10: streamed OUTER attribution equals batch; watermark " +
+      "eviction emits the organic (unmatched) purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = eventsStatic
+    val clicksStatic = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"))
+    val buysStatic = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("buy_ts"), $"value")
+
+    val memC = MemoryStream[(Long, java.sql.Timestamp)]
+    val memP = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = Streaming.attributionJoinOuter(
+        memC.toDF().toDF("user_id", "click_ts"),
+        memP.toDF().toDF("user_id", "buy_ts", "value"))
+      .writeStream.format("memory").queryName("t10_attr")
+      .outputMode("append").start()
+    try {
+      memC.addData(clicksStatic.as[(Long, java.sql.Timestamp)].collect().toSeq)
+      memP.addData(
+        buysStatic.as[(Long, java.sql.Timestamp, Double)].collect().toSeq)
+      q.processAllAvailable()
+      // Note: unmatched (null-click) rows appear WITHOUT any sentinel —
+      // the watermark computed at the end of the first batch is applied
+      // by the trailing no-data micro-batch, which evicts every click
+      // whose join window the max event time has passed. The sentinel
+      // rounds below only flush the stragglers near the stream's end.
+      val far = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      memC.addData(Seq((-1L, far))); memP.addData(Seq((-1L, far, 0.0)))
+      q.processAllAvailable()
+      memC.addData(Seq((-2L, far))); memP.addData(Seq((-2L, far, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.getTime).getOrElse(-1L),
+        r.getTimestamp(2).getTime, r.getDouble(3))
+    val streamed = spark.table("t10_attr").filter($"user_id" >= 0)
+      .collect().map(key).sorted
+    val batch = Streaming.attributionJoinOuter(clicksStatic, buysStatic)
+      .collect().map(key).sorted
+    assert(streamed.exists(_._2 == -1L),
+      "expected at least one organic (null-click) purchase")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("t07: stream-static enrichment joins each micro-batch against the dim") {
     implicit val sqlCtx = spark.sqlContext
     val static = eventsStatic.select($"user_id", $"event_type")
