@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Tables => T, QueryPack}
+import graft.core.{Tables => T, QueryPack, Scratch}
 
 /** Scale-pattern operators: the shuffle-shaping techniques the 100 TB
   * design notes promise (salting for skew; bucketing for co-located
@@ -354,7 +354,41 @@ object ScaleOps extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** k11: bucket-pruned co-located fact⋈fact join — BOTH sides written
+    * bucketed+sorted on the join key, then joined and rolled up with
+    * broadcast disabled, so the join itself is exchange-free (the
+    * 100 TB pattern: pay the shuffle once at write time, amortize it
+    * over every subsequent join; BucketingSpec holds the plan assert —
+    * zero Exchange on either side). Table FILES live under a
+    * per-invocation Scratch dir (external tables, JVM-exit cleanup) and
+    * names are invocation-unique so k03's concurrent harness can never
+    * collide. The bucketing must be invisible in the result — the
+    * oracle is the plain unbucketed join. */
+  private val bucketedColocatedJoin: Q = (s, dir) => {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val (ob, lb) = (s"orders_bk_$tag", s"lineitem_bk_$tag")
+    T.load(s, dir, "orders")
+      .write.option("path", Scratch.dir("k11_orders"))
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ob)
+    T.load(s, dir, "lineitem")
+      .write.option("path", Scratch.dir("k11_lineitem"))
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lb)
+    // MERGE hint, not a conf toggle: the frame plans lazily, so a
+    // set-then-restore of autoBroadcastJoinThreshold would be undone
+    // before execution — the hint rides the plan itself and keeps the
+    // join sort-merge (where bucketing eliminates both exchanges) at
+    // any scale factor.
+    s.table(lb).hint("merge")
+      .join(s.table(ob), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(T.moneySum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "k11_bucketed_join" -> bucketedColocatedJoin,
     "k07_bucketed_range_join" -> bucketedRangeJoin,
     "k08_auto_binned_range_join" -> autoBinnedRangeJoin,
     "k01_salted_agg" -> saltedAgg,
@@ -366,6 +400,12 @@ object ScaleOps extends QueryPack {
     "k10_hll_rollup" -> hllRollup)
 
   val oracle: Map[String, String] = Map(
+    // bucketing is a layout choice: the oracle is the plain join
+    "k11_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+         |  ROUND(${T.oMoneySum("l_extendedprice")}, 2) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the bucketing must be INVISIBLE in the result: the oracle is the
     // plain (unbucketed) range join — t05's semantics
     "k07_bucketed_range_join" ->
