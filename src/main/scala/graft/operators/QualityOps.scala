@@ -268,7 +268,53 @@ object QualityOps extends QueryPack {
       .orderBy("k")
   }
 
+  // ---- l67: cross-operator dedup consistency audit --------------------
+
+  /** l67: dedup-stack consistency audit — the honesty-of-signal check a
+    * layered dedup pipeline owes its operators: every EXACT duplicate
+    * pair (same normalized text, both docs long enough to shingle) must
+    * surface as a MinHash banding candidate (identical shingle sets ⇒
+    * identical signatures ⇒ identical band keys) and must confirm at
+    * Jaccard 1. `n_missed_by_banding` is structurally zero; a nonzero
+    * value means the banding or signature code broke, and this query —
+    * not a planted-fixture spec — is where it would surface on real
+    * data. Both sides are DuckDB-replayable (md5 exact pairs; the l07
+    * portable-signature candidate replay), so the audit itself is
+    * oracle-checked end to end.
+    *
+    * 100 TB shape: the exact-pair side shuffles only (fp, id); the
+    * candidate side is l07's banded equi-join; the final anti-join is
+    * pair-keyed. Nothing exceeds the standalone operators' cost. */
+  /** The audit over any docs-shaped frame — public so QualitySpec can
+    * drive the NONZERO path on planted duplicates (the synthetic corpus
+    * has exact-dup docs only from sf0.1 up, so the sf0.01 gate row
+    * exercises only the zero; the bench corpus exercises both). */
+  def dedupConsistencyStats(d: DataFrame): DataFrame = {
+    val eligible = d
+      .select(col("doc_id"), Text.norm(col("text")).as("nrm"),
+        Text.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), md5(col("nrm")).as("fp"))
+    val exactPairs = eligible.as("a")
+      .join(eligible.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = LlmOps.minhashCandidates(d)
+      .select(col("doc_a"), col("doc_b"), col("confirmed"))
+    exactPairs.join(cand, Seq("doc_a", "doc_b"), "left")
+      .agg(
+        count(lit(1)).as("n_exact_pairs"),
+        coalesce(sum(when(col("confirmed").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_missed_by_banding"),
+        coalesce(sum(when(col("confirmed") === true, 1L).otherwise(0L)),
+          lit(0L)).as("n_confirmed"))
+  }
+
+  private val dedupConsistency: Q = (s, dir) =>
+    dedupConsistencyStats(docs(s, dir))
+
   def queries: Map[String, Q] = Map(
+    "l67_dedup_consistency" -> dedupConsistency,
     "l62_gopher_rules" -> gopherRules,
     "l63_perplexity_bands" -> perplexityBands,
     "l64_fuzzy_dedup" -> fuzzyDedup,
@@ -341,6 +387,42 @@ object QualityOps extends QueryPack {
          |SELECT source, band, COUNT(*) AS n_docs,
          |  MIN(score) AS min_score, MAX(score) AS max_score
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "l67_dedup_consistency" -> {
+      val sh = Text.oMinhashShinglesSql("toks", 3)
+      val sig = Text.oMinhashSigSql("hh", 16)
+      val key = Text.oLshBandKeySql("sig", "b", 4)
+      s"""WITH t AS (SELECT doc_id, $oNorm AS nrm, $oToks AS toks
+         |  FROM documents),
+         |shf AS (
+         |  SELECT doc_id, sh FROM (SELECT doc_id, $sh AS sh FROM t)
+         |  WHERE len(sh) > 0),
+         |hs AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(sh, s -> ${Text.oPortableStrHashSql("s")}) AS hh
+         |  FROM shf),
+         |sigs AS (SELECT doc_id, $sig AS sig FROM hs),
+         |keyed AS (
+         |  SELECT doc_id, b AS band_idx, $key AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keyed a JOIN keyed b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |elig AS (
+         |  SELECT doc_id, md5(nrm) AS fp FROM t WHERE len(toks) >= 3),
+         |ex AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM elig a JOIN elig b
+         |    ON a.fp = b.fp AND a.doc_id < b.doc_id)
+         |SELECT COUNT(*) AS n_exact_pairs,
+         |  CAST(COALESCE(SUM(CASE WHEN p.doc_a IS NULL THEN 1 ELSE 0 END),
+         |    0) AS BIGINT) AS n_missed_by_banding,
+         |  CAST(COALESCE(SUM(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0
+         |    END), 0) AS BIGINT) AS n_confirmed
+         |FROM ex LEFT JOIN pairs p
+         |  ON ex.doc_a = p.doc_a AND ex.doc_b = p.doc_b""".stripMargin
+    },
     "l65_zipf_audit" ->
       s"""WITH t AS (
          |  SELECT source, unnest($oToks) AS tok FROM documents),

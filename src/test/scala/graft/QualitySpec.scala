@@ -84,6 +84,22 @@ class QualitySpec extends SparkSpec {
     assert(pairs(0).getAs[Long]("dist") == 1L)
   }
 
+  test("l67: planted exact dups are all banding candidates, all " +
+      "confirmed, none missed") {
+    // 3 exact copies of one doc (3 pairs) + 2 of another (1 pair) + a
+    // unique doc; every doc long enough to shingle.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine"
+    val u = "lone wolf document with no duplicate anywhere here"
+    val d = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b), (6L, u))
+      .map { case (id, t) => (id, "s", t) }
+      .toDF("doc_id", "source", "text")
+    val r = QualityOps.dedupConsistencyStats(d).collect()(0)
+    assert(r.getAs[Long]("n_exact_pairs") == 4L)
+    assert(r.getAs[Long]("n_missed_by_banding") == 0L)
+    assert(r.getAs[Long]("n_confirmed") == 4L)
+  }
+
   test("l64: identical docs land at distance zero") {
     val d = Seq((1L, "a", cleanDoc), (2L, "b", cleanDoc))
       .toDF("doc_id", "source", "text")
