@@ -399,10 +399,15 @@ object Windows extends QueryPack {
     val wn = w.rowsBetween(1, Window.unboundedFollowing)
     def obs(c: Column): Column = when(col("n") > 0, c)
     grid
-      .withColumn("prev_n", last(obs(col("n")), ignoreNulls = true).over(wp))
-      .withColumn("next_n", first(obs(col("n")), ignoreNulls = true).over(wn))
-      .withColumn("prev_ms", last(obs(col("ms")), ignoreNulls = true).over(wp))
-      .withColumn("next_ms", first(obs(col("ms")), ignoreNulls = true).over(wn))
+      // one select, not four withColumns: same-frame window expressions
+      // declared together collapse into TWO Window operators (backward,
+      // forward) over one sort — declared separately they planned as
+      // four sequential Window passes
+      .select(col("event_type"), col("stat_hour"), col("n"), col("ms"),
+        last(obs(col("n")), ignoreNulls = true).over(wp).as("prev_n"),
+        last(obs(col("ms")), ignoreNulls = true).over(wp).as("prev_ms"),
+        first(obs(col("n")), ignoreNulls = true).over(wn).as("next_n"),
+        first(obs(col("ms")), ignoreNulls = true).over(wn).as("next_ms"))
       .filter(col("n") === 0)
       .withColumn("interior",
         col("prev_n").isNotNull && col("next_n").isNotNull)
