@@ -106,4 +106,29 @@ class QualitySpec extends SparkSpec {
     val pairs = QualityOps.fuzzyPairs(d).collect()
     assert(pairs.length == 1 && pairs(0).getAs[Long]("dist") == 0L)
   }
+
+  test("l66 law: vocabulary coverage is monotone in k and bounded by " +
+      "the token mass") {
+    val rows = graft.SparkEntry.queries("l66_vocab_sweep")(spark, sfDir)
+      .orderBy("k").collect()
+    assert(rows.length == 4)
+    val covered = rows.map(_.getAs[Long]("covered_tokens"))
+    assert(covered.zip(covered.tail).forall { case (a, b) => a <= b },
+      s"coverage must be monotone in k: ${covered.toSeq}")
+    val total = rows.head.getAs[Long]("n_tokens")
+    assert(covered.forall(_ <= total))
+    val perm = rows.map(_.getAs[Long]("coverage_permille"))
+    assert(perm.forall(p => p >= 0 && p <= 1000))
+  }
+
+  test("l65 law: hapax and top-10 masses stay within their frames") {
+    graft.SparkEntry.queries("l65_zipf_audit")(spark, sfDir)
+      .collect().foreach { r =>
+        val vocab = r.getAs[Long]("vocab_size")
+        val toks = r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("n_hapax") <= vocab)
+        assert(r.getAs[Long]("top10_mass") <= toks)
+        assert(vocab <= toks)
+      }
+  }
 }
