@@ -425,6 +425,43 @@ object Windows extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** W16: seasonal-naive forecast backtest — the baseline every real
+    * forecast has to beat: predict hour t with the observation at
+    * t-168 (same hour last week), scored by per-series mean absolute
+    * error over the backtest window. Runs on the DENSE zero-filled
+    * grid (w11's spine) — on the sparse frame LAG(168) would silently
+    * compare across holes, the exact bug w11's scaladoc warns about.
+    * MAE is reported as integer micro-units (|err| sums are exact
+    * longs; one terminal div) so both engines agree bit-for-bit.
+    *
+    * 100 TB shape: same as w11/w15 — corpus pass is the hourly
+    * pre-aggregate, spine is a broadcast model frame, then ONE window
+    * sweep per series for the lag. */
+  private val seasonalNaive: Q = (s, dir) => {
+    val h = hourly(s, dir)
+    val bounds = h.agg(min(col("stat_hour")).as("h0"),
+      max(col("stat_hour")).as("h1"))
+    val spine = bounds
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)"))
+        .as("stat_hour"))
+    val types = h.select(col("event_type")).distinct()
+    val grid = spine.crossJoin(broadcast(types))
+      .join(h, Seq("event_type", "stat_hour"), "left")
+      .withColumn("n", coalesce(col("n_events"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("stat_hour"))
+    grid
+      .withColumn("pred", lag(col("n"), 168).over(w))
+      .filter(col("pred").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_scored_hours"),
+        sum(abs(col("n") - col("pred"))).as("abs_err_sum"),
+        sum(col("n")).as("actual_sum"))
+      .withColumn("mae_micro",
+        expr("(1000000 * abs_err_sum) div n_scored_hours"))
+      .orderBy("event_type")
+  }
+
   /** EWMA tap count: 8 taps at α=1/2 leaves (1/2)^8 ≈ 0.4% of the
     * kernel mass beyond the window — the truncation error bound. */
   private val ewmaTaps = 0 to 7
@@ -538,6 +575,7 @@ object Windows extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "w16_seasonal_naive" -> seasonalNaive,
     "w15_interpolate" -> interpolateGaps,
     "w14_rank_catalog" -> rankCatalog,
     "w13_peak_concurrency" -> peakConcurrency,
@@ -557,6 +595,33 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    "w16_seasonal_naive" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(stat_hour) AS h0, MAX(stat_hour) AS h1 FROM h),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+        |    AS stat_hour FROM b),
+        |grid AS (
+        |  SELECT t.event_type, s.stat_hour, COALESCE(h.n, 0) AS n
+        |  FROM (SELECT DISTINCT event_type FROM h) t
+        |  CROSS JOIN spine s
+        |  LEFT JOIN h ON h.event_type = t.event_type
+        |    AND h.stat_hour = s.stat_hour),
+        |g AS (
+        |  SELECT event_type, n,
+        |    lag(n, 168) OVER (PARTITION BY event_type
+        |      ORDER BY stat_hour) AS pred
+        |  FROM grid)
+        |SELECT event_type, COUNT(*) AS n_scored_hours,
+        |  CAST(SUM(abs(n - pred)) AS BIGINT) AS abs_err_sum,
+        |  CAST(SUM(n) AS BIGINT) AS actual_sum,
+        |  (1000000 * CAST(SUM(abs(n - pred)) AS BIGINT)) // COUNT(*)
+        |    AS mae_micro
+        |FROM g WHERE pred IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "w15_interpolate" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,
