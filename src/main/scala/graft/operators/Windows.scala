@@ -112,6 +112,18 @@ object Windows extends QueryPack {
     T.load(s, dir, "lineitem").limit(100)
       .agg(count(lit(1)).as("n_sampled"))
 
+  /** O6: pagination — total order + OFFSET/FETCH (`Dataset.offset`,
+    * Spark 3.4+). The plan stays a single TakeOrdered-style top-(k+off)
+    * with the offset dropped at the driver — no full sort materializes;
+    * the ordering key includes the unique o_orderkey so page membership
+    * is deterministic in both engines. */
+  private val offsetFetch: Q = (s, dir) =>
+    T.load(s, dir, "orders")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .offset(10).limit(20)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+
   /** W6-ext: the remaining ranking/navigation window functions —
     * dense_rank (no rank gaps), ntile quartiles, first_value over the
     * full partition frame. Monthly order counts per status, windowed
@@ -592,6 +604,7 @@ object Windows extends QueryPack {
     "w06_window_extras" -> windowExtras,
     "w07_time_range_window" -> timeRangeWindow,
     "o03_bare_limit" -> bareLimit,
+    "o06_offset_fetch" -> offsetFetch,
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
@@ -877,6 +890,11 @@ object Windows extends QueryPack {
          |ORDER BY b.l_returnflag, b.l_linestatus""".stripMargin,
     "o03_bare_limit" ->
       "SELECT COUNT(*) AS n_sampled FROM (SELECT * FROM lineitem LIMIT 100)",
+    "o06_offset_fetch" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 10""".stripMargin,
     "w06_window_extras" ->
       """SELECT o_orderstatus, m, n_orders,
         |  CAST(DENSE_RANK() OVER w AS BIGINT) AS dr,

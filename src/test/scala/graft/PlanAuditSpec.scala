@@ -60,6 +60,7 @@ class PlanAuditSpec extends SparkSpec {
     "l53_bpe_pairs", "l54_dataset_checksum", "l56_shard_manifest",
     "w07_time_range_window", "w08_pattern_runs", "w09_sessionization",
     "w10_anomaly_hours", "w11_gapfill", "w15_interpolate",
+    "w16_seasonal_naive",
     "x17_map_funcs", "l62_gopher_rules", "l64_fuzzy_dedup",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
@@ -137,5 +138,5 @@ class PlanAuditSpec extends SparkSpec {
     "l09_cosine_topk", "l18_decontamination", "k05_salted_join",
     "l36_pq_index", "l37_pq_search", "l38_ivfpq_search",
     "l39_hard_negatives", "l52_ann_recall", "w11_gapfill",
-    "w15_interpolate", "l10_embedding_neardup")
+    "w15_interpolate", "w16_seasonal_naive", "l10_embedding_neardup")
 }
