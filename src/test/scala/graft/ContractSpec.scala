@@ -19,6 +19,28 @@ class ContractSpec extends SparkSpec {
     assert(keys.forall(_.matches("[a-z][a-z0-9_]+")))
   }
 
+  test("testdata schema canary: every table loads; events.ts is a " +
+      "session timestamp") {
+    // The driver regenerated /root/testdata between rounds 7 and 8 with
+    // a changed events.ts physical type (INT64 nanos -> TIMESTAMP
+    // micros), which broke 20 tests mid-round. This canary makes the
+    // next drift fail HERE, by name, at round start.
+    import graft.core.{Tables => T}
+    import org.apache.spark.sql.types._
+    T.names.foreach { n =>
+      val df = T.load(spark, sfDir, n)
+      assert(df.columns.nonEmpty, s"$n loads no columns")
+    }
+    val ts = T.load(spark, sfDir, "events").schema("ts").dataType
+    assert(ts == TimestampType,
+      s"events.ts must load as TimestampType (got $ts) — update " +
+        "Tables.loadEvents for the new physical spelling")
+    val emb = T.load(spark, sfDir, "embeddings").schema("embedding").dataType
+    assert(emb == ArrayType(FloatType, containsNull = true) ||
+      emb == ArrayType(FloatType, containsNull = false),
+      s"embeddings.embedding must stay array<float> (got $emb)")
+  }
+
   test("oracle SQL never references scratch paths or engine internals") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.contains("target/scratch"), s"$k oracle reads scratch")
