@@ -229,6 +229,59 @@ object Scalars extends QueryPack {
       .orderBy("n_types")
   }
 
+  /** X18: UNPIVOT (melt) — the inverse of x08: a wide per-day frame
+    * (one column per event type, from the same explicit-values pivot)
+    * melted back to long (day, event_type, n) form with
+    * `Dataset.unpivot`, then rolled up. Wide→long is its own operator
+    * in every BI handoff; the oracle replays the melt as a UNION ALL
+    * of per-column selects (what unpivot compiles to). The pivot ⇄
+    * unpivot composition makes the pair's inverse-ness checkable: the
+    * rollup equals the direct long-form aggregate. */
+  private val unpivotCounts: Q = (s, dir) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = T.loadEvents(s, dir)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+    wide.unpivot(
+        ids = Array(col("dow")),
+        values = types.map(col).toArray,
+        variableColumnName = "event_type",
+        valueColumnName = "n")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        count(when(col("n") > 0, 1)).as("n_active_days"),
+        max(col("n")).as("peak_day_count"))
+      .orderBy("event_type")
+  }
+
+  /** X19: ANSI-safe arithmetic catalog — Spark 4 runs ANSI mode by
+    * default, where overflow/bad-cast/division-by-zero THROW; the
+    * `try_*` family (try_divide, try_cast, try_to_timestamp — the same
+    * discipline the ingest parser lives by) turns each failure into a
+    * NULL the pipeline can count instead of a job abort. The query
+    * manufactures each failure class deterministically and reports how
+    * many rows fall into it. */
+  private val tryArith: Q = (s, dir) =>
+    T.loadEvents(s, dir)
+      .select(
+        expr("try_divide(CAST(value AS DOUBLE)," +
+          " CAST(event_id % 5 AS DOUBLE))").as("ratio"),
+        expr("try_cast(CASE WHEN event_id % 7 = 0 THEN 'oops'" +
+          " ELSE CAST(user_id AS STRING) END AS BIGINT)").as("uid"),
+        expr("try_to_timestamp(CASE WHEN event_id % 11 = 0" +
+          " THEN 'not-a-date' ELSE date_format(ts," +
+          " 'yyyy-MM-dd HH:mm:ss') END)").as("parsed_ts"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("ratio").isNull, 1L).otherwise(0L))
+          .as("n_div_by_zero"),
+        sum(when(col("uid").isNull, 1L).otherwise(0L)).as("n_bad_casts"),
+        sum(when(col("parsed_ts").isNull, 1L).otherwise(0L))
+          .as("n_bad_timestamps"))
+
   /** X8: pivot — event counts spread into one column per event type.
     * The value list is EXPLICIT: Spark's values-less pivot runs an
     * extra distinct pass over the data to discover the columns and
@@ -430,6 +483,8 @@ object Scalars extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "x18_unpivot" -> unpivotCounts,
+    "x19_try_arith" -> tryArith,
     "x17_map_funcs" -> mapCatalog,
     "x16_bitwise" -> bitwiseOps,
     "x15_order_stats" -> orderStats,
@@ -451,6 +506,42 @@ object Scalars extends QueryPack {
   val oracle: Map[String, String] = Map(
     // DuckDB XOR is xor()/bit_xor() — its ^ operator is POWER; SUMs
     // over TINYINT popcounts escalate to HUGEINT, hence the casts
+    "x18_unpivot" ->
+      // the melt replayed as UNION ALL of per-column selects over the
+      // same wide frame (what unpivot compiles to)
+      """WITH wide AS (
+        |  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS click,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS error,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS purchase,
+        |    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS signup,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS view
+        |  FROM events GROUP BY 1),
+        |long AS (
+        |  SELECT dow, 'click' AS event_type, click AS n FROM wide
+        |  UNION ALL SELECT dow, 'error', error FROM wide
+        |  UNION ALL SELECT dow, 'purchase', purchase FROM wide
+        |  UNION ALL SELECT dow, 'signup', signup FROM wide
+        |  UNION ALL SELECT dow, 'view', view FROM wide)
+        |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_active_days,
+        |  CAST(MAX(n) AS BIGINT) AS peak_day_count
+        |FROM long GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x19_try_arith" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_div_by_zero,
+        |  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bad_casts,
+        |  CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bad_timestamps
+        |FROM events""".stripMargin,
     "x17_map_funcs" ->
       """WITH pt AS (
         |  SELECT user_id, event_type, COUNT(*) AS c
