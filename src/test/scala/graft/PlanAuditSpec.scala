@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "w07_time_range_window", "w08_pattern_runs", "w09_sessionization",
     "w10_anomaly_hours", "w11_gapfill", "w15_interpolate",
     "w16_seasonal_naive",
-    "x17_map_funcs", "l62_gopher_rules", "l64_fuzzy_dedup",
+    "x17_map_funcs", "x18_unpivot", "x19_try_arith",
+    "o06_offset_fetch", "l62_gopher_rules", "l64_fuzzy_dedup",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
 
