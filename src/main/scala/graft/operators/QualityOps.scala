@@ -313,7 +313,30 @@ object QualityOps extends QueryPack {
   private val dedupConsistency: Q = (s, dir) =>
     dedupConsistencyStats(docs(s, dir))
 
+  // ---- l68: near-dup threshold sweep ----------------------------------
+
+  /** l68: Jaccard threshold sweep — cumulative candidate-pair counts at
+    * the thresholds a dedup rollout actually argues about (0.5 … 1.0),
+    * from ONE banding pass. l07 reports the single production threshold;
+    * this is the curve that justified it — too aggressive (0.5) merges
+    * near-topics, too lax (0.95) only catches near-exact copies, and
+    * the knee lives in this table. Cost: identical to l07 (the sweep
+    * adds only conditional sums on the already-computed confirm score);
+    * both engines compute jaccard as the same int/int IEEE division, so
+    * threshold comparisons are bit-safe. */
+  private val jaccardSweep: Q = (s, dir) => {
+    val cand = LlmOps.minhashCandidates(docs(s, dir))
+    def ge(t: Double, n: String) =
+      coalesce(sum(when(col("jaccard") >= t, 1L).otherwise(0L)), lit(0L))
+        .as(n)
+    cand.agg(
+      count(lit(1)).as("n_candidates"),
+      ge(0.5, "n_ge_50"), ge(0.7, "n_ge_70"), ge(0.8, "n_ge_80"),
+      ge(0.9, "n_ge_90"), ge(1.0, "n_exact"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "l68_jaccard_sweep" -> jaccardSweep,
     "l67_dedup_consistency" -> dedupConsistency,
     "l62_gopher_rules" -> gopherRules,
     "l63_perplexity_bands" -> perplexityBands,
@@ -387,6 +410,47 @@ object QualityOps extends QueryPack {
          |SELECT source, band, COUNT(*) AS n_docs,
          |  MIN(score) AS min_score, MAX(score) AS max_score
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "l68_jaccard_sweep" -> {
+      val sh = Text.oMinhashShinglesSql("toks", 3)
+      val sig = Text.oMinhashSigSql("hh", 16)
+      val key = Text.oLshBandKeySql("sig", "b", 4)
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |shf AS (
+         |  SELECT doc_id, sh FROM (SELECT doc_id, $sh AS sh FROM t)
+         |  WHERE len(sh) > 0),
+         |hs AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(sh, s -> ${Text.oPortableStrHashSql("s")}) AS hh
+         |  FROM shf),
+         |sigs AS (SELECT doc_id, $sig AS sig FROM hs),
+         |keyed AS (
+         |  SELECT doc_id, b AS band_idx, $key AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keyed a JOIN keyed b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |conf AS (
+         |  SELECT CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+         |      AS j
+         |  FROM pairs p
+         |  JOIN shf x ON x.doc_id = p.doc_a
+         |  JOIN shf y ON y.doc_id = p.doc_b)
+         |SELECT COUNT(*) AS n_candidates,
+         |  CAST(COALESCE(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_ge_50,
+         |  CAST(COALESCE(SUM(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_ge_70,
+         |  CAST(COALESCE(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_ge_80,
+         |  CAST(COALESCE(SUM(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_ge_90,
+         |  CAST(COALESCE(SUM(CASE WHEN j >= 1.0 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_exact
+         |FROM conf""".stripMargin
+    },
     "l67_dedup_consistency" -> {
       val sh = Text.oMinhashShinglesSql("toks", 3)
       val sig = Text.oMinhashSigSql("hh", 16)
