@@ -347,6 +347,35 @@ object QualityOps extends QueryPack {
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
 
+  /** Shared oracle CTE chain for the MinHash banding replay (l67/l68):
+    * tokenize → shingle → portable hashes → signatures → band keys →
+    * DISTINCT candidate pairs. One spelling, two oracles — the same
+    * anti-drift discipline as CurationOps.oSpanCtes. Callers append
+    * their own CTEs after the trailing `pairs` entry. */
+  private def oBandingCtes: String = {
+    val sh = Text.oMinhashShinglesSql("toks", 3)
+    val sig = Text.oMinhashSigSql("hh", 16)
+    val key = Text.oLshBandKeySql("sig", "b", 4)
+    s"""t AS (SELECT doc_id, $oNorm AS nrm, $oToks AS toks
+       |  FROM documents),
+       |shf AS (
+       |  SELECT doc_id, sh FROM (SELECT doc_id, $sh AS sh FROM t)
+       |  WHERE len(sh) > 0),
+       |hs AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(sh, s -> ${Text.oPortableStrHashSql("s")}) AS hh
+       |  FROM shf),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM hs),
+       |keyed AS (
+       |  SELECT doc_id, b AS band_idx, $key AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "l62_gopher_rules" ->
       // Dominance (top_tok) via unnest + per-(doc, token) counts: the
@@ -411,26 +440,7 @@ object QualityOps extends QueryPack {
          |  MIN(score) AS min_score, MAX(score) AS max_score
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "l68_jaccard_sweep" -> {
-      val sh = Text.oMinhashShinglesSql("toks", 3)
-      val sig = Text.oMinhashSigSql("hh", 16)
-      val key = Text.oLshBandKeySql("sig", "b", 4)
-      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
-         |shf AS (
-         |  SELECT doc_id, sh FROM (SELECT doc_id, $sh AS sh FROM t)
-         |  WHERE len(sh) > 0),
-         |hs AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(sh, s -> ${Text.oPortableStrHashSql("s")}) AS hh
-         |  FROM shf),
-         |sigs AS (SELECT doc_id, $sig AS sig FROM hs),
-         |keyed AS (
-         |  SELECT doc_id, b AS band_idx, $key AS band_key
-         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM keyed a JOIN keyed b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id),
+      s"""WITH $oBandingCtes,
          |conf AS (
          |  SELECT CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
          |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
@@ -452,27 +462,7 @@ object QualityOps extends QueryPack {
          |FROM conf""".stripMargin
     },
     "l67_dedup_consistency" -> {
-      val sh = Text.oMinhashShinglesSql("toks", 3)
-      val sig = Text.oMinhashSigSql("hh", 16)
-      val key = Text.oLshBandKeySql("sig", "b", 4)
-      s"""WITH t AS (SELECT doc_id, $oNorm AS nrm, $oToks AS toks
-         |  FROM documents),
-         |shf AS (
-         |  SELECT doc_id, sh FROM (SELECT doc_id, $sh AS sh FROM t)
-         |  WHERE len(sh) > 0),
-         |hs AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(sh, s -> ${Text.oPortableStrHashSql("s")}) AS hh
-         |  FROM shf),
-         |sigs AS (SELECT doc_id, $sig AS sig FROM hs),
-         |keyed AS (
-         |  SELECT doc_id, b AS band_idx, $key AS band_key
-         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM keyed a JOIN keyed b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id),
+      s"""WITH $oBandingCtes,
          |elig AS (
          |  SELECT doc_id, md5(nrm) AS fp FROM t WHERE len(toks) >= 3),
          |ex AS (
