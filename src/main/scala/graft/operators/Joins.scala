@@ -661,9 +661,10 @@ object Joins extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     // recursive CTE with UNION-distinct frontier; min-hop per node
-    // replayed relationally, depth bound matches bfsDepth
+    // replayed relationally; the depth bound interpolates bfsDepth so
+    // the two sides cannot drift
     "q30_bfs_hops" ->
-      """WITH RECURSIVE items AS (
+      s"""WITH RECURSIVE items AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
         |e AS (
@@ -677,7 +678,7 @@ object Joins extends QueryPack {
         |  UNION
         |  SELECT ud.b, bfs.dpt + 1
         |  FROM bfs JOIN ud ON ud.a = bfs.node
-        |  WHERE bfs.dpt < 3),
+        |  WHERE bfs.dpt < $bfsDepth),
         |m AS (SELECT node, MIN(dpt) AS d FROM bfs GROUP BY 1)
         |SELECT d, COUNT(*) AS n_nodes FROM m GROUP BY 1 ORDER BY 1"""
         .stripMargin,

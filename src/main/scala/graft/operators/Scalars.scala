@@ -263,10 +263,20 @@ object Scalars extends QueryPack {
     * discipline the ingest parser lives by) turns each failure into a
     * NULL the pipeline can count instead of a job abort. The query
     * manufactures each failure class deterministically and reports how
-    * many rows fall into it. */
+    * many rows fall into it. Each count conditions on BOTH the NULL
+    * output and its planted trigger (event_id modulus): a source row
+    * with a natural NULL value/user_id/ts would also NULL the try_*
+    * output, and counting it would silently diverge from the oracle
+    * (which counts the trigger classes only) the day testdata grows
+    * nullable rows — today's data has none, but the query shouldn't
+    * depend on that. The inner `when` still proves the try_* function
+    * fired (trigger rows where the output is somehow NOT null count
+    * as 0, failing the hash check loudly instead of passing
+    * vacuously). */
   private val tryArith: Q = (s, dir) =>
     T.loadEvents(s, dir)
       .select(
+        col("event_id"),
         expr("try_divide(CAST(value AS DOUBLE)," +
           " CAST(event_id % 5 AS DOUBLE))").as("ratio"),
         expr("try_cast(CASE WHEN event_id % 7 = 0 THEN 'oops'" +
@@ -276,11 +286,12 @@ object Scalars extends QueryPack {
           " 'yyyy-MM-dd HH:mm:ss') END)").as("parsed_ts"))
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col("ratio").isNull, 1L).otherwise(0L))
-          .as("n_div_by_zero"),
-        sum(when(col("uid").isNull, 1L).otherwise(0L)).as("n_bad_casts"),
-        sum(when(col("parsed_ts").isNull, 1L).otherwise(0L))
-          .as("n_bad_timestamps"))
+        sum(when(col("event_id") % 5 === 0 && col("ratio").isNull, 1L)
+          .otherwise(0L)).as("n_div_by_zero"),
+        sum(when(col("event_id") % 7 === 0 && col("uid").isNull, 1L)
+          .otherwise(0L)).as("n_bad_casts"),
+        sum(when(col("event_id") % 11 === 0 && col("parsed_ts").isNull, 1L)
+          .otherwise(0L)).as("n_bad_timestamps"))
 
   /** X8: pivot — event counts spread into one column per event type.
     * The value list is EXPLICIT: Spark's values-less pivot runs an
