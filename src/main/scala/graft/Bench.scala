@@ -58,9 +58,15 @@ object Bench {
     // window. Letting the JVM collect on its own schedule keeps cleanup
     // amortized. Timing variance on a shared box is real either way;
     // compare per-query numbers across rounds, not within one run.
+    // Keep the warmup timing instead of discarding it: a contended run
+    // is then self-evident in BENCH_DETAIL.json (warmup ≈ timed ⇒ the
+    // box was steady; warmup ≪ timed ⇒ something stole the timed
+    // window — the r8 driver bench recorded l67 at 84 s on a box whose
+    // idle time is 0.8 s, and this field is the receipt that would
+    // have shown it). The REPORTED number stays the second run.
     val results = selected.map { case (name, fn) =>
-      runOnce(fn) // warmup: discard
-      name -> runOnce(fn)
+      val warm = runOnce(fn)
+      (name, runOnce(fn), warm)
     }
     // The driver captures only the last ~2000 chars of sbt output, so the
     // one printed JSON line must stay well under that (it never parsed in
@@ -74,21 +80,25 @@ object Bench {
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map {
-      case (k, Right(sec)) => s""""${shortKey(k)}":${f3(sec)}"""
-      case (k, Left(_))    => s""""${shortKey(k)}":-1"""
+      case (k, Right(sec), _) => s""""${shortKey(k)}":${f3(sec)}"""
+      case (k, Left(_), _)    => s""""${shortKey(k)}":-1"""
     }.mkString("{", ",", "}")
     import graft.core.Jsonish.jstr
     val statuses = results.map {
-      case (k, Right(sec)) => s""""$k":${f3(sec)}"""
-      case (k, Left(err)) => s""""$k":${jstr(s"error: $err")}"""
+      case (k, Right(sec), _) => s""""$k":${f3(sec)}"""
+      case (k, Left(err), _) => s""""$k":${jstr(s"error: $err")}"""
     }.mkString("{", ",", "}")
-    val ok = results.collect { case (_, Right(s)) => s }
+    val warmups = results.map {
+      case (k, _, Right(sec)) => s""""$k":${f3(sec)}"""
+      case (k, _, Left(_))    => s""""$k":-1"""
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, Right(s), _) => s }
     val total = ok.sum
     val nErr = results.count(_._2.isLeft)
     val sf = sfDir.split('/').last
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_error":$nErr,"sf":"$sfDir","queries":$statuses}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_error":$nErr,"sf":"$sfDir","queries":$statuses,"warmup":$warmups}""")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_error":$nErr,"sf":"$sf"}""")
     spark.stop()

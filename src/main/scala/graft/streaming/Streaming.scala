@@ -457,6 +457,51 @@ object Streaming extends QueryPack {
     * counts and sizes from 30-minute-gap sessionization. The oracle
     * recomputes sessions as a gaps-and-islands query (LAG + running
     * sum of session starts). */
+  /** t08: the SAME per-user profile as t06, but through Spark 4's
+    * `transformWithState` run in BATCH mode — Spark plans the
+    * StatefulProcessor over a batch Dataset by handing each key its
+    * full row set in one `handleInputRows` call, so one invocation of
+    * [[advanceProfile]] from the empty state IS the batch fold (the
+    * slice-sorted transition makes the single-slice and the
+    * StreamingSpec multi-slice paths literally the same code). This
+    * entry puts the t-family's last spec-only operator under the
+    * DuckDB gate: the oracle is t06's window-function replay, so the
+    * processor's transition — not just its plumbing — is
+    * oracle-checked. Scale shape: identical to t06 (one shuffle on
+    * user_id, per-key memory bounded by one user's history); in
+    * streaming, state is O(users) ValueState entries. */
+  private val transformWithStateProfile: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // transformWithState runs only on the RocksDB provider (Spark 4
+    // rejects the HDFS-backed default) — also the provider a 100 TB
+    // deployment picks, since its state lives off-heap and spills.
+    // Set session-wide and LEFT set: the frame plans lazily, so a
+    // set-then-restore here would be undone before execution (the k11
+    // MERGE-hint lesson); no other batch entry touches a state store.
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+    // Batch TransformWithStateExec still resolves the driver-side
+    // StateStoreCoordinator RPC endpoint, but only a running streaming
+    // query registers it — a pure-batch session throws
+    // RpcEndpointNotFoundException at execution. Touch the query
+    // manager's lazy coordinator (private[sql] ⇒ public in bytecode,
+    // hence the one reflective call) so the endpoint exists before the
+    // frame executes; idempotent for the session's lifetime.
+    s.streams.getClass.getMethod("stateStoreCoordinator").invoke(s.streams)
+    T.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor(),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+      .select(col("user_id"), col("n_events"),
+        col("total_value"), col("max_gap_ms"))
+      .orderBy("user_id")
+  }
+
   private val sessionAgg: Q = (s, dir) =>
     sessionStats(T.load(s, dir, "events"), "ts", "user_id")
       .groupBy(col("user_id"))
@@ -474,6 +519,7 @@ object Streaming extends QueryPack {
     "t05_attribution_join" -> attributionAgg,
     "t06_stateful_profile" -> statefulUserProfile,
     "t07_stream_static_enrich" -> streamStaticEnrich,
+    "t08_transform_with_state" -> transformWithStateProfile,
     "t10_outer_attribution" -> organicAgg)
 
   val oracle: Map[String, String] = Map(
@@ -579,6 +625,21 @@ object Streaming extends QueryPack {
              "CASE WHEN click_ts IS NULL THEN value END")}, 2), 0.0)
          |    AS organic_revenue
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t08 ≡ t06 by construction (same transition, same fold) — the
+    // shared relational replay is exactly the anti-drift point: if the
+    // StatefulProcessor's transition ever diverged from mapGroups',
+    // one of the two rows would break the hash check
+    "t08_transform_with_state" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS total_value,
+        |  CAST(COALESCE(MAX(ms - prev_ms), 0) AS BIGINT) AS max_gap_ms
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // the state fold replayed relationally: cents sum + LAG-gap max
     "t06_stateful_profile" ->
       """WITH e AS (
