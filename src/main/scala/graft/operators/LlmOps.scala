@@ -1445,10 +1445,84 @@ object LlmOps extends QueryPack {
         sum(col("n_sampled")).cast("long").as("total_sampled"),
         sum(col("sampled_bytes")).cast("long").as("total_sampled_bytes"))
 
+  /** l69: REAL media decode under the oracle — even doc_ids carry a
+    * planted binary-PPM image (dimensions and pixel bytes closed-form
+    * in doc_id), odd ids a PCM16 RIFF/WAVE payload; the per-partition
+    * stage runs the actual header-walk decoders
+    * ([[Multimodal.decodePpm]]/[[Multimodal.decodeWav]]) and the
+    * DuckDB oracle replays the pixel/sample arithmetic without ever
+    * seeing a byte — a mis-parsed width, a channel-order slip, or an
+    * endianness bug in the sample walk each shifts a checksum and
+    * fails the hash compare. Payload construction AND decode both
+    * live in one mapPartitions pass, so nothing but the final
+    * per-modality stat rows ever shuffles. */
+  private val mediaDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes =
+          if (id % 2 == 0) {
+            val w = 4 + (id % 5).toInt
+            val h = 3 + (id % 3).toInt
+            Multimodal.encodePpm(w, h, j => ((id * 31 + j) % 256).toInt)
+          } else {
+            val n = 64 + (id % 33).toInt
+            Multimodal.encodeWav(8000, Array.tabulate(n)(i =>
+              ((id * 7 + i) % 2048 - 1024).toShort))
+          }
+        (id, bytes)
+      }).toDF("doc_id", "media_bytes")
+    Multimodal.decode(s, media)
+      .select(col("modality"),
+        when(col("modality") === "image",
+          element_at(col("feature"), 1) * element_at(col("feature"), 2))
+          .otherwise(element_at(col("feature"), 3))
+          .cast("long").as("units"),
+        when(col("modality") === "image",
+          element_at(col("feature"), 3) + element_at(col("feature"), 4) +
+            element_at(col("feature"), 5))
+          .otherwise(element_at(col("feature"), 4))
+          .cast("long").as("checksum"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("units")).cast("long").as("total_units"),
+        sum(col("checksum")).cast("long").as("total_checksum"))
+      .orderBy("modality")
+  }
+
+  /** l70: frame sampling FEEDING the real decoder — each doc carries a
+    * video-style payload of `2 + doc_id % 7` fixed-size frames, every
+    * frame itself a complete 4×2 binary PPM (35 bytes: 11 header + 24
+    * RGB). [[Multimodal.frameSampleDecode]] slices the byte stream,
+    * keeps every 2nd frame, and PPM-decodes exactly the kept ones —
+    * sampling before decode, the economy the stage exists for. The
+    * oracle replays sampled-frame indices and their pixel sums in
+    * closed form; n_decoded ≡ n_sampled here because every planted
+    * frame is complete, and THAT equality is itself oracle-checked
+    * (a slicing bug that hands the decoder a short or misaligned
+    * frame breaks it). */
+  private val videoFrameDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nf = 2 + (id % 7).toInt
+        val bytes = (0 until nf).toArray.flatMap(f =>
+          Multimodal.encodePpm(4, 2,
+            j => ((id * 13 + f * 97 + j) % 256).toInt))
+        (id, bytes)
+      }).toDF("doc_id", "media_bytes")
+    Multimodal.frameSampleDecode(s, media, frameBytes = 35, every = 2)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_frames")).cast("long").as("total_frames"),
+        sum(col("n_sampled")).cast("long").as("total_sampled"),
+        sum(col("n_decoded")).cast("long").as("total_decoded"),
+        sum(col("checksum")).cast("long").as("total_checksum"))
+  }
+
   /** l12: multimodal column plumbing: media as an opaque binary column
-    * + typed metadata struct (the decode/feature kernel itself is the
-    * stubbed per-partition stage in LlmSpec — media codecs aren't in
-    * this build). Byte-level stats are checked against the oracle. */
+    * + typed metadata struct; byte-level stats are checked against the
+    * oracle. The decode kernel the plumbing feeds is the REAL
+    * header-walk decoder pair exercised by l69/l70. */
   private val multimodalStats: Q = (s, dir) =>
     Multimodal.asMedia(docs(s, dir), carry = Seq("source"))
       .select(col("source"),
@@ -1688,6 +1762,8 @@ object LlmOps extends QueryPack {
     "l11_ann_buckets" -> annBuckets,
     "l12_multimodal_stats" -> multimodalStats,
     "l35_frame_sampling" -> frameSampling,
+    "l69_media_decode" -> mediaDecode,
+    "l70_video_frame_decode" -> videoFrameDecode,
     "l13_token_jaccard" -> tokenJaccard,
     "l14_ivf_index" -> ivfIndex,
     "l15_ivf_search" -> ivfSearchQ,
@@ -2073,6 +2149,52 @@ object LlmOps extends QueryPack {
          |  MAX(jaccard_next) AS max_jaccard,
          |  MIN(jaccard_next) AS min_jaccard
          |FROM pairs""".stripMargin,
+    // the decode arithmetic replayed in closed form over doc_id — the
+    // oracle never sees a payload byte, so it can only agree with the
+    // Spark side if the header walks recover the exact dimensions,
+    // channel order, and sample values that were encoded
+    "l69_media_decode" ->
+      """WITH im AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |imr AS (
+        |  SELECT 'image' AS modality, w * h AS units,
+        |    list_sum(list_transform(range(0, 3 * w * h),
+        |      j -> (doc_id * 31 + j) % 256)) AS checksum
+        |  FROM im),
+        |au AS (
+        |  SELECT doc_id, 64 + doc_id % 33 AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |aur AS (
+        |  SELECT 'audio' AS modality, n AS units,
+        |    list_sum(list_transform(range(0, n),
+        |      i -> (doc_id * 7 + i) % 2048 - 1024)) AS checksum
+        |  FROM au),
+        |u AS (SELECT * FROM imr UNION ALL SELECT * FROM aur)
+        |SELECT modality, COUNT(*) AS n_items,
+        |  CAST(SUM(units) AS BIGINT) AS total_units,
+        |  CAST(SUM(checksum) AS BIGINT) AS total_checksum
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sampled-frame indices (every 2nd of nf) and their 24 pixel bytes
+    // replayed per doc; total_decoded = total_sampled is the planted
+    // invariant (all frames complete) the Spark side must re-derive by
+    // actually decoding
+    "l70_video_frame_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 7 AS nf FROM documents),
+        |p AS (
+        |  SELECT doc_id, nf, (nf + 1) // 2 AS n_sampled,
+        |    list_sum(list_transform(
+        |      list_filter(range(0, nf), f -> f % 2 = 0),
+        |      f -> list_sum(list_transform(range(0, 24),
+        |        j -> (doc_id * 13 + f * 97 + j) % 256)))) AS checksum
+        |  FROM d)
+        |SELECT COUNT(*) AS n_items,
+        |  CAST(SUM(nf) AS BIGINT) AS total_frames,
+        |  CAST(SUM(n_sampled) AS BIGINT) AS total_sampled,
+        |  CAST(SUM(n_sampled) AS BIGINT) AS total_decoded,
+        |  CAST(SUM(checksum) AS BIGINT) AS total_checksum
+        |FROM p""".stripMargin,
     "l12_multimodal_stats" ->
       """SELECT source, COUNT(*) AS n_items,
         |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,

@@ -163,20 +163,92 @@ class LlmSpec extends SparkSpec {
     assert(all.filter($"bucket" === lit(qBucket)).count() < all.count())
   }
 
-  test("multimodal: binary column + stubbed per-partition decode keeps schema and rows") {
+  test("multimodal: binary column + per-partition decode keeps schema and rows") {
     import graft.operators.Multimodal
     val media = Multimodal.asMedia(T.load(spark, sfDir, "documents").limit(50))
     // compare shape, not nullability flags (struct() is non-nullable)
     assert(media.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
       Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
-    val decoded = Multimodal.decodeStub(spark, media)
+    val decoded = Multimodal.decode(spark, media)
     assert(decoded.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
       Multimodal.featureSchema.fields.map(f => (f.name, f.dataType.sql)).toSeq,
       "encoder-derived output schema drifted from the declared featureSchema")
     assert(decoded.count() == 50)
     val row = decoded.orderBy("doc_id").head()
-    assert(row.getSeq[Double](2).length == 4)
+    // text payloads claim no codec magic → opaque byte-window features
+    assert(row.getAs[String]("modality") == "opaque")
+    assert(row.getSeq[Double](3).length == 4)
     assert(row.getAs[Int]("n_bytes") > 0)
+  }
+
+  test("multimodal: PPM decoder recovers planted dimensions and channel sums") {
+    import graft.operators.Multimodal
+    // 2×2 image, pixel bytes 0..11: R bytes {0,3,6,9}=18,
+    // G {1,4,7,10}=22, B {2,5,8,11}=26
+    val im = Multimodal.decodePpm(Multimodal.encodePpm(2, 2, j => j)).get
+    assert((im.width, im.height) == ((2, 2)))
+    assert((im.rSum, im.gSum, im.bSum) == ((18L, 22L, 26L)))
+    // netpbm grammar corners: comments in the header, trailing junk ok
+    val commented = ("P6\n# a comment\n2 1 # inline\n255\n".getBytes("US-ASCII")
+      ++ Array.tabulate[Byte](6)(_.toByte) ++ Array[Byte](99, 99))
+    val c = Multimodal.decodePpm(commented).get
+    assert((c.width, c.height, c.rSum + c.gSum + c.bSum) == ((2, 1, 15L)))
+    // structural violations → None, not garbage
+    assert(Multimodal.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm(
+      Multimodal.encodePpm(2, 2, j => j).dropRight(1)).isEmpty) // short raster
+    assert(Multimodal.decodePpm(
+      "P6\n2 2\n65535\n".getBytes("US-ASCII")).isEmpty) // 2-byte maxval
+  }
+
+  test("multimodal: WAV decoder walks RIFF chunks to the exact sample sum") {
+    import graft.operators.Multimodal
+    val samples = Array[Short](100, -200, 300, -400, 32767, -32768)
+    val au = Multimodal.decodeWav(Multimodal.encodeWav(44100, samples)).get
+    assert((au.channels, au.sampleRate, au.bitsPerSample) == ((1, 44100, 16)))
+    assert(au.nSamples == 6L)
+    assert(au.sampleSum == samples.map(_.toLong).sum)
+    // an unknown odd-sized chunk between fmt and data must be skipped
+    // with RIFF word alignment
+    val wav = Multimodal.encodeWav(8000, Array[Short](5, 7))
+    val fmtEnd = 12 + 8 + 16
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 1, 2, 3, 0) // size 3 + pad byte
+    val padded = wav.slice(0, fmtEnd) ++ junk ++ wav.drop(fmtEnd)
+    val au2 = Multimodal.decodeWav(padded).get
+    assert((au2.nSamples, au2.sampleSum) == ((2L, 12L)))
+    // truncated data chunk → None
+    assert(Multimodal.decodeWav(wav.dropRight(1)).isEmpty)
+  }
+
+  test("multimodal: corrupt payloads are reported, never reclassified") {
+    import graft.operators.Multimodal
+    assert(Multimodal.decodeOne("P6\n9 9\n255\nxx".getBytes("US-ASCII"))._1
+      == "corrupt")
+    assert(Multimodal.decodeOne(
+      Multimodal.encodeWav(8000, Array[Short](1)).dropRight(1))._1
+      == "corrupt")
+    assert(Multimodal.decodeOne("plain text".getBytes("US-ASCII"))._1
+      == "opaque")
+  }
+
+  test("multimodal: frame-sample-decode decodes only sampled frames and " +
+      "accounts for a truncated tail") {
+    import graft.operators.Multimodal
+    // frame = complete 1×1 PPM: 11 header bytes ("P6\n1 1\n255\n") + 3 RGB
+    def frame(v: Int) = Multimodal.encodePpm(1, 1, _ => v)
+    val fb = frame(1).length
+    assert(fb == 14)
+    val whole = (0 until 5).toArray.flatMap(frame) // frames 0..4
+    val cut = whole.dropRight(2)                   // frame 4 truncated
+    val d = Seq((1L, whole), (2L, cut)).toDF("doc_id", "media_bytes")
+    val r = Multimodal.frameSampleDecode(spark, d, fb, every = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // frames {0,2,4} sampled; checksum = 3·v summed over decoded frames
+    assert(r(1L) == ((5L, 3L, 3L, 18L)))
+    // truncated tail frame still counted as sampled, but NOT decoded
+    assert(r(2L) == ((5L, 3L, 2L, 6L)))
   }
 
   test("multimodal: frame sampler hits the exact stride/boundary cases") {
