@@ -236,9 +236,10 @@ object Multimodal {
   /** Frame sampling over the opaque payload — the video-style stage:
     * treat the byte stream as fixed-size frames, keep every `every`-th
     * (a real pipeline decodes only those — sampling must happen BEFORE
-    * decode to be worth anything). The frame slicing here is real byte
-    * work on the payload; only the per-frame decode remains stubbed.
-    * Same per-partition shape as [[decodeStub]]: payloads never
+    * decode to be worth anything). This variant counts frames without
+    * decoding (payload-agnostic); [[frameSampleDecode]] is the variant
+    * that runs the real PPM decoder on the kept frames.
+    * Same per-partition shape as [[decode]]: payloads never
     * shuffle, the sampler runs on the scan partitioning, and the
     * output is a tiny per-item stat row. */
   def frameSample(spark: SparkSession, media: DataFrame,
