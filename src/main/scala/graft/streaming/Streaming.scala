@@ -22,9 +22,13 @@ import graft.operators.Ingest
   * the same answer as the batch query over the data seen so far.
   *
   * Event-time note (T3, SURVEY §7.4.7): Beam windowed on Pub/Sub publish
-  * time; we window on the record's event-time column — the declared
-  * semantics, not broker timing. Lateness (T4) is a parameter; the
-  * reference configures none, i.e. zero allowed lateness.
+  * time; we default to the record's event-time column — the declared
+  * semantics, not broker timing. The divergence is now a CONFIG KNOB,
+  * not just documentation: `Config(clock = IngestionTimeClock(col))`
+  * windows (and watermarks) on a source-stamped arrival column, the
+  * publish-time analog — spec'd stream ≡ batch in StreamingSpec.
+  * Lateness (T4) is a parameter; the reference configures none, i.e.
+  * zero allowed lateness.
   *
   * Scale notes: a streaming windowed aggregate shuffles on (window, key)
   * with partial aggregation per micro-batch and state-store backing; the
@@ -33,19 +37,42 @@ import graft.operators.Ingest
   */
 object Streaming extends QueryPack {
 
+  /** T3 knob: which clock drives the windows. [[EventTimeClock]]
+    * windows on the record's own event-time column (graft's default,
+    * and the declared semantics a data contract can reason about);
+    * [[IngestionTimeClock]] windows on a source-stamped ARRIVAL
+    * column instead — the analog of the reference's Pub/Sub
+    * publish-time windows (Beam assigns no TimestampedValue, so its
+    * windows follow broker timing). Selecting a clock column, not a
+    * mode flag: Structured Streaming has no broker, so "publish time"
+    * is whatever timestamp the ingesting source stamped — the caller
+    * names it, and watermark + window both follow it. */
+  sealed trait WindowClock
+  case object EventTimeClock extends WindowClock
+  final case class IngestionTimeClock(column: String) extends WindowClock
+
   /** T4: lateness is a parameter (reference default = none). */
-  final case class Config(windowSeconds: Int = 60, lateness: String = "0 seconds")
+  final case class Config(windowSeconds: Int = 60,
+      lateness: String = "0 seconds",
+      clock: WindowClock = EventTimeClock)
 
   /** T1+T2+T5+A5: tumbling event-time window aggregate with
     * window_start/window_end projection and the hourly stat key
     * (`main.py:163-186` + `:373-378`). Works on static AND streaming
     * frames. */
   def windowedStats(events: DataFrame, eventTime: String, valueCol: String,
-      keyCol: String, cfg: Config = Config()): DataFrame =
+      keyCol: String, cfg: Config = Config()): DataFrame = {
+    // the configured clock drives BOTH the watermark and the window —
+    // a watermark on one column with windows on another would stall
+    // (append-mode windows never close) or drop the wrong rows
+    val clockCol = cfg.clock match {
+      case EventTimeClock => eventTime
+      case IngestionTimeClock(c) => c
+    }
     events
-      .withWatermark(eventTime, cfg.lateness)
+      .withWatermark(clockCol, cfg.lateness)
       .groupBy(
-        window(col(eventTime), s"${cfg.windowSeconds} seconds"),
+        window(col(clockCol), s"${cfg.windowSeconds} seconds"),
         col(keyCol))
       .agg(
         count(lit(1)).as("trip_count"),
@@ -57,6 +84,7 @@ object Streaming extends QueryPack {
         date_trunc("hour", col("window.start")).as("stat_hour"),
         col(keyCol), col("trip_count"), col("avg_value"),
         col("total_revenue"))
+  }
 
   /** T6: the streaming dead-letter branch — same parse, invalid side. */
   def deadLetters(raw: DataFrame, pipelineName: String): DataFrame =

@@ -48,6 +48,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("T3: ingestion-time clock windows on the arrival column, " +
+      "stream equals batch, and regroups rows vs the event clock") {
+    implicit val sqlCtx = spark.sqlContext
+    // arrival = event time + a deterministic per-user skew (up to 10
+    // min) — late enough that many rows land in a DIFFERENT window
+    // under the two clocks, so the assertion below can't pass vacuously
+    val static = eventsStatic
+      .select($"ts", $"event_type", $"value",
+        ($"ts" + expr("make_interval(0, 0, 0, 0, 0, 0, user_id % 600)"))
+          .as("ingest_ts"))
+    val typed = static
+      .as[(java.sql.Timestamp, String, Double, java.sql.Timestamp)]
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double,
+      java.sql.Timestamp)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value", "ingest_ts")
+
+    val cfg = Streaming.Config(
+      clock = Streaming.IngestionTimeClock("ingest_ts"))
+    val q = Streaming.windowedStats(streamDf, "ts", "value", "event_type", cfg)
+      .writeStream.format("memory").queryName("t3_ingest_clock")
+      .outputMode("append").start()
+    try {
+      mem.addData(typed.collect().toSeq)
+      q.processAllAvailable()
+      val far = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      mem.addData(Seq((far, "sentinel", 0.0, far)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("t3_ingest_clock")
+      .filter($"event_type" =!= "sentinel")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = Streaming.windowedStats(static, "ts", "value",
+        "event_type", cfg)
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // and the knob actually changes the grouping: the event-time
+    // windows over the same rows differ
+    val eventClock = Streaming.windowedStats(static, "ts", "value",
+        "event_type")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(batch != eventClock,
+      "ingestion-clock windows unexpectedly identical to event-time windows")
+  }
+
   test("sessionization: streamed session windows equal batch computation") {
     implicit val sqlCtx = spark.sqlContext
     val static = eventsStatic
