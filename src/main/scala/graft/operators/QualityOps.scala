@@ -345,7 +345,87 @@ object QualityOps extends QueryPack {
       ge(0.9, "n_ge_90"), ge(1.0, "n_exact"))
   }
 
+  // ---- l71: retrieval-quality audit (MRR / recall over planted qrels) --
+
+  /** The fixed probe-query panel: (query id, two conjunctive terms).
+    * Terms are drawn from the corpus vocabulary so hit rates are
+    * measurable (the l43/l45 tuning note). A literal 4-row frame —
+    * broadcast, never a shuffle side. */
+  private val rqPanel = Seq(
+    ("q0", "spark", "window"), ("q1", "hash", "join"),
+    ("q2", "scan", "filter"), ("q3", "merge", "sort"))
+
+  /** l71: end-to-end retrieval QUALITY audit — the eval loop every RAG
+    * or retrieval deployment runs next to its index build (l43/l50
+    * build the ranking; this measures whether ranking finds truth).
+    * Relevance is PLANTED, not judged: a doc is relevant to a query
+    * iff it contains BOTH terms (conjunctive membership — derivable by
+    * either engine, no human labels), while the ranking sees the usual
+    * disjunctive BM25 score, so the metrics are not circular: BM25 can
+    * and does rank single-term docs above two-term docs. Per query:
+    * corpus relevant count, relevant found in the top-10, and the rank
+    * of the first relevant hit — the integer ingredients of
+    * recall@10 / precision@10 / MRR, kept as exact counts so the
+    * oracle compares integers, not float metric values.
+    *
+    * Determinism: the score is l43's rational-idf Okapi form (no log —
+    * monotone, so ranking is unchanged; every op correctly rounded,
+    * one fixed spelling both engines share) and ties break on doc_id,
+    * so the top-10 set is total. Scale shape: docs × 4 probe rows is a
+    * broadcast nested-loop over a literal frame (narrow: doc_id, dl,
+    * two tf counts); corpus stats are one 4-row rollup broadcast back;
+    * rank ≤ 10 plans as WindowGroupLimit per qid — top-k state, never
+    * a full sort; the metric rollup is 4 rows. */
+  private val retrievalQuality: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val panel = s.createDataFrame(rqPanel).toDF("qid", "t1", "t2")
+    val scored = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("double"))
+      .crossJoin(broadcast(panel))
+      // outer-reference lambdas: t1/t2 are correlated columns, so one
+      // codegen'd projection computes both term frequencies per row
+      .withColumn("tf1",
+        expr("CAST(size(filter(tk, x -> x = t1)) AS DOUBLE)"))
+      .withColumn("tf2",
+        expr("CAST(size(filter(tk, x -> x = t2)) AS DOUBLE)"))
+      .drop("tk")
+    val stats = scored.groupBy(col("qid").as("s_qid"))
+      .agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).as("sum_dl"),
+        sum(when(col("tf1") > 0, 1.0).otherwise(0.0)).as("df1"),
+        sum(when(col("tf2") > 0, 1.0).otherwise(0.0)).as("df2"))
+    def term(i: Int): String =
+      s"(((n_docs - df$i + 0.5) / (df$i + 0.5)) * " +
+        s"((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))))"
+    val ranked = scored
+      .join(broadcast(stats), col("qid") === col("s_qid"))
+      .withColumn("avgdl", expr("sum_dl / n_docs"))
+      .withColumn("score", expr(s"${term(1)} + ${term(2)}"))
+      .withColumn("relevant", col("tf1") > 0 && col("tf2") > 0)
+      .filter(col("tf1") + col("tf2") > 0)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))))
+    val corpusRel = scored.groupBy(col("qid"))
+      .agg(coalesce(sum(when(col("tf1") > 0 && col("tf2") > 0, 1L)
+        .otherwise(0L)), lit(0L)).as("n_relevant"))
+    ranked.filter(col("rank") <= 10)
+      .groupBy(col("qid"))
+      .agg(
+        coalesce(sum(when(col("relevant"), 1L).otherwise(0L)), lit(0L))
+          .as("n_retrieved_relevant"),
+        coalesce(min(when(col("relevant"), col("rank"))), lit(0L))
+          .cast("long").as("first_rel_rank"))
+      .join(corpusRel, Seq("qid"))
+      .select(col("qid"), col("n_relevant"),
+        col("n_retrieved_relevant"), col("first_rel_rank"))
+      .orderBy("qid")
+  }
+
   def queries: Map[String, Q] = Map(
+    "l71_retrieval_quality" -> retrievalQuality,
     "l68_jaccard_sweep" -> jaccardSweep,
     "l67_dedup_consistency" -> dedupConsistency,
     "l62_gopher_rules" -> gopherRules,
@@ -387,6 +467,54 @@ object QualityOps extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    // the same rational-idf Okapi spelling, rank window, and
+    // conjunctive qrels replayed relationally; integer metric
+    // ingredients so the compare is exact counts, not float metrics
+    "l71_retrieval_quality" ->
+      s"""WITH panel(qid, t1, t2) AS (VALUES
+         |  ('q0', 'spark', 'window'), ('q1', 'hash', 'join'),
+         |  ('q2', 'scan', 'filter'), ('q3', 'merge', 'sort')),
+         |d AS (
+         |  SELECT doc_id, $oToks AS tk FROM documents),
+         |scored AS (
+         |  SELECT p.qid, d.doc_id,
+         |    CAST(len(tk) AS DOUBLE) AS dl,
+         |    CAST(len(list_filter(tk, x -> x = p.t1)) AS DOUBLE) AS tf1,
+         |    CAST(len(list_filter(tk, x -> x = p.t2)) AS DOUBLE) AS tf2
+         |  FROM d CROSS JOIN panel p),
+         |stats AS (
+         |  SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    SUM(dl) AS sum_dl,
+         |    SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+         |    SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+         |  FROM scored GROUP BY 1),
+         |ranked AS (
+         |  SELECT s.qid, s.doc_id, s.tf1, s.tf2,
+         |    (((n_docs - df1 + 0.5) / (df1 + 0.5)) *
+         |      ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))))) +
+         |    (((n_docs - df2 + 0.5) / (df2 + 0.5)) *
+         |      ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))))
+         |      AS score,
+         |    (s.tf1 > 0 AND s.tf2 > 0) AS relevant
+         |  FROM scored s JOIN stats USING (qid)
+         |  WHERE s.tf1 + s.tf2 > 0),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+         |  FROM ranked),
+         |rel AS (
+         |  SELECT qid,
+         |    CAST(SUM(CASE WHEN tf1 > 0 AND tf2 > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_relevant
+         |  FROM scored GROUP BY 1)
+         |SELECT r.qid, rel.n_relevant,
+         |  CAST(SUM(CASE WHEN r.relevant THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_retrieved_relevant,
+         |  CAST(COALESCE(MIN(CASE WHEN r.relevant THEN r.rnk END), 0)
+         |    AS BIGINT) AS first_rel_rank
+         |FROM rk r JOIN rel USING (qid)
+         |WHERE r.rnk <= 10
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "l62_gopher_rules" ->
       // Dominance (top_tok) via unnest + per-(doc, token) counts: the
       // relational spelling of the Spark side's nested lambda — same

@@ -106,9 +106,20 @@ object ScaleUp {
       .withColumn("doc_id", col("doc_id") + lit(r * kDoc))
       .withColumn("text", translate(col("text"), rotAlphabet, rotated(r)))))
 
+    // Embeddings must not replicate verbatim: identical copies make
+    // every vector factor−1 exact semantic dups, so bucket populations
+    // (LSH, IVF cells, SemDeDup buckets) grow factor× and their
+    // pairwise confirms factor²× — a quadratic load real data growth
+    // would not produce. A per-replica ±1 sign pattern is
+    // norm-preserving and deterministic, and scatters replicas across
+    // hyperplane/IVF buckets (replica 0 = identity, no flips).
     val emb = load("embeddings"); val kVec = stride(emb, "vec_id")
-    save("embeddings", replicate(emb)((d, r) =>
-      d.withColumn("vec_id", col("vec_id") + lit(r * kVec))))
+    save("embeddings", replicate(emb)((d, r) => d
+      .withColumn("vec_id", col("vec_id") + lit(r * kVec))
+      .withColumn("embedding",
+        expr(s"transform(embedding, (x, i) -> " +
+          s"IF($r > 0 AND (i * 31 + $r * 17) % 10 < 5, " +
+          s"CAST(-x AS FLOAT), x))"))))
 
     spark.stop()
   }
