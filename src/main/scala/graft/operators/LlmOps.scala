@@ -510,6 +510,60 @@ object LlmOps extends QueryPack {
       .orderBy("qid")
   }
 
+  /** Matryoshka truncation dims swept by l72 — full dim first (its
+    * top-10 IS the truth set, so its recall row is the 100% sanity
+    * anchor), then successive halvings. */
+  private val mrlDims = Seq(64, 32, 16, 8)
+
+  /** l72: matryoshka/truncation audit — how much retrieval quality
+    * survives cutting an embedding to its prefix dims (Kusupati et al.
+    * 2022 "Matryoshka Representation Learning": MRL-trained models
+    * front-load information so serving can truncate for memory; this
+    * audit measures what truncation costs on THIS corpus). For a
+    * 10-probe panel: exact cosine top-10 at each prefix dim vs the
+    * full-dim top-10 truth, reported as integer hit counts (Σ over
+    * probes of |top10_d ∩ top10_full|) — recall@10 = hits / 100, but
+    * the oracle compares the exact integers, not the float.
+    *
+    * Determinism: Text.dot's fold order matches DuckDB's
+    * list_dot_product, norms/division share one spelling, ties break
+    * on vec_id — the l09 contract, per dim. Scale shape: probe panel
+    * (10 rows) × dim panel (4 rows) broadcast against one corpus scan
+    * — 40 narrow rows per vector before rank ≤ 10 collapses each
+    * (probe, dim) group via WindowGroupLimit; the final rollup is 4
+    * rows. The corpus is never self-joined. */
+  private val matryoshkaAudit: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val e = embs(s, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("vec").as("qv"))
+    val dims = mrlDims.toDF("dim")
+    val top = e.select(col("vec_id"), col("vec"))
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .crossJoin(broadcast(dims))
+      .withColumn("va", expr("slice(vec, 1, dim)"))
+      .withColumn("qa", expr("slice(qv, 1, dim)"))
+      .withColumn("cos", Text.cosine(col("va"), col("qa")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"), col("dim"))
+          .orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("dim"), col("vec_id"))
+    val truth = top.filter(col("dim") === mrlDims.head)
+      .select(col("qid").as("t_qid"), col("vec_id").as("t_vid"))
+    top.join(truth,
+        col("qid") === col("t_qid") && col("vec_id") === col("t_vid"),
+        "left")
+      .groupBy(col("dim"))
+      .agg(
+        countDistinct(col("qid")).as("n_probes"),
+        coalesce(sum(when(col("t_vid").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("recall_hits"))
+      .orderBy(desc("dim"))
+  }
+
   /** l55: semantic dedup — the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540) re-expressed: bucket embeddings (they k-means;
     * we reuse the portable hyperplane-LSH cells so the oracle can
@@ -1630,6 +1684,87 @@ object LlmOps extends QueryPack {
       .limit(20)
   }
 
+  /** l73: BPE merge APPLICATION — the iteration l53 only counts.
+    * Two tokenizer-training steps run end to end: count weighted
+    * adjacent symbol pairs over the distinct vocabulary, pick the top
+    * merge (count desc, then lexicographic — and only pairs with
+    * left ≠ right: equal-symbol occurrences can overlap, making
+    * "replace all" ambiguous, while for left ≠ right two matches can
+    * never share a position, so the closed-form rewrite below is
+    * exact), apply it everywhere, and repeat on the merged vocabulary.
+    * Output: one audit row per step — the merge chosen, its weighted
+    * count, and the corpus symbol total before/after (all integers).
+    *
+    * The merge rewrite is pure index arithmetic (no sequential scan):
+    * drop every position whose PREDECESSOR starts a match, then map
+    * surviving match-starts to the fused symbol. Both engines run the
+    * same two lambdas, so merged vocabularies are identical.
+    *
+    * Scale shape: the corpus-sized pass is word counting, done ONCE
+    * and materialized ([[graft.core.Barriers]]); both merge steps then
+    * iterate over the weighted DISTINCT vocabulary (Heaps-law
+    * sublinear — the reason production BPE trainers scale). The top
+    * pair returns to the driver as ONE row per step (the k-means
+    * model-traffic argument) and re-enters the plan as literals. */
+  /** The closed-form BPE merge rewrite for pair (x, y), x ≠ y: drop
+    * every position whose predecessor starts a match, fuse surviving
+    * match-starts. Exact for x ≠ y because matches cannot overlap
+    * (two adjacent match-starts would force y = x). Public for the
+    * LlmSpec overlap-pattern tests. */
+  def bpeMergeSql(symsCol: String, x: String, y: String): String =
+    s"""transform(
+       |  filter(sequence(0, size($symsCol) - 1),
+       |    i -> NOT (i > 0 AND $symsCol[i] = '$y'
+       |              AND $symsCol[i - 1] = '$x')),
+       |  i -> IF($symsCol[i] = '$x' AND i < size($symsCol) - 1
+       |          AND $symsCol[i + 1] = '$y', '$x$y', $symsCol[i]))"""
+      .stripMargin
+
+  private val bpeMergeApply: Q = (s, dir) => {
+    import s.implicits._
+    val vocab0 = Barriers.materialize(docs(s, dir)
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+      .filter(length(col("word")) >= 2)
+      .select(col("n_word"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms")))
+
+    def step(vocab: DataFrame): (String, String, Long, DataFrame) = {
+      val top = vocab
+        .select(col("n_word"), explode(expr(
+          """transform(sequence(0, size(syms) - 2),
+            |  i -> struct(syms[i] AS l, syms[i + 1] AS r))""".stripMargin))
+          .as("p"))
+        .filter(col("p.l") =!= col("p.r"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n_word")).as("n_pair"))
+        .orderBy(desc("n_pair"), col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (x, y, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      val merged = vocab.select(col("n_word"),
+        expr(bpeMergeSql("syms", x, y)).as("syms"))
+      (x, y, n, merged)
+    }
+
+    def symTotal(v: DataFrame): Long =
+      v.agg(sum(col("n_word") * size(col("syms")))).head().getLong(0)
+
+    val t0 = symTotal(vocab0)
+    val (x1, y1, n1, vocab1m) = step(vocab0)
+    val vocab1 = Barriers.materialize(vocab1m)
+    val t1 = symTotal(vocab1)
+    val (x2, y2, n2, vocab2) = step(vocab1)
+    val t2 = symTotal(vocab2)
+    Seq(
+      (1L, x1, y1, n1, t0, t1),
+      (2L, x2, y2, n2, t1, t2))
+      .toDF("step", "pair_l", "pair_r", "n_pair",
+        "syms_before", "syms_after")
+      .orderBy("step")
+  }
+
   /** l54: order-independent dataset checksum — a content fingerprint
     * for reproducibility audits ("is the corpus you trained on
     * bit-identical to mine?"). Each doc hashes to one 62-bit portable
@@ -1745,6 +1880,7 @@ object LlmOps extends QueryPack {
   val queries: Map[String, Q] = Map(
     "l57_length_histogram" -> lengthHistogram,
     "l53_bpe_pairs" -> bpePairCounts,
+    "l73_bpe_merge_apply" -> bpeMergeApply,
     "l54_dataset_checksum" -> datasetChecksum,
     "l56_shard_manifest" -> shardManifest,
     "l47_sequence_examples" -> sequenceExamples,
@@ -1768,6 +1904,7 @@ object LlmOps extends QueryPack {
     "l14_ivf_index" -> ivfIndex,
     "l15_ivf_search" -> ivfSearchQ,
     "l52_ann_recall" -> annRecallAudit,
+    "l72_matryoshka_audit" -> matryoshkaAudit,
     "l55_semantic_dedup" -> semanticDedup,
     "l16_bucket_search" -> bucketSearchQ,
     "l36_pq_index" -> pqIndexQ,
@@ -1886,6 +2023,58 @@ object LlmOps extends QueryPack {
         |SELECT pair, CAST(SUM(n_word) AS BIGINT) AS n_pair
         |FROM p GROUP BY 1
         |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin,
+    // the two merge steps unrolled as CTE stages: pair rollup → top-1
+    // (count desc, lexicographic) → closed-form rewrite via the same
+    // two lambdas (0-based index values over 1-based lists); totals
+    // recomputed per stage. The chosen pair is correlated into the
+    // rewrite lambdas from the 1-row top frame — no literals.
+    "l73_bpe_merge_apply" -> {
+      def pairs(v: String): String =
+        s"""SELECT pr[1] AS l, pr[2] AS r,
+           |    CAST(SUM(n_word) AS BIGINT) AS n_pair
+           |  FROM (
+           |    SELECT n_word,
+           |      unnest(list_transform(range(0, len(syms) - 1),
+           |        i -> [syms[i + 1], syms[i + 2]])) AS pr
+           |    FROM $v)
+           |  WHERE pr[1] <> pr[2] GROUP BY 1, 2""".stripMargin
+      def merge(v: String, t: String): String =
+        s"""SELECT n_word, list_transform(
+           |    list_filter(range(0, len(syms)),
+           |      i -> NOT (i > 0 AND syms[i + 1] = $t.r
+           |                AND syms[i] = $t.l)),
+           |    i -> CASE WHEN syms[i + 1] = $t.l AND i + 2 <= len(syms)
+           |              AND syms[i + 2] = $t.r
+           |         THEN $t.l || $t.r ELSE syms[i + 1] END) AS syms
+           |  FROM $v CROSS JOIN $t""".stripMargin
+      def tot(v: String): String =
+        s"SELECT CAST(SUM(n_word * len(syms)) AS BIGINT) AS t FROM $v"
+      s"""WITH w AS (
+         |  SELECT word, COUNT(*) AS n_word FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         |      AS word
+         |    FROM documents) GROUP BY 1),
+         |v0 AS (
+         |  SELECT n_word,
+         |    list_transform(range(1, length(word) + 1),
+         |      i -> substring(word, CAST(i AS INT), 1)) AS syms
+         |  FROM w WHERE length(word) >= 2),
+         |p1 AS (${pairs("v0")}),
+         |t1 AS (SELECT * FROM p1 ORDER BY n_pair DESC, l, r LIMIT 1),
+         |v1 AS (${merge("v0", "t1")}),
+         |p2 AS (${pairs("v1")}),
+         |t2 AS (SELECT * FROM p2 ORDER BY n_pair DESC, l, r LIMIT 1),
+         |v2 AS (${merge("v1", "t2")}),
+         |s0 AS (${tot("v0")}), s1 AS (${tot("v1")}), s2 AS (${tot("v2")})
+         |SELECT CAST(1 AS BIGINT) AS step, t1.l AS pair_l,
+         |  t1.r AS pair_r, t1.n_pair,
+         |  s0.t AS syms_before, s1.t AS syms_after
+         |FROM t1, s0, s1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), t2.l, t2.r, t2.n_pair, s1.t, s2.t
+         |FROM t2, s1, s2
+         |ORDER BY step""".stripMargin
+    },
     "l54_dataset_checksum" -> {
       val h = Text.oPortableStrHashSql(
         "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")
@@ -2102,6 +2291,35 @@ object LlmOps extends QueryPack {
          |    AS BIGINT) AS n_dropped
          |FROM fp JOIN surv USING (fp)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-dim prefix-truncated cosine top-10 vs the full-dim truth
+    // set, replayed with the same fold order (list_dot_product) and
+    // tie-break; the compare is exact integer hit counts
+    "l72_matryoshka_audit" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |dims(dim) AS (VALUES (64), (32), (16), (8)),
+        |c AS (
+        |  SELECT q.qid, dims.dim, e.vec_id,
+        |    list_dot_product(e.v[1:dims.dim], q.qv[1:dims.dim]) /
+        |      (sqrt(list_dot_product(e.v[1:dims.dim], e.v[1:dims.dim])) *
+        |       sqrt(list_dot_product(q.qv[1:dims.dim], q.qv[1:dims.dim])))
+        |      AS cos
+        |  FROM e CROSS JOIN q CROSS JOIN dims
+        |  WHERE e.vec_id <> q.qid),
+        |rk AS (
+        |  SELECT qid, dim, vec_id, ROW_NUMBER() OVER (
+        |    PARTITION BY qid, dim ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM c),
+        |top AS (SELECT qid, dim, vec_id FROM rk WHERE rnk <= 10),
+        |tr AS (SELECT qid, vec_id FROM top WHERE dim = 64)
+        |SELECT t.dim, COUNT(DISTINCT t.qid) AS n_probes,
+        |  CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS recall_hits
+        |FROM top t LEFT JOIN tr
+        |  ON t.qid = tr.qid AND t.vec_id = tr.vec_id
+        |GROUP BY 1 ORDER BY 1 DESC""".stripMargin,
     "l09_cosine_topk" -> {
       val dot = "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))"
       val na = "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"

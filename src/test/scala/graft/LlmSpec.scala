@@ -429,4 +429,22 @@ class LlmSpec extends SparkSpec {
     // probing one cell scans far less than the corpus
     assert(assigned.filter($"cid" === qCell).count() < 200)
   }
+
+  test("BPE merge rewrite handles adjacent and interleaved match patterns") {
+    import graft.operators.LlmOps
+    def applyMerge(syms: Seq[String], x: String, y: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("syms")
+        .select(expr(LlmOps.bpeMergeSql("syms", x, y)).as("m"))
+        .as[Seq[String]].head()
+    // plain single match
+    assert(applyMerge(Seq("a", "b", "c"), "a", "b") == Seq("ab", "c"))
+    // back-to-back matches fuse independently (non-overlap for x != y)
+    assert(applyMerge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    // the second y is NOT consumed by the first match
+    assert(applyMerge(Seq("a", "b", "b"), "a", "b") == Seq("ab", "b"))
+    // x that does not precede y stays a bare symbol
+    assert(applyMerge(Seq("a", "a", "b"), "a", "b") == Seq("a", "ab"))
+    // no match: identity
+    assert(applyMerge(Seq("c", "d"), "a", "b") == Seq("c", "d"))
+  }
 }
