@@ -274,4 +274,38 @@ class PropertySpec extends SparkSpec {
       assert(short == 0, s"$short sessions shorter than the gap")
     } finally sess.unpersist()
   }
+
+  test("codec round-trip: decode(encode(...)) recovers dimensions and " +
+      "exact sums for arbitrary PPM images and WAV payloads") {
+    import graft.operators.Multimodal
+    val imgGen = for {
+      w <- Gen.choose(1, 17)
+      h <- Gen.choose(1, 13)
+      seed <- Gen.choose(0, 1000000)
+    } yield (w, h, seed)
+    forSamples(imgGen) { case (w, h, seed) =>
+      val pix = (j: Int) => (seed * 31 + j) % 256
+      val im = Multimodal.decodePpm(Multimodal.encodePpm(w, h, pix))
+        .getOrElse(fail(s"decode failed for ${(w, h, seed)}"))
+      assert((im.width, im.height) == ((w, h)))
+      val expected = (0 until w * h * 3).map(pix(_).toLong)
+      assert(im.rSum == expected.grouped(3).map(_.head).sum)
+      assert(im.gSum == expected.grouped(3).map(_(1)).sum)
+      assert(im.bSum == expected.grouped(3).map(_(2)).sum)
+    }
+    val wavGen = for {
+      n <- Gen.choose(1, 300)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      seed <- Gen.choose(0, 1000000)
+    } yield (n, rate, seed)
+    forSamples(wavGen) { case (n, rate, seed) =>
+      val samples = Array.tabulate(n)(i =>
+        ((seed * 7 + i * 131) % 65536 - 32768).toShort)
+      val au = Multimodal.decodeWav(Multimodal.encodeWav(rate, samples))
+        .getOrElse(fail(s"decode failed for ${(n, rate, seed)}"))
+      assert((au.channels, au.sampleRate, au.bitsPerSample) == ((1, rate, 16)))
+      assert(au.nSamples == n.toLong)
+      assert(au.sampleSum == samples.map(_.toLong).sum)
+    }
+  }
 }
