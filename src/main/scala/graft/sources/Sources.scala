@@ -198,7 +198,47 @@ object Sources extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** S12: corrupt-file-resilient scan — the 100 TB operational reality
+    * that a directory of millions of objects contains a truncated or
+    * garbage file eventually (failed writer, partial upload), and one
+    * bad object must not kill an hours-long job. Plants real garbage:
+    * a junk `.parquet` (not parquet at all) and a TRUNCATED copy of a
+    * real footer-less parquet file beside the valid data, then scans
+    * with `spark.sql.files.ignoreCorruptFiles` per-read (option, not a
+    * session flip). The aggregate must equal the clean-table oracle —
+    * proving both that corrupt objects are skipped AND that no valid
+    * row is lost with them. */
+  private val resilientScan: Q = (s, dir) => {
+    val path = scratch("s12_resilient")
+    val o = T.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.write.mode(SaveMode.Overwrite).parquet(path)
+    val dirPath = java.nio.file.Paths.get(path)
+    java.nio.file.Files.write(dirPath.resolve("part-junk.parquet"),
+      Array.tabulate[Byte](4096)(i => (i * 37 % 251).toByte))
+    val listing = java.nio.file.Files.list(dirPath)
+    val firstValid =
+      try {
+        val it = listing.iterator()
+        var found: java.nio.file.Path = null
+        while (it.hasNext && found == null) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("part-0")) found = p
+        }
+        found
+      } finally listing.close()
+    val bytes = java.nio.file.Files.readAllBytes(firstValid)
+    java.nio.file.Files.write(dirPath.resolve("part-truncated.parquet"),
+      bytes.take(math.max(8, bytes.length / 3)))
+    s.read.option("ignoreCorruptFiles", "true").parquet(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s12_resilient_scan" -> resilientScan,
     "s11_generated_source" -> generatedSource,
     "s01_jsonl_scan" -> jsonlScan,
     "s02_csv_scan" -> csvScan,
@@ -208,6 +248,12 @@ object Sources extends QueryPack {
     "s10_orc_roundtrip" -> orcRoundtrip)
 
   val oracle: Map[String, String] = Map(
+    // the resilient scan must see exactly the clean table — corrupt
+    // planted files skipped, zero valid rows lost with them
+    "s12_resilient_scan" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the generator formula replayed row for row from range(): same
     // mixer, same distribution cuts, same micros arithmetic
     "s11_generated_source" -> {
