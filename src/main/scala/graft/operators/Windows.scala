@@ -586,7 +586,41 @@ object Windows extends QueryPack {
       .orderBy("event_type", "rn")
   }
 
+  /** W17: per-user half-life-decayed engagement score — the recency
+    * weight a training-data sampler attaches to a user's activity
+    * (yesterday's event counts half of today's). Unlike w12's
+    * truncated 8-tap series EWMA, this is the EXACT unbounded fold
+    * e_n = Σ v_i / 2^(n-i), run as a HOF `aggregate` over the user's
+    * (ts, event_id)-ordered value list. Bit-reproducible across
+    * engines with NO integer-scaling tricks: /2 is an exponent
+    * decrement (always exact in IEEE) and + is correctly rounded, so
+    * identical operand sequences give identical doubles — the fold
+    * order is pinned by sort_array here and ORDER BY in the oracle's
+    * list() aggregate, and DuckDB's list_reduce seeds with the first
+    * element exactly as the slice/init spelling does.
+    *
+    * 100 TB shape: one shuffle on user_id; per-user memory is one
+    * user's history (the t06 mapGroups bound — a pathological user
+    * would truncate to w12's tapped form). Output is |users| rows. */
+  private val decayedEngagement: Q = (s, dir) =>
+    T.loadEvents(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+      .withColumn("vs", expr("transform(evs, e -> e.value)"))
+      .withColumn("decayed_score", expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), vs[0]," +
+          " (a, x) -> a / 2.0D + x)"))
+      .select(col("user_id"), col("n_events"), col("last_ts"),
+        col("decayed_score"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
+    "w17_decayed_engagement" -> decayedEngagement,
     "w16_seasonal_naive" -> seasonalNaive,
     "w15_interpolate" -> interpolateGaps,
     "w14_rank_catalog" -> rankCatalog,
@@ -608,6 +642,14 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    // the same pinned fold: list(value ORDER BY ts, event_id) seeds
+    // list_reduce with its first element — /2 and + on identical
+    // operand sequences are bit-identical doubles in both engines
+    "w17_decayed_engagement" ->
+      """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |    (a, b) -> a / 2 + b) AS decayed_score
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "w16_seasonal_naive" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,

@@ -65,6 +65,7 @@ class PlanAuditSpec extends SparkSpec {
     "x17_map_funcs", "x18_unpivot", "x19_try_arith",
     "o06_offset_fetch", "l62_gopher_rules", "l64_fuzzy_dedup",
     "l71_retrieval_quality", "l72_matryoshka_audit",
+    "w17_decayed_engagement",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
 
