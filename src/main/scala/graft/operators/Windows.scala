@@ -124,6 +124,37 @@ object Windows extends QueryPack {
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderpriority"))
 
+  /** O7: KEYSET (seek) pagination — the scale-correct successor to
+    * o06's OFFSET: OFFSET N must still compute-and-discard N rows
+    * (top-(k+off) state, linear in page depth), while a keyset cursor
+    * turns "next page" into a WHERE on the ordering key — a plain
+    * scan-prunable filter plus the SAME top-k, constant in depth. The
+    * cursor here is derived in-query (last row of page 2 via a
+    * top-30), then the seek fetches page 3 strictly after it in
+    * (o_totalprice DESC, o_orderkey ASC) order; the composite
+    * row-comparison spells out as the OR-chain both engines plan as a
+    * range predicate. The unique o_orderkey tie-break makes page
+    * membership total, and the oracle cross-checks with plain
+    * LIMIT/OFFSET — the two paginations MUST agree page-for-page. */
+  private val keysetPagination: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+    val cursor = o
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(30)
+      .orderBy(col("o_totalprice"), desc("o_orderkey"))
+      .limit(1)
+      .select(col("o_totalprice").as("c_price"),
+        col("o_orderkey").as("c_key"))
+    o.crossJoin(broadcast(cursor))
+      .filter(col("o_totalprice") < col("c_price") ||
+        (col("o_totalprice") === col("c_price") &&
+          col("o_orderkey") > col("c_key")))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+  }
+
   /** W6-ext: the remaining ranking/navigation window functions —
     * dense_rank (no rank gaps), ntile quartiles, first_value over the
     * full partition frame. Monthly order counts per status, windowed
@@ -639,6 +670,7 @@ object Windows extends QueryPack {
     "w07_time_range_window" -> timeRangeWindow,
     "o03_bare_limit" -> bareLimit,
     "o06_offset_fetch" -> offsetFetch,
+    "o07_keyset_pagination" -> keysetPagination,
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
@@ -937,6 +969,13 @@ object Windows extends QueryPack {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 10""".stripMargin,
+    // the agreement proof: the keyset page IS rows 31-40 of the total
+    // order, so plain LIMIT/OFFSET replays it exactly
+    "o07_keyset_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 30""".stripMargin,
     "w06_window_extras" ->
       """SELECT o_orderstatus, m, n_orders,
         |  CAST(DENSE_RANK() OVER w AS BIGINT) AS dr,

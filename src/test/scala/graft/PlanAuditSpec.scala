@@ -65,7 +65,7 @@ class PlanAuditSpec extends SparkSpec {
     "x17_map_funcs", "x18_unpivot", "x19_try_arith",
     "o06_offset_fetch", "l62_gopher_rules", "l64_fuzzy_dedup",
     "l71_retrieval_quality", "l72_matryoshka_audit",
-    "w17_decayed_engagement",
+    "w17_decayed_engagement", "o07_keyset_pagination",
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich")
 
@@ -144,5 +144,6 @@ class PlanAuditSpec extends SparkSpec {
     "l39_hard_negatives", "l52_ann_recall", "w11_gapfill",
     "w15_interpolate", "w16_seasonal_naive", "l10_embedding_neardup",
     "l71_retrieval_quality", // 4-row literal probe panel
-    "l72_matryoshka_audit")  // 10-probe x 4-dim literal panels
+    "l72_matryoshka_audit",  // 10-probe x 4-dim literal panels
+    "o07_keyset_pagination") // 1-row cursor broadcast
 }
