@@ -23,6 +23,7 @@ object SparkEntry {
     LlmOps,
     CurationOps,
     QualityOps,
+    AuditOps,
     KMeansOps,
     Dml,
     MaintenanceOps,

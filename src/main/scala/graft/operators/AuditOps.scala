@@ -1,0 +1,561 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Barriers, Tables => T, QueryPack}
+import graft.functions.Text
+
+/** Dataset-governance and hybrid-retrieval audits — the operators a
+  * training-data platform runs ON its curation outputs: hybrid search
+  * fusion (the RAG serving shape), cross-source corpus overlap, privacy
+  * risk, data-mixture reweighting, and embedding-space outlier triage.
+  * Complements QualityOps (per-document gates) with corpus- and
+  * pair-level accounting; reference analytics surface this extends:
+  * /root/reference/PRD.md:737-1253.
+  *
+  * The determinism discipline matches the rest of the l-family: integer
+  * arithmetic wherever a ratio is reported (cross-multiplied permille,
+  * floor division), doubles only where both engines execute ONE shared
+  * spelling on identical inputs (RRF's 1/(60+rank), fold-ordered
+  * squared distances), ranks always tie-broken on a unique id.
+  *
+  * 100 TB design notes per operator:
+  *  - l74 hybrid RRF: the corpus is scanned ONCE per anchor panel
+  *    (a broadcast crossJoin — panel-bounded, like l71's probe panel);
+  *    both rankings come from two row_number windows over the SAME
+  *    anchor partitioning, so there is exactly one exchange keyed on
+  *    anchor_id. Parallelism is |anchors| — a production panel is
+  *    thousands of queries wide, and per-query state is top-depth only.
+  *  - l75 source overlap: everything downstream of the DISTINCT
+  *    (source, shingle-hash) projection is source-count- or
+  *    slot-count-sized; the exact-intersection join is equi on the
+  *    hash (linear in shared mass), and the signature estimate beside
+  *    it is the O(sources² × 16) sketch a 100 TB run would keep when
+  *    the exact join gets too hot — shipping both columns is the point:
+  *    the operator measures its own estimator's error.
+  *  - l76 k-anonymity: one hash aggregation on the quasi-identifier
+  *    key, one rollup. COUNT(DISTINCT user) per cell is exact here;
+  *    at extreme cardinality the k09 bitmap / k10 HLL rollups are the
+  *    drop-in partials.
+  *  - l77 mix reweight: per-source rollup (map-side combined), then
+  *    arithmetic over |sources| rows; the global windows run on the
+  *    post-aggregate frame, never the corpus.
+  *  - l78 embedding outliers: per-dimension sums shuffle (label, dim)
+  *    partials — corpus×dim rows map-side-combined down to
+  *    |labels|×dim; the centroid table broadcasts back. Distances are
+  *    EXACT integer differences (milli-unit lattice, n·x−Σx avoids
+  *    the mean's division) squared and folded in array order, so both
+  *    engines produce bit-identical doubles and the top-k per label is
+  *    total.
+  */
+object AuditOps extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "embeddings")
+      .withColumn("vec", col("embedding").cast("array<double>"))
+  private def events(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "events")
+
+  // ---- l74: hybrid lexical+vector retrieval with RRF fusion -----------
+
+  /** RRF smoothing constant (Cormack et al. SIGIR'09 use 60). */
+  private val rrfK = 60
+  /** Depth of each input ranking fed to the fusion. */
+  private val rrfDepth = 50
+  /** Anchor documents for the more-like-this panel. */
+  private val rrfAnchors = Seq(0, 1, 2, 3)
+
+  /** l74: hybrid "more-like-this" retrieval — the fusion step every
+    * production RAG stack runs over its lexical index and its vector
+    * index. For each anchor document, candidates are ranked twice:
+    * lexically (distinct-token overlap with the anchor, desc) and by
+    * embedding cosine (l09's exact spelling); the two rankings fuse by
+    * reciprocal-rank: rrf = Σ 1/(60 + rank), summing only over lists
+    * the candidate appears in (top-[[rrfDepth]], overlap > 0 for the
+    * lexical list). Both input ranks are reported so the output shows
+    * WHY a hit fused high (lexical-only, vector-only, or both — the
+    * disagreement rows are the interesting ones).
+    *
+    * Determinism: ranks are integers with doc_id tie-breaks; the rrf
+    * doubles come from one shared closed form over those integers. */
+  private val hybridRrf: Q = (s, dir) => {
+    val corpus = docs(s, dir)
+      .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("ts"))
+      .join(embs(s, dir).select(col("vec_id"), col("vec")),
+        col("doc_id") === col("vec_id"))
+      .withColumn("nrm", Text.l2norm(col("vec")))
+      .select(col("doc_id"), col("ts"), col("vec"), col("nrm"))
+    val anchors = corpus.filter(col("doc_id").isInCollection(rrfAnchors))
+      .select(col("doc_id").as("anchor_id"), col("ts").as("a_ts"),
+        col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+    val scored = corpus.crossJoin(broadcast(anchors))
+      .filter(col("doc_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("doc_id"),
+        size(array_intersect(col("ts"), col("a_ts"))).cast("long").as("lex"),
+        Text.cosineWithNorms(col("vec"), col("a_vec"),
+          col("nrm"), col("a_nrm")).as("cos"))
+    val byAnchor = Window.partitionBy(col("anchor_id"))
+    val ranked = scored
+      .withColumn("lr0", row_number().over(
+        byAnchor.orderBy(col("lex").desc, col("doc_id"))))
+      .withColumn("vr0", row_number().over(
+        byAnchor.orderBy(col("cos").desc, col("doc_id"))))
+      .withColumn("lex_rank",
+        when(col("lex") > 0 && col("lr0") <= rrfDepth, col("lr0").cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("vec_rank",
+        when(col("vr0") <= rrfDepth, col("vr0").cast("long"))
+          .otherwise(lit(0L)))
+      .filter(col("lex_rank") > 0 || col("vec_rank") > 0)
+      .withColumn("rrf",
+        when(col("lex_rank") > 0,
+          lit(1.0) / (lit(rrfK.toDouble) + col("lex_rank").cast("double")))
+          .otherwise(lit(0.0)) +
+        when(col("vec_rank") > 0,
+          lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank").cast("double")))
+          .otherwise(lit(0.0)))
+    ranked
+      .withColumn("rn", row_number().over(
+        byAnchor.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("anchor_id"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"))
+      .orderBy(col("anchor_id"), col("rn"))
+  }
+
+  // ---- l75: cross-source corpus overlap matrix ------------------------
+
+  /** Signature slots of the source-level MinHash estimate (matches
+    * l07's per-doc signature width). */
+  private val overlapPerms = 16
+
+  /** l75: source-pair shingle-overlap matrix — exact Jaccard AND its
+    * source-level MinHash estimate side by side. Exact: distinct
+    * 3-gram-shingle hashes per source, pairwise |∩| via an equi-join
+    * on the hash. Estimate: a source-level signature (per-slot min of
+    * the l07 permuted hash over the source's whole shingle SET — min
+    * commutes with union, so this IS the signature of the union) whose
+    * slot-agreement fraction estimates the same Jaccard. At audit
+    * scale both run; at 100 TB the estimate column is what survives,
+    * and this operator is the measured error bound that justifies it. */
+  /** The matrix over any docs-shaped frame (source, text) — public so
+    * AuditSpec can drive the identical-source / disjoint-source laws
+    * through the exact production expressions. */
+  def overlapMatrix(d: DataFrame): DataFrame = {
+    val hs = Barriers.materialize(
+      d
+        .select(col("source"), Text.tokens(col("text")).as("tk"))
+        .withColumn("sh", Text.shinglesFromTokens("tk", 3))
+        .filter(size(col("sh")) > 0)
+        .select(col("source"), explode(col("sh")).as("shingle"))
+        .select(col("source"),
+          expr(Text.portableStrHashSql("shingle")).as("h"))
+        .distinct())
+    val sizes = hs.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = hs.as("x")
+      .join(hs.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val slots = hs
+      .select(col("source"), posexplode(expr(
+        s"""transform(sequence(0, ${overlapPerms - 1}),
+           |  p -> ${Text.portableMixSql("h + p * 8192 + 1")})"""
+          .stripMargin)).as(Seq("slot", "m")))
+      .groupBy(col("source"), col("slot")).agg(min(col("m")).as("mn"))
+    val est = slots.as("p")
+      .join(slots.as("q"),
+        col("p.slot") === col("q.slot") && col("p.source") < col("q.source"))
+      .groupBy(col("p.source").as("source_a"), col("q.source").as("source_b"))
+      .agg(sum(when(col("p.mn") === col("q.mn"), 1L).otherwise(0L))
+        .as("est_matches"))
+    val pairs = sizes.as("sa")
+      .join(sizes.as("sb"), col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("source_a"), col("sb.source").as("source_b"),
+        col("sa.n_sh").as("n_a"), col("sb.n_sh").as("n_b"))
+    pairs
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(est, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("est_matches", coalesce(col("est_matches"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard_permille", expr("(1000 * n_inter) div n_union"))
+      .withColumn("est_permille",
+        expr(s"(1000 * est_matches) div $overlapPerms"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_union"), col("jaccard_permille"),
+        col("est_matches"), col("est_permille"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val sourceOverlap: Q = (s, dir) => overlapMatrix(docs(s, dir))
+
+  // ---- l76: k-anonymity privacy-risk audit ----------------------------
+
+  /** The k of k-anonymity: a quasi-identifier cell with fewer distinct
+    * users than this is a re-identification risk. */
+  private val kanonK = 5
+
+  /** l76: k-anonymity audit over the event stream — the privacy gate a
+    * training-data release runs before shipping behavioral data. The
+    * quasi-identifier is (event_type, hour-of-day, value band of 50):
+    * attributes an adversary plausibly knows. Cells with fewer than
+    * [[kanonK]] distinct users are risky; the per-event-type rollup
+    * reports how many cells and rows a suppression/generalization pass
+    * would have to touch. */
+  /** The summary over any events-shaped frame — public for AuditSpec's
+    * planted below-k cell. */
+  def kanonSummary(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+        expr("CAST(FLOOR(value / 50.0) AS BIGINT)").as("vband"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("hod"), col("vband"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+    cells.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(when(col("n_users") < kanonK, 1L).otherwise(0L))
+          .as("n_risky_cells"),
+        sum(when(col("n_users") < kanonK, col("n_rows")).otherwise(0L))
+          .as("n_risky_rows"),
+        min(col("n_users")).as("min_cell_users"),
+        max(col("n_users")).as("max_cell_users"))
+      .orderBy(col("event_type"))
+  }
+
+  private val kAnonymity: Q = (s, dir) => kanonSummary(events(s, dir))
+
+  // ---- l77: data-mixture reweighting step -----------------------------
+
+  /** l77: one DoReMi-flavored multiplicative reweighting step over the
+    * source mixture — the feedback loop that turns l62's quality gate
+    * into next epoch's sampling weights. Each source's token share is
+    * boosted in proportion to its quality DEFICIT (excess =
+    * 1000 − pass_all permille, the integer stand-in for DoReMi's
+    * per-domain excess loss): raw = share × (1000 + excess), then
+    * renormalized to permille. Every step is cross-multiplied integer
+    * arithmetic — the output weights are exactly reproducible, which
+    * is the property a resumable 100 TB training run needs from its
+    * mixture schedule. Rule columns come from [[QualityOps.ruleColumns]]
+    * — same battery, zero drift. */
+  private val mixReweight: Q = (s, dir) => {
+    val per = QualityOps.ruleColumns(docs(s, dir))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4")
+          && col("r5"), 1L).otherwise(0L)).as("n_pass"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("share_permille",
+        expr("(1000 * n_tokens) div tot_tokens"))
+      .withColumn("pass_permille", expr("(1000 * n_pass) div n_docs"))
+      .withColumn("excess_permille", lit(1000L) - col("pass_permille"))
+      .withColumn("raw_w",
+        col("share_permille") * (lit(1000L) + col("excess_permille")))
+      .withColumn("tot_raw", sum(col("raw_w")).over(all))
+      .withColumn("new_permille", expr("(1000 * raw_w) div tot_raw"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("share_permille"), col("pass_permille"),
+        col("excess_permille"), col("raw_w"), col("new_permille"))
+      .orderBy(col("source"))
+  }
+
+  // ---- l78: embedding-space outlier audit -----------------------------
+
+  /** Reported per-label farthest-from-centroid count. */
+  private val outlierTopK = 5
+
+  /** l78: per-label embedding outlier audit — the triage list a
+    * curation pass reviews for mislabeled or corrupt vectors. Distance
+    * is to the label centroid, computed WITHOUT the centroid's
+    * division: with components on the milli-unit integer lattice
+    * (x → ⌊1000x⌋), dist² scaled by n² is Σ_d (n·x_d − S_d)² — every
+    * difference an exact long, squared and left-folded in array order
+    * as doubles, so both engines emit identical bits and the per-label
+    * top-[[outlierTopK]] ranking is total. The n² scale factor is
+    * constant within a label, so ranking is unaffected. */
+  /** The ranking over any embeddings-shaped frame (vec_id, label, vec:
+    * array<double>) — public for AuditSpec's planted-outlier law. */
+  def outlierRanking(embsDf: DataFrame): DataFrame = {
+    val e = Barriers.materialize(
+      embsDf.select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        expr("transform(vec, x -> CAST(FLOOR(x * 1000.0) AS BIGINT))")
+          .as("mv")))
+    val sums = e
+      .select(col("label"), posexplode(col("mv")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d")).agg(sum(col("x")).as("sx"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, sx))), t -> t.sx)")
+        .as("sarr"))
+    val cnt = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    e.join(broadcast(sums), Seq("label"))
+      .join(broadcast(cnt), Seq("label"))
+      .withColumn("dist2", expr(
+        """aggregate(
+          |  zip_with(mv, sarr,
+          |    (x, s) -> CAST(n * x - s AS DOUBLE) * CAST(n * x - s AS DOUBLE)),
+          |  0D, (a, b) -> a + b)""".stripMargin))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("dist2").desc, col("vec_id"))))
+      .filter(col("rk") <= outlierTopK)
+      .select(col("label"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("dist2"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  private val embeddingOutliers: Q = (s, dir) => outlierRanking(embs(s, dir))
+
+  // ---- l79: tokenizer fertility / compression audit -------------------
+
+  /** l79: tokenization-efficiency audit per (source, lang) — fertility
+    * (BPE-ish tokens per whitespace word) and compression (normalized
+    * chars per BPE token), the two numbers that decide whether a
+    * tokenizer suits a corpus slice (fertility ≫ 1000 permille on a
+    * language means the vocabulary under-serves it — the multilingual
+    * tokenizer-tax audit). Integer permille over exact corpus sums;
+    * the BPE count is l04's pre-tokenizer regex, shared spelling. One
+    * narrow projection + one map-side-combined rollup — linear. */
+  private val fertility: Q = (s, dir) => {
+    docs(s, dir)
+      .select(col("source"), col("lang"), Text.norm(col("text")).as("nrm"),
+        Text.tokens(col("text")).as("tk"),
+        Text.bpeTokenCount(col("text")).cast("long").as("bpe"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("nrm")).cast("long")).as("n_chars"),
+        sum(size(col("tk")).cast("long")).as("n_words"),
+        sum(col("bpe")).as("n_bpe"))
+      .withColumn("fertility_permille", expr("(1000 * n_bpe) div n_words"))
+      .withColumn("chars_per_bpe_permille",
+        expr("(1000 * n_chars) div n_bpe"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "l79_fertility" -> fertility,
+    "l74_hybrid_rrf" -> hybridRrf,
+    "l75_source_overlap" -> sourceOverlap,
+    "l76_kanonymity" -> kAnonymity,
+    "l77_mix_reweight" -> mixReweight,
+    "l78_embedding_outliers" -> embeddingOutliers)
+
+  private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val oToks = s"string_split($oNorm, ' ')"
+
+  def oracle: Map[String, String] = Map(
+    "l79_fertility" ->
+      s"""SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(length($oNorm)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(len($oToks)) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(regexp_extract_all(text,
+         |    '${Text.bpeTokenPattern}'))) AS BIGINT) AS n_bpe,
+         |  (1000 * CAST(SUM(len(regexp_extract_all(text,
+         |    '${Text.bpeTokenPattern}'))) AS BIGINT))
+         |    // CAST(SUM(len($oToks)) AS BIGINT) AS fertility_permille,
+         |  (1000 * CAST(SUM(length($oNorm)) AS BIGINT))
+         |    // CAST(SUM(len(regexp_extract_all(text,
+         |      '${Text.bpeTokenPattern}'))) AS BIGINT)
+         |    AS chars_per_bpe_permille
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "l74_hybrid_rrf" ->
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, list_distinct($oToks) AS ts,
+         |    CAST(e.embedding AS DOUBLE[]) AS vec
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |a AS (
+         |  SELECT doc_id AS anchor_id, ts AS a_ts, vec AS a_vec
+         |  FROM corpus WHERE doc_id IN (${rrfAnchors.mkString(", ")})),
+         |scored AS (
+         |  SELECT a.anchor_id, c.doc_id,
+         |    CAST(len(list_intersect(c.ts, a.a_ts)) AS BIGINT) AS lex,
+         |    list_dot_product(c.vec, a.a_vec) /
+         |      (sqrt(list_dot_product(c.vec, c.vec)) *
+         |       sqrt(list_dot_product(a.a_vec, a.a_vec))) AS cos
+         |  FROM corpus c CROSS JOIN a WHERE c.doc_id <> a.anchor_id),
+         |rk AS (
+         |  SELECT anchor_id, doc_id, lex,
+         |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |      ORDER BY lex DESC, doc_id) AS lr0,
+         |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos DESC, doc_id) AS vr0
+         |  FROM scored),
+         |rr AS (
+         |  SELECT anchor_id, doc_id,
+         |    CAST(CASE WHEN lex > 0 AND lr0 <= $rrfDepth THEN lr0 ELSE 0 END
+         |      AS BIGINT) AS lex_rank,
+         |    CAST(CASE WHEN vr0 <= $rrfDepth THEN vr0 ELSE 0 END AS BIGINT)
+         |      AS vec_rank
+         |  FROM rk),
+         |f AS (
+         |  SELECT anchor_id, doc_id, lex_rank, vec_rank,
+         |    (CASE WHEN lex_rank > 0
+         |       THEN 1.0 / ($rrfK.0 + CAST(lex_rank AS DOUBLE)) ELSE 0.0 END)
+         |    + (CASE WHEN vec_rank > 0
+         |       THEN 1.0 / ($rrfK.0 + CAST(vec_rank AS DOUBLE)) ELSE 0.0 END)
+         |      AS rrf
+         |  FROM rr WHERE lex_rank > 0 OR vec_rank > 0),
+         |fin AS (
+         |  SELECT anchor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rn,
+         |    doc_id, lex_rank, vec_rank, rrf
+         |  FROM f)
+         |SELECT * FROM fin WHERE rn <= 10
+         |ORDER BY anchor_id, rn""".stripMargin,
+    "l75_source_overlap" -> {
+      val sh = Text.oMinhashShinglesSql("toks", 3)
+      s"""WITH t AS (SELECT source, $oToks AS toks FROM documents),
+         |shf AS (
+         |  SELECT source, sh
+         |  FROM (SELECT source, $sh AS sh FROM t) WHERE len(sh) > 0),
+         |hs AS (
+         |  SELECT DISTINCT source, h FROM (
+         |    SELECT source,
+         |      unnest(list_transform(sh,
+         |        s -> ${Text.oPortableStrHashSql("s")})) AS h
+         |    FROM shf)),
+         |sizes AS (SELECT source, COUNT(*) AS n_sh FROM hs GROUP BY 1),
+         |inter AS (
+         |  SELECT x.source AS source_a, y.source AS source_b,
+         |    COUNT(*) AS n_inter
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |slots AS (
+         |  SELECT source, p AS slot,
+         |    MIN(${Text.oPortableMixSql("h + p * 8192 + 1")}) AS mn
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0, $overlapPerms)) AS p)
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT p.source AS source_a, q.source AS source_b,
+         |    CAST(SUM(CASE WHEN p.mn = q.mn THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS est_matches
+         |  FROM slots p JOIN slots q
+         |    ON p.slot = q.slot AND p.source < q.source
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM sizes a JOIN sizes b ON a.source < b.source)
+         |SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+         |  COALESCE(i.n_inter, 0) AS n_inter,
+         |  p.n_a + p.n_b - COALESCE(i.n_inter, 0) AS n_union,
+         |  (1000 * COALESCE(i.n_inter, 0))
+         |    // (p.n_a + p.n_b - COALESCE(i.n_inter, 0)) AS jaccard_permille,
+         |  COALESCE(e.est_matches, 0) AS est_matches,
+         |  (1000 * COALESCE(e.est_matches, 0)) // $overlapPerms
+         |    AS est_permille
+         |FROM pairs p
+         |LEFT JOIN inter i USING (source_a, source_b)
+         |LEFT JOIN est e USING (source_a, source_b)
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "l76_kanonymity" ->
+      s"""WITH cells AS (
+         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         |    CAST(FLOOR(value / 50.0) AS BIGINT) AS vband,
+         |    COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT event_type, COUNT(*) AS n_cells,
+         |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN n_users < $kanonK THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_risky_cells,
+         |  CAST(SUM(CASE WHEN n_users < $kanonK THEN n_rows ELSE 0 END)
+         |    AS BIGINT) AS n_risky_rows,
+         |  MIN(n_users) AS min_cell_users,
+         |  MAX(n_users) AS max_cell_users
+         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l77_mix_reweight" ->
+      // the same rule battery as the l62 oracle, rolled up to the
+      // mixture arithmetic; LEFT JOIN keeps it row-complete (l62 note)
+      s"""WITH t AS (
+         |  SELECT source, doc_id, $oNorm AS nrm, $oToks AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT source, doc_id, unnest(tk) AS tok FROM t)
+         |  GROUP BY 1, 2, 3),
+         |topt AS (
+         |  SELECT source, doc_id, MAX(c) AS top_tok FROM g GROUP BY 1, 2),
+         |m AS (
+         |  SELECT t.source,
+         |    CAST(len(tk) AS BIGINT) AS n_tok,
+         |    CAST(length(nrm) - (len(tk) - 1) AS BIGINT) AS n_chars,
+         |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_dist,
+         |    CAST(len(list_filter(tk,
+         |      x -> x IN ('the','a','of','to','and','in'))) AS BIGINT)
+         |      AS n_stop,
+         |    topt.top_tok AS top_tok
+         |  FROM t LEFT JOIN topt ON t.source = topt.source
+         |    AND t.doc_id = topt.doc_id),
+         |per AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN (n_tok BETWEEN 20 AND 60)
+         |      AND (35 * n_tok <= 10 * n_chars
+         |        AND 10 * n_chars <= 45 * n_tok)
+         |      AND (n_dist * 2 >= n_tok)
+         |      AND (n_stop >= 2)
+         |      AND (top_tok * 5 <= n_tok) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pass
+         |  FROM m GROUP BY 1),
+         |w AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST((1000 * n_tokens) // CAST(SUM(n_tokens) OVER () AS BIGINT)
+         |      AS BIGINT) AS share_permille,
+         |    (1000 * n_pass) // n_docs AS pass_permille
+         |  FROM per),
+         |x AS (
+         |  SELECT source, n_docs, n_tokens, share_permille, pass_permille,
+         |    1000 - pass_permille AS excess_permille,
+         |    share_permille * (1000 + (1000 - pass_permille)) AS raw_w
+         |  FROM w)
+         |SELECT source, n_docs, n_tokens, share_permille, pass_permille,
+         |  excess_permille, raw_w,
+         |  CAST((1000 * raw_w) // CAST(SUM(raw_w) OVER () AS BIGINT)
+         |    AS BIGINT) AS new_permille
+         |FROM x ORDER BY source""".stripMargin,
+    "l78_embedding_outliers" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(FLOOR(x * 1000.0) AS BIGINT)) AS mv
+         |  FROM embeddings),
+         |px AS (
+         |  SELECT label, unnest(mv) AS x,
+         |    unnest(range(1, len(mv) + 1)) AS d
+         |  FROM e),
+         |sums AS (
+         |  SELECT label, d, CAST(SUM(x) AS BIGINT) AS sx
+         |  FROM px GROUP BY 1, 2),
+         |sa AS (SELECT label, list(sx ORDER BY d) AS sarr FROM sums
+         |  GROUP BY 1),
+         |cn AS (SELECT label, COUNT(*) AS n FROM e GROUP BY 1),
+         |dist AS (
+         |  SELECT e.vec_id, e.label,
+         |    list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, len(mv) + 1),
+         |          i -> CAST(n * mv[i] - sarr[i] AS DOUBLE)
+         |             * CAST(n * mv[i] - sarr[i] AS DOUBLE))),
+         |      (a, b) -> a + b) AS dist2
+         |  FROM e JOIN sa USING (label) JOIN cn USING (label)),
+         |rk AS (
+         |  SELECT label,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rk,
+         |    vec_id, dist2
+         |  FROM dist)
+         |SELECT * FROM rk WHERE rk <= $outlierTopK
+         |ORDER BY label, rk""".stripMargin)
+}

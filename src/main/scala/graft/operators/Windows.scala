@@ -582,6 +582,52 @@ object Windows extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** W18: exact trailing-24h distinct users per hour — rolling DAU, the
+    * classic "hard" window: COUNT(DISTINCT) does not decompose over
+    * sliding frames, so the naive spelling is an hours × presences
+    * range join (every hour re-counts its whole trailing window — the
+    * w13 explosion with a DISTINCT on top). The exact join-free
+    * rewrite: per (user, active-hour) presence, the user is counted at
+    * hour h iff their LATEST presence ≤ h lies within [h−23, h] — so
+    * each presence covers hours [p, min(p+23, next_presence−1)], the
+    * coverage intervals are disjoint per user by construction, and the
+    * distinct count collapses to w13's ±1 sweep over interval ends. No
+    * distinct state, no re-count: O(presences) narrow rows.
+    *
+    * 100 TB shape: the presence dedup is one (user, hour) hash agg
+    * (map-side combined); the lead() window shuffles presences by
+    * user; deltas aggregate to |hours| rows before the single running
+    * sum (a bounded series like w11's spine — shard by day with
+    * carry-in when even that grows, per w13's note). */
+  /** The sweep over any events-shaped frame (user_id, ts) — public so
+    * AuditSpec can pin the interval-decomposition laws on planted
+    * presence patterns. */
+  def rollingDistinctUsers(ev: DataFrame): DataFrame = {
+    val pres = ev
+      .select(col("user_id"), expr("CAST(ts AS BIGINT) div 3600").as("p"))
+      .distinct()
+    val iv = pres
+      .withColumn("np", lead(col("p"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("p"))))
+      .withColumn("cov_end",
+        least(col("p") + 23, coalesce(col("np") - 1, col("p") + 23)))
+    val deltas = iv.select(col("p").as("h"), lit(1L).as("delta"))
+      .unionByName(iv.select((col("cov_end") + 1).as("h"),
+        lit(-1L).as("delta")))
+      .groupBy(col("h")).agg(sum(col("delta")).as("d"))
+    val spine = pres.agg(min(col("p")).as("h0"), max(col("p")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    spine.join(deltas, Seq("h"), "left")
+      .withColumn("d", coalesce(col("d"), lit(0L)))
+      .withColumn("active_users_24h",
+        sum(col("d")).over(Window.orderBy(col("h"))))
+      .select(col("h"), col("active_users_24h"))
+      .orderBy("h")
+  }
+
+  private val rollingDistinct: Q = (s, dir) =>
+    rollingDistinctUsers(T.load(s, dir, "events"))
+
   /** W14: ranking-function catalog — ntile / percent_rank / cume_dist /
     * first_value / nth_value / last_value over one shared window, the
     * remaining SQL:2003 ranking functions w01/q15/w06 don't cover.
@@ -656,6 +702,7 @@ object Windows extends QueryPack {
     "w15_interpolate" -> interpolateGaps,
     "w14_rank_catalog" -> rankCatalog,
     "w13_peak_concurrency" -> peakConcurrency,
+    "w18_rolling_distinct" -> rollingDistinct,
     "w12_ewma" -> ewmaHours,
     "w08_pattern_runs" -> patternRuns,
     "w09_sessionization" -> sessionization,
@@ -674,6 +721,24 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    // brute-force replay: the hours × presences trailing range join the
+    // sweep line avoids — tractable at gate scale, and the equality IS
+    // the proof that the interval decomposition is exact
+    "w18_rolling_distinct" ->
+      // floor(epoch), not CAST: epoch() is a DOUBLE with fractional
+      // seconds, and DuckDB's double→int CAST rounds half-even while
+      // Spark's timestamp→long CAST truncates — 1-second drift at the
+      // rounding boundary shifts an hour bucket (caught at the gate)
+      """WITH pres AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS p
+        |  FROM events),
+        |b AS (SELECT MIN(p) AS h0, MAX(p) AS h1 FROM pres),
+        |spine AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b)
+        |SELECT s.h,
+        |  CAST(COUNT(DISTINCT pr.user_id) AS BIGINT) AS active_users_24h
+        |FROM spine s LEFT JOIN pres pr ON pr.p BETWEEN s.h - 23 AND s.h
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same pinned fold: list(value ORDER BY ts, event_id) seeds
     // list_reduce with its first element — /2 and + on identical
     // operand sequences are bit-identical doubles in both engines

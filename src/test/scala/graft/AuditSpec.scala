@@ -1,0 +1,168 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AuditOps
+
+/** Semantic contracts for the AuditOps pack (l74-l78) on crafted
+  * fixtures — the oracle gate proves engine parity on the synthetic
+  * corpus; these prove the operators' LAWS where the corpus only
+  * exercises them at natural rates. */
+class AuditSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- l75 source overlap ---------------------------------------------
+
+  private val textA =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val textB =
+    "one two three four five six seven eight nine ten"
+
+  test("l75: identical sources estimate AND measure Jaccard 1") {
+    val d = Seq(("s1", textA), ("s2", textA)).toDF("source", "text")
+    val r = AuditOps.overlapMatrix(d).collect()(0)
+    assert(r.getAs[Long]("jaccard_permille") === 1000L)
+    assert(r.getAs[Long]("est_matches") === 16L)
+    assert(r.getAs[Long]("n_inter") === r.getAs[Long]("n_union"))
+  }
+
+  test("l75: disjoint sources estimate AND measure Jaccard 0") {
+    val d = Seq(("s1", textA), ("s2", textB)).toDF("source", "text")
+    val r = AuditOps.overlapMatrix(d).collect()(0)
+    assert(r.getAs[Long]("jaccard_permille") === 0L)
+    assert(r.getAs[Long]("n_inter") === 0L)
+    // 16 independent slots over disjoint hash sets agreeing is a
+    // ~2^-60 event; a hit here means the mixer lost slot independence
+    assert(r.getAs[Long]("est_matches") === 0L)
+  }
+
+  test("l75: union semantics — a source's signature is the min over ALL its docs") {
+    // s1 split across two docs vs s2 holding both texts in one doc:
+    // identical shingle SETS, so exact and estimated Jaccard are 1.
+    val d = Seq(("s1", textA), ("s1", textB), ("s2", textA + " " + textB))
+      .toDF("source", "text")
+    val r = AuditOps.overlapMatrix(d)
+      // the concatenation creates 2 bridge shingles spanning the seam;
+      // restrict the check to the estimate's union-of-mins law via the
+      // signature slots: allow the 2-shingle diff in the exact column
+      .collect()(0)
+    // s1's set ⊆ s2's set; union exceeds it by exactly the 2 seam
+    // shingles: J = 16/18 → 888 permille
+    assert(r.getAs[Long]("n_inter") === r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("n_union") === r.getAs[Long]("n_a") + 2)
+    assert(r.getAs[Long]("jaccard_permille") === 888L)
+  }
+
+  // ---- l76 k-anonymity ------------------------------------------------
+
+  private def ev(id: Long, user: Long, typ: String, hour: Int, v: Double) =
+    (id, Timestamp.valueOf(f"2025-01-01 $hour%02d:00:00"), user, typ, v, "{}")
+
+  test("l76: a below-k cell is flagged with its row mass; a k-strong cell is not") {
+    // risky: 2 distinct users, 3 rows in (click, 10, band 0)
+    // safe: 5 distinct users in (view, 11, band 0)
+    val rows = Seq(
+      ev(1, 1, "click", 10, 1.0), ev(2, 1, "click", 10, 2.0),
+      ev(3, 2, "click", 10, 3.0)) ++
+      (1L to 5L).map(u => ev(10 + u, u, "view", 11, 1.0))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val out = AuditOps.kanonSummary(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("click").getAs[Long]("n_risky_cells") === 1L)
+    assert(out("click").getAs[Long]("n_risky_rows") === 3L)
+    assert(out("click").getAs[Long]("min_cell_users") === 2L)
+    assert(out("view").getAs[Long]("n_risky_cells") === 0L)
+    assert(out("view").getAs[Long]("min_cell_users") === 5L)
+  }
+
+  // ---- l78 embedding outliers -----------------------------------------
+
+  test("l78: a planted far vector ranks first; ties break on vec_id") {
+    // label 0: four vectors at the corners of a tight cluster plus one
+    // far outlier. The outlier must rank 1; the symmetric corners tie
+    // on distance and must order by vec_id.
+    val base = Seq(
+      (0L, 0, Array(0.1, 0.1)), (1L, 0, Array(-0.1, 0.1)),
+      (2L, 0, Array(0.1, -0.1)), (3L, 0, Array(-0.1, -0.1)),
+      (9L, 0, Array(50.0, 50.0)))
+    val df = base.toDF("vec_id", "label", "vec")
+      .withColumn("vec", col("vec").cast("array<double>"))
+    val out = AuditOps.outlierRanking(df).collect()
+    assert(out(0).getAs[Long]("vec_id") === 9L)
+    assert(out(0).getAs[Long]("rk") === 1L)
+    // corners are symmetric around the centroid-excluding-outlier? No:
+    // the centroid includes the outlier, but the four corners remain
+    // mutually symmetric about (0,0) + outlier shift in BOTH coords
+    // pairs (0,3) and (1,2) swap — distances pair up; the tie-break law
+    // is what we pin: equal dist2 rows are ordered by vec_id.
+    val d = out.map(r => (r.getAs[Double]("dist2"), r.getAs[Long]("vec_id")))
+    d.groupBy(_._1).values.foreach { grp =>
+      assert(grp.map(_._2).sorted === grp.map(_._2).toSeq)
+    }
+  }
+
+  test("l78: dist2 is exact — a vector AT the centroid lattice point scores 0") {
+    // three identical vectors: centroid = the vector, n*x - Sx = 0
+    val df = Seq((0L, 1, Array(0.2, 0.3)), (1L, 1, Array(0.2, 0.3)),
+      (2L, 1, Array(0.2, 0.3)))
+      .toDF("vec_id", "label", "vec")
+      .withColumn("vec", col("vec").cast("array<double>"))
+    val out = AuditOps.outlierRanking(df).collect()
+    assert(out.forall(_.getAs[Double]("dist2") === 0.0))
+  }
+
+  // ---- w18 rolling distinct users -------------------------------------
+
+  test("w18: interval decomposition counts a multi-presence user exactly once") {
+    // user 1 active at hours 10 and 12 (epoch-hours): counted once for
+    // every h in [10, 35], gone at 36. user 2 active only at hour 11.
+    def at(hour: Long, user: Long, id: Long) =
+      (id, new Timestamp(hour * 3600L * 1000L), user, "view", 1.0, "{}")
+    val df = Seq(at(10, 1, 1), at(12, 1, 2), at(11, 2, 3), at(40, 3, 4))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Windows.rollingDistinctUsers(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10) === 1L)            // user 1 only
+    assert(out(11) === 2L)            // users 1 and 2
+    assert(out(34) === 2L)            // user 2 still in (11+23=34), user 1
+    assert(out(35) === 1L)            // user 2 aged out, user 1 (12+23)
+    assert(out(36) === 0L)            // both aged out
+    assert(out(40) === 1L)            // user 3
+  }
+
+  // ---- l74 / l77 registered-query contracts on the gate corpus --------
+
+  test("l74: fused ranks are dense per anchor and every hit carries a source rank") {
+    val out = SparkEntry.queries("l74_hybrid_rrf")(spark, sfDir).collect()
+    val byAnchor = out.groupBy(_.getAs[Long]("anchor_id"))
+    byAnchor.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rn")).sorted
+        === (1L to rows.length.toLong).toArray.toSeq)
+    }
+    // RRF's membership law: a fused hit must appear in >= 1 input list
+    assert(out.forall(r =>
+      r.getAs[Long]("lex_rank") > 0 || r.getAs[Long]("vec_rank") > 0))
+    // and rrf must equal the closed form of its two ranks
+    out.foreach { r =>
+      val lex = r.getAs[Long]("lex_rank"); val vec = r.getAs[Long]("vec_rank")
+      val expect = (if (lex > 0) 1.0 / (60.0 + lex) else 0.0) +
+        (if (vec > 0) 1.0 / (60.0 + vec) else 0.0)
+      assert(r.getAs[Double]("rrf") === expect)
+    }
+  }
+
+  test("l77: weights renormalize to ~1000 permille and deficit boosts share") {
+    val out = SparkEntry.queries("l77_mix_reweight")(spark, sfDir).collect()
+    val newSum = out.map(_.getAs[Long]("new_permille")).sum
+    // floor division loses < 1 permille per source
+    assert(newSum <= 1000L && newSum >= 1000L - out.length)
+    // multiplicative law: raw_w = share * (1000 + excess) exactly
+    out.foreach { r =>
+      assert(r.getAs[Long]("raw_w") ===
+        r.getAs[Long]("share_permille") *
+          (1000L + r.getAs[Long]("excess_permille")))
+    }
+  }
+}

@@ -145,5 +145,7 @@ class PlanAuditSpec extends SparkSpec {
     "w15_interpolate", "w16_seasonal_naive", "l10_embedding_neardup",
     "l71_retrieval_quality", // 4-row literal probe panel
     "l72_matryoshka_audit",  // 10-probe x 4-dim literal panels
-    "o07_keyset_pagination") // 1-row cursor broadcast
+    "o07_keyset_pagination", // 1-row cursor broadcast
+    "l74_hybrid_rrf",        // 4-anchor more-like-this panel broadcast
+    "l75_source_overlap")    // |sources|-row aggregated pair frame
 }
