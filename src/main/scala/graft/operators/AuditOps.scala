@@ -349,7 +349,58 @@ object AuditOps extends QueryPack {
       .orderBy(col("source"), col("lang"))
   }
 
+  // ---- l80: dedup survivorship-bias audit -----------------------------
+
+  /** l80: survivorship-bias audit of naive min-id dedup — for every
+    * CONFIRMED near-dup pair (the process-shared l07 banding frame,
+    * fourth consumer, zero extra banding cost), compare the quality of
+    * the copy min-id dedup keeps (doc_a: candidates are emitted with
+    * doc_a < doc_b) against the copy it drops. The quality score is the
+    * l62 rule battery's pass count (0..5 — integer, zero drift from the
+    * gate definition via [[QualityOps.ruleColumnsWithKeys]]).
+    * `n_minid_worse` is the measured case for l34's quality-aware
+    * survivor selection: every such pair is a better copy thrown away.
+    * Near-dups (unlike exact dups) genuinely differ under the rules, so
+    * the audit is non-vacuous by construction.
+    *
+    * 100 TB shape: candidates come cached; the two score joins are
+    * doc-keyed equi-joins of a narrow (doc_id, q) frame; the rollup is
+    * |sources|-sized. */
+  /** The audit over any docs-shaped frame and candidate frame — public
+    * so AuditSpec drives a planted worse-survivor pair through the
+    * production expressions (the registered query passes the shared
+    * process-cached candidates). */
+  def survivorshipStats(d: DataFrame, candidates: DataFrame): DataFrame = {
+    val q = Seq("r1", "r2", "r3", "r4", "r5")
+      .map(c => when(col(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val score = QualityOps
+      .ruleColumnsWithKeys(d, Seq("source", "doc_id"))
+      .select(col("source"), col("doc_id"), q.as("q"))
+    val cand = candidates
+      .filter(col("confirmed"))
+      .select(col("doc_a"), col("doc_b"))
+    cand
+      .join(score.select(col("doc_id").as("doc_a"), col("source"),
+        col("q").as("q_kept")), "doc_a")
+      .join(score.select(col("doc_id").as("doc_b"),
+        col("q").as("q_dropped")), "doc_b")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("q_kept") < col("q_dropped"), 1L).otherwise(0L))
+          .as("n_minid_worse"),
+        sum(when(col("q_kept") > col("q_dropped"), 1L).otherwise(0L))
+          .as("n_minid_better"),
+        sum(col("q_dropped") - col("q_kept")).as("quality_delta_sum"))
+      .orderBy(col("source"))
+  }
+
+  private val survivorshipBias: Q = (s, dir) =>
+    survivorshipStats(docs(s, dir), LlmOps.sharedMinhashCandidates(s, dir))
+
   def queries: Map[String, Q] = Map(
+    "l80_survivorship_bias" -> survivorshipBias,
     "l79_fertility" -> fertility,
     "l74_hybrid_rrf" -> hybridRrf,
     "l75_source_overlap" -> sourceOverlap,
@@ -361,6 +412,58 @@ object AuditOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   def oracle: Map[String, String] = Map(
+    // the l67/l68 banding replay (shared spelling) + the l62 rule
+    // battery keyed by doc, composed into the pairwise audit
+    "l80_survivorship_bias" ->
+      s"""WITH ${QualityOps.oBandingCtes},
+         |conf AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN shf x ON x.doc_id = p.doc_a
+         |  JOIN shf y ON y.doc_id = p.doc_b
+         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+         |      >= 0.8),
+         |rt AS (
+         |  SELECT source, doc_id, $oNorm AS nrm, $oToks AS tk
+         |  FROM documents),
+         |rg AS (
+         |  SELECT source, doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT source, doc_id, unnest(tk) AS tok FROM rt)
+         |  GROUP BY 1, 2, 3),
+         |rtopt AS (
+         |  SELECT source, doc_id, MAX(c) AS top_tok FROM rg GROUP BY 1, 2),
+         |rm AS (
+         |  SELECT rt.source, rt.doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_tok,
+         |    CAST(length(nrm) - (len(tk) - 1) AS BIGINT) AS n_chars,
+         |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_dist,
+         |    CAST(len(list_filter(tk,
+         |      x -> x IN ('the','a','of','to','and','in'))) AS BIGINT)
+         |      AS n_stop,
+         |    rtopt.top_tok AS top_tok
+         |  FROM rt LEFT JOIN rtopt ON rt.source = rtopt.source
+         |    AND rt.doc_id = rtopt.doc_id),
+         |rq AS (
+         |  SELECT source, doc_id, CAST(
+         |    (CASE WHEN n_tok BETWEEN 20 AND 60 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN 35 * n_tok <= 10 * n_chars
+         |       AND 10 * n_chars <= 45 * n_tok THEN 1 ELSE 0 END) +
+         |    (CASE WHEN n_dist * 2 >= n_tok THEN 1 ELSE 0 END) +
+         |    (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN top_tok * 5 <= n_tok THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS q
+         |  FROM rm)
+         |SELECT qa.source, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN qa.q < qb.q THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_minid_worse,
+         |  CAST(SUM(CASE WHEN qa.q > qb.q THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_minid_better,
+         |  CAST(SUM(qb.q - qa.q) AS BIGINT) AS quality_delta_sum
+         |FROM conf c
+         |JOIN rq qa ON qa.doc_id = c.doc_a
+         |JOIN rq qb ON qb.doc_id = c.doc_b
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "l79_fertility" ->
       s"""SELECT source, lang, COUNT(*) AS n_docs,
          |  CAST(SUM(length($oNorm)) AS BIGINT) AS n_chars,

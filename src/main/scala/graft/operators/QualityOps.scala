@@ -63,8 +63,13 @@ object QualityOps extends QueryPack {
     * text), exposed so QualitySpec can drive planted single-rule
     * violations through the exact production expressions. */
   def ruleColumns(d: DataFrame): DataFrame =
-    d.select(col("source"),
-        Text.norm(col("text")).as("nrm"), Text.tokens(col("text")).as("tk"))
+    ruleColumnsWithKeys(d, Seq("source"))
+
+  /** The same battery with caller-chosen key columns carried through
+    * (l80's pair audit needs doc_id beside source). */
+  def ruleColumnsWithKeys(d: DataFrame, keys: Seq[String]): DataFrame =
+    d.select(keys.map(col) :+
+        Text.norm(col("text")).as("nrm") :+ Text.tokens(col("text")).as("tk"): _*)
       .withColumn("n_tok", size(col("tk")).cast("long"))
       .withColumn("n_chars",
         (length(col("nrm")) - (col("n_tok") - 1)).cast("long"))
@@ -442,7 +447,7 @@ object QualityOps extends QueryPack {
     * DISTINCT candidate pairs. One spelling, two oracles — the same
     * anti-drift discipline as CurationOps.oSpanCtes. Callers append
     * their own CTEs after the trailing `pairs` entry. */
-  private def oBandingCtes: String = {
+  private[operators] def oBandingCtes: String = {
     val sh = Text.oMinhashShinglesSql("toks", 3)
     val sig = Text.oMinhashSigSql("hh", 16)
     val key = Text.oLshBandKeySql("sig", "b", 4)

@@ -113,6 +113,28 @@ class AuditSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("dist2") === 0.0))
   }
 
+  // ---- l80 survivorship bias ------------------------------------------
+
+  test("l80: a planted worse low-id copy is counted as a kept-worse pair") {
+    // doc 1 passes all five l62 rules; doc 0 is the same text plus one
+    // 30-char token — near-dup (23 of 24 shingles shared, J ≈ 0.96,
+    // banding-confirmed) but the appended token mass breaks rule r2,
+    // so min-id dedup keeps the WORSE copy.
+    val clean =
+      "the data lake runs fast scan with wide rows over cold disk and " +
+        "warm heap plus tidy sort keys that pack neat byte maps well"
+    val worse = clean + " " + ("x" * 30)
+    val d = Seq((0L, worse, "s"), (1L, clean, "s"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.AuditOps
+      .survivorshipStats(d, graft.operators.LlmOps.minhashCandidates(d))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_pairs") === 1L)
+    assert(out(0).getAs[Long]("n_minid_worse") === 1L)
+    assert(out(0).getAs[Long]("quality_delta_sum") === 1L)
+  }
+
   // ---- w18 rolling distinct users -------------------------------------
 
   test("w18: interval decomposition counts a multi-presence user exactly once") {
