@@ -399,7 +399,33 @@ object AuditOps extends QueryPack {
   private val survivorshipBias: Q = (s, dir) =>
     survivorshipStats(docs(s, dir), LlmOps.sharedMinhashCandidates(s, dir))
 
+  // ---- l81: duplication-profile histogram -----------------------------
+
+  /** l81: corpus duplication profile — power-of-2 histogram of exact-
+    * duplicate cluster sizes (copies per md5 fingerprint), the
+    * datasheet row that says HOW a corpus is duplicated, not just how
+    * much (l05's rate): a fat band-3+ tail means template/boilerplate
+    * explosions that near-dedup must catch, a pure band-0 corpus needs
+    * no dedup pass at all. Bands via [[QualityOps.bandSql]] (l57/l63's
+    * integer CASE chain), corpus share in integer permille over the
+    * ≤ 21 post-aggregate band rows. One fingerprint hash agg — the
+    * cheapest audit in the pack, linear and codegen'd. */
+  private val dupProfile: Q = (s, dir) => {
+    val clusters = docs(s, dir)
+      .select(md5(Text.norm(col("text"))).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("copies"))
+    clusters
+      .withColumn("band", expr(QualityOps.bandSql("copies")).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("copies")).as("n_docs"))
+      .withColumn("tot", sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("corpus_permille", expr("(1000 * n_docs) div tot"))
+      .drop("tot")
+      .orderBy(col("band"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "l81_dup_profile" -> dupProfile,
     "l80_survivorship_bias" -> survivorshipBias,
     "l79_fertility" -> fertility,
     "l74_hybrid_rrf" -> hybridRrf,
@@ -412,6 +438,16 @@ object AuditOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   def oracle: Map[String, String] = Map(
+    "l81_dup_profile" ->
+      s"""WITH f AS (SELECT md5($oNorm) AS fp FROM documents),
+         |c AS (SELECT fp, COUNT(*) AS copies FROM f GROUP BY 1)
+         |SELECT CAST(${QualityOps.bandSql("copies")} AS BIGINT) AS band,
+         |  COUNT(*) AS n_clusters,
+         |  CAST(SUM(copies) AS BIGINT) AS n_docs,
+         |  CAST((1000 * CAST(SUM(copies) AS BIGINT))
+         |    // CAST(SUM(SUM(copies)) OVER () AS BIGINT) AS BIGINT)
+         |    AS corpus_permille
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // the l67/l68 banding replay (shared spelling) + the l62 rule
     // battery keyed by doc, composed into the pairwise audit
     "l80_survivorship_bias" ->

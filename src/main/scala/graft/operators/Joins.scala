@@ -322,6 +322,42 @@ object Joins extends QueryPack {
       .orderBy("r_name", "o_orderpriority")
   }
 
+  /** Q31: product-profit rollup — the TPC-H Q9 shape re-based onto the
+    * available schema: every lineitem of a name-filtered part family
+    * ('%bolt%'), margined against the part's list price
+    * (revenue − quantity × retailprice standing in for Q9's
+    * ps_supplycost), rolled up by supplier nation × order year. Two
+    * shuffle joins (lineitem⋈orders on orderkey; nothing else is
+    * fact-sized) and three broadcasts (filtered part, supplier,
+    * nation); the p_name LIKE predicate pushes to the part scan, so
+    * the broadcast build is the FILTERED part set — at 100 TB the
+    * filter-before-broadcast ordering is the difference between a
+    * shippable build side and an OOM. Margin arithmetic is exact
+    * decimal, surfaced once as double (the q01/moneySum discipline). */
+  private val profitRollup: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    val o = T.load(s, dir, "orders")
+    val p = T.load(s, dir, "part").filter(col("p_name").like("%bolt%"))
+    val sup = T.load(s, dir, "supplier")
+    val n = T.load(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long")
+        .as("o_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        T.revenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
+        sum(T.dec2(col("p_retailprice")) * T.dec2(col("l_quantity")))
+          .cast("double").as("list_cost"),
+        (T.revenueSum(col("l_extendedprice"), col("l_discount")) -
+          sum(T.dec2(col("p_retailprice")) * T.dec2(col("l_quantity")))
+            .cast("double")).as("profit"))
+      .orderBy("n_name", "o_year")
+  }
+
   /** Q24: native AS-OF join — each purchase event picks up the user's
     * most recent signup at or before it, through the custom
     * whole-operator extension ([[graft.plans.AsOfJoin]]: LogicalPlan +
@@ -640,6 +676,7 @@ object Joins extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "q31_profit_rollup" -> profitRollup,
     "q30_bfs_hops" -> bfsHops,
     "q29_pagerank" -> pageRank,
     "q28_triangle_count" -> triangleCount,
@@ -660,6 +697,23 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    "q31_profit_rollup" ->
+      s"""SELECT n_name,
+         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  COUNT(*) AS n_lines,
+         |  ${T.oRevenueSum("l_extendedprice", "l_discount")} AS revenue,
+         |  CAST(SUM(${T.oDec2("p_retailprice")} * ${T.oDec2("l_quantity")})
+         |    AS DOUBLE) AS list_cost,
+         |  ${T.oRevenueSum("l_extendedprice", "l_discount")} -
+         |    CAST(SUM(${T.oDec2("p_retailprice")} * ${T.oDec2("l_quantity")})
+         |      AS DOUBLE) AS profit
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%bolt%'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // recursive CTE with UNION-distinct frontier; min-hop per node
     // replayed relationally; the depth bound interpolates bfsDepth so
     // the two sides cannot drift
