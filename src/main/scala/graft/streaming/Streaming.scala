@@ -133,6 +133,45 @@ object Streaming extends QueryPack {
         .dropDuplicatesWithinWatermark(idCol)
     else events.dropDuplicates(idCol)
 
+  /** T-ext (t11): exact distinct users per tumbling window — streaming
+    * COUNT(DISTINCT), which no incremental aggregate merges. The engine
+    * shape is dedup-then-count: one dropDuplicates[WithinWatermark] on
+    * (user_id, window) — state is one NARROW row per distinct key,
+    * watermark-evicted, never a per-window user set — then an ordinary
+    * windowed count over the survivors. The batch plan is the identical
+    * dedup-then-count; the DuckDB oracle computes COUNT(DISTINCT)
+    * directly, so the gate equality is the decomposition proof (w18's
+    * law, streamed). At extreme user cardinality the exact state
+    * trades for k10's mergeable HLL sketches — this operator is the
+    * exact path that audit would calibrate against. */
+  def windowedDistinctUsers(events: DataFrame,
+      windowSeconds: Long = 3600L, lateness: String = "10 minutes")
+      : DataFrame = {
+    val w =
+      if (events.isStreaming) events.withWatermark("ts", lateness)
+      else events
+    // the dedup key is a PLAIN arithmetic window-start timestamp, not
+    // the window() struct: the struct inherits the event-time tag from
+    // the watermarked ts, and a stream allows at most one event-time
+    // column — ts stays that column, driving both the dedup state
+    // eviction and the final windowed aggregate
+    val keyed = w.withColumn("wstart", timestamp_seconds(
+      expr(s"unix_timestamp(ts) div $windowSeconds") * windowSeconds))
+    val dedup =
+      if (events.isStreaming)
+        keyed.dropDuplicatesWithinWatermark("user_id", "wstart")
+      else keyed.dropDuplicates("user_id", "wstart")
+    dedup
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_users"))
+  }
+
+  private val windowedDistinct: Q = (s, dir) =>
+    windowedDistinctUsers(T.load(s, dir, "events"))
+      .orderBy("window_start")
+
   /** T-dedup batch gate: replay the events table with every 20th event
     * redelivered (at-least-once delivery), dedup by event_id, and
     * report per-type delivered vs unique counts. Both sides of the
@@ -544,6 +583,7 @@ object Streaming extends QueryPack {
     "t02_hour_window_agg" -> hourWindowAgg,
     "t03_session_window_agg" -> sessionAgg,
     "t04_stream_dedup" -> streamDedup,
+    "t11_windowed_distinct" -> windowedDistinct,
     "t05_attribution_join" -> attributionAgg,
     "t06_stateful_profile" -> statefulUserProfile,
     "t07_stream_static_enrich" -> streamStaticEnrich,
@@ -575,6 +615,11 @@ object Streaming extends QueryPack {
          |  ROUND(${T.oMoneySum("value")}, 2) AS total_revenue
          |FROM events GROUP BY 1, 2, 3, 4
          |ORDER BY 1, 4""".stripMargin,
+    "t11_windowed_distinct" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 3600 SECOND AS window_end,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "t02_hour_window_agg" ->
       s"""SELECT date_trunc('hour', ts) AS window_start,
          |  date_trunc('hour', ts) + INTERVAL 3600 SECOND AS window_end,

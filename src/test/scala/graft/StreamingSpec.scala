@@ -276,6 +276,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("t11: streamed windowed distinct users equals batch; cross-batch " +
+      "re-activity inside a window counts once") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val streamDf = mem.toDF().toDF("ts", "user_id")
+    val q = Streaming.windowedDistinctUsers(streamDf)
+      .writeStream.format("memory").queryName("t11_distinct")
+      .outputMode("append").start()
+    try {
+      // user 1 twice in one batch, user 2 once
+      mem.addData(Seq((ts(0), 1L), (ts(5), 1L), (ts(10), 2L)))
+      q.processAllAvailable()
+      // user 1 AGAIN in a later micro-batch, same hour window — the
+      // dedup state, not the batch boundary, must decide
+      mem.addData(Seq((ts(20), 1L), (ts(30), 3L)))
+      q.processAllAvailable()
+      // sentinel advances the watermark past the 10:00 window
+      mem.addData(Seq((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 9L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t11_distinct")
+      .filter(col("window_start") === ts(0))
+      .select("n_users").collect().map(_.getLong(0)).toSeq
+    assert(streamed == Seq(3L), s"streamed window: $streamed")
+
+    // batch equivalence on the same rows
+    val batch = Streaming.windowedDistinctUsers(
+      Seq((ts(0), 1L), (ts(5), 1L), (ts(10), 2L), (ts(20), 1L),
+        (ts(30), 3L)).toDF("ts", "user_id"))
+      .collect()
+    assert(batch.length == 1 && batch(0).getAs[Long]("n_users") == 3L)
+  }
+
   test("streaming upsert: foreachBatch merges micro-batches into the versioned table, idempotently") {
     implicit val sqlCtx = spark.sqlContext
     val sn = new graft.plans.Snapshots(graft.core.Scratch.dir("stream_upsert"))
