@@ -424,7 +424,73 @@ object AuditOps extends QueryPack {
       .orderBy(col("band"))
   }
 
+  // ---- l82: scalar-quantization reconstruction-error audit ------------
+
+  /** l82: int8 SQ reconstruction-error audit — the calibration row for
+    * l58's quantized serving path: quantize with l58's exact recipe
+    * (symmetric max-abs, q = round(x/amax·127)), reconstruct, and rank
+    * vectors by squared reconstruction error. The worst-10 list is
+    * what decides whether SQ8 is safe for a corpus or the outliers
+    * need PQ/float fallback. err² is one fold in array order over a
+    * shared closed-form spelling — bit-identical doubles — and the
+    * top-10 plans as TakeOrderedAndProject (no global sort). The
+    * singleton amax crossJoin is the l43 one-row-broadcast shape. */
+  private val sqError: Q = (s, dir) => {
+    val e = embs(s, dir).select(col("vec_id"), col("vec"))
+    val amax = e.agg(max(expr(
+      "aggregate(vec, 0.0D, (a, x) -> greatest(a, abs(x)))")).as("amax"))
+    e.crossJoin(broadcast(amax))
+      .withColumn("err2", expr(
+        """aggregate(
+          |  transform(vec, x ->
+          |    (x - ROUND(x / amax * 127.0D) * amax / 127.0D)
+          |    * (x - ROUND(x / amax * 127.0D) * amax / 127.0D)),
+          |  0D, (a, b) -> a + b)""".stripMargin))
+      .select(col("vec_id"), col("err2"))
+      .orderBy(desc("err2"), col("vec_id"))
+      .limit(10)
+  }
+
+  // ---- l83: RAG chunk-level dedup rate --------------------------------
+
+  /** Chunk window/stride (tokens) for the RAG indexing path. */
+  private val chunkWindow = 32
+  private val chunkStride = 16
+
+  /** l83: chunk-level dedup audit — the RAG-index hygiene number:
+    * overlapping token-window chunks (l31's splitter geometry, l50's
+    * retrieval granularity) fingerprinted and deduped per source.
+    * Duplicate chunks in a vector index waste storage AND corrupt
+    * retrieval (the same passage crowds out diverse hits — the l74/l75
+    * failure mode at serving time), so the dup permille per source is
+    * the number an indexing pipeline gates on. Chunk count law:
+    * 1 + max(0, ⌈(len − window)/stride⌉), the l31 coverage geometry.
+    * One explode + one fingerprint hash agg — linear. */
+  private val chunkDedup: Q = (s, dir) => {
+    val par = s.sparkContext.defaultParallelism
+    val starts =
+      s"sequence(0, greatest(CAST(CEIL((size(tk) - $chunkWindow) / " +
+        s"$chunkStride.0) AS INT), 0))"
+    docs(s, dir)
+      .select(col("source"), Text.tokens(col("text")).as("tk"))
+      .repartition(par)
+      .select(col("source"), explode(expr(
+        s"""transform($starts,
+           |  i -> array_join(slice(tk, i * $chunkStride + 1, $chunkWindow),
+           |       ' '))""".stripMargin)).as("chunk"))
+      .select(col("source"), md5(col("chunk")).as("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .withColumn("dup_permille",
+        expr("(1000 * (n_chunks - n_distinct)) div n_chunks"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "l82_sq_error" -> sqError,
+    "l83_chunk_dedup" -> chunkDedup,
     "l81_dup_profile" -> dupProfile,
     "l80_survivorship_bias" -> survivorshipBias,
     "l79_fertility" -> fertility,
@@ -438,6 +504,36 @@ object AuditOps extends QueryPack {
   private val oToks = s"string_split($oNorm, ' ')"
 
   def oracle: Map[String, String] = Map(
+    "l82_sq_error" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |amax AS (SELECT MAX(list_aggregate(
+        |    list_transform(vec, x -> abs(x)), 'max')) AS a FROM e)
+        |SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(vec, x ->
+        |      (x - ROUND(x / am.a * 127.0) * am.a / 127.0)
+        |      * (x - ROUND(x / am.a * 127.0) * am.a / 127.0))),
+        |    (a, b) -> a + b) AS err2
+        |FROM e CROSS JOIN amax am
+        |ORDER BY err2 DESC, vec_id LIMIT 10""".stripMargin,
+    "l83_chunk_dedup" -> {
+      val starts = s"range(0, greatest(CAST(CEIL((len(tk) - $chunkWindow)" +
+        s" / $chunkStride.0) AS INT), 0) + 1)"
+      s"""WITH t AS (SELECT source, $oToks AS tk FROM documents),
+         |ch AS (
+         |  SELECT source,
+         |    md5(unnest(list_transform($starts,
+         |      i -> array_to_string(
+         |        tk[i * $chunkStride + 1 : i * $chunkStride + $chunkWindow],
+         |        ' ')))) AS fp
+         |  FROM t)
+         |SELECT source, COUNT(*) AS n_chunks,
+         |  COUNT(DISTINCT fp) AS n_distinct,
+         |  (1000 * (COUNT(*) - COUNT(DISTINCT fp))) // COUNT(*)
+         |    AS dup_permille
+         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "l81_dup_profile" ->
       s"""WITH f AS (SELECT md5($oNorm) AS fp FROM documents),
          |c AS (SELECT fp, COUNT(*) AS copies FROM f GROUP BY 1)

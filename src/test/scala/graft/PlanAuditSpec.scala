@@ -147,5 +147,6 @@ class PlanAuditSpec extends SparkSpec {
     "l72_matryoshka_audit",  // 10-probe x 4-dim literal panels
     "o07_keyset_pagination", // 1-row cursor broadcast
     "l74_hybrid_rrf",        // 4-anchor more-like-this panel broadcast
-    "l75_source_overlap")    // |sources|-row aggregated pair frame
+    "l75_source_overlap",    // |sources|-row aggregated pair frame
+    "l82_sq_error")          // 1-row amax broadcast
 }
