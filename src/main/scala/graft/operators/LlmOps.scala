@@ -1573,6 +1573,42 @@ object LlmOps extends QueryPack {
         sum(col("checksum")).cast("long").as("total_checksum"))
   }
 
+  /** l84: content-level media dedup — the multimodal analog of text
+    * normalization-before-fingerprint: every planted payload is
+    * byte-level UNIQUE (8 trailing id bytes the netpbm grammar
+    * ignores), but only 16 distinct decoded images exist (header +
+    * raster fully determined by doc_id mod 16). A byte-md5 dedup
+    * finds nothing; deduping on the DECODED content signature
+    * (dims + exact channel sums from the real header-walk decoder)
+    * collapses the corpus 16-fold. That gap — n_distinct_bytes vs
+    * n_distinct_content — is the operator's output, and is exactly
+    * why image pipelines hash pixels, not files. One mapPartitions
+    * pass plants, fingerprints, and decodes; only two fingerprint
+    * strings per item shuffle. Oracle: construction + decode
+    * arithmetic replayed in closed form over doc_id (l69's
+    * discipline — DuckDB never sees a byte). */
+  private val mediaContentDedup: Q = (s, dir) => {
+    import s.implicits._
+    val sigs = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = (id % 16).toInt
+        val w = 4 + (g % 5); val h = 3 + (g % 3)
+        val img = Multimodal.encodePpm(w, h, j => g * 31 + j)
+        val junk = java.nio.ByteBuffer.allocate(8).putLong(id).array()
+        val bytes = img ++ junk
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        val d = Multimodal.decodePpm(bytes).get
+        (id, fp, s"${d.width},${d.height},${d.rSum},${d.gSum},${d.bSum}")
+      }).toDF("doc_id", "byte_fp", "content_sig")
+    sigs.agg(
+        count(lit(1)).as("n_items"),
+        countDistinct(col("byte_fp")).as("n_distinct_bytes"),
+        countDistinct(col("content_sig")).as("n_distinct_content"))
+      .withColumn("content_dup_permille",
+        expr("(1000 * (n_items - n_distinct_content)) div n_items"))
+  }
+
   /** l12: multimodal column plumbing: media as an opaque binary column
     * + typed metadata struct; byte-level stats are checked against the
     * oracle. The decode kernel the plumbing feeds is the REAL
@@ -1899,6 +1935,7 @@ object LlmOps extends QueryPack {
     "l12_multimodal_stats" -> multimodalStats,
     "l35_frame_sampling" -> frameSampling,
     "l69_media_decode" -> mediaDecode,
+    "l84_media_content_dedup" -> mediaContentDedup,
     "l70_video_frame_decode" -> videoFrameDecode,
     "l13_token_jaccard" -> tokenJaccard,
     "l14_ivf_index" -> ivfIndex,
@@ -2368,6 +2405,36 @@ object LlmOps extends QueryPack {
          |  MIN(jaccard_next) AS min_jaccard
          |FROM pairs""".stripMargin,
     // the decode arithmetic replayed in closed form over doc_id — the
+    // construction + decode arithmetic replayed in closed form over
+    // doc_id: w/h/raster fully determined by g = id%16; the junk tail
+    // is injective in id, so byte-distinct = COUNT(DISTINCT doc_id)
+    "l84_media_content_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS g FROM documents),
+        |m AS (
+        |  SELECT doc_id, g,
+        |    4 + (g % 5) AS w, 3 + (g % 3) AS h
+        |  FROM d),
+        |sig AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(list_sum(list_transform(range(0, w * h),
+        |      p -> (g * 31 + 3 * p) % 256)) AS BIGINT) AS rs,
+        |    CAST(list_sum(list_transform(range(0, w * h),
+        |      p -> (g * 31 + 3 * p + 1) % 256)) AS BIGINT) AS gs,
+        |    CAST(list_sum(list_transform(range(0, w * h),
+        |      p -> (g * 31 + 3 * p + 2) % 256)) AS BIGINT) AS bs
+        |  FROM m),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_items,
+        |    COUNT(DISTINCT doc_id) AS n_distinct_bytes
+        |  FROM sig),
+        |c AS (
+        |  SELECT COUNT(*) AS n_distinct_content
+        |  FROM (SELECT DISTINCT w, h, rs, gs, bs FROM sig))
+        |SELECT n_items, n_distinct_bytes, n_distinct_content,
+        |  (1000 * (n_items - n_distinct_content)) // n_items
+        |    AS content_dup_permille
+        |FROM agg CROSS JOIN c""".stripMargin,
     // oracle never sees a payload byte, so it can only agree with the
     // Spark side if the header walks recover the exact dimensions,
     // channel order, and sample values that were encoded
