@@ -297,6 +297,33 @@ object Joins extends QueryPack {
     s.sql(correlatedSubqueryText)
   }
 
+  /** Q32: TPC-H Q20 shape — membership in an AGGREGATED subquery:
+    * suppliers who shipped more than a quantity threshold of a
+    * name-filtered part family. ONE ANSI string runs verbatim on both
+    * engines (q18/q21's discipline). Catalyst plans the IN over a
+    * GROUP-BY + HAVING subquery as a left-semi join against the
+    * aggregated frame — the decorrelation pattern q21's scalar
+    * subqueries don't exercise. The subquery aggregates BEFORE the
+    * semi join, so the fact table contributes one shuffle on
+    * l_suppkey and the semi probe is |suppliers|-sized; supplier
+    * itself never fans out (semi join emits each row at most once). */
+  private[operators] val aggSemiJoinText =
+    """SELECT s_name, s_acctbal AS acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%red%'
+      |  GROUP BY l_suppkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >
+      |    CAST(50 AS DECIMAL(18,2)))
+      |ORDER BY s_name""".stripMargin
+
+  private val aggSemiJoin: Q = (s, dir) => {
+    T.registerAll(s, dir)
+    s.sql(aggSemiJoinText)
+  }
+
   /** Q22: the full star join (TPC-H Q5 shape) — fact ⋈ fact-side
     * orders ⋈ customer ⋈ nation ⋈ region, five tables at once, the
     * arity where join ORDER starts to matter. The two key-to-key
@@ -677,6 +704,7 @@ object Joins extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "q31_profit_rollup" -> profitRollup,
+    "q32_agg_semi_join" -> aggSemiJoin,
     "q30_bfs_hops" -> bfsHops,
     "q29_pagerank" -> pageRank,
     "q28_triangle_count" -> triangleCount,
@@ -851,6 +879,7 @@ object Joins extends QueryPack {
         |FROM j""".stripMargin,
     "q18_sql_entry" -> sqlEntryText, // the SAME text both engines run
     "q21_correlated_subquery" -> correlatedSubqueryText, // ditto
+    "q32_agg_semi_join" -> aggSemiJoinText, // ditto (one shared string)
     "q22_star_join" ->
       s"""SELECT r.r_name, o.o_orderpriority,
          |  COUNT(*) AS n_lines,
