@@ -628,6 +628,32 @@ object Windows extends QueryPack {
   private val rollingDistinct: Q = (s, dir) =>
     rollingDistinctUsers(T.load(s, dir, "events"))
 
+  /** W19: OHLC (open/high/low/close) aggregation per (type, hour) — the
+    * candlestick rollup, exercising SQL:2023's MIN_BY/MAX_BY: open and
+    * close are the values AT the extreme timestamps, not extremes of
+    * the values. The ordering key is the (ts, event_id) struct — ties
+    * on ts alone would make open/close depend on physical row order,
+    * exactly the nondeterminism the hash gate exists to catch; struct
+    * comparison is lexicographic in BOTH engines (arg_min/arg_max over
+    * the same pair in DuckDB), so the picked rows are total. One
+    * map-side-combined hash aggregate — MIN_BY carries (key, value)
+    * partials, never rows — linear at any scale. */
+  private val ohlc: Q = (s, dir) => {
+    val ev = T.load(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("stat_hour"),
+        col("ts"), col("event_id"), col("value"))
+    ev.groupBy(col("event_type"), col("stat_hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("open_value"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("close_value"),
+        min(col("value")).as("low_value"),
+        max(col("value")).as("high_value"))
+      .orderBy("event_type", "stat_hour")
+  }
+
   /** W14: ranking-function catalog — ntile / percent_rank / cume_dist /
     * first_value / nth_value / last_value over one shared window, the
     * remaining SQL:2003 ranking functions w01/q15/w06 don't cover.
@@ -703,6 +729,7 @@ object Windows extends QueryPack {
     "w14_rank_catalog" -> rankCatalog,
     "w13_peak_concurrency" -> peakConcurrency,
     "w18_rolling_distinct" -> rollingDistinct,
+    "w19_ohlc" -> ohlc,
     "w12_ewma" -> ewmaHours,
     "w08_pattern_runs" -> patternRuns,
     "w09_sessionization" -> sessionization,
@@ -721,6 +748,26 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's arg_min/arg_max take only scalar keys, so the replay
+    // picks the MIN_BY/MAX_BY rows via rank windows over the same
+    // (ts, event_id) total order — different spelling, same row
+    "w19_ohlc" ->
+      """WITH r AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS stat_hour,
+        |    "value",
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, stat_hour, COUNT(*) AS n_events,
+        |  MAX(CASE WHEN rn_a = 1 THEN "value" END) AS open_value,
+        |  MAX(CASE WHEN rn_d = 1 THEN "value" END) AS close_value,
+        |  MIN("value") AS low_value,
+        |  MAX("value") AS high_value
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // brute-force replay: the hours × presences trailing range join the
     // sweep line avoids — tractable at gate scale, and the equality IS
     // the proof that the interval decomposition is exact
