@@ -1159,9 +1159,25 @@ object LlmOps extends QueryPack {
         .distinct())
   }
 
+  /** Process-level cache of the default-parameter shingle-edge graph
+    * per (session, dir) — l21 and l34 consume the IDENTICAL graph
+    * (same dedup-clusters family, same waste shape the
+    * [[sharedMinhashCandidates]] cache removed for l07/l67/l68).
+    * shingleEdges already materializes, so the cached value replays
+    * blocks, not lineage. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def sharedShingleEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent((s, dir), _ => shingleEdges(docs(s, dir)))
+
   def dedupClusters(d: DataFrame, n: Int = 8, minDf: Int = 2,
-      maxDf: Int = 5, maxRounds: Int = 25): DataFrame = {
-    val edges = shingleEdges(d, n, minDf, maxDf)
+      maxDf: Int = 5, maxRounds: Int = 25): DataFrame =
+    dedupClustersFrom(d, shingleEdges(d, n, minDf, maxDf), maxRounds)
+
+  /** Variant over a pre-built (possibly process-cached) edge frame. */
+  def dedupClustersFrom(d: DataFrame, edges: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
     val labels = clusterEdges(edges, maxRounds)
 
     val comp = labels.groupBy(col("label"))
@@ -1250,7 +1266,8 @@ object LlmOps extends QueryPack {
     labels
   }
 
-  private val dedupClustersQ: Q = (s, dir) => dedupClusters(docs(s, dir))
+  private val dedupClustersQ: Q = (s, dir) =>
+    dedupClustersFrom(docs(s, dir), sharedShingleEdges(s, dir))
 
   /** l34: quality-aware survivor selection — which copy a dedup KEEPS.
     * Min-id survivorship (l05/l21) is arbitrary; a curation pipeline
@@ -1265,9 +1282,13 @@ object LlmOps extends QueryPack {
     * operator over naive survivorship. Scale shape: the quality score
     * is a narrow per-row projection; survivor ranking is one window
     * over (label) — cluster-sized partitions, never corpus-sized. */
-  def qualitySurvivors(d: DataFrame): DataFrame = {
+  def qualitySurvivors(d: DataFrame): DataFrame =
+    qualitySurvivorsFrom(d, shingleEdges(d))
+
+  /** Variant over a pre-built (possibly process-cached) edge frame. */
+  def qualitySurvivorsFrom(d: DataFrame, edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = clusterEdges(shingleEdges(d))
+    val labels = clusterEdges(edges)
     // empty text guard: 0.0/0.0 is NaN in Spark (which sorts ABOVE
     // every number — an empty doc would win its cluster) but NULL in
     // DuckDB (which sorts last) — pin both engines to the same worst
@@ -1295,7 +1316,8 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
-  private val qualitySurvivorsQ: Q = (s, dir) => qualitySurvivors(docs(s, dir))
+  private val qualitySurvivorsQ: Q = (s, dir) =>
+    qualitySurvivorsFrom(docs(s, dir), sharedShingleEdges(s, dir))
 
   /** l22: sequence packing — the concat-and-chunk step that turns a
     * filtered corpus into fixed-length training sequences. Documents
