@@ -70,6 +70,33 @@ object Scalars extends QueryPack {
       .orderBy("dow")
   }
 
+  /** x20: calendar catalog — the date dimensions x02's extract set
+    * doesn't cover: quarter, ISO weekday (Spark weekday()+1 ≡ DuckDB
+    * isodow — the one shared 1=Monday spelling; raw dayofweek
+    * DISAGREES across engines on Sunday's number), ISO week-of-year,
+    * day-of-year, week truncation (both engines truncate to Monday),
+    * and month-end via last_day. One narrow projection + one rollup
+    * keyed (quarter, isodow) — the calendar-heatmap shape. */
+  private val calendarFuncs: Q = (s, dir) => {
+    val ev = T.load(s, dir, "events")
+    ev.select(
+        quarter(col("ts")).cast("long").as("q"),
+        (expr("weekday(ts)") + 1).cast("long").as("isodow"),
+        weekofyear(col("ts")).cast("long").as("woy"),
+        dayofyear(col("ts")).cast("long").as("doy"),
+        date_trunc("week", col("ts")).as("week_start"),
+        last_day(col("ts")).as("month_end"))
+      .groupBy(col("q"), col("isodow"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("woy")).as("n_weeks"),
+        min(col("doy")).as("min_doy"),
+        max(col("doy")).as("max_doy"),
+        min(col("week_start")).as("first_week_start"),
+        max(col("month_end")).as("last_month_end"))
+      .orderBy("q", "isodow")
+  }
+
   /** Conditional/null: CASE WHEN, COALESCE, NULLIF. */
   private val conditionalNull: Q = (s, dir) => {
     val li = T.load(s, dir, "lineitem")
@@ -507,6 +534,7 @@ object Scalars extends QueryPack {
     "x13_cube" -> cubeRevenue,
     "x01_string_funcs" -> stringFuncs,
     "x02_datetime_funcs" -> datetimeFuncs,
+    "x20_calendar_funcs" -> calendarFuncs,
     "x03_conditional_null" -> conditionalNull,
     "x04_uuid" -> uuidGen,
     "x05_json_roundtrip" -> jsonRoundtrip,
@@ -689,6 +717,17 @@ object Scalars extends QueryPack {
         |  MAX(c_mktsegment || '_' || CAST(c_custkey AS VARCHAR))
         |    AS max_tagged_id
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x20_calendar_funcs" ->
+      """SELECT CAST(quarter(ts) AS BIGINT) AS q,
+        |  CAST(isodow(ts) AS BIGINT) AS isodow,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT weekofyear(ts)) AS n_weeks,
+        |  CAST(MIN(dayofyear(ts)) AS BIGINT) AS min_doy,
+        |  CAST(MAX(dayofyear(ts)) AS BIGINT) AS max_doy,
+        |  MIN(CAST(date_trunc('week', ts) AS TIMESTAMP))
+        |    AS first_week_start,
+        |  MAX(last_day(CAST(ts AS DATE))) AS last_month_end
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x02_datetime_funcs" ->
       """SELECT dayofweek(ts) + 1 AS dow, COUNT(*) AS n_events,
         |  CAST(SUM(hour(ts)) AS BIGINT) AS sum_hour,
