@@ -405,7 +405,44 @@ object ScaleOps extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** k12: dynamic-partition-pruning join — the runtime half of
+    * partition pruning: the selective predicate lives on the DIM's
+    * non-key column, so no static fact filter exists anywhere in the
+    * query and only DPP (the runtime reuse of the broadcast dim as a
+    * fact-scan subquery filter) avoids reading all 12 month
+    * partitions. PruningSpec holds the plan/file-count proof (3 of 12
+    * partitions read); this entry makes the RESULT gate-visible — the
+    * pruning must be invisible in the answer, so the oracle is the
+    * plain month-filter replay on the unpartitioned table. The
+    * partitioned copy is built once per (session, dir), k11's cache
+    * discipline. */
+  private val dppCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def partitionedOrders(s: SparkSession, dir: String): String =
+    dppCache.computeIfAbsent((s, dir), _ => {
+      val path = Scratch.dir("k12_orders")
+      T.load(s, dir, "orders")
+        .withColumn("o_month", month(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_month").parquet(path)
+      path
+    })
+
+  private val dppJoin: Q = (s, dir) => {
+    val fact = s.read.parquet(partitionedOrders(s, dir))
+    val dim = s.range(1, 13)
+      .select(col("id").cast("int").as("m"), (col("id") % 4).as("grp"))
+    fact.join(broadcast(dim), col("o_month") === col("m"))
+      .filter(col("grp") === 1) // months 1, 5, 9 — known only at runtime
+      .groupBy(col("o_month").cast("long").as("o_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(T.moneySum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("o_month")
+  }
+
   val queries: Map[String, Q] = Map(
+    "k12_dpp_join" -> dppJoin,
     "k11_bucketed_join" -> bucketedColocatedJoin,
     "k07_bucketed_range_join" -> bucketedRangeJoin,
     "k08_auto_binned_range_join" -> autoBinnedRangeJoin,
@@ -418,6 +455,15 @@ object ScaleOps extends QueryPack {
     "k10_hll_rollup" -> hllRollup)
 
   val oracle: Map[String, String] = Map(
+    // partition layout + DPP are invisible in the answer: the oracle
+    // replays the dim's month selection as a plain filter
+    "k12_dpp_join" ->
+      s"""SELECT CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         |  COUNT(*) AS n_orders,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS revenue
+         |FROM orders
+         |WHERE month(o_orderdate) % 4 = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // bucketing is a layout choice: the oracle is the plain join
     "k11_bucketed_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines,

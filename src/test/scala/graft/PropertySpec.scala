@@ -118,6 +118,31 @@ class PropertySpec extends SparkSpec {
     assert(metric.value == invalid.count())
   }
 
+  test("w18 law: the interval sweep equals brute-force trailing distinct " +
+      "for arbitrary presence patterns") {
+    val pres = Gen.listOfN(30, for {
+      u <- Gen.choose(1L, 5L)
+      h <- Gen.choose(0L, 60L)
+    } yield (u, h))
+    forSamples(pres, n = 8) { ps =>
+      if (ps.nonEmpty) {
+        val ev = ps.zipWithIndex.map { case ((u, h), i) =>
+          (i.toLong, new java.sql.Timestamp(h * 3600L * 1000L), u)
+        }.toDF("event_id", "ts", "user_id")
+        val swept = graft.operators.Windows.rollingDistinctUsers(ev)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute force: per spine hour, |users with presence in [h-23,h]|
+        val hours = ps.map(_._2)
+        val (h0, h1) = (hours.min, hours.max)
+        (h0 to h1).foreach { h =>
+          val expect = ps.filter(p => p._2 >= h - 23 && p._2 <= h)
+            .map(_._1).distinct.size.toLong
+          assert(swept(h) === expect, s"hour $h of $ps")
+        }
+      }
+    }
+  }
+
   test("l31 chunk law: windows cover all n tokens for arbitrary (n, w, s)") {
     // the oracle's closed form and the executed slice must agree for
     // EVERY shape, not just the fixture's: total mass telescopes to
