@@ -631,7 +631,37 @@ object Dml extends QueryPack {
       .orderBy("valid_from", "is_current")
   }
 
+  /** D2 as its own id: MERGE with a CONDITIONAL matched clause — WHEN
+    * MATCHED **AND** guard THEN UPDATE, else the match is skipped
+    * (q16 exercises the unconditional update; the guarded clause is
+    * the variant Iceberg/Delta MERGE grammars add and the reference's
+    * PRD MERGE examples use). Emulation: left join source onto target,
+    * three-way action classification, guarded price rewrite. One
+    * keyed shuffle; the source side aggregates before nothing — it is
+    * a filtered projection, broadcast at dim scale. */
+  private val conditionalMerge: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+    val src = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("src_key"),
+        round(T.dec2(col("o_totalprice")) * lit(BigDecimal("1.05")), 2)
+          .cast("double").as("proposed"))
+    o.join(src, o("o_orderkey") === src("src_key"), "left")
+      .select(col("o_orderstatus"),
+        when(col("proposed").isNotNull && col("o_totalprice") >= 100.0,
+          lit("updated"))
+          .when(col("proposed").isNotNull, lit("matched_skipped"))
+          .otherwise(lit("untouched")).as("action"),
+        when(col("proposed").isNotNull && col("o_totalprice") >= 100.0,
+          col("proposed"))
+          .otherwise(col("o_totalprice")).as("price"))
+      .groupBy(col("o_orderstatus"), col("action"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("price")), 2).as("sum_price"))
+      .orderBy("o_orderstatus", "action")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d02_conditional_merge" -> conditionalMerge,
     "d19_scd2" -> scd2Build,
     "d20_merge_schema_evolution" -> mergeSchemaEvolution,
     "d18_partition_evolution" -> partitionEvolution,
@@ -678,6 +708,27 @@ object Dml extends QueryPack {
         |  FROM customer WHERE c_custkey % 5 = 0
         |    OR (c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'))
         |ORDER BY valid_from, is_current""".stripMargin,
+    "d02_conditional_merge" ->
+      s"""WITH src AS (
+         |  SELECT o_orderkey AS src_key,
+         |    ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+         |      * CAST(1.05 AS DECIMAL(3,2)), 2) AS proposed
+         |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+         |m AS (
+         |  SELECT o.o_orderstatus,
+         |    CASE
+         |      WHEN s.proposed IS NOT NULL AND o.o_totalprice >= 100.0
+         |        THEN 'updated'
+         |      WHEN s.proposed IS NOT NULL THEN 'matched_skipped'
+         |      ELSE 'untouched' END AS action,
+         |    CASE
+         |      WHEN s.proposed IS NOT NULL AND o.o_totalprice >= 100.0
+         |        THEN CAST(s.proposed AS DOUBLE)
+         |      ELSE o.o_totalprice END AS price
+         |  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.src_key)
+         |SELECT o_orderstatus, action, COUNT(*) AS n_rows,
+         |  ROUND(${T.oMoneySum("price")}, 2) AS sum_price
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d01_insert_select" ->
       """SELECT month(o_orderdate) AS m, COUNT(*) AS n_rows
         |FROM orders

@@ -64,12 +64,58 @@ object MaintenanceOps extends QueryPack {
       .orderBy("name")
   }
 
+  /** M6 as a gate-visible query: ANALYZE TABLE computes catalog
+    * statistics; this entry publishes the rowCount and per-column NDV
+    * the CBO will consume and asserts them against the exact oracle
+    * counts. Columns are LOW-cardinality (3 and 5 distinct values) on
+    * purpose: Spark's NDV is an HLL estimate, exact in that range —
+    * the same sketch-contract trade k02 makes. The analyzed copy is
+    * built + ANALYZEd once per (session, dir), k11's cache pattern. */
+  private val analyzeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def analyzedTable(s: SparkSession, dir: String): String =
+    analyzeCache.computeIfAbsent((s, dir), _ => {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val tbl = s"m06_orders_$tag"
+      T.load(s, dir, "orders").write
+        .option("path", Scratch.dir("m06_orders")).saveAsTable(tbl)
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderstatus, o_orderpriority")
+      tbl
+    })
+
+  private val analyzeStats: Q = (s, dir) => {
+    val tbl = analyzedTable(s, dir)
+    val stats = s.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).stats.get
+    val rowCount = stats.rowCount.get.toLong
+    import s.implicits._
+    Seq("o_orderpriority", "o_orderstatus")
+      .map(c => (c, rowCount,
+        stats.colStats(c).distinctCount.get.toLong))
+      .toDF("column_name", "row_count", "distinct_count")
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m06_analyze_stats" -> analyzeStats,
     "m07_partition_analysis" -> partitionAnalysis,
     "m08_table_stats" -> tableStats,
     "m05_query_perf" -> queryPerf)
 
   val oracle: Map[String, String] = Map(
+    // the catalog's post-ANALYZE numbers must equal the exact counts:
+    // rowCount is exact by contract, NDV is HLL-exact at 3/5 values
+    "m06_analyze_stats" ->
+      """SELECT 'o_orderpriority' AS column_name,
+        |  COUNT(*) AS row_count,
+        |  COUNT(DISTINCT o_orderpriority) AS distinct_count FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*),
+        |  COUNT(DISTINCT o_orderstatus) FROM orders
+        |ORDER BY 1""".stripMargin,
     // the workload's row counts are exact (join_probe = every lineitem
     // matches exactly one order); the flags assert the reference's
     // 30/60 s envelope holds — the M5 contract, not a measurement

@@ -628,6 +628,26 @@ object Windows extends QueryPack {
   private val rollingDistinct: Q = (s, dir) =>
     rollingDistinctUsers(T.load(s, dir, "events"))
 
+  /** W02: RANK over revenue — the SURVEY W2 id as its own registered
+    * query (previously covered only inside q15's rank-then-join).
+    * Daily revenue per event type, RANK'd within the type — RANK (not
+    * ROW_NUMBER) so ties share a rank: the tie behavior is itself the
+    * operator under test, and it is deterministic in the VALUE, so no
+    * tie-break column is needed for the hash gate (output order still
+    * totals on (type, rank, day)). Window runs over the pre-aggregated
+    * daily frame — types × days, bounded regardless of fact size. */
+  private val rankOverRevenue: Q = (s, dir) => {
+    val daily = T.load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(T.moneySum(col("value")).as("revenue"))
+    daily.withColumn("rnk", rank().over(
+        Window.partitionBy(col("event_type")).orderBy(desc("revenue"))))
+      .filter(col("rnk") <= 5)
+      .select(col("event_type"), col("rnk").cast("long").as("rnk"),
+        col("day"), col("revenue"))
+      .orderBy(col("event_type"), col("rnk"), col("day"))
+  }
+
   /** W19: OHLC (open/high/low/close) aggregation per (type, hour) — the
     * candlestick rollup, exercising SQL:2023's MIN_BY/MAX_BY: open and
     * close are the values AT the extreme timestamps, not extremes of
@@ -730,6 +750,7 @@ object Windows extends QueryPack {
     "w13_peak_concurrency" -> peakConcurrency,
     "w18_rolling_distinct" -> rollingDistinct,
     "w19_ohlc" -> ohlc,
+    "w02_rank_over_revenue" -> rankOverRevenue,
     "w12_ewma" -> ewmaHours,
     "w08_pattern_runs" -> patternRuns,
     "w09_sessionization" -> sessionization,
@@ -748,6 +769,18 @@ object Windows extends QueryPack {
     "o04_set_ops" -> setOps)
 
   val oracle: Map[String, String] = Map(
+    "w02_rank_over_revenue" ->
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${T.oMoneySum("value")} AS revenue
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT event_type, day, revenue,
+         |    RANK() OVER (PARTITION BY event_type
+         |      ORDER BY revenue DESC) AS rnk
+         |  FROM d)
+         |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, day, revenue
+         |FROM r WHERE rnk <= 5 ORDER BY 1, 2, 3""".stripMargin,
     // DuckDB's arg_min/arg_max take only scalar keys, so the replay
     // picks the MIN_BY/MAX_BY rows via rank windows over the same
     // (ts, event_id) total order — different spelling, same row
