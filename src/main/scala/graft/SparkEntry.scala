@@ -24,6 +24,7 @@ object SparkEntry {
     CurationOps,
     QualityOps,
     AuditOps,
+    CorpusOps,
     KMeansOps,
     Dml,
     MaintenanceOps,

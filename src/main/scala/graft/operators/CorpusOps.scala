@@ -1,0 +1,481 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T, QueryPack}
+import graft.functions.Text
+
+/** Corpus-selection and partial-overlap operators — the published
+  * algorithms a curation stack reaches for between dedup and serving:
+  * MMR result diversification (Carbonell & Goldstein, SIGIR'98),
+  * winnowing local fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  * the MOSS detector), 1-bit binary-quantized vector search (Charikar
+  * sign-LSH, STOC'02, as the quantizer), leakage-audited k-fold CV
+  * assignment, and integer-exact collocation mining (Church & Hanks'
+  * association-ratio family). Extends the reference's analytics surface
+  * (/root/reference/PRD.md:737-1253) the same way AuditOps does.
+  *
+  * Determinism discipline matches the l-family: every ranking is
+  * tie-broken on a unique id, every ratio is integer (cross-multiplied
+  * ppm, floor division), and doubles appear only where BOTH engines
+  * execute one shared spelling over identical inputs (the l09 cosine
+  * fold, λ·rel − (1−λ)·max pairwise arithmetic).
+  *
+  * 100 TB design notes per operator:
+  *  - l85 MMR: the DISTRIBUTED part is the candidate-pool top-k (one
+  *    corpus scan → TakeOrderedAndProject); the greedy re-rank runs on
+  *    the collected pool — a fixed [[mmrPool]]-row working set, the
+  *    same model-bounded driver arithmetic as k-means centroids. Every
+  *    production MMR deployment holds exactly this pool in memory; the
+  *    corpus never feeds the O(k·pool) loop.
+  *  - l86 winnowing: per-doc work is linear in characters (one k-gram
+  *    hash pass + one sliding-window min); cross-doc matching joins on
+  *    selected fingerprints only (~2/(w+1) of grams, the paper's
+  *    density bound) with a [[winMaxDf]] document-frequency cap, so the
+  *    pair fanout is Σ C(df,2) ≤ bins·C(cap,2) — the l21 hub-buster
+  *    argument. Packed (hash,pos) keys assume docs ≤ 2^20 chars; a
+  *    longer-doc corpus widens the pos field, nothing else changes.
+  *  - l87 binary rerank: signatures are 2 longs per vector (32× less
+  *    scan traffic than 64 floats — the reason 1-bit quantization is
+  *    the first-stage filter at billion-vector scale); Hamming is two
+  *    xor+popcount codegen ops; the exact-cosine re-rank touches only
+  *    [[bqDepth]] survivors per probe. Probe panel broadcasts.
+  *  - l88 k-fold: two hash aggregations (fingerprint span, per-fold
+  *    rollup); the join back to docs is equi on the 128-bit
+  *    fingerprint. Fold assignment is the portable mixer — stable
+  *    under resharding, reproducible in both engines at any id scale
+  *    (wide mixer pre-reduces mod 2^31−1).
+  *  - l89 collocations: one shuffle to bigram-type counts (map-side
+  *    combined — types ≪ tokens by Zipf), marginals as windows over
+  *    the TYPE frame (never the token stream), corpus total as a
+  *    1-row broadcast. The two-step floor division keeps every
+  *    intermediate < 2^63 up to ~10^12 bigrams (1e6·c_ab ≤ 1e18,
+  *    q ≤ 1e6 so q·n ≤ 1e18) — no overflow cliff under ANSI mode.
+  */
+object CorpusOps extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "embeddings")
+      .withColumn("vec", col("embedding").cast("array<double>"))
+
+  // ---- l85: MMR diversified top-k --------------------------------------
+
+  /** Candidate-pool size fed to the greedy re-rank (the working set a
+    * serving deployment retrieves before diversifying). */
+  private val mmrPool = 24
+  /** Number of greedy selections. */
+  private val mmrK = 6
+  /** Relevance/diversity trade-off λ (Carbonell & Goldstein use 0.7
+    * for "mostly relevant, visibly diverse"). */
+  private val mmrLambda = 0.7
+
+  /** Sequential-fold dot product on driver-side arrays — the SAME
+    * left-to-right accumulation as [[Text.dot]] / DuckDB's
+    * list_dot_product, so pool-pairwise cosines are bit-identical to
+    * what either engine would compute. */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** l85: maximal marginal relevance — the diversification every RAG
+    * serving stack applies between retrieval and the context window:
+    * from the cosine top-[[mmrPool]] pool around an anchor query
+    * vector, greedily pick [[mmrK]] items maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} cos(d,s). Step 1 has no diversity term
+    * (S empty → 0.0); ties break on vec_id. Output carries rel AND the
+    * winning mmr score so the trade each step made is visible (the
+    * interesting rows are where a lower-rel candidate beat a redundant
+    * higher-rel one).
+    *
+    * The oracle replays the greedy loop as [[mmrK]] unrolled CTEs —
+    * each one argmax-by-(mmr, vec_id) over the not-yet-selected pool
+    * with a MAX-subquery diversity term — over the same pool and the
+    * same pairwise-cosine spelling. */
+  private val mmrDiversify: Q = (s, dir) => {
+    val n = embs(s, dir).withColumn("nrm", Text.l2norm(col("vec")))
+    val anchor = n.filter(col("vec_id") === 0)
+      .select(col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+    // bounded collect: exactly mmrPool rows — the re-rank working set
+    val pool = n.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(anchor))
+      .select(col("vec_id"), col("vec"), col("nrm"),
+        Text.cosineWithNorms(col("vec"), col("a_vec"),
+          col("nrm"), col("a_nrm")).as("rel"))
+      .orderBy(desc("rel"), col("vec_id"))
+      .limit(mmrPool)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2), r.getDouble(3)))
+    val lam = mmrLambda
+    val oneMinusLam = 0.3 // spelled as a literal to match the oracle SQL
+    var selected = Vector.empty[(Long, Long, Double, Double)]
+    var remaining = pool.toVector
+    for (step <- 1 to mmrK) {
+      val scored = remaining.map { case (id, vec, nrm, rel) =>
+        val mx =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (_, sid, _, _) =>
+            val (_, sv, sn, _) = pool.find(_._1 == sid).get
+            dotSeq(vec, sv) / (nrm * sn)
+          }.max
+        (id, rel, lam * rel - oneMinusLam * mx)
+      }
+      val (bid, brel, bmmr) = scored
+        .minBy { case (id, _, m) => (-m, id) }
+      selected :+= ((step.toLong, bid, brel, bmmr))
+      remaining = remaining.filterNot(_._1 == bid)
+    }
+    import s.implicits._
+    selected.toDF("step", "vec_id", "rel", "mmr")
+  }
+
+  // ---- l86: winnowing fingerprints (MOSS) ------------------------------
+
+  /** Character k-gram width. */
+  private val winK = 8
+  /** Winnowing window: guarantees any match ≥ winW + winK − 1 chars is
+    * caught (the paper's (k, w) guarantee). */
+  private val winW = 4
+  /** Document-frequency cap on fingerprints fed to the pair join —
+    * grams shared by more docs than this are boilerplate, not
+    * provenance signal (the l21 hub-buster). */
+  private val winMaxDf = 8
+  /** Pos-field width of the packed (hash, pos) key: docs ≤ 2^20 chars. */
+  private val winPosMask = 1048575L
+
+  /** Per-doc winnowed fingerprints (doc_id, fp_h, fp_pos) — exposed so
+    * CorpusSpec can verify the selection rule against an independent
+    * recomputation. Selection: per sliding window of [[winW]]
+    * consecutive k-gram hashes keep the MINIMUM, rightmost position on
+    * ties — encoded branch-free as min over h·2^20 + (2^20−1−pos),
+    * pure integer arithmetic both engines order identically. */
+  private[graft] def winnowedFingerprints(
+      s: SparkSession, dir: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val charFold = Text.portableStrHashSql(s"substring(nt, i + 1, $winK)")
+    val grams = docs(s, dir)
+      .select(col("doc_id"), Text.norm(col("text")).as("nt"))
+      .repartition(par)
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN length(nt) < $winK THEN cast(array() AS array<bigint>)
+           |ELSE transform(sequence(0, length(nt) - $winK), i -> $charFold)
+           |END""".stripMargin)))
+      .select(col("doc_id"), col("pos"),
+        (col("col") * lit(winPosMask + 1) +
+          (lit(winPosMask) - col("pos"))).as("key"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(winW - 1), 0)
+    grams
+      .withColumn("mk", min(col("key")).over(win))
+      .filter(col("pos") >= winW - 1)
+      .select(col("doc_id"),
+        expr(s"mk div ${winPosMask + 1}").as("fp_h"),
+        (lit(winPosMask) - expr(s"mk % ${winPosMask + 1}")).as("fp_pos"))
+      .distinct()
+  }
+
+  /** l86: winnowing partial-overlap detection — the MOSS shape: local
+    * fingerprints (min-of-window k-gram hashes) joined across docs,
+    * ranked by shared-fingerprint count. Unlike the set-similarity
+    * dedup family (l07 MinHash estimates whole-doc Jaccard), winnowing
+    * GUARANTEES any shared substring of ≥ winW+winK−1 chars leaves at
+    * least one common fingerprint — the tool for detecting copied
+    * passages inside otherwise-different documents. */
+  private val winnowing: Q = (s, dir) => {
+    val fps = winnowedFingerprints(s, dir)
+      .select(col("doc_id"), col("fp_h")).distinct()
+    val keep = fps.groupBy("fp_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= winMaxDf).select("fp_h")
+    val capped = fps.join(keep, "fp_h")
+    capped.select(col("fp_h"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("fp_h"), col("doc_id").as("doc_b")), "fp_h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
+      .limit(10)
+  }
+
+  // ---- l87: 1-bit binary quantization + exact re-rank ------------------
+
+  /** Probe panel (vec_ids), candidate depth, and final k. */
+  private val bqProbes = Seq(0, 1, 2, 3)
+  private val bqDepth = 16
+  private val bqTopK = 4
+
+  /** 32 sign bits packed into a non-negative long, dims [lo, lo+32):
+    * bit j set iff vec[lo+j] > 0. Two halves (not one 64-bit pack)
+    * keep every key non-negative in both engines — the simhash-width
+    * lesson (`Text.simhashWidth`) applied to quantization. */
+  private def packBits(lo: Int): Column = expr(
+    s"""aggregate(sequence(0, 31), 0L,
+       |  (a, j) -> a + IF(element_at(vec, j + $lo + 1) > 0.0D,
+       |    shiftleft(1L, j), 0L))""".stripMargin)
+
+  /** Embeddings with norms and packed binary signatures — exposed for
+    * CorpusSpec's pack-correctness check. */
+  private[graft] def binarySignatures(
+      s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
+      .withColumn("nrm", Text.l2norm(col("vec")))
+      .withColumn("lo", packBits(0))
+      .withColumn("hi", packBits(32))
+
+  /** l87: binary-quantized search — the 1-bit compression point on the
+    * l11/l16 (LSH bucket) ↔ l58 (int8 SQ) quantization spectrum: sign
+    * bits of the RAW dimensions (Charikar sign-LSH with identity
+    * hyperplanes), Hamming distance as the first-stage filter, exact
+    * cosine re-rank of the [[bqDepth]] survivors. Hamming of sign
+    * vectors is a monotone estimator of angle, so recall@rerank is
+    * high while the filter reads 32× fewer bytes than the float scan —
+    * at billion-vector scale the signature table is what stays hot. */
+  private val binaryRerank: Q = (s, dir) => {
+    val n = binarySignatures(s, dir)
+    val probes = n.filter(col("vec_id").isInCollection(bqProbes))
+      .select(col("vec_id").as("probe_id"), col("vec").as("p_vec"),
+        col("nrm").as("p_nrm"), col("lo").as("p_lo"), col("hi").as("p_hi"))
+    val byProbe = Window.partitionBy("probe_id")
+    n.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("hamming",
+        (bit_count(col("lo").bitwiseXOR(col("p_lo"))) +
+          bit_count(col("hi").bitwiseXOR(col("p_hi")))).cast("long"))
+      .withColumn("hr", row_number().over(
+        byProbe.orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("hr") <= bqDepth)
+      .withColumn("cos", Text.cosineWithNorms(col("vec"), col("p_vec"),
+        col("nrm"), col("p_nrm")))
+      .withColumn("cr", row_number().over(
+        byProbe.orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("cr") <= bqTopK)
+      .select(col("probe_id"), col("vec_id"), col("hamming"), col("cos"))
+      .orderBy(col("probe_id"), desc("cos"), col("vec_id"))
+  }
+
+  // ---- l88: k-fold CV assignment + leakage audit -----------------------
+
+  /** Number of cross-validation folds. */
+  private val cvFolds = 5
+
+  /** l88: k-fold assignment with a leakage audit — the evaluation-
+    * protocol operator: assign docs to [[cvFolds]] folds two ways
+    * (naive per-doc hash; group-aware per-SOURCE hash, which co-folds
+    * same-source docs) and count, per fold, how many docs share an
+    * exact-dup fingerprint with another fold. Grouped assignment can
+    * only leak across sources, so leak_grouped ≤ leak_naive — the
+    * audit quantifies how much evaluation contamination the protocol
+    * choice removes (the l18/l61 decontamination story applied to CV). */
+  private val kfoldLeakage: Q = (s, dir) => {
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      Text.fingerprint(col("text")).as("fp"),
+      expr(s"pmod(${Text.portableMixWideSql("doc_id")}, $cvFolds)")
+        .as("f_n"),
+      expr(s"pmod(${Text.portableMixSql(
+          Text.portableStrHashSql("source"))}, $cvFolds)")
+        .as("f_g"))
+    val span = base.groupBy("fp").agg(
+      countDistinct(col("f_n")).as("nf_n"),
+      countDistinct(col("f_g")).as("nf_g"))
+    val j = base.join(span, "fp")
+    // full outer + zero-fill: the grouped assignment hashes SOURCES, so
+    // with few sources some folds may be empty on one side — an inner
+    // join would silently drop the other side's docs from the audit
+    j.groupBy(col("f_n").as("fold")).agg(
+        count(lit(1)).as("n_docs_naive"),
+        count(when(col("nf_n") > 1, 1)).as("n_leak_naive"))
+      .join(
+        j.groupBy(col("f_g").as("fold")).agg(
+          count(lit(1)).as("n_docs_grouped"),
+          count(when(col("nf_g") > 1, 1)).as("n_leak_grouped")),
+        Seq("fold"), "full_outer")
+      .na.fill(0L, Seq("n_docs_naive", "n_leak_naive",
+        "n_docs_grouped", "n_leak_grouped"))
+      .orderBy("fold")
+  }
+
+  // ---- l89: collocation lift (integer-exact PMI family) ----------------
+
+  /** Minimum pair count (Church & Hanks' frequency floor) and k. */
+  private val colMinCount = 5
+  private val colTopK = 20
+
+  /** l89: collocation mining — adjacent-bigram association lift over
+    * the token stream: lift = c_ab·n / (c_a·c_b) with c_a/c_b the
+    * left/right positional marginals and n the bigram total — the
+    * monotone-equivalent of PMI (PMI = log lift) kept INTEGER as ppm:
+    * two-step floor division (q = 10^6·c_ab ÷ c_a, then q·n ÷ c_b)
+    * so no intermediate overflows below ~10^12 bigrams and both
+    * engines produce identical longs (a shared log() spelling would
+    * be ulp-fragile). High-lift pairs are the multi-word expressions
+    * a tokenizer/vocab builder should treat as units (l53's merge
+    * candidates, scored statistically instead of by raw frequency). */
+  private val collocationLift: Q = (s, dir) => {
+    val par = s.sparkContext.defaultParallelism
+    val counts = docs(s, dir)
+      .select(Text.tokens(col("text")).as("tk"))
+      .repartition(par)
+      .select(explode(expr(
+        """CASE WHEN size(tk) < 2
+          |  THEN cast(array() AS array<struct<w1:string, w2:string>>)
+          |ELSE transform(sequence(0, size(tk) - 2),
+          |  i -> named_struct('w1', element_at(tk, i + 1),
+          |                    'w2', element_at(tk, i + 2)))
+          |END""".stripMargin)).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    counts
+      .withColumn("c_a", sum("c_ab").over(Window.partitionBy("w1")))
+      .withColumn("c_b", sum("c_ab").over(Window.partitionBy("w2")))
+      .crossJoin(broadcast(counts.agg(sum("c_ab").as("n"))))
+      .filter(col("c_ab") >= colMinCount)
+      .withColumn("lift_ppm",
+        expr("(((1000000 * c_ab) div c_a) * n) div c_b"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("lift_ppm"))
+      .orderBy(desc("lift_ppm"), col("w1"), col("w2"))
+      .limit(colTopK)
+  }
+
+  def queries: Map[String, Q] = Map(
+    "l85_mmr_diversify" -> mmrDiversify,
+    "l86_winnowing" -> winnowing,
+    "l87_binary_rerank" -> binaryRerank,
+    "l88_kfold_leakage" -> kfoldLeakage,
+    "l89_collocation_lift" -> collocationLift)
+
+  private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val oToks = s"string_split($oNorm, ' ')"
+
+  /** The l85 greedy loop as mmrK unrolled argmax CTEs. */
+  private def oMmrSql: String = {
+    def selCte(t: Int): String =
+      s"""sel$t AS (SELECT * FROM sel${t - 1} UNION ALL
+         |  (SELECT CAST($t AS BIGINT) AS step, p.vec_id, p.rel,
+         |     $mmrLambda * p.rel - 0.3 * (SELECT MAX(pw.sim) FROM pw
+         |        WHERE pw.ai = p.vec_id
+         |          AND pw.bi IN (SELECT vec_id FROM sel${t - 1})) AS mmr
+         |   FROM pool p
+         |   WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |   ORDER BY mmr DESC, p.vec_id LIMIT 1))""".stripMargin
+    val steps = (2 to mmrK).map(selCte).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm
+       |  FROM e),
+       |a AS (SELECT vec, nrm FROM n WHERE vec_id = 0),
+       |cq AS (SELECT n.vec_id, n.vec, n.nrm,
+       |  list_dot_product(n.vec, a.vec) / (n.nrm * a.nrm) AS rel
+       |  FROM n CROSS JOIN a WHERE n.vec_id <> 0),
+       |pool AS (SELECT * FROM cq ORDER BY rel DESC, vec_id LIMIT $mmrPool),
+       |pw AS (SELECT x.vec_id AS ai, y.vec_id AS bi,
+       |  list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) AS sim
+       |  FROM pool x JOIN pool y ON x.vec_id <> y.vec_id),
+       |sel1 AS (SELECT CAST(1 AS BIGINT) AS step, vec_id, rel,
+       |  $mmrLambda * rel - 0.3 * 0.0 AS mmr
+       |  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT step, vec_id, rel, mmr FROM sel$mmrK ORDER BY step"""
+      .stripMargin
+  }
+
+  /** DuckDB spelling of [[packBits]] over the `vec` DOUBLE[] column. */
+  private def oPackBits(lo: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(0, 32), j -> CASE WHEN vec[j + $lo + 1] > 0
+       |    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+       |  (a, b) -> a + b)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "l85_mmr_diversify" -> oMmrSql,
+    "l86_winnowing" -> {
+      val charFold = Text.oPortableStrHashSql(s"substr(nt, pos + 1, $winK)")
+      s"""WITH t AS (SELECT doc_id, $oNorm AS nt FROM documents),
+         |g AS (SELECT doc_id, nt,
+         |  unnest(range(0, greatest(length(nt) - ${winK - 1}, 0))) AS pos
+         |  FROM t),
+         |h AS (SELECT doc_id, pos,
+         |  $charFold * ${winPosMask + 1} + ($winPosMask - pos) AS key
+         |  FROM g),
+         |w AS (SELECT doc_id, pos,
+         |  MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN ${winW - 1} PRECEDING AND CURRENT ROW) AS mk
+         |  FROM h),
+         |fp AS (SELECT DISTINCT doc_id, mk // ${winPosMask + 1} AS fp_h
+         |  FROM w WHERE pos >= ${winW - 1}),
+         |keep AS (SELECT fp_h FROM fp GROUP BY 1
+         |  HAVING COUNT(*) <= $winMaxDf),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS n_shared
+         |  FROM fp a JOIN keep k ON a.fp_h = k.fp_h
+         |  JOIN fp b ON a.fp_h = b.fp_h
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared FROM p
+         |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 10""".stripMargin
+    },
+    "l87_binary_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm,
+         |  ${oPackBits(0)} AS lo, ${oPackBits(32)} AS hi FROM e),
+         |pr AS (SELECT vec_id AS probe_id, vec AS p_vec, nrm AS p_nrm,
+         |  lo AS p_lo, hi AS p_hi FROM n
+         |  WHERE vec_id IN (${bqProbes.mkString(", ")})),
+         |hd AS (SELECT pr.probe_id, n.vec_id, n.vec, n.nrm,
+         |  pr.p_vec, pr.p_nrm,
+         |  CAST(bit_count(xor(n.lo, pr.p_lo))
+         |    + bit_count(xor(n.hi, pr.p_hi)) AS BIGINT) AS hamming
+         |  FROM n CROSS JOIN pr WHERE n.vec_id <> pr.probe_id),
+         |cand AS (SELECT * FROM (SELECT hd.*,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY hamming, vec_id) AS hr FROM hd)
+         |  WHERE hr <= $bqDepth),
+         |rr AS (SELECT probe_id, vec_id, hamming,
+         |  list_dot_product(vec, p_vec) / (nrm * p_nrm) AS cos FROM cand)
+         |SELECT probe_id, vec_id, hamming, cos FROM (
+         |  SELECT rr.*, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, vec_id) AS cr FROM rr)
+         |WHERE cr <= $bqTopK
+         |ORDER BY probe_id, cos DESC, vec_id""".stripMargin,
+    "l88_kfold_leakage" -> {
+      val fN = s"(${Text.oPortableMixWideSql("doc_id")}) % $cvFolds"
+      val fG = s"(${Text.oPortableMixSql(
+          Text.oPortableStrHashSql("source"))}) % $cvFolds"
+      s"""WITH base AS (SELECT doc_id, md5($oNorm) AS fp,
+         |  $fN AS f_n, $fG AS f_g FROM documents),
+         |span AS (SELECT fp, COUNT(DISTINCT f_n) AS nf_n,
+         |  COUNT(DISTINCT f_g) AS nf_g FROM base GROUP BY 1),
+         |j AS (SELECT base.*, span.nf_n, span.nf_g
+         |  FROM base JOIN span ON base.fp = span.fp),
+         |an AS (SELECT f_n AS fold, COUNT(*) AS n_docs_naive,
+         |  COUNT(CASE WHEN nf_n > 1 THEN 1 END) AS n_leak_naive
+         |  FROM j GROUP BY 1),
+         |ag AS (SELECT f_g AS fold, COUNT(*) AS n_docs_grouped,
+         |  COUNT(CASE WHEN nf_g > 1 THEN 1 END) AS n_leak_grouped
+         |  FROM j GROUP BY 1)
+         |SELECT COALESCE(an.fold, ag.fold) AS fold,
+         |  COALESCE(an.n_docs_naive, 0) AS n_docs_naive,
+         |  COALESCE(an.n_leak_naive, 0) AS n_leak_naive,
+         |  COALESCE(ag.n_docs_grouped, 0) AS n_docs_grouped,
+         |  COALESCE(ag.n_leak_grouped, 0) AS n_leak_grouped
+         |FROM an FULL JOIN ag ON an.fold = ag.fold ORDER BY 1""".stripMargin
+    },
+    "l89_collocation_lift" ->
+      s"""WITH t AS (SELECT $oToks AS tk FROM documents),
+         |bi AS (SELECT tk[i + 1] AS w1, tk[i + 2] AS w2
+         |  FROM (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i
+         |        FROM t)),
+         |c AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+         |m AS (SELECT c.*,
+         |  CAST(SUM(c_ab) OVER (PARTITION BY w1) AS BIGINT) AS c_a,
+         |  CAST(SUM(c_ab) OVER (PARTITION BY w2) AS BIGINT) AS c_b,
+         |  CAST(SUM(c_ab) OVER () AS BIGINT) AS n FROM c)
+         |SELECT w1, w2, c_ab,
+         |  (((1000000 * c_ab) // c_a) * n) // c_b AS lift_ppm
+         |FROM m WHERE c_ab >= $colMinCount
+         |ORDER BY lift_ppm DESC, w1, w2 LIMIT $colTopK""".stripMargin)
+}

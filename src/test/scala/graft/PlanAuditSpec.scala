@@ -67,7 +67,9 @@ class PlanAuditSpec extends SparkSpec {
     "l71_retrieval_quality", "l72_matryoshka_audit",
     "w17_decayed_engagement", "o07_keyset_pagination",
     "t05_attribution_join", "t06_stateful_profile",
-    "t07_stream_static_enrich")
+    "t07_stream_static_enrich",
+    "l86_winnowing", "l87_binary_rerank", "l88_kfold_leakage",
+    "l89_collocation_lift")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
@@ -148,5 +150,7 @@ class PlanAuditSpec extends SparkSpec {
     "o07_keyset_pagination", // 1-row cursor broadcast
     "l74_hybrid_rrf",        // 4-anchor more-like-this panel broadcast
     "l75_source_overlap",    // |sources|-row aggregated pair frame
-    "l82_sq_error")          // 1-row amax broadcast
+    "l82_sq_error",          // 1-row amax broadcast
+    "l87_binary_rerank",     // 4-probe signature panel broadcast
+    "l89_collocation_lift")  // 1-row bigram-total broadcast
 }
