@@ -324,6 +324,47 @@ object Joins extends QueryPack {
     s.sql(aggSemiJoinText)
   }
 
+  /** Q33: "suppliers who kept everyone waiting" — the TPC-H Q21 shape
+    * (the hardest quantified-subquery query in the suite) re-based onto
+    * this schema's columns: for FINISHED ('F') multi-supplier orders,
+    * count per supplier the orders where THIS supplier's line shipped
+    * late (> 90 days after the order date) while NO other supplier's
+    * line did. Three quantifiers compose in one query — EXISTS another
+    * supplier's line (left_semi self-join), NOT EXISTS another late
+    * line (left_anti self-join), and the final rollup.
+    *
+    * 100 TB shape: both quantifiers run over the DISTINCT
+    * (orderkey, suppkey) projection — the narrowest frame that can
+    * answer them — and both plan as hash joins keyed on l_orderkey, so
+    * the fact's wide columns never enter the self-joins; the late frame
+    * is pre-filtered by the selective status+lateness predicate before
+    * any self-join fans out. Top-k is TakeOrderedAndProject. */
+  private val waitingSupplier: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    val fOrders = T.load(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = li.join(fOrders, li("l_orderkey") === fOrders("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val lines = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val sole = late.as("l1")
+      .join(lines.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+      .join(late.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+    sole
+      .join(broadcast(T.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
   /** Q22: the full star join (TPC-H Q5 shape) — fact ⋈ fact-side
     * orders ⋈ customer ⋈ nation ⋈ region, five tables at once, the
     * arity where join ORDER starts to matter. The two key-to-key
@@ -705,6 +746,7 @@ object Joins extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q31_profit_rollup" -> profitRollup,
     "q32_agg_semi_join" -> aggSemiJoin,
+    "q33_waiting_supplier" -> waitingSupplier,
     "q30_bfs_hops" -> bfsHops,
     "q29_pagerank" -> pageRank,
     "q28_triangle_count" -> triangleCount,
@@ -725,6 +767,22 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    "q33_waiting_supplier" ->
+      """WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+        |  WHERE l.l_shipdate > f.o_orderdate + INTERVAL 90 DAY),
+        |lines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lines l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q31_profit_rollup" ->
       s"""SELECT n_name,
          |  CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -441,7 +441,69 @@ object ScaleOps extends QueryPack {
       .orderBy("o_month")
   }
 
+  /** K13 sketch geometry: d=3 seeded hash rows × w=1024 counters —
+    * 24 KB total, the fixed-size frequency summary. */
+  private val cmsW = 1024
+  private val cmsSeeds = Seq(1L, 2L, 3L)
+
+  /** K13: Count-Min sketch heavy hitters — the fixed-size frequency
+    * sketch (Cormode & Muthukrishnan '05) beside the exact rollup, the
+    * same sketch-vs-exact contract pattern as k02 (HLL) and k04 (GK
+    * quantiles). The sketch builds DISTRIBUTIVELY: each row fans into
+    * d (seed, bucket) increments, one map-side-combined aggregation
+    * folds them to ≤ d·w counter rows, and only the finished 24 KB
+    * table returns to the driver and re-enters the plan as literal
+    * arrays (the k06 Bloom materialize-and-rebroadcast shape —
+    * transfer is bounded by sketch size, never key cardinality).
+    * Estimates are min-over-rows counter lookups: scan-level, no
+    * shuffle, mergeable across shards by counter-wise addition — the
+    * reason a 100 TB frequency pass keeps a CMS per executor where an
+    * exact per-key map would blow the heap.
+    *
+    * Checked contract on the exact top-10 keys: est ≥ exact (CMS never
+    * undercounts — structural: the key's own increments all land in
+    * its counters) and est ≤ exact + N/100 (CMS overcounts by at most
+    * ε·N with ε = e/w ≈ 0.27% at 1−e^-d confidence; the 1% fence is
+    * ~4× that bound and ~10× the expected N/w collision mass, wide
+    * enough to be deterministic in practice across regenerations while
+    * still proving sub-percent accuracy). The oracle pins the exact
+    * counts and `true` for both contract booleans — a violated bound
+    * fails the gate loudly. */
+  private val cmsHeavyHitters: Q = (s, dir) => {
+    val ev = T.loadEvents(s, dir).select(col("user_id"))
+    val posCols = cmsSeeds.map(sd => struct(lit(sd).as("sd"),
+      pmod(xxhash64(col("user_id"), lit(sd)), lit(cmsW.toLong)).as("pos")))
+    val counters = ev
+      .select(explode(array(posCols: _*)).as("c"))
+      .groupBy(col("c.sd"), col("c.pos")).agg(count(lit(1)).as("n"))
+      .collect() // bounded: ≤ d·w = 3072 counter rows (the sketch)
+    val tables: Map[Long, Array[Long]] = cmsSeeds.map { sd =>
+      val arr = Array.fill(cmsW)(0L)
+      counters.filter(_.getLong(0) == sd)
+        .foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+      sd -> arr
+    }.toMap
+    // Σ counters in any one row = N (every event lands once per row)
+    val total = tables(cmsSeeds.head).sum
+    val est = least(cmsSeeds.map { sd =>
+      element_at(lit(tables(sd)),
+        (pmod(xxhash64(col("user_id"), lit(sd)), lit(cmsW.toLong)) + 1)
+          .cast("int"))
+    }: _*)
+    T.loadEvents(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(desc("n_events"), col("user_id"))
+      .limit(10)
+      .withColumn("est", est)
+      .select(col("user_id"), col("n_events"),
+        (col("est") >= col("n_events")).as("sketch_ge_exact"),
+        (col("est") <= col("n_events") + lit(total / 100L))
+          .as("sketch_within_eps"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k13_cms_heavy_hitters" -> cmsHeavyHitters,
     "k12_dpp_join" -> dppJoin,
     "k11_bucketed_join" -> bucketedColocatedJoin,
     "k07_bucketed_range_join" -> bucketedRangeJoin,
@@ -455,6 +517,15 @@ object ScaleOps extends QueryPack {
     "k10_hll_rollup" -> hllRollup)
 
   val oracle: Map[String, String] = Map(
+    // the sketch is invisible in the checked values: exact top-10
+    // counts, with the two CMS contract bounds pinned true (k02/k04
+    // contract pattern — the sketch itself is engine-side xxhash64,
+    // which DuckDB cannot replay)
+    "k13_cms_heavy_hitters" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  true AS sketch_ge_exact, true AS sketch_within_eps
+        |FROM events GROUP BY 1
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
     // partition layout + DPP are invisible in the answer: the oracle
     // replays the dim's month selection as a plain filter
     "k12_dpp_join" ->

@@ -742,7 +742,51 @@ object Windows extends QueryPack {
         col("decayed_score"))
       .orderBy("user_id")
 
+  /** W20: MAD robust outlier gate — per event type, flag values more
+    * than 3 median-absolute-deviations from the median. Unlike w10's
+    * mean±stddev z-score, the median/MAD pair has a 50% breakdown
+    * point: the outliers being hunted cannot drag the gate that flags
+    * them — which is why robust stats are the right anomaly fence on
+    * corpus-scale telemetry. Exactness discipline: values enter as
+    * cents×2 longs (the w05 integer-scaling trick, doubled so the
+    * group median — the midpoint of two integers — is itself an
+    * integer), deviations stay integral, and only the second
+    * percentile interpolates (over longs, the proven-portable
+    * quantile_cont parity class). The descale /200.0 is one shared
+    * spelling, so the reported doubles are bit-identical.
+    *
+    * 100 TB shape: two grouped exact percentiles (per-group sorted
+    * state — groups here are |event types|, each holding its own
+    * value list; at extreme group width k04's GK sketch is the
+    * drop-in) and two broadcast joins of |groups|-row median/MAD
+    * frames back onto the stream — three linear passes, the
+    * robust-stats tax over w10's single mean/stddev pass. */
+  private val madOutliers: Q = (s, dir) => {
+    val ev = T.loadEvents(s, dir)
+      .select(col("event_type"),
+        (T.dec2(col("value")) * 100).cast("long").*(lit(2L)).as("vc2"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("vc2"), lit(0.5)).cast("long").as("med2"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs(col("vc2") - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("dev2"), lit(0.5)).as("mad2"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med2"), col("mad2"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("dev2").cast("double") > lit(3.0) * col("mad2"), 1))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n_events"),
+        (col("med2") / 200.0).as("median_value"),
+        (col("mad2") / 200.0).as("mad_value"),
+        col("n_outliers"),
+        expr("(1000 * n_outliers) div n_events").as("outlier_permille"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "w20_mad_outliers" -> madOutliers,
     "w17_decayed_engagement" -> decayedEngagement,
     "w16_seasonal_naive" -> seasonalNaive,
     "w15_interpolate" -> interpolateGaps,
@@ -1095,6 +1139,28 @@ object Windows extends QueryPack {
         |WINDOW w AS (PARTITION BY event_type ORDER BY stat_hour
         |             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, stat_hour""".stripMargin,
+    "w20_mad_outliers" ->
+      s"""WITH b AS (SELECT event_type,
+         |  CAST(${T.oDec2("value")} * 100 AS BIGINT) * 2 AS vc2
+         |  FROM events),
+         |m AS (SELECT event_type,
+         |  CAST(quantile_cont(vc2, 0.5) AS BIGINT) AS med2
+         |  FROM b GROUP BY 1),
+         |d AS (SELECT b.event_type, b.vc2, m.med2,
+         |  abs(b.vc2 - m.med2) AS dev2
+         |  FROM b JOIN m USING (event_type)),
+         |md AS (SELECT event_type, quantile_cont(dev2, 0.5) AS mad2
+         |  FROM d GROUP BY 1)
+         |SELECT d.event_type, COUNT(*) AS n_events,
+         |  d.med2 / 200.0 AS median_value,
+         |  md.mad2 / 200.0 AS mad_value,
+         |  COUNT(CASE WHEN CAST(dev2 AS DOUBLE) > 3.0 * md.mad2
+         |    THEN 1 END) AS n_outliers,
+         |  (1000 * COUNT(CASE WHEN CAST(dev2 AS DOUBLE) > 3.0 * md.mad2
+         |    THEN 1 END)) // COUNT(*) AS outlier_permille
+         |FROM d JOIN md USING (event_type)
+         |GROUP BY d.event_type, d.med2, md.mad2
+         |ORDER BY d.event_type""".stripMargin,
     "w05_median_per_group" ->
       s"""SELECT b.l_returnflag, b.l_linestatus, b.n_lines, b.revenue,
          |  m.median_price

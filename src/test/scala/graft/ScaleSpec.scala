@@ -6,6 +6,40 @@ import org.apache.spark.sql.functions._
   * cannot check (sketch internals are engine-specific). */
 class ScaleSpec extends SparkSpec {
 
+  test("k13: CMS never undercounts ANY key, and the registered query's " +
+      "contract booleans hold") {
+    // independent CMS rebuild (same geometry: d=3 seeds, w=1024) over
+    // ALL keys — the structural one-sided guarantee est >= exact must
+    // hold for every key, not just the top-10 the query publishes
+    val w = 1024L
+    val seeds = Seq(1L, 2L, 3L)
+    val ev = graft.core.Tables.loadEvents(spark, sfDir)
+      .select(col("user_id"))
+    val sketch = seeds.map { sd =>
+      sd -> ev.groupBy(pmod(xxhash64(col("user_id"), lit(sd)), lit(w))
+          .as("pos"))
+        .count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }.toMap
+    val exact = ev.groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val hashes = ev.select(col("user_id"),
+        array(seeds.map(sd =>
+          pmod(xxhash64(col("user_id"), lit(sd)), lit(w))): _*).as("ps"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    exact.foreach { case (uid, cnt) =>
+      val est = seeds.zip(hashes(uid))
+        .map { case (sd, pos) => sketch(sd)(pos) }.min
+      assert(est >= cnt, s"CMS undercounted user $uid: $est < $cnt")
+    }
+    val out = SparkEntry.queries("k13_cms_heavy_hitters")(spark, sfDir)
+      .collect()
+    assert(out.length === 10)
+    assert(out.forall(_.getBoolean(2)), "sketch_ge_exact violated")
+    assert(out.forall(_.getBoolean(3)), "sketch_within_eps violated")
+  }
+
   test("k02: HLL distinct stays within its configured 2% error envelope") {
     // the k02 entry publishes only the oracle-checkable columns (exact
     // count + the ≤5% contract boolean); this spec holds the raw
