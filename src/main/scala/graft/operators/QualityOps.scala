@@ -429,7 +429,46 @@ object QualityOps extends QueryPack {
       .orderBy("qid")
   }
 
+  /** l90: Good-Turing unseen-mass estimate — the corpus-sizing
+    * statistic (Good 1953): per source, the frequency-of-frequencies
+    * spectrum N1/N2/N3 (types seen once/twice/thrice) and the
+    * Good-Turing estimators built from it: p0 = N1/N (the probability
+    * the NEXT token is a never-seen type — how much vocabulary this
+    * domain still hides) and the smoothed singleton count
+    * c*(1) = 2·N2/N1 (how much a hapax's raw count overstates its true
+    * frequency). A source with high unseen mass needs more crawling
+    * before its vocabulary estimates stabilize; one with near-zero
+    * unseen mass is exhausted — the "is more data from this domain
+    * worth it" number a corpus-acquisition loop gates on. l65 reports
+    * the Zipf head/hapax shape; this is the tail's predictive reading.
+    * Both estimators ship as integer ratios (permille / milli-counts,
+    * floor division) — no doubles to drift.
+    *
+    * 100 TB shape: one (source, token) hash aggregation (map-side
+    * combined), then a |vocab|-row rollup to the 3 spectrum counters —
+    * the same two-pass profile as l65, nothing corpus-sized survives
+    * the first shuffle. */
+  private val goodTuring: Q = (s, dir) => {
+    val counts = docs(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("c") === 3, 1L).otherwise(0L)).as("n3"))
+      .withColumn("unseen_permille",
+        expr("(1000 * n1) div n_tokens"))
+      .withColumn("gt_singleton_cmilli",
+        expr("CASE WHEN n1 = 0 THEN 0 ELSE (2000 * n2) div n1 END"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, Q] = Map(
+    "l90_good_turing" -> goodTuring,
     "l71_retrieval_quality" -> retrievalQuality,
     "l68_jaccard_sweep" -> jaccardSweep,
     "l67_dedup_consistency" -> dedupConsistency,
@@ -625,6 +664,24 @@ object QualityOps extends QueryPack {
          |FROM ex LEFT JOIN pairs p
          |  ON ex.doc_a = p.doc_a AND ex.doc_b = p.doc_b""".stripMargin
     },
+    "l90_good_turing" ->
+      s"""WITH t AS (
+         |  SELECT source, unnest($oToks) AS tok FROM documents),
+         |c AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+         |SELECT source,
+         |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  COUNT(*) AS vocab_size,
+         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |  (1000 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT))
+         |    // CAST(SUM(c) AS BIGINT) AS unseen_permille,
+         |  CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) = 0 THEN 0
+         |    ELSE (2000 * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT))
+         |      // CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  END AS gt_singleton_cmilli
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "l65_zipf_audit" ->
       s"""WITH t AS (
          |  SELECT source, unnest($oToks) AS tok FROM documents),

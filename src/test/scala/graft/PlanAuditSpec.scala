@@ -69,7 +69,8 @@ class PlanAuditSpec extends SparkSpec {
     "t05_attribution_join", "t06_stateful_profile",
     "t07_stream_static_enrich",
     "l86_winnowing", "l87_binary_rerank", "l88_kfold_leakage",
-    "l89_collocation_lift", "q33_waiting_supplier", "w20_mad_outliers")
+    "l89_collocation_lift", "q33_waiting_supplier", "w20_mad_outliers",
+    "l90_good_turing")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
