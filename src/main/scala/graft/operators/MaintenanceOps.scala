@@ -99,13 +99,80 @@ object MaintenanceOps extends QueryPack {
       .orderBy("column_name")
   }
 
+  /** M11 (extension): data-quality expectation suite — the dbt-test /
+    * Great-Expectations report as one query: five declarative rules
+    * (key uniqueness, not-null, referential integrity, accepted
+    * values, numeric range) each reduced to (checked, violations,
+    * passed) and unioned into the gate report a write-audit-publish
+    * flow (d17) would consult before publishing. Two rules fire on
+    * this corpus by design (status 'P' is outside the accepted list;
+    * value has a > 400 tail), so the report proves it can FAIL, not
+    * just pass.
+    *
+    * 100 TB shape: every rule is one aggregation over one scan (r1/r2/
+    * r4/r5 are map-side-combinable counts; r3 is the one genuine join
+    * — referential integrity IS a join — keyed on orderkey with the
+    * usual broadcast/shuffle choice left to stats). The union is five
+    * 1-row frames. */
+  private val dqExpectations: Q = (s, dir) => {
+    val orders = T.load(s, dir, "orders")
+    val li = T.load(s, dir, "lineitem")
+    val ev = T.loadEvents(s, dir)
+    def rule(id: String, df: DataFrame,
+        checked: org.apache.spark.sql.Column,
+        viol: org.apache.spark.sql.Column): DataFrame =
+      df.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(id).as("rule_id"), col("n_checked"),
+          col("n_violations"), (col("n_violations") === 0).as("passed"))
+    val r1 = rule("r1_unique_orderkey", orders,
+      count(lit(1)), count(lit(1)) - countDistinct(col("o_orderkey")))
+    val r2 = rule("r2_notnull_user", ev,
+      count(lit(1)), count(when(col("user_id").isNull, 1)))
+    val r3 = rule("r3_ref_order_exists",
+      li.join(orders.select(col("o_orderkey")),
+        li("l_orderkey") === col("o_orderkey"), "left"),
+      count(lit(1)), count(when(col("o_orderkey").isNull, 1)))
+    val r4 = rule("r4_status_accepted", orders,
+      count(lit(1)),
+      count(when(!col("o_orderstatus").isInCollection(Seq("O", "F")), 1)))
+    val r5 = rule("r5_value_range", ev,
+      count(lit(1)), count(when(col("value") > 400.0, 1)))
+    r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+      .orderBy("rule_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m11_dq_expectations" -> dqExpectations,
     "m06_analyze_stats" -> analyzeStats,
     "m07_partition_analysis" -> partitionAnalysis,
     "m08_table_stats" -> tableStats,
     "m05_query_perf" -> queryPerf)
 
   val oracle: Map[String, String] = Map(
+    "m11_dq_expectations" ->
+      """SELECT 'r1_unique_orderkey' AS rule_id, COUNT(*) AS n_checked,
+        |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations,
+        |  (COUNT(*) - COUNT(DISTINCT o_orderkey)) = 0 AS passed
+        |FROM orders
+        |UNION ALL
+        |SELECT 'r2_notnull_user', COUNT(*),
+        |  COUNT(CASE WHEN user_id IS NULL THEN 1 END),
+        |  COUNT(CASE WHEN user_id IS NULL THEN 1 END) = 0 FROM events
+        |UNION ALL
+        |SELECT 'r3_ref_order_exists', COUNT(*),
+        |  COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END),
+        |  COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) = 0
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'r4_status_accepted', COUNT(*),
+        |  COUNT(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 END),
+        |  COUNT(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'r5_value_range', COUNT(*),
+        |  COUNT(CASE WHEN value > 400.0 THEN 1 END),
+        |  COUNT(CASE WHEN value > 400.0 THEN 1 END) = 0 FROM events
+        |ORDER BY rule_id""".stripMargin,
     // the catalog's post-ANALYZE numbers must equal the exact counts:
     // rowCount is exact by contract, NDV is HLL-exact at 3/5 values
     "m06_analyze_stats" ->

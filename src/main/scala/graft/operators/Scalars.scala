@@ -520,7 +520,43 @@ object Scalars extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** Rotation-keyed salt for x21 — changing it re-keys every token
+    * (the GDPR "key destruction = anonymization" lever). */
+  private val pseudoSalt = "corpus-v1:"
+
+  /** X21: keyed pseudonymization — the GDPR-grade sibling of l20's
+    * regex scrub: every user_id maps to a stable 64-bit token
+    * (first 16 hex of sha256(salt ‖ id) — sha256 is byte-identical in
+    * both engines, so the mapping itself is oracle-checked, not just
+    * counted). Stable across runs (joins still work on the token),
+    * irreversible without the salt, re-keyable by rotating
+    * [[pseudoSalt]]. The collision audit rides along: distinct tokens
+    * vs distinct users (birthday bound at 64 bits: ~n²/2^65 — zero
+    * until ~10^9 users, and the count proves it rather than assumes
+    * it).
+    *
+    * 100 TB shape: one distinct on the key column, one codegen'd hash
+    * projection, one count-distinct rollup broadcast back over the
+    * 10-row sample — the corpus never moves. */
+  private val pseudonymize: Q = (s, dir) => {
+    val users = T.loadEvents(s, dir).select(col("user_id")).distinct()
+      .withColumn("token",
+        substring(sha2(concat(lit(pseudoSalt),
+          col("user_id").cast("string")), 256), 1, 16))
+    val summary = users.agg(
+        count(lit(1)).as("n_users"),
+        countDistinct(col("token")).as("n_tokens"))
+      .select(col("n_users"),
+        (col("n_users") - col("n_tokens")).as("n_collisions"))
+    users.orderBy("user_id").limit(10)
+      .crossJoin(broadcast(summary))
+      .select(col("user_id"), col("token"),
+        col("n_users"), col("n_collisions"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x21_pseudonymize" -> pseudonymize,
     "x18_unpivot" -> unpivotCounts,
     "x19_try_arith" -> tryArith,
     "x17_map_funcs" -> mapCatalog,
@@ -543,6 +579,15 @@ object Scalars extends QueryPack {
     "x11_array_funcs" -> arrayFuncs)
 
   val oracle: Map[String, String] = Map(
+    "x21_pseudonymize" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT user_id,
+        |  substr(sha256('corpus-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+        |    AS token FROM u),
+        |s AS (SELECT COUNT(*) AS n_users,
+        |  COUNT(*) - COUNT(DISTINCT token) AS n_collisions FROM t)
+        |SELECT t.user_id, t.token, s.n_users, s.n_collisions
+        |FROM t CROSS JOIN s ORDER BY user_id LIMIT 10""".stripMargin,
     // DuckDB XOR is xor()/bit_xor() — its ^ operator is POWER; SUMs
     // over TINYINT popcounts escalate to HUGEINT, hence the casts
     "x18_unpivot" ->

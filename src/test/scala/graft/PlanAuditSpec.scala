@@ -70,7 +70,7 @@ class PlanAuditSpec extends SparkSpec {
     "t07_stream_static_enrich",
     "l86_winnowing", "l87_binary_rerank", "l88_kfold_leakage",
     "l89_collocation_lift", "q33_waiting_supplier", "w20_mad_outliers",
-    "l90_good_turing")
+    "l90_good_turing", "m11_dq_expectations", "x21_pseudonymize")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
@@ -153,5 +153,6 @@ class PlanAuditSpec extends SparkSpec {
     "l75_source_overlap",    // |sources|-row aggregated pair frame
     "l82_sq_error",          // 1-row amax broadcast
     "l87_binary_rerank",     // 4-probe signature panel broadcast
-    "l89_collocation_lift")  // 1-row bigram-total broadcast
+    "l89_collocation_lift",  // 1-row bigram-total broadcast
+    "x21_pseudonymize")      // 1-row collision-summary broadcast
 }
