@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `kgram_hashes(string, k) -> array<bigint>`: the portable character
+  * fold ([[PortableHash.strHash]], base 131 mod 1e9+7) of every k-char
+  * gram of the input, one hash per start position — the l86 winnowing
+  * front end as ONE native codegen'd expression (pattern:
+  * [[SimhashPackExpr]], [[MinhashBandsExpr]]).
+  *
+  * Why native: the HOF spelling (`transform(sequence(...), i ->
+  * aggregate(split(substring(nt, i+1, k), ''), ...))`) is an
+  * `ArrayTransform` with a nested `ArrayAggregate` — CodegenFallback,
+  * so the whole stage runs interpreted and every gram pays a lambda
+  * eval, a substring allocation, a split into k one-char strings, and
+  * k boxed fold steps (measured: l86 ≈ 5 s at sf0.1, the slowest query
+  * in the suite). Here each gram folds in place over the string's
+  * bytes — no allocation per gram beyond the output array. The fold
+  * walks non-continuation UTF-8 bytes exactly as strHash does, which
+  * is bit-equal to the split('')+ascii HOF semantics; CorpusSpec pins
+  * the equality over the corpus. The HOF builder remains in
+  * [[graft.operators.CorpusOps]]'s oracle as the readable spec DuckDB
+  * replays. */
+case class KgramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kgram_hashes expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_hashes"
+
+  override protected def nullSafeEval(s: Any): Any =
+    KgramHashesExpr.compute(s.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.KgramHashesExpr.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): KgramHashesExpr =
+    copy(child = newChild)
+}
+
+object KgramHashesExpr {
+  /** Called from generated code — must stay a static-reachable public
+    * method. Returns one hash per k-char-gram start position (empty
+    * array when the string is shorter than k chars, mirroring the HOF
+    * spec's CASE guard). Grams are CHARACTER windows (code points, the
+    * `substring` semantics); the fold visits each gram's
+    * non-continuation bytes — identical to [[PortableHash.strHash]] on
+    * the substring, and to `split('')+ascii` for ASCII. */
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    // start offset (in bytes) of every character
+    val nBytes = bytes.length
+    var nChars = 0
+    var i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) nChars += 1
+      i += 1
+    }
+    val n = nChars - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val charStart = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) { charStart(c) = i; c += 1 }
+      i += 1
+    }
+    charStart(nChars) = nBytes
+    val out = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      var h = 0L
+      var b = charStart(p)
+      val end = charStart(p + k)
+      while (b < end) {
+        if ((bytes(b) & 0xC0) != 0x80) {
+          val v = (h * 131L + bytes(b).toInt) % PortableHash.StrMod
+          h = if (v < 0) v + PortableHash.StrMod else v
+        }
+        b += 1
+      }
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -153,6 +153,26 @@ object Text {
       org.apache.spark.sql.graft.ColumnBridge.expression(shingles),
       perms, bands))
 
+  /** Per-position character k-gram hashes ([[portableStrHashSql]] fold
+    * of every k-char window) as a NATIVE codegen'd expression — see
+    * [[KgramHashesExpr]] for why the HOF transform+substring spelling
+    * must not run on the hot path. Bit-equal to the HOF form
+    * (CorpusSpec pins it); the l86 winnowing front end. */
+  def kgramHashes(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(KgramHashesExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(c), k))
+
+  /** The HOF specification of [[kgramHashes]] over a string column
+    * NAME — kept as the readable spec the native expression is pinned
+    * against (and the shape the DuckDB oracle replays). */
+  def kgramHashesHof(colName: String, k: Int): Column =
+    expr(
+      s"""CASE WHEN length($colName) < $k
+         |  THEN cast(array() AS array<bigint>)
+         |ELSE transform(sequence(0, length($colName) - $k),
+         |  i -> ${portableStrHashSql(s"substring($colName, i + 1, $k)")})
+         |END""".stripMargin)
+
   /** Exact Jaccard similarity of two shingle arrays (used to confirm
     * LSH candidates — never run all-pairs). */
   def jaccard(a: Column, b: Column): Column =

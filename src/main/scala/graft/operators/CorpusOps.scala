@@ -158,14 +158,14 @@ object CorpusOps extends QueryPack {
   private[graft] def winnowedFingerprints(
       s: SparkSession, dir: String): DataFrame = {
     val par = s.sparkContext.defaultParallelism
-    val charFold = Text.portableStrHashSql(s"substring(nt, i + 1, $winK)")
+    // native k-gram hashing (KgramHashesExpr) — the HOF spelling ran
+    // interpreted and cost ~5 s at sf0.1; bit-equality is pinned by
+    // CorpusSpec's native-vs-HOF sweep and the DuckDB oracle replay
     val grams = docs(s, dir)
       .select(col("doc_id"), Text.norm(col("text")).as("nt"))
       .repartition(par)
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN length(nt) < $winK THEN cast(array() AS array<bigint>)
-           |ELSE transform(sequence(0, length(nt) - $winK), i -> $charFold)
-           |END""".stripMargin)))
+      .select(col("doc_id"),
+        posexplode(Text.kgramHashes(col("nt"), winK)))
       .select(col("doc_id"), col("pos"),
         (col("col") * lit(winPosMask + 1) +
           (lit(winPosMask) - col("pos"))).as("key"))

@@ -88,6 +88,21 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("l86: native kgram_hashes is bit-equal to its HOF specification " +
+      "over the whole corpus") {
+    val t = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.Text.norm(col("text")).as("nt"))
+    val both = t.select(col("doc_id"),
+        graft.functions.Text.kgramHashes(col("nt"), 8).as("native"),
+        graft.functions.Text.kgramHashesHof("nt", 8).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"kgram hash mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("l86: pair output is symmetric-free and df-capped") {
     val out = q("l86_winnowing").collect()
     assert(out.length <= 10)
