@@ -53,41 +53,50 @@ object KgramHashesExpr {
     * method. Returns one hash per k-char-gram start position (empty
     * array when the string is shorter than k chars, mirroring the HOF
     * spec's CASE guard). Grams are CHARACTER windows (code points, the
-    * `substring` semantics); the fold visits each gram's
-    * non-continuation bytes — identical to [[PortableHash.strHash]] on
-    * the substring, and to `split('')+ascii` for ASCII. */
+    * `substring` semantics); the fold is [[PortableHash.strHash]]'s
+    * code-point fold on each gram — `split('')+ascii` returns full
+    * code points (233 for 'é'), so the decode here keeps native ==
+    * HOF == oracle on non-ASCII input too (PropertySpec edge sweep).
+    *
+    * Two passes over the bytes: decode every code point once into a
+    * flat array (values + char-start index), then fold each window
+    * over decoded ints — O(n·k) integer ops, no per-gram decode. */
   def compute(s: UTF8String, k: Int): ArrayData = {
     val bytes = s.getBytes
-    // start offset (in bytes) of every character
     val nBytes = bytes.length
+    // decode once: code point per character
+    val cps = new Array[Int](nBytes) // upper bound; ASCII hits it
     var nChars = 0
     var i = 0
     while (i < nBytes) {
-      if ((bytes(i) & 0xC0) != 0x80) nChars += 1
-      i += 1
+      val b0 = bytes(i) & 0xFF
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var j = 1
+        while (j < len && i + j < nBytes) {
+          cp = (cp << 6) | (bytes(i + j) & 0x3F)
+          j += 1
+        }
+      }
+      cps(nChars) = cp
+      nChars += 1
+      i += len
     }
     val n = nChars - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
-    val charStart = new Array[Int](nChars + 1)
-    var c = 0
-    i = 0
-    while (i < nBytes) {
-      if ((bytes(i) & 0xC0) != 0x80) { charStart(c) = i; c += 1 }
-      i += 1
-    }
-    charStart(nChars) = nBytes
     val out = new Array[Long](n)
     var p = 0
     while (p < n) {
       var h = 0L
-      var b = charStart(p)
-      val end = charStart(p + k)
-      while (b < end) {
-        if ((bytes(b) & 0xC0) != 0x80) {
-          val v = (h * 131L + bytes(b).toInt) % PortableHash.StrMod
-          h = if (v < 0) v + PortableHash.StrMod else v
-        }
-        b += 1
+      var c = p
+      val end = p + k
+      while (c < end) {
+        h = (h * 131L + cps(c)) % PortableHash.StrMod
+        c += 1
       }
       out(p) = h
       p += 1

@@ -37,11 +37,14 @@ object PortableHash {
     * `aggregate(split(s, ''), 0L, (h, ch) -> pmod(h*131 + ascii(ch), M))`
     * ([[Text.portableStrHashSql]]). Spark's `split(s, '')` yields one
     * piece per code point with no empty pieces (verified against Spark
-    * 4), and `ascii` reads the piece's first byte — so the fold walks
-    * UTF-8 bytes and folds exactly the non-continuation ones. The
-    * corpus is ASCII; for multi-byte input this matches Spark's
-    * first-byte semantics, and pmod keeps the fold non-negative either
-    * way.
+    * 4), and `ascii(piece)` returns the piece's full Unicode CODE
+    * POINT — 233 for 'é', 26085 for '日', NOT the first UTF-8 byte
+    * (probed empirically; DuckDB's ascii agrees) — so the fold decodes
+    * UTF-8 and folds code points. The byte-folding first version of
+    * this method silently diverged from the HOF spec (and hence the
+    * oracle) on any non-ASCII token; PropertySpec's kgram edge-case
+    * sweep now pins the multi-byte path. Overflow-safe: h < 1e9+7 so
+    * h·131 + cp < 1.4e11 ≪ 2^63.
     *
     * Base 131, NOT the rolling fingerprint's 31: printable-ASCII byte
     * diffs are at most 94, so with base > 94+36 no short-string diff
@@ -57,12 +60,21 @@ object PortableHash {
     var h = 0L
     var i = 0
     while (i < bytes.length) {
-      // continuation bytes are 10xxxxxx; every other byte starts a char
-      if ((bytes(i) & 0xC0) != 0x80) {
-        val v = (h * 131L + bytes(i).toInt) % StrMod
-        h = if (v < 0) v + StrMod else v
+      val b0 = bytes(i) & 0xFF
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var j = 1
+        while (j < len && i + j < bytes.length) {
+          cp = (cp << 6) | (bytes(i + j) & 0x3F)
+          j += 1
+        }
       }
-      i += 1
+      h = (h * 131L + cp) % StrMod
+      i += len
     }
     h
   }

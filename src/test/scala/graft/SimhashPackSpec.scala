@@ -29,6 +29,25 @@ class SimhashPackSpec extends SparkSpec {
     }
   }
 
+  test("native == HOF on non-ASCII tokens too (code-point fold, not " +
+      "first-byte: ascii('é') = 233 in both engines)") {
+    val df = Seq(
+      (1L, Seq("héllo", "wörld", "caffé")),
+      (2L, Seq("日本語", "テキスト", "mixedé")),
+      (3L, Seq("plain", "ascii", "tokens"))).toDF("doc_id", "toks")
+    val rows = df
+      .withColumn("hs", Text.tokenHashes("toks"))
+      .withColumn("counts", Text.simhashBitCounts("hs"))
+      .select($"doc_id",
+        Text.packSimhash("counts").as("hof"),
+        Text.simhashPack($"toks").as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: hof=${r.getLong(1)} native=${r.getLong(2)}")
+    }
+  }
+
   test("simhash_pack stays inside whole-stage codegen") {
     val df = tokenized.select(Text.simhashPack($"toks").as("sh"))
     df.collect() // finalize the adaptive plan so codegen stages are marked
