@@ -469,12 +469,16 @@ object ScaleOps extends QueryPack {
     * still proving sub-percent accuracy). The oracle pins the exact
     * counts and `true` for both contract booleans — a violated bound
     * fails the gate loudly. */
+  /** The d seeded (seed, bucket) increments of one key — shared by k13
+    * (batch build) and t12 (micro-batch partial build + merge). */
+  private[graft] def cmsPositions(key: Column): Column =
+    array(cmsSeeds.map(sd => struct(lit(sd).as("sd"),
+      pmod(xxhash64(key, lit(sd)), lit(cmsW.toLong)).as("pos"))): _*)
+
   private val cmsHeavyHitters: Q = (s, dir) => {
     val ev = T.loadEvents(s, dir).select(col("user_id"))
-    val posCols = cmsSeeds.map(sd => struct(lit(sd).as("sd"),
-      pmod(xxhash64(col("user_id"), lit(sd)), lit(cmsW.toLong)).as("pos")))
     val counters = ev
-      .select(explode(array(posCols: _*)).as("c"))
+      .select(explode(cmsPositions(col("user_id"))).as("c"))
       .groupBy(col("c.sd"), col("c.pos")).agg(count(lit(1)).as("n"))
       .collect() // bounded: ≤ d·w = 3072 counter rows (the sketch)
     val tables: Map[Long, Array[Long]] = cmsSeeds.map { sd =>

@@ -577,7 +577,51 @@ object Streaming extends QueryPack {
         sum(col("n_events")).cast("long").as("n_events_total"))
       .orderBy("user_id")
 
+  /** T12: micro-batch sketch merge — the distributive-summary property
+    * that makes fixed-size sketches THE streaming cardinality/frequency
+    * tool: Count-Min counters built per micro-batch merge by plain
+    * counter-wise addition into exactly the sketch a single batch pass
+    * builds. The query replays the stream as 8 event_id-keyed
+    * micro-batches (the t04 at-least-once replay discipline), builds a
+    * partial d×w counter table per batch, merges them, builds the
+    * global table directly, and pins their full-outer equality as a
+    * checked boolean beside the per-batch row counts the oracle can
+    * verify exactly. StreamingSpec drives the same merge through a
+    * REAL MemoryStream + foreachBatch accumulator and checks it equals
+    * k13's batch sketch — stream ≡ batch for the sketch itself.
+    *
+    * 100 TB/streaming shape: per-batch state is the 24 KB counter
+    * table regardless of batch size; merge traffic is counters, never
+    * keys — the reason per-executor sketch partials scale where exact
+    * per-key state does not. */
+  private val sketchMerge: Q = (s, dir) => {
+    import graft.operators.ScaleOps
+    val ev = T.loadEvents(s, dir)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("batch", pmod(col("event_id"), lit(8L)))
+    val partial = ev
+      .select(col("batch"),
+        explode(ScaleOps.cmsPositions(col("user_id"))).as("c"))
+      .groupBy(col("batch"), col("c.sd"), col("c.pos"))
+      .agg(count(lit(1)).as("n"))
+    val merged = partial.groupBy(col("sd"), col("pos"))
+      .agg(sum(col("n")).as("n"))
+    val global = ev
+      .select(explode(ScaleOps.cmsPositions(col("user_id"))).as("c"))
+      .groupBy(col("c.sd"), col("c.pos")).agg(count(lit(1)).as("g"))
+    val mismatches = merged
+      .join(global, Seq("sd", "pos"), "full_outer")
+      .filter(!(col("n") <=> col("g")))
+      .agg(count(lit(1)).as("bad"))
+    ev.groupBy(col("batch")).agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(mismatches))
+      .select(col("batch"), col("n_events"),
+        (col("bad") === 0).as("merge_exact"))
+      .orderBy("batch")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t12_sketch_merge" -> sketchMerge,
     "t09_sliding_window_agg" -> slidingWindowAgg,
     "t01_tumbling_window_agg" -> tumblingWindowAgg,
     "t02_hour_window_agg" -> hourWindowAgg,
@@ -591,6 +635,13 @@ object Streaming extends QueryPack {
     "t10_outer_attribution" -> organicAgg)
 
   val oracle: Map[String, String] = Map(
+    // the sketch is engine-side xxhash64; the oracle pins the exact
+    // per-batch partition counts and the merge-equality contract true
+    // (k13's contract-bool pattern)
+    "t12_sketch_merge" ->
+      """SELECT event_id % 8 AS batch, COUNT(*) AS n_events,
+        |  true AS merge_exact
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // each event's 4 covering hour-windows enumerated from its 15-min
     // epoch bucket (Spark windows are epoch-aligned)
     "t09_sliding_window_agg" ->

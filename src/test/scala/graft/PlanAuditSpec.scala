@@ -70,7 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     "t07_stream_static_enrich",
     "l86_winnowing", "l87_binary_rerank", "l88_kfold_leakage",
     "l89_collocation_lift", "q33_waiting_supplier", "w20_mad_outliers",
-    "l90_good_turing", "m11_dq_expectations", "x21_pseudonymize")
+    "l90_good_turing", "m11_dq_expectations", "x21_pseudonymize",
+    "t12_sketch_merge")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
@@ -154,5 +155,6 @@ class PlanAuditSpec extends SparkSpec {
     "l82_sq_error",          // 1-row amax broadcast
     "l87_binary_rerank",     // 4-probe signature panel broadcast
     "l89_collocation_lift",  // 1-row bigram-total broadcast
-    "x21_pseudonymize")      // 1-row collision-summary broadcast
+    "x21_pseudonymize",      // 1-row collision-summary broadcast
+    "t12_sketch_merge")      // 1-row mismatch-count broadcast
 }

@@ -639,4 +639,43 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(provKey)
     }
   }
+
+  test("t12: per-micro-batch CMS partials merged via foreachBatch equal " +
+      "the single-pass batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.ScaleOps
+    val ids = eventsStatic.select($"user_id").as[Long].collect().toSeq
+    // driver-side accumulator: (seed, bucket) -> count, merged counter-
+    // wise per micro-batch — the per-executor partial-sketch shape
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("user_id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch
+          .select(explode(ScaleOps.cmsPositions(col("user_id"))).as("c"))
+          .groupBy(col("c.sd"), col("c.pos")).agg(count(lit(1)).as("n"))
+          .collect()
+          .foreach { r =>
+            val k = (r.getLong(0), r.getLong(1))
+            acc(k) = acc.getOrElse(k, 0L) + r.getLong(2)
+          }
+        ()
+      }
+      .start()
+    try {
+      // four uneven micro-batches
+      ids.grouped(math.max(1, ids.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchSketch = eventsStatic
+      .select(explode(ScaleOps.cmsPositions($"user_id")).as("c"))
+      .groupBy($"c.sd", $"c.pos").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(acc.toMap === batchSketch,
+      "streamed partial-sketch merge diverged from the batch sketch")
+  }
 }
