@@ -12,6 +12,29 @@ class MaintenanceSpec extends SparkSpec {
   private def scratch(): String =
     Files.createTempDirectory("graft_maint").toString
 
+  test("m11: violation counts equal independent recomputations and the " +
+      "passed booleans are consistent") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("m11_dq_expectations")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size === 5)
+    // each rule's passed bool must equal violations == 0
+    out.values.foreach { case (_, viol, passed) =>
+      assert(passed === (viol == 0))
+    }
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val ev = graft.core.Tables.loadEvents(spark, sfDir)
+    assert(out("r4_status_accepted")._2 ===
+      orders.filter(col("o_orderstatus") === "P").count())
+    assert(out("r5_value_range")._2 ===
+      ev.filter(col("value") > 400.0).count())
+    assert(out("r2_notnull_user")._1 === ev.count())
+    // referential integrity holds in this corpus — the rule must say so
+    assert(out("r3_ref_order_exists")._2 === 0L)
+    assert(out("r3_ref_order_exists")._3)
+  }
+
   test("M1: compaction reduces a fragmented table to the target file count") {
     val dir = scratch()
     // fragment: 40 tiny files

@@ -6,6 +6,28 @@ import graft.functions.Geo
 class ScalarsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("x21: pseudonymization is deterministic, collision-free at test " +
+      "scale, and matches a JVM sha256 recomputation") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("x21_pseudonymize")(spark, sfDir)
+      .collect()
+    assert(out.length === 10)
+    // zero collisions at this scale, and every row agrees on the audit
+    assert(out.forall(_.getLong(3) === 0L))
+    // tokens recompute byte-for-byte with java.security sha256
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    out.foreach { r =>
+      val uid = r.getLong(0)
+      val hex = md.digest(s"corpus-v1:$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      assert(r.getString(1) === hex, s"token mismatch for user $uid")
+    }
+    // determinism: a second run yields the identical mapping
+    val again = SparkEntry.queries("x21_pseudonymize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq === out.map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
   test("geohash matches published test vectors") {
     assert(Geo.encode(42.605, -5.603, 5) == "ezs42")
     assert(Geo.encode(57.64911, 10.40744, 11) == "u4pruydqqvj")
