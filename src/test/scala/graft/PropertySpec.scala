@@ -226,7 +226,7 @@ class PropertySpec extends SparkSpec {
       "héllo wörld, caffé latté and more", // 2-byte UTF-8 chars
       "日本語のテキストですここにもっと",      // 3-byte UTF-8 chars
       "a b  c\t d \n e f g h i j", // whitespace mix (pre-norm input)
-      " binaryish data here") ++
+      "\u0000binary\u0001ish\u007f data here") ++
       // arbitrary printable ASCII via a fixed-seed generator
       (1 to 20).map { i =>
         val rnd = new scala.util.Random(i * 7919)
