@@ -467,7 +467,56 @@ object QualityOps extends QueryPack {
       .orderBy("source")
   }
 
+  /** One shared spelling of the Wilson score lower bound (Wilson 1927,
+    * z = 1.96) over integer (passes, trials) column expressions — the
+    * small-sample-corrected pass-rate floor. Both engines evaluate the
+    * IDENTICAL expression tree over identical integers (div, mul, sqrt
+    * are all correctly-rounded IEEE), so the reported doubles are
+    * bit-identical — the RRF/cosine shared-spelling discipline. */
+  private def wilsonLbSql(k: String, n: String): String = {
+    val p = s"(CAST($k AS DOUBLE) / CAST($n AS DOUBLE))"
+    val nD = s"CAST($n AS DOUBLE)"
+    val z2 = "CAST(3.8416 AS DOUBLE)" // 1.96^2, exact decimal
+    s"(($p + $z2 / (2.0 * $nD)" +
+      s" - CAST(1.96 AS DOUBLE) * sqrt(($p * (1.0 - $p)" +
+      s" + $z2 / (4.0 * $nD)) / $nD))" +
+      s" / (1.0 + $z2 / $nD))"
+  }
+
+  /** Minimum token count for the l91 gate predicate. */
+  private val wilsonMinTokens = 60
+  /** Pass-rate target the lower bound is tested against. */
+  private val wilsonTarget = 0.5
+
+  /** l91: Wilson-score gate confidence — the statistically honest way
+    * to compare per-source quality-gate pass rates: a source with 3/4
+    * passing and one with 3000/4000 passing have the same point
+    * estimate but utterly different evidence, and a curation decision
+    * ("drop this source", "crawl more of that one") made on the raw
+    * ratio overreacts to small sources. The Wilson lower bound at 95%
+    * shrinks toward 1/2 exactly as fast as the sample justifies;
+    * `below_target` fires only when the EVIDENCE says the rate is
+    * under [[wilsonTarget]], not merely the point estimate. Gate
+    * predicate: ≥ [[wilsonMinTokens]] whitespace tokens (an
+    * integer-exact l62-style rule, so k and n are oracle-exact and the
+    * only doubles are the one shared closed form).
+    *
+    * 100 TB shape: one map-side-combinable (source → n, k) rollup;
+    * the formula runs on |sources| rows. */
+  private val wilsonGates: Q = (s, dir) => {
+    docs(s, dir)
+      .select(col("source"),
+        (size(Text.tokens(col("text"))) >= wilsonMinTokens)
+          .cast("long").as("pass"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+      .withColumn("wilson_lb", expr(wilsonLbSql("n_pass", "n_docs")))
+      .withColumn("below_target", col("wilson_lb") < wilsonTarget)
+      .orderBy("source")
+  }
+
   def queries: Map[String, Q] = Map(
+    "l91_wilson_gates" -> wilsonGates,
     "l90_good_turing" -> goodTuring,
     "l71_retrieval_quality" -> retrievalQuality,
     "l68_jaccard_sweep" -> jaccardSweep,
@@ -664,6 +713,18 @@ object QualityOps extends QueryPack {
          |FROM ex LEFT JOIN pairs p
          |  ON ex.doc_a = p.doc_a AND ex.doc_b = p.doc_b""".stripMargin
     },
+    "l91_wilson_gates" ->
+      s"""WITH g AS (SELECT source,
+         |  CASE WHEN len($oToks) >= $wilsonMinTokens THEN 1 ELSE 0 END
+         |    AS pass
+         |  FROM documents),
+         |a AS (SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(pass) AS BIGINT) AS n_pass FROM g GROUP BY 1)
+         |SELECT source, n_docs, n_pass,
+         |  ${wilsonLbSql("n_pass", "n_docs")} AS wilson_lb,
+         |  ${wilsonLbSql("n_pass", "n_docs")} < $wilsonTarget
+         |    AS below_target
+         |FROM a ORDER BY source""".stripMargin,
     "l90_good_turing" ->
       s"""WITH t AS (
          |  SELECT source, unnest($oToks) AS tok FROM documents),

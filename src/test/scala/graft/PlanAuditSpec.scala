@@ -71,7 +71,7 @@ class PlanAuditSpec extends SparkSpec {
     "l86_winnowing", "l87_binary_rerank", "l88_kfold_leakage",
     "l89_collocation_lift", "q33_waiting_supplier", "w20_mad_outliers",
     "l90_good_turing", "m11_dq_expectations", "x21_pseudonymize",
-    "t12_sketch_merge")
+    "t12_sketch_merge", "l91_wilson_gates")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
