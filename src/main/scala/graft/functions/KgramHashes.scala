@@ -48,6 +48,80 @@ case class KgramHashesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `winnow_keys(string, k, w) -> array<bigint>`: the FULL winnowing
+  * selection (Schleimer et al. SIGMOD'03) per document as one native
+  * expression — k-gram hashes, sliding-window-of-w minimum with
+  * rightmost tie-break, consecutive dedupe — returning each selected
+  * fingerprint as the packed key h·2^20 + (2^20−1−pos) (min over the
+  * packed key IS min-hash-then-rightmost-pos; the l86 encoding).
+  *
+  * Why a whole-selection expression and not just the hash front end:
+  * winnowing is per-document LOCAL, so pushing the selection into the
+  * map phase removes the (doc, pos, key)-per-GRAM explode + window
+  * sort + shuffle entirely — only the ~2/(w+1)-density selected
+  * fingerprints ever become rows. At corpus scale that is the
+  * difference between shuffling every character window and shuffling
+  * the fingerprint index a MOSS deployment actually stores. Selected
+  * positions are non-decreasing as the window slides (a dropped
+  * minimum can never return), so dedupe-against-last yields exactly
+  * the distinct (pos, h) selection set — CorpusSpec pins equality with
+  * an independent reimplementation. */
+case class WinnowKeysExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_keys expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_keys"
+
+  override protected def nullSafeEval(s: Any): Any =
+    WinnowKeysExpr.compute(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowKeysExpr.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowKeysExpr =
+    copy(child = newChild)
+}
+
+object WinnowKeysExpr {
+  /** Pos-field width: docs ≤ 2^20 chars (CorpusOps.winPosMask). */
+  val PosMask = 1048575L
+
+  /** Called from generated code. Selection only over FULL windows
+    * (window ends at gram positions w-1 .. g-1), matching the
+    * `pos >= w-1` filter of the window-function formulation. */
+  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val hashes = KgramHashesExpr.compute(s, k)
+    val g = hashes.numElements()
+    if (g < w) return new GenericArrayData(Array.empty[Long])
+    val keys = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      keys(i) = hashes.getLong(i) * (PosMask + 1) + (PosMask - i)
+      i += 1
+    }
+    val out = new Array[Long](g - w + 1)
+    var n = 0
+    var p = w - 1
+    while (p < g) {
+      var mk = keys(p)
+      var j = p - w + 1
+      while (j < p) {
+        if (keys(j) < mk) mk = keys(j)
+        j += 1
+      }
+      if (n == 0 || out(n - 1) != mk) { out(n) = mk; n += 1 }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+}
+
 object KgramHashesExpr {
   /** Called from generated code — must stay a static-reachable public
     * method. Returns one hash per k-char-gram start position (empty

@@ -173,6 +173,13 @@ object Text {
          |  i -> ${portableStrHashSql(s"substring($colName, i + 1, $k)")})
          |END""".stripMargin)
 
+  /** The full per-document winnowing selection (hashes → sliding min →
+    * dedupe) as packed h·2^20+(2^20−1−pos) keys — see [[WinnowKeysExpr]]
+    * for why the selection belongs in the map phase. */
+  def winnowKeys(c: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(WinnowKeysExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(c), k, w))
+
   /** Exact Jaccard similarity of two shingle arrays (used to confirm
     * LSH candidates — never run all-pairs). */
   def jaccard(a: Column, b: Column): Column =

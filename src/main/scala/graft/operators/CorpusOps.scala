@@ -158,26 +158,22 @@ object CorpusOps extends QueryPack {
   private[graft] def winnowedFingerprints(
       s: SparkSession, dir: String): DataFrame = {
     val par = s.sparkContext.defaultParallelism
-    // native k-gram hashing (KgramHashesExpr) — the HOF spelling ran
-    // interpreted and cost ~5 s at sf0.1; bit-equality is pinned by
-    // CorpusSpec's native-vs-HOF sweep and the DuckDB oracle replay
-    val grams = docs(s, dir)
+    // the WHOLE selection runs inside the native WinnowKeysExpr (map
+    // phase, no per-gram rows): only the ~2/(w+1)-density selected
+    // fingerprints explode. The earlier per-gram explode + window-min
+    // formulation shuffled every character window (2.7M rows at
+    // sf0.1, ~5 s); the DuckDB oracle still replays that formulation
+    // as the readable spec, and CorpusSpec pins this selection against
+    // an independent reimplementation. Per-doc rows are distinct by
+    // construction: selected positions are non-decreasing and deduped.
+    docs(s, dir)
       .select(col("doc_id"), Text.norm(col("text")).as("nt"))
       .repartition(par)
       .select(col("doc_id"),
-        posexplode(Text.kgramHashes(col("nt"), winK)))
-      .select(col("doc_id"), col("pos"),
-        (col("col") * lit(winPosMask + 1) +
-          (lit(winPosMask) - col("pos"))).as("key"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(-(winW - 1), 0)
-    grams
-      .withColumn("mk", min(col("key")).over(win))
-      .filter(col("pos") >= winW - 1)
+        explode(Text.winnowKeys(col("nt"), winK, winW)).as("mk"))
       .select(col("doc_id"),
         expr(s"mk div ${winPosMask + 1}").as("fp_h"),
         (lit(winPosMask) - expr(s"mk % ${winPosMask + 1}")).as("fp_pos"))
-      .distinct()
   }
 
   /** l86: winnowing partial-overlap detection — the MOSS shape: local
