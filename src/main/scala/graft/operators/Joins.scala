@@ -324,6 +324,66 @@ object Joins extends QueryPack {
     s.sql(aggSemiJoinText)
   }
 
+  /** Q34: top supplier by revenue view — the TPC-H Q15 shape: an
+    * aggregated revenue view per supplier, then the suppliers whose
+    * revenue EQUALS the view's maximum (a scalar aggregate subquery
+    * over an aggregate — ties must all surface, which is why the shape
+    * is not ORDER BY/LIMIT 1). The max arrives as a 1-row broadcast
+    * meeting the |suppliers|-row view; revenue compares in exact
+    * DECIMAL so "equals the max" is well-defined (a double spelling
+    * would make equality float-fragile).
+    *
+    * 100 TB shape: one fact rollup to |suppliers| rows; everything
+    * after is supplier-scale. */
+  private val topSupplierView: Q = (s, dir) => {
+    val revenue = T.load(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(T.dec2(col("l_extendedprice")) * (lit(1) -
+        T.dec2(col("l_discount")))).as("total_rev"))
+    val mx = revenue.agg(max(col("total_rev")).as("max_rev"))
+    revenue.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .join(broadcast(T.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Order-value floor defining a "premium" order for q35 (the top
+    * decile of o_totalprice at every test SF — nonempty anti side by
+    * construction). */
+  private val premiumOrderFloor = 460000
+
+  /** Q35: untapped high-balance customers — the TPC-H Q22 shape:
+    * customers with above-average positive account balance who never
+    * placed a premium (> [[premiumOrderFloor]]) order — a scalar AVG
+    * subquery gating a left_anti join against a FILTERED order set,
+    * rolled up by key-prefix bucket. Exactness: the average compares
+    * in integer cents cross-multiplied (sum·1 > avg·n ⇔
+    * bal·n_pos > sum_pos — no division at all), so the gate is
+    * integer-exact in both engines.
+    *
+    * 100 TB shape: the anti join's build side is pre-filtered to
+    * premium orders only (selectivity does the work the broadcast
+    * needs); the scalar average is a 1-row broadcast. */
+  private val dormantCustomers: Q = (s, dir) => {
+    val c = T.load(s, dir, "customer")
+      .withColumn("bal_c", (T.dec2(col("c_acctbal")) * 100).cast("long"))
+    val avgBal = c.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("sum_pos"),
+        count(lit(1)).as("n_pos"))
+    val premium = T.load(s, dir, "orders")
+      .filter(col("o_totalprice") > premiumOrderFloor)
+      .select(col("o_custkey"))
+    c.join(broadcast(avgBal),
+        col("bal_c") * col("n_pos") > col("sum_pos"))
+      .join(premium, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(expr("CAST(c_custkey % 10 AS BIGINT)").as("cc_prefix"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(T.moneySum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("cc_prefix")
+  }
+
   /** Q33: "suppliers who kept everyone waiting" — the TPC-H Q21 shape
     * (the hardest quantified-subquery query in the suite) re-based onto
     * this schema's columns: for FINISHED ('F') multi-supplier orders,
@@ -761,6 +821,8 @@ object Joins extends QueryPack {
     "q31_profit_rollup" -> profitRollup,
     "q32_agg_semi_join" -> aggSemiJoin,
     "q33_waiting_supplier" -> waitingSupplier,
+    "q34_top_supplier_view" -> topSupplierView,
+    "q35_dormant_customers" -> dormantCustomers,
     "q30_bfs_hops" -> bfsHops,
     "q29_pagerank" -> pageRank,
     "q28_triangle_count" -> triangleCount,
@@ -781,6 +843,33 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    "q34_top_supplier_view" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    SUM(${T.oDec2("l_extendedprice")}
+         |      * (1 - ${T.oDec2("l_discount")})) AS total_rev
+         |  FROM lineitem GROUP BY 1)
+         |SELECT s.s_suppkey, s.s_name,
+         |  CAST(r.total_rev AS DOUBLE) AS total_revenue
+         |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+         |ORDER BY s.s_suppkey""".stripMargin,
+    "q35_dormant_customers" ->
+      s"""WITH c AS (SELECT c_custkey, c_acctbal,
+         |  CAST(${T.oDec2("c_acctbal")} * 100 AS BIGINT) AS bal_c
+         |  FROM customer),
+         |a AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_pos,
+         |  COUNT(*) AS n_pos FROM c WHERE bal_c > 0),
+         |prem AS (SELECT o_custkey FROM orders
+         |  WHERE o_totalprice > $premiumOrderFloor)
+         |SELECT CAST(c.c_custkey % 10 AS BIGINT) AS cc_prefix,
+         |  COUNT(*) AS n_custs,
+         |  ROUND(${T.oMoneySum("c_acctbal")}, 2) AS total_bal
+         |FROM c CROSS JOIN a
+         |WHERE c.bal_c * a.n_pos > a.sum_pos
+         |  AND NOT EXISTS (SELECT 1 FROM prem
+         |    WHERE prem.o_custkey = c.c_custkey)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q33_waiting_supplier" ->
       """WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
         |  WHERE o_orderstatus = 'F'),

@@ -71,7 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     "l86_winnowing", "l87_binary_rerank", "l88_kfold_leakage",
     "l89_collocation_lift", "q33_waiting_supplier", "w20_mad_outliers",
     "l90_good_turing", "m11_dq_expectations", "x21_pseudonymize",
-    "t12_sketch_merge", "l91_wilson_gates")
+    "t12_sketch_merge", "l91_wilson_gates",
+    "q34_top_supplier_view", "q35_dormant_customers")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
@@ -156,5 +157,6 @@ class PlanAuditSpec extends SparkSpec {
     "l87_binary_rerank",     // 4-probe signature panel broadcast
     "l89_collocation_lift",  // 1-row bigram-total broadcast
     "x21_pseudonymize",      // 1-row collision-summary broadcast
-    "t12_sketch_merge")      // 1-row mismatch-count broadcast
+    "t12_sketch_merge",      // 1-row mismatch-count broadcast
+    "q35_dormant_customers") // 1-row balance-average broadcast
 }
