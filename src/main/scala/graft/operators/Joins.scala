@@ -384,6 +384,183 @@ object Joins extends QueryPack {
       .orderBy("cc_prefix")
   }
 
+  /** The two trading nations whose bilateral flow q36 measures (both
+    * directions — the disjunction is the point of the shape). */
+  private val tradePair = ("NATION_1", "NATION_2")
+
+  /** Q36: bilateral shipping volume — the TPC-H Q7 shape: revenue
+    * flowing between two specific nations in either direction
+    * (supplier in A shipping to a customer in B, or vice versa), by
+    * year. The filter is a DISJUNCTION over columns from two different
+    * broadcast dims, so it cannot push below either dim join — the
+    * plan that matters at 100 TB is: filter each nation dim to the
+    * two-name set FIRST (that pushdown IS valid and turns both
+    * broadcast sides into 2-row builds whose inner joins drop ~23/25
+    * of the fact early), then apply the pair disjunction on the
+    * surviving sliver. Revenue is the exact-decimal sum (q01
+    * discipline). */
+  private val volumeShipping: Q = (s, dir) => {
+    val (na, nb) = tradePair
+    val names = Seq(na, nb)
+    val li = T.load(s, dir, "lineitem")
+    val o = T.load(s, dir, "orders")
+    val c = T.load(s, dir, "customer")
+    val sup = T.load(s, dir, "supplier")
+    val sn = T.load(s, dir, "nation")
+      .filter(col("n_name").isin(names: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val cn = T.load(s, dir, "nation")
+      .filter(col("n_name").isin(names: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        T.revenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** The (market region, focal supplier nation) q37 measures. */
+  private val shareRegion = "ASIA"
+  private val shareNation = "NATION_1"
+
+  /** Q37: market share — the TPC-H Q8 shape: within one region's
+    * customer market, the fraction of yearly revenue supplied by one
+    * focal nation. The fraction is kept INTEGER-EXACT: revenue sums in
+    * e4 units (price×(1−disc) carries exactly 4dp), the share is an
+    * integer permille via `div` — no float division, so both engines
+    * agree bit-for-bit, unlike a double ratio whose rounding is
+    * engine-specific.
+    *
+    * 100 TB shape: the region membership reduces customers via a
+    * broadcast LEFT SEMI before the fact joins (no row multiplication,
+    * and the filtered customer side is what shuffles); supplier→nation
+    * is a broadcast chain; the CASE-sum computes both numerator and
+    * denominator in ONE pass over the joined fact — Q8's classic
+    * single-scan conditional-aggregation trick. */
+  private val marketShare: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    val o = T.load(s, dir, "orders")
+    val c = T.load(s, dir, "customer")
+    val sup = T.load(s, dir, "supplier")
+    val regionNations = T.load(s, dir, "nation")
+      .join(broadcast(T.load(s, dir, "region")
+          .filter(col("r_name") === shareRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val cR = c.join(broadcast(regionNations),
+      col("c_nationkey") === col("c_nk"), "left_semi")
+    val sn = T.load(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val revE4 = ((T.dec2(col("l_extendedprice")) *
+      (lit(BigDecimal(1).setScale(2)) - T.dec2(col("l_discount")))) *
+      10000).cast("long")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(cR, o("o_custkey") === cR("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === shareNation, revE4).otherwise(0L))
+          .as("nation_rev_e4"),
+        sum(revE4).as("total_rev_e4"))
+      .withColumn("share_permille",
+        expr("(nation_rev_e4 * 1000) div total_rev_e4"))
+      .orderBy("o_year")
+  }
+
+  /** Q38: customer order-count distribution — the TPC-H Q13 shape:
+    * LEFT OUTER join with an extra predicate in the JOIN CONDITION
+    * (not the WHERE — moving it there would silently drop the
+    * zero-order customers that are the query's point), then a
+    * count-of-counts double aggregation. The first agg reduces the
+    * fact to |customers| rows; the second is distribution-sized.
+    * At 100 TB the one real shuffle is orders on o_custkey; the
+    * second groupBy moves only (count, 1) pairs. */
+  private val orderCountDistribution: Q = (s, dir) => {
+    val c = T.load(s, dir, "customer")
+    val o = T.load(s, dir, "orders")
+    c.join(o,
+        c("c_custkey") === o("o_custkey") &&
+          o("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** The brand whose small-quantity tail q39 prices out. */
+  private val smallQtyBrand = "Brand#1"
+
+  /** Q39: small-quantity-order revenue — the TPC-H Q17 shape: lines of
+    * one brand's parts whose quantity is below 20% of that PART's own
+    * average quantity — the correlated scalar-aggregate-subquery
+    * pattern, decorrelated the way Catalyst itself rewrites it: one
+    * per-part aggregate joined back to the lines. The comparison
+    * `q < 0.2·(S/n)` is cleared of division entirely
+    * (5·q_cents·n < S_cents, exact in 64-bit far past 100 TB group
+    * sizes), so the threshold is bit-identical in both engines.
+    *
+    * 100 TB shape: the brand filter pushes to the part scan and the
+    * filtered part set broadcasts, so only matching lines ever leave
+    * the lineitem scan; the per-part stats frame is |matching parts|
+    * rows — broadcast back, no second fact shuffle. avg_yearly
+    * truncates to cents via floor (ROUND(double) is not portable —
+    * see Tables.moneyAvg2). */
+  private val smallQtyRevenue: Q = (s, dir) => {
+    val p = T.load(s, dir, "part")
+      .filter(col("p_brand") === smallQtyBrand)
+      .select(col("p_partkey"))
+    val li = T.load(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val qCents = (T.dec2(col("l_quantity")) * 100).cast("long")
+    val stats = li.groupBy(col("l_partkey").as("g_pk"))
+      .agg(count(lit(1)).as("n_li"), sum(qCents).as("sum_q_cents"))
+    li.join(broadcast(stats), col("l_partkey") === col("g_pk"))
+      .filter(qCents * col("n_li") * 5 < col("sum_q_cents"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        coalesce(T.moneySum(col("l_extendedprice")), lit(0.0))
+          .as("total_rev"),
+        (floor(coalesce(
+          sum((T.dec2(col("l_extendedprice")) * 100).cast("long")),
+          lit(0L)).cast("double") / 7.0) / 100.0).as("avg_yearly"))
+  }
+
+  /** Q40: disjunctive multi-column predicate revenue — the TPC-H Q19
+    * shape: three OR'd condition groups, each mixing part attributes
+    * (brand, size) with a lineitem attribute (quantity range), carried
+    * INSIDE the join condition. What the shape exercises is predicate
+    * decomposition: Catalyst factors the disjunction's common
+    * conjuncts per side — the brand/size union pushes to the part
+    * scan (the broadcast build is pre-filtered) and the quantity
+    * range union pushes to the lineitem scan — so at 100 TB the scan
+    * emits only rows that can possibly satisfy SOME branch, and the
+    * full disjunction re-checks pairs after the broadcast probe. */
+  private val disjunctiveRevenue: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+    val p = T.load(s, dir, "part")
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey") && cond)
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(T.revenueSum(col("l_extendedprice"), col("l_discount")),
+          lit(0.0)).as("revenue"))
+  }
+
   /** Q33: "suppliers who kept everyone waiting" — the TPC-H Q21 shape
     * (the hardest quantified-subquery query in the suite) re-based onto
     * this schema's columns: for FINISHED ('F') multi-supplier orders,
@@ -820,6 +997,11 @@ object Joins extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q31_profit_rollup" -> profitRollup,
     "q32_agg_semi_join" -> aggSemiJoin,
+    "q36_volume_shipping" -> volumeShipping,
+    "q37_market_share" -> marketShare,
+    "q38_order_count_distribution" -> orderCountDistribution,
+    "q39_small_qty_revenue" -> smallQtyRevenue,
+    "q40_disjunctive_revenue" -> disjunctiveRevenue,
     "q33_waiting_supplier" -> waitingSupplier,
     "q34_top_supplier_view" -> topSupplierView,
     "q35_dormant_customers" -> dormantCustomers,
@@ -843,6 +1025,87 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    "q36_volume_shipping" -> {
+      val (na, nb) = tradePair
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  COUNT(*) AS n_lines,
+         |  ${T.oRevenueSum("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = '$na' AND n2.n_name = '$nb')
+         |   OR (n1.n_name = '$nb' AND n2.n_name = '$na')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
+    "q37_market_share" ->
+      s"""WITH f AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    sn.n_name AS supp_nation,
+         |    CAST(${T.oDec2("l_extendedprice")}
+         |      * (CAST(1.00 AS DECIMAL(3,2)) - ${T.oDec2("l_discount")})
+         |      * 10000 AS BIGINT) AS rev_e4
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  WHERE c_nationkey IN (
+         |    SELECT n_nationkey FROM nation
+         |    JOIN region ON n_regionkey = r_regionkey
+         |    WHERE r_name = '$shareRegion')),
+         |y AS (
+         |  SELECT o_year,
+         |    CAST(SUM(CASE WHEN supp_nation = '$shareNation'
+         |      THEN rev_e4 ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+         |    CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4
+         |  FROM f GROUP BY 1)
+         |SELECT o_year, nation_rev_e4, total_rev_e4,
+         |  (nation_rev_e4 * 1000) // total_rev_e4 AS share_permille
+         |FROM y ORDER BY o_year""".stripMargin,
+    "q38_order_count_distribution" ->
+      """WITH co AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM co GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q39_small_qty_revenue" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, l_extendedprice,
+         |    CAST(${T.oDec2("l_quantity")} * 100 AS BIGINT) AS q_cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = '$smallQtyBrand'),
+         |st AS (
+         |  SELECT l_partkey AS g_pk, COUNT(*) AS n_li,
+         |    CAST(SUM(q_cents) AS BIGINT) AS sum_q_cents
+         |  FROM li GROUP BY 1),
+         |sm AS (
+         |  SELECT li.l_extendedprice FROM li JOIN st ON li.l_partkey = st.g_pk
+         |  WHERE li.q_cents * st.n_li * 5 < st.sum_q_cents)
+         |SELECT COUNT(*) AS n_small_lines,
+         |  COALESCE(${T.oMoneySum("l_extendedprice")}, 0.0) AS total_rev,
+         |  FLOOR(CAST(COALESCE(
+         |    SUM(CAST(${T.oDec2("l_extendedprice")} * 100 AS BIGINT)), 0)
+         |    AS DOUBLE) / 7.0) / 100.0 AS avg_yearly
+         |FROM sm""".stripMargin,
+    "q40_disjunctive_revenue" ->
+      s"""SELECT COUNT(*) AS n_lines,
+         |  COALESCE(${T.oRevenueSum("l_extendedprice", "l_discount")}, 0.0)
+         |    AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q34_top_supplier_view" ->
       s"""WITH rev AS (
          |  SELECT l_suppkey,

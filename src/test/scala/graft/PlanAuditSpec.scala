@@ -72,7 +72,10 @@ class PlanAuditSpec extends SparkSpec {
     "l89_collocation_lift", "q33_waiting_supplier", "w20_mad_outliers",
     "l90_good_turing", "m11_dq_expectations", "x21_pseudonymize",
     "t12_sketch_merge", "l91_wilson_gates",
-    "q34_top_supplier_view", "q35_dormant_customers")
+    "q34_top_supplier_view", "q35_dormant_customers",
+    "q36_volume_shipping", "q37_market_share",
+    "q38_order_count_distribution", "q39_small_qty_revenue",
+    "q40_disjunctive_revenue")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {

@@ -415,4 +415,47 @@ class PropertySpec extends SparkSpec {
       assert(au.sampleSum == samples.map(_.toLong).sum)
     }
   }
+
+  test("q36-q40 TPC-H shape laws: pair symmetry, share bounds, " +
+      "distribution completeness, small-qty subset, disjunct union") {
+    // q36: only the two trade nations appear, never on both sides at once
+    val vs = SparkEntry.queries("q36_volume_shipping")(spark, sfDir).collect()
+    vs.foreach { r =>
+      val (sn, cn) = (r.getString(0), r.getString(1))
+      assert(Set("NATION_1", "NATION_2")(sn) && Set("NATION_1", "NATION_2")(cn))
+      assert(sn != cn, "a nation traded with itself through the pair filter")
+    }
+    // q37: numerator bounded by denominator; permille in [0, 1000]
+    SparkEntry.queries("q37_market_share")(spark, sfDir).collect().foreach {
+      r =>
+        val (num, den, pm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(num >= 0 && num <= den)
+        assert(pm >= 0 && pm <= 1000)
+    }
+    // q38: the distribution partitions the customer set exactly
+    val dist = SparkEntry.queries(
+      "q38_order_count_distribution")(spark, sfDir)
+      .agg(sum(col("custdist"))).collect().head.getLong(0)
+    val nCust = T.load(spark, sfDir, "customer").count()
+    assert(dist == nCust, s"distribution covers $dist of $nCust customers")
+    // q39: small-quantity lines are a subset of the brand's lines
+    val small = SparkEntry.queries("q39_small_qty_revenue")(spark, sfDir)
+      .collect().head
+    val brandLines = T.load(spark, sfDir, "lineitem")
+      .join(T.load(spark, sfDir, "part")
+          .filter(col("p_brand") === "Brand#1"),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(small.getLong(0) <= brandLines)
+    assert(small.getDouble(2) <= small.getDouble(1) / 7.0 + 0.01)
+    // q40: the OR of the three branches never undercounts any single one
+    val all = SparkEntry.queries("q40_disjunctive_revenue")(spark, sfDir)
+      .collect().head.getLong(0)
+    val b1 = T.load(spark, sfDir, "lineitem")
+      .join(T.load(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11))
+      .count()
+    assert(all >= b1, "disjunction dropped a branch")
+  }
 }
