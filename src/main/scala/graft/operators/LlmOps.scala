@@ -98,7 +98,7 @@ object LlmOps extends QueryPack {
     * Tokens materialize below an exchange so the five per-language
     * filter lambdas read an attribute, not five re-tokenizations
     * (see [[graft.functions.Text]] inlining note). */
-  private val langId: Q = (s, dir) => {
+  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
     val scores = Text.langStopwords.map { case (lang, words) =>
       lang -> Text.stopwordHits(toks, words)
@@ -115,7 +115,52 @@ object LlmOps extends QueryPack {
       .select(col("lang"), best.getField("lang").as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy("lang", "predicted")
+  }
+
+  private val langId: Q = (s, dir) =>
+    langConfusion(s, dir).orderBy("lang", "predicted")
+
+  /** l93: inter-labeler agreement (Cohen's kappa) between the stopword
+    * language-ID heuristic and the corpus's labeled `lang` — the
+    * labeling-quality audit run whenever a cheap classifier gates
+    * expensive curation (is the heuristic better than marginal
+    * chance, and by how much). Kappa = (p_o − p_e)/(1 − p_e) computed
+    * from the l03 confusion frame entirely in integers:
+    * kappa = (n·Σn_ii − Σr_i·c_i) / (n² − Σr_i·c_i), surfaced as a
+    * floored permille via one double division (both engines divide
+    * the same exact integers < 2⁵³, then floor — no engine-specific
+    * rounding). Chance-corrected agreement can be NEGATIVE (worse
+    * than marginal chance) — floor division handles that case
+    * identically in both engines, which `div`-style truncation would
+    * not.
+    *
+    * 100 TB shape: everything after the l03 confusion rollup is
+    * |langs|²-row algebra (marginal frames joined on label, two
+    * singleton aggregates crossed) — driver-free and constant-sized.
+    * The integer form is exact while n·Σr·c < 2⁶³, i.e. corpora up to
+    * ~3×10⁹ docs; past that the marginals would be pre-scaled (the
+    * permille needs only 3 significant digits). */
+  private val labelAgreement: Q = (s, dir) => {
+    val conf = langConfusion(s, dir)
+    val tot = conf.agg(
+      sum(col("n_docs")).as("n_total"),
+      coalesce(sum(when(col("lang") === col("predicted"), col("n_docs"))
+        .otherwise(0L)), lit(0L)).as("n_agree"))
+    val rows = conf.groupBy(col("lang").as("rl"))
+      .agg(sum(col("n_docs")).as("row_n"))
+    val cols = conf.groupBy(col("predicted").as("cl"))
+      .agg(sum(col("n_docs")).as("col_n"))
+    val pe = rows.join(cols, col("rl") === col("cl"))
+      .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L))
+        .as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .withColumn("kappa_permille",
+        when(col("n_total") * col("n_total") === col("pe_num"), lit(1000L))
+          .otherwise(floor(
+            (lit(1000.0) * (col("n_total") * col("n_agree") -
+              col("pe_num")).cast("double")) /
+              (col("n_total") * col("n_total") - col("pe_num"))
+                .cast("double")).cast("long")))
   }
 
   /** BPE-ish token counting (word pieces + punctuation) per language. */
@@ -1946,6 +1991,7 @@ object LlmOps extends QueryPack {
     "l01_text_stats" -> textStats,
     "l02_quality_score" -> qualityScore,
     "l03_langid" -> langId,
+    "l93_label_agreement" -> labelAgreement,
     "l04_token_count" -> tokenCount,
     "l05_exact_dedup" -> exactDedup,
     "l06_fingerprints" -> fingerprints,
@@ -2032,6 +2078,26 @@ object LlmOps extends QueryPack {
 
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
+
+  /** Shared DuckDB spelling of the l03 stopword-score columns and the
+    * strictly-greater-wins predictor fold (one definition, two oracles:
+    * l03 confusion, l93 kappa — the l67/l68 anti-drift discipline). */
+  private lazy val oLangHits: String = Text.langStopwords.map {
+    case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($oToks, t -> t IN ($list))) AS s_$lang"
+  }.mkString(",\n    ")
+
+  private lazy val oLangPred: String = {
+    val langs = Text.langStopwords.map(_._1)
+    // Same fold as the Spark side: later lexicon wins only on strictly
+    // greater score.
+    langs.tail.foldLeft(s"'${langs.head}'" -> s"s_${langs.head}") {
+      case ((predExpr, scoreExpr), lang) =>
+        (s"CASE WHEN s_$lang > ($scoreExpr) THEN '$lang' ELSE ($predExpr) END",
+          s"CASE WHEN s_$lang > ($scoreExpr) THEN s_$lang ELSE ($scoreExpr) END")
+    }._1
+  }
 
   val oracle: Map[String, String] = Map(
     // bucket CASE chain generated from the same lengthBuckets list the
@@ -2313,23 +2379,37 @@ object LlmOps extends QueryPack {
          |  SUM(stop_ratio) / CAST(COUNT(*) AS DOUBLE) AS avg_stop_ratio,
          |  CAST(SUM(length_ok) AS BIGINT) AS n_length_ok
          |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
-    "l03_langid" -> {
-      val hits = Text.langStopwords.map { case (lang, words) =>
-        val list = words.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter($oToks, t -> t IN ($list))) AS s_$lang"
-      }.mkString(",\n    ")
-      val langs = Text.langStopwords.map(_._1)
-      // Same fold as the Spark side: later lexicon wins only on strictly
-      // greater score.
-      val pred = langs.tail.foldLeft(s"'${langs.head}'" -> s"s_${langs.head}") {
-        case ((predExpr, scoreExpr), lang) =>
-          (s"CASE WHEN s_$lang > ($scoreExpr) THEN '$lang' ELSE ($predExpr) END",
-            s"CASE WHEN s_$lang > ($scoreExpr) THEN s_$lang ELSE ($scoreExpr) END")
-      }._1
-      s"""WITH scores AS (SELECT lang, $hits FROM documents)
-         |SELECT lang, $pred AS predicted, COUNT(*) AS n_docs
-         |FROM scores GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+    "l03_langid" ->
+      s"""WITH scores AS (SELECT lang, $oLangHits FROM documents)
+         |SELECT lang, $oLangPred AS predicted, COUNT(*) AS n_docs
+         |FROM scores GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the l03 confusion frame folded to Cohen's kappa in integers;
+    // the one double division floors the same exact operands on both
+    // engines (see labelAgreement scaladoc)
+    "l93_label_agreement" ->
+      s"""WITH scores AS (SELECT lang, $oLangHits FROM documents),
+         |conf AS (
+         |  SELECT lang, $oLangPred AS predicted, COUNT(*) AS n_docs
+         |  FROM scores GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         |    CAST(COALESCE(SUM(CASE WHEN lang = predicted
+         |      THEN n_docs ELSE 0 END), 0) AS BIGINT) AS n_agree
+         |  FROM conf),
+         |r AS (SELECT lang AS rl, CAST(SUM(n_docs) AS BIGINT) AS row_n
+         |  FROM conf GROUP BY 1),
+         |c AS (SELECT predicted AS cl, CAST(SUM(n_docs) AS BIGINT) AS col_n
+         |  FROM conf GROUP BY 1),
+         |pe AS (
+         |  SELECT CAST(COALESCE(SUM(row_n * col_n), 0) AS BIGINT) AS pe_num
+         |  FROM r JOIN c ON rl = cl)
+         |SELECT n_total, n_agree, pe_num,
+         |  CASE WHEN n_total * n_total = pe_num THEN 1000
+         |    ELSE CAST(FLOOR(
+         |      (1000.0 * CAST(n_total * n_agree - pe_num AS DOUBLE)) /
+         |      CAST(n_total * n_total - pe_num AS DOUBLE)) AS BIGINT)
+         |  END AS kappa_permille
+         |FROM tot CROSS JOIN pe""".stripMargin,
     "l04_token_count" ->
       s"""SELECT lang,
          |  CAST(SUM(len(regexp_extract_all(text, '${Text.bpeTokenPattern}')))

@@ -515,7 +515,69 @@ object QualityOps extends QueryPack {
       .orderBy("source")
   }
 
+  // ---- l92: containment (near-subset) audit ---------------------------
+
+  /** l92: asymmetric containment over the MinHash candidate pairs —
+    * the near-SUBSET detector symmetric Jaccard structurally misses: a
+    * short document wholly embedded in a long one scores
+    * |A|/|B| ≈ 0 Jaccard but containment(A→B) = 1 (Broder'97
+    * distinguishes resemblance from containment for exactly this
+    * case; quote-heavy and template-expanded corpora are full of it).
+    * Per candidate pair: c(A→B) = |A∩B| / |A| over DISTINCT shingle
+    * sets, thresholded at 90% via cross-multiplication
+    * (10·|A∩B| ≥ 9·|A|) — integer-exact in both engines. Reported:
+    * candidate count, subset counts per direction, and pairs where
+    * either direction clears the bar.
+    *
+    * Scope note (honest): candidates come from the SHARED Jaccard
+    * banding pass ([[LlmOps.sharedMinhashCandidates]] — computed once
+    * per process for l07/l67/l68/l92), so extreme-ratio containments
+    * that banding never surfaces are out of frame; a dedicated
+    * containment recall path would band the SMALLER side's signature
+    * (Broder's modification). The audit measures subset structure
+    * among pairs the dedup stack already inspects — the rollout
+    * question it answers is "are our near-dups copies or quotes".
+    *
+    * 100 TB shape: shingle arrays are rebuilt ONLY for docs that
+    * appear in some candidate pair (left-semi on the pair ids), so
+    * the wide arrays are O(candidate docs), not corpus-sized; the
+    * pair join and intersection work is O(candidates). */
+  private val containmentAudit: Q = (s, dir) => {
+    val cand = LlmOps.sharedMinhashCandidates(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // same tokenize-below-exchange barrier discipline as
+    // minhashCandidates: the regex tokenizer must not be spliced into
+    // the per-shingle lambda by CollapseProject
+    val sh = Barriers.materialize(docs(s, dir)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_distinct(Text.shinglesFromTokens("toks", 3)).as("sh"))
+      .filter(size(col("sh")) > 0))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("inter") * 10 >= col("na") * 9, 1L)
+          .otherwise(0L)), lit(0L)).as("n_subset_a_in_b"),
+        coalesce(sum(when(col("inter") * 10 >= col("nb") * 9, 1L)
+          .otherwise(0L)), lit(0L)).as("n_subset_b_in_a"),
+        coalesce(sum(when(col("inter") * 10 >= col("na") * 9 ||
+          col("inter") * 10 >= col("nb") * 9, 1L)
+          .otherwise(0L)), lit(0L)).as("n_near_subset"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "l92_containment_audit" -> containmentAudit,
     "l91_wilson_gates" -> wilsonGates,
     "l90_good_turing" -> goodTuring,
     "l71_retrieval_quality" -> retrievalQuality,
@@ -560,6 +622,26 @@ object QualityOps extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    // the l07 banding replay plus distinct-shingle containment per
+    // candidate pair; thresholds cross-multiplied (integer-exact)
+    "l92_containment_audit" ->
+      s"""WITH ${oBandingCtes},
+         |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM shf),
+         |co AS (
+         |  SELECT len(list_intersect(x.shd, y.shd)) AS inter,
+         |    len(x.shd) AS na, len(y.shd) AS nb
+         |  FROM pairs p
+         |  JOIN shd x ON x.doc_id = p.doc_a
+         |  JOIN shd y ON y.doc_id = p.doc_b)
+         |SELECT COUNT(*) AS n_candidates,
+         |  CAST(COALESCE(SUM(CASE WHEN inter * 10 >= na * 9
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_subset_a_in_b,
+         |  CAST(COALESCE(SUM(CASE WHEN inter * 10 >= nb * 9
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_subset_b_in_a,
+         |  CAST(COALESCE(SUM(CASE WHEN inter * 10 >= na * 9
+         |    OR inter * 10 >= nb * 9 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_near_subset
+         |FROM co""".stripMargin,
     // the same rational-idf Okapi spelling, rank window, and
     // conjunctive qrels replayed relationally; integer metric
     // ingredients so the compare is exact counts, not float metrics

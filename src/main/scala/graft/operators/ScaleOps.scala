@@ -506,7 +506,46 @@ object ScaleOps extends QueryPack {
           .as("sketch_within_eps"))
   }
 
+  /** K14: incremental aggregate maintenance by partial-merge — the
+    * pattern that makes a 100 TB rolling aggregate affordable: never
+    * recompute the world, aggregate only the NEW partition and merge
+    * it into the standing per-key state with the aggregates' own
+    * monoid ops (count/sum add; min/max meet — `least`/`greatest`
+    * skip NULLs identically in both engines, which is what makes the
+    * full-outer merge correct for keys present on one side only).
+    * Here the "arriving delta" is carved deterministically
+    * (event_id % 10 = 0) so the oracle can hold the merge to the
+    * strongest possible standard: the merged state must equal a
+    * from-scratch recompute over the union, value for value.
+    *
+    * 100 TB shape: each side is one map-side-combined groupBy to
+    * |users| rows; the merge is a key-partitioned full-outer join of
+    * two pre-reduced frames — the delta side is new-partition-sized,
+    * so at scale the join broadcasts the delta against the standing
+    * state. Sums ride integer cents (exact monoid — double addition
+    * does not reassociate). */
+  private val deltaMergeAgg: Q = (s, dir) => {
+    val ev = T.loadEvents(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (T.dec2(col("value")) * 100).cast("long").as("v_cents"))
+    def partial(df: DataFrame) = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("s"),
+        min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val base = partial(ev.filter(col("event_id") % 10 =!= 0))
+    val delta = partial(ev.filter(col("event_id") % 10 === 0))
+    base.as("b").join(delta.as("d"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("b.s"), lit(0L)) + coalesce(col("d.s"), lit(0L)))
+          .as("sum_cents"),
+        least(col("b.mn"), col("d.mn")).as("first_ts"),
+        greatest(col("b.mx"), col("d.mx")).as("last_ts"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "k14_delta_agg_merge" -> deltaMergeAgg,
     "k13_cms_heavy_hitters" -> cmsHeavyHitters,
     "k12_dpp_join" -> dppJoin,
     "k11_bucketed_join" -> bucketedColocatedJoin,
@@ -521,6 +560,14 @@ object ScaleOps extends QueryPack {
     "k10_hll_rollup" -> hllRollup)
 
   val oracle: Map[String, String] = Map(
+    // the strongest merge check: from-scratch recompute over the
+    // union — the Spark side must reproduce it via partial-merge
+    "k14_delta_agg_merge" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(${T.oDec2("value")} * 100 AS BIGINT)) AS BIGINT)
+         |    AS sum_cents,
+         |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the sketch is invisible in the checked values: exact top-10
     // counts, with the two CMS contract bounds pinned true (k02/k04
     // contract pattern — the sketch itself is engine-side xxhash64,

@@ -785,7 +785,54 @@ object Windows extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Fixed-histogram geometry for w21: 32 bins over [0, 500). The
+    * width 500/32 = 15.625 = 125/8 is EXACTLY representable in binary,
+    * so `floor(value / 15.625)` is the same bit pattern in both
+    * engines for every input double — bin assignment cannot straddle
+    * an engine boundary. Values ≥ 500 clamp into the top bin. */
+  private val histBins = 32
+  private val histWidth = 15.625
+
+  /** W21: histogram-sketch quantiles — p50/p90/p99 estimated from a
+    * FIXED 32-bin histogram rather than a per-group sort. This is the
+    * sketch trade the 100 TB path actually makes: w05/w20's exact
+    * percentiles keep per-group sorted state (linear in group width),
+    * while a fixed-bin histogram is a constant-size mergeable summary
+    * — one map-side-combined groupBy, then quantile lookup over 32
+    * rows. The answer is the bin's LOWER EDGE (bin·15.625 — exact
+    * doubles), an explicit ≤-one-bin-width error bar, not a fake
+    * point estimate. The cumulative rank threshold is
+    * cross-multiplied (cum·100 ≥ q·n) so bin selection is
+    * integer-exact; k04's GK sketch is the adaptive-precision sibling
+    * (rows-only there; this one is fully oracle-checkable because the
+    * geometry is fixed). */
+  private val histogramQuantiles: Q = (s, dir) => {
+    val bins = T.loadEvents(s, dir)
+      .select(least(lit(histBins - 1),
+        floor(col("value") / histWidth).cast("int")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    // 32-row frame: the global cumulative window is bounded by
+    // construction (w01's bounded-frame discipline)
+    val cum = bins
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val qs = s.createDataFrame(
+      Seq(Tuple1(50), Tuple1(90), Tuple1(99))).toDF("q")
+    cum.join(broadcast(qs), col("cum") * 100 >= col("q") * col("total"))
+      .groupBy(col("q"))
+      .agg(min(col("bin")).as("bin"))
+      .withColumn("lower_edge", col("bin").cast("double") * histWidth)
+      .select(col("q").cast("long").as("q"), col("bin").cast("long")
+        .as("bin"), col("lower_edge"))
+      .orderBy("q")
+  }
+
   val queries: Map[String, Q] = Map(
+    "w21_histogram_quantiles" -> histogramQuantiles,
     "w20_mad_outliers" -> madOutliers,
     "w17_decayed_engagement" -> decayedEngagement,
     "w16_seasonal_naive" -> seasonalNaive,
@@ -1139,6 +1186,23 @@ object Windows extends QueryPack {
         |WINDOW w AS (PARTITION BY event_type ORDER BY stat_hour
         |             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, stat_hour""".stripMargin,
+    // same fixed 32-bin geometry; bin selection via integer
+    // cross-multiplication, lower edges exact binary doubles
+    "w21_histogram_quantiles" ->
+      s"""WITH b AS (
+         |  SELECT LEAST(${histBins - 1},
+         |    CAST(FLOOR(value / $histWidth) AS INTEGER)) AS bin
+         |  FROM events),
+         |g AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1),
+         |c AS (SELECT bin, n,
+         |  SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         |  SUM(n) OVER () AS total FROM g)
+         |SELECT CAST(q AS BIGINT) AS q,
+         |  CAST(MIN(bin) AS BIGINT) AS bin,
+         |  CAST(MIN(bin) AS DOUBLE) * $histWidth AS lower_edge
+         |FROM c JOIN (VALUES (50), (90), (99)) AS qs(q)
+         |  ON cum * 100 >= q * total
+         |GROUP BY q ORDER BY q""".stripMargin,
     "w20_mad_outliers" ->
       s"""WITH b AS (SELECT event_type,
          |  CAST(${T.oDec2("value")} * 100 AS BIGINT) * 2 AS vc2

@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     "q34_top_supplier_view", "q35_dormant_customers",
     "q36_volume_shipping", "q37_market_share",
     "q38_order_count_distribution", "q39_small_qty_revenue",
-    "q40_disjunctive_revenue")
+    "q40_disjunctive_revenue", "w21_histogram_quantiles",
+    "k14_delta_agg_merge", "l93_label_agreement")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
@@ -161,5 +162,7 @@ class PlanAuditSpec extends SparkSpec {
     "l89_collocation_lift",  // 1-row bigram-total broadcast
     "x21_pseudonymize",      // 1-row collision-summary broadcast
     "t12_sketch_merge",      // 1-row mismatch-count broadcast
-    "q35_dormant_customers") // 1-row balance-average broadcast
+    "q35_dormant_customers", // 1-row balance-average broadcast
+    "w21_histogram_quantiles", // 3-row quantile panel × 32-bin summary
+    "l93_label_agreement")   // two singleton aggregates crossed
 }

@@ -458,4 +458,37 @@ class PropertySpec extends SparkSpec {
       .count()
     assert(all >= b1, "disjunction dropped a branch")
   }
+
+  test("l92/l93/w21/k14 laws: containment bounds, kappa range, " +
+      "quantile monotonicity, merge = recompute") {
+    // l92: per-direction subsets bound the either-direction union
+    val c = SparkEntry.queries("l92_containment_audit")(spark, sfDir)
+      .collect().head
+    val (nc, nsa, nsb, nu) =
+      (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+    assert(nu <= nc && math.max(nsa, nsb) <= nu && nu <= nsa + nsb)
+    // l93: kappa stays in [-1000, 1000], agreement bounded by total
+    val k = SparkEntry.queries("l93_label_agreement")(spark, sfDir)
+      .collect().head
+    assert(k.getLong(1) <= k.getLong(0))
+    assert(k.getLong(3) >= -1000 && k.getLong(3) <= 1000)
+    // w21: three quantiles, monotone bins, exact lower edges
+    val qs = SparkEntry.queries("w21_histogram_quantiles")(spark, sfDir)
+      .collect()
+    assert(qs.map(_.getLong(0)).toSeq == Seq(50L, 90L, 99L))
+    assert(qs.map(_.getLong(1)).toSeq ==
+      qs.map(_.getLong(1)).toSeq.sorted)
+    qs.foreach(r => assert(r.getDouble(2) == r.getLong(1) * 15.625))
+    // k14: the partial-merge result equals a from-scratch recompute
+    val merged = SparkEntry.queries("k14_delta_agg_merge")(spark, sfDir)
+    val direct = T.loadEvents(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((T.dec2(col("value")) * 100).cast("long")).as("sum_cents"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .orderBy("user_id")
+    assert(merged.exceptAll(direct).isEmpty &&
+      direct.exceptAll(merged).isEmpty,
+      "merged partials diverge from the from-scratch aggregate")
+  }
 }
