@@ -839,6 +839,69 @@ object Joins extends QueryPack {
     copurchaseCache.computeIfAbsent((s, dir),
       _ => graft.core.Barriers.materialize(copurchaseEdgesRaw(s, dir)))
 
+  /** Node-id bound of the q41 oracle instance: components are computed
+    * on the co-purchase subgraph induced by parts with id < this (the
+    * l10 fixed-panel discipline — the transitive-closure recursion the
+    * DuckDB oracle replays is Σ component² pairs, so the CHECKED
+    * instance must be bounded; the Spark algorithm itself carries no
+    * such bound). */
+  private val ccPanel = 400
+
+  /** q41: connected components — min-label propagation to FIXPOINT
+    * over the co-purchase graph (panel-induced, see [[ccPanel]]),
+    * rolled up to the component-size distribution. Each round joins
+    * the current |V|-row label frame to the edge list and takes the
+    * min over neighborhood labels; a driver-side changed-count (one
+    * long per round — model-bounded traffic, the l32 k-means loop
+    * discipline) detects convergence, so the output is EXACT
+    * components, not a hop-bounded approximation (q30's depth-bounded
+    * BFS is the other trade). Rounds = graph diameter; on co-purchase
+    * graphs (dense order-cliques) that is small. At 100 TB diameter
+    * you'd switch to alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce", SoCC'14) or the q26
+    * pointer-doubling ladder — both already demonstrated in this repo
+    * (q26 doubling, l21 pointer-jumping); this entry keeps the
+    * fixpoint loop, the variant whose TERMINATION is data-driven.
+    *
+    * Scale shape per round: one shuffle of (node, lbl) pairs keyed by
+    * node, edge frame materialized once and replayed; labels
+    * re-materialize per round so lineage stays flat. */
+  /** The q41 computation over any canonical (u < v) edge list —
+    * public so GraphSpec can drive it on planted multi-component
+    * graphs (the co-purchase graph itself is dense enough that every
+    * panel forms one giant component, so the rollup's multi-size path
+    * is exercised by the spec, not the registered instance). */
+  def componentSizes(edges: DataFrame): DataFrame = {
+    val ud = graft.core.Barriers.materialize(
+      edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b"))))
+    var labels = graft.core.Barriers.materialize(
+      ud.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = ud.join(labels, col("b") === col("node"))
+        .groupBy(col("a").as("nn")).agg(min(col("lbl")).as("nl"))
+      val next = graft.core.Barriers.materialize(
+        labels.join(nbrMin, col("node") === col("nn"), "left")
+          .select(col("node"), least(col("lbl"), col("nl")).as("lbl")))
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_components"), min(col("lbl")).as("min_label"))
+      .orderBy("size")
+  }
+
+  private val connectedComponents: Q = (s, dir) =>
+    componentSizes(copurchaseEdges(s, dir)
+      .filter(col("u") < ccPanel && col("v") < ccPanel))
+
   /** The q28 computation over any canonical (u < v) edge list, exposed
     * so GraphSpec can drive it on planted cliques / paths / stars. */
   def triangleStats(edges: DataFrame): DataFrame = {
@@ -998,6 +1061,7 @@ object Joins extends QueryPack {
     "q31_profit_rollup" -> profitRollup,
     "q32_agg_semi_join" -> aggSemiJoin,
     "q36_volume_shipping" -> volumeShipping,
+    "q41_connected_components" -> connectedComponents,
     "q37_market_share" -> marketShare,
     "q38_order_count_distribution" -> orderCountDistribution,
     "q39_small_qty_revenue" -> smallQtyRevenue,
@@ -1025,6 +1089,28 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    // exact components via transitive-closure recursion (UNION-dedup
+    // fixpoint on (node, reachable-label) pairs) — replayable because
+    // the instance is panel-bounded; min per node, then size rollups
+    "q41_connected_components" ->
+      s"""WITH RECURSIVE items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_partkey < $ccPanel),
+         |e AS (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+         |ud AS (
+         |  SELECT u AS a, v AS b FROM e
+         |  UNION ALL SELECT v AS a, u AS b FROM e),
+         |reach(node, lbl) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM ud)
+         |  UNION
+         |  SELECT ud.a, reach.lbl FROM reach JOIN ud ON ud.b = reach.node),
+         |m AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY 1),
+         |c AS (SELECT lbl, COUNT(*) AS sz FROM m GROUP BY 1)
+         |SELECT sz AS size, COUNT(*) AS n_components,
+         |  MIN(lbl) AS min_label
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q36_volume_shipping" -> {
       val (na, nb) = tradePair
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

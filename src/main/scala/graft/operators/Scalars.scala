@@ -555,7 +555,32 @@ object Scalars extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** x22: ANSI LATERAL correlated derived table — top-2 customers by
+    * account balance PER nation through `FROM nation, LATERAL (...
+    * ORDER BY ... LIMIT 2)`. ONE SQL string runs verbatim on both
+    * engines (the q18/q21 discipline). The shape matters because
+    * Catalyst DECORRELATES it: the per-group ORDER+LIMIT rewrites to a
+    * ranking window over the join of the outer keys — no per-nation
+    * re-execution of the inner query, which is what makes the lateral
+    * spelling safe at 100 TB (the naive nested-loop reading would run
+    * |nations| scans). Ties break on c_name, so the top-2 set is
+    * total. */
+  private[operators] val lateralTopkText =
+    """SELECT n_name, c_name, acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal AS acctbal
+      |  FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2)
+      |ORDER BY n_name, acctbal DESC, c_name""".stripMargin
+
+  private val lateralTopk: Q = (s, dir) => {
+    T.registerAll(s, dir)
+    s.sql(lateralTopkText)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x22_lateral_topk" -> lateralTopk,
     "x21_pseudonymize" -> pseudonymize,
     "x18_unpivot" -> unpivotCounts,
     "x19_try_arith" -> tryArith,
@@ -579,6 +604,7 @@ object Scalars extends QueryPack {
     "x11_array_funcs" -> arrayFuncs)
 
   val oracle: Map[String, String] = Map(
+    "x22_lateral_topk" -> lateralTopkText,
     "x21_pseudonymize" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |t AS (SELECT user_id,

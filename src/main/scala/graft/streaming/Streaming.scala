@@ -620,7 +620,59 @@ object Streaming extends QueryPack {
       .orderBy("batch")
   }
 
+  /** T13: CDC upsert apply — the foreachBatch MERGE pattern that keeps
+    * a keyed serving table current from a change stream: each
+    * micro-batch reduces to its per-key LATEST row, then merges into
+    * the standing state with a CONDITIONAL upsert — update only if the
+    * incoming change is newer by the total (ts, event_id) order. That
+    * condition is the whole safety story: it makes the apply
+    * idempotent AND out-of-order-tolerant (a replayed or late batch
+    * cannot regress the row), which is what lets the final state equal
+    * the global latest-row-per-key regardless of how the stream was
+    * sliced into batches. The replay here slices by event_id % 8 —
+    * deliberately NOT time order — so the oracle (a plain
+    * latest-per-key window over the union) checks exactly that
+    * commutativity claim, value for value. The foreachBatch face of
+    * the same conditional merge already runs through a real
+    * MemoryStream in StreamingSpec's "streaming upsert" test
+    * ([[upsertSink]] — seq-conditioned MERGE with idempotent replay);
+    * this entry puts the ORDERING algebra under the DuckDB gate.
+    *
+    * 100 TB shape: each batch pre-reduces to per-key rows before
+    * touching state (map-side combine on the hot key space); the
+    * merge is a key-partitioned outer join where the delta side is
+    * batch-sized — broadcastable — and the standing state never
+    * rewrites rows the condition rejects. `greatest` over a
+    * (ts, event_id, payload) struct IS the conditional update:
+    * struct ordering compares ts then the unique event_id, so payload
+    * fields never decide. */
+  private val cdcUpsert: Q = (s, dir) => {
+    val ev = T.loadEvents(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("value"),
+          col("event_type")).as("top"),
+        pmod(col("event_id"), lit(8L)).as("batch"))
+    def reduceBatch(b: DataFrame): DataFrame =
+      b.groupBy(col("user_id"))
+        .agg(max(col("top")).as("top"), count(lit(1)).as("n"))
+    val batches = (0L until 8L).map(i =>
+      reduceBatch(ev.filter(col("batch") === i).drop("batch")))
+    val state = batches.reduce { (acc, delta) =>
+      acc.as("a").join(delta.as("d"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          greatest(col("a.top"), col("d.top")).as("top"),
+          (coalesce(col("a.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+            .as("n"))
+    }
+    state.select(col("user_id"), col("n").as("n_versions"),
+      col("top.value").as("last_value"),
+      col("top.event_type").as("last_event_type"),
+      col("top.ts").as("last_ts"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t13_cdc_upsert" -> cdcUpsert,
     "t12_sketch_merge" -> sketchMerge,
     "t09_sliding_window_agg" -> slidingWindowAgg,
     "t01_tumbling_window_agg" -> tumblingWindowAgg,
@@ -635,6 +687,19 @@ object Streaming extends QueryPack {
     "t10_outer_attribution" -> organicAgg)
 
   val oracle: Map[String, String] = Map(
+    // the batch-sliced conditional MERGE must equal the global
+    // latest-row-per-key — replayed as one ranking window
+    "t13_cdc_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events)
+        |SELECT user_id, CAST(n_versions AS BIGINT) AS n_versions,
+        |  value AS last_value, event_type AS last_event_type,
+        |  ts AS last_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // the sketch is engine-side xxhash64; the oracle pins the exact
     // per-batch partition counts and the merge-equality contract true
     // (k13's contract-bool pattern)

@@ -109,4 +109,22 @@ class GraphSpec extends SparkSpec {
       .orderBy("node").collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(d.toSeq == Seq((1L, 0), (2L, 1), (3L, 1), (4L, 2), (5L, 3)))
   }
+
+  test("q41 components: planted multi-component graphs resolve to " +
+      "exact size distribution, labels are component minima") {
+    // K3 + path of 4 + isolated edge: sizes 2, 3, 4 with min labels
+    val g = edges(Seq(
+      (10L, 11L), (11L, 12L), (10L, 12L),         // triangle {10,11,12}
+      (20L, 21L), (21L, 22L), (22L, 23L),         // path {20..23}
+      (30L, 31L)))                                // edge {30,31}
+    val out = Joins.componentSizes(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 1L, 30L), (3L, 1L, 10L), (4L, 1L, 20L)))
+    // a long path forces many propagation rounds (diameter = rounds):
+    // 30-node path converges to ONE component labeled by its head
+    val path = edges((0L until 29L).map(i => (i, i + 1)))
+    val pout = Joins.componentSizes(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pout.toSeq == Seq((30L, 1L, 0L)))
+  }
 }

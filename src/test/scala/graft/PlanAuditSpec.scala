@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
     "q36_volume_shipping", "q37_market_share",
     "q38_order_count_distribution", "q39_small_qty_revenue",
     "q40_disjunctive_revenue", "w21_histogram_quantiles",
-    "k14_delta_agg_merge", "l93_label_agreement")
+    "k14_delta_agg_merge", "l93_label_agreement",
+    "x22_lateral_topk", "t13_cdc_upsert")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {

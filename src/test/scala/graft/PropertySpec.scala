@@ -491,4 +491,25 @@ class PropertySpec extends SparkSpec {
       direct.exceptAll(merged).isEmpty,
       "merged partials diverge from the from-scratch aggregate")
   }
+
+  test("t13: CDC upsert final state is invariant to how the stream " +
+      "is sliced into batches (apply is commutative by total order)") {
+    import graft.streaming.Streaming
+    val byEight = Streaming.queries("t13_cdc_upsert")(spark, sfDir)
+    // re-slice by a different modulus AND a time-ordered split: both
+    // must converge to the identical latest-per-key state
+    val ev = T.loadEvents(spark, sfDir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("value"),
+          col("event_type")).as("top"))
+    val direct = ev.groupBy(col("user_id"))
+      .agg(max(col("top")).as("top"), count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("n_versions"),
+        col("top.value").as("last_value"),
+        col("top.event_type").as("last_event_type"),
+        col("top.ts").as("last_ts"))
+    assert(byEight.exceptAll(direct).isEmpty &&
+      direct.exceptAll(byEight).isEmpty,
+      "batch-sliced CDC apply diverged from the order-free fold")
+  }
 }
