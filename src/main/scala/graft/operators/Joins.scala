@@ -1057,7 +1057,189 @@ object Joins extends QueryPack {
       .orderBy("d")
   }
 
+  /** Date window + lateness threshold of the q42 priority check. */
+  private val q42Window = ("1996-01-01", "1996-04-01")
+  private val q42LateDays = 30
+
+  /** q42: order-priority lateness check — the TPC-H Q4 shape: count
+    * orders per priority in one quarter where EXISTS a line shipped
+    * more than [[q42LateDays]] days after the order date (this
+    * schema's "commit date missed" stand-in). The quantifier plans as
+    * a LEFT SEMI hash join — the fact side never multiplies, and a
+    * multi-late order still counts once, which is exactly what EXISTS
+    * buys over an inner join + distinct.
+    *
+    * 100 TB shape: the quarter filter prunes the orders scan FIRST
+    * (3/80 months of the table), so the semi join probes with the
+    * small side; the lineitem side carries only (orderkey, shipdate).
+    * The lateness comparison references BOTH sides, so it rides the
+    * join condition — Catalyst keys the join on orderkey and applies
+    * the interval predicate as a post-probe filter. */
+  private val priorityLateness: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(q42Window._1) &&
+        col("o_orderdate") < lit(q42Window._2))
+    val li = T.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") +
+            expr(s"INTERVAL $q42LateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q43's reporting quarter (orders placed here, lines returned). */
+  private val q43Window = ("1996-01-01", "1996-04-01")
+
+  /** q43: returned-item reporting — the TPC-H Q10 shape: the top 20
+    * customers by revenue lost to returns ('R' lines) on orders placed
+    * in one quarter, with their nation. Four tables, one top-k.
+    *
+    * 100 TB shape: the two selective filters (order quarter, return
+    * flag) push to their scans BEFORE either join; orders⋈lineitem is
+    * the one real shuffle (both sides pre-filtered to the quarter's
+    * sliver); customer joins on the already-aggregated-by-join frame
+    * and nation broadcasts. Top-k plans as TakeOrderedAndProject —
+    * only 20 rows ever reach the driver. Revenue is the exact-decimal
+    * sum (q01 discipline) so the ordering key is bit-stable; ties
+    * break on c_custkey. */
+  private val returnedItems: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(q43Window._1) &&
+        col("o_orderdate") < lit(q43Window._2))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = T.load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val c = T.load(s, dir, "customer")
+    val n = T.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_returned_lines"),
+        T.revenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("n_returned_lines"), col("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  /** q44's reporting year and slow-ship threshold (days). */
+  private val q44Window = ("1996-01-01", "1997-01-01")
+  private val q44SlowDays = 60
+
+  /** q44: shipping-latency priority mix — the TPC-H Q12 shape with
+    * this schema's columns: classify each line shipped against a
+    * [[q44SlowDays]]-day latency bar (the ship-mode stand-in) and
+    * count critical-priority (1-URGENT / 2-HIGH) vs other orders per
+    * class — "are the slow lanes carrying the urgent freight". The
+    * shape's point is the conditional aggregation AFTER a join whose
+    * both-sides predicate (shipdate vs orderdate) can't push to
+    * either scan alone.
+    *
+    * 100 TB shape: the year filter prunes orders before the join; the
+    * join keys on orderkey with map-side-combined CASE sums after —
+    * one shuffle, two output rows. */
+  private val latencyPriorityMix: Q = (s, dir) => {
+    val o = T.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(q44Window._1) &&
+        col("o_orderdate") < lit(q44Window._2))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = T.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val critical = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        when(col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $q44SlowDays DAYS"), "slow")
+          .otherwise("fast").as("ship_class"))
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_class")
+  }
+
+  /** q45's quantity floor — a top-tail cut (max order sums ~450 at
+    * every sf; the floor keeps the HAVING selective without emptying
+    * the sf0.01 gate). */
+  private val q45QtyFloor = 300
+
+  /** q45: large-volume customers — the TPC-H Q18 shape: orderkeys
+    * whose total quantity clears [[q45QtyFloor]] (GROUP BY + HAVING
+    * over the fact), joined back to orders and customers, top 20 by
+    * order value. The shape's point is the HAVING-subquery → join-back
+    * composition: the qualifying-key set is computed ONCE from the
+    * narrow (orderkey, quantity) projection and only then touches the
+    * wide tables.
+    *
+    * 100 TB shape: the first aggregate reduces lineitem to |orders|
+    * rows of two longs; qualifying keys (a tiny fraction) broadcast
+    * back as a semi-join filter onto orders; customer joins after the
+    * fact side has shrunk to the qualifiers. Quantity sums in exact
+    * cents (q39 discipline); top-k is TakeOrderedAndProject keyed on
+    * the raw o_totalprice double (identical bits both engines). */
+  private val largeVolumeOrders: Q = (s, dir) => {
+    val qty = T.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg((sum((T.dec2(col("l_quantity")) * 100).cast("long")) / 100.0)
+        .as("sum_qty"))
+      .filter(col("sum_qty") > q45QtyFloor)
+    val o = T.load(s, dir, "orders")
+    val c = T.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    o.join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** q46's reporting month. */
+  private val q46Window = ("1996-03-01", "1996-04-01")
+
+  /** q46: promotion revenue effect — the TPC-H Q14 shape: the share of
+    * one month's revenue carried by PROMO-type parts. Kept
+    * INTEGER-EXACT end to end (q37 discipline): revenue in e4 units
+    * (price×(1−disc) carries exactly 4dp), the share an integer
+    * permille via floor division — no float ratio to drift between
+    * engines.
+    *
+    * 100 TB shape: the month filter prunes the lineitem scan; part
+    * pre-projects to (key, is-promo flag) and broadcasts — the flag,
+    * not the type string, rides the probe. Both the numerator and
+    * denominator come from ONE conditional-aggregation pass. */
+  private val promoRevenue: Q = (s, dir) => {
+    val li = T.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(q46Window._1) &&
+        col("l_shipdate") < lit(q46Window._2))
+    val p = T.load(s, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    val revE4 = ((T.dec2(col("l_extendedprice")) *
+      (lit(BigDecimal(1).setScale(2)) - T.dec2(col("l_discount")))) *
+      10000).cast("long")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_promo"), revE4).otherwise(0L)).as("promo_rev_e4"),
+        sum(revE4).as("total_rev_e4"))
+      .withColumn("promo_permille",
+        expr("(promo_rev_e4 * 1000) div total_rev_e4"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q42_priority_lateness" -> priorityLateness,
+    "q43_returned_items" -> returnedItems,
+    "q44_latency_priority_mix" -> latencyPriorityMix,
+    "q45_large_volume_orders" -> largeVolumeOrders,
+    "q46_promo_revenue" -> promoRevenue,
     "q31_profit_rollup" -> profitRollup,
     "q32_agg_semi_join" -> aggSemiJoin,
     "q36_volume_shipping" -> volumeShipping,
@@ -1089,6 +1271,70 @@ object Joins extends QueryPack {
     "q21_correlated_subquery" -> correlatedSubquery)
 
   val oracle: Map[String, String] = Map(
+    "q42_priority_lateness" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS order_count
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '${q42Window._1}'
+         |  AND o_orderdate < TIMESTAMP '${q42Window._2}'
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |    WHERE l_orderkey = o_orderkey
+         |      AND l_shipdate > o_orderdate + INTERVAL $q42LateDays DAY)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_returned_items" ->
+      s"""WITH r AS (
+         |  SELECT o_custkey, COUNT(*) AS n_returned_lines,
+         |    ${T.oRevenueSum("l_extendedprice", "l_discount")} AS revenue
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '${q43Window._1}'
+         |    AND o_orderdate < TIMESTAMP '${q43Window._2}'
+         |  GROUP BY 1)
+         |SELECT c_custkey, c_name, n_name, n_returned_lines, revenue
+         |FROM r JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q44_latency_priority_mix" ->
+      s"""SELECT CASE WHEN l_shipdate > o_orderdate
+         |    + INTERVAL $q44SlowDays DAY
+         |    THEN 'slow' ELSE 'fast' END AS ship_class,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate >= TIMESTAMP '${q44Window._1}'
+         |  AND o_orderdate < TIMESTAMP '${q44Window._2}'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_large_volume_orders" ->
+      s"""WITH qty AS (
+         |  SELECT l_orderkey,
+         |    CAST(SUM(CAST(${T.oDec2("l_quantity")} * 100 AS BIGINT))
+         |      AS DOUBLE) / 100.0 AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING sum_qty > $q45QtyFloor)
+         |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+         |  o_totalprice, sum_qty
+         |FROM qty JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q46_promo_revenue" ->
+      s"""WITH f AS (
+         |  SELECT p_type = 'PROMO' AS is_promo,
+         |    CAST(${T.oDec2("l_extendedprice")}
+         |      * (CAST(1.00 AS DECIMAL(3,2)) - ${T.oDec2("l_discount")})
+         |      * 10000 AS BIGINT) AS rev_e4
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '${q46Window._1}'
+         |    AND l_shipdate < TIMESTAMP '${q46Window._2}'),
+         |a AS (
+         |  SELECT COUNT(*) AS n_lines,
+         |    CAST(SUM(CASE WHEN is_promo THEN rev_e4 ELSE 0 END)
+         |      AS BIGINT) AS promo_rev_e4,
+         |    CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4
+         |  FROM f)
+         |SELECT n_lines, promo_rev_e4, total_rev_e4,
+         |  (promo_rev_e4 * 1000) // total_rev_e4 AS promo_permille
+         |FROM a""".stripMargin,
     // exact components via transitive-closure recursion (UNION-dedup
     // fixpoint on (node, reachable-label) pairs) — replayable because
     // the instance is panel-bounded; min per node, then size rollups
