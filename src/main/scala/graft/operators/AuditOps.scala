@@ -488,7 +488,91 @@ object AuditOps extends QueryPack {
       .orderBy(col("source"))
   }
 
+  // ---- l96: Bradley-Terry preference-strength fit ----------------------
+
+  /** Fixed preference panel (the l10 discipline: the O(panel²) game
+    * generation never sees more than this many docs regardless of
+    * corpus size — a real preference dataset arrives as pairs and
+    * skips that stage entirely). */
+  private val btPanel = 120
+  private val btIters = 3
+
+  /** l96: Bradley-Terry preference-strength fit — the model under
+    * every RLHF reward-data pipeline: given pairwise preferences,
+    * estimate per-player strength s_i such that P(i beats j) =
+    * s_i/(s_i+s_j), via Hunter's MM iteration
+    * s_i ← W_i / Σ_j n_ij/(s_i+s_j) (Hunter, Annals of Stats 2004).
+    * Players are sources; preferences come from a fixed
+    * [[btPanel]]-doc panel compared on stopword-density permille
+    * (ties to the lower doc_id — every game has a winner). The
+    * iteration runs ENTIRELY on the integer micro-unit lattice
+    * (PageRank's q29 discipline): each denominator term is the floor
+    * division (n_ij·10⁹) div (s_i+s_j), the update is (W_i·10⁹) div D,
+    * so three iterations produce the identical lattice of longs in
+    * both engines and the final ranking hash-matches exactly.
+    *
+    * 100 TB shape: the game stage reduces pairs to the |sources|²-row
+    * win matrix in ONE shuffle (map-side combined); every MM iteration
+    * is model-sized joins over that matrix (≤190 rows here) — the
+    * corpus is never touched again. A billion-pair preference log
+    * reduces the same way: the win matrix, not the game log, is the
+    * iteration state. */
+  private val bradleyTerry: Q = (s, dir) => {
+    val en = Text.langStopwords.head._2
+    val p = Barriers.materialize(docs(s, dir)
+      .filter(col("doc_id") < btPanel)
+      .select(col("doc_id"), col("source"),
+        Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        Text.stopwordHits(col("tk"), en).cast("long").as("hits"),
+        size(col("tk")).cast("long").as("ntok"))
+      .withColumn("score", expr("(1000 * hits) div ntok"))
+      .select(col("doc_id"), col("source"), col("score")))
+    // a.doc_id < b.doc_id makes each game unique; the tie rule (equal
+    // scores → a wins) is therefore "lower doc_id wins" — total and
+    // engine-independent
+    val g = p.as("a").join(p.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          col("a.source") =!= col("b.source"))
+      .select(
+        least(col("a.source"), col("b.source")).as("s1"),
+        greatest(col("a.source"), col("b.source")).as("s2"),
+        when(col("a.score") >= col("b.score"), col("a.source"))
+          .otherwise(col("b.source")).as("winner"))
+    val pr = Barriers.materialize(g.groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_games"),
+        sum(when(col("winner") === col("s1"), 1L).otherwise(0L))
+          .as("wins1")))
+    val wt = Barriers.materialize(
+      pr.select(col("s1").as("src"), col("wins1").as("w"),
+          col("n_games").as("n"))
+        .unionAll(pr.select(col("s2").as("src"),
+          (col("n_games") - col("wins1")).as("w"),
+          col("n_games").as("n")))
+        .groupBy(col("src"))
+        .agg(sum(col("w")).as("w_total"), sum(col("n")).as("n_games")))
+    var r = wt.select(col("src"), lit(1000000L).as("st"))
+    for (_ <- 1 to btIters) {
+      val t = pr
+        .join(r.select(col("src").as("s1"), col("st").as("st1")), "s1")
+        .join(r.select(col("src").as("s2"), col("st").as("st2")), "s2")
+        .withColumn("term",
+          expr("(n_games * 1000000000) div greatest(st1 + st2, 1)"))
+      val d = t.select(col("s1").as("src"), col("term"))
+        .unionAll(t.select(col("s2").as("src"), col("term")))
+        .groupBy(col("src")).agg(sum(col("term")).as("dsc"))
+      r = wt.join(d, "src")
+        .select(col("src"),
+          expr("(w_total * 1000000000) div greatest(dsc, 1)").as("st"))
+    }
+    r.join(wt, "src")
+      .select(col("src").as("source"), col("n_games"), col("w_total"),
+        col("st").as("strength_micro"))
+      .orderBy(desc("strength_micro"), col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "l96_bradley_terry" -> bradleyTerry,
     "l82_sq_error" -> sqError,
     "l83_chunk_dedup" -> chunkDedup,
     "l81_dup_profile" -> dupProfile,
@@ -503,7 +587,58 @@ object AuditOps extends QueryPack {
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
 
+  /** One MM iteration as a CTE pair (terms + strength update), chained
+    * from the previous round's strength CTE. */
+  private def btIterCte(k: Int): String =
+    s"""t$k AS (
+       |  SELECT pr.s1, pr.s2,
+       |    (pr.n_games * 1000000000) // GREATEST(ra.st + rb.st, 1)
+       |      AS term
+       |  FROM pr JOIN r${k - 1} ra ON pr.s1 = ra.src
+       |    JOIN r${k - 1} rb ON pr.s2 = rb.src),
+       |d$k AS (
+       |  SELECT src, CAST(SUM(term) AS BIGINT) AS dsc FROM (
+       |    SELECT s1 AS src, term FROM t$k
+       |    UNION ALL SELECT s2, term FROM t$k)
+       |  GROUP BY 1),
+       |r$k AS (
+       |  SELECT wt.src,
+       |    (wt.w_total * 1000000000) // GREATEST(d$k.dsc, 1) AS st
+       |  FROM wt JOIN d$k USING (src))""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "l96_bradley_terry" -> {
+      val stop = "'the','and','of','to','in','is','a'"
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |    (1000 * len(list_filter($oToks, t -> t IN ($stop))))
+         |      // len($oToks) AS score
+         |  FROM documents WHERE doc_id < $btPanel),
+         |g AS (
+         |  SELECT LEAST(a.source, b.source) AS s1,
+         |    GREATEST(a.source, b.source) AS s2,
+         |    CASE WHEN a.score >= b.score THEN a.source
+         |      ELSE b.source END AS winner
+         |  FROM p a JOIN p b
+         |    ON a.doc_id < b.doc_id AND a.source <> b.source),
+         |pr AS (
+         |  SELECT s1, s2, COUNT(*) AS n_games,
+         |    CAST(SUM(CASE WHEN winner = s1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wins1
+         |  FROM g GROUP BY 1, 2),
+         |wt AS (
+         |  SELECT src, CAST(SUM(w) AS BIGINT) AS w_total,
+         |    CAST(SUM(n) AS BIGINT) AS n_games FROM (
+         |    SELECT s1 AS src, wins1 AS w, n_games AS n FROM pr
+         |    UNION ALL SELECT s2, n_games - wins1, n_games FROM pr)
+         |  GROUP BY 1),
+         |r0 AS (SELECT src, CAST(1000000 AS BIGINT) AS st FROM wt),
+         |${(1 to btIters).map(btIterCte).mkString(",\n")}
+         |SELECT wt.src AS source, wt.n_games, wt.w_total,
+         |  r$btIters.st AS strength_micro
+         |FROM wt JOIN r$btIters USING (src)
+         |ORDER BY strength_micro DESC, source""".stripMargin
+    },
     "l82_sq_error" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
         |  FROM embeddings),

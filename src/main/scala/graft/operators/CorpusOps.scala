@@ -337,7 +337,50 @@ object CorpusOps extends QueryPack {
       .limit(colTopK)
   }
 
+  /** Tokens of shared prefix that count as a cache hit (the serving
+    * analog of a KV-cache block boundary; a fleet would set this to
+    * its block size in tokens). */
+  private val pfxLen = 3
+
+  /** l95: prefix-cache hit-rate audit — the serving-side question every
+    * LLM inference fleet asks of a workload before sizing its KV
+    * cache: how many prompt tokens are covered by a prefix some OTHER
+    * request already computed? Documents group by their first-
+    * [[pfxLen]]-token prefix; within a group of n, n−1 requests replay
+    * the prefix from cache, so the saved-token mass is (n−1)·|prefix|
+    * summed over groups — reported as an exact integer permille of all
+    * tokens. Short documents join the group of their own full (shorter)
+    * prefix — the group key IS the prefix string, so every member of a
+    * group shares one prefix length by construction and the arithmetic
+    * never mixes lengths.
+    *
+    * 100 TB shape: one shuffle keyed on the prefix string (narrow —
+    * three tokens + two longs; the document text never moves), group
+    * count ≤ corpus, map-side combine collapses hot prefixes early;
+    * the rollup is group-sized. All-integer output. */
+  private val prefixCache: Q = (s, dir) => {
+    val p = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(
+        concat_ws(" ", slice(col("tk"), 1, pfxLen)).as("pfx"),
+        least(size(col("tk")), lit(pfxLen)).cast("long").as("plen"),
+        size(col("tk")).cast("long").as("ntok"))
+    p.groupBy(col("pfx"), col("plen"))
+      .agg(count(lit(1)).as("n"), sum(col("ntok")).as("g_toks"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_prefix_groups"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L))
+          .as("n_docs_sharing"),
+        sum(when(col("n") > 1, (col("n") - 1) * col("plen"))
+          .otherwise(0L)).as("saved_tokens"),
+        sum(col("g_toks")).as("total_tokens"))
+      .withColumn("cache_hit_permille",
+        expr("(1000 * saved_tokens) div total_tokens"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "l95_prefix_cache" -> prefixCache,
     "l85_mmr_diversify" -> mmrDiversify,
     "l86_winnowing" -> winnowing,
     "l87_binary_rerank" -> binaryRerank,
@@ -387,6 +430,31 @@ object CorpusOps extends QueryPack {
        |  (a, b) -> a + b)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "l95_prefix_cache" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |p AS (
+         |  SELECT array_to_string(tk[1:LEAST($pfxLen, len(tk))], ' ')
+         |      AS pfx,
+         |    CAST(LEAST($pfxLen, len(tk)) AS BIGINT) AS plen,
+         |    CAST(len(tk) AS BIGINT) AS ntok
+         |  FROM t),
+         |g AS (
+         |  SELECT pfx, plen, COUNT(*) AS n,
+         |    CAST(SUM(ntok) AS BIGINT) AS g_toks
+         |  FROM p GROUP BY 1, 2),
+         |a AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         |    COUNT(*) AS n_prefix_groups,
+         |    CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_docs_sharing,
+         |    CAST(SUM(CASE WHEN n > 1 THEN (n - 1) * plen ELSE 0 END)
+         |      AS BIGINT) AS saved_tokens,
+         |    CAST(SUM(g_toks) AS BIGINT) AS total_tokens
+         |  FROM g)
+         |SELECT n_docs, n_prefix_groups, n_docs_sharing, saved_tokens,
+         |  total_tokens,
+         |  (1000 * saved_tokens) // total_tokens AS cache_hit_permille
+         |FROM a""".stripMargin,
     "l85_mmr_diversify" -> oMmrSql,
     "l86_winnowing" -> {
       val charFold = Text.oPortableStrHashSql(s"substr(nt, pos + 1, $winK)")

@@ -1676,6 +1676,65 @@ object LlmOps extends QueryPack {
         expr("(1000 * (n_items - n_distinct_content)) div n_items"))
   }
 
+  /** l94: perceptual near-dup image detection — the third rung of the
+    * media-dedup ladder after byte-md5 (finds nothing here) and l84's
+    * decoded-content signature (collapses exact pixel copies): the
+    * classic average hash (aHash). Each 9×7 planted image is one of 16
+    * base patterns under a per-doc BRIGHTNESS shift — different bytes,
+    * different pixels, same picture to a human. aHash thresholds each
+    * gray pixel against the image's own mean (spelled as the exact
+    * integer cross-multiplication `63·px > Σpx`, so a uniform shift c
+    * moves both sides by 63·c and every bit is provably invariant) and
+    * packs 63 bits into a long; the hash collapses the corpus to the
+    * 16 base patterns that content-md5 CANNOT see — why image dedup
+    * pipelines hash perceptually, not exactly. Hamming-banded
+    * candidate joins for near-miss hashes are the l08 simhash
+    * machinery, unchanged — this operator is the image-side signature
+    * feeding it.
+    *
+    * One mapPartitions pass plants, fingerprints, decodes (the REAL
+    * header walk — [[Multimodal.decodePpmGray]]), and hashes; only
+    * (id, two fingerprint strings, one long) ever shuffles. The sigs
+    * frame is rebuilt by its two consumers (totals + cluster max) —
+    * cheaper than a checkpoint barrier at any scale since the
+    * construction is one arithmetic pass over ids. Oracle: pixel
+    * construction AND the mean-threshold bit pack replayed in closed
+    * form over doc_id (l69's discipline — DuckDB never sees a byte). */
+  private val perceptualImageDedup: Q = (s, dir) => {
+    import s.implicits._
+    val sigs = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = (id % 16).toInt
+        val c = ((id / 16) % 24).toInt
+        val v = Array.tabulate(63)(p => (g * 37 + p * 53) % 180 + c)
+        val img = Multimodal.encodePpm(9, 7, j => v(j / 3))
+        val junk = java.nio.ByteBuffer.allocate(8).putLong(id).array()
+        val bytes = img ++ junk
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        val (w, h, px) = Multimodal.decodePpmGray(bytes).get
+        val sum = px.map(_.toLong).sum
+        var hash = 0L
+        var p = 0
+        while (p < px.length) {
+          if (63L * px(p) > sum) hash |= 1L << p
+          p += 1
+        }
+        (id, fp, s"$w,$h,$sum", hash)
+      }).toDF("doc_id", "byte_fp", "content_sig", "phash")
+    val totals = sigs.agg(
+      count(lit(1)).as("n_items"),
+      countDistinct(col("byte_fp")).as("n_distinct_bytes"),
+      countDistinct(col("content_sig")).as("n_distinct_content"),
+      countDistinct(col("phash")).as("n_distinct_phash"))
+    val maxCluster = sigs.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("max_phash_cluster"))
+    totals.crossJoin(maxCluster)
+      .withColumn("phash_dup_permille",
+        expr("(1000 * (n_items - n_distinct_phash)) div n_items"))
+  }
+
   /** l12: multimodal column plumbing: media as an opaque binary column
     * + typed metadata struct; byte-level stats are checked against the
     * oracle. The decode kernel the plumbing feeds is the REAL
@@ -2004,6 +2063,7 @@ object LlmOps extends QueryPack {
     "l35_frame_sampling" -> frameSampling,
     "l69_media_decode" -> mediaDecode,
     "l84_media_content_dedup" -> mediaContentDedup,
+    "l94_perceptual_dedup" -> perceptualImageDedup,
     "l70_video_frame_decode" -> videoFrameDecode,
     "l13_token_jaccard" -> tokenJaccard,
     "l14_ivf_index" -> ivfIndex,
@@ -2537,6 +2597,46 @@ object LlmOps extends QueryPack {
         |  (1000 * (n_items - n_distinct_content)) // n_items
         |    AS content_dup_permille
         |FROM agg CROSS JOIN c""".stripMargin,
+    // the aHash bit pack replayed per doc: pixel p's gray value is
+    // (g·37 + p·53) % 180 + c, the bit is the integer cross-multiplied
+    // mean threshold 63·v > Σv, the hash is the Σ bit·2^p pack. The
+    // brightness shift c must cancel out of every bit (the aHash
+    // invariance the operator exists for) — a Spark-side decode or
+    // threshold slip shifts hashes and breaks every distinct count.
+    "l94_perceptual_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS g,
+        |    CAST((doc_id // 16) % 24 AS BIGINT) AS c
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 63),
+        |      p -> (g * 37 + p * 53) % 180 + c) AS v
+        |  FROM d),
+        |hs AS (
+        |  SELECT doc_id, CAST(list_sum(v) AS BIGINT) AS s, v
+        |  FROM px),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    CAST(list_sum(list_transform(range(0, 63),
+        |      p -> CASE WHEN 63 * v[p + 1] > s
+        |        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)
+        |      AS phash
+        |  FROM hs),
+        |t AS (
+        |  SELECT COUNT(*) AS n_items,
+        |    COUNT(DISTINCT doc_id) AS n_distinct_bytes,
+        |    COUNT(DISTINCT s) AS n_distinct_content,
+        |    COUNT(DISTINCT phash) AS n_distinct_phash
+        |  FROM sig),
+        |cl AS (
+        |  SELECT MAX(n) AS max_phash_cluster FROM (
+        |    SELECT phash, COUNT(*) AS n FROM sig GROUP BY 1))
+        |SELECT n_items, n_distinct_bytes, n_distinct_content,
+        |  n_distinct_phash, max_phash_cluster,
+        |  (1000 * (n_items - n_distinct_phash)) // n_items
+        |    AS phash_dup_permille
+        |FROM t CROSS JOIN cl""".stripMargin,
     // oracle never sees a payload byte, so it can only agree with the
     // Spark side if the header walks recover the exact dimensions,
     // channel order, and sample values that were encoded

@@ -80,7 +80,14 @@ object Multimodal {
     * pixel payload shorter than width·height·3. Trailing junk after
     * the payload is tolerated (the frame sampler hands in fixed-size
     * slices that may pad). */
-  def decodePpm(bytes: Array[Byte]): Option[PpmImage] = {
+  /** The P6 header walk shared by every PPM decoder here: returns
+    * (width, height, raster offset) or None on any structural
+    * violation — wrong magic, missing/oversized dimension tokens,
+    * maxval ≠ 255 (two-byte-per-sample PPMs are out of scope), or a
+    * pixel payload shorter than width·height·3. Trailing junk after
+    * the raster is tolerated (the frame sampler hands in fixed-size
+    * slices that may pad). */
+  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     var i = 2
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
     // '#' comments run to end-of-line and may appear wherever
@@ -107,18 +114,36 @@ object Multimodal {
     // exactly ONE whitespace byte separates maxval from the raster
     if (i >= bytes.length || !isWs(bytes(i))) return None
     i += 1
-    val need = w.toLong * h * 3
-    if (bytes.length - i < need) return None
-    var (r, g, b) = (0L, 0L, 0L)
-    var p = 0
-    while (p < w * h) {
-      r += bytes(i + 3 * p) & 0xff
-      g += bytes(i + 3 * p + 1) & 0xff
-      b += bytes(i + 3 * p + 2) & 0xff
-      p += 1
-    }
-    Some(PpmImage(w, h, r, g, b))
+    if (bytes.length - i < w.toLong * h * 3) return None
+    Some((w, h, i))
   }
+
+  def decodePpm(bytes: Array[Byte]): Option[PpmImage] =
+    ppmHeader(bytes).map { case (w, h, off) =>
+      var (r, g, b) = (0L, 0L, 0L)
+      var p = 0
+      while (p < w * h) {
+        r += bytes(off + 3 * p) & 0xff
+        g += bytes(off + 3 * p + 1) & 0xff
+        b += bytes(off + 3 * p + 2) & 0xff
+        p += 1
+      }
+      PpmImage(w, h, r, g, b)
+    }
+
+  /** Per-pixel grayscale decode: same header walk as [[decodePpm]],
+    * returning each pixel's integer luma `(r + g + b) div 3` (floor
+    * division — exact and portable, unlike float luma weights). The
+    * input to perceptual hashing (l94), where the pixel VALUES matter,
+    * not just their channel sums. */
+  def decodePpmGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    ppmHeader(bytes).map { case (w, h, off) =>
+      val px = Array.tabulate(w * h) { p =>
+        ((bytes(off + 3 * p) & 0xff) + (bytes(off + 3 * p + 1) & 0xff) +
+          (bytes(off + 3 * p + 2) & 0xff)) / 3
+      }
+      (w, h, px)
+    }
 
   /** RIFF/WAVE chunk walk. Requires PCM (format tag 1) at 16 bits;
     * unknown chunks (LIST, fact, …) are skipped with RIFF's odd-size

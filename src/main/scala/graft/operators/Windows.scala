@@ -785,6 +785,43 @@ object Windows extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** w22: CUSUM change-point detection — the sequential drift monitor
+    * (Page 1954) a pipeline puts on its daily volumes: per event type,
+    * the one-sided cumulative sum S_t = max(0, S_{t−1} + (x_t − μ))
+    * flags sustained upward drift that per-day outlier rules (w10,
+    * w20) cannot see, because each individual day looks normal. The
+    * recursive max is spelled as its closed form over prefix sums —
+    * S_t = P_t − min(0, min_{j≤t} P_j) — which makes it two WINDOW
+    * functions (running sum + running min) instead of a sequential
+    * fold: the identity that turns CUSUM distributable. Everything is
+    * integer-exact on the ×n_days lattice (e_t = x_t·n − T sums to
+    * zero by construction), and the alarm bar — half a mean day of
+    * cumulative excess — is the cross-multiplied `2·S > T`, so both
+    * engines agree bit-for-bit.
+    *
+    * 100 TB shape: the fact reduces to day grain FIRST (one map-side
+    * combined shuffle; the windows then run over ≤ a few thousand
+    * calendar rows per type — the w01 bounded-frame argument); the
+    * per-type (n, T) model frame broadcasts. A per-key drift monitor
+    * at higher cardinality partitions the same windows by key. */
+  private val cusumChangepoint: Q = (s, dir) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val d = T.loadEvents(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("total"))
+    d.join(broadcast(tot), Seq("event_type"))
+      .withColumn("e", col("n_events") * col("n_days") - col("total"))
+      .withColumn("p", sum(col("e")).over(w))
+      .withColumn("cusum",
+        col("p") - least(min(col("p")).over(w), lit(0L)))
+      .withColumn("alarm", col("cusum") * 2 > col("total"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("cusum"), col("alarm"))
+      .orderBy("event_type", "day")
+  }
+
   /** Fixed-histogram geometry for w21: 32 bins over [0, 500). The
     * width 500/32 = 15.625 = 125/8 is EXACTLY representable in binary,
     * so `floor(value / 15.625)` is the same bit pattern in both
@@ -834,6 +871,7 @@ object Windows extends QueryPack {
   val queries: Map[String, Q] = Map(
     "w21_histogram_quantiles" -> histogramQuantiles,
     "w20_mad_outliers" -> madOutliers,
+    "w22_cusum_changepoint" -> cusumChangepoint,
     "w17_decayed_engagement" -> decayedEngagement,
     "w16_seasonal_naive" -> seasonalNaive,
     "w15_interpolate" -> interpolateGaps,
@@ -1203,6 +1241,34 @@ object Windows extends QueryPack {
          |FROM c JOIN (VALUES (50), (90), (99)) AS qs(q)
          |  ON cum * 100 >= q * total
          |GROUP BY q ORDER BY q""".stripMargin,
+    // the prefix-sum closed form of the recursive CUSUM replayed with
+    // the same two windows; the ×n_days lattice and the cross-
+    // multiplied alarm keep every comparison integer
+    "w22_cusum_changepoint" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(n_events) AS BIGINT) AS total
+        |  FROM d GROUP BY 1),
+        |e AS (
+        |  SELECT d.event_type, d.day, d.n_events,
+        |    d.n_events * s.n_days - s.total AS ev, s.total
+        |  FROM d JOIN s USING (event_type)),
+        |p AS (
+        |  SELECT *, SUM(ev) OVER
+        |    (PARTITION BY event_type ORDER BY day) AS pp
+        |  FROM e)
+        |SELECT event_type, day, n_events,
+        |  CAST(pp - LEAST(MIN(pp) OVER
+        |    (PARTITION BY event_type ORDER BY day), 0) AS BIGINT)
+        |    AS cusum,
+        |  (pp - LEAST(MIN(pp) OVER
+        |    (PARTITION BY event_type ORDER BY day), 0)) * 2 > total
+        |    AS alarm
+        |FROM p ORDER BY event_type, day""".stripMargin,
     "w20_mad_outliers" ->
       s"""WITH b AS (SELECT event_type,
          |  CAST(${T.oDec2("value")} * 100 AS BIGINT) * 2 AS vc2

@@ -201,6 +201,33 @@ class LlmSpec extends SparkSpec {
       "P6\n2 2\n65535\n".getBytes("US-ASCII")).isEmpty) // 2-byte maxval
   }
 
+  test("multimodal: gray decode + aHash is invariant under brightness " +
+      "shift and sensitive to pattern change") {
+    import graft.operators.Multimodal
+    // decodePpmGray: floor-averaged luma per pixel, same header walk
+    val (w, h, px) = Multimodal.decodePpmGray(
+      Multimodal.encodePpm(2, 2, j => j)).get
+    assert((w, h) == ((2, 2)))
+    // pixel p has bytes (3p, 3p+1, 3p+2) → gray = 3p+1
+    assert(px.toSeq == Seq(1, 4, 7, 10))
+    def ahash(vals: Array[Int]): Long = {
+      val s = vals.map(_.toLong).sum
+      vals.zipWithIndex.foldLeft(0L) { case (acc, (v, p)) =>
+        if (vals.length.toLong * v > s) acc | (1L << p) else acc
+      }
+    }
+    def grayOf(vals: Array[Int]): Array[Int] =
+      Multimodal.decodePpmGray(
+        Multimodal.encodePpm(3, 3, j => vals(j / 3))).get._3
+    val base = Array(10, 200, 30, 180, 50, 160, 70, 140, 90)
+    val shifted = base.map(_ + 40) // uniform brightness shift
+    val edited = base.updated(0, 250) // actual content change
+    assert(ahash(grayOf(base)) == ahash(grayOf(shifted)),
+      "aHash must be invariant under a uniform brightness shift")
+    assert(ahash(grayOf(base)) != ahash(grayOf(edited)),
+      "aHash must move when a pixel crosses the mean")
+  }
+
   test("multimodal: WAV decoder walks RIFF chunks to the exact sample sum") {
     import graft.operators.Multimodal
     val samples = Array[Short](100, -200, 300, -400, 32767, -32768)

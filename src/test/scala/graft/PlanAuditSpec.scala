@@ -77,7 +77,8 @@ class PlanAuditSpec extends SparkSpec {
     "q38_order_count_distribution", "q39_small_qty_revenue",
     "q40_disjunctive_revenue", "w21_histogram_quantiles",
     "k14_delta_agg_merge", "l93_label_agreement",
-    "x22_lateral_topk", "t13_cdc_upsert")
+    "x22_lateral_topk", "t13_cdc_upsert", "l94_perceptual_dedup",
+    "l96_bradley_terry")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
@@ -165,5 +166,7 @@ class PlanAuditSpec extends SparkSpec {
     "t12_sketch_merge",      // 1-row mismatch-count broadcast
     "q35_dormant_customers", // 1-row balance-average broadcast
     "w21_histogram_quantiles", // 3-row quantile panel × 32-bin summary
-    "l93_label_agreement")   // two singleton aggregates crossed
+    "l93_label_agreement",   // two singleton aggregates crossed
+    "l94_perceptual_dedup",  // two singleton aggregates crossed
+    "l96_bradley_terry")     // 120-doc preference panel self-join
 }
