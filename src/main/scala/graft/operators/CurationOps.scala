@@ -739,6 +739,67 @@ object CurationOps extends QueryPack {
       .orderBy("source")
   }
 
+  // ---- l97: two-sample KS drift on a numeric feature ------------------
+
+  /** l97: Kolmogorov-Smirnov drift audit — the NUMERIC-feature sibling
+    * of l46's categorical χ²: per source, the exact two-sample KS
+    * statistic D = max_v |CDF_src(v) − CDF_rest(v)| over document
+    * length (n_chars), source vs rest-of-corpus. The standard test for
+    * "this crawl slice's length distribution silently shifted" — χ²
+    * can't see it because length isn't categorical, and mean/stddev
+    * gates miss shape changes that preserve moments. D is computed on
+    * the integer lattice: the CDF difference at v is the
+    * cross-multiplied |cum_s·n_rest − cum_rest·n_s|, the max is over
+    * the finite value grid, and the report is the exact permille
+    * (1000·max_diff) div (n_s·n_rest) plus the argmax value (lowest v
+    * on ties). n_s·n_rest overflows 64-bit past ~3e9 docs — at that
+    * scale the same two windows feed the one-shared-spelling double
+    * division instead (the l46 trade); the lattice version is the
+    * exact contract this entry pins.
+    *
+    * 100 TB shape: one map-side-combined pass to the (source, v) count
+    * frame; the evaluation grid is |sources| × |distinct v| — bounded
+    * by the max document length, NOT the corpus (lengths are a
+    * saturating set); cumulative sums are windows over that small
+    * frame. The corpus is scanned once. */
+  private val ksDrift: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = counts.select(col("source")).distinct()
+      .crossJoin(broadcast(counts.select(col("v")).distinct()))
+    val filled = grid.join(counts, Seq("source", "v"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val cumS = filled.withColumn("cum_s",
+      sum(col("cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))))
+    val nS = counts.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+    val cumAll = counts.groupBy(col("v")).agg(sum(col("cnt")).as("cv"))
+      .withColumn("cum_all",
+        sum(col("cv")).over(Window.orderBy(col("v"))))
+      .select(col("v"), col("cum_all"))
+    val nTot = counts.agg(sum(col("cnt")).as("n_tot"))
+    val d = cumS
+      .join(broadcast(cumAll), "v")
+      .join(broadcast(nS), "source")
+      .crossJoin(broadcast(nTot))
+      .withColumn("n_rest", col("n_tot") - col("n_s"))
+      .withColumn("diff",
+        abs(col("cum_s") * col("n_rest") -
+          (col("cum_all") - col("cum_s")) * col("n_s")))
+    val mx = d.groupBy(col("source")).agg(max(col("diff")).as("max_diff"))
+    d.join(broadcast(mx), "source")
+      .filter(col("diff") === col("max_diff"))
+      .groupBy(col("source"), col("n_s"), col("n_rest"), col("max_diff"))
+      .agg(min(col("v")).as("argmax_v"))
+      .withColumn("ks_permille",
+        expr("(1000 * max_diff) div (n_s * n_rest)"))
+      .select(col("source"), col("n_s").as("n_docs"), col("ks_permille"),
+        col("argmax_v"))
+      .orderBy("source")
+  }
+
   // ---- l49: vocabulary coverage / OOV audit ---------------------------
 
   /** Vocabulary size of the coverage audit (top-k corpus tokens). */
@@ -921,6 +982,7 @@ object CurationOps extends QueryPack {
     "l44_curriculum_bands" -> curriculumBands,
     "l45_contamination_score" -> contaminationScore,
     "l46_source_drift" -> sourceDrift,
+    "l97_ks_drift" -> ksDrift,
     "l40_dsir_resample" -> dsirResample,
     "l41_span_dedup" -> spanDedup,
     "l42_domain_mixing" -> domainMixing,
@@ -1121,6 +1183,42 @@ object CurationOps extends QueryPack {
          |    AS overlap_frac
          |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // the same lattice: per-(source, v) counts, a dense source×value
+    // grid, two cumulative windows, the cross-multiplied CDF gap
+    "l97_ks_drift" ->
+      """WITH c AS (
+        |  SELECT source, n_chars AS v, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, vv.v
+        |  FROM (SELECT DISTINCT source FROM c) s
+        |  CROSS JOIN (SELECT DISTINCT v FROM c) vv),
+        |f AS (
+        |  SELECT grid.source, grid.v, COALESCE(c.cnt, 0) AS cnt
+        |  FROM grid LEFT JOIN c USING (source, v)),
+        |cs AS (
+        |  SELECT source, v,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum_s
+        |  FROM f),
+        |ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s
+        |  FROM c GROUP BY 1),
+        |ca AS (
+        |  SELECT v, SUM(cv) OVER (ORDER BY v) AS cum_all FROM (
+        |    SELECT v, SUM(cnt) AS cv FROM c GROUP BY 1)),
+        |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot FROM c),
+        |d AS (
+        |  SELECT cs.source, cs.v, ns.n_s, nt.n_tot - ns.n_s AS n_rest,
+        |    abs(cs.cum_s * (nt.n_tot - ns.n_s)
+        |      - (ca.cum_all - cs.cum_s) * ns.n_s) AS diff
+        |  FROM cs JOIN ca USING (v) JOIN ns USING (source)
+        |  CROSS JOIN nt),
+        |mx AS (SELECT source, MAX(diff) AS max_diff FROM d GROUP BY 1)
+        |SELECT d.source, d.n_s AS n_docs,
+        |  CAST((1000 * mx.max_diff) // (d.n_s * d.n_rest) AS BIGINT)
+        |    AS ks_permille,
+        |  MIN(d.v) AS argmax_v
+        |FROM d JOIN mx ON d.source = mx.source AND d.diff = mx.max_diff
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "l46_source_drift" -> {
       val cCols = driftLangs.map(l =>
         s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS DOUBLE) AS c_$l")

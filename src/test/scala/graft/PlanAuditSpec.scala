@@ -78,7 +78,10 @@ class PlanAuditSpec extends SparkSpec {
     "q40_disjunctive_revenue", "w21_histogram_quantiles",
     "k14_delta_agg_merge", "l93_label_agreement",
     "x22_lateral_topk", "t13_cdc_upsert", "l94_perceptual_dedup",
-    "l96_bradley_terry")
+    "l96_bradley_terry", "l97_ks_drift",
+    "q42_priority_lateness", "q43_returned_items",
+    "q44_latency_priority_mix", "q45_large_volume_orders",
+    "q46_promo_revenue", "l95_prefix_cache", "w22_cusum_changepoint")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
@@ -168,5 +171,6 @@ class PlanAuditSpec extends SparkSpec {
     "w21_histogram_quantiles", // 3-row quantile panel × 32-bin summary
     "l93_label_agreement",   // two singleton aggregates crossed
     "l94_perceptual_dedup",  // two singleton aggregates crossed
-    "l96_bradley_terry")     // 120-doc preference panel self-join
+    "l96_bradley_terry",     // 120-doc preference panel self-join
+    "l97_ks_drift")          // sources × distinct-length grid + 1-row total
 }
