@@ -517,9 +517,12 @@ object AuditOps extends QueryPack {
     * corpus is never touched again. A billion-pair preference log
     * reduces the same way: the win matrix, not the game log, is the
     * iteration state. */
-  private val bradleyTerry: Q = (s, dir) => {
+  /** The l96 fit over any docs-shaped frame (doc_id, source, text) —
+    * public so AuditSpec can pin the BT laws (dominance ordering,
+    * symmetric-record equality) on planted preference fixtures. */
+  def btStrengths(docsDf: DataFrame): DataFrame = {
     val en = Text.langStopwords.head._2
-    val p = Barriers.materialize(docs(s, dir)
+    val p = Barriers.materialize(docsDf
       .filter(col("doc_id") < btPanel)
       .select(col("doc_id"), col("source"),
         Text.tokens(col("text")).as("tk"))
@@ -570,6 +573,8 @@ object AuditOps extends QueryPack {
         col("st").as("strength_micro"))
       .orderBy(desc("strength_micro"), col("source"))
   }
+
+  private val bradleyTerry: Q = (s, dir) => btStrengths(docs(s, dir))
 
   def queries: Map[String, Q] = Map(
     "l96_bradley_terry" -> bradleyTerry,

@@ -358,9 +358,11 @@ object CorpusOps extends QueryPack {
     * three tokens + two longs; the document text never moves), group
     * count ≤ corpus, map-side combine collapses hot prefixes early;
     * the rollup is group-sized. All-integer output. */
-  private val prefixCache: Q = (s, dir) => {
-    val p = docs(s, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+  /** The l95 accounting over any frame with a `text` column — public
+    * so CorpusSpec can pin the savings laws on planted prefixes. */
+  def prefixCacheStats(d: DataFrame): DataFrame = {
+    val p = d
+      .select(Text.tokens(col("text")).as("tk"))
       .select(
         concat_ws(" ", slice(col("tk"), 1, pfxLen)).as("pfx"),
         least(size(col("tk")), lit(pfxLen)).cast("long").as("plen"),
@@ -378,6 +380,8 @@ object CorpusOps extends QueryPack {
       .withColumn("cache_hit_permille",
         expr("(1000 * saved_tokens) div total_tokens"))
   }
+
+  private val prefixCache: Q = (s, dir) => prefixCacheStats(docs(s, dir))
 
   def queries: Map[String, Q] = Map(
     "l95_prefix_cache" -> prefixCache,

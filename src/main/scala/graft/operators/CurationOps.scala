@@ -762,9 +762,12 @@ object CurationOps extends QueryPack {
     * by the max document length, NOT the corpus (lengths are a
     * saturating set); cumulative sums are windows over that small
     * frame. The corpus is scanned once. */
-  private val ksDrift: Q = (s, dir) => {
+  /** The l97 statistic over any (source, n_chars) frame — public so
+    * CurationSpec can pin the KS laws (identical ⇒ 0, disjoint ⇒ 1000)
+    * on planted distributions. */
+  def ksDriftStats(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs(s, dir)
+    val counts = docsDf
       .groupBy(col("source"), col("n_chars").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val grid = counts.select(col("source")).distinct()
@@ -799,6 +802,8 @@ object CurationOps extends QueryPack {
         col("argmax_v"))
       .orderBy("source")
   }
+
+  private val ksDrift: Q = (s, dir) => ksDriftStats(docs(s, dir))
 
   // ---- l49: vocabulary coverage / OOV audit ---------------------------
 

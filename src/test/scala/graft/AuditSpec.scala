@@ -59,6 +59,42 @@ class AuditSpec extends SparkSpec {
   private def ev(id: Long, user: Long, typ: String, hour: Int, v: Double) =
     (id, Timestamp.valueOf(f"2025-01-01 $hour%02d:00:00"), user, typ, v, "{}")
 
+  // ---- l96 Bradley-Terry ------------------------------------------------
+
+  /** Text with a controlled stopword-density score: k stop tokens +
+    * (4-k) non-stop tokens → score 250·k. */
+  private def btText(k: Int): String =
+    (Seq.fill(k)("the") ++ Seq.fill(4 - k)("zz")).mkString(" ")
+
+  test("l96: a dominant source wins every game and ranks first; " +
+      "a dominated one ranks last") {
+    // A's docs all score above B's, B's all above C's → total dominance
+    val d = Seq(
+      (0L, "A", btText(4)), (1L, "A", btText(4)),
+      (2L, "B", btText(2)), (3L, "B", btText(2)),
+      (4L, "C", btText(0)), (5L, "C", btText(0)))
+      .toDF("doc_id", "source", "text")
+    val r = AuditOps.btStrengths(d).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    val byS = r.map(x => x.getString(0) ->
+      (x.getAs[Long]("w_total"), x.getAs[Long]("strength_micro"))).toMap
+    assert(byS("A")._1 === 8L) // 4 games vs B + 4 vs C, all won
+    assert(byS("C")._1 === 0L)
+    assert(byS("A")._2 > byS("B")._2 && byS("B")._2 > byS("C")._2)
+  }
+
+  test("l96: symmetric records fit symmetric strengths") {
+    // A and B each hold one high and one low doc, ids arranged so the
+    // two ties split one each way → both finish 2-2
+    val d = Seq(
+      (0L, "A", btText(4)), (1L, "B", btText(4)),
+      (2L, "B", btText(0)), (3L, "A", btText(0)))
+      .toDF("doc_id", "source", "text")
+    val r = AuditOps.btStrengths(d).collect()
+    assert(r.map(_.getAs[Long]("w_total")).toSeq == Seq(2L, 2L))
+    assert(r.map(_.getAs[Long]("strength_micro")).distinct.length === 1)
+  }
+
   test("l76: a below-k cell is flagged with its row mass; a k-strong cell is not") {
     // risky: 2 distinct users, 3 rows in (click, 10, band 0)
     // safe: 5 distinct users in (view, 11, band 0)

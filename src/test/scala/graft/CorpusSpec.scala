@@ -9,9 +9,38 @@ import graft.operators.CorpusOps
   * operator's own ingredients — the same discipline as KMeansSpec. */
 class CorpusSpec extends SparkSpec {
 
+  import spark.implicits._
+
   private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
   // ---- l85 MMR ---------------------------------------------------------
+
+  test("l95: shared prefixes save (n-1)·|prefix| tokens; short docs " +
+      "group by their own full prefix") {
+    val d = Seq(
+      "a b c d e", "a b c x y", "a b c",  // 3-way share of "a b c"
+      "q r s t",                          // unshared
+      "m n", "m n")                       // 2-token docs, full-prefix share
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val r = CorpusOps.prefixCacheStats(d).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 6L)
+    assert(r.getAs[Long]("n_prefix_groups") === 3L)
+    assert(r.getAs[Long]("n_docs_sharing") === 5L)
+    // (3-1)·3 for the "a b c" group + (2-1)·2 for the "m n" group
+    assert(r.getAs[Long]("saved_tokens") === 8L)
+    assert(r.getAs[Long]("total_tokens") === 21L)
+    assert(r.getAs[Long]("cache_hit_permille") === 8000L / 21L)
+  }
+
+  test("l95: a prefix-free corpus saves nothing") {
+    val d = Seq("a b c", "d e f", "g h i")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val r = CorpusOps.prefixCacheStats(d).collect()(0)
+    assert(r.getAs[Long]("saved_tokens") === 0L)
+    assert(r.getAs[Long]("cache_hit_permille") === 0L)
+  }
 
   test("l85: greedy MMR selection matches a brute-force reimplementation") {
     val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -143,6 +143,24 @@ class CurationSpec extends SparkSpec {
     assert(out("c").getLong(3) == 9 && out("c").getLong(4) == 0)
   }
 
+  test("l97: identical length distributions score KS 0; disjoint " +
+      "supports score KS 1000") {
+    val same = Seq(("A", 100L), ("A", 200L), ("A", 300L),
+      ("B", 100L), ("B", 200L), ("B", 300L))
+      .toDF("source", "n_chars")
+    val rs = CurationOps.ksDriftStats(same).collect()
+    assert(rs.forall(_.getAs[Long]("ks_permille") === 0L))
+    // every diff is 0, so the argmax tie-break lands on the lowest v
+    assert(rs.forall(_.getAs[Long]("argmax_v") === 100L))
+    val disj = Seq(("A", 100L), ("A", 110L), ("B", 200L), ("B", 210L))
+      .toDF("source", "n_chars")
+    val rd = CurationOps.ksDriftStats(disj).collect()
+    assert(rd.forall(_.getAs[Long]("ks_permille") === 1000L))
+    // the full CDF separation is first reached at A's top value
+    assert(rd.map(r => r.getString(0) -> r.getAs[Long]("argmax_v"))
+      .toMap === Map("A" -> 110L, "B" -> 110L))
+  }
+
   test("l42: the mixing ledger's epochs/permille satisfy the ceil-div " +
       "laws for every source") {
     val rows = graft.SparkEntry.queries("l42_domain_mixing")(spark, sfDir)
