@@ -1237,7 +1237,209 @@ object Joins extends QueryPack {
         expr("(promo_rev_e4 * 1000) div total_rev_e4"))
   }
 
+  /** Derived "partsupp": the schema has no part-supplier table, so the
+    * (part, supplier) relation is materialized from observed lines —
+    * cost = the minimum line price in cents, value = total line price
+    * in cents. One map-side-combined shuffle on the compound key; the
+    * result is partsupp-sized (≪ lineitem) and feeds q47/q48/q49. */
+  private def derivedPartSupp(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (T.dec2(col("l_extendedprice")) * 100).cast("long").as("pc"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("pc")).as("cost_cents"), sum(col("pc")).as("val_cents"))
+
+  /** q47's part filter (Q2's region/size/type slice re-based). */
+  private val q47Size = 15
+  private val q47Type = "LARGE"
+
+  /** q47: min-cost supplier — the TPC-H Q2 shape: for every part in a
+    * size/type slice, the supplier(s) achieving that PART's minimum
+    * cost, with their nation and account balance. The correlated MIN
+    * subquery decorrelates exactly as Catalyst would rewrite it (q39
+    * discipline): one per-part aggregate over the derived partsupp,
+    * joined back as an equality filter.
+    *
+    * 100 TB shape: the part slice filters and broadcasts FIRST, so the
+    * partsupp build only aggregates matching lines' keys; the per-part
+    * min frame is |slice| rows (broadcast back — no second shuffle);
+    * supplier and nation are broadcast dims. Cost is exact cents. */
+  private val minCostSupplier: Q = (s, dir) => {
+    val p = T.load(s, dir, "part")
+      .filter(col("p_size") === q47Size && col("p_type") === q47Type)
+      .select(col("p_partkey"))
+    val psf = derivedPartSupp(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val minc = psf.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost_cents")).as("min_cost"))
+    psf.join(broadcast(minc),
+        col("l_partkey") === col("mk") &&
+          col("cost_cents") === col("min_cost"))
+      .join(T.load(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(T.load(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("cost_cents"), col("s_name"),
+        col("n_name"), col("s_acctbal"))
+      .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(20)
+  }
+
+  /** q48's focal nation and HAVING fraction (value > total/1000). */
+  private val q48Nation = "NATION_3"
+
+  /** q48: important-stock identification — the TPC-H Q11 shape: parts
+    * whose supply value from ONE nation's suppliers exceeds a fixed
+    * fraction of that nation's total, i.e. GROUP BY + HAVING against a
+    * scalar subquery over the same filtered relation. All value
+    * arithmetic is exact cents and the HAVING is the cross-multiplied
+    * `value·1000 > total` — no float fraction.
+    *
+    * 100 TB shape: the nation's supplier set broadcasts as a semi-join
+    * onto the derived partsupp (the fact reduction happens before any
+    * wide row moves); the per-part rollup is partsupp-sized; the total
+    * is a 1-row broadcast. */
+  private val importantStock: Q = (s, dir) => {
+    val suppN = T.load(s, dir, "supplier")
+      .join(broadcast(T.load(s, dir, "nation")
+          .filter(col("n_name") === q48Nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val pv = derivedPartSupp(s, dir)
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("val_cents")).as("part_value_cents"))
+    val tot = pv.agg(sum(col("part_value_cents")).as("total_cents"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("part_value_cents") * 1000 > col("total_cents"))
+      .select(col("l_partkey").as("p_partkey"), col("part_value_cents"))
+      .orderBy(desc("part_value_cents"), col("p_partkey"))
+  }
+
+  /** q49's excluded-supplier name pattern and part slice. */
+  private val q49ExcludePattern = "%7%"
+  private val q49Sizes = Seq(1, 3, 5, 7, 9)
+
+  /** q49: parts-supplier relationship count — the TPC-H Q16 shape:
+    * per (brand, type, size) in a slice, how many DISTINCT suppliers
+    * offer the part, excluding a complained-about supplier set
+    * delivered as a NOT IN (planned left_anti). The exact distinct
+    * count groups on attributes that arrive via a broadcast dim.
+    *
+    * 100 TB shape: the derived partsupp is already distinct on
+    * (part, supp); the exclusion list broadcasts (anti join before the
+    * fanout); the distinct count shuffles only (brand,type,size,supp)
+    * tuples. */
+  private val partSupplierCounts: Q = (s, dir) => {
+    val excl = T.load(s, dir, "supplier")
+      .filter(col("s_name").like(q49ExcludePattern))
+      .select(col("s_suppkey"))
+    val ps = derivedPartSupp(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+    T.load(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(q49Sizes: _*))
+      .join(ps, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** q50's shipdate cutoff (the DELTA-days pattern of Q1). */
+  private val q50Cutoff = "2001-08-01"
+
+  /** q50: pricing summary report — the TPC-H Q1 shape: the full
+    * price/discount/charge rollup by (returnflag, linestatus) over
+    * almost the whole fact. THE canonical scan-heavy aggregate: one
+    * pass, map-side combined into ≤ |flag|×|status| groups. Sums are
+    * exact decimal → double (q01 discipline); charge chains two
+    * decimal multiplies (price·(1−d)·(1+t)) — exact in both engines,
+    * no intermediate rounding. Averages are derivable (sum/count) and
+    * deliberately not emitted as doubles. */
+  private val pricingSummary: Q = (s, dir) => {
+    val one = lit(BigDecimal(1).setScale(2))
+    T.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(q50Cutoff))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum((T.dec2(col("l_quantity")) * 100).cast("long")) / 100.0)
+          .as("sum_qty"),
+        T.moneySum(col("l_extendedprice")).as("sum_base_price"),
+        T.revenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("sum_disc_price"),
+        sum(T.dec2(col("l_extendedprice")) *
+            (one - T.dec2(col("l_discount"))) *
+            (one + T.dec2(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q51's market segment and pivot date. */
+  private val q51Segment = "BUILDING"
+  private val q51Date = "1996-06-30"
+
+  /** q51: shipping-priority top-10 — the TPC-H Q3 shape: unshipped
+    * revenue (orders placed before the pivot, lines shipped after) for
+    * one market segment, top 10 orders by revenue. The segment filter
+    * reduces customers to a broadcast semi-join; both date filters
+    * push to their scans; revenue is exact decimal; top-k plans as
+    * TakeOrderedAndProject. */
+  private val shippingPriority: Q = (s, dir) => {
+    val c = T.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === q51Segment)
+      .select(col("c_custkey"))
+    val o = T.load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit(q51Date))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    T.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(q51Date))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(T.revenueSum(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q52's year window and the discount/quantity band. */
+  private val q52Window = ("1996-01-01", "1997-01-01")
+
+  /** q52: forecasting-revenue change — the TPC-H Q6 shape: the
+    * simplest possible fact query (one filter, one aggregate, no
+    * join), which is exactly why it matters — it measures pure scan +
+    * predicate throughput. All three predicates push to the parquet
+    * scan; revenue = Σ price·discount in exact decimal. The discount
+    * band compares the stored doubles against the same literals in
+    * both engines (bit-identical inputs ⇒ identical band). */
+  private val forecastRevenue: Q = (s, dir) =>
+    T.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(q52Window._1) &&
+        col("l_shipdate") < lit(q52Window._2) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(T.dec2(col("l_extendedprice")) *
+            T.dec2(col("l_discount"))).cast("double"), lit(0.0))
+          .as("revenue"))
+
   val queries: Map[String, Q] = Map(
+    "q47_min_cost_supplier" -> minCostSupplier,
+    "q48_important_stock" -> importantStock,
+    "q49_part_supplier_counts" -> partSupplierCounts,
+    "q50_pricing_summary" -> pricingSummary,
+    "q51_shipping_priority" -> shippingPriority,
+    "q52_forecast_revenue" -> forecastRevenue,
     "q42_priority_lateness" -> priorityLateness,
     "q43_returned_items" -> returnedItems,
     "q44_latency_priority_mix" -> latencyPriorityMix,
@@ -1273,7 +1475,100 @@ object Joins extends QueryPack {
     "q20_full_outer" -> fullOuterJoin,
     "q21_correlated_subquery" -> correlatedSubquery)
 
+  /** DuckDB spelling of [[derivedPartSupp]]. */
+  private val oPartSupp =
+    s"""ps AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    MIN(CAST(${T.oDec2("l_extendedprice")} * 100 AS BIGINT))
+       |      AS cost_cents,
+       |    CAST(SUM(CAST(${T.oDec2("l_extendedprice")} * 100 AS BIGINT))
+       |      AS BIGINT) AS val_cents
+       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q47_min_cost_supplier" ->
+      s"""WITH $oPartSupp,
+         |slice AS (SELECT p_partkey FROM part
+         |  WHERE p_size = $q47Size AND p_type = '$q47Type'),
+         |psf AS (
+         |  SELECT ps.* FROM ps JOIN slice ON l_partkey = p_partkey),
+         |mn AS (
+         |  SELECT l_partkey AS mk, MIN(cost_cents) AS min_cost
+         |  FROM psf GROUP BY 1)
+         |SELECT psf.l_partkey AS p_partkey, psf.cost_cents, s.s_name,
+         |  n.n_name, s.s_acctbal
+         |FROM psf JOIN mn
+         |  ON psf.l_partkey = mn.mk AND psf.cost_cents = mn.min_cost
+         |JOIN supplier s ON psf.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p_partkey
+         |LIMIT 20""".stripMargin,
+    "q48_important_stock" ->
+      s"""WITH $oPartSupp,
+         |sn AS (
+         |  SELECT s_suppkey FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = '$q48Nation'),
+         |pv AS (
+         |  SELECT l_partkey,
+         |    CAST(SUM(val_cents) AS BIGINT) AS part_value_cents
+         |  FROM ps WHERE l_suppkey IN (SELECT s_suppkey FROM sn)
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(SUM(part_value_cents) AS BIGINT)
+         |  AS total_cents FROM pv)
+         |SELECT l_partkey AS p_partkey, part_value_cents
+         |FROM pv CROSS JOIN t
+         |WHERE part_value_cents * 1000 > total_cents
+         |ORDER BY part_value_cents DESC, p_partkey""".stripMargin,
+    "q49_part_supplier_counts" -> {
+      val sizes = q49Sizes.mkString(", ")
+      s"""WITH $oPartSupp
+         |SELECT p_brand, p_type, p_size,
+         |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM part JOIN ps ON p_partkey = l_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_size IN ($sizes)
+         |  AND l_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier
+         |    WHERE s_name LIKE '$q49ExcludePattern')
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+    },
+    "q50_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(${T.oDec2("l_quantity")} * 100 AS BIGINT))
+         |    AS DOUBLE) / 100.0 AS sum_qty,
+         |  ${T.oMoneySum("l_extendedprice")} AS sum_base_price,
+         |  ${T.oRevenueSum("l_extendedprice", "l_discount")}
+         |    AS sum_disc_price,
+         |  CAST(SUM(${T.oDec2("l_extendedprice")}
+         |    * (CAST(1.00 AS DECIMAL(3,2)) - ${T.oDec2("l_discount")})
+         |    * (CAST(1.00 AS DECIMAL(3,2)) + ${T.oDec2("l_tax")}))
+         |    AS DOUBLE) AS sum_charge,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '$q50Cutoff'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q51_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${T.oRevenueSum("l_extendedprice", "l_discount")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = '$q51Segment'
+         |  AND o_orderdate < TIMESTAMP '$q51Date'
+         |  AND l_shipdate > TIMESTAMP '$q51Date'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q52_forecast_revenue" ->
+      s"""SELECT COUNT(*) AS n_lines,
+         |  COALESCE(CAST(SUM(${T.oDec2("l_extendedprice")}
+         |    * ${T.oDec2("l_discount")}) AS DOUBLE), 0.0) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '${q52Window._1}'
+         |  AND l_shipdate < TIMESTAMP '${q52Window._2}'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
     "q42_priority_lateness" ->
       s"""SELECT o_orderpriority, COUNT(*) AS order_count
          |FROM orders

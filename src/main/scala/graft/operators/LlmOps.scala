@@ -289,6 +289,77 @@ object LlmOps extends QueryPack {
         .as("n_confirmed_pairs"))
   }
 
+  /** l98's similarity threshold as an exact ratio: Jaccard ≥ 6/10. */
+  private val ssNum = 6
+  private val ssDen = 10
+
+  /** l98: EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): all document pairs whose 3-gram shingle SETS have
+    * Jaccard ≥ [[ssNum]]/[[ssDen]], with no false negatives — the
+    * deterministic sibling of l07's probabilistic MinHash banding.
+    * Each doc's shingles sort RAREST-FIRST (by document frequency —
+    * a sortable key per shingle, never a global dense rank); a pair
+    * at threshold θ must share a shingle within each side's first
+    * m − ⌈θ·m⌉ + 1 shingles (pigeonhole on the common total order),
+    * so the equi-join on prefix shingles is a LOSSLESS candidate
+    * generator. A length filter (θ·max ≤ min, cross-multiplied)
+    * prunes impossible pairs before the confirm. The confirm is
+    * all-integer: |∩|·den ≥ |∪|·num — no float Jaccard anywhere.
+    *
+    * The DuckDB oracle is the NAIVE QUADRATIC join — equality proves
+    * the prefix filter changes the plan, not the answer (the q28
+    * oracle discipline).
+    *
+    * 100 TB shape: the df frame is shingle-TYPE-sized (map-side
+    * combined, Zipf-small next to the corpus); per-doc prefix
+    * selection is a window PARTITIONED BY doc (never global); the
+    * candidate join shuffles only (shingle, doc, m) prefix rows —
+    * ~(1−θ) of the shingle mass — and wide shingle arrays are fetched
+    * per side only for deduped candidates (the l07 narrow-join
+    * discipline). Hot shingles fan out C(df,2) candidates at worst;
+    * rarest-first ordering makes prefixes rare by construction. */
+  def setSimPairs(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = Barriers.materialize(d
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_distinct(Text.shinglesFromTokens("tk", 3)).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val ex = sets.select(col("doc_id"), size(col("sh")).as("m"),
+      explode(col("sh")).as("g"))
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val pos = ex.join(dfreq, "g")
+      .withColumn("p", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("p") <=
+        col("m") - expr(s"(($ssNum * m) + ${ssDen - 1}) div $ssDen") + 1)
+      .select(col("doc_id"), col("m"), col("g"))
+    val cand = pos.as("a").join(pos.as("b"),
+        col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.m"), col("b.m")) * ssNum <=
+            least(col("a.m"), col("b.m")) * ssDen)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
+        "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_union",
+        size(col("sa")) + size(col("sb")) - col("n_inter"))
+      .filter(col("n_inter") * ssDen >= col("n_union") * ssNum)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("n_union").cast("long").as("n_union"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val setSimJoin: Q = (s, dir) => setSimPairs(docs(s, dir))
+
   /** 62-bit portable SimHash signatures (three-phase: hash tokens once,
     * sign-sum fold, pack — see Text.simhashWidth for the 62-vs-64
     * tradeoff) for a document frame with (doc_id, text). */
@@ -2064,6 +2135,7 @@ object LlmOps extends QueryPack {
     "l69_media_decode" -> mediaDecode,
     "l84_media_content_dedup" -> mediaContentDedup,
     "l94_perceptual_dedup" -> perceptualImageDedup,
+    "l98_setsim_join" -> setSimJoin,
     "l70_video_frame_decode" -> videoFrameDecode,
     "l13_token_jaccard" -> tokenJaccard,
     "l14_ivf_index" -> ivfIndex,
@@ -2597,6 +2669,25 @@ object LlmOps extends QueryPack {
         |  (1000 * (n_items - n_distinct_content)) // n_items
         |    AS content_dup_permille
         |FROM agg CROSS JOIN c""".stripMargin,
+    // the naive quadratic replay of the prefix-filtered join: equality
+    // proves the candidate generator is lossless at the threshold
+    "l98_setsim_join" -> {
+      val sh = Text.oMinhashShinglesSql("toks", 3)
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, list_distinct(sh) AS sh
+         |  FROM (SELECT doc_id, $sh AS sh FROM t)
+         |  WHERE len(sh) > 0),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         |    CAST(len(a.sh) + len(b.sh)
+         |      - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, n_inter, n_union FROM p
+         |WHERE n_inter * $ssDen >= n_union * $ssNum
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // the aHash bit pack replayed per doc: pixel p's gray value is
     // (g·37 + p·53) % 180 + c, the bit is the integer cross-multiplied
     // mean threshold 63·v > Σv, the hash is the Σ bit·2^p pack. The

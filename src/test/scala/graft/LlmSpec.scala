@@ -201,6 +201,24 @@ class LlmSpec extends SparkSpec {
       "P6\n2 2\n65535\n".getBytes("US-ASCII")).isEmpty) // 2-byte maxval
   }
 
+  test("l98: prefix-filtered set-similarity join finds the planted " +
+      "near-dup pair with exact intersection counts and nothing else") {
+    import graft.operators.LlmOps
+    // doc 1 vs doc 2: 10 shingles vs 9 shared + 1 swapped → J = 9/11 ≥ 0.6
+    // doc 3: disjoint vocabulary → no pair
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 11).map(i => s"w$i") :+ "zz").mkString(" ")
+    val far = (1 to 12).map(i => s"v$i").mkString(" ")
+    val d = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "text")
+    val r = LlmOps.setSimPairs(d).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(0), r(0).getLong(1)) === ((1L, 2L)))
+    // base has shingles w1w2w3..w10w11w12 (10), near swaps the last
+    // token: shares w1..w10 prefix shingles (9), union = 10+10-9 = 11
+    assert((r(0).getLong(2), r(0).getLong(3)) === ((9L, 11L)))
+  }
+
   test("multimodal: gray decode + aHash is invariant under brightness " +
       "shift and sensitive to pattern change") {
     import graft.operators.Multimodal
