@@ -330,6 +330,9 @@ object LlmOps extends QueryPack {
     val ex = sets.select(col("doc_id"), size(col("sh")).as("m"),
       explode(col("sh")).as("g"))
     val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // NOT materialized: the self-join's two sides plan as a
+    // ReusedExchange of one shuffle (verified in the executed plan),
+    // so a checkpoint here only adds write cost (measured +3.5 s).
     val pos = ex.join(dfreq, "g")
       .withColumn("p", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))

@@ -671,7 +671,71 @@ object Streaming extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** T14: streaming near-dup detection — the MinHash-banded sibling of
+    * t04's exact-id dedup, and the streaming face of l07: an arriving
+    * document is flagged when it shares a band key with an EARLIER
+    * document. "Earlier" is min-doc_id ownership (the l60 novelty
+    * rule), which makes the answer ORDER-INDEPENDENT — the streaming
+    * run converges to this batch chain no matter how the stream is
+    * micro-batched, and StreamingSpec proves stream ≡ batch by driving
+    * the same flags through a real `flatMapGroupsWithState` (one LONG
+    * of state per band key: the min id seen; each batch flags a doc if
+    * any of its keys has a lower owner in state or in the same batch,
+    * and a late-arriving NEW minimum retro-flags exactly one doc — the
+    * previous min, the only id a lower arrival can unseat — which is
+    * why min-id state suffices for exact convergence).
+    *
+    * 100 TB/streaming shape: state is one 8-byte value per DISTINCT
+    * band key — not per document, not per pair (the reason banded
+    * dedup streams where pairwise confirm cannot); flag traffic is
+    * (doc, band) rows, map-side combined into per-doc ORs. In batch,
+    * keyed materializes once (the l07 barrier discipline) and feeds
+    * both the ownership aggregate and the flag join. Docs too short to
+    * shingle never enter the key space and are excluded from n_docs —
+    * they cannot near-duplicate anything. */
+  /** The (doc_id, band_idx, band_key) rows of t14's key space — the
+    * chain a STREAMING frame can run (no barrier, no repartition;
+    * both are batch-side tuning). Shared by StreamingSpec's real
+    * flatMapGroupsWithState drive. */
+  def bandKeyRows(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+    .select(col("doc_id"),
+      graft.functions.Text.shinglesFromTokens("toks", 3).as("sh"))
+    .filter(size(col("sh")) > 0)
+    .select(col("doc_id"),
+      posexplode(graft.functions.Text.minhashBands(col("sh"), 16, 4))
+        .as(Seq("band_idx", "band_key")))
+
+  def bandDedupFlags(d: DataFrame): DataFrame = {
+    val sh = d
+      .select(col("doc_id"), col("source"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Text.shinglesFromTokens("toks", 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val keyed = graft.core.Barriers.materialize(sh
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.functions.Text.minhashBands(col("sh"), 16, 4))
+          .as(Seq("band_idx", "band_key"))))
+    val owner = keyed.groupBy(col("band_idx"), col("band_key"))
+      .agg(min(col("doc_id")).as("owner"))
+    keyed.join(owner, Seq("band_idx", "band_key"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(when(col("owner") < col("doc_id"), 1L).otherwise(0L))
+        .as("flag"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("flag")).as("n_flagged"))
+      .withColumn("flagged_permille",
+        expr("(1000 * n_flagged) div n_docs"))
+      .orderBy("source")
+  }
+
+  private val streamBandDedup: Q = (s, dir) =>
+    bandDedupFlags(T.load(s, dir, "documents"))
+
   val queries: Map[String, Q] = Map(
+    "t14_stream_band_dedup" -> streamBandDedup,
     "t13_cdc_upsert" -> cdcUpsert,
     "t12_sketch_merge" -> sketchMerge,
     "t09_sliding_window_agg" -> slidingWindowAgg,
@@ -687,6 +751,43 @@ object Streaming extends QueryPack {
     "t10_outer_attribution" -> organicAgg)
 
   val oracle: Map[String, String] = Map(
+    // l07's band-key replay + min-id ownership: a doc is flagged iff
+    // some band key has a lower-id owner — order-independent, so the
+    // batch replay pins exactly what the stream converges to
+    "t14_stream_band_dedup" -> {
+      import graft.functions.Text
+      val sh = Text.oMinhashShinglesSql("toks", 3)
+      val sig = Text.oMinhashSigSql("hh", 16)
+      val key = Text.oLshBandKeySql("sig", "b", 4)
+      val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+      s"""WITH t AS (SELECT doc_id, source,
+         |    string_split($oNorm, ' ') AS toks FROM documents),
+         |shf AS (
+         |  SELECT doc_id, source, sh
+         |  FROM (SELECT doc_id, source, $sh AS sh FROM t)
+         |  WHERE len(sh) > 0),
+         |hs AS (
+         |  SELECT doc_id, source,
+         |    list_transform(sh, s -> ${Text.oPortableStrHashSql("s")}) AS hh
+         |  FROM shf),
+         |sigs AS (SELECT doc_id, source, $sig AS sig FROM hs),
+         |keyed AS (
+         |  SELECT doc_id, source, b AS band_idx, $key AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |own AS (
+         |  SELECT band_idx, band_key, MIN(doc_id) AS owner
+         |  FROM keyed GROUP BY 1, 2),
+         |fl AS (
+         |  SELECT k.doc_id, k.source,
+         |    MAX(CASE WHEN own.owner < k.doc_id THEN 1 ELSE 0 END) AS flag
+         |  FROM keyed k JOIN own USING (band_idx, band_key)
+         |  GROUP BY 1, 2)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(flag) AS BIGINT) AS n_flagged,
+         |  (1000 * CAST(SUM(flag) AS BIGINT)) // COUNT(*)
+         |    AS flagged_permille
+         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // the batch-sliced conditional MERGE must equal the global
     // latest-row-per-key — replayed as one ranking window
     "t13_cdc_upsert" ->

@@ -678,4 +678,62 @@ class StreamingSpec extends SparkSpec {
     assert(acc.toMap === batchSketch,
       "streamed partial-sketch merge diverged from the batch sketch")
   }
+
+  test("t14: flatMapGroupsWithState band dedup converges to the batch " +
+      "min-id ownership flags under out-of-order micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val docsStatic = T.load(spark, sfDir, "documents")
+      .limit(150).select($"doc_id", $"text").cache()
+    val rows = docsStatic.as[(Long, String)].collect().toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val keyed = Streaming.bandKeyRows(
+        mem.toDF().toDF("doc_id", "text"))
+      .as[(Long, Int, Long)]
+    // one LONG of state per band key: the min doc_id seen; a doc is
+    // flagged on a key when a lower id exists in state or in-batch
+    val flags = keyed.groupByKey { case (_, bi, bk) => (bi, bk) }
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), it: Iterator[(Long, Int, Long)],
+            state: GroupState[Long]) =>
+          val ids = it.map(_._1).toVector.distinct.sorted
+          val prior = state.getOption
+          val allMin = math.min(prior.getOrElse(Long.MaxValue), ids.head)
+          // flag = some STRICTLY LOWER id shares this key. When a new
+          // global min arrives late, exactly ONE retro-flag is owed:
+          // the previous min (everything else was already > old min,
+          // hence already flagged) — the reason min-id state suffices
+          // for exact convergence.
+          val out = ids.map(id => (id, id > allMin)) ++
+            prior.filter(_ > allMin).map(p => (p, true))
+          state.update(allMin)
+          out.iterator
+      }
+      .toDF("doc_id", "flag")
+    val q = flags.writeStream.format("memory").queryName("t14_flags")
+      .outputMode("update").start()
+    try {
+      // three micro-batches grouped by doc_id % 3: low ids arrive in
+      // EVERY batch, so ownership must compose across state + in-batch
+      (0 until 3).foreach { b =>
+        mem.addData(rows.filter(_._1 % 3 == b))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamedFlagged = spark.table("t14_flags")
+      .groupBy($"doc_id").agg(max($"flag").as("f"))
+      .filter($"f").select($"doc_id").as[Long].collect().toSet
+
+    val keyedB = Streaming.bandKeyRows(docsStatic)
+    val owner = keyedB.groupBy($"band_idx", $"band_key")
+      .agg(min($"doc_id").as("owner"))
+    val batchFlagged = keyedB.join(owner, Seq("band_idx", "band_key"))
+      .filter($"owner" < $"doc_id")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(batchFlagged.nonEmpty,
+      "fixture has no near-dup band collisions — the test is vacuous")
+    assert(streamedFlagged === batchFlagged)
+  }
 }
