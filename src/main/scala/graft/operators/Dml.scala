@@ -639,6 +639,66 @@ object Dml extends QueryPack {
     * three-way action classification, guarded price rewrite. One
     * keyed shuffle; the source side aggregates before nothing — it is
     * a filtered projection, broadcast at dim scale. */
+  /** D21: tri-branch MERGE with a DELETE arm — the full MERGE grammar
+    * face the other d-entries leave uncovered:
+    * `WHEN MATCHED AND src.cancel THEN DELETE / WHEN MATCHED THEN
+    * UPDATE / WHEN NOT MATCHED AND NOT src.cancel THEN INSERT` (a CDC
+    * cancellation feed applied to an orders table; a cancel for a key
+    * the target never had falls through BOTH guarded arms — a no-op,
+    * surfaced here as the excluded `dropped_insert` class). Both table versions are PHYSICAL
+    * parquet round trips, and the deleted count is derived from an
+    * ON-DISK anti join of v1 keys against v2 — the deletion is proven
+    * on storage, not on an in-flight frame (the d20 discipline).
+    *
+    * Scale notes: one full_outer shuffle join on the key (the
+    * copy-on-write MERGE shape); the delete arm costs nothing extra —
+    * it is a filter on the same joined frame. Under a real table
+    * format the delete writes positional delete files instead of
+    * rewriting; plain parquet forces the full rewrite, which is
+    * exactly the cost a format's delete files exist to avoid. */
+  private val mergeDelete: Q = (s, dir) => {
+    val path = Scratch.dir("d21_merge_del")
+    val o = T.load(s, dir, "orders")
+    o.filter(month(col("o_orderdate")).between(1, 6))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).parquet(path + "/v1")
+    val target = s.read.parquet(path + "/v1")
+    val source = o.filter(month(col("o_orderdate")).between(4, 9))
+      .select(col("o_orderkey").as("src_key"),
+        (col("o_orderkey") % 4 === 0).as("cancel"),
+        (col("o_totalprice") + 10.0).as("src_price"))
+    val merged = target
+      .join(source, target("o_orderkey") === source("src_key"),
+        "full_outer")
+      .withColumn("action",
+        when(col("src_key").isNull, lit("carried"))
+          .when(col("o_orderkey").isNull,
+            when(col("cancel"), lit("dropped_insert")).otherwise(lit("inserted")))
+          .when(col("cancel"), lit("deleted"))
+          .otherwise(lit("updated")))
+    // a cancel for a key the target never had is a no-op, exactly as
+    // MERGE's NOT MATCHED arm never sees the DELETE branch
+    merged.filter(col("action").isin("carried", "updated", "inserted"))
+      .select(
+        coalesce(col("o_orderkey"), col("src_key")).as("o_orderkey"),
+        coalesce(col("o_orderstatus"), lit("NEW")).as("o_orderstatus"),
+        when(col("action") === "carried", col("o_totalprice"))
+          .otherwise(col("src_price")).as("o_totalprice"),
+        col("action"))
+      .write.mode(SaveMode.Overwrite).parquet(path + "/v2")
+    val v2 = s.read.parquet(path + "/v2")
+    val survivors = v2.groupBy(col("action"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))
+    val deleted = target
+      .join(v2.select(col("o_orderkey").as("k2")),
+        col("o_orderkey") === col("k2"), "left_anti")
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))
+      .select(lit("deleted").as("action"), col("n_rows"), col("sum_price"))
+    survivors.unionByName(deleted).orderBy("action")
+  }
+
   private val conditionalMerge: Q = (s, dir) => {
     val o = T.load(s, dir, "orders")
     val src = o.filter(col("o_orderpriority") === "1-URGENT")
@@ -664,6 +724,7 @@ object Dml extends QueryPack {
     "d02_conditional_merge" -> conditionalMerge,
     "d19_scd2" -> scd2Build,
     "d20_merge_schema_evolution" -> mergeSchemaEvolution,
+    "d21_merge_delete" -> mergeDelete,
     "d18_partition_evolution" -> partitionEvolution,
     "d15_check_constraint" -> checkConstraint,
     "d16_system_time_between" -> systemTimeBetween,
@@ -737,6 +798,44 @@ object Dml extends QueryPack {
     // the merge replayed as a full outer join; the column counts are
     // the on-disk schema contract (v1: key/status/price, v2: + channel
     // + merge_action)
+    // the tri-branch classification replayed relationally: deleted =
+    // matched & cancel, updated = matched & ¬cancel, inserted =
+    // source-only & ¬cancel, carried = target-only; source-only
+    // cancels fall through both guarded arms
+    "d21_merge_delete" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE month(o_orderdate) BETWEEN 1 AND 6),
+        |s AS (
+        |  SELECT o_orderkey AS src_key, o_orderkey % 4 = 0 AS cancel,
+        |    o_totalprice + 10.0 AS src_price
+        |  FROM orders WHERE month(o_orderdate) BETWEEN 4 AND 9),
+        |m AS (
+        |  SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice,
+        |    s.src_key, s.cancel, s.src_price,
+        |    CASE WHEN s.src_key IS NULL THEN 'carried'
+        |      WHEN t.o_orderkey IS NULL THEN
+        |        CASE WHEN s.cancel THEN 'dropped_insert' ELSE 'inserted' END
+        |      WHEN s.cancel THEN 'deleted'
+        |      ELSE 'updated' END AS action
+        |  FROM t FULL OUTER JOIN s ON t.o_orderkey = s.src_key),
+        |v2 AS (
+        |  SELECT action,
+        |    CASE WHEN action = 'carried' THEN o_totalprice
+        |      ELSE src_price END AS price
+        |  FROM m WHERE action IN ('carried', 'updated', 'inserted')),
+        |surv AS (
+        |  SELECT action, COUNT(*) AS n_rows,
+        |    ROUND(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      AS sum_price
+        |  FROM v2 GROUP BY 1),
+        |del AS (
+        |  SELECT 'deleted' AS action, COUNT(*) AS n_rows,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DOUBLE), 2) AS sum_price
+        |  FROM m WHERE action = 'deleted')
+        |SELECT * FROM surv UNION ALL SELECT * FROM del
+        |ORDER BY action""".stripMargin,
     "d20_merge_schema_evolution" ->
       s"""WITH t AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

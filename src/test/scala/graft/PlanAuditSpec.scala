@@ -81,7 +81,10 @@ class PlanAuditSpec extends SparkSpec {
     "l96_bradley_terry", "l97_ks_drift",
     "q42_priority_lateness", "q43_returned_items",
     "q44_latency_priority_mix", "q45_large_volume_orders",
-    "q46_promo_revenue", "l95_prefix_cache", "w22_cusum_changepoint")
+    "q46_promo_revenue", "l95_prefix_cache", "w22_cusum_changepoint",
+    "w23_gini_concentration", "q50_pricing_summary",
+    "q51_shipping_priority", "q52_forecast_revenue",
+    "q49_part_supplier_counts")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
