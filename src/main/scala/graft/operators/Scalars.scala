@@ -139,10 +139,16 @@ object Scalars extends QueryPack {
       col("o_orderstatus").as("status"),
       col("o_orderkey").as("key"),
       col("o_orderpriority").as("prio")))
-    o.select(
-        get_json_object(j, "$.status").as("status"),
-        get_json_object(j, "$.key").cast("long").as("key"),
-        get_json_object(j, "$.prio").as("prio"))
+    // ONE serialize + ONE parse per row: the original spelling used
+    // three get_json_object calls, and CollapseProject spliced the
+    // to_json construction into each — 3 serializations + 3 parses
+    // per row (the p01 re-inlining class). from_json parses once;
+    // Catalyst's OptimizeJsonExprs keeps the three field extractions
+    // on that single parse.
+    o.select(from_json(j, org.apache.spark.sql.types.StructType.fromDDL(
+        "status STRING, key BIGINT, prio STRING")).as("r"))
+      .select(col("r.status").as("status"), col("r.key").as("key"),
+        col("r.prio").as("prio"))
       .groupBy(col("status"), col("prio"))
       .agg(count(lit(1)).as("n_rows"), sum(col("key")).as("sum_keys"))
       .orderBy("status", "prio")
