@@ -731,8 +731,31 @@ object Streaming extends QueryPack {
       .orderBy("source")
   }
 
-  private val streamBandDedup: Q = (s, dir) =>
-    bandDedupFlags(T.load(s, dir, "documents"))
+  /** The registered t14 derives its flags from the PROCESS-SHARED l07
+    * banding cache instead of rebuilding the shingle→signature→band
+    * chain (the l67/l68 lesson, fifth consumer): a doc is flagged iff
+    * some band key has a lower-id owner ⟺ the doc appears as the
+    * HIGHER side of some key-sharing candidate pair — exactly
+    * `doc_b` of [[graft.operators.LlmOps.sharedMinhashCandidates]]
+    * (candidates are pre-confirm key-sharing pairs with
+    * doc_a < doc_b). Eligibility (≥ 3 tokens ⟺ ≥ 1 shingle) is one
+    * cheap tokenize pass; StreamingSpec pins the equivalence of this
+    * derivation to [[bandDedupFlags]]'s direct ownership rollup. */
+  private val streamBandDedup: Q = (s, dir) => {
+    val flagged = graft.operators.LlmOps.sharedMinhashCandidates(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("flag", lit(1L))
+    T.load(s, dir, "documents")
+      .filter(size(graft.functions.Text.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), col("source"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("flag"), lit(0L))).as("n_flagged"))
+      .withColumn("flagged_permille",
+        expr("(1000 * n_flagged) div n_docs"))
+      .orderBy("source")
+  }
 
   val queries: Map[String, Q] = Map(
     "t14_stream_band_dedup" -> streamBandDedup,

@@ -736,4 +736,14 @@ class StreamingSpec extends SparkSpec {
       "fixture has no near-dup band collisions — the test is vacuous")
     assert(streamedFlagged === batchFlagged)
   }
+
+  test("t14: the registered candidate-derived rollup equals the direct " +
+      "ownership rollup") {
+    val direct = Streaming.bandDedupFlags(
+        T.load(spark, sfDir, "documents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val derived = SparkEntry.queries("t14_stream_band_dedup")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(direct.toSeq === derived.toSeq)
+  }
 }
