@@ -289,6 +289,40 @@ object LlmOps extends QueryPack {
         .as("n_confirmed_pairs"))
   }
 
+  /** l99: dedup-aware loss weighting — the alternative to REMOVING
+    * duplicates that several training recipes prefer: keep every copy
+    * but down-weight each to 1/n_copies so a document's total gradient
+    * contribution is copy-count invariant. The ledger reports, per
+    * source, the exact integer permille of token mass that SURVIVES
+    * the weighting (Σ tokens_d·1000/n_copies over Σ tokens_d) — the
+    * number a data-mixing plan needs before deciding dedup-by-removal
+    * vs dedup-by-weighting. All floor-division lattice arithmetic
+    * (weight_permille = 1000 div n_copies per doc), so both engines
+    * agree bit-for-bit; on a dup-free slice every weight is 1000 and
+    * the ledger degenerates to the identity — the planted multi-copy
+    * law lives in LlmSpec.
+    *
+    * 100 TB shape: one shuffle of (fp, ntok) pairs to cluster sizes,
+    * one fp-keyed join back (both sides 16-byte keys + a long), one
+    * per-source rollup. The document text never moves. */
+  def dedupWeighting(d: DataFrame): DataFrame = {
+    val fp = d.select(col("source"),
+      md5(Text.norm(col("text"))).as("fp"),
+      size(Text.tokens(col("text"))).cast("long").as("ntok"))
+    val cl = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    fp.join(cl, "fp")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(expr("(1000 * ntok) div n_copies")).as("weighted_tokens_e3"))
+      .withColumn("surviving_token_permille",
+        expr("weighted_tokens_e3 div n_tokens"))
+      .orderBy("source")
+  }
+
+  private val dedupWeightingQ: Q = (s, dir) => dedupWeighting(docs(s, dir))
+
   /** l98's similarity threshold as an exact ratio: Jaccard ≥ 6/10. */
   private val ssNum = 6
   private val ssDen = 10
@@ -2139,6 +2173,7 @@ object LlmOps extends QueryPack {
     "l84_media_content_dedup" -> mediaContentDedup,
     "l94_perceptual_dedup" -> perceptualImageDedup,
     "l98_setsim_join" -> setSimJoin,
+    "l99_dedup_weighting" -> dedupWeightingQ,
     "l70_video_frame_decode" -> videoFrameDecode,
     "l13_token_jaccard" -> tokenJaccard,
     "l14_ivf_index" -> ivfIndex,
@@ -2672,6 +2707,20 @@ object LlmOps extends QueryPack {
         |  (1000 * (n_items - n_distinct_content)) // n_items
         |    AS content_dup_permille
         |FROM agg CROSS JOIN c""".stripMargin,
+    "l99_dedup_weighting" ->
+      s"""WITH fp AS (
+         |  SELECT source, md5($oNorm) AS fp,
+         |    CAST(len($oToks) AS BIGINT) AS ntok
+         |  FROM documents),
+         |cl AS (SELECT fp, COUNT(*) AS n_copies FROM fp GROUP BY 1)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM((1000 * ntok) // n_copies) AS BIGINT)
+         |    AS weighted_tokens_e3,
+         |  CAST(SUM((1000 * ntok) // n_copies) AS BIGINT)
+         |    // CAST(SUM(ntok) AS BIGINT) AS surviving_token_permille
+         |FROM fp JOIN cl USING (fp)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the naive quadratic replay of the prefix-filtered join: equality
     // proves the candidate generator is lossless at the threshold
     "l98_setsim_join" -> {

@@ -201,6 +201,24 @@ class LlmSpec extends SparkSpec {
       "P6\n2 2\n65535\n".getBytes("US-ASCII")).isEmpty) // 2-byte maxval
   }
 
+  test("l99: duplicate copies down-weight to exactly 1/n and singletons " +
+      "keep full weight") {
+    import graft.operators.LlmOps
+    // source A: one doc tripled (4 tokens each) + one singleton (2 toks)
+    // → weighted = 3·(4000/3) + 2000 = 3999 + 2000; tokens = 14
+    val d = Seq(
+      (1L, "A", "a b c d"), (2L, "A", "a b c d"), (3L, "A", "a b c d"),
+      (4L, "A", "x y"),
+      (5L, "B", "p q r"))
+      .toDF("doc_id", "source", "text")
+    val r = LlmOps.dedupWeighting(d).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toMap
+    assert(r("A") === ((4L, 14L, 3 * (4000 / 3) + 2000L,
+      (3 * (4000 / 3) + 2000L) / 14L)))
+    assert(r("B") === ((1L, 3L, 3000L, 1000L)))
+  }
+
   test("l98: prefix-filtered set-similarity join finds the planted " +
       "near-dup pair with exact intersection counts and nothing else") {
     import graft.operators.LlmOps

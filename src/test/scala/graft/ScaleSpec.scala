@@ -145,6 +145,36 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE promotes a sort-merge join to broadcast when runtime stats " +
+      "come in under the threshold") {
+    // static estimates can wildly overstate a post-filter side (no
+    // stats on derived frames) — at 1000 executors the difference
+    // between the planned SMJ and the runtime BHJ is two full
+    // shuffles of the fact. AQE re-plans from MEASURED sizes; this
+    // pins that the re-plan actually happens.
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.localShuffleReader.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      prev.foreach { case (k, _) => spark.conf.set(k, "true") }
+      val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+      // an aggregate blocks static broadcast planning (unknown output
+      // size > threshold assumption), but its RUNTIME output is tiny
+      val smallAgg = graft.core.Tables.load(spark, sfDir, "orders")
+        .groupBy(col("o_orderkey")).agg(max(col("o_totalprice")).as("p"))
+        .filter(col("p") > 0)
+      val joined = li.join(smallAgg, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"AQE did not promote the join to broadcast at runtime:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("k09: bitmap distinct is exact at both rollup grains") {
     val li = graft.core.Tables.load(spark, sfDir, "lineitem")
     val exactPer = li.groupBy(col("l_returnflag"))
