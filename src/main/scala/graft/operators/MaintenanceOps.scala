@@ -141,7 +141,58 @@ object MaintenanceOps extends QueryPack {
       .orderBy("rule_id")
   }
 
+  /** m12's tier-age thresholds in days. The reference recommends
+    * ARCHIVE past 365 days and NEARLINE past 90
+    * (`taxi_cost_manager.py` via PRD.md:4854-4930); this corpus spans
+    * ~30 days, so the REGISTERED instance uses 21/7 to exercise all
+    * three classes — the thresholds are policy knobs, the ledger
+    * arithmetic is the operator. */
+  private val m12ArchiveDays = 21
+  private val m12NearlineDays = 7
+
+  /** M12: storage-cost report — the reference's cost-manager analog
+    * (`generate_cost_report` + partition storage analysis,
+    * PRD.md:4854-5090): per month-partition of the event stream,
+    * BigQuery-style LOGICAL bytes (8 per INT64/FLOAT64/TIMESTAMP,
+    * 2 + octet_length per STRING — the billable definition, computable
+    * identically in both engines, unlike physical parquet bytes),
+    * partition age against the corpus's own max date (deterministic —
+    * no wall clock), a storage-tier recommendation, and the monthly
+    * standard-tier cost plus the archive saving in INTEGER micro-USD
+    * ($0.02/GB standard, $0.002 archive — the reference's constants —
+    * spelled as (bytes·20000) div 2³⁰, floor division, no float money).
+    *
+    * 100 TB shape: one map-side-combined pass to month grain; the
+    * as-of date is a 1-row broadcast; everything after is
+    * month-count-sized. */
+  private val costReport: Q = (s, dir) => {
+    val ev = T.loadEvents(s, dir)
+    // 4 fixed-width cols (event_id, ts, user_id, value) = 32 bytes;
+    // each non-NULL STRING bills 2 + its UTF-8 length, a NULL bills 0
+    val rowBytes = lit(32L) +
+      (octet_length(col("event_type")).cast("long") + 2L) +
+      coalesce(octet_length(col("props")).cast("long") + 2L, lit(0L))
+    val asOf = ev.agg(max(to_date(col("ts"))).as("d0"))
+    ev.groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(count(lit(1)).as("n_rows"), sum(rowBytes).as("logical_bytes"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("age_days", datediff(col("d0"), col("week")).cast("long"))
+      .withColumn("recommendation",
+        when(col("age_days") > m12ArchiveDays, "ARCHIVE_CANDIDATE")
+          .when(col("age_days") > m12NearlineDays, "NEARLINE_CANDIDATE")
+          .otherwise("KEEP_STANDARD"))
+      .withColumn("standard_cost_micro_usd",
+        expr("(logical_bytes * 20000) div 1073741824"))
+      .withColumn("archive_saving_micro_usd",
+        expr("(logical_bytes * 18000) div 1073741824"))
+      .select(col("week"), col("n_rows"), col("logical_bytes"),
+        col("age_days"), col("recommendation"),
+        col("standard_cost_micro_usd"), col("archive_saving_micro_usd"))
+      .orderBy("week")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m12_cost_report" -> costReport,
     "m11_dq_expectations" -> dqExpectations,
     "m06_analyze_stats" -> analyzeStats,
     "m07_partition_analysis" -> partitionAnalysis,
@@ -149,6 +200,29 @@ object MaintenanceOps extends QueryPack {
     "m05_query_perf" -> queryPerf)
 
   val oracle: Map[String, String] = Map(
+    "m12_cost_report" ->
+      s"""WITH b AS (
+         |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         |    32 + (octet_length(CAST(event_type AS BLOB)) + 2)
+         |      + COALESCE(octet_length(CAST(props AS BLOB)) + 2, 0) AS rb
+         |  FROM events),
+         |a AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),
+         |g AS (
+         |  SELECT week, COUNT(*) AS n_rows,
+         |    CAST(SUM(rb) AS BIGINT) AS logical_bytes
+         |  FROM b GROUP BY 1)
+         |SELECT week, n_rows, logical_bytes,
+         |  CAST(date_diff('day', week, a.d0) AS BIGINT) AS age_days,
+         |  CASE WHEN date_diff('day', week, a.d0) > $m12ArchiveDays
+         |      THEN 'ARCHIVE_CANDIDATE'
+         |    WHEN date_diff('day', week, a.d0) > $m12NearlineDays
+         |      THEN 'NEARLINE_CANDIDATE'
+         |    ELSE 'KEEP_STANDARD' END AS recommendation,
+         |  (logical_bytes * 20000) // 1073741824
+         |    AS standard_cost_micro_usd,
+         |  (logical_bytes * 18000) // 1073741824
+         |    AS archive_saving_micro_usd
+         |FROM g CROSS JOIN a ORDER BY week""".stripMargin,
     "m11_dq_expectations" ->
       """SELECT 'r1_unique_orderkey' AS rule_id, COUNT(*) AS n_checked,
         |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations,
