@@ -512,4 +512,45 @@ class PropertySpec extends SparkSpec {
       direct.exceptAll(byEight).isEmpty,
       "batch-sliced CDC apply diverged from the order-free fold")
   }
+
+  test("w22: the prefix-sum closed form equals the sequential CUSUM " +
+      "recursion on arbitrary integer series") {
+    val series = Gen.listOfN(24, Gen.chooseNum(0L, 500L))
+    forSamples(series) { xs =>
+      if (xs.nonEmpty) {
+        val n = xs.length.toLong
+        val t = xs.sum
+        val e = xs.map(_ * n - t)
+        // sequential recursion: S_i = max(0, S_{i-1} + e_i)
+        val seq = e.scanLeft(0L)((s, v) => math.max(0L, s + v)).tail
+        // closed form: P_i − min(0, min_{j≤i} P_j)
+        val p = e.scanLeft(0L)(_ + _).tail
+        val closed = p.zipWithIndex.map { case (pi, i) =>
+          pi - math.min(0L, p.take(i + 1).min)
+        }
+        assert(seq == closed,
+          s"CUSUM closed form diverged from the recursion on $xs")
+      }
+    }
+  }
+
+  test("w23: the rank-sum Gini equals the mean-absolute-difference " +
+      "definition on arbitrary value sets") {
+    val vals = Gen.listOfN(16, Gen.chooseNum(1L, 10000L))
+    forSamples(vals) { vs =>
+      if (vs.nonEmpty && vs.sum > 0) {
+        val n = vs.length.toLong
+        val tot = vs.sum
+        val sorted = vs.sorted
+        val rankW = sorted.zipWithIndex
+          .map { case (v, i) => (i + 1) * v }.sum
+        val giniRank = 1000L * (2 * rankW - (n + 1) * tot) / (n * tot)
+        // definition: G = Σᵢⱼ|vᵢ−vⱼ| / (2n²μ) = Σ|..|·1000 / (2n·tot)
+        val absSum = (for (a <- vs; b <- vs) yield math.abs(a - b)).sum
+        val giniDef = 1000L * absSum / (2 * n * tot)
+        assert(giniRank == giniDef,
+          s"rank-sum Gini diverged from the pairwise definition on $vs")
+      }
+    }
+  }
 }
