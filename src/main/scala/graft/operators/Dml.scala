@@ -639,6 +639,51 @@ object Dml extends QueryPack {
     * three-way action classification, guarded price rewrite. One
     * keyed shuffle; the source side aggregates before nothing — it is
     * a filtered projection, broadcast at dim scale. */
+  /** D22: incremental JOIN-view maintenance — the algebraic delta rule
+    * behind every streaming materialized join view:
+    * (A₀∪ΔA) ⋈ (B₀∪ΔB) = A₀⋈B₀ ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, so an
+    * append-only view refresh touches only the three DELTA terms —
+    * never recomputes A₀⋈B₀ (d13 maintains an AGGREGATE incrementally;
+    * this maintains a JOIN, the harder half of IVM). The base view is
+    * a PHYSICAL parquet round trip (the d20/d21 discipline), the three
+    * delta joins append to it, and the published rollup comes from the
+    * incrementally-built view — the oracle recomputes the full join
+    * from scratch, so equality IS the delta-rule proof.
+    *
+    * Splits: A = orders by order half-year, B = lineitem by line
+    * number — both deltas overlap the other side's base and delta, so
+    * all four product terms are non-empty and each delta term is
+    * exercised with real rows.
+    *
+    * 100 TB shape: the refresh cost is |ΔA|·|B|-selectivity +
+    * |A|·|ΔB|-selectivity joins keyed on the same join key as the
+    * base build — at production scale ΔA⋈B₀ prunes to the delta's key
+    * range (partition/zone pruning on the big side), which is exactly
+    * why IVM beats recompute. */
+  private val joinIvm: Q = (s, dir) => {
+    val path = Scratch.dir("d22_join_ivm")
+    val o = T.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = T.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+    val a0 = o.filter(month(col("o_orderdate")) <= 6)
+    val da = o.filter(month(col("o_orderdate")) > 6)
+    val b0 = li.filter(col("l_linenumber") <= 2)
+    val db = li.filter(col("l_linenumber") > 2)
+    def j(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+    j(a0, b0).write.mode(SaveMode.Overwrite).parquet(path + "/v0")
+    val delta = j(da, b0).unionByName(j(a0, db)).unionByName(j(da, db))
+    delta.write.mode(SaveMode.Append).parquet(path + "/v0")
+    val v1 = s.read.parquet(path + "/v0")
+    v1.groupBy(month(col("o_orderdate")).cast("long").as("order_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        T.revenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+      .orderBy("order_month")
+  }
+
   /** D21: tri-branch MERGE with a DELETE arm — the full MERGE grammar
     * face the other d-entries leave uncovered:
     * `WHEN MATCHED AND src.cancel THEN DELETE / WHEN MATCHED THEN
@@ -725,6 +770,7 @@ object Dml extends QueryPack {
     "d19_scd2" -> scd2Build,
     "d20_merge_schema_evolution" -> mergeSchemaEvolution,
     "d21_merge_delete" -> mergeDelete,
+    "d22_join_ivm" -> joinIvm,
     "d18_partition_evolution" -> partitionEvolution,
     "d15_check_constraint" -> checkConstraint,
     "d16_system_time_between" -> systemTimeBetween,
@@ -798,6 +844,15 @@ object Dml extends QueryPack {
     // the merge replayed as a full outer join; the column counts are
     // the on-disk schema contract (v1: key/status/price, v2: + channel
     // + merge_action)
+    // the oracle recomputes the join view FROM SCRATCH; equality with
+    // the incrementally-appended view is the delta-rule proof
+    "d22_join_ivm" ->
+      s"""SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+         |  COUNT(*) AS n_rows,
+         |  ${graft.core.Tables.oRevenueSum("l_extendedprice", "l_discount")}
+         |    AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the tri-branch classification replayed relationally: deleted =
     // matched & cancel, updated = matched & ¬cancel, inserted =
     // source-only & ¬cancel, carried = target-only; source-only
