@@ -326,6 +326,54 @@ object Scalars extends QueryPack {
         sum(when(col("event_id") % 11 === 0 && col("parsed_ts").isNull, 1L)
           .otherwise(0L)).as("n_bad_timestamps"))
 
+  /** X23: the NOT IN null trap — the classic three-valued-logic
+    * footgun, pinned as engine-parity: `k NOT IN (subquery)` where the
+    * subquery yields one NULL (planted via NULLIF on a real key) is
+    * UNKNOWN for every row, so the anti-join returns ZERO rows — while
+    * `NOT EXISTS`, which the query author almost always meant, returns
+    * the true complement. Both engines must agree on all three counts:
+    * the empty NOT IN, the real NOT EXISTS, and the NOT IN with the
+    * NULL filtered away (which equals NOT EXISTS again). A migration
+    * whose engine "fixed" this silently would corrupt every NOT IN
+    * filter in user SQL — this entry is the canary.
+    *
+    * 100 TB shape: both quantifiers plan as broadcast/shuffle anti
+    * joins on the key; the NULL-poisoned NOT IN degenerates to a
+    * constant-false filter AFTER the null literal is observed — the
+    * cost is the same anti join either way. */
+  private val notInNullTrap: Q = (s, dir) => {
+    val c = T.load(s, dir, "customer")
+    // month-12 customers, with every 10th key replaced by NULL — the
+    // poison rows real data would carry as unmatched/unknown keys
+    val sub = T.load(s, dir, "orders")
+      .filter(month(col("o_orderdate")) === 12)
+      .select(when(col("o_custkey") % 10 === 0, lit(null))
+        .otherwise(col("o_custkey")).cast("long").as("k"))
+    val subNoNull = sub.filter(col("k").isNotNull)
+    // NOT IN under 3VL: NULL in the list ⇒ no row can pass. Spark's
+    // null-aware anti join (isin negation needs the literal list, so
+    // spell it as the SQL the trap arises from)
+    c.createOrReplaceTempView("x23_c")
+    sub.createOrReplaceTempView("x23_sub")
+    subNoNull.createOrReplaceTempView("x23_subnn")
+    val notIn = s.sql(
+      "SELECT COUNT(*) AS n FROM x23_c WHERE c_custkey NOT IN " +
+        "(SELECT k FROM x23_sub)")
+    val notExists = s.sql(
+      "SELECT COUNT(*) AS n FROM x23_c c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM x23_sub s WHERE s.k = c.c_custkey)")
+    val notInClean = s.sql(
+      "SELECT COUNT(*) AS n FROM x23_c WHERE c_custkey NOT IN " +
+        "(SELECT k FROM x23_subnn)")
+    notIn.select(col("n").as("n_not_in"))
+      .crossJoin(notExists.select(col("n").as("n_not_exists")))
+      .crossJoin(notInClean.select(col("n").as("n_not_in_clean")))
+      .withColumn("trap_fired",
+        col("n_not_in") === 0 && col("n_not_exists") > 0)
+      .withColumn("clean_equals_exists",
+        col("n_not_in_clean") === col("n_not_exists"))
+  }
+
   /** X8: pivot — event counts spread into one column per event type.
     * The value list is EXPLICIT: Spark's values-less pivot runs an
     * extra distinct pass over the data to discover the columns and
@@ -590,6 +638,7 @@ object Scalars extends QueryPack {
     "x21_pseudonymize" -> pseudonymize,
     "x18_unpivot" -> unpivotCounts,
     "x19_try_arith" -> tryArith,
+    "x23_not_in_null_trap" -> notInNullTrap,
     "x17_map_funcs" -> mapCatalog,
     "x16_bitwise" -> bitwiseOps,
     "x15_order_stats" -> orderStats,
@@ -649,6 +698,22 @@ object Scalars extends QueryPack {
         |    AS n_active_days,
         |  CAST(MAX(n) AS BIGINT) AS peak_day_count
         |FROM long GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x23_not_in_null_trap" ->
+      """WITH sub AS (
+        |  SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL
+        |    ELSE o_custkey END AS k FROM orders
+        |  WHERE month(o_orderdate) = 12),
+        |subnn AS (SELECT k FROM sub WHERE k IS NOT NULL),
+        |a AS (SELECT COUNT(*) AS n_not_in FROM customer
+        |  WHERE c_custkey NOT IN (SELECT k FROM sub)),
+        |b AS (SELECT COUNT(*) AS n_not_exists FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k = c.c_custkey)),
+        |c AS (SELECT COUNT(*) AS n_not_in_clean FROM customer
+        |  WHERE c_custkey NOT IN (SELECT k FROM subnn))
+        |SELECT n_not_in, n_not_exists, n_not_in_clean,
+        |  n_not_in = 0 AND n_not_exists > 0 AS trap_fired,
+        |  n_not_in_clean = n_not_exists AS clean_equals_exists
+        |FROM a CROSS JOIN b CROSS JOIN c""".stripMargin,
     "x19_try_arith" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
