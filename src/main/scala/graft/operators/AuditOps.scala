@@ -613,7 +613,10 @@ object AuditOps extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "l96_bradley_terry" -> {
-      val stop = "'the','and','of','to','in','is','a'"
+      // interpolated from the SAME lexicon the Spark side scores with —
+      // a list edit cannot silently desynchronize the oracle
+      val stop = Text.langStopwords.head._2
+        .map(w => s"'$w'").mkString(",")
       s"""WITH p AS (
          |  SELECT doc_id, source,
          |    (1000 * len(list_filter($oToks, t -> t IN ($stop))))
