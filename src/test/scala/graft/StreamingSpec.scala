@@ -737,6 +737,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamedFlagged === batchFlagged)
   }
 
+  test("d22 streamed: foreachBatch delta joins accumulate to the full " +
+      "recompute (join-IVM under micro-batched appends)") {
+    implicit val sqlCtx = spark.sqlContext
+    // static side B and an append-only stream of A-deltas: each batch
+    // contributes exactly ΔA⋈B (B is static, so the ΔA⋈ΔB and A⋈ΔB
+    // terms are empty — the streaming degenerate of d22's full rule)
+    val b = T.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice").cache()
+    val aRows = T.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderpriority")
+      .as[(Long, String)].collect().toSeq
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("o_orderkey", "o_orderpriority")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.join(b, batch("o_orderkey") === b("l_orderkey"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(($"l_extendedprice" * 100).cast("long")).as("cents"))
+          .collect()
+          .foreach(r => acc += ((r.getString(0), r.getLong(1),
+            r.getLong(2))))
+        ()
+      }.start()
+    try {
+      aRows.grouped(math.max(1, aRows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = acc.groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).sum, v.map(_._3).sum)).toMap
+    val full = T.load(spark, sfDir, "orders")
+      .join(b, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(($"l_extendedprice" * 100).cast("long")).as("cents"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === full,
+      "micro-batched delta joins diverged from the full recompute")
+  }
+
   test("t14: the registered candidate-derived rollup equals the direct " +
       "ownership rollup") {
     val direct = Streaming.bandDedupFlags(
