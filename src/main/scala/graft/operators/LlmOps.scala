@@ -353,14 +353,33 @@ object LlmOps extends QueryPack {
     * per side only for deduped candidates (the l07 narrow-join
     * discipline). Hot shingles fan out C(df,2) candidates at worst;
     * rarest-first ordering makes prefixes rare by construction. */
-  def setSimPairs(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sets = Barriers.materialize(d
+  /** The per-doc DISTINCT 3-gram shingle SET frame (doc_id, sh),
+    * materialized — the input both l98 (set-similarity join) and l92
+    * (containment audit) fetch wide arrays from. */
+  def buildShingleSets(d: DataFrame): DataFrame =
+    Barriers.materialize(d
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .repartition(d.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         array_distinct(Text.shinglesFromTokens("tk", 3)).as("sh"))
       .filter(size(col("sh")) > 0))
+
+  /** Process-level cache of [[buildShingleSets]] over the documents
+    * table per (session, dir) — the candCache discipline: l98 and l92
+    * consume the IDENTICAL frame, and before this cache each rebuilt
+    * the tokenize→shingle→distinct→checkpoint chain per invocation. */
+  private val shingleSetCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def sharedShingleSets(s: SparkSession, dir: String): DataFrame =
+    shingleSetCache.computeIfAbsent((s, dir),
+      _ => buildShingleSets(docs(s, dir)))
+
+  def setSimPairs(d: DataFrame): DataFrame =
+    setSimPairsFrom(buildShingleSets(d))
+
+  def setSimPairsFrom(sets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = sets.select(col("doc_id"), size(col("sh")).as("m"),
       explode(col("sh")).as("g"))
     val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -395,7 +414,8 @@ object LlmOps extends QueryPack {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val setSimJoin: Q = (s, dir) => setSimPairs(docs(s, dir))
+  private val setSimJoin: Q = (s, dir) =>
+    setSimPairsFrom(sharedShingleSets(s, dir))
 
   /** 62-bit portable SimHash signatures (three-phase: hash tokens once,
     * sign-sum fold, pack — see Text.simhashWidth for the 62-vs-64

@@ -547,16 +547,12 @@ object QualityOps extends QueryPack {
       .select(col("doc_a"), col("doc_b"))
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // same tokenize-below-exchange barrier discipline as
-    // minhashCandidates: the regex tokenizer must not be spliced into
-    // the per-shingle lambda by CollapseProject
-    val sh = Barriers.materialize(docs(s, dir)
+    // the distinct-shingle-set frame comes from the PROCESS-SHARED
+    // cache (LlmOps.sharedShingleSets, also l98's input — the
+    // candCache discipline); the semi-join narrows it to candidate
+    // docs, so the wide arrays fetched stay O(candidate docs)
+    val sh = LlmOps.sharedShingleSets(s, dir)
       .join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        array_distinct(Text.shinglesFromTokens("toks", 3)).as("sh"))
-      .filter(size(col("sh")) > 0))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         "doc_a")
