@@ -855,13 +855,14 @@ object Joins extends QueryPack {
     * long per round — model-bounded traffic, the l32 k-means loop
     * discipline) detects convergence, so the output is EXACT
     * components, not a hop-bounded approximation (q30's depth-bounded
-    * BFS is the other trade). Rounds = graph diameter; on co-purchase
-    * graphs (dense order-cliques) that is small. At 100 TB diameter
-    * you'd switch to alternating large-star/small-star (Kiveris et
-    * al., "Connected Components in MapReduce", SoCC'14) or the q26
-    * pointer-doubling ladder — both already demonstrated in this repo
-    * (q26 doubling, l21 pointer-jumping); this entry keeps the
-    * fixpoint loop, the variant whose TERMINATION is data-driven.
+    * BFS is the other trade). Rounds = graph diameter, so this variant
+    * is only safe on known-low-diameter graphs and now throws (loud)
+    * rather than returning a partial labeling if the cap is hit. The
+    * REGISTERED q41 entry uses [[componentSizesStar]] — alternating
+    * large-star/small-star contraction (Kiveris et al., SoCC'14),
+    * O(log n) rounds on ANY diameter — making this fixpoint form the
+    * spec-driven pedagogical baseline, alongside the q26
+    * pointer-doubling and l21 pointer-jumping rungs of the ladder.
     *
     * Scale shape per round: one shuffle of (node, lbl) pairs keyed by
     * node, edge frame materialized once and replayed; labels
@@ -895,6 +896,89 @@ object Joins extends QueryPack {
       labels = next.select(col("node"), col("lbl"))
       rounds += 1
     }
+    // LOUD non-convergence: a graph whose diameter exceeds the round
+    // cap must throw, never return a partially-propagated labeling as
+    // if it were the component count. Diameter-robust callers should
+    // use [[componentSizesStar]], which converges in O(log n) rounds.
+    require(changed == 0,
+      s"componentSizes: min-label propagation did not converge within " +
+        s"$rounds rounds (graph diameter exceeds the cap); use " +
+        "componentSizesStar for high-diameter graphs")
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_components"), min(col("lbl")).as("min_label"))
+      .orderBy("size")
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the diameter-proof variant of
+    * [[componentSizes]]: O(log n) rounds regardless of graph shape, so
+    * a 100 TB path-shaped graph (diameter ~n) converges in ~2·log₂ n
+    * rounds where min-label propagation needs n.
+    *
+    * Edge state is the canonical (hi, lo) pair set, hi > lo.
+    *  - large-star: for every node x, m = min(N(x) ∪ {x}); re-point
+    *    every STRICTLY LARGER neighbor y > x at m — emits (y, m).
+    *  - small-star: key each edge by its larger endpoint; for node u
+    *    with (all-smaller) neighborhood N, m = min(N); re-point every
+    *    other member of N ∪ {u} at m.
+    * Both preserve connectivity and only ever lower a node's link
+    * target; the composition contracts to star forests where every
+    * non-min node points directly at its component minimum.
+    *
+    * Scale shape per round: two groupBy-min shuffles over the edge
+    * list plus one anti-join for the convergence check — all keyed on
+    * node ids, no row wider than (long, long). Edges re-materialize
+    * per round so lineage stays flat. Convergence is verified
+    * STRUCTURALLY, not assumed: the loop requires next ⊆ cur with
+    * equal distinct counts (set equality), and the final state must be
+    * a star forest (no root appears as a child) or the call throws. */
+  def componentSizesStar(edges: DataFrame): DataFrame = {
+    var cur = graft.core.Barriers.materialize(
+      edges.select(greatest(col("u"), col("v")).as("hi"),
+          least(col("u"), col("v")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct())
+    var curCnt = cur.count()
+    var changed = curCnt > 0
+    var rounds = 0
+    while (changed) {
+      // 2·log₂(n) rounds suffice for any n the id type can hold; hitting
+      // this bound means a logic bug, not a big graph — fail loud.
+      require(rounds < 128, "componentSizesStar: star contraction did " +
+        s"not reach a fixpoint in $rounds rounds — algorithmic invariant " +
+        "violated (expected O(log n) convergence)")
+      // large-star over both orientations of every edge
+      val nbrs = cur.select(col("hi").as("x"), col("lo").as("y"))
+        .union(cur.select(col("lo").as("x"), col("hi").as("y")))
+      val minsL = nbrs.groupBy("x").agg(min(col("y")).as("my"))
+        .select(col("x"), least(col("x"), col("my")).as("m"))
+      val large = nbrs.join(minsL, "x").filter(col("y") > col("x"))
+        .select(col("y").as("hi"), col("m").as("lo")).distinct()
+      // small-star over the larger-endpoint orientation only
+      val minsS = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = graft.core.Barriers.materialize(
+        large.join(minsS, "hi").filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .union(minsS.select(col("hi"), col("m").as("lo")))
+          .distinct())
+      val nextCnt = next.count()
+      // set equality on distinct sets: next ⊆ cur (empty anti) ∧ |next|=|cur|
+      val fresh = next.join(cur, Seq("hi", "lo"), "left_anti").count()
+      changed = fresh != 0 || nextCnt != curCnt
+      cur = next
+      curCnt = nextCnt
+      rounds += 1
+    }
+    // Star-forest invariant, checked loud: every lo must be a root
+    // (appear in no hi position). A non-star fixpoint would silently
+    // merge or split components in the rollup below.
+    val roots = cur.select(col("lo").as("r")).distinct()
+    require(cur.join(roots, col("hi") === col("r"), "left_semi")
+      .isEmpty,
+      "componentSizesStar: fixpoint is not a star forest")
+    val labels = cur.select(col("hi").as("node"), col("lo").as("lbl"))
+      .union(roots.select(col("r").as("node"), col("r").as("lbl")))
     labels.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
       .groupBy(col("size"))
       .agg(count(lit(1)).as("n_components"), min(col("lbl")).as("min_label"))
@@ -902,7 +986,7 @@ object Joins extends QueryPack {
   }
 
   private val connectedComponents: Q = (s, dir) =>
-    componentSizes(copurchaseEdges(s, dir)
+    componentSizesStar(copurchaseEdges(s, dir)
       .filter(col("u") < ccPanel && col("v") < ccPanel))
 
   /** The q28 computation over any canonical (u < v) edge list, exposed

@@ -127,4 +127,49 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pout.toSeq == Seq((30L, 1L, 0L)))
   }
+
+  test("q41 star contraction: diameter-100 path converges in O(log n) " +
+      "rounds where min-label would need 100") {
+    // The registered q41 engine. A 101-node path (diameter 100) is the
+    // adversarial shape for label propagation; star contraction must
+    // still resolve it exactly — one component, labeled by its head.
+    val path = edges((0L until 100L).map(i => (i, i + 1)))
+    val out = Joins.componentSizesStar(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((101L, 1L, 0L)))
+  }
+
+  test("q41 star contraction agrees with fixpoint propagation on " +
+      "planted multi-component graphs") {
+    val g = edges(Seq(
+      (10L, 11L), (11L, 12L), (10L, 12L),         // triangle {10,11,12}
+      (20L, 21L), (21L, 22L), (22L, 23L),         // path {20..23}
+      (30L, 31L)))                                // edge {30,31}
+    val star = Joins.componentSizesStar(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fix = Joins.componentSizes(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(star.toSeq == fix.toSeq)
+    assert(star.toSeq == Seq((2L, 1L, 30L), (3L, 1L, 10L), (4L, 1L, 20L)))
+    // empty edge list: both engines return an empty distribution
+    val none = edges(Seq.empty)
+    assert(Joins.componentSizesStar(none).isEmpty)
+    assert(Joins.componentSizes(none).isEmpty)
+  }
+
+  test("q41 fixpoint: exceeding the round cap throws loud, never " +
+      "returns a partial labeling") {
+    // diameter 200 > the 64-round cap: min-label propagation cannot
+    // converge, and the contract is an exception — a silent partial
+    // labeling would report a WRONG component count.
+    val longPath = edges((0L until 200L).map(i => (i, i + 1)))
+    val ex = intercept[IllegalArgumentException] {
+      Joins.componentSizes(longPath).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // the same graph resolves fine through the registered star engine
+    val out = Joins.componentSizesStar(longPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((201L, 1L, 0L)))
+  }
 }
