@@ -667,14 +667,20 @@ object CurationOps extends QueryPack {
     * by definition); the corpus side is one shingle explosion with a
     * pushed-down doc_id filter, one distinct per (doc, shingle), and
     * one left join against the broadcast set — the corpus never
-    * shuffles on anything wider than (doc_id, shingle-hash). */
+    * shuffles on anything wider than (doc_id, shingle-hash): shingles
+    * are folded to portable 64-bit hashes BEFORE the distinct, so the
+    * wide movement is longs, not n-gram strings (the l41/l60 span
+    * discipline; the DuckDB oracle replays the identical fold, so any
+    * hash collision is shared and the counts still agree exactly). */
   private val contaminationScore: Q = (s, dir) => {
     val d = docs(s, dir)
     def shingled(src: DataFrame): DataFrame = src
       .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
       .repartition(src.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
-        explode(Text.shinglesFromTokens("toks", overlapN)).as("shingle"))
+        Text.shinglesFromTokens("toks", overlapN).as("shs"))
+      .select(col("doc_id"), col("source"),
+        explode(Text.shingleHashes("shs")).as("shingle"))
     val probe = shingled(d.filter(col("doc_id") < 5))
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1L))
@@ -796,8 +802,14 @@ object CurationOps extends QueryPack {
       .filter(col("diff") === col("max_diff"))
       .groupBy(col("source"), col("n_s"), col("n_rest"), col("max_diff"))
       .agg(min(col("v")).as("argmax_v"))
+      // greatest(..., 1): a single-source frame has n_rest = 0 — there
+      // max_diff is identically 0 (cum_all == cum_s for every v), so
+      // the guard turns the degenerate 0 div 0 (NULL in Spark, a
+      // division error in DuckDB's spelling) into the sensible
+      // "no drift vs nothing" 0 for helper callers outside the
+      // registered multi-source instance.
       .withColumn("ks_permille",
-        expr("(1000 * max_diff) div (n_s * n_rest)"))
+        expr("(1000 * max_diff) div greatest(n_s * n_rest, 1)"))
       .select(col("source"), col("n_s").as("n_docs"), col("ks_permille"),
         col("argmax_v"))
       .orderBy("source")
@@ -1164,7 +1176,10 @@ object CurationOps extends QueryPack {
          |    AS cum_tokens
          |FROM g ORDER BY band""".stripMargin,
     "l45_contamination_score" -> {
-      val sh = Text.oMinhashShinglesSql("toks", overlapN)
+      // same portable per-shingle hash fold as the Spark side: the
+      // distinct/join key is the 64-bit hash, never the n-gram string
+      val sh = s"list_transform(${Text.oMinhashShinglesSql("toks", overlapN)}, " +
+        s"g -> ${Text.oPortableStrHashSql("g")})"
       s"""WITH pr AS (
          |  SELECT DISTINCT shingle FROM (
          |    SELECT unnest($sh) AS shingle FROM (

@@ -327,6 +327,31 @@ object LlmOps extends QueryPack {
   private val ssNum = 6
   private val ssDen = 10
 
+  /** The per-doc DISTINCT 3-gram shingle SET frame (doc_id, sh),
+    * materialized — the input both l98 (set-similarity join) and l92
+    * (containment audit) fetch wide arrays from. */
+  def buildShingleSets(d: DataFrame): DataFrame =
+    Barriers.materialize(d
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_distinct(Text.shinglesFromTokens("tk", 3)).as("sh"))
+      .filter(size(col("sh")) > 0))
+
+  /** Process-level cache of [[buildShingleSets]] over the documents
+    * table per (session, dir) — the candCache discipline: l98 and l92
+    * consume the IDENTICAL frame, and before this cache each rebuilt
+    * the tokenize→shingle→distinct→checkpoint chain per invocation. */
+  private val shingleSetCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def sharedShingleSets(s: SparkSession, dir: String): DataFrame =
+    shingleSetCache.computeIfAbsent((s, dir),
+      _ => buildShingleSets(docs(s, dir)))
+
+  def setSimPairs(d: DataFrame): DataFrame =
+    setSimPairsFrom(buildShingleSets(d))
+
   /** l98: EXACT set-similarity self-join via prefix filtering (the
     * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     * WWW'08): all document pairs whose 3-gram shingle SETS have
@@ -353,31 +378,6 @@ object LlmOps extends QueryPack {
     * per side only for deduped candidates (the l07 narrow-join
     * discipline). Hot shingles fan out C(df,2) candidates at worst;
     * rarest-first ordering makes prefixes rare by construction. */
-  /** The per-doc DISTINCT 3-gram shingle SET frame (doc_id, sh),
-    * materialized — the input both l98 (set-similarity join) and l92
-    * (containment audit) fetch wide arrays from. */
-  def buildShingleSets(d: DataFrame): DataFrame =
-    Barriers.materialize(d
-      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-      .repartition(d.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        array_distinct(Text.shinglesFromTokens("tk", 3)).as("sh"))
-      .filter(size(col("sh")) > 0))
-
-  /** Process-level cache of [[buildShingleSets]] over the documents
-    * table per (session, dir) — the candCache discipline: l98 and l92
-    * consume the IDENTICAL frame, and before this cache each rebuilt
-    * the tokenize→shingle→distinct→checkpoint chain per invocation. */
-  private val shingleSetCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  def sharedShingleSets(s: SparkSession, dir: String): DataFrame =
-    shingleSetCache.computeIfAbsent((s, dir),
-      _ => buildShingleSets(docs(s, dir)))
-
-  def setSimPairs(d: DataFrame): DataFrame =
-    setSimPairsFrom(buildShingleSets(d))
-
   def setSimPairsFrom(sets: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = sets.select(col("doc_id"), size(col("sh")).as("m"),
@@ -1249,7 +1249,10 @@ object LlmOps extends QueryPack {
     * corpus-side shingle stream joins without shuffling; left_semi
     * keeps candidate docs without multiplying rows per matching
     * shingle; the only wide movement is the distinct on contaminated
-    * doc_ids. */
+    * doc_ids. Shingles fold to portable 64-bit hashes at the explode,
+    * so both the probe distinct and the semi-join key are longs, never
+    * 8-token strings — the oracle replays the identical fold, making
+    * any collision shared (counts still agree exactly). */
   def contamination(d: DataFrame, isProbe: Column, n: Int = 8): DataFrame = {
     // Shingle each side from its own FILTERED scan: the probe filter
     // pushes down to the source, so only benchmark docs are tokenized
@@ -1260,8 +1263,9 @@ object LlmOps extends QueryPack {
     def shingles(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), Text.shinglesFromTokens("toks", n).as("shs"))
       .select(col("doc_id"),
-        explode(Text.shinglesFromTokens("toks", n)).as("shingle"))
+        explode(Text.shingleHashes("shs")).as("shingle"))
     val probe = shingles(d.filter(isProbe)).select(col("shingle")).distinct()
     shingles(d.filter(!isProbe))
       .join(broadcast(probe), Seq("shingle"), "left_semi")
@@ -2942,7 +2946,8 @@ object LlmOps extends QueryPack {
          |sh AS (
          |  SELECT doc_id,
          |    unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
-         |      i -> array_to_string(t[i + 1 : i + 8], ' '))) AS shingle
+         |      i -> ${Text.oPortableStrHashSql(
+                  "array_to_string(t[i + 1 : i + 8], ' ')")})) AS shingle
          |  FROM toks),
          |probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
          |cont AS (

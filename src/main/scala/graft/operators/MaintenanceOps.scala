@@ -152,7 +152,9 @@ object MaintenanceOps extends QueryPack {
 
   /** M12: storage-cost report — the reference's cost-manager analog
     * (`generate_cost_report` + partition storage analysis,
-    * PRD.md:4854-5090): per month-partition of the event stream,
+    * PRD.md:4854-5090): per week-partition of the event stream
+    * (date_trunc("week") — the ~30-day corpus yields just one month,
+    * so the week grain is what exercises multi-partition tiering),
     * BigQuery-style LOGICAL bytes (8 per INT64/FLOAT64/TIMESTAMP,
     * 2 + octet_length per STRING — the billable definition, computable
     * identically in both engines, unlike physical parquet bytes),

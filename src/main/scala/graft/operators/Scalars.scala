@@ -352,22 +352,32 @@ object Scalars extends QueryPack {
     val subNoNull = sub.filter(col("k").isNotNull)
     // NOT IN under 3VL: NULL in the list ⇒ no row can pass. Spark's
     // null-aware anti join (isin negation needs the literal list, so
-    // spell it as the SQL the trap arises from)
-    c.createOrReplaceTempView("x23_c")
-    sub.createOrReplaceTempView("x23_sub")
-    subNoNull.createOrReplaceTempView("x23_subnn")
-    val notIn = s.sql(
-      "SELECT COUNT(*) AS n FROM x23_c WHERE c_custkey NOT IN " +
-        "(SELECT k FROM x23_sub)")
-    val notExists = s.sql(
-      "SELECT COUNT(*) AS n FROM x23_c c WHERE NOT EXISTS " +
-        "(SELECT 1 FROM x23_sub s WHERE s.k = c.c_custkey)")
-    val notInClean = s.sql(
-      "SELECT COUNT(*) AS n FROM x23_c WHERE c_custkey NOT IN " +
-        "(SELECT k FROM x23_subnn)")
-    notIn.select(col("n").as("n_not_in"))
-      .crossJoin(notExists.select(col("n").as("n_not_exists")))
-      .crossJoin(notInClean.select(col("n").as("n_not_in_clean")))
+    // spell it as the SQL the trap arises from). View names carry a
+    // per-invocation unique suffix and are dropped before returning:
+    // fixed names registered in the shared session catalog would let
+    // concurrent/repeated invocations against different data dirs
+    // silently read each other's frames (and leak into the catalog).
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (vc, vSub, vSubNN) = (s"x23_c_$tag", s"x23_sub_$tag", s"x23_subnn_$tag")
+    c.createOrReplaceTempView(vc)
+    sub.createOrReplaceTempView(vSub)
+    subNoNull.createOrReplaceTempView(vSubNN)
+    val (notIn, notExists, notInClean) =
+      try {
+        // Each branch is collected to a single count row while the
+        // views exist — the returned frame must not lazily re-resolve
+        // dropped view names at the caller's execution time.
+        def one(q: String): Long = s.sql(q).collect()(0).getLong(0)
+        (one(s"SELECT COUNT(*) AS n FROM $vc WHERE c_custkey NOT IN " +
+            s"(SELECT k FROM $vSub)"),
+          one(s"SELECT COUNT(*) AS n FROM $vc c WHERE NOT EXISTS " +
+            s"(SELECT 1 FROM $vSub s WHERE s.k = c.c_custkey)"),
+          one(s"SELECT COUNT(*) AS n FROM $vc WHERE c_custkey NOT IN " +
+            s"(SELECT k FROM $vSubNN)"))
+      } finally Seq(vc, vSub, vSubNN).foreach(s.catalog.dropTempView(_))
+    import s.implicits._
+    Seq((notIn, notExists, notInClean))
+      .toDF("n_not_in", "n_not_exists", "n_not_in_clean")
       .withColumn("trap_fired",
         col("n_not_in") === 0 && col("n_not_exists") > 0)
       .withColumn("clean_equals_exists",

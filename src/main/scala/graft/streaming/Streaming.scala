@@ -671,6 +671,19 @@ object Streaming extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** The (doc_id, band_idx, band_key) rows of t14's key space — the
+    * chain a STREAMING frame can run (no barrier, no repartition;
+    * both are batch-side tuning). Shared by StreamingSpec's real
+    * flatMapGroupsWithState drive. */
+  def bandKeyRows(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+    .select(col("doc_id"),
+      graft.functions.Text.shinglesFromTokens("toks", 3).as("sh"))
+    .filter(size(col("sh")) > 0)
+    .select(col("doc_id"),
+      posexplode(graft.functions.Text.minhashBands(col("sh"), 16, 4))
+        .as(Seq("band_idx", "band_key")))
+
   /** T14: streaming near-dup detection — the MinHash-banded sibling of
     * t04's exact-id dedup, and the streaming face of l07: an arriving
     * document is flagged when it shares a band key with an EARLIER
@@ -693,19 +706,6 @@ object Streaming extends QueryPack {
     * both the ownership aggregate and the flag join. Docs too short to
     * shingle never enter the key space and are excluded from n_docs —
     * they cannot near-duplicate anything. */
-  /** The (doc_id, band_idx, band_key) rows of t14's key space — the
-    * chain a STREAMING frame can run (no barrier, no repartition;
-    * both are batch-side tuning). Shared by StreamingSpec's real
-    * flatMapGroupsWithState drive. */
-  def bandKeyRows(d: DataFrame): DataFrame = d
-    .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
-    .select(col("doc_id"),
-      graft.functions.Text.shinglesFromTokens("toks", 3).as("sh"))
-    .filter(size(col("sh")) > 0)
-    .select(col("doc_id"),
-      posexplode(graft.functions.Text.minhashBands(col("sh"), 16, 4))
-        .as(Seq("band_idx", "band_key")))
-
   def bandDedupFlags(d: DataFrame): DataFrame = {
     val sh = d
       .select(col("doc_id"), col("source"),

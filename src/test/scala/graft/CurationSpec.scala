@@ -159,6 +159,11 @@ class CurationSpec extends SparkSpec {
     // the full CDF separation is first reached at A's top value
     assert(rd.map(r => r.getString(0) -> r.getAs[Long]("argmax_v"))
       .toMap === Map("A" -> 110L, "B" -> 110L))
+    // degenerate single-source frame: n_rest = 0, and the guard must
+    // report "no drift" 0 — not NULL (0 div 0) — for helper callers
+    val solo = Seq(("A", 100L), ("A", 200L)).toDF("source", "n_chars")
+    val ro = CurationOps.ksDriftStats(solo).collect()
+    assert(ro.length == 1 && ro(0).getAs[Long]("ks_permille") === 0L)
   }
 
   test("l42: the mixing ledger's epochs/permille satisfy the ceil-div " +
