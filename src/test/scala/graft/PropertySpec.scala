@@ -553,4 +553,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("s11 generator contracts: frequency ordering, bounds, id " +
+      "uniqueness (the reference's simulator distribution laws)") {
+    // Mirrors tests/test_taxi_simulator.py:151-218 — the reference
+    // asserts its generator's DISTRIBUTIONS, not just row counts:
+    // payment-type frequency ordering (:151-163), per-type value
+    // tendency (:165-183), duration bounds (:195-201), coordinate
+    // bounds (:203-218), and unique prefixed ids (:130-149). The s11
+    // source carries the same contracts over its own columns, and
+    // because every column is a deterministic mixer of the row id the
+    // laws are exact facts of the formula, not flaky sampling.
+    val rows = 100000L
+    val g = spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", rows.toString).option("slices", "8").load()
+    val byType = g.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // weight cuts 40/25/15/15/5 ⇒ strict frequency ordering on the
+    // distinct weights (view > click > {purchase, signup} > error) —
+    // the payment_type card > cash > no_charge > dispute analog
+    val n = byType.view.mapValues(_._1).toMap
+    assert(n("view") > n("click") && n("click") > n("purchase") &&
+      n("purchase") > n("error"))
+    assert(n("click") > n("signup") && n("signup") > n("error"))
+    assert(n.values.sum == rows)
+    // value is type-independent by construction: every per-type mean
+    // sits near the global ~49.995 (the tip-tendency analog, with a
+    // deterministic rather than probabilistic tolerance)
+    byType.values.foreach { case (_, m) => assert(math.abs(m - 50.0) < 2.0) }
+    // bounds: value ∈ [0, 100), ts within the 30-day corpus window
+    // (the coordinate/duration-bounds analog)
+    val b = g.agg(min("value"), max("value"), min("ts"), max("ts"))
+      .collect()(0)
+    assert(b.getDouble(0) >= 0.0 && b.getDouble(1) < 100.0)
+    val epoch = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val lo = b.getTimestamp(2).toInstant
+    val hi = b.getTimestamp(3).toInstant
+    assert(!lo.isBefore(epoch) &&
+      hi.isBefore(epoch.plusSeconds(30L * 24 * 3600)))
+    // id uniqueness at scale (the hist_-prefix trip-id uniqueness
+    // analog): the id grid is dense [0, rows) with no dup, no gap
+    val ids = g.agg(countDistinct("event_id"), min("event_id"),
+      max("event_id")).collect()(0)
+    assert(ids.getLong(0) == rows && ids.getLong(1) == 0L &&
+      ids.getLong(2) == rows - 1)
+  }
 }

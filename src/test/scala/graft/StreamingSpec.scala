@@ -359,6 +359,69 @@ class StreamingSpec extends SparkSpec {
       "stale cross-batch update must lose to the stored seq")
   }
 
+  test("T7: kill/resume from checkpoint — a second query incarnation " +
+      "converges to the uninterrupted run's state AND version count") {
+    // The exactly-once claim (SURVEY T7 note), demonstrated rather
+    // than asserted: the same batch sequence is driven through (a) one
+    // uninterrupted query and (b) a query KILLED after the first
+    // batch, with the second batch arriving while it is down, then a
+    // NEW query incarnation resuming from the same checkpoint. Final
+    // table state and committed version count must be identical —
+    // proving the resumed incarnation neither re-applies the batch the
+    // checkpoint already committed nor skips the one that arrived
+    // during the outage. (The crash-BETWEEN-effect-and-checkpoint arm
+    // is the applyUpsertBatch replay-idempotence case above; together
+    // they cover both halves of exactly-once.)
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((1L, 1.0, 1L), (2L, 2.0, 2L))
+    val b2 = Seq((1L, 10.0, 3L), (3L, 3.0, 4L))
+    val b3 = Seq((2L, 20.0, 5L), (4L, 4.0, 6L))
+    val want = Map(1L -> 10.0, 2L -> 20.0, 3L -> 3.0, 4L -> 4.0)
+
+    def state(sn: graft.plans.Snapshots) = sn.current(spark, "kv")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // control: one uninterrupted query over all three batches
+    val snC = new graft.plans.Snapshots(graft.core.Scratch.dir("t7_ctl"))
+    val memC = MemoryStream[(Long, Double, Long)]
+    val qc = Streaming.upsertSink(memC.toDF().toDF("k", "v", "seq"),
+        snC, "kv", "k", "seq")
+      .option("checkpointLocation", graft.core.Scratch.dir("t7_ctl_ck"))
+      .start()
+    try {
+      Seq(b1, b2, b3).foreach { b => memC.addData(b); qc.processAllAvailable() }
+    } finally qc.stop()
+
+    // interrupted: killed after b1; b2 lands during the outage; a new
+    // incarnation over the SAME checkpoint + source must pick up b2
+    // exactly once and then consume b3 live
+    val snI = new graft.plans.Snapshots(graft.core.Scratch.dir("t7_int"))
+    val memI = MemoryStream[(Long, Double, Long)]
+    val ck = graft.core.Scratch.dir("t7_int_ck")
+    def incarnation() =
+      Streaming.upsertSink(memI.toDF().toDF("k", "v", "seq"),
+          snI, "kv", "k", "seq")
+        .option("checkpointLocation", ck).start()
+    val q1 = incarnation()
+    try { memI.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    val afterKill = state(snI)
+    memI.addData(b2) // arrives while no query is running
+    val q2 = incarnation()
+    try {
+      q2.processAllAvailable()
+      memI.addData(b3); q2.processAllAvailable()
+    } finally q2.stop()
+
+    assert(afterKill == Map(1L -> 1.0, 2L -> 2.0),
+      s"pre-kill state wrong: $afterKill")
+    assert(state(snI) == want && state(snC) == want,
+      s"resumed ${state(snI)} vs control ${state(snC)}")
+    assert(snI.versions("kv").size == snC.versions("kv").size,
+      "resumed run committed a different number of versions " +
+        s"(${snI.versions("kv").size} vs ${snC.versions("kv").size}) — " +
+        "a batch was re-applied or dropped across the restart")
+  }
+
   test("S2-adjacent: malformed CSV rows route to a corrupt-record column, not a crash") {
     // The reference's CSV parse tests feed malformed lines
     // (/root/reference/PRD.md:3193-3230); PERMISSIVE mode + a declared
