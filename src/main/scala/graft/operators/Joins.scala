@@ -963,9 +963,13 @@ object Joins extends QueryPack {
           .union(minsS.select(col("hi"), col("m").as("lo")))
           .distinct())
       val nextCnt = next.count()
-      // set equality on distinct sets: next ⊆ cur (empty anti) ∧ |next|=|cur|
-      val fresh = next.join(cur, Seq("hi", "lo"), "left_anti").count()
-      changed = fresh != 0 || nextCnt != curCnt
+      // set equality on distinct sets: next ⊆ cur (empty anti) ∧
+      // |next| = |cur|. The count gate is free (the materialize already
+      // ran a job); the anti-join runs ONLY on candidate fixpoints —
+      // contraction shrinks the edge set most rounds, so this saves a
+      // per-round shuffle job without weakening the equality proof.
+      changed = nextCnt != curCnt ||
+        !next.join(cur, Seq("hi", "lo"), "left_anti").isEmpty
       cur = next
       curCnt = nextCnt
       rounds += 1
