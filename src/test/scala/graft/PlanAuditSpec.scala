@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "q14_semi_join", "q15_rank_join", "q16_merge_upsert",
     "q17_asof_scd2", "q18_sql_entry",
     "w01_row_number_ids", "w03_lag_features", "w04_rolling_avg",
-    "w05_median_per_group", "w06_window_extras",
+    "w05_median_per_group", "w06_window_extras", "w24_percentile_window",
     "o03_bare_limit", "o04_set_ops", "o05_nulls_ordering",
     "x01_string_funcs", "x02_datetime_funcs", "x03_conditional_null",
     "x04_uuid", "x05_json_roundtrip", "x06_predicates", "x07_geohash",
