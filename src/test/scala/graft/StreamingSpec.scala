@@ -359,6 +359,74 @@ class StreamingSpec extends SparkSpec {
       "stale cross-batch update must lose to the stored seq")
   }
 
+  test("T5/T7: IN-FLIGHT windowed-aggregation state survives kill/" +
+      "resume — rows from both incarnations merge into one window") {
+    // The upsert kill/resume case below proves offset/effect recovery
+    // for foreachBatch (state in an external table); this one proves
+    // the HARD half: the state-store contents of an OPEN window —
+    // partial counts/sums the sink has never seen — must be restored
+    // from the checkpoint by the next incarnation and merged with
+    // post-outage arrivals. A count of 3 for the window can only exist
+    // if incarnation 2 recovered incarnation 1's in-flight 2 and added
+    // its own 1 — replaying from scratch would give 1, double-applying
+    // would give 4+.
+    implicit val sqlCtx = spark.sqlContext
+    def ts(t: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $t")
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val ck = Files.createTempDirectory("graft_winstate_ck").toString
+    val outDir = Files.createTempDirectory("graft_winstate_out").toString
+    def incarnation() = Streaming.windowedStats(
+        mem.toDF().toDF("ts", "event_type", "value"),
+        "ts", "value", "event_type")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ck).outputMode("append").start()
+
+    // incarnation 1: two rows land in the 10:00:00 minute window —
+    // the window stays OPEN (watermark at 10:00:20), so the sink has
+    // emitted nothing when the query is killed
+    val q1 = incarnation()
+    try {
+      mem.addData(Seq((ts("10:00:05"), "view", 10.0),
+        (ts("10:00:20"), "view", 20.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.schema(
+        "window_start timestamp, window_end timestamp, " +
+        "stat_hour timestamp, event_type string, trip_count long, " +
+        "avg_value double, total_revenue double")
+      .parquet(outDir).isEmpty,
+      "the open window must not have been emitted before the kill")
+
+    // a third same-window row arrives during the outage
+    mem.addData(Seq((ts("10:00:40"), "view", 30.0)))
+    val q2 = incarnation()
+    try {
+      q2.processAllAvailable()
+      // sentinel advances the watermark past the window, closing it
+      mem.addData(Seq((ts("12:00:00"), "sentinel", 0.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val out = spark.read.parquet(outDir)
+      .filter($"event_type" =!= "sentinel")
+      .select("window_start", "event_type", "trip_count", "avg_value",
+        "total_revenue")
+      .collect().toSeq
+    val batch = Streaming.windowedStats(
+        Seq((ts("10:00:05"), "view", 10.0), (ts("10:00:20"), "view", 20.0),
+          (ts("10:00:40"), "view", 30.0))
+          .toDF("ts", "event_type", "value"),
+        "ts", "value", "event_type")
+      .select("window_start", "event_type", "trip_count", "avg_value",
+        "total_revenue")
+      .collect().toSeq
+    assert(out.size == 1 && out == batch,
+      s"recovered window wrong: $out vs batch $batch")
+    assert(out.head.getAs[Long]("trip_count") == 3L,
+      "in-flight state was lost (count 1) or double-applied (count 4+) " +
+        s"across the restart: ${out.head}")
+  }
+
   test("T7: kill/resume from checkpoint — a second query incarnation " +
       "converges to the uninterrupted run's state AND version count") {
     // The exactly-once claim (SURVEY T7 note), demonstrated rather
