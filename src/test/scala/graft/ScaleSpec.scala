@@ -175,58 +175,6 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("AQE splits a skewed join partition at runtime (the no-manual-salt " +
-      "half of the skew story)") {
-    // k01/k05 are the EXPLICIT skew mitigation (salt in the query);
-    // this pins the runtime one: OptimizeSkewedJoin must detect a hot
-    // shuffle partition from MEASURED map outputs and split it into
-    // multiple tasks — at 1000 executors an unsplit hot key serializes
-    // the whole stage behind one straggler task. Thresholds are pinned
-    // low so the planted skew (one key owning ~90% of 300k rows)
-    // triggers deterministically regardless of session defaults.
-    val confs = Seq(
-      "spark.sql.adaptive.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
-      // both static and adaptive broadcast must stay off or the tiny
-      // build side would become a BHJ and hide the skew machinery
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      // hot key 0 carries 9/10 of the fact side; 30k cold keys pad the
-      // median so partition sizes are wildly unequal
-      val fact = spark.range(0, 300000).select(
-        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
-        concat(lit("payload_"), col("id")).as("payload"))
-      val dim = spark.range(0, 300000, 7).select(col("id").as("k"),
-        (col("id") % 97).as("grp"))
-      // reduce the payload column before the collect below so the
-      // driver pull is one long per row, not 270k strings; the JOIN
-      // (the skew target) still processes every wide row
-      val joined = fact.join(dim, "k").select(length(col("payload")).as("n"))
-      // collect() executes THIS dataset's own QueryExecution — a
-      // write()/count() would clone the plan and leave this one
-      // isFinalPlan=false, hiding the adaptive rewrite from the assert
-      joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"),
-        s"expected a shuffle join for the skew rewrite to target:\n$plan")
-      assert(plan.contains("skew=true"),
-        s"AQE did not mark/split the skewed partition:\n$plan")
-      // and the rewrite must not change the answer: hot key 0 is in the
-      // dim (0 % 7 == 0), so all 270,000 hot fact rows survive
-      assert(joined.count() ==
-        fact.join(dim.hint("merge"), "k").count())
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("k09: bitmap distinct is exact at both rollup grains") {
     val li = graft.core.Tables.load(spark, sfDir, "lineitem")
     val exactPer = li.groupBy(col("l_returnflag"))
