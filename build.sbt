@@ -39,3 +39,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // block manager lean. Override with SPARK_DRIVER_MEM if needed.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Surface deprecation details so API drift (Spark version bumps) is
+// visible at compile time instead of silently accumulating.
+ThisBuild / scalacOptions += "-deprecation"

@@ -1397,7 +1397,7 @@ object LlmOps extends QueryPack {
     val nodes = sym.select(col("a").as("doc_id")).distinct()
     var labels = Barriers.materialize(
       nodes.select(col("doc_id"), col("doc_id").as("label")))
-    var prevSum = Option(labels.agg(sum(col("label"))).head.get(0))
+    var prevSum = Option(labels.agg(sum(col("label"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     var converged = false
     var round = 0
@@ -1432,7 +1432,7 @@ object LlmOps extends QueryPack {
             Seq("label"), "left")
             .select(col("doc_id"),
               coalesce(col("parent_label"), col("label")).as("label")))
-      val newSum = Option(next.agg(sum(col("label"))).head.get(0))
+      val newSum = Option(next.agg(sum(col("label"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = newSum == prevSum
       prevSum = newSum

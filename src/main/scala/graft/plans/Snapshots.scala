@@ -97,7 +97,7 @@ class Snapshots(root: String) {
     vs.sliding(2).map { case Seq(pv, nv) =>
       val others = asOf(spark, table, nv).columns.filterNot(_ == key)
       def payload(v: Int, as: String) = asOf(spark, table, v)
-        .select(col(key), struct(others.map(col): _*).as(as))
+        .select(col(key), struct(others.toIndexedSeq.map(col): _*).as(as))
       payload(pv, "_prev").join(payload(nv, "_next"), Seq(key), "full_outer")
         .withColumn("_change_type",
           when(col("_prev").isNull, "INSERT")

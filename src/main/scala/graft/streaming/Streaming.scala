@@ -451,7 +451,7 @@ object Streaming extends QueryPack {
       val merged = all
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col(key))
-            .orderBy(col(seqCol).desc, struct(others: _*).desc)))
+            .orderBy(col(seqCol).desc, struct(others.toIndexedSeq: _*).desc)))
         .filter(col("_rn") === 1).drop("_rn")
       sn.commit(merged, table)
     }
