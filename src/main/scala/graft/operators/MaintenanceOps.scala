@@ -193,7 +193,32 @@ object MaintenanceOps extends QueryPack {
       .orderBy("week")
   }
 
+  /** M13: catalog-inventory query — the INFORMATION_SCHEMA.TABLES
+    * surface of the reference's verification suite
+    * (`scripts/verify_loaded_data.sql:100-105`: table_name / type /
+    * ddl per dataset table): for every registered table, the column
+    * count, the sorted lower-cased column list (the portable "ddl" —
+    * engine type spellings differ, column names don't), and the row
+    * count. One job: ten parallel COUNT(*) scans (parquet answers
+    * them from row-group metadata, no column IO) unioned; the schema
+    * facts enter as literals because schema IS metadata — reading
+    * data rows to learn it would be the anti-pattern. The DuckDB
+    * oracle reads its own information_schema.columns over the same
+    * registered views, so the check is genuinely cross-engine: both
+    * catalogs must describe the same tables the same way. */
+  private val catalogTables: Q = (s, dir) =>
+    T.names.map { t =>
+      val df = T.load(s, dir, t)
+      val cols = df.schema.fieldNames.map(_.toLowerCase).sorted
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"),
+          lit(cols.length.toLong).as("n_columns"),
+          lit(cols.mkString(",")).as("column_list"),
+          col("n_rows"))
+    }.reduce(_ unionAll _).orderBy("table_name")
+
   val queries: Map[String, Q] = Map(
+    "m13_catalog_tables" -> catalogTables,
     "m12_cost_report" -> costReport,
     "m11_dq_expectations" -> dqExpectations,
     "m06_analyze_stats" -> analyzeStats,
@@ -202,6 +227,25 @@ object MaintenanceOps extends QueryPack {
     "m05_query_perf" -> queryPerf)
 
   val oracle: Map[String, String] = Map(
+    // the oracle's catalog, not a replay of ours: DuckDB's
+    // information_schema.columns over the same registered views
+    "m13_catalog_tables" -> {
+      val counts = T.names
+        .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n_rows FROM $t")
+        .mkString(" UNION ALL ")
+      val inList = T.names.map(t => s"'$t'").mkString(", ")
+      s"""WITH cols AS (
+         |  SELECT table_name, CAST(COUNT(*) AS BIGINT) AS n_columns,
+         |    string_agg(lower(column_name), ',' ORDER BY lower(column_name))
+         |      AS column_list
+         |  FROM information_schema.columns
+         |  WHERE table_name IN ($inList)
+         |  GROUP BY 1),
+         |counts AS ($counts)
+         |SELECT c.table_name, c.n_columns, c.column_list, n.n_rows
+         |FROM cols c JOIN counts n USING (table_name)
+         |ORDER BY 1""".stripMargin
+    },
     "m12_cost_report" ->
       s"""WITH b AS (
          |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
