@@ -1743,6 +1743,43 @@ object LlmOps extends QueryPack {
       .orderBy("modality")
   }
 
+  /** l100: image resize — the preprocessing step between l69's decode
+    * and any fixed-input vision encoder: every planted P6 image
+    * (arbitrary 5-11 × 4-8 source sizes, NOT factor-aligned) is
+    * box-filter downsampled by [[Multimodal.resizeBoxGray]] to a 4×3
+    * grayscale thumbnail via the exact integer block partition (each
+    * source pixel contributes to exactly one target block; block
+    * average is floor division over the block area). The checked
+    * output is the per-(w, h)-class count and the positionally
+    * weighted thumbnail checksum Σ (t+1)·v_t — weights catch a
+    * transposed or mis-partitioned kernel that an unweighted sum
+    * would mask. The DuckDB oracle replays header-to-thumbnail
+    * arithmetic in closed form over the planted pixel function, so a
+    * mis-walked block boundary diverges instead of passing vacuously.
+    *
+    * 100 TB shape: resize is per-row narrow compute on the scan
+    * partitioning (mapPartitions, no shuffle of image bytes); only
+    * the (w, h, checksum) feature row moves, and the rollup is
+    * size-class-sized. */
+  private val imageResize: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 5 + (id % 7).toInt
+        val h = 4 + (id % 5).toInt
+        val bytes = Multimodal.encodePpm(w, h,
+          j => ((id * 31 + j) % 256).toInt)
+        val thumb = Multimodal.resizeBoxGray(bytes, 4, 3).get
+        val checksum = thumb.zipWithIndex
+          .map { case (v, t) => (t + 1).toLong * v }.sum
+        (id, w.toLong, h.toLong, checksum)
+      }).toDF("doc_id", "w", "h", "thumb_checksum")
+      .groupBy(col("w"), col("h"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("thumb_checksum")).as("sum_checksum"))
+      .orderBy("w", "h")
+  }
+
   /** l70: frame sampling FEEDING the real decoder — each doc carries a
     * video-style payload of `2 + doc_id % 7` fixed-size frames, every
     * frame itself a complete 4×2 binary PPM (35 bytes: 11 header + 24
@@ -2194,6 +2231,7 @@ object LlmOps extends QueryPack {
     "l12_multimodal_stats" -> multimodalStats,
     "l35_frame_sampling" -> frameSampling,
     "l69_media_decode" -> mediaDecode,
+    "l100_image_resize" -> imageResize,
     "l84_media_content_dedup" -> mediaContentDedup,
     "l94_perceptual_dedup" -> perceptualImageDedup,
     "l98_setsim_join" -> setSimJoin,
@@ -2804,6 +2842,31 @@ object LlmOps extends QueryPack {
         |  (1000 * (n_items - n_distinct_phash)) // n_items
         |    AS phash_dup_permille
         |FROM t CROSS JOIN cl""".stripMargin,
+    // closed-form replay of the whole header → gray → block-partition
+    // → floor-average → weighted-checksum chain; a mis-walked block
+    // boundary or transposed kernel diverges here
+    "l100_image_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 5 + (doc_id % 7) AS w, 4 + (doc_id % 5) AS h
+        |  FROM documents),
+        |t AS (
+        |  SELECT w, h,
+        |    CAST(list_sum(list_transform(range(0, 12), t -> (t + 1) *
+        |      (CAST(list_sum(flatten(list_transform(
+        |         range((t // 4) * h // 3, ((t // 4) + 1) * h // 3), y ->
+        |           list_transform(
+        |             range((t % 4) * w // 4, ((t % 4) + 1) * w // 4), x ->
+        |               (((id * 31 + 3 * (y * w + x)) % 256)
+        |                 + ((id * 31 + 3 * (y * w + x) + 1) % 256)
+        |                 + ((id * 31 + 3 * (y * w + x) + 2) % 256)) // 3))))
+        |         AS BIGINT)
+        |       // ((((t % 4) + 1) * w // 4 - (t % 4) * w // 4)
+        |          * (((t // 4) + 1) * h // 3 - (t // 4) * h // 3)))))
+        |      AS BIGINT) AS thumb_checksum
+        |  FROM d)
+        |SELECT w, h, COUNT(*) AS n_images,
+        |  CAST(SUM(thumb_checksum) AS BIGINT) AS sum_checksum
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // oracle never sees a payload byte, so it can only agree with the
     // Spark side if the header walks recover the exact dimensions,
     // channel order, and sample values that were encoded

