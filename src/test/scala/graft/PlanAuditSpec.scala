@@ -38,7 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "l04_token_count", "l05_exact_dedup", "l06_fingerprints",
     "l09_cosine_topk", "l10_embedding_neardup", "l11_ann_buckets",
     "l12_multimodal_stats", "l35_frame_sampling",
-    "l69_media_decode", "l70_video_frame_decode",
+    "l69_media_decode", "l70_video_frame_decode", "l100_image_resize",
     "l13_token_jaccard", "l17_train_split", "l18_decontamination",
     "l36_pq_index", "l37_pq_search", "l38_ivfpq_search",
     "l39_hard_negatives", "l52_ann_recall",
