@@ -381,10 +381,13 @@ object QualityOps extends QueryPack {
     * two tf counts); corpus stats are one 4-row rollup broadcast back;
     * rank ≤ 10 plans as WindowGroupLimit per qid — top-k state, never
     * a full sort; the metric rollup is 4 rows. */
-  private val retrievalQuality: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
+  /** The per-(query, doc) scored frame behind l71/l104: every doc
+    * crossed with the 4-row probe panel, carrying doc length and both
+    * term frequencies. Broadcast nested-loop over a literal frame —
+    * the corpus is scanned once, rows stay narrow. */
+  private def rqScored(s: SparkSession, dir: String): DataFrame = {
     val panel = s.createDataFrame(rqPanel).toDF("qid", "t1", "t2")
-    val scored = docs(s, dir)
+    docs(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .withColumn("dl", size(col("tk")).cast("double"))
       .crossJoin(broadcast(panel))
@@ -395,6 +398,14 @@ object QualityOps extends QueryPack {
       .withColumn("tf2",
         expr("CAST(size(filter(tk, x -> x = t2)) AS DOUBLE)"))
       .drop("tk")
+  }
+
+  /** The scored frame ranked per query by the rational-idf Okapi form
+    * (l43's spelling — no log, monotone, shared verbatim with the
+    * oracle) with doc_id tie-breaks, so rank is a total order. Rank ≤ k
+    * consumers plan as WindowGroupLimit — top-k state, no full sort. */
+  private def rqRanked(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val stats = scored.groupBy(col("qid").as("s_qid"))
       .agg(
         count(lit(1)).cast("double").as("n_docs"),
@@ -404,7 +415,7 @@ object QualityOps extends QueryPack {
     def term(i: Int): String =
       s"(((n_docs - df$i + 0.5) / (df$i + 0.5)) * " +
         s"((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))))"
-    val ranked = scored
+    scored
       .join(broadcast(stats), col("qid") === col("s_qid"))
       .withColumn("avgdl", expr("sum_dl / n_docs"))
       .withColumn("score", expr(s"${term(1)} + ${term(2)}"))
@@ -413,9 +424,19 @@ object QualityOps extends QueryPack {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("doc_id"))))
-    val corpusRel = scored.groupBy(col("qid"))
+  }
+
+  /** Planted ground truth per query: corpus-wide conjunctive-relevant
+    * count (the recall denominator / ideal-gain source). */
+  private def rqCorpusRel(scored: DataFrame): DataFrame =
+    scored.groupBy(col("qid"))
       .agg(coalesce(sum(when(col("tf1") > 0 && col("tf2") > 0, 1L)
         .otherwise(0L)), lit(0L)).as("n_relevant"))
+
+  private val retrievalQuality: Q = (s, dir) => {
+    val scored = rqScored(s, dir)
+    val ranked = rqRanked(scored)
+    val corpusRel = rqCorpusRel(scored)
     ranked.filter(col("rank") <= 10)
       .groupBy(col("qid"))
       .agg(
@@ -572,7 +593,225 @@ object QualityOps extends QueryPack {
           .otherwise(0L)), lit(0L)).as("n_near_subset"))
   }
 
+  // ---- l101: quality-vs-length Pareto frontier (distributed skyline) --
+
+  /** l101: the data-selection Pareto frontier — which documents are
+    * UNDOMINATED on (training cost, lexical quality)? Cost is token
+    * count (minimize), quality is lexical diversity in integer millis
+    * (1000·distinct_tokens div n_tok, maximize — l62's R3 numerator as
+    * a graded score). A doc is dominated iff some other doc is
+    * shorter-or-equal AND at-least-as-diverse with one strict — the
+    * frontier is what a threshold sweep (l68-style) walks when picking
+    * a selection cutoff, and the skyline operator family the reference
+    * class of engines ships as SKYLINE OF.
+    *
+    * Scale shape — the naive definition is an all-pairs NOT EXISTS
+    * (the DuckDB oracle runs exactly that as proof); the Spark plan is
+    * the two-phase distributed 2-D skyline:
+    *   1. bucket docs by length range (n_tok div 64): every doc in a
+    *      lower bucket is STRICTLY shorter than every doc in a higher
+    *      one, so cross-bucket domination needs only the per-bucket
+    *      max diversity — a |buckets|-row frame, prefix-maxed with a
+    *      tiny window and broadcast back (l59's sharded prefix-sum
+    *      pattern, applied to max).
+    *   2. within each bucket, two RANGE-frame windows ordered by
+    *      n_tok give max diversity over strictly-shorter and over
+    *      shorter-or-equal rows — partitioned sorts, no global sort.
+    * A doc survives iff no cheaper-bucket max ≥ its diversity, no
+    * strictly-shorter in-bucket doc has diversity ≥ it, and no
+    * shorter-or-equal in-bucket doc has diversity > it. O(n log n/p)
+    * per partition; the only global object is the bucket-max frame.
+    * 2-D skylines merge (skyline(A∪B) = skyline(skyline A ∪ skyline B),
+    * Börzsönyi et al. ICDE'01), which is exactly why the bucket
+    * decomposition is lossless — QualitySpec proves both laws. */
+  private val paretoFrontier: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pts = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+      .withColumn("div_milli", expr("(1000 * n_distinct) div n_tok"))
+      .withColumn("bucket", expr("n_tok div 64"))
+    val wLt = Window.partitionBy("bucket").orderBy(col("n_tok"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wLe = Window.partitionBy("bucket").orderBy(col("n_tok"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = pts
+      .withColumn("m_lt", max(col("div_milli")).over(wLt))
+      .withColumn("m_le", max(col("div_milli")).over(wLe))
+    // cheaper-bucket prefix max: |buckets| rows, single tiny window
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pm = pts.groupBy("bucket").agg(max("div_milli").as("bmax"))
+      .withColumn("pm", max(col("bmax")).over(wB))
+      .select("bucket", "pm")
+    local.join(broadcast(pm), "bucket")
+      .filter(
+        coalesce(col("pm") < col("div_milli"), lit(true)) &&
+          coalesce(col("m_lt") < col("div_milli"), lit(true)) &&
+          col("m_le") <= col("div_milli"))
+      .select(col("doc_id"), col("n_tok"), col("div_milli"))
+      .orderBy("n_tok", "doc_id")
+  }
+
+  // ---- l102: clipped bigram overlap (BLEU-style quotation audit) ------
+
+  /** l102: clipped bigram precision over the shared near-dup candidate
+    * pairs — the MULTISET overlap that distinguishes quotation from
+    * paraphrase. l13's Jaccard and l92's containment both work on
+    * shingle SETS, so a doc that repeats one borrowed sentence ten
+    * times scores the same as one that borrows it once; BLEU's clip
+    * rule (Papineni et al. ACL'02: each candidate n-gram counts at most
+    * its reference multiplicity) is the standard fix, and clipped
+    * precision ≥ 1/2 in either direction is the "mostly quoted" gate.
+    * Per pair over bigram COUNT maps: clip = Σ_g min(cnt_a, cnt_b),
+    * precision_a = clip/Σcnt_a (symmetric clip numerator, per-side
+    * denominators) — all integers, thresholds cross-multiplied.
+    *
+    * 100 TB shape: bigram counts are built ONLY for docs in some
+    * candidate pair (left-semi, the l92 discipline), keyed and
+    * shuffled as (doc_id, gram HASH, count) longs — strings never
+    * move. The per-pair merge is a full-outer equi-join on
+    * (pair, gram-hash) — O(Σ pair gram mass), never corpus². */
+  private val clippedOverlap: Q = (s, dir) => {
+    val cand = LlmOps.sharedMinhashCandidates(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val grams = docs(s, dir)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), Text.shinglesFromTokens("tk", 2).as("g2"))
+      .select(col("doc_id"), explode(col("g2")).as("g"))
+      .select(col("doc_id"),
+        expr(Text.portableStrHashSql("g")).as("gh"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt"))
+    val pa = cand
+      .join(grams.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("gh"),
+        col("cnt").as("cnt_a"))
+    val pb = cand
+      .join(grams.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("gh"),
+        col("cnt").as("cnt_b"))
+    val per = pa.join(pb, Seq("doc_a", "doc_b", "gh"), "full_outer")
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        sum(least(coalesce(col("cnt_a"), lit(0L)),
+          coalesce(col("cnt_b"), lit(0L)))).as("clip"),
+        sum(coalesce(col("cnt_a"), lit(0L))).as("den_a"),
+        sum(coalesce(col("cnt_b"), lit(0L))).as("den_b"))
+    val rollup = per.agg(
+      count(lit(1)).as("n_scored_pairs"),
+      coalesce(sum(when(col("den_a") > 0 &&
+        col("clip") * 2 >= col("den_a"), 1L).otherwise(0L)), lit(0L))
+        .as("n_quote_a_in_b"),
+      coalesce(sum(when(col("den_b") > 0 &&
+        col("clip") * 2 >= col("den_b"), 1L).otherwise(0L)), lit(0L))
+        .as("n_quote_b_in_a"),
+      coalesce(sum(col("clip")), lit(0L)).as("micro_clip"),
+      coalesce(sum(col("den_a")), lit(0L)).as("micro_den_a"),
+      coalesce(sum(col("den_b")), lit(0L)).as("micro_den_b"))
+    // candidate total rides beside the scored rollup (a pair where
+    // NEITHER side has a bigram contributes no gram rows and drops
+    // from `per`; the delta is the honest "unscorable" count)
+    cand.agg(count(lit(1)).as("n_candidates")).crossJoin(rollup)
+  }
+
+  // ---- l103: hashed-feature linear quality classifier -----------------
+
+  /** Fixed hashed-bucket weights (millis) for [[qualityClassifier]] —
+    * stands in for an offline-trained fastText/logistic model; the
+    * OPERATOR under test is the inference plan, not the fit. */
+  private val clfWeightsMilli: Seq[Long] = Seq(
+    120L, -340L, 75L, 210L, -95L, 330L, -150L, 45L,
+    260L, -410L, 180L, -60L, 305L, -225L, 90L, -135L)
+  private val clfBiasMilli = -50L
+
+  /** l103: model-based quality filtering at scale — the CCNet/GPT-3
+    * pipeline stage where a LINEAR classifier over hashed token
+    * features scores every document (Joulin et al. 2017 fastText: a
+    * bag-of-hashed-ngrams dot product; Brown et al. 2020 §A.2 uses the
+    * same shape for quality). score = bias + Σ_t w[h(t) mod 16], all
+    * integer millis with the l06 portable hash, so both engines agree
+    * bit-for-bit. Reported per source: docs, positives, positive rate
+    * (permille) and total score mass — the keep/drop ledger.
+    *
+    * 100 TB shape: inference is ONE codegen'd fold per row (weights
+    * are an inline 16-element literal array — the broadcast-free
+    * degenerate case of a broadcast model join); rollup is map-side
+    * combined on |sources| keys. No shuffle of anything row-sized. */
+  private val qualityClassifier: Q = (s, dir) => {
+    val wArr = clfWeightsMilli.mkString("array(", "L, ", "L)")
+    docs(s, dir)
+      .select(col("source"), Text.tokens(col("text")).as("tk"))
+      .withColumn("score_milli", expr(
+        s"""aggregate(tk, CAST($clfBiasMilli AS BIGINT),
+           |  (acc, t) -> acc + element_at($wArr,
+           |    CAST(pmod(${Text.portableStrHashSql("t")}, 16) + 1
+           |      AS INT)))""".stripMargin))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score_milli") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("score_milli")).as("sum_score_milli"))
+      .withColumn("pos_permille", expr("(1000 * n_pos) div n_docs"))
+      .orderBy("source")
+  }
+
+  // ---- l104: nDCG@10 over the planted qrels ----------------------------
+
+  /** Integer rank-discount table: disc(r) = round(1000/log2(r+1)) for
+    * r = 1..10, shipped as LITERALS shared verbatim with the oracle —
+    * the one place log2 would enter the lattice, frozen out of it. */
+  private val ndcgDiscMilli: Seq[Long] =
+    Seq(1000L, 631L, 500L, 431L, 387L, 356L, 333L, 315L, 301L, 289L)
+
+  /** l104: nDCG@10 on l71's planted conjunctive qrels — the
+    * position-weighted retrieval metric (Järvelin & Kekäläinen TOIS'02)
+    * that l71's recall/MRR ingredients can't express: a relevant hit
+    * at rank 1 must count more than one at rank 10. Binary gains ×
+    * [[ndcgDiscMilli]] give integer DCG; the ideal DCG is the prefix
+    * sum of the table at min(n_relevant, 10) (all-relevant-first);
+    * ndcg_permille = 1000·dcg div idcg. Every number an integer on
+    * the shared lattice — the oracle compares counts, not floats.
+    *
+    * 100 TB shape: identical to l71 (one corpus scan × 4-row panel,
+    * WindowGroupLimit top-10 per query); the discount and ideal
+    * tables are 10-row broadcast literals. */
+  private val ndcgAudit: Q = (s, dir) => {
+    val scored = rqScored(s, dir)
+    val ranked = rqRanked(scored)
+    val corpusRel = rqCorpusRel(scored)
+    val disc = s.createDataFrame(
+      ndcgDiscMilli.zipWithIndex.map { case (d, i) => (i + 1L, d) })
+      .toDF("rank_pos", "disc_milli")
+    val ideal = s.createDataFrame(
+      ndcgDiscMilli.scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (c, i) => (i + 1L, c) })
+      .toDF("k_ideal", "idcg_milli")
+    ranked.filter(col("rank") <= 10)
+      .join(broadcast(disc), col("rank") === col("rank_pos"))
+      .groupBy("qid")
+      .agg(coalesce(sum(when(col("relevant"), col("disc_milli"))
+        .otherwise(0L)), lit(0L)).as("dcg_milli"))
+      .join(corpusRel, Seq("qid"))
+      .withColumn("k_ideal", least(col("n_relevant"), lit(10L)))
+      .join(broadcast(ideal), Seq("k_ideal"), "left")
+      .withColumn("idcg_milli", coalesce(col("idcg_milli"), lit(0L)))
+      .withColumn("ndcg_permille", expr(
+        """CASE WHEN idcg_milli = 0 THEN CAST(0 AS BIGINT)
+          |ELSE (1000 * dcg_milli) div idcg_milli END""".stripMargin))
+      .select(col("qid"), col("n_relevant"), col("dcg_milli"),
+        col("idcg_milli"), col("ndcg_permille"))
+      .orderBy("qid")
+  }
+
   def queries: Map[String, Q] = Map(
+    "l101_pareto_frontier" -> paretoFrontier,
+    "l102_clipped_overlap" -> clippedOverlap,
+    "l103_quality_classifier" -> qualityClassifier,
+    "l104_ndcg" -> ndcgAudit,
     "l92_containment_audit" -> containmentAudit,
     "l91_wilson_gates" -> wilsonGates,
     "l90_good_turing" -> goodTuring,
@@ -587,6 +826,48 @@ object QualityOps extends QueryPack {
 
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
+
+  /** Shared oracle CTE chain for the probe-panel retrieval replay
+    * (l71/l104): panel → per-(query,doc) scoring → Okapi ranking →
+    * qrels. One spelling, two oracles — the oBandingCtes anti-drift
+    * discipline. Exposes CTEs `scored`, `rk` (with rnk), `rel`. */
+  private def oRqCtes: String =
+    s"""panel(qid, t1, t2) AS (VALUES
+       |  ('q0', 'spark', 'window'), ('q1', 'hash', 'join'),
+       |  ('q2', 'scan', 'filter'), ('q3', 'merge', 'sort')),
+       |d AS (
+       |  SELECT doc_id, $oToks AS tk FROM documents),
+       |scored AS (
+       |  SELECT p.qid, d.doc_id,
+       |    CAST(len(tk) AS DOUBLE) AS dl,
+       |    CAST(len(list_filter(tk, x -> x = p.t1)) AS DOUBLE) AS tf1,
+       |    CAST(len(list_filter(tk, x -> x = p.t2)) AS DOUBLE) AS tf2
+       |  FROM d CROSS JOIN panel p),
+       |stats AS (
+       |  SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |    SUM(dl) AS sum_dl,
+       |    SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+       |    SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+       |  FROM scored GROUP BY 1),
+       |ranked AS (
+       |  SELECT s.qid, s.doc_id, s.tf1, s.tf2,
+       |    (((n_docs - df1 + 0.5) / (df1 + 0.5)) *
+       |      ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))))) +
+       |    (((n_docs - df2 + 0.5) / (df2 + 0.5)) *
+       |      ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))))
+       |      AS score,
+       |    (s.tf1 > 0 AND s.tf2 > 0) AS relevant
+       |  FROM scored s JOIN stats USING (qid)
+       |  WHERE s.tf1 + s.tf2 > 0),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+       |  FROM ranked),
+       |rel AS (
+       |  SELECT qid,
+       |    CAST(SUM(CASE WHEN tf1 > 0 AND tf2 > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_relevant
+       |  FROM scored GROUP BY 1)""".stripMargin
 
   /** Shared oracle CTE chain for the MinHash banding replay (l67/l68):
     * tokenize → shingle → portable hashes → signatures → band keys →
@@ -617,7 +898,113 @@ object QualityOps extends QueryPack {
        |    AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** The nDCG discount / ideal-prefix tables as VALUES rows, derived
+    * from the ONE [[ndcgDiscMilli]] literal so query and oracle cannot
+    * drift. */
+  private def oNdcgDiscValues: String =
+    ndcgDiscMilli.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+  private def oNdcgCumValues: String =
+    ndcgDiscMilli.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, $c)" }.mkString(", ")
+
   def oracle: Map[String, String] = Map(
+    // the PROOF side of l101's two-phase skyline: the literal
+    // all-pairs NOT EXISTS domination definition (quadratic — lives
+    // here, never in the Spark plan; the l98 naive-oracle discipline)
+    "l101_pareto_frontier" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+         |  FROM (SELECT doc_id, $oToks AS tk FROM documents)),
+         |p AS (
+         |  SELECT doc_id, n_tok,
+         |    (1000 * n_distinct) // n_tok AS div_milli
+         |  FROM d)
+         |SELECT a.doc_id, a.n_tok, a.div_milli
+         |FROM p a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM p b
+         |  WHERE b.n_tok <= a.n_tok AND b.div_milli >= a.div_milli
+         |    AND (b.n_tok < a.n_tok OR b.div_milli > a.div_milli))
+         |ORDER BY a.n_tok, a.doc_id""".stripMargin,
+    // banding replay + per-pair clipped bigram-multiset merge; the
+    // full-outer USING join mirrors the Spark merge exactly
+    "l102_clipped_overlap" ->
+      s"""WITH ${oBandingCtes},
+         |g2 AS (
+         |  SELECT doc_id, ${Text.oMinhashShinglesSql("toks", 2)} AS g2
+         |  FROM t),
+         |gr AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(g2,
+         |      s -> ${Text.oPortableStrHashSql("s")})) AS gh
+         |  FROM g2),
+         |grams AS (
+         |  SELECT doc_id, gh, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM gr GROUP BY 1, 2),
+         |pa AS (
+         |  SELECT p.doc_a, p.doc_b, g.gh, g.cnt AS cnt_a
+         |  FROM pairs p JOIN grams g ON g.doc_id = p.doc_a),
+         |pb AS (
+         |  SELECT p.doc_a, p.doc_b, g.gh, g.cnt AS cnt_b
+         |  FROM pairs p JOIN grams g ON g.doc_id = p.doc_b),
+         |m AS (
+         |  SELECT doc_a, doc_b, COALESCE(cnt_a, 0) AS ca,
+         |    COALESCE(cnt_b, 0) AS cb
+         |  FROM pa FULL JOIN pb USING (doc_a, doc_b, gh)),
+         |per AS (
+         |  SELECT doc_a, doc_b, SUM(LEAST(ca, cb)) AS clip,
+         |    SUM(ca) AS den_a, SUM(cb) AS den_b
+         |  FROM m GROUP BY 1, 2)
+         |SELECT (SELECT COUNT(*) FROM pairs) AS n_candidates,
+         |  COUNT(*) AS n_scored_pairs,
+         |  CAST(COALESCE(SUM(CASE WHEN den_a > 0 AND clip * 2 >= den_a
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_quote_a_in_b,
+         |  CAST(COALESCE(SUM(CASE WHEN den_b > 0 AND clip * 2 >= den_b
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_quote_b_in_a,
+         |  CAST(COALESCE(SUM(clip), 0) AS BIGINT) AS micro_clip,
+         |  CAST(COALESCE(SUM(den_a), 0) AS BIGINT) AS micro_den_a,
+         |  CAST(COALESCE(SUM(den_b), 0) AS BIGINT) AS micro_den_b
+         |FROM per""".stripMargin,
+    // same 16-bucket hashed dot product, weights interpolated from
+    // the ONE Scala literal; integer millis end to end
+    "l103_quality_classifier" ->
+      s"""WITH t AS (SELECT source, $oToks AS tk FROM documents),
+         |sc AS (
+         |  SELECT source,
+         |    CAST($clfBiasMilli + COALESCE(list_sum(list_transform(tk,
+         |      tok -> (${clfWeightsMilli.mkString("[", ", ", "]")})[
+         |        CAST((${Text.oPortableStrHashSql("tok")}) % 16 AS INT)
+         |          + 1])), 0) AS BIGINT) AS score_milli
+         |  FROM t)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pos,
+         |  CAST(SUM(score_milli) AS BIGINT) AS sum_score_milli,
+         |  CAST((1000 * SUM(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END))
+         |    // COUNT(*) AS BIGINT) AS pos_permille
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the l71 ranking replay + integer discount/ideal lookup tables
+    "l104_ndcg" ->
+      s"""WITH $oRqCtes,
+         |disc(rank_pos, disc_milli) AS (VALUES $oNdcgDiscValues),
+         |ideal(k_ideal, idcg_vals) AS (VALUES $oNdcgCumValues),
+         |dcg AS (
+         |  SELECT r.qid,
+         |    CAST(COALESCE(SUM(CASE WHEN r.relevant
+         |      THEN dm.disc_milli ELSE 0 END), 0) AS BIGINT) AS dcg_milli
+         |  FROM rk r JOIN disc dm ON r.rnk = dm.rank_pos
+         |  WHERE r.rnk <= 10 GROUP BY 1)
+         |SELECT g.qid, rel.n_relevant, g.dcg_milli,
+         |  CAST(COALESCE(i.idcg_vals, 0) AS BIGINT) AS idcg_milli,
+         |  CAST(CASE WHEN COALESCE(i.idcg_vals, 0) = 0 THEN 0
+         |    ELSE (1000 * g.dcg_milli) // i.idcg_vals END AS BIGINT)
+         |    AS ndcg_permille
+         |FROM dcg g
+         |JOIN rel USING (qid)
+         |LEFT JOIN ideal i ON i.k_ideal = LEAST(rel.n_relevant, 10)
+         |ORDER BY 1""".stripMargin,
     // the l07 banding replay plus distinct-shingle containment per
     // candidate pair; thresholds cross-multiplied (integer-exact)
     "l92_containment_audit" ->
@@ -642,42 +1029,7 @@ object QualityOps extends QueryPack {
     // conjunctive qrels replayed relationally; integer metric
     // ingredients so the compare is exact counts, not float metrics
     "l71_retrieval_quality" ->
-      s"""WITH panel(qid, t1, t2) AS (VALUES
-         |  ('q0', 'spark', 'window'), ('q1', 'hash', 'join'),
-         |  ('q2', 'scan', 'filter'), ('q3', 'merge', 'sort')),
-         |d AS (
-         |  SELECT doc_id, $oToks AS tk FROM documents),
-         |scored AS (
-         |  SELECT p.qid, d.doc_id,
-         |    CAST(len(tk) AS DOUBLE) AS dl,
-         |    CAST(len(list_filter(tk, x -> x = p.t1)) AS DOUBLE) AS tf1,
-         |    CAST(len(list_filter(tk, x -> x = p.t2)) AS DOUBLE) AS tf2
-         |  FROM d CROSS JOIN panel p),
-         |stats AS (
-         |  SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n_docs,
-         |    SUM(dl) AS sum_dl,
-         |    SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
-         |    SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
-         |  FROM scored GROUP BY 1),
-         |ranked AS (
-         |  SELECT s.qid, s.doc_id, s.tf1, s.tf2,
-         |    (((n_docs - df1 + 0.5) / (df1 + 0.5)) *
-         |      ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))))) +
-         |    (((n_docs - df2 + 0.5) / (df2 + 0.5)) *
-         |      ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))))
-         |      AS score,
-         |    (s.tf1 > 0 AND s.tf2 > 0) AS relevant
-         |  FROM scored s JOIN stats USING (qid)
-         |  WHERE s.tf1 + s.tf2 > 0),
-         |rk AS (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
-         |  FROM ranked),
-         |rel AS (
-         |  SELECT qid,
-         |    CAST(SUM(CASE WHEN tf1 > 0 AND tf2 > 0 THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_relevant
-         |  FROM scored GROUP BY 1)
+      s"""WITH $oRqCtes
          |SELECT r.qid, rel.n_relevant,
          |  CAST(SUM(CASE WHEN r.relevant THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_retrieved_relevant,

@@ -84,7 +84,8 @@ class PlanAuditSpec extends SparkSpec {
     "q46_promo_revenue", "l95_prefix_cache", "w22_cusum_changepoint",
     "w23_gini_concentration", "q50_pricing_summary",
     "q51_shipping_priority", "q52_forecast_revenue",
-    "q49_part_supplier_counts")
+    "q49_part_supplier_counts",
+    "l101_pareto_frontier", "l103_quality_classifier", "l104_ndcg")
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
@@ -175,5 +176,6 @@ class PlanAuditSpec extends SparkSpec {
     "l93_label_agreement",   // two singleton aggregates crossed
     "l94_perceptual_dedup",  // two singleton aggregates crossed
     "l96_bradley_terry",     // 120-doc preference panel self-join
-    "l97_ks_drift")          // sources × distinct-length grid + 1-row total
+    "l97_ks_drift",          // sources × distinct-length grid + 1-row total
+    "l104_ndcg")             // l71's 4-row literal probe panel, reused
 }

@@ -131,4 +131,142 @@ class QualitySpec extends SparkSpec {
         assert(vocab <= toks)
       }
   }
+
+  // ---- l101: distributed skyline laws ---------------------------------
+
+  /** Brute-force 2-D skyline by the strict-domination definition — the
+    * quadratic spec the bucketed plan must equal. */
+  private def bruteSkyline(pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+    pts.filter { case (_, n, q) =>
+      !pts.exists { case (_, bn, bq) =>
+        bn <= n && bq >= q && (bn < n || bq > q)
+      }
+    }.toSet
+
+  private def frontierPoints(dir: String): Seq[(Long, Long, Long)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n"),
+        size(array_distinct(col("tk"))).cast("long").as("d"))
+      .withColumn("q", expr("(1000 * d) div n"))
+      .select("doc_id", "n", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("l101 law: the two-phase bucketed skyline equals the brute-force " +
+      "domination definition over the whole corpus") {
+    val got = graft.SparkEntry.queries("l101_pareto_frontier")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = bruteSkyline(frontierPoints(sfDir))
+    assert(got == want,
+      s"two-phase skyline diverged: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("l101 law: 2-D skylines merge — skyline(A ∪ B) = " +
+      "skyline(skyline(A) ∪ skyline(B))") {
+    // The algebraic property the bucket decomposition relies on
+    // (Börzsönyi et al. ICDE'01): local frontiers lose no global
+    // frontier point. Split the corpus by doc_id parity.
+    val pts = frontierPoints(sfDir)
+    val (a, b) = pts.partition(_._1 % 2 == 0)
+    val merged = bruteSkyline((bruteSkyline(a) ++ bruteSkyline(b)).toSeq)
+    assert(merged == bruteSkyline(pts))
+  }
+
+  // ---- l102: clipped-overlap laws --------------------------------------
+
+  private def docsFixture(rows: Seq[(Long, String)]): String = {
+    val dir = graft.core.Scratch.dir("l102fix")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("l102: a full quotation flags the quoted direction only") {
+    // doc 2 = doc 1 said twice: every bigram of 1 appears in 2 (clipped
+    // precision 1→2 is exactly 1), while 2's doubled+bridge bigrams
+    // cannot all fit inside 1 (precision 2→1 < 1/2). 30 distinct tokens
+    // keep the pair inside the LSH candidate set (signature overlap
+    // stays high when only 2 of 30 shingles are new).
+    val s0 = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, s0), (2L, s0 + " " + s0),
+      (3L, "entirely different words about other things here now")))
+    val r = graft.SparkEntry.queries("l102_clipped_overlap")(spark, dir)
+      .head()
+    assert(r.getAs[Long]("n_candidates") >= 1L,
+      s"the quotation pair must surface as an LSH candidate: $r")
+    assert(r.getAs[Long]("n_quote_a_in_b") == 1L,
+      s"doc 1 is wholly quoted inside doc 2: $r")
+    assert(r.getAs[Long]("n_quote_b_in_a") == 0L,
+      s"doc 2 is NOT mostly contained in doc 1: $r")
+    // clip law: the clipped numerator can exceed neither denominator
+    assert(r.getAs[Long]("micro_clip") <= r.getAs[Long]("micro_den_a"))
+    assert(r.getAs[Long]("micro_clip") <= r.getAs[Long]("micro_den_b"))
+  }
+
+  test("l102 law: corpus rollup keeps clip ≤ each denominator and " +
+      "quote counts within scored pairs") {
+    val r = graft.SparkEntry.queries("l102_clipped_overlap")(
+      spark, sfDir).head()
+    val scored = r.getAs[Long]("n_scored_pairs")
+    assert(scored <= r.getAs[Long]("n_candidates"))
+    assert(r.getAs[Long]("n_quote_a_in_b") <= scored)
+    assert(r.getAs[Long]("n_quote_b_in_a") <= scored)
+    assert(r.getAs[Long]("micro_clip") <= r.getAs[Long]("micro_den_a"))
+    assert(r.getAs[Long]("micro_clip") <= r.getAs[Long]("micro_den_b"))
+  }
+
+  // ---- l103: classifier inference totality ------------------------------
+
+  test("l103 law: every document is scored (totality) and the score " +
+      "mass respects the weight-table bound") {
+    val rows = graft.SparkEntry.queries("l103_quality_classifier")(
+      spark, sfDir).collect()
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == raw.count(),
+      "classifier must score every document exactly once")
+    // |Σ score - bias·n| ≤ max|w| · Σ tokens: the dot product cannot
+    // manufacture mass beyond the largest weight per token
+    val totalToks = raw
+      .select(size(graft.functions.Text.tokens(col("text"))).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    val sumScore = rows.map(_.getAs[Long]("sum_score_milli")).sum
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(math.abs(sumScore - (-50L) * nDocs) <= 410L * totalToks)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("pos_permille")
+      assert(p >= 0 && p <= 1000)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  // ---- l104: nDCG laws ---------------------------------------------------
+
+  test("l104 laws: dcg ≤ idcg, idcg matches the prefix table at " +
+      "min(n_relevant, 10), and n_relevant agrees with l71") {
+    // the discount table pinned independently of the implementation
+    val disc = Seq(1000L, 631L, 500L, 431L, 387L, 356L, 333L, 315L, 301L, 289L)
+    val cum = disc.scanLeft(0L)(_ + _).tail
+    val rows = graft.SparkEntry.queries("l104_ndcg")(spark, sfDir)
+      .collect()
+    assert(rows.length == 4, "one row per probe query")
+    val l71 = graft.SparkEntry.queries("l71_retrieval_quality")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_relevant"))
+      .toMap
+    rows.foreach { r =>
+      val nRel = r.getAs[Long]("n_relevant")
+      val dcg = r.getAs[Long]("dcg_milli")
+      val idcg = r.getAs[Long]("idcg_milli")
+      val perm = r.getAs[Long]("ndcg_permille")
+      assert(l71(r.getString(0)) == nRel)
+      assert(dcg <= idcg, s"DCG can never beat the ideal ordering: $r")
+      val k = math.min(nRel, 10L).toInt
+      assert(idcg == (if (k == 0) 0L else cum(k - 1)),
+        s"ideal DCG must be the table prefix at $k: $r")
+      assert(perm >= 0 && perm <= 1000)
+    }
+  }
 }
