@@ -626,12 +626,19 @@ object QualityOps extends QueryPack {
     * decomposition is lossless — QualitySpec proves both laws. */
   private val paretoFrontier: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val pts = docs(s, dir)
+    // barrier: the points frame feeds BOTH the in-bucket windows and
+    // the bucket-max rollup; without it each branch re-scans and
+    // re-tokenizes the corpus (l59 tolerates its double lineage
+    // because its second branch reads bare columns — here the branch
+    // cost is the tokenizer, the dominant cost at corpus scale, and
+    // the materialized rows are four longs per doc, ~1000× narrower
+    // than the text they summarize)
+    val pts = Barriers.materialize(docs(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
         size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
       .withColumn("div_milli", expr("(1000 * n_distinct) div n_tok"))
-      .withColumn("bucket", expr("n_tok div 64"))
+      .withColumn("bucket", expr("n_tok div 64")))
     val wLt = Window.partitionBy("bucket").orderBy(col("n_tok"))
       .rangeBetween(Window.unboundedPreceding, -1)
     val wLe = Window.partitionBy("bucket").orderBy(col("n_tok"))

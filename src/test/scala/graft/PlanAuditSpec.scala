@@ -85,7 +85,9 @@ class PlanAuditSpec extends SparkSpec {
     "w23_gini_concentration", "q50_pricing_summary",
     "q51_shipping_priority", "q52_forecast_revenue",
     "q49_part_supplier_counts",
-    "l101_pareto_frontier", "l103_quality_classifier", "l104_ndcg")
+    "l103_quality_classifier", "l104_ndcg")
+    // l101/l102 build behind barriers (points frame / shared candidate
+    // frame) — constructors run jobs, reviewed via graft.tools.Explain
 
   test("ingest parse stays behind its barrier (one parse per row, " +
       "not one per pushed-down field reference)") {
