@@ -497,28 +497,36 @@ object Dml extends QueryPack {
     val sn = new Snapshots(Scratch.dir("d17_wap"))
     val o = T.load(s, dir, "orders")
     sn.commit(o.filter(month(col("o_orderdate")) <= 6), "main")   // main v1
-    // staging branches FROM main, then the Q3 load appends onto it
-    // WITH a defect (negated prices on a deterministic key slice)
+    // staging branches FROM main — a manifest copy, zero data bytes —
+    // then the Q3 load APPENDS onto it WITH a defect (negated prices
+    // on a deterministic key slice). Only the Q3 delta is written;
+    // main's H1 files are referenced, never copied.
+    sn.branch("main", "staging")                                  // staging v1
     val q3 = o.filter(month(col("o_orderdate")).between(7, 9))
-    sn.commit(
-      sn.current(s, "main").unionByName(
-        q3.withColumn("o_totalprice",
-          when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
-            .otherwise(col("o_totalprice")))), "staging")         // staging v1
+    sn.append(
+      q3.withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice"))), "staging")            // staging v2
     val mainBefore = sn.current(s, "main").agg(count(lit(1)).as("main_before"))
     def audit(df: DataFrame) =
       df.agg(coalesce(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)),
         lit(0L)).as("n"))
     val audit1 = audit(sn.current(s, "staging"))
       .select(col("n").as("audit1_violations"))
-    // audit failed -> fix and RESTAGE (staging v2); main untouched
-    sn.commit(sn.current(s, "staging").filter(col("o_totalprice") > 0),
-      "staging")
-    val audit2 = audit(sn.current(s, "staging"))
-      .select(col("n").as("audit2_violations"))
-    sn.publish(s, "staging", "main")                              // main v2
-    val mainAfter = sn.current(s, "main").agg(count(lit(1)).as("main_after"))
-    mainBefore.crossJoin(audit1).crossJoin(audit2).crossJoin(mainAfter)
+    // audit failed -> copy-on-write fix (staging v3): the bad rows live
+    // only in the appended delta dir, so deleteWhere rewrites THAT dir
+    // and keeps main's shared H1 files untouched; main never sees any
+    // of it
+    sn.deleteWhere(s, "staging", col("o_totalprice") <= 0)        // staging v3
+    sn.publish(s, "staging", "main")           // main v2 — manifest copy
+    // audit2 + main_after read back from main AFTER the fast-forward —
+    // main v2 IS staging v3 (same manifest), so one scan proves both
+    // "the published snapshot is violation-free" and the row count
+    val mainAfter = sn.current(s, "main").agg(
+      coalesce(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)),
+        lit(0L)).as("audit2_violations"),
+      count(lit(1)).as("main_after"))
+    mainBefore.crossJoin(audit1).crossJoin(mainAfter)
       .withColumn("main_versions",
         lit(sn.versions("main").size).cast("long"))
   }

@@ -680,19 +680,37 @@ object QualityOps extends QueryPack {
     * shuffled as (doc_id, gram HASH, count) longs — strings never
     * move. The per-pair merge is a full-outer equi-join on
     * (pair, gram-hash) — O(Σ pair gram mass), never corpus². */
+  /** Process-level cache of the bigram COUNT frame (doc_id, gh, cnt)
+    * over candidate-pair docs per (session, dir) — the candCache
+    * discipline from [[LlmOps.sharedMinhashCandidates]]: the
+    * tokenize → shingle-2 → explode → hash → count chain is the
+    * dominant cost of the l102 family and is a pure function of the
+    * corpus + the shared candidate frame, so later invocations replay
+    * materialized blocks, not lineage. The frame is candidate-bounded
+    * (left-semi on pair members) and holds only (long, long, long)
+    * rows — O(candidate-doc gram types), tiny next to the corpus. */
+  private val bigramCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def sharedBigramCounts(s: SparkSession, dir: String): DataFrame =
+    bigramCache.computeIfAbsent((s, dir), _ => {
+      val cand = LlmOps.sharedMinhashCandidates(s, dir)
+      val ids = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      Barriers.materialize(docs(s, dir)
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), Text.shinglesFromTokens("tk", 2).as("g2"))
+        .select(col("doc_id"), explode(col("g2")).as("g"))
+        .select(col("doc_id"),
+          expr(Text.portableStrHashSql("g")).as("gh"))
+        .groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt")))
+    })
+
   private val clippedOverlap: Q = (s, dir) => {
     val cand = LlmOps.sharedMinhashCandidates(s, dir)
       .select(col("doc_a"), col("doc_b"))
-    val ids = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val grams = docs(s, dir)
-      .join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), Text.shinglesFromTokens("tk", 2).as("g2"))
-      .select(col("doc_id"), explode(col("g2")).as("g"))
-      .select(col("doc_id"),
-        expr(Text.portableStrHashSql("g")).as("gh"))
-      .groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt"))
+    val grams = sharedBigramCounts(s, dir)
     val pa = cand
       .join(grams.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("gh"),
@@ -797,12 +815,18 @@ object QualityOps extends QueryPack {
       ndcgDiscMilli.scanLeft(0L)(_ + _).tail.zipWithIndex
         .map { case (c, i) => (i + 1L, c) })
       .toDF("k_ideal", "idcg_milli")
-    ranked.filter(col("rank") <= 10)
+    val dcg = ranked.filter(col("rank") <= 10)
       .join(broadcast(disc), col("rank") === col("rank_pos"))
       .groupBy("qid")
       .agg(coalesce(sum(when(col("relevant"), col("disc_milli"))
         .otherwise(0L)), lit(0L)).as("dcg_milli"))
-      .join(corpusRel, Seq("qid"))
+    // drive from corpusRel (always all 4 qids): a probe whose terms
+    // match ZERO documents must report n_relevant=0 / ndcg=0, not
+    // silently drop — a consumer averaging nDCG over the rows would
+    // otherwise divide by fewer queries than the panel ran
+    corpusRel
+      .join(dcg, Seq("qid"), "left")
+      .withColumn("dcg_milli", coalesce(col("dcg_milli"), lit(0L)))
       .withColumn("k_ideal", least(col("n_relevant"), lit(10L)))
       .join(broadcast(ideal), Seq("k_ideal"), "left")
       .withColumn("idcg_milli", coalesce(col("idcg_milli"), lit(0L)))
@@ -1003,13 +1027,14 @@ object QualityOps extends QueryPack {
          |      THEN dm.disc_milli ELSE 0 END), 0) AS BIGINT) AS dcg_milli
          |  FROM rk r JOIN disc dm ON r.rnk = dm.rank_pos
          |  WHERE r.rnk <= 10 GROUP BY 1)
-         |SELECT g.qid, rel.n_relevant, g.dcg_milli,
+         |SELECT rel.qid, rel.n_relevant,
+         |  CAST(COALESCE(g.dcg_milli, 0) AS BIGINT) AS dcg_milli,
          |  CAST(COALESCE(i.idcg_vals, 0) AS BIGINT) AS idcg_milli,
          |  CAST(CASE WHEN COALESCE(i.idcg_vals, 0) = 0 THEN 0
-         |    ELSE (1000 * g.dcg_milli) // i.idcg_vals END AS BIGINT)
-         |    AS ndcg_permille
-         |FROM dcg g
-         |JOIN rel USING (qid)
+         |    ELSE (1000 * COALESCE(g.dcg_milli, 0)) // i.idcg_vals
+         |    END AS BIGINT) AS ndcg_permille
+         |FROM rel
+         |LEFT JOIN dcg g USING (qid)
          |LEFT JOIN ideal i ON i.k_ideal = LEAST(rel.n_relevant, 10)
          |ORDER BY 1""".stripMargin,
     // the l07 banding replay plus distinct-shingle containment per

@@ -55,7 +55,12 @@ object Maintenance {
     * then sortWithinPartitions so row groups are key-clustered. */
   def sortRewrite(spark: SparkSession, dir: String, outDir: String,
       sortCols: Seq[String], nPartitions: Int = 4): Unit =
-    spark.read.parquet(dir)
+    sortRewriteDirs(spark, Seq(dir), outDir, sortCols, nPartitions)
+
+  /** [[sortRewrite]] over a manifest's full data-dir list. */
+  def sortRewriteDirs(spark: SparkSession, dirs: Seq[String], outDir: String,
+      sortCols: Seq[String], nPartitions: Int = 4): Unit =
+    spark.read.parquet(dirs: _*)
       .repartition(nPartitions)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
@@ -119,9 +124,52 @@ object Maintenance {
       QueryPerf(name, rows, sec, slow = sec > 30, expensive = sec > 60)
     }
 
+  /** M1 over a manifest table: compact ONLY the fragmented data dirs of
+    * the current snapshot — a dir is fragmented when it holds more
+    * files than ceil(bytes/target) — rewriting them together into one
+    * right-sized dir, and commit a new manifest that references the
+    * compacted dir PLUS the untouched dirs by their original paths
+    * (zero I/O on them). This is the semantics of the reference's
+    * `BQ.ICEBERG_COMPACTION(partition_filter=...)`
+    * (`iceberg_maintenance.py:28-71`): compaction is itself a snapshot
+    * commit over immutable files, so time travel to the pre-compaction
+    * version still works and concurrent readers never see a
+    * half-compacted table. At 100 TB the win is the point: a table
+    * that is 95% well-sized history + 5% fresh small-file appends
+    * rewrites 5%, not 100%. Returns the report; no-op (and NO version
+    * churn) when nothing is fragmented. */
+  def compactTable(spark: SparkSession, snaps: Snapshots, table: String,
+      targetFileSizeMB: Int = 128): CompactionReport = {
+    val v = snaps.currentVersion(table)
+      .getOrElse(sys.error(s"no snapshots for $table"))
+    val targetBytes = targetFileSizeMB.toLong * 1024 * 1024
+    val rels = snaps.readManifest(table, v)
+    def stats(rel: String) = fileStats(s"${snaps.rootDir}/$rel")
+    def needed(st: FileStats) = math.max(1L,
+      math.ceil(st.totalBytes.toDouble / targetBytes).toLong)
+    val before = rels.map(stats)
+      .reduceOption((a, b) => FileStats(a.nFiles + b.nFiles,
+        a.totalBytes + b.totalBytes)).getOrElse(FileStats(0, 0))
+    val (frag, tight) = rels.partition(r => stats(r).nFiles > needed(stats(r)))
+    if (frag.nonEmpty) {
+      val fragBytes = frag.map(stats(_).totalBytes).sum
+      val nOut = math.max(1, math.ceil(
+        fragBytes.toDouble / targetBytes).toInt)
+      val compacted = snaps.stageData(
+        spark.read.parquet(frag.map(r => s"${snaps.rootDir}/$r"): _*)
+          .repartition(nOut), table)
+      snaps.commitFiles(table, tight :+ compacted)
+    }
+    val after = snaps.readManifest(table, snaps.currentVersion(table).get)
+      .map(stats).reduceOption((a, b) => FileStats(a.nFiles + b.nFiles,
+        a.totalBytes + b.totalBytes)).getOrElse(FileStats(0, 0))
+    CompactionReport(before, after, targetFileSizeMB)
+  }
+
   /** M9: full maintenance orchestration over a snapshot-managed table:
-    * stats → compact → sort rewrite → snapshot expiry → orphan cleanup,
-    * returning one report row per step (the reference's report shape,
+    * stats → manifest-aware compaction (a snapshot commit) → sort
+    * rewrite → snapshot expiry → orphan cleanup, returning one report
+    * row per step (the reference's report shape,
     * `iceberg_maintenance.py:334-387`). */
   def fullMaintenance(spark: SparkSession, snaps: Snapshots, table: String,
       scratchDir: String, sortCols: Seq[String],
@@ -131,10 +179,11 @@ object Maintenance {
     // aggressive retention the lazily-evaluated count would read
     // already-deleted files
     val curRows = cur.count()
-    val curDir = s"${snaps.rootDir}/$table/v=${snaps.currentVersion(table).get}"
-    val beforeFiles = fileStats(curDir).nFiles
-    val rep = compact(spark, curDir, s"$scratchDir/${table}_compacted")
-    sortRewrite(spark, s"$scratchDir/${table}_compacted",
+    val beforeFiles = snaps.dataDirs(table, snaps.currentVersion(table).get)
+      .map(fileStats(_).nFiles).sum
+    val rep = compactTable(spark, snaps, table)
+    sortRewriteDirs(spark,
+      snaps.dataDirs(table, snaps.currentVersion(table).get),
       s"$scratchDir/${table}_sorted", sortCols)
     val expired = snaps.expire(table, retainSnapshots)
     val orphans = snaps.cleanOrphans(table)

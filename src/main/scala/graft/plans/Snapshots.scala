@@ -1,49 +1,133 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
-/** Versioned-snapshot table layout — the table-format emulation for
-  * time travel (D5), CDC inputs (D6), and snapshot expiry (M2), since no
-  * Iceberg/Delta jars exist in this build (SURVEY.md §7.0).
+/** Manifest-based versioned-snapshot store — the table-format emulation
+  * for time travel (D5), CDC inputs (D6), WAP branching (D17), and
+  * snapshot expiry (M2), since no Iceberg/Delta jars exist in this
+  * build (SURVEY.md §7.0).
   *
-  * Layout: `<root>/<table>/v=<N>/` parquet per snapshot. Versions are
-  * DETERMINISTIC integers (never wall-clock — reference queries pin
-  * `FOR SYSTEM_TIME AS OF`, /root/reference/scripts/verify_loaded_data.sql:107-110;
-  * our resolver pins `v=N`). The latest version is the "current" table.
+  * Layout (the Iceberg metadata/data split, re-expressed on a plain
+  * filesystem; /root/reference/src/maintenance/iceberg_maintenance.py:73-93
+  * treats retention/fast-forward as metadata ops over immutable files):
+  * {{{
+  *   <root>/<table>/manifests/v=<N>.manifest  # text: one root-relative
+  *                                            #   data-dir path per line
+  *   <root>/<table>/data/d<K>/                # immutable parquet dirs
+  * }}}
+  * A VERSION IS A MANIFEST — a tiny text file naming the immutable data
+  * dirs that make up that snapshot. Consequences, each O(metadata)
+  * where the pre-r11 store paid O(table):
+  *   - [[append]] writes ONLY the delta files and a manifest that is
+  *     `prev lines + 1`;
+  *   - [[publish]]/[[branch]]/[[rollback]] copy a manifest — zero data
+  *     bytes move, exactly Iceberg's branch fast-forward;
+  *   - [[deleteWhere]] rewrites only the data dirs that actually
+  *     contain matching rows (file-granularity copy-on-write);
+  *   - [[expire]] deletes manifest files, then garbage-collects data
+  *     dirs no live manifest references — shared files survive as long
+  *     as ANY branch still points at them.
+  * Manifest paths are root-relative so branches/tables under one root
+  * share data files without copying (publish staging→main makes main
+  * reference staging's files, as Iceberg does).
   *
-  * Scale notes: a snapshot is an immutable parquet dir — copy-on-write
-  * writes a NEW version (only affected partitions at scale); readers of
-  * v=N never block writers of v=N+1; expiry deletes whole version dirs.
+  * Versions are DETERMINISTIC integers (never wall-clock — reference
+  * queries pin `FOR SYSTEM_TIME AS OF`,
+  * /root/reference/scripts/verify_loaded_data.sql:107-110; our resolver
+  * pins `v=N`). The manifest write is the commit point (tmp + rename);
+  * readers of v=N never block writers of v=N+1.
   */
 class Snapshots(root: String) {
 
   val rootDir: String = root
 
+  private val sep = java.io.File.separator
   private def tableDir(table: String) = new java.io.File(s"$root/$table")
-  private def versionDir(table: String, v: Int) = s"$root/$table/v=$v"
+  private def manifestsDir(table: String) =
+    new java.io.File(s"$root/$table/manifests")
+  private def manifestFile(table: String, v: Int) =
+    new java.io.File(manifestsDir(table), s"v=$v.manifest")
 
   def versions(table: String): Seq[Int] = {
-    val d = tableDir(table)
+    val d = manifestsDir(table)
     if (!d.exists()) Seq.empty
     else d.listFiles().toSeq
-      // strict v=<digits> match: an aborted write can leave v=1_tmp-style
-      // dirs, which must read as orphans, not crash every operation
-      .filter(f => f.isDirectory && f.getName.matches("v=\\d+"))
-      .map(_.getName.stripPrefix("v=").toInt).sorted
+      // strict v=<digits>.manifest match: an aborted commit can leave
+      // *.tmp files, which must read as orphans, not crash every op
+      .filter(f => f.isFile && f.getName.matches("v=\\d+\\.manifest"))
+      .map(_.getName.stripPrefix("v=").stripSuffix(".manifest").toInt)
+      .sorted
   }
 
   def currentVersion(table: String): Option[Int] = versions(table).lastOption
 
-  /** Commit `df` as the next snapshot; returns the new version. */
-  def commit(df: DataFrame, table: String): Int = {
+  /** The root-relative data dirs snapshot `v` is made of. */
+  def readManifest(table: String, v: Int): Seq[String] = {
+    val f = manifestFile(table, v)
+    require(f.exists(), s"no manifest for $table v=$v")
+    val src = scala.io.Source.fromFile(f)
+    try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally src.close()
+  }
+
+  /** Absolute data-dir paths of snapshot `v` (for scans / file stats). */
+  def dataDirs(table: String, v: Int): Seq[String] =
+    readManifest(table, v).map(rel => s"$root/$rel")
+
+  /** Commit a manifest referencing EXISTING data dirs (root-relative) —
+    * the metadata-only primitive under publish/rollback/compaction.
+    * tmp + rename makes the rename the commit point: a crash mid-write
+    * leaves a .tmp orphan, never a half-readable version. */
+  def commitFiles(table: String, relDirs: Seq[String]): Int = {
+    relDirs.foreach(rel => require(new java.io.File(s"$root/$rel").exists(),
+      s"manifest for $table would reference missing data dir $rel"))
+    manifestsDir(table).mkdirs()
     val v = currentVersion(table).getOrElse(0) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
+    val tmp = new java.io.File(manifestsDir(table), s"v=$v.manifest.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, relDirs.mkString("\n"))
+    if (!tmp.renameTo(manifestFile(table, v)))
+      sys.error(s"commit of $table v=$v lost a rename race")
     v
+  }
+
+  /** Next unused data-dir name for `table` — derived from a listing,
+    * not a clock, so reruns are deterministic; a crashed write's dir
+    * is skipped (max+1) and later swept as an orphan. */
+  private def freshDataRel(table: String): String = {
+    val dd = new java.io.File(s"$root/$table/data")
+    val used = Option(dd.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("d\\d+"))
+      .map(_.stripPrefix("d").toInt)
+    s"$table/data/d${if (used.isEmpty) 1 else used.max + 1}"
+  }
+
+  /** Write `df` as a new immutable data dir (NOT yet referenced by any
+    * manifest); returns its root-relative path. Crash before the
+    * subsequent commitFiles ⇒ the dir is an orphan, never visible. */
+  def stageData(df: DataFrame, table: String): String = {
+    val rel = freshDataRel(table)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$rel")
+    rel
+  }
+
+  /** Commit `df` as the next snapshot (full-overwrite semantics: the
+    * new version is exactly `df`); returns the new version. For
+    * incremental loads use [[append]] — it writes only the delta. */
+  def commit(df: DataFrame, table: String): Int =
+    commitFiles(table, Seq(stageData(df, table)))
+
+  /** Append-commit: the next snapshot is `previous ∪ df`, materializing
+    * ONLY `df` — prior data dirs are referenced, not rewritten. This is
+    * the O(delta) load path a 100 TB table lives on. */
+  def append(df: DataFrame, table: String): Int = {
+    val prev = currentVersion(table)
+      .map(readManifest(table, _)).getOrElse(Seq.empty)
+    commitFiles(table, prev :+ stageData(df, table))
   }
 
   /** D5: read the table as of a pinned version. */
   def asOf(spark: SparkSession, table: String, v: Int): DataFrame =
-    spark.read.parquet(versionDir(table, v))
+    spark.read.parquet(dataDirs(table, v): _*)
 
   /** Read the current snapshot. */
   def current(spark: SparkSession, table: String): DataFrame =
@@ -53,27 +137,69 @@ class Snapshots(root: String) {
   /** D12: roll the table back to snapshot `v` — committed as a NEW
     * version (Iceberg-rollback semantics: history is preserved, the
     * bad version stays inspectable, readers mid-flight on it never
-    * break; nothing is deleted — that's expiry's job). At scale the
-    * restore is a metadata-only operation in a real table format; here
-    * it re-writes the restored version's parquet, the copy-on-write
-    * analog. Returns the new current version. */
+    * break; nothing is deleted — that's expiry's job). Metadata-only:
+    * the new manifest is a copy of v's, no data bytes move. Returns
+    * the new current version. */
   def rollback(spark: SparkSession, table: String, v: Int): Int = {
     require(versions(table).contains(v),
       s"cannot roll $table back to missing version $v")
-    commit(asOf(spark, table, v), table)
+    commitFiles(table, readManifest(table, v))
   }
+
+  /** Branch: make `toTable`'s next snapshot reference exactly
+    * `fromTable`'s current data files — a manifest copy, zero bytes of
+    * data move (Iceberg branch create / fast-forward). The branches
+    * then evolve independently; shared files stay live until NO branch
+    * references them ([[expire]]'s GC is root-wide). */
+  def branch(fromTable: String, toTable: String): Int =
+    commitFiles(toTable, readManifest(fromTable,
+      currentVersion(fromTable)
+        .getOrElse(sys.error(s"no snapshots for $fromTable"))))
 
   /** D17: publish a branch — promote `fromTable`'s current snapshot to
     * be `toTable`'s next version (the write-audit-publish pattern:
     * loads land on a staging branch, audit queries gate them, publish
     * fast-forwards main). Readers of main never see pre-audit data;
     * a failed audit leaves main untouched and the staging history
-    * inspectable. In a real table format this is a metadata-only
-    * branch fast-forward; here it re-commits the staged parquet, the
-    * copy-on-write analog (same trade as [[rollback]]). Returns main's
-    * new version. */
+    * inspectable. Metadata-only, like the platform's own fast-forward
+    * (/root/reference/README.md:573-589). Returns main's new version. */
   def publish(spark: SparkSession, fromTable: String, toTable: String): Int =
-    commit(current(spark, fromTable), toTable)
+    branch(fromTable, toTable)
+
+  /** Copy-on-write DELETE at file granularity: data dirs with no
+    * matching row keep their exact manifest entry (zero write I/O);
+    * dirs that do match are re-written filtered into ONE new dir. The
+    * probe is a single pushdown-filtered pass over the snapshot that
+    * collects the DISTINCT matching file paths (driver pull bounded by
+    * file count, not rows — the same planning pull Iceberg's CoW
+    * delete makes); at 100 TB manifest min/max column stats would
+    * answer it without the scan — same contract, and the write cost
+    * stays O(affected files), never O(table). A predicate matching
+    * nothing returns the current version unchanged (no version churn —
+    * the same discipline as the streaming upsert's empty-batch guard).
+    * Returns the current version after the op. */
+  def deleteWhere(spark: SparkSession, table: String, cond: Column): Int = {
+    import org.apache.spark.sql.functions.input_file_name
+    val v = currentVersion(table)
+      .getOrElse(sys.error(s"no snapshots for $table"))
+    val rels = readManifest(table, v)
+    val hitFiles = spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+      .filter(cond).select(input_file_name().as("f")).distinct()
+      .collect().map { r => // file:///x/y%20z → /x/y z (match File paths)
+        val raw = r.getString(0)
+        scala.util.Try(new java.net.URI(raw).getPath).getOrElse(raw)
+      }
+    val (touched, untouched) = rels.partition { rel =>
+      val p = new java.io.File(s"$root/$rel").getCanonicalPath + sep
+      hitFiles.exists(_.startsWith(p))
+    }
+    if (touched.isEmpty) v
+    else {
+      val survivors = spark.read
+        .parquet(touched.map(rel => s"$root/$rel"): _*).filter(!cond)
+      commitFiles(table, untouched :+ stageData(survivors, table))
+    }
+  }
 
   /** D16: `FOR SYSTEM_TIME BETWEEN` change enumeration
     * (/root/reference/README.md:573-589 pairs AS-OF with a BETWEEN
@@ -115,38 +241,62 @@ class Snapshots(root: String) {
     f.delete()
   }
 
-  /** M2: expire old snapshots, keeping the most recent `keep`. Returns
-    * the versions removed. Deletion is recursive — an aborted Spark
-    * write leaves _temporary/ subdirs that a flat delete would silently
-    * keep alive. */
+  /** Every data dir referenced by ANY live manifest under the root —
+    * liveness is ROOT-wide, not per-table, because branches share data
+    * dirs by reference (publish/branch are manifest copies). */
+  private def liveDataDirs(): Set[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).toSeq
+      .flatMap(td => versions(td.getName)
+        .flatMap(v => readManifest(td.getName, v)))
+      .map(rel => new java.io.File(s"$root/$rel").getCanonicalPath)
+      .toSet
+
+  /** M2: expire old snapshots, keeping the most recent `keep` — delete
+    * their manifest files, then garbage-collect this table's data dirs
+    * that no live manifest (any table, any branch) still references.
+    * Metadata delete + reference-counted data delete: exactly the
+    * retention op the reference schedules
+    * (iceberg_maintenance.py:73-93). Returns the versions removed. */
   def expire(table: String, keep: Int): Seq[Int] = {
     val vs = versions(table)
     val doomed = vs.dropRight(keep)
-    doomed.foreach(v => deleteRecursively(new java.io.File(versionDir(table, v))))
+    doomed.foreach(v => manifestFile(table, v).delete())
+    val live = liveDataDirs()
+    Option(new java.io.File(s"$root/$table/data").listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !live.contains(d.getCanonicalPath))
+      .foreach(deleteRecursively)
     doomed
   }
 
-  /** M4: orphan-file cleanup — delete files under the table root that no
-    * live snapshot references (e.g. leftovers of aborted writes placed
-    * outside any `v=N` dir). Returns deleted paths. */
+  /** M4: orphan-file cleanup — delete files under the table root that
+    * no live snapshot references: aborted data-dir writes never
+    * committed to a manifest, manifest .tmp leftovers, stray files.
+    * Returns deleted paths. */
   def cleanOrphans(table: String): Seq[String] = {
-    val live = versions(table).map(v => new java.io.File(versionDir(table, v)))
-      .map(_.getCanonicalPath).toSet
-    // membership = exact dir or a path UNDER it — bare startsWith would
-    // keep .../v=1_aborted.tmp alive because it extends .../v=1
+    val liveData = liveDataDirs()
+    val liveManifests = versions(table)
+      .map(v => manifestFile(table, v).getCanonicalPath).toSet
+    // the two structural dirs are containers, not content — keep them
+    val containers = Set(manifestsDir(table),
+      new java.io.File(s"$root/$table/data")).map(_.getCanonicalPath)
     def isLive(f: java.io.File): Boolean = {
       val p = f.getCanonicalPath
-      live.contains(p) ||
-        live.exists(l => p.startsWith(l + java.io.File.separator))
+      containers.contains(p) || liveManifests.contains(p) ||
+        liveData.contains(p) ||
+        // a path UNDER a live data dir — bare startsWith would keep
+        // .../d1_aborted.tmp alive because it extends .../d1
+        liveData.exists(l => p.startsWith(l + sep))
     }
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk) :+ f
       else Seq(f)
-    val root = tableDir(table)
-    if (!root.exists()) return Seq.empty
-    val doomed = walk(root)
-      .filter(_ != root)
+    val rootD = tableDir(table)
+    if (!rootD.exists()) return Seq.empty
+    val doomed = walk(rootD)
+      .filter(_ != rootD)
       .filterNot(isLive)
     doomed.filter(_.isFile).map { f => val p = f.getPath; f.delete(); p } ++
       doomed.filter(_.isDirectory).flatMap { d =>

@@ -174,6 +174,84 @@ class MaintenanceSpec extends SparkSpec {
     assert(steps == Set("table_stats", "compaction", "sort_rewrite",
       "expire_snapshots", "orphan_cleanup", "before_files"))
     assert(report.find(_._1 == "compaction").get._3 == 1) // 10 files → 1
-    assert(sn.versions("m9t") == Seq(2, 3))
+    // compaction itself committed v4, so retain-2 keeps (v3, v4) —
+    // time travel to the pre-compaction snapshot still works
+    assert(sn.versions("m9t") == Seq(3, 4))
+    assert(sn.current(spark, "m9t").count() == o.count())
+  }
+
+  private def dirContents(dir: String): Map[String, Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length()).toMap
+
+  test("WAP: branch/append/publish move zero data bytes — manifests " +
+      "share immutable files across branches") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    val h1 = o.filter(month(col("o_orderdate")) <= 6)
+    val q3 = o.filter(month(col("o_orderdate")).between(7, 9))
+    sn.commit(h1, "main")
+    val mainRel = sn.readManifest("main", 1).head
+    val mainDir = s"$root/$mainRel"
+    val mainFiles = dirContents(mainDir)
+
+    sn.branch("main", "staging") // metadata-only: same data dirs
+    assert(sn.readManifest("staging", 1) == sn.readManifest("main", 1))
+    assert(!new java.io.File(s"$root/staging/data").exists(),
+      "branch must not materialize any data under the new branch")
+
+    sn.append(q3, "staging")
+    // O(delta): the new manifest is prev + exactly one new dir, and
+    // the shared main dir is untouched byte-for-byte
+    val m2 = sn.readManifest("staging", 2)
+    assert(m2.take(m2.size - 1) == sn.readManifest("staging", 1))
+    assert(dirContents(mainDir) == mainFiles)
+    assert(sn.current(spark, "staging").count() == h1.count() + q3.count())
+
+    // CoW delete with a predicate local to the delta: the shared H1
+    // dir must keep its exact manifest entry (zero I/O), the delta dir
+    // must be replaced
+    val delRel = m2.last
+    sn.deleteWhere(spark, "staging",
+      month(col("o_orderdate")).between(7, 9) && col("o_orderkey") % 2 === 0)
+    val m3 = sn.readManifest("staging", 3)
+    assert(m3.contains(mainRel), "untouched dir must survive CoW delete")
+    assert(!m3.contains(delRel), "matching dir must be replaced")
+    assert(sn.current(spark, "staging").count() ==
+      h1.count() + q3.filter(col("o_orderkey") % 2 =!= 0).count())
+    // a predicate matching nothing must not churn a version
+    sn.deleteWhere(spark, "staging", col("o_totalprice") < -1)
+    assert(sn.currentVersion("staging").contains(3))
+
+    sn.publish(spark, "staging", "main")
+    assert(sn.readManifest("main", 2) == m3,
+      "publish must be a manifest copy, not a rewrite")
+    assert(dirContents(mainDir) == mainFiles)
+  }
+
+  test("M1/manifests: compaction rewrites only fragmented dirs and " +
+      "keeps untouched files byte-identical at their original paths") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.commit(o.filter(month(col("o_orderdate")) <= 6).coalesce(1), "ct")
+    val tightRel = sn.readManifest("ct", 1).head
+    val tightFiles = dirContents(s"$root/$tightRel")
+    assert(tightFiles.size == 1)
+    // v2 appends a badly fragmented delta
+    sn.append(o.filter(month(col("o_orderdate")) >= 7).repartition(30), "ct")
+    val rep = Maintenance.compactTable(spark, sn, "ct", 128)
+    val m3 = sn.readManifest("ct", 3)
+    assert(m3.contains(tightRel),
+      "untouched dir must keep its exact manifest entry")
+    assert(dirContents(s"$root/$tightRel") == tightFiles,
+      "untouched files must be byte-identical across the compaction commit")
+    assert(rep.after.nFiles == 2, s"1 tight + 1 compacted, got $rep")
+    assert(sn.current(spark, "ct").count() == o.count())
+    // idempotence: nothing fragmented left → no version churn
+    Maintenance.compactTable(spark, sn, "ct", 128)
+    assert(sn.currentVersion("ct").contains(3))
   }
 }
