@@ -179,25 +179,43 @@ class Snapshots(root: String) {
     * the same discipline as the streaming upsert's empty-batch guard).
     * Returns the current version after the op. */
   def deleteWhere(spark: SparkSession, table: String, cond: Column): Int = {
-    import org.apache.spark.sql.functions.input_file_name
     val v = currentVersion(table)
       .getOrElse(sys.error(s"no snapshots for $table"))
-    val rels = readManifest(table, v)
-    val hitFiles = spark.read.parquet(rels.map(r => s"$root/$r"): _*)
-      .filter(cond).select(input_file_name().as("f")).distinct()
-      .collect().map { r => // file:///x/y%20z → /x/y z (match File paths)
-        val raw = r.getString(0)
-        scala.util.Try(new java.net.URI(raw).getPath).getOrElse(raw)
-      }
-    val (touched, untouched) = rels.partition { rel =>
-      val p = new java.io.File(s"$root/$rel").getCanonicalPath + sep
-      hitFiles.exists(_.startsWith(p))
-    }
+    val (touched, untouched) = touchedDirs(spark, table, _.filter(cond))
     if (touched.isEmpty) v
     else {
       val survivors = spark.read
         .parquet(touched.map(rel => s"$root/$rel"): _*).filter(!cond)
       commitFiles(table, untouched :+ stageData(survivors, table))
+    }
+  }
+
+  /** Partition the current snapshot's data dirs into (touched,
+    * untouched) by whether they contain a row `mark` selects — `mark`
+    * receives the current-snapshot frame and returns the matching
+    * subset (a filter for predicate probes, a semi-join for key-set
+    * probes). ONE pushdown-filtered pass collecting DISTINCT matching
+    * file paths; driver pull bounded by file count, not rows — the
+    * planning pull every CoW engine makes. At 100 TB manifest-level
+    * column stats / bloom filters would answer most probes without
+    * the scan; same contract. */
+  def touchedDirs(spark: SparkSession, table: String,
+      mark: DataFrame => DataFrame): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.input_file_name
+    val v = currentVersion(table)
+      .getOrElse(sys.error(s"no snapshots for $table"))
+    val rels = readManifest(table, v)
+    val withFile = spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+      .withColumn("_graft_file", input_file_name())
+    val hitFiles = mark(withFile)
+      .select(org.apache.spark.sql.functions.col("_graft_file")).distinct()
+      .collect().map { r => // file:///x/y%20z → /x/y z (match File paths)
+        val raw = r.getString(0)
+        scala.util.Try(new java.net.URI(raw).getPath).getOrElse(raw)
+      }
+    rels.partition { rel =>
+      val p = new java.io.File(s"$root/$rel").getCanonicalPath + sep
+      hitFiles.exists(_.startsWith(p))
     }
   }
 

@@ -429,31 +429,54 @@ object Streaming extends QueryPack {
     * table keeps the seq column so it can referee). Equal seqs must be
     * exact redeliveries (identical rows — then the pick is immaterial
     * and replay is idempotent). One shuffle on the key per batch,
-    * committed as a NEW copy-on-write version; at scale only affected
-    * partitions rewrite. An empty batch (restart replay, stateful
-    * no-data trigger) commits nothing — a full-table rewrite for zero
-    * effect would be pure version churn. */
+    * committed as a NEW copy-on-write version where ONLY the data
+    * dirs holding a batch key are re-read and re-written (untouched
+    * dirs carry over as manifest entries) — per-batch write cost is
+    * O(affected files), never O(table). An empty batch (restart
+    * replay, stateful no-data trigger) commits nothing — a version
+    * for zero effect would be pure churn. */
   def applyUpsertBatch(sn: graft.plans.Snapshots, table: String,
       key: String, seqCol: String)(batch: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
-    if (!batch.isEmpty) {
-      val all = sn.currentVersion(table) match {
-        case None => batch // bootstrap: first batch seeds the table
-        case Some(_) =>
-          sn.current(batch.sparkSession, table).unionByName(batch)
-      }
-      // Tie-break equal seqs on the full remaining row (struct ordering
-      // is total over these column types), so merge output is a pure
-      // function of the delivered row SET: if a CDC source ever emits
-      // DISTINCT rows with equal seqs, replays still converge on the
-      // same survivor instead of flip-flopping with partition order.
+    // Tie-break equal seqs on the full remaining row (struct ordering
+    // is total over these column types), so merge output is a pure
+    // function of the delivered row SET: if a CDC source ever emits
+    // DISTINCT rows with equal seqs, replays still converge on the
+    // same survivor instead of flip-flopping with partition order.
+    def dedup(all: DataFrame): DataFrame = {
       val others = all.columns.filterNot(_ == seqCol).map(col)
-      val merged = all
-        .withColumn("_rn", row_number().over(
+      all.withColumn("_rn", row_number().over(
           Window.partitionBy(col(key))
             .orderBy(col(seqCol).desc, struct(others.toIndexedSeq: _*).desc)))
         .filter(col("_rn") === 1).drop("_rn")
-      sn.commit(merged, table)
+    }
+    if (!batch.isEmpty) {
+      val s = batch.sparkSession
+      sn.currentVersion(table) match {
+        case None => // bootstrap: first batch seeds the table
+          sn.commit(dedup(batch), table)
+        case Some(_) =>
+          // Copy-on-write MERGE at file granularity: only the data
+          // dirs that contain a batch key are re-read and re-written;
+          // the rest of the table carries over as manifest entries.
+          // The batch's key set is micro-batch-sized, so the
+          // membership probe broadcasts it. Sound because merge
+          // COLOCATES a key: every merge rewrites ALL dirs holding a
+          // batch key into one dir, so a key untouched by this batch
+          // was fully deduped wherever it last landed. (Mixing raw
+          // `append` writes into an upsert-managed table would break
+          // that invariant — use this sink or appends, not both.)
+          val keys = batch.select(col(key)).distinct()
+          val (touched, untouched) = sn.touchedDirs(s, table,
+            df => df.join(broadcast(keys), Seq(key), "left_semi"))
+          val base =
+            if (touched.isEmpty) batch
+            else s.read
+              .parquet(touched.map(r => s"${sn.rootDir}/$r"): _*)
+              .unionByName(batch)
+          sn.commitFiles(table,
+            untouched :+ sn.stageData(dedup(base), table))
+      }
     }
   }
 

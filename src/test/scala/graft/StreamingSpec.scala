@@ -359,6 +359,40 @@ class StreamingSpec extends SparkSpec {
       "stale cross-batch update must lose to the stored seq")
   }
 
+  test("streaming upsert is file-granularity CoW: dirs without batch " +
+      "keys carry over as manifest entries, byte-identical") {
+    import spark.implicits._
+    val root = graft.core.Scratch.dir("upsert_cow")
+    val sn = new graft.plans.Snapshots(root)
+    def files(rel: String): Map[String, Long] =
+      Option(new java.io.File(s"$root/$rel").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    Streaming.applyUpsertBatch(sn, "t", "k", "seq")(
+      Seq((1L, 1.0, 1L), (2L, 2.0, 1L)).toDF("k", "v", "seq")) // v1 → d1
+    val d1 = sn.readManifest("t", 1).head
+    val d1Files = files(d1)
+    // disjoint key set: no dir is touched, the batch lands as a new
+    // dir and d1 carries over in the manifest
+    Streaming.applyUpsertBatch(sn, "t", "k", "seq")(
+      Seq((10L, 1.0, 2L)).toDF("k", "v", "seq"))               // v2 → d1+d2
+    assert(sn.readManifest("t", 2).contains(d1))
+    val d2 = sn.readManifest("t", 2).last
+    // update hitting only d2's key: d2 is rewritten, d1 must survive
+    // with its exact files
+    Streaming.applyUpsertBatch(sn, "t", "k", "seq")(
+      Seq((10L, 3.0, 3L)).toDF("k", "v", "seq"))               // v3 → d1+d3
+    val m3 = sn.readManifest("t", 3)
+    assert(m3.contains(d1) && !m3.contains(d2),
+      s"CoW merge must keep untouched dirs and replace touched ones: $m3")
+    assert(files(d1) == d1Files,
+      "untouched dir must be byte-identical across merges")
+    val state = sn.current(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(1L -> 1.0, 2L -> 2.0, 10L -> 3.0))
+  }
+
   test("T5/T7: IN-FLIGHT windowed-aggregation state survives kill/" +
       "resume — rows from both incarnations merge into one window") {
     // The upsert kill/resume case below proves offset/effect recovery
