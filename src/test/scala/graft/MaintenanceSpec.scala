@@ -133,6 +133,44 @@ class MaintenanceSpec extends SparkSpec {
       "every changed-row replacement must be MACHINERY in the open group")
   }
 
+  test("manifest commit point is the rename: aborted writes are " +
+      "invisible to readers and swept as orphans") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.commit(o.limit(50), "t")
+    // simulate a crash AFTER the data write but BEFORE the manifest
+    // rename: a staged-but-uncommitted data dir and a manifest .tmp
+    val staged = sn.stageData(o.limit(20), "t")
+    Files.writeString(new java.io.File(
+      s"$root/t/manifests/v=2.manifest.tmp").toPath, staged)
+    // readers see only the committed version; the wreckage is inert
+    assert(sn.versions("t") == Seq(1))
+    assert(sn.current(spark, "t").count() == 50)
+    // cleanup removes both pieces of wreckage, and nothing live
+    val removed = sn.cleanOrphans("t")
+    assert(removed.exists(_.endsWith("v=2.manifest.tmp")))
+    assert(removed.exists(_.contains(staged.split('/').last)))
+    assert(sn.current(spark, "t").count() == 50)
+    // the store recovers: the next commit proceeds normally
+    val v2 = sn.commit(o.limit(10), "t")
+    assert(v2 == 2 && sn.current(spark, "t").count() == 10)
+  }
+
+  test("snapshot isolation: a reader pinned to v=N is unaffected by " +
+      "later commits and expiry of OTHER versions") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.commit(o.limit(100), "t")
+    sn.commit(o.limit(300), "t")
+    val pinned = sn.asOf(spark, "t", 2) // reader opens v2
+    sn.commit(o.limit(600), "t")        // writer moves on
+    sn.expire("t", keep = 2)            // v1's manifest + data dropped
+    assert(pinned.count() == 300, "pinned reader must still see v2")
+    assert(sn.current(spark, "t").count() == 600)
+  }
+
   test("M4: orphan cleanup removes files outside live snapshots only") {
     val root = scratch()
     val sn = new Snapshots(root)
