@@ -103,10 +103,14 @@ class Snapshots(root: String) {
 
   /** Write `df` as a new immutable data dir (NOT yet referenced by any
     * manifest); returns its root-relative path. Crash before the
-    * subsequent commitFiles ⇒ the dir is an orphan, never visible. */
+    * subsequent commitFiles ⇒ the dir is an orphan, never visible.
+    * Harvests the dir's parquet-footer min/max/null stats into a
+    * [[DirStats]] sidecar (driver-side metadata read, no extra data
+    * pass) so later CoW probes can skip the dir without scanning. */
   def stageData(df: DataFrame, table: String): String = {
     val rel = freshDataRel(table)
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$rel")
+    DirStats.writeFor(new java.io.File(s"$root/$rel"))
     rel
   }
 
@@ -181,12 +185,20 @@ class Snapshots(root: String) {
   def deleteWhere(spark: SparkSession, table: String, cond: Column): Int = {
     val v = currentVersion(table)
       .getOrElse(sys.error(s"no snapshots for $table"))
-    val (touched, untouched) = touchedDirs(spark, table, _.filter(cond))
+    // metadata pass first: dirs whose footer stats PROVE no row can
+    // match are untouched without any scan (Iceberg's inclusive
+    // metrics evaluation); only the survivors pay the scan probe
+    val condExpr =
+      org.apache.spark.sql.graft.ColumnBridge.catalystExpression(cond)
+    val (mayMatch, proven) = readManifest(table, v).partition(rel =>
+      DirStats.read(new java.io.File(s"$root/$rel"))
+        .forall(st => DirStats.mayMatch(condExpr, st)))
+    val (touched, probed) = splitByMark(spark, mayMatch, _.filter(cond))
     if (touched.isEmpty) v
     else {
       val survivors = spark.read
         .parquet(touched.map(rel => s"$root/$rel"): _*).filter(!cond)
-      commitFiles(table, untouched :+ stageData(survivors, table))
+      commitFiles(table, proven ++ probed :+ stageData(survivors, table))
     }
   }
 
@@ -200,11 +212,14 @@ class Snapshots(root: String) {
     * column stats / bloom filters would answer most probes without
     * the scan; same contract. */
   def touchedDirs(spark: SparkSession, table: String,
+      mark: DataFrame => DataFrame): (Seq[String], Seq[String]) =
+    splitByMark(spark, readManifest(table, currentVersion(table)
+      .getOrElse(sys.error(s"no snapshots for $table"))), mark)
+
+  private def splitByMark(spark: SparkSession, rels: Seq[String],
       mark: DataFrame => DataFrame): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.input_file_name
-    val v = currentVersion(table)
-      .getOrElse(sys.error(s"no snapshots for $table"))
-    val rels = readManifest(table, v)
+    if (rels.isEmpty) return (Seq.empty, Seq.empty)
     val withFile = spark.read.parquet(rels.map(r => s"$root/$r"): _*)
       .withColumn("_graft_file", input_file_name())
     val hitFiles = mark(withFile)

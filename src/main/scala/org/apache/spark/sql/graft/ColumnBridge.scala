@@ -13,6 +13,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Fully-converted Catalyst tree for `c`. [[expression]] returns a
+    * lazy `ColumnNodeExpression` wrapper in Spark 4 (fine inside a plan,
+    * where the analyzer unwraps it) — but driver-side METADATA
+    * evaluators like `graft.plans.DirStats` pattern-match on the real
+    * Catalyst nodes (`LessThanOrEqual`, `Literal`, …), so they need the
+    * eager conversion the analyzer would have done. */
+  def catalystExpression(c: Column): Expression = expression(c) match {
+    case org.apache.spark.sql.classic.ColumnNodeExpression(node) =>
+      org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(node)
+    case e => e
+  }
+
   /** Build a DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
     * `private[sql]`) — the constructor for whole-operator extensions
     * like `graft.plans.AsOfJoinPlan`. */

@@ -171,6 +171,49 @@ class MaintenanceSpec extends SparkSpec {
     assert(sn.current(spark, "t").count() == 600)
   }
 
+  test("DirStats: footer-stat sidecars are exact on rows and the " +
+      "inclusive evaluator prunes only provably-unmatchable dirs") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.plans.DirStats
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.commit(o.filter(col("o_orderkey") <= 1000), "t")
+    sn.append(o.filter(col("o_orderkey") > 1000), "t")
+    val rels = sn.readManifest("t", 2)
+    val stats = rels.map(r =>
+      r -> DirStats.read(new java.io.File(s"$root/$r")).get)
+    assert(stats.map(_._2.rows).sum == o.count(),
+      "sidecar row counts must sum to the table")
+    // pruning law: whenever the evaluator says a dir CANNOT match, a
+    // real scan finds zero matching rows — over comparison, equality,
+    // IN-adjacent, string, null, and conjunction shapes
+    val preds = Seq(
+      col("o_orderkey") <= 500, col("o_orderkey") > 1000,
+      col("o_orderkey") === 1L, col("o_totalprice") < 0,
+      col("o_orderstatus") === "F", col("o_orderstatus") === "ZZZ",
+      col("o_orderkey").isNull, col("o_orderkey").isNotNull,
+      col("o_orderkey") <= 500 && col("o_totalprice") > 0)
+    val pruned = for {
+      (rel, st) <- stats; p <- preds
+      if !DirStats.mayMatch(ColumnBridge.catalystExpression(p), st)
+    } yield {
+      val actual = spark.read.parquet(s"$root/$rel").filter(p).count()
+      assert(actual == 0, s"pruned dir $rel has $actual rows matching $p")
+      (rel, p.toString)
+    }
+    assert(pruned.nonEmpty,
+      "disjoint key ranges must let the evaluator prune something")
+    // end-to-end: a CoW delete local to the high-key dir keeps the
+    // low-key dir as a manifest entry via the METADATA path alone
+    sn.deleteWhere(spark, "t",
+      col("o_orderkey") > 1000 && col("o_orderkey") % 2 === 0)
+    assert(sn.readManifest("t", 3).contains(rels.head))
+    assert(sn.current(spark, "t").count() ==
+      o.filter(!(col("o_orderkey") > 1000 && col("o_orderkey") % 2 === 0))
+        .count())
+  }
+
   test("M4: orphan cleanup removes files outside live snapshots only") {
     val root = scratch()
     val sn = new Snapshots(root)
