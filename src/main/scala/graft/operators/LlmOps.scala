@@ -1285,31 +1285,6 @@ object LlmOps extends QueryPack {
 
   // ---- cluster / packing / sampling / LM scoring ---------------------
 
-  /** l21: near-dup cluster construction — connected components over the
-    * shared-shingle candidate graph, the step that turns pairwise
-    * near-dup CANDIDATES (l07/l08's output shape) into dedup GROUPS
-    * with one survivor each. Transitivity matters: A~B and B~C must
-    * collapse to ONE cluster even when A and C share nothing, which no
-    * pairwise filter gets right.
-    *
-    * Edges: two docs sharing any discriminative n-shingle (document
-    * frequency in [minDf, maxDf]). The df cap is the hub-buster — a
-    * boilerplate shingle appearing in thousands of docs would emit
-    * C(df,2) edges and weld the corpus into one giant component, so
-    * frequent shingles are dropped exactly like stopwords in LSH
-    * practice; the cap also bounds the self-join fan-out per shingle
-    * at C(maxDf,2), making worst-case edge volume linear in shingles.
-    *
-    * Components: iterative min-label propagation — label(v) starts as
-    * doc_id, each round takes the min over v and its neighbors,
-    * converging to the component-min in diameter rounds. Each round is
-    * one shuffle-join + one partial-agg'd groupBy (both on the narrow
-    * (doc_id, label) pairs), barriered so lineage doesn't stack; the
-    * convergence probe rides the monotone label-sum (one tiny action
-    * per round, no second join). Near-dup components have tiny
-    * diameters (dup chains), so rounds stay single-digit at any scale;
-    * the driver-side loop is orchestration only — no row data ever
-    * reaches the driver. */
   /** Shared-shingle candidate edges (a < b) between documents whose
     * common n-shingle is discriminative (df in [minDf, maxDf] — the
     * hub-buster cap). Extracted from [[dedupClusters]] so survivor
@@ -1348,6 +1323,32 @@ object LlmOps extends QueryPack {
   def sharedShingleEdges(s: SparkSession, dir: String): DataFrame =
     edgeCache.computeIfAbsent((s, dir), _ => shingleEdges(docs(s, dir)))
 
+  /** l21: near-dup cluster construction — connected components over the
+    * shared-shingle candidate graph, the step that turns pairwise
+    * near-dup CANDIDATES (l07/l08's output shape) into dedup GROUPS
+    * with one survivor each. Transitivity matters: A~B and B~C must
+    * collapse to ONE cluster even when A and C share nothing, which no
+    * pairwise filter gets right.
+    *
+    * Edges: [[shingleEdges]] — two docs sharing any discriminative
+    * n-shingle (document frequency in [minDf, maxDf]). The df cap is
+    * the hub-buster — a boilerplate shingle appearing in thousands of
+    * docs would emit C(df,2) edges and weld the corpus into one giant
+    * component, so frequent shingles are dropped exactly like stopwords
+    * in LSH practice; the cap also bounds the self-join fan-out per
+    * shingle at C(maxDf,2), making worst-case edge volume linear in
+    * shingles.
+    *
+    * Components: [[clusterEdges]] — iterative min-label propagation;
+    * label(v) starts as doc_id, each round takes the min over v and its
+    * neighbors, converging to the component-min in diameter rounds.
+    * Each round is one shuffle-join + one partial-agg'd groupBy (both
+    * on the narrow (doc_id, label) pairs), barriered so lineage doesn't
+    * stack; the convergence probe rides the monotone label-sum (one
+    * tiny action per round, no second join). Near-dup components have
+    * tiny diameters (dup chains), so rounds stay single-digit at any
+    * scale; the driver-side loop is orchestration only — no row data
+    * ever reaches the driver. */
   def dedupClusters(d: DataFrame, n: Int = 8, minDf: Int = 2,
       maxDf: Int = 5, maxRounds: Int = 25): DataFrame =
     dedupClustersFrom(d, shingleEdges(d, n, minDf, maxDf), maxRounds)

@@ -663,23 +663,6 @@ object QualityOps extends QueryPack {
 
   // ---- l102: clipped bigram overlap (BLEU-style quotation audit) ------
 
-  /** l102: clipped bigram precision over the shared near-dup candidate
-    * pairs — the MULTISET overlap that distinguishes quotation from
-    * paraphrase. l13's Jaccard and l92's containment both work on
-    * shingle SETS, so a doc that repeats one borrowed sentence ten
-    * times scores the same as one that borrows it once; BLEU's clip
-    * rule (Papineni et al. ACL'02: each candidate n-gram counts at most
-    * its reference multiplicity) is the standard fix, and clipped
-    * precision ≥ 1/2 in either direction is the "mostly quoted" gate.
-    * Per pair over bigram COUNT maps: clip = Σ_g min(cnt_a, cnt_b),
-    * precision_a = clip/Σcnt_a (symmetric clip numerator, per-side
-    * denominators) — all integers, thresholds cross-multiplied.
-    *
-    * 100 TB shape: bigram counts are built ONLY for docs in some
-    * candidate pair (left-semi, the l92 discipline), keyed and
-    * shuffled as (doc_id, gram HASH, count) longs — strings never
-    * move. The per-pair merge is a full-outer equi-join on
-    * (pair, gram-hash) — O(Σ pair gram mass), never corpus². */
   /** Process-level cache of the bigram COUNT frame (doc_id, gh, cnt)
     * over candidate-pair docs per (session, dir) — the candCache
     * discipline from [[LlmOps.sharedMinhashCandidates]]: the
@@ -707,6 +690,23 @@ object QualityOps extends QueryPack {
         .groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt")))
     })
 
+  /** l102: clipped bigram precision over the shared near-dup candidate
+    * pairs — the MULTISET overlap that distinguishes quotation from
+    * paraphrase. l13's Jaccard and l92's containment both work on
+    * shingle SETS, so a doc that repeats one borrowed sentence ten
+    * times scores the same as one that borrows it once; BLEU's clip
+    * rule (Papineni et al. ACL'02: each candidate n-gram counts at most
+    * its reference multiplicity) is the standard fix, and clipped
+    * precision ≥ 1/2 in either direction is the "mostly quoted" gate.
+    * Per pair over bigram COUNT maps: clip = Σ_g min(cnt_a, cnt_b),
+    * precision_a = clip/Σcnt_a (symmetric clip numerator, per-side
+    * denominators) — all integers, thresholds cross-multiplied.
+    *
+    * 100 TB shape: bigram counts are built ONLY for docs in some
+    * candidate pair (left-semi, the l92 discipline), keyed and
+    * shuffled as (doc_id, gram HASH, count) longs — strings never
+    * move. The per-pair merge is a full-outer equi-join on
+    * (pair, gram-hash) — O(Σ pair gram mass), never corpus². */
   private val clippedOverlap: Q = (s, dir) => {
     val cand = LlmOps.sharedMinhashCandidates(s, dir)
       .select(col("doc_a"), col("doc_b"))

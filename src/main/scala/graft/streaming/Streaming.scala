@@ -543,10 +543,6 @@ object Streaming extends QueryPack {
     slidingStats(T.load(s, dir, "events"), "ts", "value", "event_type")
       .orderBy("window_start", "event_type")
 
-  /** Per-user session profile over the full events table: session
-    * counts and sizes from 30-minute-gap sessionization. The oracle
-    * recomputes sessions as a gaps-and-islands query (LAG + running
-    * sum of session starts). */
   /** t08: the SAME per-user profile as t06, but through Spark 4's
     * `transformWithState` run in BATCH mode — Spark plans the
     * StatefulProcessor over a batch Dataset by handing each key its
