@@ -57,16 +57,28 @@ object Text {
 
   /** Word n-gram shingles over a PRE-TOKENIZED array column (empty
     * array for texts shorter than n tokens). Takes a column NAME that
-    * must hold the token array — inlining the tokenizer here would
-    * splice the regex into the per-shingle lambda and re-tokenize the
-    * document once per shingle (observed: a single regex-bound core at
-    * bench scale). Materialize `tokens(...)` as its own column first. */
+    * must hold the token array.
+    *
+    * The token array is RE-BOUND as a lambda variable
+    * (`transform(array(col), tks -> …)[0]`) before any per-shingle
+    * work. This is load-bearing: the body references the token array
+    * once per shingle, and Spark 4's CollapseProject collapses
+    * projections even across Repartition, splicing a `tokens(text)`
+    * defined in the previous select straight into the per-shingle
+    * lambda — re-running the regex tokenizer once per shingle
+    * (measured: 7.6 s → 0.6 s on l102's candidate-doc bigram build at
+    * sf0.1; the pre-r11 defense of materializing tokens in a separate
+    * select no longer survives the optimizer). A lambda variable is
+    * not an attribute, so the collapse rewrites only the single
+    * `array($toksCol)` occurrence and the tokenizer runs once per
+    * row no matter what the caller's projection chain looks like. */
   def shinglesFromTokens(toksCol: String, n: Int): Column =
     expr(
-      s"""CASE WHEN size($toksCol) < $n THEN cast(array() AS array<string>)
-         |ELSE transform(sequence(0, size($toksCol) - $n),
-         |       i -> array_join(slice($toksCol, i + 1, $n), ' '))
-         |END""".stripMargin)
+      s"""transform(array($toksCol), tks ->
+         |  CASE WHEN size(tks) < $n THEN cast(array() AS array<string>)
+         |  ELSE transform(sequence(0, size(tks) - $n),
+         |         i -> array_join(slice(tks, i + 1, $n), ' '))
+         |  END)[0]""".stripMargin)
 
   /** Portable per-character string hash as a SQL fragment over a
     * string expression: (h*131 + ascii) mod 1e9+7 — the same char-fold
