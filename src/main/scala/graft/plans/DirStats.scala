@@ -1,5 +1,7 @@
 package graft.plans
 
+import scala.language.existentials
+
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 
@@ -141,7 +143,7 @@ object DirStats {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(java.nio.file.Files.readString(f.toPath))
       val cols = scala.collection.mutable.LinkedHashMap.empty[String, ColStats]
-      val it = root.get("cols").fields()
+      val it = root.get("cols").properties().iterator()
       while (it.hasNext) {
         val e = it.next(); val c = e.getValue
         def v(k: String): Any = c.get("t").asText() match {
