@@ -2,6 +2,17 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
+/** A snapshot commit validated against an expected current version lost
+  * its race: another writer committed first. Carries what the writer
+  * assumed vs what it found so retry loops (and humans) can see the
+  * interleaving. The Iceberg commit protocol surfaces the same event as
+  * `CommitFailedException` and resolves it the same way: re-read,
+  * re-validate, re-attempt — never last-writer-wins. */
+final class ConcurrentCommitException(val table: String,
+    val expected: Option[Int], val found: Option[Int])
+  extends RuntimeException(
+    s"concurrent commit on $table: expected current version $expected, found $found")
+
 /** Manifest-based versioned-snapshot store — the table-format emulation
   * for time travel (D5), CDC inputs (D6), WAP branching (D17), and
   * snapshot expiry (M2), since no Iceberg/Delta jars exist in this
@@ -74,31 +85,116 @@ class Snapshots(root: String) {
   def dataDirs(table: String, v: Int): Seq[String] =
     readManifest(table, v).map(rel => s"$root/$rel")
 
+  // per-writer tmp-file disambiguator: two concurrent committers must
+  // never share a staging path, or the loser's bytes could publish
+  // under the winner's link
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def writerTag: String =
+    s"p${ProcessHandle.current().pid()}-t${tmpSeq.incrementAndGet()}"
+
+  /** Atomically claim version `v` for `relDirs`; false iff another
+    * writer claimed `v` first. The CAS is a HARD LINK, not a rename:
+    * POSIX link(2) fails with EEXIST when the target exists, whereas
+    * rename(2) silently REPLACES it — under rename, two writers racing
+    * to v=N would both "succeed" and one commit would vanish
+    * (last-writer-wins, the lost update a table format exists to
+    * prevent). With link-as-CAS the first claimant wins and every
+    * loser OBSERVES the loss, which is what makes the optimistic
+    * retry loops above this sound. A crash mid-write leaves only a
+    * .tmp orphan ([[cleanOrphans]] sweeps it), never a half-readable
+    * version. */
+  private def claimVersion(table: String, v: Int,
+      relDirs: Seq[String]): Boolean = {
+    manifestsDir(table).mkdirs()
+    val tmp = new java.io.File(manifestsDir(table),
+      s"v=$v.manifest.$writerTag.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, relDirs.mkString("\n"))
+    try {
+      java.nio.file.Files.createLink(
+        manifestFile(table, v).toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally tmp.delete()
+  }
+
   /** Commit a manifest referencing EXISTING data dirs (root-relative) —
     * the metadata-only primitive under publish/rollback/compaction.
-    * tmp + rename makes the rename the commit point: a crash mid-write
-    * leaves a .tmp orphan, never a half-readable version. */
+    *
+    * PREV-INDEPENDENT intent only: "make exactly these dirs the next
+    * snapshot", so losing a version race is resolved by re-claiming
+    * the next number with the SAME list (overwrite/rollback/branch
+    * semantics don't read the predecessor). A commit whose file list
+    * was DERIVED from the current snapshot (append, CoW delete,
+    * compaction) must instead go through [[commitFilesIfCurrent]] +
+    * [[occRetry]], or a concurrent commit's rows would be silently
+    * dropped by the stale list. */
   def commitFiles(table: String, relDirs: Seq[String]): Int = {
     relDirs.foreach(rel => require(new java.io.File(s"$root/$rel").exists(),
       s"manifest for $table would reference missing data dir $rel"))
-    manifestsDir(table).mkdirs()
-    val v = currentVersion(table).getOrElse(0) + 1
-    val tmp = new java.io.File(manifestsDir(table), s"v=$v.manifest.tmp")
-    java.nio.file.Files.writeString(tmp.toPath, relDirs.mkString("\n"))
-    if (!tmp.renameTo(manifestFile(table, v)))
-      sys.error(s"commit of $table v=$v lost a rename race")
-    v
+    var attempts = 0
+    while (true) {
+      val v = currentVersion(table).getOrElse(0) + 1
+      if (claimVersion(table, v, relDirs)) return v
+      attempts += 1
+      require(attempts < 1000, s"commit of $table starved after $attempts races")
+    }
+    -1 // unreachable
   }
 
-  /** Next unused data-dir name for `table` — derived from a listing,
-    * not a clock, so reruns are deterministic; a crashed write's dir
-    * is skipped (max+1) and later swept as an orphan. */
+  /** Optimistic commit: claim `expected+1` only if the table is STILL
+    * at `expected` — the validation step of the Iceberg commit
+    * protocol. Throws [[ConcurrentCommitException]] when the snapshot
+    * moved (or the claim loses the final CAS), so callers whose file
+    * list was derived from snapshot `expected` re-derive it instead of
+    * publishing a stale view. */
+  def commitFilesIfCurrent(table: String, expected: Option[Int],
+      relDirs: Seq[String]): Int = {
+    relDirs.foreach(rel => require(new java.io.File(s"$root/$rel").exists(),
+      s"manifest for $table would reference missing data dir $rel"))
+    val found = currentVersion(table)
+    if (found != expected ||
+        !claimVersion(table, expected.getOrElse(0) + 1, relDirs))
+      throw new ConcurrentCommitException(table, expected, currentVersion(table))
+    expected.getOrElse(0) + 1
+  }
+
+  /** Run one optimistic read-derive-commit attempt against the current
+    * version, retrying from a FRESH read on each
+    * [[ConcurrentCommitException]] — the standard validate-and-retry
+    * loop of every table format's committer. `body` gets the version
+    * it must derive from and validate against; staging done inside a
+    * losing attempt becomes orphan dirs, swept by [[cleanOrphans]]
+    * (stage-then-retry is how Iceberg's CoW retries work too: data
+    * files are cheap to abandon, the manifest pointer is the truth). */
+  def occRetry[T](table: String)(body: Option[Int] => T): T = {
+    var last: ConcurrentCommitException = null
+    for (_ <- 0 until 50) {
+      try return body(currentVersion(table))
+      catch { case e: ConcurrentCommitException => last = e }
+    }
+    throw last
+  }
+
+  /** Claim the next unused data-dir name for `table` — derived from a
+    * listing, not a clock, so reruns are deterministic; a crashed
+    * write's dir is skipped (max+1) and later swept as an orphan.
+    * The claim is `Files.createDirectory` (atomic first-creator-wins),
+    * so two concurrent stagers can never pick the same dir and
+    * interleave their parquet files: the loser observes
+    * FileAlreadyExists and takes the next number. */
   private def freshDataRel(table: String): String = {
     val dd = new java.io.File(s"$root/$table/data")
-    val used = Option(dd.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.matches("d\\d+"))
-      .map(_.stripPrefix("d").toInt)
-    s"$table/data/d${if (used.isEmpty) 1 else used.max + 1}"
+    dd.mkdirs()
+    var k = {
+      val used = Option(dd.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.matches("d\\d+"))
+        .map(_.stripPrefix("d").toInt)
+      if (used.isEmpty) 1 else used.max + 1
+    }
+    while (!scala.util.Try(java.nio.file.Files.createDirectory(
+        new java.io.File(dd, s"d$k").toPath)).isSuccess) k += 1
+    s"$table/data/d$k"
   }
 
   /** Write `df` as a new immutable data dir (NOT yet referenced by any
@@ -122,11 +218,19 @@ class Snapshots(root: String) {
 
   /** Append-commit: the next snapshot is `previous ∪ df`, materializing
     * ONLY `df` — prior data dirs are referenced, not rewritten. This is
-    * the O(delta) load path a 100 TB table lives on. */
+    * the O(delta) load path a 100 TB table lives on.
+    *
+    * The delta stages ONCE; the manifest union is re-derived under
+    * [[occRetry]] because "previous" is read state — concurrent
+    * appenders each land their own delta and every retry re-reads the
+    * latest manifest, so no appender's files are ever dropped (the
+    * ConcurrencySpec races 8 of them to prove it). */
   def append(df: DataFrame, table: String): Int = {
-    val prev = currentVersion(table)
-      .map(readManifest(table, _)).getOrElse(Seq.empty)
-    commitFiles(table, prev :+ stageData(df, table))
+    val rel = stageData(df, table)
+    occRetry(table) { cur =>
+      val prev = cur.map(readManifest(table, _)).getOrElse(Seq.empty)
+      commitFilesIfCurrent(table, cur, prev :+ rel)
+    }
   }
 
   /** D5: read the table as of a pinned version. */
@@ -181,26 +285,31 @@ class Snapshots(root: String) {
     * stays O(affected files), never O(table). A predicate matching
     * nothing returns the current version unchanged (no version churn —
     * the same discipline as the streaming upsert's empty-batch guard).
+    * Probe + commit run under [[occRetry]]: the surviving-file list is
+    * derived from the snapshot the probe read, so if another writer
+    * commits in between, the validation fails and the probe re-runs
+    * against the new snapshot instead of deleting from a stale view.
     * Returns the current version after the op. */
-  def deleteWhere(spark: SparkSession, table: String, cond: Column): Int = {
-    val v = currentVersion(table)
-      .getOrElse(sys.error(s"no snapshots for $table"))
-    // metadata pass first: dirs whose footer stats PROVE no row can
-    // match are untouched without any scan (Iceberg's inclusive
-    // metrics evaluation); only the survivors pay the scan probe
-    val condExpr =
-      org.apache.spark.sql.graft.ColumnBridge.catalystExpression(cond)
-    val (mayMatch, proven) = readManifest(table, v).partition(rel =>
-      DirStats.read(new java.io.File(s"$root/$rel"))
-        .forall(st => DirStats.mayMatch(condExpr, st)))
-    val (touched, probed) = splitByMark(spark, mayMatch, _.filter(cond))
-    if (touched.isEmpty) v
-    else {
-      val survivors = spark.read
-        .parquet(touched.map(rel => s"$root/$rel"): _*).filter(!cond)
-      commitFiles(table, proven ++ probed :+ stageData(survivors, table))
+  def deleteWhere(spark: SparkSession, table: String, cond: Column): Int =
+    occRetry(table) { cur =>
+      val v = cur.getOrElse(sys.error(s"no snapshots for $table"))
+      // metadata pass first: dirs whose footer stats PROVE no row can
+      // match are untouched without any scan (Iceberg's inclusive
+      // metrics evaluation); only the survivors pay the scan probe
+      val condExpr =
+        org.apache.spark.sql.graft.ColumnBridge.catalystExpression(cond)
+      val (mayMatch, proven) = readManifest(table, v).partition(rel =>
+        DirStats.read(new java.io.File(s"$root/$rel"))
+          .forall(st => DirStats.mayMatch(condExpr, st)))
+      val (touched, probed) = splitByMark(spark, mayMatch, _.filter(cond))
+      if (touched.isEmpty) v
+      else {
+        val survivors = spark.read
+          .parquet(touched.map(rel => s"$root/$rel"): _*).filter(!cond)
+        commitFilesIfCurrent(table, cur,
+          proven ++ probed :+ stageData(survivors, table))
+      }
     }
-  }
 
   /** Partition the current snapshot's data dirs into (touched,
     * untouched) by whether they contain a row `mark` selects — `mark`

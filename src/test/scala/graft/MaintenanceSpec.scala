@@ -335,4 +335,55 @@ class MaintenanceSpec extends SparkSpec {
     Maintenance.compactTable(spark, sn, "ct", 128)
     assert(sn.currentVersion("ct").contains(3))
   }
+
+  test("multi-writer: 8 concurrent appenders all land — no lost update, " +
+      "every delta file referenced by the final manifest") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders").limit(800).cache()
+    sn.commit(o.limit(0), "race") // empty v1 so every appender races
+    // 8 threads, each appending a DISJOINT 100-row slice concurrently.
+    // Under rename-as-commit this test fails nondeterministically with
+    // lost slices (rename(2) replaces an existing manifest, so two
+    // claimants of v=N both "succeed"); under link-CAS + occRetry every
+    // appender must observe its losses and re-union onto the winner.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(8))
+    val keys = o.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val fs = (0 until 8).map { i =>
+      val lo = keys(i * 100); val hi = keys(i * 100 + 99)
+      Future(sn.append(o.filter(col("o_orderkey").between(lo, hi)), "race"))
+    }
+    val versions = Await.result(Future.sequence(fs), 120.seconds)
+    assert(versions.sorted == (2 to 9), s"each appender a distinct version: $versions")
+    assert(sn.current(spark, "race").count() == 800,
+      "every appender's rows must survive the race")
+    // the final manifest references all 8 delta dirs plus v1's base
+    assert(sn.readManifest("race", 9).size == 9)
+    // the full version ladder is intact history: v=k holds exactly k-1 slices
+    (1 to 9).foreach { v =>
+      assert(sn.asOf(spark, "race", v).count() == (v - 1) * 100L) }
+  }
+
+  test("optimistic validation: a commit derived from a stale snapshot " +
+      "throws instead of silently dropping the concurrent writer's rows") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.commit(o.limit(10), "occ")
+    val stale = sn.currentVersion("occ") // Some(1)
+    val rel = sn.readManifest("occ", 1)
+    sn.commit(o.limit(20), "occ") // concurrent writer lands v2
+    val e = intercept[graft.plans.ConcurrentCommitException] {
+      sn.commitFilesIfCurrent("occ", stale, rel)
+    }
+    assert(e.expected == Some(1) && e.found == Some(2))
+    // prev-INDEPENDENT commits (rollback/branch/publish intent) are
+    // allowed to proceed past the race: commitFiles re-claims
+    assert(sn.commitFiles("occ", rel) == 3)
+    assert(sn.current(spark, "occ").count() == 10)
+  }
 }
