@@ -550,10 +550,21 @@ object Dml extends QueryPack {
     val path = Scratch.dir("d18_partition_evolution")
     val o = T.load(s, dir, "orders")
       .withColumn("o_month", month(col("o_orderdate")))
+    // CLUSTERED writes: repartition by the partition columns first, so
+    // each partition dir is written by the one task that owns its
+    // group — one right-sized file per dir instead of (tasks ×
+    // partitions) shards. This is Iceberg's write-distribution-mode=
+    // hash discipline, and it is what keeps the spec2 layout (month ×
+    // priority = 30 dirs) from exploding into hundreds of tiny files
+    // that every later read re-lists and re-opens — the exact
+    // small-file disease M1 compaction exists to cure, avoided at
+    // write time.
     o.filter(col("o_month") <= 6)
+      .repartition(col("o_month"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("o_month").parquet(s"$path/spec1")
     o.filter(col("o_month") >= 7)
+      .repartition(col("o_month"), col("o_orderpriority"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("o_month", "o_orderpriority").parquet(s"$path/spec2")
     s.read.parquet(s"$path/spec1")

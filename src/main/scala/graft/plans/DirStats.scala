@@ -37,23 +37,35 @@ object DirStats {
 
   // ---- collection from footers ---------------------------------------
 
+  /** One column chunk's harvested stats: `mm` = (min, max, nulls) when
+    * the footer carried usable values; `allNullNulls` = the null count
+    * of an all-null chunk (no min/max, but still summable). Both empty
+    * = unusable, which kills the column for the whole dir. */
+  private final case class Chunk(name: String, mm: Option[(Any, Any, Long)],
+    allNullNulls: Option[Long])
+
   def collect(dir: java.io.File): Option[Stats] = scala.util.Try {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.collection.parallel.CollectionConverters._
+    // sorted for a deterministic merge order (listFiles order is
+    // filesystem-dependent, and the all-null-first rule below is
+    // order-sensitive)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    var rows = 0L
-    // name -> (min, max, nulls); dropped from the map = unknowable
-    val acc = scala.collection.mutable.LinkedHashMap.empty[String, ColStats]
-    val dead = scala.collection.mutable.Set.empty[String]
+      .sortBy(_.getName)
     val conf = new org.apache.hadoop.conf.Configuration()
-    files.foreach { f =>
+    // footer READS run in parallel (pure I/O, one open per file — the
+    // cost that scales with file count); the order-sensitive merge
+    // below stays sequential over the same sorted order (.par.map
+    // preserves element order)
+    val extracted: Seq[(Long, Seq[Chunk])] = files.par.map { f =>
       val r = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf))
       try {
-        rows += r.getRecordCount
+        val chunks = scala.collection.mutable.ArrayBuffer.empty[Chunk]
         r.getFooter.getBlocks.forEach { blk =>
           blk.getColumns.forEach { cc =>
             val path = cc.getPath.toArray
@@ -74,38 +86,52 @@ object DirStats {
                 case _ => None
               }
               val mm = for {
-                s <- Option(st) if !dead.contains(name) && s.hasNonNullValue
+                s <- Option(st) if s.hasNonNullValue
                 mn <- norm(s.genericGetMin); mx <- norm(s.genericGetMax)
               } yield (mn, mx, if (s.isNumNullsSet) s.getNumNulls else -1L)
-              mm match {
-                case None =>
-                  // this chunk has no usable stats — an all-null chunk
-                  // (no non-null value, but null-counted) is still
-                  // summable if the column is ALREADY known; any other
-                  // no-stats shape (including all-null-first, whose
-                  // null count we'd otherwise lose) kills the column
-                  val allNull = Option(st).exists(s =>
-                    !s.hasNonNullValue && s.isNumNullsSet)
-                  if (allNull && acc.contains(name)) {
-                    val p = acc(name)
-                    acc(name) = p.copy(nulls =
-                      if (p.nulls < 0) -1 else p.nulls + st.getNumNulls)
-                  } else { dead += name; acc.remove(name) }
-                case Some((mn, mx, nu)) => acc.get(name) match {
-                  case None if !dead.contains(name) =>
-                    acc(name) = ColStats(mn, mx, nu)
-                  case Some(p) =>
-                    acc(name) = ColStats(
-                      if (cmp(mn, p.min).exists(_ < 0)) mn else p.min,
-                      if (cmp(mx, p.max).exists(_ > 0)) mx else p.max,
-                      if (p.nulls < 0 || nu < 0) -1 else p.nulls + nu)
-                  case _ => ()
-                }
-              }
+              val allNullNulls = Option(st)
+                .filter(s => !s.hasNonNullValue && s.isNumNullsSet)
+                .map(_.getNumNulls)
+              chunks += Chunk(name, mm, allNullNulls)
             }
           }
         }
+        (r.getRecordCount, chunks.toSeq)
       } finally r.close()
+    }.seq.toSeq
+    // name -> (min, max, nulls); dropped from the map = unknowable
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, ColStats]
+    val dead = scala.collection.mutable.Set.empty[String]
+    var rows = 0L
+    extracted.foreach { case (fileRows, chunks) =>
+      rows += fileRows
+      chunks.foreach { case Chunk(name, mm, allNullNulls) =>
+        mm.filter(_ => !dead.contains(name)) match {
+          case None =>
+            // this chunk has no usable stats — an all-null chunk
+            // (no non-null value, but null-counted) is still
+            // summable if the column is ALREADY known; any other
+            // no-stats shape (including all-null-first, whose
+            // null count we'd otherwise lose) kills the column
+            allNullNulls match {
+              case Some(nu) if acc.contains(name) =>
+                val p = acc(name)
+                acc(name) = p.copy(nulls =
+                  if (p.nulls < 0) -1 else p.nulls + nu)
+              case _ => dead += name; acc.remove(name)
+            }
+          case Some((mn, mx, nu)) => acc.get(name) match {
+            case None if !dead.contains(name) =>
+              acc(name) = ColStats(mn, mx, nu)
+            case Some(p) =>
+              acc(name) = ColStats(
+                if (cmp(mn, p.min).exists(_ < 0)) mn else p.min,
+                if (cmp(mx, p.max).exists(_ > 0)) mx else p.max,
+                if (p.nulls < 0 || nu < 0) -1 else p.nulls + nu)
+            case _ => ()
+          }
+        }
+      }
     }
     Stats(rows, acc.toMap)
   }.toOption
