@@ -577,6 +577,126 @@ object Dml extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** D-ext: copy-on-write UPDATE at file granularity over the manifest
+    * store — the table-format UPDATE the reference's `PRD.md:789-797`
+    * in-place example becomes once the table is snapshot-managed: four
+    * quarterly appends seed four immutable data dirs, then ONE
+    * `updateWhere` flips Q3's sign and tags its priorities. Only the
+    * dir(s) holding Q3 rows rewrite; Q1/Q2/Q4 entries carry over
+    * verbatim in the new manifest (MaintenanceSpec proves the paths
+    * are identical). Both SET columns are applied simultaneously —
+    * each right-hand side sees the OLD row, SQL UPDATE semantics.
+    * 100 TB shape: write cost is O(affected files); the probe is one
+    * pushdown scan after footer-stat pruning. */
+  private val cowUpdate: Q = (s, dir) => {
+    val sn = new Snapshots(Scratch.dir("d23_cow_update"))
+    val t = "orders_cu"
+    val o = T.load(s, dir, "orders")
+    Seq((1, 3), (4, 6), (7, 9), (10, 12)).foreach { case (a, b) =>
+      sn.append(o.filter(month(col("o_orderdate")).between(a, b)), t)
+    }
+    val q3 = month(col("o_orderdate")).between(7, 9)
+    sn.updateWhere(s, t, q3, Map(
+      "o_totalprice" -> -col("o_totalprice"),
+      "o_orderpriority" -> concat(lit("U:"), col("o_orderpriority"))))
+    sn.current(s, t)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))
+      .withColumn("n_versions",
+        lit(sn.versions(t).size).cast("long"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** D-ext: batch copy-on-write MERGE (upsert) over the manifest store —
+    * the WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT * form at
+    * file granularity (the batch twin of the streaming upsert sink).
+    * Target = three quarterly dirs (months 1-9); source = Q1 rows with
+    * key%5==0 re-statused 'U' (updates) plus all Q4 rows (inserts).
+    * Only the Q1 dir holds a source key, so Q2/Q3 dirs carry over by
+    * reference — write cost O(affected files + source). */
+  private val mergeUpsertQ: Q = (s, dir) => {
+    val sn = new Snapshots(Scratch.dir("d24_merge_upsert"))
+    val t = "orders_mu"
+    val o = T.load(s, dir, "orders")
+    Seq((1, 3), (4, 6), (7, 9)).foreach { case (a, b) =>
+      sn.append(o.filter(month(col("o_orderdate")).between(a, b)), t)
+    }
+    val src = o
+      .filter(month(col("o_orderdate")) <= 3 && col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .unionByName(o.filter(month(col("o_orderdate")) >= 10))
+    sn.mergeUpsert(s, t, src, "o_orderkey")
+    sn.current(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))
+      .withColumn("n_versions",
+        lit(sn.versions(t).size).cast("long"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** D-ext: MERGE-ON-READ equality delete — Iceberg v2's delete-file
+    * mechanism, the only delete shape a 100 TB hot path can afford:
+    * `deleteWhereMoR` writes ONLY the matching keys as an equality-
+    * delete dir (no data file rewrites), the read applies it as an
+    * anti-join, and a LATER append re-inserting some of those keys
+    * survives the delete because its data sequence number outranks the
+    * delete's — the Iceberg sequencing rule, proven cross-engine here:
+    * keys %7 deleted, keys %14 re-landed with status 'R', and the
+    * pre-delete snapshot still reads complete (time travel under MoR). */
+  private val morDelete: Q = (s, dir) => {
+    val sn = new Snapshots(Scratch.dir("d25_mor_delete"))
+    val t = "orders_mor"
+    val o = T.load(s, dir, "orders")
+    sn.append(o.filter(month(col("o_orderdate")) <= 6), t)   // v1, seq 1
+    sn.append(o.filter(month(col("o_orderdate")) >= 7), t)   // v2, seq 2
+    val preV = sn.currentVersion(t).get
+    sn.deleteWhereMoR(s, t, col("o_orderkey") % 7 === 0,
+      Seq("o_orderkey"))                                     // v3: delete file
+    sn.append(o.filter(col("o_orderkey") % 14 === 0)
+      .withColumn("o_orderstatus", lit("R")), t)             // v4, seq 4
+    val now = sn.current(s, t).agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("o_orderkey") % 7 === 0, 1)).as("n_div7"),
+      count(when(col("o_orderstatus") === "R", 1)).as("n_reinserted"))
+    val preDelete = sn.asOf(s, t, preV)
+      .agg(count(lit(1)).as("n_pre_delete"))
+    now.crossJoin(preDelete)
+      .withColumn("n_versions", lit(sn.versions(t).size).cast("long"))
+  }
+
+  /** D-ext: fold merge-on-read deletes into data files — Iceberg's
+    * major compaction (`rewrite_data_files` over a table carrying
+    * delete files), the maintenance step that returns reads to the
+    * zero-join fast path. Same table shape as d25; after
+    * `rewriteDeletes` the manifest holds zero delete entries (emitted
+    * as a column from the manifest itself), the re-inserted rows are
+    * still present, and the logical frame is IDENTICAL to the unfolded
+    * one — which is exactly what the shared DuckDB oracle checks. The
+    * re-insert dir (seq ≥ every delete seq) carries over without
+    * rewrite; only dirs holding a deleted key pay I/O. */
+  private val morFold: Q = (s, dir) => {
+    val sn = new Snapshots(Scratch.dir("d26_mor_fold"))
+    val t = "orders_mf"
+    val o = T.load(s, dir, "orders")
+    sn.append(o.filter(month(col("o_orderdate")) <= 6), t)
+    sn.append(o.filter(month(col("o_orderdate")) >= 7), t)
+    sn.deleteWhereMoR(s, t, col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
+    sn.append(o.filter(col("o_orderkey") % 14 === 0)
+      .withColumn("o_orderstatus", lit("R")), t)
+    sn.rewriteDeletes(s, t)
+    val nDeleteEntries = sn
+      .readEntries(t, sn.currentVersion(t).get)
+      .count(_.kind == "delete")
+    sn.current(s, t).agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("o_orderkey") % 7 === 0, 1)).as("n_div7"),
+      count(when(col("o_orderstatus") === "R", 1)).as("n_reinserted"))
+      .withColumn("n_delete_entries", lit(nDeleteEntries).cast("long"))
+      .withColumn("n_versions", lit(sn.versions(t).size).cast("long"))
+  }
+
   /** D19: SCD Type-2 dimension build — the versioned-dimension staple a
     * lakehouse warehouse layer runs on every batch (the reference's
     * MERGE story, `PRD.md:799-815`, only updates in place; Type-2 is
@@ -791,6 +911,10 @@ object Dml extends QueryPack {
     "d21_merge_delete" -> mergeDelete,
     "d22_join_ivm" -> joinIvm,
     "d18_partition_evolution" -> partitionEvolution,
+    "d23_cow_update" -> cowUpdate,
+    "d24_merge_upsert" -> mergeUpsertQ,
+    "d25_mor_delete" -> morDelete,
+    "d26_mor_fold" -> morFold,
     "d15_check_constraint" -> checkConstraint,
     "d16_system_time_between" -> systemTimeBetween,
     "d17_write_audit_publish" -> writeAuditPublish,
@@ -1059,6 +1183,62 @@ object Dml extends QueryPack {
          |  COUNT(DISTINCT month(o_orderdate)) AS n_months,
          |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS sum_price
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // UPDATE applied only to Q3 rows; both SET columns see the old row
+    "d23_cow_update" ->
+      s"""WITH upd AS (
+         |  SELECT
+         |    CASE WHEN month(o_orderdate) BETWEEN 7 AND 9
+         |         THEN 'U:' || o_orderpriority ELSE o_orderpriority END
+         |      AS o_orderpriority,
+         |    CASE WHEN month(o_orderdate) BETWEEN 7 AND 9
+         |         THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+         |  FROM orders)
+         |SELECT o_orderpriority, COUNT(*) AS n_rows,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS sum_price,
+         |  CAST(5 AS BIGINT) AS n_versions
+         |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // merge = matched rows replaced by source (status 'U'), unmatched
+    // source rows (Q4) inserted, everything else untouched
+    "d24_merge_upsert" ->
+      s"""WITH merged AS (
+         |  SELECT
+         |    CASE WHEN month(o_orderdate) <= 3 AND o_orderkey % 5 = 0
+         |         THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         |    o_totalprice
+         |  FROM orders WHERE month(o_orderdate) <= 9
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE month(o_orderdate) >= 10)
+         |SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS sum_price,
+         |  CAST(4 AS BIGINT) AS n_versions
+         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // %7 keys equality-deleted, %14 keys re-inserted AFTER the delete
+    // (higher data seq -> they survive); pre-delete snapshot complete
+    "d25_mor_delete" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 0)
+        |    + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 14 = 0)
+        |    AS n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 14 = 0)
+        |    AS n_div7,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 14 = 0)
+        |    AS n_reinserted,
+        |  (SELECT COUNT(*) FROM orders) AS n_pre_delete,
+        |  CAST(4 AS BIGINT) AS n_versions""".stripMargin,
+    // after the fold the logical frame is unchanged and the manifest
+    // carries zero delete entries
+    "d26_mor_fold" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 0)
+        |    + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 14 = 0)
+        |    AS n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 14 = 0)
+        |    AS n_div7,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 14 = 0)
+        |    AS n_reinserted,
+        |  CAST(0 AS BIGINT) AS n_delete_entries,
+        |  CAST(5 AS BIGINT) AS n_versions""".stripMargin,
     // month 3 reflects the corrected reload; every other month must
     // still aggregate to its ORIGINAL content
     "d14_dynamic_partition_overwrite" ->

@@ -142,6 +142,11 @@ object Maintenance {
       targetFileSizeMB: Int = 128): CompactionReport = {
     val v = snaps.currentVersion(table)
       .getOrElse(sys.error(s"no snapshots for $table"))
+    // bin-pack compaction reasons about raw data files; outstanding
+    // equality deletes must fold first (Iceberg orders its maintenance
+    // the same way: rewrite delete files, then rewrite data files)
+    require(snaps.readEntries(table, v).forall(_.kind == "data"),
+      s"$table has unfolded equality deletes - run rewriteDeletes first")
     val targetBytes = targetFileSizeMB.toLong * 1024 * 1024
     val rels = snaps.readManifest(table, v)
     def stats(rel: String) = fileStats(s"${snaps.rootDir}/$rel")

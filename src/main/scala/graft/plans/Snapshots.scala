@@ -13,6 +13,24 @@ final class ConcurrentCommitException(val table: String,
   extends RuntimeException(
     s"concurrent commit on $table: expected current version $expected, found $found")
 
+/** One manifest line. `kind` is "data" (an immutable parquet dir of
+  * table rows) or "delete" (an Iceberg-v2-style EQUALITY-DELETE dir: a
+  * parquet dir holding the distinct `key` values whose rows are
+  * logically deleted). `seq` is the entry's data sequence number —
+  * Iceberg's ordering rule re-expressed: a delete applies only to data
+  * entries with a STRICTLY SMALLER seq, so a row re-inserted after the
+  * delete (higher seq) survives it. Legacy bare-path manifest lines
+  * parse as (data, seq 0), which keeps every pre-MoR table readable
+  * and keeps their semantics unchanged (no deletes → seq never
+  * consulted). `key` names the equality columns (delete entries only). */
+final case class ManifestEntry(kind: String, seq: Int, rel: String,
+    key: Seq[String]) {
+  require(kind == "data" || kind == "delete",
+    s"manifest entry kind must be data|delete, got $kind")
+  require(kind == "data" || key.nonEmpty,
+    "a delete entry needs at least one equality key column")
+}
+
 /** Manifest-based versioned-snapshot store — the table-format emulation
   * for time travel (D5), CDC inputs (D6), WAP branching (D17), and
   * snapshot expiry (M2), since no Iceberg/Delta jars exist in this
@@ -72,18 +90,57 @@ class Snapshots(root: String) {
 
   def currentVersion(table: String): Option[Int] = versions(table).lastOption
 
-  /** The root-relative data dirs snapshot `v` is made of. */
-  def readManifest(table: String, v: Int): Seq[String] = {
+  // ---- manifest entry (de)serialization --------------------------------
+  // A pure-data seq-0 entry serializes as the bare rel path — byte-
+  // identical to the pre-MoR format, so old manifests stay readable and
+  // pure-data tables keep writing the format every existing tool expects.
+
+  private def fmtEntry(e: ManifestEntry): String = e match {
+    case ManifestEntry("data", 0, rel, _) => rel
+    case ManifestEntry("data", seq, rel, _) => s"data\t$seq\t$rel"
+    case ManifestEntry("delete", seq, rel, key) =>
+      s"delete\t$seq\t$rel\t${key.mkString(",")}"
+    case other => sys.error(s"unserializable manifest entry $other")
+  }
+
+  private def parseEntry(line: String): ManifestEntry =
+    line.split('\t') match {
+      case Array(rel) => ManifestEntry("data", 0, rel, Nil)
+      case Array("data", seq, rel) => ManifestEntry("data", seq.toInt, rel, Nil)
+      case Array("delete", seq, rel, key) =>
+        ManifestEntry("delete", seq.toInt, rel, key.split(',').toSeq)
+      case _ => sys.error(s"unparseable manifest line: $line")
+    }
+
+  private def readRaw(table: String, v: Int): String = {
     val f = manifestFile(table, v)
     require(f.exists(), s"no manifest for $table v=$v")
     val src = scala.io.Source.fromFile(f)
-    try src.getLines().map(_.trim).filter(_.nonEmpty).toList
-    finally src.close()
+    try src.getLines().mkString("\n") finally src.close()
   }
+
+  /** Every entry of snapshot `v` — data dirs AND equality-delete dirs. */
+  def readEntries(table: String, v: Int): Seq[ManifestEntry] =
+    readRaw(table, v).linesIterator.map(_.trim).filter(_.nonEmpty)
+      .map(parseEntry).toList
+
+  /** The root-relative DATA dirs snapshot `v` is made of (delete
+    * entries excluded — callers that must see them use [[readEntries]]). */
+  def readManifest(table: String, v: Int): Seq[String] =
+    readEntries(table, v).collect { case ManifestEntry("data", _, rel, _) => rel }
 
   /** Absolute data-dir paths of snapshot `v` (for scans / file stats). */
   def dataDirs(table: String, v: Int): Seq[String] =
     readManifest(table, v).map(rel => s"$root/$rel")
+
+  /** The next data sequence number for a commit carrying `entries`
+    * forward — one past the largest seq PRESENT, not the version
+    * number: versions are per-table counters while entries migrate
+    * across tables verbatim (branch/publish are manifest copies), so a
+    * seq derived from the DESTINATION's version could duck under a
+    * copied delete's seq and resurrect its deleted rows into new data. */
+  private def nextSeq(entries: Seq[ManifestEntry]): Int =
+    (entries.map(_.seq) :+ 0).max + 1
 
   // per-writer tmp-file disambiguator: two concurrent committers must
   // never share a staging path, or the loser's bytes could publish
@@ -104,11 +161,11 @@ class Snapshots(root: String) {
     * .tmp orphan ([[cleanOrphans]] sweeps it), never a half-readable
     * version. */
   private def claimVersion(table: String, v: Int,
-      relDirs: Seq[String]): Boolean = {
+      content: String): Boolean = {
     manifestsDir(table).mkdirs()
     val tmp = new java.io.File(manifestsDir(table),
       s"v=$v.manifest.$writerTag.tmp")
-    java.nio.file.Files.writeString(tmp.toPath, relDirs.mkString("\n"))
+    java.nio.file.Files.writeString(tmp.toPath, content)
     try {
       java.nio.file.Files.createLink(
         manifestFile(table, v).toPath, tmp.toPath)
@@ -129,13 +186,24 @@ class Snapshots(root: String) {
     * compaction) must instead go through [[commitFilesIfCurrent]] +
     * [[occRetry]], or a concurrent commit's rows would be silently
     * dropped by the stale list. */
-  def commitFiles(table: String, relDirs: Seq[String]): Int = {
-    relDirs.foreach(rel => require(new java.io.File(s"$root/$rel").exists(),
-      s"manifest for $table would reference missing data dir $rel"))
+  def commitFiles(table: String, relDirs: Seq[String]): Int =
+    commitEntries(table, relDirs.map(ManifestEntry("data", 0, _, Nil)))
+
+  /** [[commitFiles]] over full entries (data + delete). */
+  def commitEntries(table: String, entries: Seq[ManifestEntry]): Int =
+    commitRaw(table, validated(table, entries))
+
+  private def validated(table: String, entries: Seq[ManifestEntry]): String = {
+    entries.foreach(e => require(new java.io.File(s"$root/${e.rel}").exists(),
+      s"manifest for $table would reference missing dir ${e.rel}"))
+    entries.map(fmtEntry).mkString("\n")
+  }
+
+  private def commitRaw(table: String, content: String): Int = {
     var attempts = 0
     while (true) {
       val v = currentVersion(table).getOrElse(0) + 1
-      if (claimVersion(table, v, relDirs)) return v
+      if (claimVersion(table, v, content)) return v
       attempts += 1
       require(attempts < 1000, s"commit of $table starved after $attempts races")
     }
@@ -149,12 +217,17 @@ class Snapshots(root: String) {
     * list was derived from snapshot `expected` re-derive it instead of
     * publishing a stale view. */
   def commitFilesIfCurrent(table: String, expected: Option[Int],
-      relDirs: Seq[String]): Int = {
-    relDirs.foreach(rel => require(new java.io.File(s"$root/$rel").exists(),
-      s"manifest for $table would reference missing data dir $rel"))
+      relDirs: Seq[String]): Int =
+    commitEntriesIfCurrent(table, expected,
+      relDirs.map(ManifestEntry("data", 0, _, Nil)))
+
+  /** [[commitFilesIfCurrent]] over full entries (data + delete). */
+  def commitEntriesIfCurrent(table: String, expected: Option[Int],
+      entries: Seq[ManifestEntry]): Int = {
+    val content = validated(table, entries)
     val found = currentVersion(table)
     if (found != expected ||
-        !claimVersion(table, expected.getOrElse(0) + 1, relDirs))
+        !claimVersion(table, expected.getOrElse(0) + 1, content))
       throw new ConcurrentCommitException(table, expected, currentVersion(table))
     expected.getOrElse(0) + 1
   }
@@ -228,14 +301,43 @@ class Snapshots(root: String) {
   def append(df: DataFrame, table: String): Int = {
     val rel = stageData(df, table)
     occRetry(table) { cur =>
-      val prev = cur.map(readManifest(table, _)).getOrElse(Seq.empty)
-      commitFilesIfCurrent(table, cur, prev :+ rel)
+      val prev = cur.map(readEntries(table, _)).getOrElse(Seq.empty)
+      commitEntriesIfCurrent(table, cur,
+        prev :+ ManifestEntry("data", nextSeq(prev), rel, Nil))
     }
   }
 
-  /** D5: read the table as of a pinned version. */
-  def asOf(spark: SparkSession, table: String, v: Int): DataFrame =
-    spark.read.parquet(dataDirs(table, v): _*)
+  /** D5: read the table as of a pinned version — with any equality-
+    * delete entries APPLIED (the merge-on-read path). Pure-data
+    * snapshots take the zero-overhead fast path: one multi-dir scan,
+    * no joins in the plan. */
+  def asOf(spark: SparkSession, table: String, v: Int): DataFrame = {
+    val entries = readEntries(table, v)
+    if (entries.forall(_.kind == "data"))
+      spark.read.parquet(entries.map(e => s"$root/${e.rel}"): _*)
+    else logicalFrame(spark, entries)
+  }
+
+  /** The merge-on-read scan: data entries grouped by seq, each group
+    * anti-joined against every delete entry with a STRICTLY larger seq
+    * (Iceberg's sequence-number rule), groups unioned back. The plan
+    * carries one anti-join per (seq group × applicable delete) — at
+    * scale that is exactly why MoR engines fold deletes periodically
+    * ([[rewriteDeletes]] is that major compaction); the read stays
+    * correct at any delete count, just not free. Delete frames are
+    * O(deleted keys) and AQE broadcasts them when small. */
+  private def logicalFrame(spark: SparkSession,
+      entries: Seq[ManifestEntry]): DataFrame = {
+    val dels = entries.filter(_.kind == "delete").sortBy(_.seq)
+    val datas = entries.filter(_.kind == "data")
+    require(datas.nonEmpty, "logicalFrame needs at least one data entry")
+    datas.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, group) =>
+      val base = spark.read.parquet(group.map(e => s"$root/${e.rel}"): _*)
+      dels.filter(_.seq > seq).foldLeft(base) { (df, d) =>
+        df.join(spark.read.parquet(s"$root/${d.rel}"), d.key, "left_anti")
+      }
+    }.reduce(_ unionByName _)
+  }
 
   /** Read the current snapshot. */
   def current(spark: SparkSession, table: String): DataFrame =
@@ -251,7 +353,7 @@ class Snapshots(root: String) {
   def rollback(spark: SparkSession, table: String, v: Int): Int = {
     require(versions(table).contains(v),
       s"cannot roll $table back to missing version $v")
-    commitFiles(table, readManifest(table, v))
+    commitRaw(table, readRaw(table, v)) // verbatim: delete entries too
   }
 
   /** Branch: make `toTable`'s next snapshot reference exactly
@@ -260,7 +362,7 @@ class Snapshots(root: String) {
     * then evolve independently; shared files stay live until NO branch
     * references them ([[expire]]'s GC is root-wide). */
   def branch(fromTable: String, toTable: String): Int =
-    commitFiles(toTable, readManifest(fromTable,
+    commitRaw(toTable, readRaw(fromTable, // verbatim: delete entries too
       currentVersion(fromTable)
         .getOrElse(sys.error(s"no snapshots for $fromTable"))))
 
@@ -291,23 +393,165 @@ class Snapshots(root: String) {
     * against the new snapshot instead of deleting from a stale view.
     * Returns the current version after the op. */
   def deleteWhere(spark: SparkSession, table: String, cond: Column): Int =
+    cowRewrite(spark, table, cond, _.filter(!cond))
+
+  /** D-ext: copy-on-write UPDATE at file granularity — same probe/
+    * rewrite discipline as [[deleteWhere]]: footer stats prove most
+    * dirs can't match, one scan probes the rest, and ONLY dirs holding
+    * a matching row rewrite. `set` is applied simultaneously (every
+    * right-hand side sees the OLD row — SQL UPDATE semantics — because
+    * the rewrite is one projection, not a withColumn chain). Write
+    * cost O(affected files), never O(table). */
+  def updateWhere(spark: SparkSession, table: String, cond: Column,
+      set: Map[String, Column]): Int =
+    cowRewrite(spark, table, cond, { base =>
+      import org.apache.spark.sql.functions.{col, when}
+      base.select(base.columns.toIndexedSeq.map { c =>
+        set.get(c).map(e => when(cond, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    })
+
+  /** Shared CoW probe-and-rewrite: partition the current snapshot's
+    * data dirs into (proven-clean, probed-clean, touched) — footer
+    * stats first (no I/O), one pushdown scan for the rest — then
+    * rewrite ONLY the touched dirs through `rewrite` applied to their
+    * MERGE-ON-READ frame (outstanding equality deletes applied before
+    * the rewrite, so a CoW op never resurrects MoR-deleted rows; the
+    * new dir's seq outranks every existing delete, so those deletes
+    * stop applying to it — they keep applying to untouched dirs,
+    * whose entries carry over verbatim). Matching nothing returns the
+    * current version unchanged: no version churn. */
+  private def cowRewrite(spark: SparkSession, table: String, cond: Column,
+      rewrite: DataFrame => DataFrame): Int =
     occRetry(table) { cur =>
       val v = cur.getOrElse(sys.error(s"no snapshots for $table"))
+      val entries = readEntries(table, v)
+      val dels = entries.filter(_.kind == "delete")
+      val datas = entries.filter(_.kind == "data")
       // metadata pass first: dirs whose footer stats PROVE no row can
       // match are untouched without any scan (Iceberg's inclusive
-      // metrics evaluation); only the survivors pay the scan probe
+      // metrics evaluation); only the survivors pay the scan probe.
+      // (On a MoR table the probe sees not-yet-folded deleted rows, so
+      // it can only OVER-mark a dir as touched — extra rewrite work,
+      // never a wrong result, since the rewrite reads the MoR frame.)
       val condExpr =
         org.apache.spark.sql.graft.ColumnBridge.catalystExpression(cond)
-      val (mayMatch, proven) = readManifest(table, v).partition(rel =>
-        DirStats.read(new java.io.File(s"$root/$rel"))
+      val (mayMatch, proven) = datas.partition(e =>
+        DirStats.read(new java.io.File(s"$root/${e.rel}"))
           .forall(st => DirStats.mayMatch(condExpr, st)))
-      val (touched, probed) = splitByMark(spark, mayMatch, _.filter(cond))
-      if (touched.isEmpty) v
+      val (touchedRels, _) =
+        splitByMark(spark, mayMatch.map(_.rel), _.filter(cond))
+      if (touchedRels.isEmpty) v
       else {
-        val survivors = spark.read
-          .parquet(touched.map(rel => s"$root/$rel"): _*).filter(!cond)
-        commitFilesIfCurrent(table, cur,
-          proven ++ probed :+ stageData(survivors, table))
+        val touched = mayMatch.filter(e => touchedRels.contains(e.rel))
+        val kept = proven ++ mayMatch.filterNot(e => touchedRels.contains(e.rel))
+        val rewritten = rewrite(logicalFrame(spark, touched ++ dels))
+        commitEntriesIfCurrent(table, cur, (kept ++ dels) :+
+          ManifestEntry("data", nextSeq(entries),
+            stageData(rewritten, table), Nil))
+      }
+    }
+
+  /** D-ext: copy-on-write MERGE (upsert) at file granularity — source
+    * rows REPLACE target rows on `key` match and INSERT otherwise (the
+    * MERGE WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT * form).
+    * Only data dirs containing a source key are re-read and rewritten —
+    * the batch twin of the streaming upsert sink's discipline, under
+    * the same optimistic commit. The rewrite collapses every dir
+    * holding a source key into one, so merge COLOCATES keys; an empty
+    * source returns the current version (no churn). Write cost
+    * O(affected files + source), never O(table). */
+  def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
+      key: String): Int =
+    occRetry(table) { cur =>
+      val v = cur.getOrElse(sys.error(s"no snapshots for $table"))
+      if (source.isEmpty) v
+      else {
+        import org.apache.spark.sql.functions.col
+        val entries = readEntries(table, v)
+        val dels = entries.filter(_.kind == "delete")
+        val datas = entries.filter(_.kind == "data")
+        val keys = source.select(col(key)).distinct()
+        val (touchedRels, _) = splitByMark(spark, datas.map(_.rel),
+          _.join(keys, Seq(key), "left_semi"))
+        val touched = datas.filter(e => touchedRels.contains(e.rel))
+        val kept = datas.filterNot(e => touchedRels.contains(e.rel))
+        val merged =
+          if (touched.isEmpty) source
+          else logicalFrame(spark, touched ++ dels)
+            .join(keys, Seq(key), "left_anti")
+            .unionByName(source)
+        commitEntriesIfCurrent(table, cur, (kept ++ dels) :+
+          ManifestEntry("data", nextSeq(entries),
+            stageData(merged, table), Nil))
+      }
+    }
+
+  /** D-ext: MERGE-ON-READ delete — instead of rewriting any data file,
+    * write the matching rows' DISTINCT `keyCols` values as an
+    * equality-delete dir and commit a manifest that adds one delete
+    * entry (Iceberg v2's equality deletes). Write cost O(deleted
+    * keys): at 100 TB this is the only delete a hot path can afford —
+    * the read applies deletes as anti-joins ([[logicalFrame]]) until
+    * [[rewriteDeletes]] folds them into data files. A later append
+    * gets a higher seq, so re-inserted keys survive the delete — the
+    * sequence-number semantics real MoR tables have. Matching nothing
+    * returns the current version unchanged. */
+  def deleteWhereMoR(spark: SparkSession, table: String, cond: Column,
+      keyCols: Seq[String]): Int =
+    occRetry(table) { cur =>
+      val v = cur.getOrElse(sys.error(s"no snapshots for $table"))
+      val entries = readEntries(table, v)
+      import org.apache.spark.sql.functions.col
+      val doomed = logicalFrameOrPlain(spark, entries)
+        .filter(cond).select(keyCols.map(col): _*).distinct()
+      if (doomed.isEmpty) v
+      else commitEntriesIfCurrent(table, cur, entries :+
+        ManifestEntry("delete", nextSeq(entries),
+          stageData(doomed, table), keyCols))
+    }
+
+  private def logicalFrameOrPlain(spark: SparkSession,
+      entries: Seq[ManifestEntry]): DataFrame =
+    if (entries.forall(_.kind == "data"))
+      spark.read.parquet(entries.map(e => s"$root/${e.rel}"): _*)
+    else logicalFrame(spark, entries)
+
+  /** Fold outstanding equality deletes into data files — Iceberg's
+    * major compaction (`rewrite_data_files` over a table with delete
+    * files). Data entries no delete can apply to (seq ≥ every delete
+    * seq) carry over VERBATIM; among the rest, one scan probes which
+    * dirs actually contain a deleted key, and only those rewrite
+    * (with their applicable deletes applied). The new manifest has
+    * zero delete entries, so reads return to the fast no-join path.
+    * No deletes → current version unchanged. */
+  def rewriteDeletes(spark: SparkSession, table: String): Int =
+    occRetry(table) { cur =>
+      val v = cur.getOrElse(sys.error(s"no snapshots for $table"))
+      val entries = readEntries(table, v)
+      val dels = entries.filter(_.kind == "delete")
+      if (dels.isEmpty) v
+      else {
+        val datas = entries.filter(_.kind == "data")
+        val maxDelSeq = dels.map(_.seq).max
+        val (fresh, candidates) = datas.partition(_.seq >= maxDelSeq)
+        // conservative probe: a candidate dir containing ANY deleted
+        // key rewrites (even if only a later-seq delete names that
+        // key) — a superset, never a wrong result, because the
+        // rewrite materializes each dir group's exact MoR frame
+        val (touchedRels, _) = splitByMark(spark, candidates.map(_.rel),
+          df => dels.map(d =>
+            df.join(spark.read.parquet(s"$root/${d.rel}"), d.key, "left_semi"))
+            .reduce(_ unionByName _))
+        val touched = candidates.filter(e => touchedRels.contains(e.rel))
+        val kept = fresh ++
+          candidates.filterNot(e => touchedRels.contains(e.rel))
+        val folded =
+          if (touched.isEmpty) kept
+          else kept :+ ManifestEntry("data", nextSeq(entries),
+            stageData(logicalFrame(spark, touched ++ dels), table), Nil)
+        commitEntriesIfCurrent(table, cur, folded)
       }
     }
 
@@ -390,8 +634,8 @@ class Snapshots(root: String) {
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).toSeq
       .flatMap(td => versions(td.getName)
-        .flatMap(v => readManifest(td.getName, v)))
-      .map(rel => new java.io.File(s"$root/$rel").getCanonicalPath)
+        .flatMap(v => readEntries(td.getName, v))) // delete dirs are live too
+      .map(e => new java.io.File(s"$root/${e.rel}").getCanonicalPath)
       .toSet
 
   /** M2: expire old snapshots, keeping the most recent `keep` — delete

@@ -336,6 +336,139 @@ class MaintenanceSpec extends SparkSpec {
     assert(sn.currentVersion("ct").contains(3))
   }
 
+  test("CoW UPDATE: only dirs holding a matching row rewrite; untouched " +
+      "entries carry over verbatim; no-match updates don't churn a version") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.append(o.filter(month(col("o_orderdate")) <= 3), "cu")
+    sn.append(o.filter(month(col("o_orderdate")).between(4, 6)), "cu")
+    val m2 = sn.readManifest("cu", 2)
+    val (q1Rel, q2Rel) = (m2.head, m2.last)
+    val q1Files = dirContents(s"$root/$q1Rel")
+    sn.updateWhere(spark, "cu", month(col("o_orderdate")).between(4, 6),
+      Map("o_totalprice" -> -col("o_totalprice")))
+    val m3 = sn.readManifest("cu", 3)
+    assert(m3.contains(q1Rel), "untouched dir must keep its manifest entry")
+    assert(!m3.contains(q2Rel), "matching dir must be replaced")
+    assert(dirContents(s"$root/$q1Rel") == q1Files,
+      "untouched files must be byte-identical across the update commit")
+    val cur = sn.current(spark, "cu")
+    assert(cur.filter(col("o_totalprice") < 0).count() ==
+      o.filter(month(col("o_orderdate")).between(4, 6)).count())
+    assert(cur.count() ==
+      o.filter(month(col("o_orderdate")) <= 6).count())
+    // a predicate matching nothing must not churn a version
+    sn.updateWhere(spark, "cu", col("o_totalprice") < -1e12,
+      Map("o_orderstatus" -> lit("X")))
+    assert(sn.currentVersion("cu").contains(3))
+  }
+
+  test("mergeUpsert: insert-only sources carry every existing entry " +
+      "verbatim; matched keys rewrite only their dirs; empty source no-ops") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.append(o.filter(month(col("o_orderdate")) <= 3), "mu")
+    sn.append(o.filter(month(col("o_orderdate")).between(4, 6)), "mu")
+    val m2 = sn.readManifest("mu", 2)
+    val (q1Rel, q2Rel) = (m2.head, m2.last)
+    // insert-only: Q3 keys exist in no dir → pure append shape
+    sn.mergeUpsert(spark, "mu",
+      o.filter(month(col("o_orderdate")).between(7, 9)), "o_orderkey")
+    val m3 = sn.readManifest("mu", 3)
+    assert(m3.contains(q1Rel) && m3.contains(q2Rel),
+      "insert-only merge must not rewrite any existing dir")
+    assert(sn.current(spark, "mu").count() ==
+      o.filter(month(col("o_orderdate")) <= 9).count())
+    // matched keys live only in the Q1 dir → only that dir collapses
+    val src = o
+      .filter(month(col("o_orderdate")) <= 3 && col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    sn.mergeUpsert(spark, "mu", src, "o_orderkey")
+    val m4 = sn.readManifest("mu", 4)
+    assert(!m4.contains(q1Rel), "dir holding matched keys must rewrite")
+    assert(m4.contains(q2Rel), "dir without a source key must carry over")
+    val cur = sn.current(spark, "mu")
+    assert(cur.filter(col("o_orderstatus") === "U").count() == src.count())
+    assert(cur.count() == o.filter(month(col("o_orderdate")) <= 9).count(),
+      "upsert of existing keys must not change the row count")
+    // an empty source must not churn a version
+    sn.mergeUpsert(spark, "mu", src.filter(lit(false)), "o_orderkey")
+    assert(sn.currentVersion("mu").contains(4))
+  }
+
+  test("MoR delete: the delete dir holds only keys (O(delta) write), " +
+      "re-inserts outrank it by seq, time travel still works, and the " +
+      "fold drops delete entries while carrying unaffected dirs verbatim") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.append(o.filter(month(col("o_orderdate")) <= 6), "mor")
+    sn.append(o.filter(month(col("o_orderdate")) >= 7), "mor")
+    sn.deleteWhereMoR(spark, "mor", col("o_orderkey") % 7 === 0,
+      Seq("o_orderkey"))
+    val e3 = sn.readEntries("mor", 3)
+    val del = e3.filter(_.kind == "delete")
+    assert(del.size == 1 && del.head.key == Seq("o_orderkey"))
+    // O(delta): the delete dir contains exactly the distinct doomed keys
+    val delFrame = spark.read.parquet(s"$root/${del.head.rel}")
+    assert(delFrame.columns.toSeq == Seq("o_orderkey"))
+    assert(delFrame.count() ==
+      o.filter(col("o_orderkey") % 7 === 0).count())
+    // the read applies the delete; the pre-delete snapshot is complete
+    assert(sn.current(spark, "mor").count() ==
+      o.filter(col("o_orderkey") % 7 =!= 0).count())
+    assert(sn.asOf(spark, "mor", 2).count() == o.count())
+    // deleting nothing must not churn a version
+    sn.deleteWhereMoR(spark, "mor", col("o_totalprice") < -1e12,
+      Seq("o_orderkey"))
+    assert(sn.currentVersion("mor").contains(3))
+    // a re-insert AFTER the delete has a higher seq and survives it
+    val reins = o.filter(col("o_orderkey") % 14 === 0)
+    sn.append(reins, "mor")
+    val expected =
+      o.filter(col("o_orderkey") % 7 =!= 0).count() + reins.count()
+    assert(sn.current(spark, "mor").count() == expected)
+    val reinsEntry = sn.readEntries("mor", 4).filter(_.kind == "data").last
+    val reinsFiles = dirContents(s"$root/${reinsEntry.rel}")
+    // fold: zero delete entries left, logical frame unchanged, and the
+    // re-insert dir (no delete applies to it) carries over verbatim
+    sn.rewriteDeletes(spark, "mor")
+    val e5 = sn.readEntries("mor", 5)
+    assert(e5.forall(_.kind == "data"))
+    assert(e5.map(_.rel).contains(reinsEntry.rel),
+      "dir unaffected by every delete must keep its manifest entry")
+    assert(dirContents(s"$root/${reinsEntry.rel}") == reinsFiles)
+    assert(sn.current(spark, "mor").count() == expected)
+    // idempotence: nothing left to fold → no version churn
+    sn.rewriteDeletes(spark, "mor")
+    assert(sn.currentVersion("mor").contains(5))
+  }
+
+  test("branch copies delete entries verbatim and destination appends " +
+      "outrank them — seq comes from the entries, not the version counter") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.append(o.filter(month(col("o_orderdate")) <= 6), "src")
+    sn.deleteWhereMoR(spark, "src", col("o_orderkey") % 3 === 0,
+      Seq("o_orderkey"))                       // src v2: delete at seq 2
+    sn.branch("src", "dst")                    // dst v1 carries seqs {1,2}
+    assert(sn.readEntries("dst", 1) == sn.readEntries("src", 2))
+    val alive = o.filter(month(col("o_orderdate")) <= 6 &&
+      col("o_orderkey") % 3 =!= 0).count()
+    assert(sn.current(spark, "dst").count() == alive)
+    // dst's next commit is v2; a seq derived from the VERSION would be
+    // 2 — not greater than the copied delete's seq 2 — and the delete
+    // would wrongly swallow these re-inserted keys
+    val reins = o.filter(col("o_orderkey") % 3 === 0 &&
+      month(col("o_orderdate")) <= 2)
+    sn.append(reins, "dst")
+    assert(sn.current(spark, "dst").count() == alive + reins.count(),
+      "append after a copied delete must outrank it")
+  }
+
   test("multi-writer: 8 concurrent appenders all land — no lost update, " +
       "every delta file referenced by the final manifest") {
     val root = scratch()
