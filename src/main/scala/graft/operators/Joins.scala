@@ -1103,18 +1103,24 @@ object Joins extends QueryPack {
     * `srcNode`, d <= depth. */
   def bfsDistances(edges: DataFrame, srcNode: DataFrame,
       depth: Int): DataFrame = {
-    val e = graft.core.Barriers.materialize(edges)
-    val und = e.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    val und = graft.core.Barriers.materialize(
+      edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b"))))
     var dist = srcNode.select(col("node"), lit(0).as("d"))
     for (i <- 1 to depth) {
-      // Expand the WHOLE known set each round (not just the new
-      // frontier) and re-take the min hop: one extra bounded join per
-      // round buys idempotence — no tracking of "newly discovered"
-      // state, so each iteration is a pure function of the last and
-      // the unrolled plan stays a DAG Catalyst can reason about.
-      val next = dist.join(und, dist("node") === und("a"))
-        .select(col("b").as("node"), (col("d") + 1).as("d"))
+      // Level-synchronous expansion: only the CURRENT level set (nodes
+      // at exactly d = i-1 — a pure filter of last round's state, so
+      // each iteration stays a pure function of the previous one)
+      // joins the edge list; the min-hop combine against the full
+      // known set keeps re-discoveries idempotent. Expanding the whole
+      // reached set instead (the pre-r11 form) re-walked every settled
+      // node's adjacency every round — ~3× the expansion rows by the
+      // last level on a dense graph, for identical output. The
+      // frontier is the SMALL side (≤ one BFS level), so AQE
+      // broadcasts it and the edge list is never shuffled.
+      val frontier = dist.filter(col("d") === i - 1)
+      val next = frontier.join(und, frontier("node") === und("a"))
+        .select(col("b").as("node"), lit(i).as("d"))
       dist = graft.core.Barriers.materialize(
         dist.unionAll(next)
           .groupBy(col("node")).agg(min(col("d")).as("d")))
