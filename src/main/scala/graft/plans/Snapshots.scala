@@ -488,6 +488,38 @@ class Snapshots(root: String) {
       }
     }
 
+  /** CoW merge at file granularity with a caller-supplied combiner —
+    * the engine under the streaming upsert sink: data dirs holding a
+    * `source` key are replaced by `combine(touched-MoR-frame ∪
+    * source)`; every other data entry and every delete entry carries
+    * over verbatim, and the rewrite applies outstanding equality
+    * deletes before combining (so a sink batch never resurrects
+    * MoR-deleted rows). `broadcastKeys` lets micro-batch callers
+    * broadcast the membership probe. Runs under the optimistic retry,
+    * like every snapshot-derived commit. */
+  def mergeWith(spark: SparkSession, table: String, source: DataFrame,
+      key: String, broadcastKeys: Boolean = false)
+      (combine: DataFrame => DataFrame): Int =
+    occRetry(table) { cur =>
+      val v = cur.getOrElse(sys.error(s"no snapshots for $table"))
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val entries = readEntries(table, v)
+      val dels = entries.filter(_.kind == "delete")
+      val datas = entries.filter(_.kind == "data")
+      val keys0 = source.select(col(key)).distinct()
+      val keys = if (broadcastKeys) broadcast(keys0) else keys0
+      val (touchedRels, _) = splitByMark(spark, datas.map(_.rel),
+        _.join(keys, Seq(key), "left_semi"))
+      val touched = datas.filter(e => touchedRels.contains(e.rel))
+      val kept = datas.filterNot(e => touchedRels.contains(e.rel))
+      val base =
+        if (touched.isEmpty) source
+        else logicalFrame(spark, touched ++ dels).unionByName(source)
+      commitEntriesIfCurrent(table, cur, (kept ++ dels) :+
+        ManifestEntry("data", nextSeq(entries),
+          stageData(combine(base), table), Nil))
+    }
+
   /** D-ext: MERGE-ON-READ delete — instead of rewriting any data file,
     * write the matching rows' DISTINCT `keyCols` values as an
     * equality-delete dir and commit a manifest that adds one delete

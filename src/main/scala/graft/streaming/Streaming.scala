@@ -456,26 +456,20 @@ object Streaming extends QueryPack {
         case None => // bootstrap: first batch seeds the table
           sn.commit(dedup(batch), table)
         case Some(_) =>
-          // Copy-on-write MERGE at file granularity: only the data
-          // dirs that contain a batch key are re-read and re-written;
-          // the rest of the table carries over as manifest entries.
-          // The batch's key set is micro-batch-sized, so the
-          // membership probe broadcasts it. Sound because merge
-          // COLOCATES a key: every merge rewrites ALL dirs holding a
-          // batch key into one dir, so a key untouched by this batch
-          // was fully deduped wherever it last landed. (Mixing raw
-          // `append` writes into an upsert-managed table would break
-          // that invariant — use this sink or appends, not both.)
-          val keys = batch.select(col(key)).distinct()
-          val (touched, untouched) = sn.touchedDirs(s, table,
-            df => df.join(broadcast(keys), Seq(key), "left_semi"))
-          val base =
-            if (touched.isEmpty) batch
-            else s.read
-              .parquet(touched.map(r => s"${sn.rootDir}/$r"): _*)
-              .unionByName(batch)
-          sn.commitFiles(table,
-            untouched :+ sn.stageData(dedup(base), table))
+          // Copy-on-write MERGE at file granularity via the store's
+          // shared merge engine: only the data dirs that contain a
+          // batch key are re-read (with any outstanding equality
+          // deletes applied) and re-written; every other entry —
+          // delete entries included — carries over, under the
+          // optimistic commit. The batch's key set is micro-batch-
+          // sized, so the membership probe broadcasts it. Sound
+          // because merge COLOCATES a key: every merge rewrites ALL
+          // dirs holding a batch key into one dir, so a key untouched
+          // by this batch was fully deduped wherever it last landed.
+          // (Mixing raw `append` writes into an upsert-managed table
+          // would break that invariant — use this sink or appends,
+          // not both.)
+          sn.mergeWith(s, table, batch, key, broadcastKeys = true)(dedup)
       }
     }
   }

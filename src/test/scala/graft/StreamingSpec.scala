@@ -393,6 +393,32 @@ class StreamingSpec extends SparkSpec {
     assert(state == Map(1L -> 1.0, 2L -> 2.0, 10L -> 3.0))
   }
 
+  test("upsert sink on a MoR table: delete entries carry across batch " +
+      "commits and the rewrite never resurrects MoR-deleted rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = graft.core.Scratch.dir("upsert_mor")
+    val sn = new graft.plans.Snapshots(root)
+    Streaming.applyUpsertBatch(sn, "t", "k", "seq")(
+      Seq((1L, 1.0, 1L), (2L, 2.0, 1L), (3L, 3.0, 1L))
+        .toDF("k", "v", "seq"))                                // v1 → d1
+    Streaming.applyUpsertBatch(sn, "t", "k", "seq")(
+      Seq((10L, 10.0, 2L)).toDF("k", "v", "seq"))              // v2 → d1+d2
+    sn.deleteWhereMoR(spark, "t", col("k") === 2L, Seq("k"))   // v3
+    // batch touches d1 (key 1) → d1 rewrites THROUGH the MoR frame,
+    // so key 2 must not come back; the delete entry must survive in
+    // the new manifest (it still guards d2, which didn't rewrite)
+    Streaming.applyUpsertBatch(sn, "t", "k", "seq")(
+      Seq((1L, 9.0, 3L)).toDF("k", "v", "seq"))                // v4
+    val e4 = sn.readEntries("t", sn.currentVersion("t").get)
+    assert(e4.exists(_.kind == "delete"),
+      "the sink must carry delete entries forward, not drop them")
+    val state = sn.current(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(1L -> 9.0, 3L -> 3.0, 10L -> 10.0),
+      s"MoR-deleted key must stay deleted through a sink rewrite: $state")
+  }
+
   test("T5/T7: IN-FLIGHT windowed-aggregation state survives kill/" +
       "resume — rows from both incarnations merge into one window") {
     // The upsert kill/resume case below proves offset/effect recovery
