@@ -697,6 +697,35 @@ object Dml extends QueryPack {
       .withColumn("n_versions", lit(sn.versions(t).size).cast("long"))
   }
 
+  /** D-ext: manifest-stats pruned scan — Iceberg's scan-planning file
+    * skip: the snapshot's data dirs carry footer-stat sidecars
+    * (min/max/nulls per column, harvested at stage time), and
+    * `scanWhere` drops every dir whose stats PROVE the predicate can't
+    * match before Spark lists or opens it. The table splits on
+    * o_orderdate at 1998; the probe predicate (>= 2000) provably
+    * excludes the early dir, so exactly ONE of the two dirs enters the
+    * scan — `n_dirs_read` is computed from the plan's actual input
+    * files and cross-checked as a constant. Partition-pruning
+    * economics with no partition column: at 100 TB a narrow time
+    * predicate opens the handful of dirs it can touch, not the table. */
+  private val prunedScan: Q = (s, dir) => {
+    val sn = new Snapshots(Scratch.dir("d27_pruned_scan"))
+    val t = "orders_ps"
+    val o = T.load(s, dir, "orders")
+    val split = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val probe = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    sn.append(o.filter(col("o_orderdate") < lit(split)), t)
+    sn.append(o.filter(col("o_orderdate") >= lit(split)), t)
+    val m = sn.readManifest(t, 2)
+    val pruned = sn.scanWhere(s, t, col("o_orderdate") >= lit(probe))
+    val dirsRead = m.count(rel => pruned.inputFiles.exists(_.contains(rel)))
+    pruned.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))
+      .withColumn("n_dirs_read", lit(dirsRead).cast("long"))
+      .orderBy("o_orderstatus")
+  }
+
   /** D19: SCD Type-2 dimension build — the versioned-dimension staple a
     * lakehouse warehouse layer runs on every batch (the reference's
     * MERGE story, `PRD.md:799-815`, only updates in place; Type-2 is
@@ -915,6 +944,7 @@ object Dml extends QueryPack {
     "d24_merge_upsert" -> mergeUpsertQ,
     "d25_mor_delete" -> morDelete,
     "d26_mor_fold" -> morFold,
+    "d27_pruned_scan" -> prunedScan,
     "d15_check_constraint" -> checkConstraint,
     "d16_system_time_between" -> systemTimeBetween,
     "d17_write_audit_publish" -> writeAuditPublish,
@@ -1226,6 +1256,14 @@ object Dml extends QueryPack {
         |    AS n_reinserted,
         |  (SELECT COUNT(*) FROM orders) AS n_pre_delete,
         |  CAST(4 AS BIGINT) AS n_versions""".stripMargin,
+    // the early dir (max o_orderdate < 1998) is provably unmatchable
+    // for a >= 2000 predicate, so exactly one of the two dirs is read
+    "d27_pruned_scan" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS sum_price,
+         |  CAST(1 AS BIGINT) AS n_dirs_read
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // after the fold the logical frame is unchanged and the manifest
     // carries zero delete entries
     "d26_mor_fold" ->

@@ -77,7 +77,29 @@ object DirStats {
                 LogicalTypeAnnotation.stringType()
               def norm(v: Any): Option[Any] = pt.getPrimitiveTypeName match {
                 case INT32 => Some(v.asInstanceOf[java.lang.Integer].longValue())
-                case INT64 => Some(v.asInstanceOf[java.lang.Long].longValue())
+                case INT64 =>
+                  val l = v.asInstanceOf[java.lang.Long].longValue()
+                  pt.getLogicalTypeAnnotation match {
+                    // Timestamp stats carry the FILE's unit; Catalyst
+                    // timestamp literals are MICROS since epoch. The
+                    // testdata has shipped as both TIMESTAMP(MICROS)
+                    // and TIMESTAMP(NANOS) across generations (see the
+                    // loadEvents gotcha), so normalize to micros here —
+                    // comparing nanos stats against a micros literal
+                    // would mis-prune by 1000×. The nanos floor-divide
+                    // stays inclusive-sound: micro-integral literals
+                    // can't land inside the dropped sub-micro fraction.
+                    case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                      ts.getUnit match {
+                        case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                          Some(l * 1000L)
+                        case LogicalTypeAnnotation.TimeUnit.MICROS => Some(l)
+                        case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                          Some(Math.floorDiv(l, 1000L))
+                        case _ => None
+                      }
+                    case _ => Some(l)
+                  }
                 case FLOAT => Some(v.asInstanceOf[java.lang.Float].doubleValue())
                 case DOUBLE => Some(v.asInstanceOf[java.lang.Double].doubleValue())
                 case BOOLEAN => Some(v.asInstanceOf[java.lang.Boolean].booleanValue())

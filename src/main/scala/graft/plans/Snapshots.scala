@@ -344,6 +344,31 @@ class Snapshots(root: String) {
     asOf(spark, table, currentVersion(table)
       .getOrElse(sys.error(s"no snapshots for $table")))
 
+  /** Planning-time scan pruning — Iceberg's manifest-stats file skip:
+    * data dirs whose footer-stat sidecar PROVES no row can satisfy
+    * `cond` are dropped BEFORE Spark lists or opens them; `cond` still
+    * filters the survivors (footer stats are inclusive, not exact —
+    * same contract as [[DirStats.mayMatch]] everywhere else). Delete
+    * entries always carry into the read so MoR semantics hold on the
+    * surviving dirs. At 100 TB this is the difference between opening
+    * the handful of dirs a narrow predicate can touch and listing the
+    * whole table — partition-pruning economics without requiring a
+    * partition column. */
+  def scanWhere(spark: SparkSession, table: String, cond: Column): DataFrame = {
+    val v = currentVersion(table)
+      .getOrElse(sys.error(s"no snapshots for $table"))
+    val entries = readEntries(table, v)
+    val condExpr =
+      org.apache.spark.sql.graft.ColumnBridge.catalystExpression(cond)
+    val kept = entries.filter(e => e.kind == "delete" ||
+      DirStats.read(new java.io.File(s"$root/${e.rel}"))
+        .forall(st => DirStats.mayMatch(condExpr, st)))
+    if (!kept.exists(_.kind == "data"))
+      // every dir provably unmatchable: empty frame, correct schema
+      asOf(spark, table, v).filter(cond).limit(0)
+    else logicalFrameOrPlain(spark, kept).filter(cond)
+  }
+
   /** D12: roll the table back to snapshot `v` — committed as a NEW
     * version (Iceberg-rollback semantics: history is preserved, the
     * bad version stays inspectable, readers mid-flight on it never

@@ -446,6 +446,35 @@ class MaintenanceSpec extends SparkSpec {
     assert(sn.currentVersion("mor").contains(5))
   }
 
+  test("scanWhere: footer stats prune provably-unmatchable dirs at " +
+      "planning time; survivors still filter; MoR deletes still apply") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    val mid = o.agg(expr("percentile_approx(o_orderkey, 0.5)"))
+      .collect()(0).getLong(0)
+    sn.append(o.filter(col("o_orderkey") <= mid), "sw")
+    sn.append(o.filter(col("o_orderkey") > mid), "sw")
+    val m = sn.readManifest("sw", 2)
+    val lowKey = o.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    val probe = sn.scanWhere(spark, "sw", col("o_orderkey") === lowKey)
+    // planning-time skip: only the low dir's files enter the scan
+    assert(probe.inputFiles.nonEmpty &&
+      probe.inputFiles.forall(_.contains(m.head)),
+      s"high dir must be pruned before the read: ${probe.inputFiles.toSeq}")
+    assert(probe.count() ==
+      o.filter(col("o_orderkey") === lowKey).count())
+    // a provably-unmatchable predicate reads zero dirs, keeps schema
+    val none = sn.scanWhere(spark, "sw", col("o_orderkey") === -5L)
+    assert(none.count() == 0 && none.columns.sameElements(o.columns))
+    // MoR: the delete still applies to a surviving dir
+    sn.deleteWhereMoR(spark, "sw", col("o_orderkey") === lowKey,
+      Seq("o_orderkey"))
+    assert(sn.scanWhere(spark, "sw",
+      col("o_orderkey") === lowKey).count() == 0,
+      "scanWhere must apply equality deletes to surviving dirs")
+  }
+
   test("branch copies delete entries verbatim and destination appends " +
       "outrank them — seq comes from the entries, not the version counter") {
     val root = scratch()
