@@ -530,6 +530,50 @@ class MaintenanceSpec extends SparkSpec {
       assert(sn.asOf(spark, "race", v).count() == (v - 1) * 100L) }
   }
 
+  test("mixed-writer race: concurrent appends and MoR deletes all land " +
+      "as distinct versions and non-deleted rows are never lost") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders").limit(600).cache()
+    val keys = o.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    // deletes target a FIXED key set K (every 3rd key of the seed
+    // slice); appends add K-free slices. Whatever the interleaving,
+    // the final frame restricted to the complement of K must be the
+    // union of every append plus the seed's K-free rows — and rows in
+    // K can only be MISSING or present-from-the-seed, never corrupted.
+    val seedHi = keys(199)
+    sn.commit(o.filter(col("o_orderkey") <= seedHi), "mix") // v1
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(6))
+    val appends = (0 until 4).map { i =>
+      val lo = keys(200 + i * 100); val hi = keys(200 + i * 100 + 99)
+      Future(sn.append(o.filter(col("o_orderkey").between(lo, hi)), "mix"))
+    }
+    val deletes = (0 until 2).map { _ =>
+      Future(sn.deleteWhereMoR(spark, "mix",
+        col("o_orderkey") <= seedHi && col("o_orderkey") % 3 === 0,
+        Seq("o_orderkey")))
+    }
+    Await.result(Future.sequence(appends ++ deletes), 120.seconds)
+    // 1 seed + 4 appends + >=1 effective delete (the second deleter may
+    // legitimately no-op if it probes after the first's commit)
+    val nv = sn.versions("mix").size
+    assert(nv >= 6 && nv <= 7, s"got $nv versions")
+    val fin = sn.current(spark, "mix")
+    val expectedSurvivors =
+      o.filter(col("o_orderkey") <= seedHi &&
+        col("o_orderkey") % 3 =!= 0).count() + 400
+    assert(fin.filter(col("o_orderkey") % 3 =!= 0 ||
+      col("o_orderkey") > seedHi).count() == expectedSurvivors,
+      "no append's rows may be lost to a racing delete commit")
+    assert(fin.filter(col("o_orderkey") <= seedHi &&
+      col("o_orderkey") % 3 === 0).count() == 0,
+      "the deleted key set must be gone")
+  }
+
   test("optimistic validation: a commit derived from a stale snapshot " +
       "throws instead of silently dropping the concurrent writer's rows") {
     val root = scratch()
