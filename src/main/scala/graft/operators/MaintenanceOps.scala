@@ -217,7 +217,35 @@ object MaintenanceOps extends QueryPack {
           col("n_rows"))
     }.reduce(_ unionAll _).orderBy("table_name")
 
+  /** M14: snapshot-history metadata table — Iceberg's `$snapshots`
+    * introspection surface over the manifest store, the view the
+    * reference platform's verification queries read for time-travel
+    * checks (`README.md:573-589` pairs AS-OF reads with snapshot
+    * history). Four commits with KNOWN composition: v1 seeds H1, v2
+    * appends H2 (O(delta) — one new data entry), v3 is a merge-on-read
+    * equality delete (ONE delete entry, zero data rewrites), v4 folds
+    * it (both dirs hold %7 keys, so they collapse to one data entry
+    * and the delete entry disappears). [[graft.plans.Snapshots.history]]
+    * is pure manifest metadata — no data I/O; per-version logical row
+    * counts ride in via time travel, and the DuckDB oracle recomputes
+    * those from the raw table while pinning the manifest composition
+    * as the constants the commit sequence forces. */
+  private val snapshotHistory: Q = (s, dir) => {
+    val sn = new graft.plans.Snapshots(Scratch.dir("m14_history"))
+    val t = "orders_h"
+    val o = T.load(s, dir, "orders")
+    sn.commit(o.filter(month(col("o_orderdate")) <= 6), t)
+    sn.append(o.filter(month(col("o_orderdate")) >= 7), t)
+    sn.deleteWhereMoR(s, t, col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
+    sn.rewriteDeletes(s, t)
+    import s.implicits._
+    val rows = sn.versions(t).map(v => (v.toLong, sn.asOf(s, t, v).count()))
+      .toDF("version", "n_rows")
+    sn.history(s, t).join(rows, Seq("version")).orderBy("version")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m14_snapshot_history" -> snapshotHistory,
     "m13_catalog_tables" -> catalogTables,
     "m12_cost_report" -> costReport,
     "m11_dq_expectations" -> dqExpectations,
@@ -227,6 +255,22 @@ object MaintenanceOps extends QueryPack {
     "m05_query_perf" -> queryPerf)
 
   val oracle: Map[String, String] = Map(
+    // manifest composition is forced by the commit sequence (constants);
+    // per-version row counts recompute from the raw table
+    "m14_snapshot_history" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version,
+        |    CAST(1 AS BIGINT) AS n_data_entries,
+        |    CAST(0 AS BIGINT) AS n_delete_entries,
+        |    CAST(0 AS BIGINT) AS max_seq,
+        |    (SELECT COUNT(*) FROM orders WHERE month(o_orderdate) <= 6)
+        |      AS n_rows
+        |  UNION ALL SELECT 2, 2, 0, 1, (SELECT COUNT(*) FROM orders)
+        |  UNION ALL SELECT 3, 2, 1, 2,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 0)
+        |  UNION ALL SELECT 4, 1, 0, 3,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 0)
+        |) ORDER BY version""".stripMargin,
     // the oracle's catalog, not a replay of ours: DuckDB's
     // information_schema.columns over the same registered views
     "m13_catalog_tables" -> {

@@ -678,6 +678,22 @@ class Snapshots(root: String) {
     }.reduce(_ unionByName _)
   }
 
+  /** Iceberg-style `$snapshots` metadata table: one row per LIVE
+    * version with its manifest composition — the introspection surface
+    * the reference platform's verification queries read (snapshot
+    * history / file counts per snapshot; README.md:573-589's
+    * time-travel checks are written against it). Pure metadata: built
+    * from manifest files alone, no data I/O. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(table).map { v =>
+      val es = readEntries(table, v)
+      (v.toLong, es.count(_.kind == "data").toLong,
+        es.count(_.kind == "delete").toLong,
+        (es.map(_.seq) :+ 0).max.toLong)
+    }.toDF("version", "n_data_entries", "n_delete_entries", "max_seq")
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
       .foreach(deleteRecursively)
