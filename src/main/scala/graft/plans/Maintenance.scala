@@ -186,6 +186,15 @@ object Maintenance {
     val curRows = cur.count()
     val beforeFiles = snaps.dataDirs(table, snaps.currentVersion(table).get)
       .map(fileStats(_).nFiles).sum
+    // fold merge-on-read deletes FIRST (Iceberg's maintenance order:
+    // rewrite delete files, then data files) — a no-op with no version
+    // churn on pure-data tables, and the step that makes the rest of
+    // the pipeline (bin-pack compaction, sort rewrite over data dirs)
+    // legal on a table carrying equality deletes
+    val delsFolded = snaps
+      .readEntries(table, snaps.currentVersion(table).get)
+      .count(_.kind == "delete").toLong
+    snaps.rewriteDeletes(spark, table)
     val rep = compactTable(spark, snaps, table)
     sortRewriteDirs(spark,
       snaps.dataDirs(table, snaps.currentVersion(table).get),
@@ -194,6 +203,7 @@ object Maintenance {
     val orphans = snaps.cleanOrphans(table)
     Seq(
       ("table_stats", "rows", curRows),
+      ("rewrite_deletes", "delete entries folded", delsFolded),
       ("compaction", s"files ${rep.before.nFiles} -> ${rep.after.nFiles}",
         rep.after.nFiles),
       ("sort_rewrite", sortCols.mkString(","),

@@ -561,8 +561,11 @@ class Snapshots(root: String) {
       val v = cur.getOrElse(sys.error(s"no snapshots for $table"))
       val entries = readEntries(table, v)
       import org.apache.spark.sql.functions.col
-      val doomed = logicalFrameOrPlain(spark, entries)
-        .filter(cond).select(keyCols.map(col): _*).distinct()
+      // the key probe rides scanWhere, so footer stats skip every dir
+      // that provably can't match before any scan I/O — a no-op MoR
+      // delete against a disjoint predicate costs metadata only
+      val doomed = scanWhere(spark, table, cond)
+        .select(keyCols.map(col): _*).distinct()
       if (doomed.isEmpty) v
       else commitEntriesIfCurrent(table, cur, entries :+
         ManifestEntry("delete", nextSeq(entries),

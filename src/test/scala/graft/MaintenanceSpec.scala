@@ -252,8 +252,10 @@ class MaintenanceSpec extends SparkSpec {
     val report = Maintenance.fullMaintenance(spark, sn, "m9t",
       scratch(), Seq("o_orderstatus"), retainSnapshots = 2)
     val steps = report.map(_._1).toSet
-    assert(steps == Set("table_stats", "compaction", "sort_rewrite",
-      "expire_snapshots", "orphan_cleanup", "before_files"))
+    assert(steps == Set("table_stats", "rewrite_deletes", "compaction",
+      "sort_rewrite", "expire_snapshots", "orphan_cleanup", "before_files"))
+    assert(report.find(_._1 == "rewrite_deletes").get._3 == 0,
+      "pure-data table: nothing to fold, and no version churn from it")
     assert(report.find(_._1 == "compaction").get._3 == 1) // 10 files → 1
     // compaction itself committed v4, so retain-2 keeps (v3, v4) —
     // time travel to the pre-compaction snapshot still works
@@ -441,9 +443,27 @@ class MaintenanceSpec extends SparkSpec {
       "dir unaffected by every delete must keep its manifest entry")
     assert(dirContents(s"$root/${reinsEntry.rel}") == reinsFiles)
     assert(sn.current(spark, "mor").count() == expected)
+    // the fold returns reads to the zero-join fast path — the plan
+    // must carry no anti-joins once no delete entries remain
+    assert(sn.current(spark, "mor").queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "post-fold read must plan as a bare multi-dir scan")
     // idempotence: nothing left to fold → no version churn
     sn.rewriteDeletes(spark, "mor")
     assert(sn.currentVersion("mor").contains(5))
+    // M9 on a (fresh) MoR table: the orchestration folds first, so
+    // compaction is legal and the report carries the fold count
+    val root2 = scratch()
+    val sn2 = new Snapshots(root2)
+    sn2.append(o.filter(month(col("o_orderdate")) <= 6), "m9m")
+    sn2.deleteWhereMoR(spark, "m9m", col("o_orderkey") % 5 === 0,
+      Seq("o_orderkey"))
+    val rep = Maintenance.fullMaintenance(spark, sn2, "m9m",
+      scratch(), Seq("o_orderstatus"))
+    assert(rep.find(_._1 == "rewrite_deletes").get._3 == 1)
+    assert(sn2.current(spark, "m9m").count() ==
+      o.filter(month(col("o_orderdate")) <= 6 &&
+        col("o_orderkey") % 5 =!= 0).count())
   }
 
   test("scanWhere: footer stats prune provably-unmatchable dirs at " +
