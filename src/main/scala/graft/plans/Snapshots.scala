@@ -40,22 +40,31 @@ final case class ManifestEntry(kind: String, seq: Int, rel: String,
   * filesystem; /root/reference/src/maintenance/iceberg_maintenance.py:73-93
   * treats retention/fast-forward as metadata ops over immutable files):
   * {{{
-  *   <root>/<table>/manifests/v=<N>.manifest  # text: one root-relative
-  *                                            #   data-dir path per line
+  *   <root>/<table>/manifests/v=<N>.manifest  # text: one ManifestEntry
+  *                                            #   per line (see below)
   *   <root>/<table>/data/d<K>/                # immutable parquet dirs
   * }}}
-  * A VERSION IS A MANIFEST — a tiny text file naming the immutable data
-  * dirs that make up that snapshot. Consequences, each O(metadata)
-  * where the pre-r11 store paid O(table):
+  * A VERSION IS A MANIFEST — a tiny text file of [[ManifestEntry]]
+  * lines: data dirs plus Iceberg-v2-style equality-DELETE dirs, each
+  * carrying a data sequence number (bare legacy lines parse as seq-0
+  * data). Consequences, each O(metadata) where the pre-r11 store paid
+  * O(table):
   *   - [[append]] writes ONLY the delta files and a manifest that is
   *     `prev lines + 1`;
-  *   - [[publish]]/[[branch]]/[[rollback]] copy a manifest — zero data
-  *     bytes move, exactly Iceberg's branch fast-forward;
-  *   - [[deleteWhere]] rewrites only the data dirs that actually
-  *     contain matching rows (file-granularity copy-on-write);
+  *   - [[publish]]/[[branch]]/[[rollback]] copy a manifest VERBATIM —
+  *     zero data bytes move, exactly Iceberg's branch fast-forward;
+  *   - [[deleteWhere]]/[[updateWhere]]/[[mergeUpsert]]/[[mergeWith]]
+  *     rewrite only the data dirs that actually contain affected rows
+  *     (file-granularity copy-on-write, footer-stat pruned);
+  *   - [[deleteWhereMoR]] writes O(deleted keys) — a delete FILE, no
+  *     data rewrites; reads apply it under the sequence-number rule
+  *     until [[rewriteDeletes]] folds it away;
+  *   - [[scanWhere]] prunes provably-unmatchable dirs at planning
+  *     time from the same footer-stat sidecars;
   *   - [[expire]] deletes manifest files, then garbage-collects data
   *     dirs no live manifest references — shared files survive as long
-  *     as ANY branch still points at them.
+  *     as ANY branch still points at them; [[history]] is the
+  *     `\$snapshots` metadata table over the same manifests.
   * Manifest paths are root-relative so branches/tables under one root
   * share data files without copying (publish staging→main makes main
   * reference staging's files, as Iceberg does).
