@@ -726,6 +726,34 @@ object Dml extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** D-ext: incremental append scan — the tail read an incremental
+    * downstream pipeline runs instead of reprocessing the table
+    * (Iceberg's incremental read). Commit sequence: v1 seeds Q1, v2
+    * appends Q2, v3 is a copy-on-write DELETE inside Q1 (a REWRITE —
+    * not an append), v4 appends Q3. `appendsBetween(1, 4)` must emit
+    * exactly Q2 ∪ Q3 — the CoW version is skipped (its delta is change
+    * data, not an append; emitting its rewritten dir would DUPLICATE
+    * Q1 rows downstream), and the deleted rows don't retro-vanish from
+    * Q2/Q3 because they were never in them. The version-type
+    * classification is a manifest set-diff: pure metadata, zero data
+    * I/O; only the two appended dirs are scanned. */
+  private val incrementalAppends: Q = (s, dir) => {
+    val sn = new Snapshots(Scratch.dir("d28_appends"))
+    val t = "orders_ia"
+    val o = T.load(s, dir, "orders")
+    sn.commit(o.filter(month(col("o_orderdate")) <= 3), t)          // v1
+    sn.append(o.filter(month(col("o_orderdate")).between(4, 6)), t) // v2
+    sn.deleteWhere(s, t,
+      month(col("o_orderdate")) <= 3 && col("o_orderkey") % 2 === 0) // v3
+    sn.append(o.filter(month(col("o_orderdate")).between(7, 9)), t) // v4
+    sn.appendsBetween(s, t, 1, sn.currentVersion(t).get)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))
+      .withColumn("n_versions", lit(sn.versions(t).size).cast("long"))
+      .orderBy("o_orderstatus")
+  }
+
   /** D19: SCD Type-2 dimension build — the versioned-dimension staple a
     * lakehouse warehouse layer runs on every batch (the reference's
     * MERGE story, `PRD.md:799-815`, only updates in place; Type-2 is
@@ -945,6 +973,7 @@ object Dml extends QueryPack {
     "d25_mor_delete" -> morDelete,
     "d26_mor_fold" -> morFold,
     "d27_pruned_scan" -> prunedScan,
+    "d28_incremental_appends" -> incrementalAppends,
     "d15_check_constraint" -> checkConstraint,
     "d16_system_time_between" -> systemTimeBetween,
     "d17_write_audit_publish" -> writeAuditPublish,
@@ -1256,6 +1285,14 @@ object Dml extends QueryPack {
         |    AS n_reinserted,
         |  (SELECT COUNT(*) FROM orders) AS n_pre_delete,
         |  CAST(4 AS BIGINT) AS n_versions""".stripMargin,
+    // only the two APPEND commits (months 4-6, 7-9) feed the tail; the
+    // CoW delete version is a rewrite and contributes nothing
+    "d28_incremental_appends" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ROUND(${T.oMoneySum("o_totalprice")}, 2) AS sum_price,
+         |  CAST(4 AS BIGINT) AS n_versions
+         |FROM orders WHERE month(o_orderdate) BETWEEN 4 AND 9
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the early dir (max o_orderdate < 1998) is provably unmatchable
     // for a >= 2000 predicate, so exactly one of the two dirs is read
     "d27_pruned_scan" ->

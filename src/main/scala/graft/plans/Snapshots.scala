@@ -690,6 +690,36 @@ class Snapshots(root: String) {
     }.reduce(_ unionByName _)
   }
 
+  /** Iceberg-style incremental APPEND scan: the rows added by
+    * append-type commits in `(fromV, toV]` — the read an incremental
+    * downstream pipeline tails instead of reprocessing the table. A
+    * version is append-type iff its entry set is a SUPERSET of its
+    * predecessor's (pure addition); every other version (CoW rewrite,
+    * MoR delete, fold, rollback, compaction) is SKIPPED, exactly as
+    * Iceberg's incremental read handles non-append snapshots — their
+    * row deltas are change data ([[changesBetween]]), not appends.
+    * Emits appended rows AS WRITTEN (later deletes don't retro-apply
+    * — the consumer already processed those rows; reconciliation is
+    * the change feed's job). Cost: manifest set-diffs (metadata) plus
+    * a scan of ONLY the appended dirs. */
+  def appendsBetween(spark: SparkSession, table: String, fromV: Int,
+      toV: Int): DataFrame = {
+    val live = versions(table)
+    require(live.contains(fromV) && live.contains(toV) && fromV <= toV,
+      s"appendsBetween needs live versions $fromV <= $toV; have $live")
+    val added = live.filter(v => v >= fromV && v <= toV).sliding(2)
+      .collect { case Seq(pv, nv) =>
+        val prev = readEntries(table, pv)
+        val next = readEntries(table, nv)
+        if (prev.forall(next.contains)) // pure addition = append-type
+          next.filter(e => e.kind == "data" && !prev.contains(e))
+        else Seq.empty
+      }.flatten.toSeq
+    if (added.isEmpty)
+      current(spark, table).limit(0) // empty frame, correct schema
+    else spark.read.parquet(added.map(e => s"$root/${e.rel}"): _*)
+  }
+
   /** Iceberg-style `$snapshots` metadata table: one row per LIVE
     * version with its manifest composition — the introspection surface
     * the reference platform's verification queries read (snapshot

@@ -495,6 +495,30 @@ class MaintenanceSpec extends SparkSpec {
       "scanWhere must apply equality deletes to surviving dirs")
   }
 
+  test("appendsBetween: emits exactly the appended rows, skips rewrite " +
+      "versions, and keeps working across expired history") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    val q1 = o.filter(month(col("o_orderdate")) <= 3)
+    val q2 = o.filter(month(col("o_orderdate")).between(4, 6))
+    val q3 = o.filter(month(col("o_orderdate")).between(7, 9))
+    sn.commit(q1, "ia")                                           // v1
+    sn.append(q2, "ia")                                           // v2
+    sn.deleteWhere(spark, "ia",
+      month(col("o_orderdate")) <= 3 && col("o_orderkey") % 2 === 0) // v3
+    sn.append(q3, "ia")                                           // v4
+    assert(sn.appendsBetween(spark, "ia", 1, 4).count() ==
+      q2.count() + q3.count(),
+      "the CoW rewrite version must be skipped, not emitted")
+    assert(sn.appendsBetween(spark, "ia", 2, 3).count() == 0,
+      "(v2, v3] holds only a rewrite — nothing to emit")
+    assert(sn.appendsBetween(spark, "ia", 4, 4).count() == 0)
+    // expiry leaves a version gap; classification still works across it
+    sn.expire("ia", 2) // live = {3, 4}
+    assert(sn.appendsBetween(spark, "ia", 3, 4).count() == q3.count())
+  }
+
   test("branch copies delete entries verbatim and destination appends " +
       "outrank them — seq comes from the entries, not the version counter") {
     val root = scratch()
