@@ -495,6 +495,30 @@ class MaintenanceSpec extends SparkSpec {
       "scanWhere must apply equality deletes to surviving dirs")
   }
 
+  test("manifest entries round-trip: mixed kinds, seqs, multi-column " +
+      "delete keys, and legacy bare lines all read back exactly") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders").limit(10)
+    // stage three dirs so the entries have real targets
+    val d1 = sn.stageData(o, "rt")
+    val d2 = sn.stageData(o.select("o_orderkey", "o_orderstatus"), "rt")
+    val d3 = sn.stageData(o.select("o_orderkey"), "rt")
+    val entries = Seq(
+      graft.plans.ManifestEntry("data", 0, d1, Nil),   // legacy bare form
+      graft.plans.ManifestEntry("data", 7, d2, Nil),
+      graft.plans.ManifestEntry("delete", 9, d3,
+        Seq("o_orderkey", "o_orderstatus")))
+    val v = sn.commitEntries("rt", entries)
+    assert(sn.readEntries("rt", v) == entries,
+      "commit/read must round-trip every entry field exactly")
+    // the legacy line really is the bare path (format compatibility)
+    val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/rt/manifests/v=$v.manifest"))
+    assert(raw.linesIterator.next() == d1,
+      "a seq-0 data entry must serialize as the pre-MoR bare path")
+  }
+
   test("appendsBetween: emits exactly the appended rows, skips rewrite " +
       "versions, and keeps working across expired history") {
     val root = scratch()
