@@ -31,6 +31,11 @@ final case class ManifestEntry(kind: String, seq: Int, rel: String,
     "a delete entry needs at least one equality key column")
 }
 
+object Snapshots {
+  /** JVM-global staging-tmp counter — see writerTag. */
+  private[plans] val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
+}
+
 /** Manifest-based versioned-snapshot store — the table-format emulation
   * for time travel (D5), CDC inputs (D6), WAP branching (D17), and
   * snapshot expiry (M2), since no Iceberg/Delta jars exist in this
@@ -89,7 +94,7 @@ class Snapshots(root: String) {
   def versions(table: String): Seq[Int] = {
     val d = manifestsDir(table)
     if (!d.exists()) Seq.empty
-    else d.listFiles().toSeq
+    else Option(d.listFiles()).getOrElse(Array.empty).toSeq
       // strict v=<digits>.manifest match: an aborted commit can leave
       // *.tmp files, which must read as orphans, not crash every op
       .filter(f => f.isFile && f.getName.matches("v=\\d+\\.manifest"))
@@ -153,10 +158,13 @@ class Snapshots(root: String) {
 
   // per-writer tmp-file disambiguator: two concurrent committers must
   // never share a staging path, or the loser's bytes could publish
-  // under the winner's link
-  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
+  // under the winner's link. The counter is JVM-GLOBAL (companion
+  // object), not per-instance: two `new Snapshots(root)` on the same
+  // root would otherwise mint identical tags and truncate each
+  // other's staging bytes mid-CAS — the exact torn commit the tag
+  // exists to prevent.
   private def writerTag: String =
-    s"p${ProcessHandle.current().pid()}-t${tmpSeq.incrementAndGet()}"
+    s"p${ProcessHandle.current().pid()}-t${Snapshots.tmpSeq.incrementAndGet()}"
 
   /** Atomically claim version `v` for `relDirs`; false iff another
     * writer claimed `v` first. The CAS is a HARD LINK, not a rename:
@@ -203,8 +211,15 @@ class Snapshots(root: String) {
     commitRaw(table, validated(table, entries))
 
   private def validated(table: String, entries: Seq[ManifestEntry]): String = {
-    entries.foreach(e => require(new java.io.File(s"$root/${e.rel}").exists(),
-      s"manifest for $table would reference missing dir ${e.rel}"))
+    entries.foreach { e =>
+      val d = new java.io.File(s"$root/${e.rel}")
+      // non-empty, not just present: a GC racing this commit could
+      // have gutted the dir's files before removing the dir itself —
+      // publishing a manifest over an emptied dir must fail HERE, not
+      // surface later as a half-readable snapshot
+      require(d.exists() && Option(d.listFiles()).exists(_.nonEmpty),
+        s"manifest for $table would reference missing or emptied dir ${e.rel}")
+    }
     entries.map(fmtEntry).mkString("\n")
   }
 
@@ -426,8 +441,15 @@ class Snapshots(root: String) {
     * commits in between, the validation fails and the probe re-runs
     * against the new snapshot instead of deleting from a stale view.
     * Returns the current version after the op. */
-  def deleteWhere(spark: SparkSession, table: String, cond: Column): Int =
-    cowRewrite(spark, table, cond, _.filter(!cond))
+  def deleteWhere(spark: SparkSession, table: String, cond: Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    // NULL-safe negation: SQL DELETE removes rows where cond is TRUE;
+    // a bare filter(!cond) would also drop rows where cond evaluates
+    // to NULL (three-valued logic), silently deleting rows the
+    // predicate never matched — and only in REWRITTEN dirs, so the
+    // same row would live or die by which dir it shared with a match.
+    cowRewrite(spark, table, cond, _.filter(!coalesce(cond, lit(false))))
+  }
 
   /** D-ext: copy-on-write UPDATE at file granularity — same probe/
     * rewrite discipline as [[deleteWhere]]: footer stats prove most
@@ -536,22 +558,25 @@ class Snapshots(root: String) {
       (combine: DataFrame => DataFrame): Int =
     occRetry(table) { cur =>
       val v = cur.getOrElse(sys.error(s"no snapshots for $table"))
-      import org.apache.spark.sql.functions.{broadcast, col}
-      val entries = readEntries(table, v)
-      val dels = entries.filter(_.kind == "delete")
-      val datas = entries.filter(_.kind == "data")
-      val keys0 = source.select(col(key)).distinct()
-      val keys = if (broadcastKeys) broadcast(keys0) else keys0
-      val (touchedRels, _) = splitByMark(spark, datas.map(_.rel),
-        _.join(keys, Seq(key), "left_semi"))
-      val touched = datas.filter(e => touchedRels.contains(e.rel))
-      val kept = datas.filterNot(e => touchedRels.contains(e.rel))
-      val base =
-        if (touched.isEmpty) source
-        else logicalFrame(spark, touched ++ dels).unionByName(source)
-      commitEntriesIfCurrent(table, cur, (kept ++ dels) :+
-        ManifestEntry("data", nextSeq(entries),
-          stageData(combine(base), table), Nil))
+      if (source.isEmpty) v // no churn from an empty source
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val entries = readEntries(table, v)
+        val dels = entries.filter(_.kind == "delete")
+        val datas = entries.filter(_.kind == "data")
+        val keys0 = source.select(col(key)).distinct()
+        val keys = if (broadcastKeys) broadcast(keys0) else keys0
+        val (touchedRels, _) = splitByMark(spark, datas.map(_.rel),
+          _.join(keys, Seq(key), "left_semi"))
+        val touched = datas.filter(e => touchedRels.contains(e.rel))
+        val kept = datas.filterNot(e => touchedRels.contains(e.rel))
+        val base =
+          if (touched.isEmpty) source
+          else logicalFrame(spark, touched ++ dels).unionByName(source)
+        commitEntriesIfCurrent(table, cur, (kept ++ dels) :+
+          ManifestEntry("data", nextSeq(entries),
+            stageData(combine(base), table), Nil))
+      }
     }
 
   /** D-ext: MERGE-ON-READ delete — instead of rewriting any data file,
@@ -572,13 +597,18 @@ class Snapshots(root: String) {
       import org.apache.spark.sql.functions.col
       // the key probe rides scanWhere, so footer stats skip every dir
       // that provably can't match before any scan I/O — a no-op MoR
-      // delete against a disjoint predicate costs metadata only
+      // delete against a disjoint predicate costs metadata only. The
+      // probe PERSISTS across the emptiness check and the stage write:
+      // without it the scan+distinct would run twice.
       val doomed = scanWhere(spark, table, cond)
         .select(keyCols.map(col): _*).distinct()
-      if (doomed.isEmpty) v
-      else commitEntriesIfCurrent(table, cur, entries :+
-        ManifestEntry("delete", nextSeq(entries),
-          stageData(doomed, table), keyCols))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (doomed.isEmpty) v
+        else commitEntriesIfCurrent(table, cur, entries :+
+          ManifestEntry("delete", nextSeq(entries),
+            stageData(doomed, table), keyCols))
+      } finally doomed.unpersist(blocking = false)
     }
 
   private def logicalFrameOrPlain(spark: SparkSession,
@@ -648,7 +678,13 @@ class Snapshots(root: String) {
       .select(org.apache.spark.sql.functions.col("_graft_file")).distinct()
       .collect().map { r => // file:///x/y%20z → /x/y z (match File paths)
         val raw = r.getString(0)
-        scala.util.Try(new java.net.URI(raw).getPath).getOrElse(raw)
+        val p = scala.util.Try(new java.net.URI(raw).getPath).getOrElse(raw)
+        // canonicalize BOTH sides of the prefix match: the rel side
+        // below resolves symlinks via getCanonicalPath, while
+        // input_file_name() reports the unresolved path — on a
+        // symlinked root (e.g. /tmp → /private/tmp) a raw comparison
+        // would never match and every probe would read as untouched
+        scala.util.Try(new java.io.File(p).getCanonicalPath).getOrElse(p)
       }
     rels.partition { rel =>
       val p = new java.io.File(s"$root/$rel").getCanonicalPath + sep
@@ -715,6 +751,10 @@ class Snapshots(root: String) {
           next.filter(e => e.kind == "data" && !prev.contains(e))
         else Seq.empty
       }.flatten.toSeq
+      // distinct: a rollback-then-republish round trip re-introduces an
+      // entry the range already emitted; without the dedup the same dir
+      // would enter the scan twice and double its rows downstream
+      .distinct
     if (added.isEmpty)
       current(spark, table).limit(0) // empty frame, correct schema
     else spark.read.parquet(added.map(e => s"$root/${e.rel}"): _*)
@@ -759,14 +799,25 @@ class Snapshots(root: String) {
     * Metadata delete + reference-counted data delete: exactly the
     * retention op the reference schedules
     * (iceberg_maintenance.py:73-93). Returns the versions removed. */
-  def expire(table: String, keep: Int): Seq[Int] = {
+  def expire(table: String, keep: Int,
+      gcOlderThanMillis: Long = 0L): Seq[Int] = {
+    // retain-last >= 1, Iceberg's own floor: keep=0 would delete every
+    // manifest and GC all data — a retention knob must never be able
+    // to destroy the table it maintains
+    require(keep >= 1, s"expire must retain at least 1 snapshot, got $keep")
     val vs = versions(table)
     val doomed = vs.dropRight(keep)
     doomed.foreach(v => manifestFile(table, v).delete())
     val live = liveDataDirs()
+    val cutoff = System.currentTimeMillis() - gcOlderThanMillis
     Option(new java.io.File(s"$root/$table/data").listFiles())
       .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && !live.contains(d.getCanonicalPath))
+      // age cutoff (Iceberg's remove-orphans discipline): a dir staged
+      // by an IN-FLIGHT commit is unreferenced until its manifest
+      // lands — concurrent deployments pass a cutoff comfortably above
+      // their longest stage-to-commit window so the GC can't gut it
+      .filter(d => d.isDirectory && !live.contains(d.getCanonicalPath) &&
+        d.lastModified() <= cutoff)
       .foreach(deleteRecursively)
     doomed
   }
@@ -775,7 +826,9 @@ class Snapshots(root: String) {
     * no live snapshot references: aborted data-dir writes never
     * committed to a manifest, manifest .tmp leftovers, stray files.
     * Returns deleted paths. */
-  def cleanOrphans(table: String): Seq[String] = {
+  def cleanOrphans(table: String,
+      olderThanMillis: Long = 0L): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - olderThanMillis
     val liveData = liveDataDirs()
     val liveManifests = versions(table)
       .map(v => manifestFile(table, v).getCanonicalPath).toSet
@@ -799,6 +852,11 @@ class Snapshots(root: String) {
     val doomed = walk(rootD)
       .filter(_ != rootD)
       .filterNot(isLive)
+      // age cutoff (Iceberg's remove_orphan_files ships a default of
+      // 3 days for the same reason): a dir STAGED by an in-flight
+      // commit is an "orphan" until its manifest lands; concurrent
+      // deployments pass a cutoff above their stage-to-commit window
+      .filter(_.lastModified() <= cutoff)
     doomed.filter(_.isFile).map { f => val p = f.getPath; f.delete(); p } ++
       doomed.filter(_.isDirectory).flatMap { d =>
         if (Option(d.listFiles()).getOrElse(Array.empty).isEmpty) {
