@@ -30,7 +30,22 @@ object DirStats {
 
   val FileName = "_graft_stats.json"
 
-  /** min/max are normalized to Long / Double / String / Boolean;
+  /** Sidecar format version. Bumped when value normalization changes —
+    * [[read]] rejects other versions so a stale sidecar degrades to
+    * the conservative no-prune path instead of being trusted with
+    * yesterday's units. */
+  val FormatVersion = 2
+
+  /** Unit-tagged temporal values. Tagging is what makes a CROSS-unit
+    * comparison (date column vs timestamp literal, raw-long nanos
+    * literal vs micros-normalized stat) evaluate as UNKNOWN — i.e. no
+    * pruning — instead of comparing a day count against an epoch-micros
+    * count and silently skipping dirs that match. */
+  final case class Micros(v: Long)
+  final case class Days(v: Long)
+
+  /** min/max are normalized to Long / Double / String / Boolean /
+    * [[Micros]] / [[Days]] / java BigDecimal (decimal columns, scaled);
     * `nulls` is -1 when any footer left the null count unset. */
   final case class ColStats(min: Any, max: Any, nulls: Long)
   final case class Stats(rows: Long, cols: Map[String, ColStats])
@@ -75,8 +90,28 @@ object DirStats {
               val st = cc.getStatistics
               val isUtf8 = pt.getLogicalTypeAnnotation ==
                 LogicalTypeAnnotation.stringType()
-              def norm(v: Any): Option[Any] = pt.getPrimitiveTypeName match {
-                case INT32 => Some(v.asInstanceOf[java.lang.Integer].longValue())
+              // `isMax` drives INCLUSIVE rounding where normalization
+              // loses precision (nanos→micros): min rounds DOWN, max
+              // rounds UP, so the normalized range always covers the
+              // true one — a pre-epoch sub-micro max must not floor
+              // itself below a row that truncate-toward-zero loading
+              // keeps.
+              def norm(v: Any, isMax: Boolean): Option[Any] =
+                pt.getPrimitiveTypeName match {
+                case INT32 =>
+                  val i = v.asInstanceOf[java.lang.Integer].intValue()
+                  pt.getLogicalTypeAnnotation match {
+                    case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+                      Some(Days(i.toLong))
+                    case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                      // unscaled int ⇒ scaled value: raw 30000000000
+                      // for DECIMAL(13,9) 30.0 would otherwise compare
+                      // against a double literal 40.5 and mis-prune
+                      Some(java.math.BigDecimal.valueOf(i.toLong, d.getScale))
+                    case iv: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                        if !iv.isSigned => None // uint stats wrap; skip
+                    case _ => Some(i.toLong)
+                  }
                 case INT64 =>
                   val l = v.asInstanceOf[java.lang.Long].longValue()
                   pt.getLogicalTypeAnnotation match {
@@ -84,20 +119,28 @@ object DirStats {
                     // timestamp literals are MICROS since epoch. The
                     // testdata has shipped as both TIMESTAMP(MICROS)
                     // and TIMESTAMP(NANOS) across generations (see the
-                    // loadEvents gotcha), so normalize to micros here —
-                    // comparing nanos stats against a micros literal
-                    // would mis-prune by 1000×. The nanos floor-divide
-                    // stays inclusive-sound: micro-integral literals
-                    // can't land inside the dropped sub-micro fraction.
+                    // loadEvents gotcha), so normalize to micros and
+                    // TAG the value — comparing nanos stats against a
+                    // micros literal raw would mis-prune by 1000×, and
+                    // tagging keeps raw-long literals incomparable
+                    // (unknown ⇒ no prune) instead of wrong.
                     case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
                       ts.getUnit match {
                         case LogicalTypeAnnotation.TimeUnit.MILLIS =>
-                          Some(l * 1000L)
-                        case LogicalTypeAnnotation.TimeUnit.MICROS => Some(l)
+                          Some(Micros(l * 1000L))
+                        case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                          Some(Micros(l))
                         case LogicalTypeAnnotation.TimeUnit.NANOS =>
-                          Some(Math.floorDiv(l, 1000L))
+                          Some(Micros(if (isMax) -Math.floorDiv(-l, 1000L)
+                            else Math.floorDiv(l, 1000L)))
                         case _ => None
                       }
+                    case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                      Some(java.math.BigDecimal.valueOf(l, d.getScale))
+                    case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation =>
+                      None
+                    case iv: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                        if !iv.isSigned => None
                     case _ => Some(l)
                   }
                 case FLOAT => Some(v.asInstanceOf[java.lang.Float].doubleValue())
@@ -109,7 +152,8 @@ object DirStats {
               }
               val mm = for {
                 s <- Option(st) if s.hasNonNullValue
-                mn <- norm(s.genericGetMin); mx <- norm(s.genericGetMax)
+                mn <- norm(s.genericGetMin, isMax = false)
+                mx <- norm(s.genericGetMax, isMax = true)
               } yield (mn, mx, if (s.isNumNullsSet) s.getNumNulls else -1L)
               val allNullNulls = Option(st)
                 .filter(s => !s.hasNonNullValue && s.isNumNullsSet)
@@ -168,11 +212,16 @@ object DirStats {
         case d: Double => // JSON-safe: NaN/Inf aren't JSON literals
           if (d.isNaN || d.isInfinite) jstr(d.toString) else d.toString
         case l: Long => l.toString
+        case Micros(m) => m.toString
+        case Days(d) => d.toString
+        case bd: java.math.BigDecimal => jstr(bd.toPlainString)
         case other => jstr(other.toString)
       }
       def tag(v: Any): String = v match {
         case _: String => "s"; case _: Boolean => "b"
-        case _: Double => "d"; case _ => "l"
+        case _: Double => "d"; case _: Micros => "tm"
+        case _: Days => "dy"; case _: java.math.BigDecimal => "n"
+        case _ => "l"
       }
       val cols = st.cols.map { case (n, c) =>
         s"${jstr(n)}:{" +
@@ -181,7 +230,7 @@ object DirStats {
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         new java.io.File(dir, FileName).toPath,
-        s"""{"rows":${st.rows},"cols":$cols}""")
+        s"""{"v":$FormatVersion,"rows":${st.rows},"cols":$cols}""")
     }
 
   def read(dir: java.io.File): Option[Stats] = scala.util.Try {
@@ -190,42 +239,80 @@ object DirStats {
     else {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(java.nio.file.Files.readString(f.toPath))
-      val cols = scala.collection.mutable.LinkedHashMap.empty[String, ColStats]
-      val it = root.get("cols").properties().iterator()
-      while (it.hasNext) {
-        val e = it.next(); val c = e.getValue
-        def v(k: String): Any = c.get("t").asText() match {
-          case "s" => c.get(k).asText()
-          case "b" => c.get(k).asBoolean()
-          case "d" => if (c.get(k).isTextual) c.get(k).asText().toDouble
-                      else c.get(k).asDouble()
-          case _ => c.get(k).asLong()
+      // version gate: a sidecar written under different normalization
+      // rules (e.g. pre-v2 raw timestamp longs) must fall back to the
+      // conservative no-sidecar path, not be trusted with stale units
+      if (root.get("v") == null || root.get("v").asInt() != FormatVersion)
+        None
+      else {
+        val cols = scala.collection.mutable.LinkedHashMap.empty[String, ColStats]
+        val it = root.get("cols").properties().iterator()
+        while (it.hasNext) {
+          val e = it.next(); val c = e.getValue
+          def v(k: String): Any = c.get("t").asText() match {
+            case "s" => c.get(k).asText()
+            case "b" => c.get(k).asBoolean()
+            case "d" => if (c.get(k).isTextual) c.get(k).asText().toDouble
+                        else c.get(k).asDouble()
+            case "tm" => Micros(c.get(k).asLong())
+            case "dy" => Days(c.get(k).asLong())
+            case "n" => new java.math.BigDecimal(c.get(k).asText())
+            case _ => c.get(k).asLong()
+          }
+          cols(e.getKey) = ColStats(v("min"), v("max"), c.get("nulls").asLong())
         }
-        cols(e.getKey) = ColStats(v("min"), v("max"), c.get("nulls").asLong())
+        Some(Stats(root.get("rows").asLong(), cols.toMap))
       }
-      Some(Stats(root.get("rows").asLong(), cols.toMap))
     }
   }.toOption.flatten
 
   // ---- inclusive metrics evaluation ----------------------------------
 
-  /** Total order between a literal (Catalyst-internal value) and a
-    * normalized stats value; None when incomparable — callers must
-    * treat None as "unknown ⇒ may match". */
+  /** Total order between a normalized literal and a normalized stats
+    * value; None when incomparable — callers must treat None as
+    * "unknown ⇒ may match". Unit-tagged temporals only compare within
+    * their tag; NaN/Infinity degrade to unknown (BigDecimal can't
+    * represent them, and NaN has no order — a crash here would fail
+    * the whole scan instead of just skipping a prune). */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (Micros(x), Micros(y)) => Some(x.compare(y))
+    case (Days(x), Days(y)) => Some(x.compare(y))
     case (x: Number, y: Number) =>
-      Some(BigDecimal(x.toString).compare(BigDecimal(y.toString)))
+      for (p <- bd(x); q <- bd(y)) yield p.compare(q)
     case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
     case (x, y) =>
-      val sx = x match {
-        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-        case s: String => Some(s); case _ => None
-      }
-      val sy = y match {
-        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-        case s: String => Some(s); case _ => None
-      }
-      for (p <- sx; q <- sy) yield p.compare(q)
+      val sx = asStr(x); val sy = asStr(y)
+      // parquet string stats order by UTF-8 bytes = code points; Java
+      // compare orders by UTF-16 code units. They agree only while
+      // both strings are BMP-only (no surrogates) — beyond that the
+      // orders diverge (U+10000 sorts below U+E000 in UTF-16) and a
+      // "prune" would skip a dir that holds the exact value.
+      for {
+        p <- sx; q <- sy
+        if bmpOnly(p) && bmpOnly(q)
+      } yield p.compare(q)
+  }
+
+  private def bd(n: Number): Option[BigDecimal] = n match {
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d.doubleValue()))
+    case f: java.lang.Float =>
+      if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.doubleValue()))
+    case other => scala.util.Try(BigDecimal(other.toString)).toOption
+  }
+
+  private def asStr(x: Any): Option[String] = x match {
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case s: String => Some(s); case _ => None
+  }
+
+  private def bmpOnly(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (Character.isSurrogate(s.charAt(i))) return false
+      i += 1
+    }
+    true
   }
 
   private object AttrName {
@@ -272,25 +359,62 @@ object DirStats {
   def mayMatch(pred: Expression, st: Stats): Boolean =
     evalMay(resolveOps(pred), st)
 
+  /** Normalize a Catalyst literal into the stats value space, USING
+    * its dataType: timestamp literals become [[Micros]], date literals
+    * [[Days]], decimal literals scaled BigDecimals. Tagging the
+    * literal side is what stops a date column's day-count stats from
+    * being compared against an epoch-micros timestamp literal as two
+    * bare numbers — the analyzer's implicit cast never runs here (the
+    * predicate arrives unresolved), so an untagged comparison would
+    * prune every dir. None ⇒ unsupported literal ⇒ no prune. */
+  private def litVal(v: Any, dt: org.apache.spark.sql.types.DataType)
+      : Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (v == null) None
+    else dt match {
+      case TimestampType | TimestampNTZType =>
+        Some(Micros(v.asInstanceOf[java.lang.Long].longValue()))
+      case DateType =>
+        Some(Days(v.asInstanceOf[java.lang.Integer].longValue()))
+      case _: DecimalType => v match {
+        case d: Decimal => Some(d.toJavaBigDecimal)
+        case _ => None
+      }
+      case _: NumericType | StringType | BooleanType => Some(v)
+      case _ => None
+    }
+  }
+
   private def evalMay(pred: Expression, st: Stats): Boolean = {
     if (st.rows == 0) return false // an empty dir matches nothing
     def col(n: String): Option[ColStats] = st.cols.get(n)
     pred match {
       case And(l, r) => evalMay(l, st) && evalMay(r, st)
       case Or(l, r) => evalMay(l, st) || evalMay(r, st)
-      case EqualTo(AttrName(n), Literal(v, _)) => containsValue(col(n), v)
-      case EqualTo(Literal(v, _), AttrName(n)) => containsValue(col(n), v)
-      case GreaterThan(AttrName(n), Literal(v, _)) => above(col(n), v, strict = true)
-      case GreaterThanOrEqual(AttrName(n), Literal(v, _)) => above(col(n), v, strict = false)
-      case LessThan(AttrName(n), Literal(v, _)) => below(col(n), v, strict = true)
-      case LessThanOrEqual(AttrName(n), Literal(v, _)) => below(col(n), v, strict = false)
+      case EqualTo(AttrName(n), Literal(v, dt)) =>
+        litVal(v, dt).forall(containsValue(col(n), _))
+      case EqualTo(Literal(v, dt), AttrName(n)) =>
+        litVal(v, dt).forall(containsValue(col(n), _))
+      case GreaterThan(AttrName(n), Literal(v, dt)) =>
+        litVal(v, dt).forall(above(col(n), _, strict = true))
+      case GreaterThanOrEqual(AttrName(n), Literal(v, dt)) =>
+        litVal(v, dt).forall(above(col(n), _, strict = false))
+      case LessThan(AttrName(n), Literal(v, dt)) =>
+        litVal(v, dt).forall(below(col(n), _, strict = true))
+      case LessThanOrEqual(AttrName(n), Literal(v, dt)) =>
+        litVal(v, dt).forall(below(col(n), _, strict = false))
       // literal-first comparisons flip
-      case GreaterThan(Literal(v, _), AttrName(n)) => below(col(n), v, strict = true)
-      case GreaterThanOrEqual(Literal(v, _), AttrName(n)) => below(col(n), v, strict = false)
-      case LessThan(Literal(v, _), AttrName(n)) => above(col(n), v, strict = true)
-      case LessThanOrEqual(Literal(v, _), AttrName(n)) => above(col(n), v, strict = false)
+      case GreaterThan(Literal(v, dt), AttrName(n)) =>
+        litVal(v, dt).forall(below(col(n), _, strict = true))
+      case GreaterThanOrEqual(Literal(v, dt), AttrName(n)) =>
+        litVal(v, dt).forall(below(col(n), _, strict = false))
+      case LessThan(Literal(v, dt), AttrName(n)) =>
+        litVal(v, dt).forall(above(col(n), _, strict = true))
+      case LessThanOrEqual(Literal(v, dt), AttrName(n)) =>
+        litVal(v, dt).forall(above(col(n), _, strict = false))
       case In(AttrName(n), vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists { case Literal(v, _) => containsValue(col(n), v) }
+        vs.exists { case Literal(v, dt) =>
+          litVal(v, dt).forall(containsValue(col(n), _)) }
       case IsNull(AttrName(n)) =>
         col(n).forall(c => c.nulls != 0) // -1 (unknown) stays true
       case IsNotNull(AttrName(n)) =>

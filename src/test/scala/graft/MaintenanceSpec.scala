@@ -214,6 +214,53 @@ class MaintenanceSpec extends SparkSpec {
         .count())
   }
 
+  test("DirStats typed comparisons: timestamps prune in their own unit, " +
+      "cross-unit and decimal-vs-double predicates never mis-prune, and " +
+      "unversioned sidecars are rejected") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.plans.DirStats
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    val split = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    sn.append(o.filter(col("o_orderdate") < lit(split)), "ty")
+    sn.append(o.filter(col("o_orderdate") >= lit(split)), "ty")
+    val Seq(early, late) = sn.readManifest("ty", 2)
+    val earlySt = DirStats.read(new java.io.File(s"$root/$early")).get
+    def may(p: org.apache.spark.sql.Column,
+        st: graft.plans.DirStats.Stats): Boolean =
+      DirStats.mayMatch(ColumnBridge.catalystExpression(p), st)
+    // same-unit timestamp predicate prunes the early dir
+    val probe = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    assert(!may(col("o_orderdate") >= lit(probe), earlySt))
+    // a DATE literal against timestamp stats is cross-unit: day counts
+    // vs epoch micros must read UNKNOWN (true), never a wrong prune
+    assert(may(col("o_orderdate") >= lit(java.sql.Date.valueOf("2000-01-01")),
+      earlySt))
+    // a raw long literal against timestamp stats: incomparable ⇒ true
+    assert(may(col("o_orderdate") >= lit(0L), earlySt))
+    // decimal column stats are SCALED before comparing with a double
+    // literal: DECIMAL(12,2) value 30.00 stores unscaled 3000, which
+    // raw would dwarf 40.5 and wrongly prune a `< 40.5` predicate
+    val decDir = new java.io.File(s"$root/decimals")
+    o.limit(50).select(col("o_orderkey"),
+        (col("o_totalprice") * 0 + 30.0).cast("decimal(12,2)").as("price"))
+      .write.mode("overwrite").parquet(decDir.getPath)
+    DirStats.writeFor(decDir)
+    val decSt = DirStats.read(decDir).get
+    assert(may(col("price") < 40.5, decSt),
+      "30.00 < 40.5 — the dir matches and must not prune")
+    assert(!may(col("price") > 40.5, decSt),
+      "every value is 30.00 — a > 40.5 predicate must prune")
+    // an unversioned (stale-format) sidecar must be rejected so stale
+    // units degrade to the conservative no-prune path
+    val sidecar = new java.io.File(s"$root/$early", DirStats.FileName)
+    val body = java.nio.file.Files.readString(sidecar.toPath)
+    java.nio.file.Files.writeString(sidecar.toPath,
+      body.replaceFirst("\\{\"v\":\\d+,", "{"))
+    assert(DirStats.read(new java.io.File(s"$root/$early")).isEmpty)
+  }
+
   test("M4: orphan cleanup removes files outside live snapshots only") {
     val root = scratch()
     val sn = new Snapshots(root)
