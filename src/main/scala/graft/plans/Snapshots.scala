@@ -302,7 +302,13 @@ class Snapshots(root: String) {
     * pass) so later CoW probes can skip the dir without scanning. */
   def stageData(df: DataFrame, table: String): String = {
     val rel = freshDataRel(table)
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$rel")
+    // APPEND into the freshly claimed (empty) dir — same content, but
+    // Overwrite would DELETE the dir before recreating it, and in that
+    // window a concurrent stager's createDirectory can re-claim the
+    // same name: two writers then share one dir and wreck each other's
+    // _temporary staging (caught by the 8-appender race spec under
+    // load). Append never removes the claim, so the CAS stays a CAS.
+    df.write.mode(SaveMode.Append).parquet(s"$root/$rel")
     DirStats.writeFor(new java.io.File(s"$root/$rel"))
     rel
   }
