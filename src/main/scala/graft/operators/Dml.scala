@@ -645,8 +645,13 @@ object Dml extends QueryPack {
     * delete's — the Iceberg sequencing rule, proven cross-engine here:
     * keys %7 deleted, keys %14 re-landed with status 'R', and the
     * pre-delete snapshot still reads complete (time travel under MoR). */
-  private val morDelete: Q = (s, dir) => {
-    val sn = new Snapshots(Scratch.dir("d25_mor_delete"))
+  /** Shared d25/d26 fixture: two half-year appends, the %7 MoR delete,
+    * the %14 're-landed' append that must outrank it. Returns (store,
+    * table, pre-delete version). One definition so the d26 oracle's
+    * "same table shape as d25" premise can't drift one-sided. */
+  private def buildMorTable(s: SparkSession, dir: String,
+      scratchName: String): (Snapshots, String, Int) = {
+    val sn = new Snapshots(Scratch.dir(scratchName))
     val t = "orders_mor"
     val o = T.load(s, dir, "orders")
     sn.append(o.filter(month(col("o_orderdate")) <= 6), t)   // v1, seq 1
@@ -656,6 +661,11 @@ object Dml extends QueryPack {
       Seq("o_orderkey"))                                     // v3: delete file
     sn.append(o.filter(col("o_orderkey") % 14 === 0)
       .withColumn("o_orderstatus", lit("R")), t)             // v4, seq 4
+    (sn, t, preV)
+  }
+
+  private val morDelete: Q = (s, dir) => {
+    val (sn, t, preV) = buildMorTable(s, dir, "d25_mor_delete")
     val now = sn.current(s, t).agg(
       count(lit(1)).as("n_rows"),
       count(when(col("o_orderkey") % 7 === 0, 1)).as("n_div7"),
@@ -677,14 +687,7 @@ object Dml extends QueryPack {
     * re-insert dir (seq ≥ every delete seq) carries over without
     * rewrite; only dirs holding a deleted key pay I/O. */
   private val morFold: Q = (s, dir) => {
-    val sn = new Snapshots(Scratch.dir("d26_mor_fold"))
-    val t = "orders_mf"
-    val o = T.load(s, dir, "orders")
-    sn.append(o.filter(month(col("o_orderdate")) <= 6), t)
-    sn.append(o.filter(month(col("o_orderdate")) >= 7), t)
-    sn.deleteWhereMoR(s, t, col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
-    sn.append(o.filter(col("o_orderkey") % 14 === 0)
-      .withColumn("o_orderstatus", lit("R")), t)
+    val (sn, t, _) = buildMorTable(s, dir, "d26_mor_fold")
     sn.rewriteDeletes(s, t)
     val nDeleteEntries = sn
       .readEntries(t, sn.currentVersion(t).get)
@@ -708,17 +711,28 @@ object Dml extends QueryPack {
     * files and cross-checked as a constant. Partition-pruning
     * economics with no partition column: at 100 TB a narrow time
     * predicate opens the handful of dirs it can touch, not the table. */
+  /** A timestamp literal pinned to UTC WALL-CLOCK — `Timestamp.valueOf`
+    * would parse in the JVM-default zone and diverge from the oracle's
+    * naive TIMESTAMP literal on any non-UTC host (the session zone is
+    * pinned to UTC; the JVM zone is not). */
+  private def utcTs(isoDateTime: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.LocalDateTime.parse(isoDateTime)
+      .toInstant(java.time.ZoneOffset.UTC))
+
   private val prunedScan: Q = (s, dir) => {
     val sn = new Snapshots(Scratch.dir("d27_pruned_scan"))
     val t = "orders_ps"
     val o = T.load(s, dir, "orders")
-    val split = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
-    val probe = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val split = utcTs("1998-01-01T00:00:00")
+    val probe = utcTs("2000-01-01T00:00:00")
     sn.append(o.filter(col("o_orderdate") < lit(split)), t)
     sn.append(o.filter(col("o_orderdate") >= lit(split)), t)
-    val m = sn.readManifest(t, 2)
+    val m = sn.readManifest(t, sn.currentVersion(t).get)
     val pruned = sn.scanWhere(s, t, col("o_orderdate") >= lit(probe))
-    val dirsRead = m.count(rel => pruned.inputFiles.exists(_.contains(rel)))
+    // trailing '/' so 'data/d1' can never prefix-collide with a
+    // hypothetical 'data/d10'; one inputFiles walk, not one per entry
+    val inFiles = pruned.inputFiles
+    val dirsRead = m.count(rel => inFiles.exists(_.contains(rel + "/")))
     pruned.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"),
         round(T.moneySum(col("o_totalprice")), 2).as("sum_price"))

@@ -222,7 +222,11 @@ class MaintenanceSpec extends SparkSpec {
     val root = scratch()
     val sn = new Snapshots(root)
     val o = T.load(spark, sfDir, "orders")
-    val split = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    // UTC wall-clock (not Timestamp.valueOf, which parses in the JVM
+    // default zone and would skew the split on a non-UTC host)
+    def utcTs(s: String) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC))
+    val split = utcTs("1998-01-01T00:00:00")
     sn.append(o.filter(col("o_orderdate") < lit(split)), "ty")
     sn.append(o.filter(col("o_orderdate") >= lit(split)), "ty")
     val Seq(early, late) = sn.readManifest("ty", 2)
@@ -231,7 +235,7 @@ class MaintenanceSpec extends SparkSpec {
         st: graft.plans.DirStats.Stats): Boolean =
       DirStats.mayMatch(ColumnBridge.catalystExpression(p), st)
     // same-unit timestamp predicate prunes the early dir
-    val probe = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val probe = utcTs("2000-01-01T00:00:00")
     assert(!may(col("o_orderdate") >= lit(probe), earlySt))
     // a DATE literal against timestamp stats is cross-unit: day counts
     // vs epoch micros must read UNKNOWN (true), never a wrong prune
