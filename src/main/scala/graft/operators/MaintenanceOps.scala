@@ -171,8 +171,11 @@ object MaintenanceOps extends QueryPack {
     val ev = T.loadEvents(s, dir)
     // 4 fixed-width cols (event_id, ts, user_id, value) = 32 bytes;
     // each non-NULL STRING bills 2 + its UTF-8 length, a NULL bills 0
+    // EVERY string term is null-coalesced: a NULL string bills 0, and
+    // without its own coalesce a NULL event_type would null the whole
+    // sum and drop the row's fixed 32 bytes + props bytes from the bill
     val rowBytes = lit(32L) +
-      (octet_length(col("event_type")).cast("long") + 2L) +
+      coalesce(octet_length(col("event_type")).cast("long") + 2L, lit(0L)) +
       coalesce(octet_length(col("props")).cast("long") + 2L, lit(0L))
     val asOf = ev.agg(max(to_date(col("ts"))).as("d0"))
     ev.groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
@@ -293,7 +296,7 @@ object MaintenanceOps extends QueryPack {
     "m12_cost_report" ->
       s"""WITH b AS (
          |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
-         |    32 + (octet_length(CAST(event_type AS BLOB)) + 2)
+         |    32 + COALESCE(octet_length(CAST(event_type AS BLOB)) + 2, 0)
          |      + COALESCE(octet_length(CAST(props AS BLOB)) + 2, 0) AS rb
          |  FROM events),
          |a AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),

@@ -98,11 +98,9 @@ object Maintenance {
       .agg(count(lit(1)).as("n_rows"))
     val bytes = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$partitionCol="))
-      .map { d =>
-        (d.getName.stripPrefix(s"$partitionCol="),
-          d.listFiles().filter(_.getName.endsWith(".parquet"))
-            .map(_.length()).sum)
-      }.toSeq
+      .map(d => (d.getName.stripPrefix(s"$partitionCol="),
+        fileStats(d.getPath).totalBytes)) // one accounting rule, not two
+      .toSeq
     import spark.implicits._
     val bytesDf = bytes.toDF("partition_value", "n_bytes")
     rows.join(broadcast(bytesDf), Seq("partition_value"))
@@ -124,50 +122,70 @@ object Maintenance {
       QueryPerf(name, rows, sec, slow = sec > 30, expensive = sec > 60)
     }
 
-  /** M1 over a manifest table: compact ONLY the fragmented data dirs of
-    * the current snapshot — a dir is fragmented when it holds more
-    * files than ceil(bytes/target) — rewriting them together into one
-    * right-sized dir, and commit a new manifest that references the
-    * compacted dir PLUS the untouched dirs by their original paths
-    * (zero I/O on them). This is the semantics of the reference's
-    * `BQ.ICEBERG_COMPACTION(partition_filter=...)`
+  /** Minimum count of under-half-target dirs before cross-dir merging
+    * kicks in — Iceberg's `min-input-files` discipline (its binPack
+    * default is 5): merging two smalls saves little and would make
+    * compaction non-idempotent (the merged output is itself small). */
+  val MinSmallDirsToMerge = 5
+
+  /** M1 over a manifest table: compact the FRAGMENTED data dirs of the
+    * current snapshot — a dir is fragmented when it holds more files
+    * than ceil(bytes/target), or when it is one of ≥
+    * [[MinSmallDirsToMerge]] under-half-target dirs (the micro-batch
+    * append pattern: one small file per dir fragments the TABLE even
+    * though no single dir is internally fragmented) — rewriting them
+    * together into right-sized files and committing a manifest that
+    * references the compacted dir PLUS the untouched dirs by their
+    * original paths (zero I/O on them). This is the semantics of the
+    * reference's `BQ.ICEBERG_COMPACTION(partition_filter=...)`
     * (`iceberg_maintenance.py:28-71`): compaction is itself a snapshot
     * commit over immutable files, so time travel to the pre-compaction
     * version still works and concurrent readers never see a
     * half-compacted table. At 100 TB the win is the point: a table
     * that is 95% well-sized history + 5% fresh small-file appends
-    * rewrites 5%, not 100%. Returns the report; no-op (and NO version
-    * churn) when nothing is fragmented. */
+    * rewrites 5%, not 100%. The whole read-classify-commit runs under
+    * the optimistic retry — the file list is DERIVED from the snapshot
+    * it read, so a concurrent append/delete between read and commit
+    * forces a re-derive instead of being silently dropped. Returns the
+    * report; no-op (and NO version churn) when nothing is fragmented. */
   def compactTable(spark: SparkSession, snaps: Snapshots, table: String,
       targetFileSizeMB: Int = 128): CompactionReport = {
-    val v = snaps.currentVersion(table)
-      .getOrElse(sys.error(s"no snapshots for $table"))
-    // bin-pack compaction reasons about raw data files; outstanding
-    // equality deletes must fold first (Iceberg orders its maintenance
-    // the same way: rewrite delete files, then rewrite data files)
-    require(snaps.readEntries(table, v).forall(_.kind == "data"),
-      s"$table has unfolded equality deletes - run rewriteDeletes first")
     val targetBytes = targetFileSizeMB.toLong * 1024 * 1024
-    val rels = snaps.readManifest(table, v)
-    def stats(rel: String) = fileStats(s"${snaps.rootDir}/$rel")
-    def needed(st: FileStats) = math.max(1L,
-      math.ceil(st.totalBytes.toDouble / targetBytes).toLong)
-    val before = rels.map(stats)
+    def totals(sts: Seq[FileStats]) = sts
       .reduceOption((a, b) => FileStats(a.nFiles + b.nFiles,
         a.totalBytes + b.totalBytes)).getOrElse(FileStats(0, 0))
-    val (frag, tight) = rels.partition(r => stats(r).nFiles > needed(stats(r)))
-    if (frag.nonEmpty) {
-      val fragBytes = frag.map(stats(_).totalBytes).sum
-      val nOut = math.max(1, math.ceil(
-        fragBytes.toDouble / targetBytes).toInt)
-      val compacted = snaps.stageData(
-        spark.read.parquet(frag.map(r => s"${snaps.rootDir}/$r"): _*)
-          .repartition(nOut), table)
-      snaps.commitFiles(table, tight :+ compacted)
+    val before = snaps.occRetry(table) { cur =>
+      val v = cur.getOrElse(sys.error(s"no snapshots for $table"))
+      // bin-pack compaction reasons about raw data files; outstanding
+      // equality deletes must fold first (Iceberg orders its
+      // maintenance the same way: delete files, then data files)
+      require(snaps.readEntries(table, v).forall(_.kind == "data"),
+        s"$table has unfolded equality deletes - run rewriteDeletes first")
+      val rels = snaps.readManifest(table, v)
+      // one listing per dir, memoized — the classification below reads
+      // each dir's stats several times
+      val st = rels.map(r => r -> fileStats(s"${snaps.rootDir}/$r")).toMap
+      def needed(s: FileStats) = math.max(1L,
+        math.ceil(s.totalBytes.toDouble / targetBytes).toLong)
+      val (fragged, rest) = rels.partition(r => st(r).nFiles > needed(st(r)))
+      val smalls = rest.filter(r => st(r).totalBytes < targetBytes / 2)
+      val frag = fragged ++
+        (if (smalls.size >= MinSmallDirsToMerge) smalls else Nil)
+      if (frag.nonEmpty) {
+        val fragBytes = frag.map(st(_).totalBytes).sum
+        val nOut = math.max(1, math.ceil(
+          fragBytes.toDouble / targetBytes).toInt)
+        val compacted = snaps.stageData(
+          spark.read.parquet(frag.map(r => s"${snaps.rootDir}/$r"): _*)
+            .repartition(nOut), table)
+        val tight = rels.filterNot(frag.contains)
+        snaps.commitFilesIfCurrent(table, cur, tight :+ compacted)
+      }
+      totals(rels.map(st))
     }
-    val after = snaps.readManifest(table, snaps.currentVersion(table).get)
-      .map(stats).reduceOption((a, b) => FileStats(a.nFiles + b.nFiles,
-        a.totalBytes + b.totalBytes)).getOrElse(FileStats(0, 0))
+    val after = totals(snaps.readManifest(table,
+        snaps.currentVersion(table).get)
+      .map(r => fileStats(s"${snaps.rootDir}/$r")))
     CompactionReport(before, after, targetFileSizeMB)
   }
 
@@ -178,7 +196,8 @@ object Maintenance {
     * `iceberg_maintenance.py:334-387`). */
   def fullMaintenance(spark: SparkSession, snaps: Snapshots, table: String,
       scratchDir: String, sortCols: Seq[String],
-      retainSnapshots: Int = 2): Seq[(String, String, Long)] = {
+      retainSnapshots: Int = 2,
+      gcOlderThanMillis: Long = 0L): Seq[(String, String, Long)] = {
     val cur = snaps.current(spark, table)
     // count EAGERLY: expire() below deletes old versions, and with an
     // aggressive retention the lazily-evaluated count would read
@@ -199,8 +218,11 @@ object Maintenance {
     sortRewriteDirs(spark,
       snaps.dataDirs(table, snaps.currentVersion(table).get),
       s"$scratchDir/${table}_sorted", sortCols)
-    val expired = snaps.expire(table, retainSnapshots)
-    val orphans = snaps.cleanOrphans(table)
+    // pass the GC age cutoff through: concurrent deployments set it
+    // above their longest stage-to-commit window so the sweeps can't
+    // gut a dir an in-flight commit has staged but not yet claimed
+    val expired = snaps.expire(table, retainSnapshots, gcOlderThanMillis)
+    val orphans = snaps.cleanOrphans(table, gcOlderThanMillis)
     Seq(
       ("table_stats", "rows", curRows),
       ("rewrite_deletes", "delete entries folded", delsFolded),

@@ -389,6 +389,34 @@ class MaintenanceSpec extends SparkSpec {
     assert(sn.currentVersion("ct").contains(3))
   }
 
+  test("M1/small dirs: >= MinSmallDirsToMerge one-file append dirs merge " +
+      "into one right-sized dir; fewer small dirs stay untouched") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    // the micro-batch append disease: each append lands ONE small file
+    // in its own dir — no dir is internally fragmented, the TABLE is
+    (1 to 6).foreach { m =>
+      sn.append(o.filter(month(col("o_orderdate")) === m).coalesce(1), "sm")
+    }
+    val rep = Maintenance.compactTable(spark, sn, "sm", 128)
+    assert(rep.before.nFiles == 6 && rep.after.nFiles == 1,
+      s"six small append dirs must merge into one right-sized dir: $rep")
+    assert(sn.current(spark, "sm").count() ==
+      o.filter(month(col("o_orderdate")) <= 6).count())
+    // idempotent: the merged output is itself small, but ONE small dir
+    // is below the merge floor — no churn
+    Maintenance.compactTable(spark, sn, "sm", 128)
+    assert(sn.currentVersion("sm").contains(7))
+    // and a table with only TWO small dirs stays untouched
+    val sn2 = new Snapshots(scratch())
+    sn2.append(o.filter(month(col("o_orderdate")) === 1).coalesce(1), "sm2")
+    sn2.append(o.filter(month(col("o_orderdate")) === 2).coalesce(1), "sm2")
+    Maintenance.compactTable(spark, sn2, "sm2", 128)
+    assert(sn2.currentVersion("sm2").contains(2),
+      "two small dirs are below the merge floor - no rewrite, no churn")
+  }
+
   test("CoW UPDATE: only dirs holding a matching row rewrite; untouched " +
       "entries carry over verbatim; no-match updates don't churn a version") {
     val root = scratch()
