@@ -526,63 +526,105 @@ class Snapshots(root: String) {
     * O(affected files + source), never O(table). */
   def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
       key: String): Int =
-    occRetry(table) { cur =>
-      val v = cur.getOrElse(sys.error(s"no snapshots for $table"))
-      if (source.isEmpty) v
-      else {
+    keyedCow(spark, table, source, key, broadcastKeys = false) {
+      (touched, src) =>
         import org.apache.spark.sql.functions.col
-        val entries = readEntries(table, v)
-        val dels = entries.filter(_.kind == "delete")
-        val datas = entries.filter(_.kind == "data")
-        val keys = source.select(col(key)).distinct()
-        val (touchedRels, _) = splitByMark(spark, datas.map(_.rel),
-          _.join(keys, Seq(key), "left_semi"))
-        val touched = datas.filter(e => touchedRels.contains(e.rel))
-        val kept = datas.filterNot(e => touchedRels.contains(e.rel))
-        val merged =
-          if (touched.isEmpty) source
-          else logicalFrame(spark, touched ++ dels)
-            .join(keys, Seq(key), "left_anti")
-            .unionByName(source)
-        commitEntriesIfCurrent(table, cur, (kept ++ dels) :+
-          ManifestEntry("data", nextSeq(entries),
-            stageData(merged, table), Nil))
+        touched match {
+          case None => src
+          case Some(t) =>
+            val keys = src.select(col(key)).distinct()
+            // null-safe anti: a stored null-key row must be REPLACED by
+            // a source null-key row, not kept beside it
+            t.join(keys, t(key) <=> keys(key), "left_anti").unionByName(src)
+        }
+    }
+
+  /** Shared keyed copy-on-write engine under [[mergeUpsert]], [[mergeWith]],
+    * and through them the streaming upsert sink. Per optimistic attempt:
+    *  - BOOTSTRAP: a table with no snapshots commits `build(None, source)`
+    *    as v1 — VALIDATED, so a racing first writer forces a retry
+    *    instead of being silently overwritten;
+    *  - METADATA PRUNE: one tiny agg takes the source's key [min, max] +
+    *    null presence; footer stats drop dirs whose key range provably
+    *    misses it (an IsNull arm keeps null-key dirs in play whenever
+    *    the source carries a null key — otherwise stats on non-null
+    *    values would prune a dir whose null rows the null-safe probe
+    *    must see);
+    *  - PROBE: survivors pay one NULL-SAFE semi-join scan (a plain
+    *    equi-join would never mark a dir holding null-key rows, making
+    *    the dedup outcome depend on physical colocation);
+    *  - REWRITE: dirs holding a source key are replaced by
+    *    `build(Some(touched MoR frame), source)`; every other entry
+    *    carries over verbatim — except delete entries no surviving
+    *    data entry can feel (no kept entry with a smaller seq), which
+    *    drop so a long-running sink self-compacts its delete metadata
+    *    instead of paying an inert anti-join per read forever. */
+  private def keyedCow(spark: SparkSession, table: String,
+      source: DataFrame, key: String, broadcastKeys: Boolean)
+      (build: (Option[DataFrame], DataFrame) => DataFrame): Int =
+    occRetry(table) { cur =>
+      import org.apache.spark.sql.functions._
+      cur match {
+        case None =>
+          require(!source.isEmpty,
+            s"no snapshots for $table and nothing to bootstrap from")
+          commitEntriesIfCurrent(table, None, Seq(ManifestEntry("data", 1,
+            stageData(build(None, source), table), Nil)))
+        case Some(v) =>
+          if (source.isEmpty) v // no churn from an empty source
+          else {
+            val entries = readEntries(table, v)
+            val dels = entries.filter(_.kind == "delete")
+            val datas = entries.filter(_.kind == "data")
+            val b = source.agg(min(col(key)).as("mn"), max(col(key)).as("mx"),
+              sum(when(col(key).isNull, 1L).otherwise(0L)).as("nn"))
+              .collect()(0)
+            val hasNullKey = b.getLong(2) > 0
+            val mayTouch = scala.util.Try {
+              val range = if (b.isNullAt(0)) None
+                else Some(col(key) >= lit(b.get(0)) && col(key) <= lit(b.get(1)))
+              val pred = (range, hasNullKey) match {
+                case (Some(r), true) => r || col(key).isNull
+                case (Some(r), false) => r
+                case (None, _) => col(key).isNull // all source keys null
+              }
+              val pe = org.apache.spark.sql.graft.ColumnBridge
+                .catalystExpression(pred)
+              datas.filter(e =>
+                DirStats.read(new java.io.File(s"$root/${e.rel}"))
+                  .forall(st => DirStats.mayMatch(pe, st)))
+            }.getOrElse(datas) // un-literal-able key type: probe them all
+            val keys0 = source.select(col(key)).distinct()
+            val keys = if (broadcastKeys) broadcast(keys0) else keys0
+            val (touchedRels, _) = splitByMark(spark, mayTouch.map(_.rel),
+              df => df.join(keys, df(key) <=> keys(key), "left_semi"))
+            val touched = mayTouch.filter(e => touchedRels.contains(e.rel))
+            val kept = datas.filterNot(e => touchedRels.contains(e.rel))
+            val touchedFrame =
+              if (touched.isEmpty) None
+              else Some(logicalFrame(spark, touched ++ dels))
+            val liveDels = dels.filter(d => kept.exists(_.seq < d.seq))
+            commitEntriesIfCurrent(table, cur, (kept ++ liveDels) :+
+              ManifestEntry("data", nextSeq(entries),
+                stageData(build(touchedFrame, source), table), Nil))
+          }
       }
     }
 
   /** CoW merge at file granularity with a caller-supplied combiner —
     * the engine under the streaming upsert sink: data dirs holding a
     * `source` key are replaced by `combine(touched-MoR-frame ∪
-    * source)`; every other data entry and every delete entry carries
-    * over verbatim, and the rewrite applies outstanding equality
-    * deletes before combining (so a sink batch never resurrects
-    * MoR-deleted rows). `broadcastKeys` lets micro-batch callers
-    * broadcast the membership probe. Runs under the optimistic retry,
-    * like every snapshot-derived commit. */
+    * source)`, with the rewrite applying outstanding equality deletes
+    * before combining (so a sink batch never resurrects MoR-deleted
+    * rows). A table with no snapshots yet bootstraps to v1 from
+    * `combine(source)` under the same validated commit. `broadcastKeys`
+    * lets micro-batch callers broadcast the membership probe. All the
+    * probe/commit discipline lives in [[keyedCow]]. */
   def mergeWith(spark: SparkSession, table: String, source: DataFrame,
       key: String, broadcastKeys: Boolean = false)
       (combine: DataFrame => DataFrame): Int =
-    occRetry(table) { cur =>
-      val v = cur.getOrElse(sys.error(s"no snapshots for $table"))
-      if (source.isEmpty) v // no churn from an empty source
-      else {
-        import org.apache.spark.sql.functions.{broadcast, col}
-        val entries = readEntries(table, v)
-        val dels = entries.filter(_.kind == "delete")
-        val datas = entries.filter(_.kind == "data")
-        val keys0 = source.select(col(key)).distinct()
-        val keys = if (broadcastKeys) broadcast(keys0) else keys0
-        val (touchedRels, _) = splitByMark(spark, datas.map(_.rel),
-          _.join(keys, Seq(key), "left_semi"))
-        val touched = datas.filter(e => touchedRels.contains(e.rel))
-        val kept = datas.filterNot(e => touchedRels.contains(e.rel))
-        val base =
-          if (touched.isEmpty) source
-          else logicalFrame(spark, touched ++ dels).unionByName(source)
-        commitEntriesIfCurrent(table, cur, (kept ++ dels) :+
-          ManifestEntry("data", nextSeq(entries),
-            stageData(combine(base), table), Nil))
-      }
+    keyedCow(spark, table, source, key, broadcastKeys) { (touched, src) =>
+      combine(touched.map(_.unionByName(src)).getOrElse(src))
     }
 
   /** D-ext: MERGE-ON-READ delete — instead of rewriting any data file,
@@ -660,20 +702,12 @@ class Snapshots(root: String) {
       }
     }
 
-  /** Partition the current snapshot's data dirs into (touched,
-    * untouched) by whether they contain a row `mark` selects — `mark`
-    * receives the current-snapshot frame and returns the matching
-    * subset (a filter for predicate probes, a semi-join for key-set
-    * probes). ONE pushdown-filtered pass collecting DISTINCT matching
-    * file paths; driver pull bounded by file count, not rows — the
-    * planning pull every CoW engine makes. At 100 TB manifest-level
-    * column stats / bloom filters would answer most probes without
-    * the scan; same contract. */
-  def touchedDirs(spark: SparkSession, table: String,
-      mark: DataFrame => DataFrame): (Seq[String], Seq[String]) =
-    splitByMark(spark, readManifest(table, currentVersion(table)
-      .getOrElse(sys.error(s"no snapshots for $table"))), mark)
-
+  /** Partition data dirs into (touched, untouched) by whether they
+    * contain a row `mark` selects — `mark` receives the dirs' frame
+    * and returns the matching subset (a filter for predicate probes, a
+    * semi-join for key-set probes). ONE pushdown-filtered pass
+    * collecting DISTINCT matching file paths; driver pull bounded by
+    * file count, not rows — the planning pull every CoW engine makes. */
   private def splitByMark(spark: SparkSession, rels: Seq[String],
       mark: DataFrame => DataFrame): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.input_file_name

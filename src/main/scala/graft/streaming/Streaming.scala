@@ -451,26 +451,22 @@ object Streaming extends QueryPack {
         .filter(col("_rn") === 1).drop("_rn")
     }
     if (!batch.isEmpty) {
-      val s = batch.sparkSession
-      sn.currentVersion(table) match {
-        case None => // bootstrap: first batch seeds the table
-          sn.commit(dedup(batch), table)
-        case Some(_) =>
-          // Copy-on-write MERGE at file granularity via the store's
-          // shared merge engine: only the data dirs that contain a
-          // batch key are re-read (with any outstanding equality
-          // deletes applied) and re-written; every other entry —
-          // delete entries included — carries over, under the
-          // optimistic commit. The batch's key set is micro-batch-
-          // sized, so the membership probe broadcasts it. Sound
-          // because merge COLOCATES a key: every merge rewrites ALL
-          // dirs holding a batch key into one dir, so a key untouched
-          // by this batch was fully deduped wherever it last landed.
-          // (Mixing raw `append` writes into an upsert-managed table
-          // would break that invariant — use this sink or appends,
-          // not both.)
-          sn.mergeWith(s, table, batch, key, broadcastKeys = true)(dedup)
-      }
+      // Copy-on-write MERGE at file granularity via the store's shared
+      // merge engine: only the data dirs that contain a batch key are
+      // re-read (with any outstanding equality deletes applied) and
+      // re-written; every other entry — delete entries included —
+      // carries over, under the optimistic commit. The first batch
+      // bootstraps the table through the SAME validated path, so a
+      // racing first writer forces a retry instead of being
+      // overwritten. The batch's key set is micro-batch-sized, so the
+      // membership probe broadcasts it. Sound because merge COLOCATES
+      // a key: every merge rewrites ALL dirs holding a batch key into
+      // one dir, so a key untouched by this batch was fully deduped
+      // wherever it last landed. (Mixing raw `append` writes into an
+      // upsert-managed table would break that invariant — use this
+      // sink or appends, not both.)
+      sn.mergeWith(batch.sparkSession, table, batch, key,
+        broadcastKeys = true)(dedup)
     }
   }
 

@@ -479,6 +479,39 @@ class MaintenanceSpec extends SparkSpec {
     assert(sn.currentVersion("mu").contains(4))
   }
 
+  test("keyed CoW handles null keys deterministically and drops delete " +
+      "entries once no surviving data entry can feel them") {
+    import spark.implicits._
+    val root = scratch()
+    val sn = new Snapshots(root)
+    // bootstrap through the merge path itself (validated v1)
+    sn.mergeUpsert(spark,
+      "nk", Seq((Some(1L), "a"), (None, "x")).toDF("k", "v"), "k")
+    sn.append(Seq((Some(2L), "b")).toDF("k", "v"), "nk")
+    // a null-key source row must REPLACE the stored null-key row, not
+    // duplicate it — the probe and the anti-join are null-safe
+    sn.mergeUpsert(spark,
+      "nk", Seq((Option.empty[Long], "x2")).toDF("k", "v"), "k")
+    val rows = sn.current(spark, "nk").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1))).toSet
+    assert(rows == Set((Some(1L), "a"), (Some(2L), "b"), (None, "x2")),
+      s"null-key upsert must be deterministic, got $rows")
+    // inert-delete self-compaction: delete %1-keyed rows via MoR, then
+    // merge a source touching EVERY dir — all surviving data outranks
+    // the delete, so the delete entry must drop from the manifest
+    sn.deleteWhereMoR(spark, "nk", col("k") === 1L, Seq("k"))
+    assert(sn.readEntries("nk", sn.currentVersion("nk").get)
+      .exists(_.kind == "delete"))
+    sn.mergeUpsert(spark, "nk",
+      Seq((Some(2L), "b2"), (Option.empty[Long], "x3")).toDF("k", "v"), "k")
+    val eFinal = sn.readEntries("nk", sn.currentVersion("nk").get)
+    assert(eFinal.forall(_.kind == "data"),
+      s"inert delete entries must self-compact, got $eFinal")
+    assert(sn.current(spark, "nk").collect().map(_.getString(1)).toSet ==
+      Set("b2", "x3"), "the folded delete must still have applied")
+  }
+
   test("MoR delete: the delete dir holds only keys (O(delta) write), " +
       "re-inserts outrank it by seq, time travel still works, and the " +
       "fold drops delete entries while carrying unaffected dirs verbatim") {
