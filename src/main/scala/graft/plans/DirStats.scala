@@ -190,9 +190,17 @@ object DirStats {
             case None if !dead.contains(name) =>
               acc(name) = ColStats(mn, mx, nu)
             case Some(p) =>
-              acc(name) = ColStats(
-                if (cmp(mn, p.min).exists(_ < 0)) mn else p.min,
-                if (cmp(mx, p.max).exists(_ > 0)) mx else p.max,
+              val lo = cmp(mn, p.min); val hi = cmp(mx, p.max)
+              // an INCOMPARABLE merge (same column name carrying, say,
+              // Days in one file and Micros in another) must kill the
+              // column, not keep the prior bound: keeping it would
+              // under-cover the true range and mayMatch could prune a
+              // dir that holds matching rows. Unreachable via stageData
+              // (uniform schema per dir) but collect() accepts any dir.
+              if (lo.isEmpty || hi.isEmpty) { dead += name; acc.remove(name) }
+              else acc(name) = ColStats(
+                if (lo.exists(_ < 0)) mn else p.min,
+                if (hi.exists(_ > 0)) mx else p.max,
                 if (p.nulls < 0 || nu < 0) -1 else p.nulls + nu)
             case _ => ()
           }
@@ -202,68 +210,85 @@ object DirStats {
     Stats(rows, acc.toMap)
   }.toOption
 
-  /** Collect from footers and persist the sidecar; best-effort. */
-  def writeFor(dir: java.io.File): Unit =
-    collect(dir).foreach { st =>
-      import graft.core.Jsonish.jstr
-      def jval(v: Any): String = v match {
-        case s: String => jstr(s)
-        case b: Boolean => b.toString
-        case d: Double => // JSON-safe: NaN/Inf aren't JSON literals
-          if (d.isNaN || d.isInfinite) jstr(d.toString) else d.toString
-        case l: Long => l.toString
-        case Micros(m) => m.toString
-        case Days(d) => d.toString
-        case bd: java.math.BigDecimal => jstr(bd.toPlainString)
-        case other => jstr(other.toString)
+  /** One-line JSON rendering of a [[Stats]] — the sidecar body, and
+    * (since the manifest carries per-entry metrics) the inline stats
+    * field of a manifest line. Strings go through [[graft.core.Jsonish]]
+    * so the output contains no literal tab/newline — a hard requirement
+    * for embedding in the tab-separated, line-per-entry manifest. */
+  def toJson(st: Stats): String = {
+    import graft.core.Jsonish.jstr
+    def jval(v: Any): String = v match {
+      case s: String => jstr(s)
+      case b: Boolean => b.toString
+      case d: Double => // JSON-safe: NaN/Inf aren't JSON literals
+        if (d.isNaN || d.isInfinite) jstr(d.toString) else d.toString
+      case l: Long => l.toString
+      case Micros(m) => m.toString
+      case Days(d) => d.toString
+      case bd: java.math.BigDecimal => jstr(bd.toPlainString)
+      case other => jstr(other.toString)
+    }
+    def tag(v: Any): String = v match {
+      case _: String => "s"; case _: Boolean => "b"
+      case _: Double => "d"; case _: Micros => "tm"
+      case _: Days => "dy"; case _: java.math.BigDecimal => "n"
+      case _ => "l"
+    }
+    val cols = st.cols.map { case (n, c) =>
+      s"${jstr(n)}:{" +
+        s""""t":${jstr(tag(c.min))},"min":${jval(c.min)},""" +
+        s""""max":${jval(c.max)},"nulls":${c.nulls}}"""
+    }.mkString("{", ",", "}")
+    s"""{"v":$FormatVersion,"rows":${st.rows},"cols":$cols}"""
+  }
+
+  /** Parse a [[toJson]] rendering. None on malformed input OR a format
+    * version mismatch: stats written under different normalization
+    * rules (e.g. pre-v2 raw timestamp longs) must fall back to the
+    * conservative no-stats path, not be trusted with stale units. */
+  def parseJson(json: String): Option[Stats] = scala.util.Try {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(json)
+    if (root.get("v") == null || root.get("v").asInt() != FormatVersion)
+      None
+    else {
+      val cols = scala.collection.mutable.LinkedHashMap.empty[String, ColStats]
+      val it = root.get("cols").properties().iterator()
+      while (it.hasNext) {
+        val e = it.next(); val c = e.getValue
+        def v(k: String): Any = c.get("t").asText() match {
+          case "s" => c.get(k).asText()
+          case "b" => c.get(k).asBoolean()
+          case "d" => if (c.get(k).isTextual) c.get(k).asText().toDouble
+                      else c.get(k).asDouble()
+          case "tm" => Micros(c.get(k).asLong())
+          case "dy" => Days(c.get(k).asLong())
+          case "n" => new java.math.BigDecimal(c.get(k).asText())
+          case _ => c.get(k).asLong()
+        }
+        cols(e.getKey) = ColStats(v("min"), v("max"), c.get("nulls").asLong())
       }
-      def tag(v: Any): String = v match {
-        case _: String => "s"; case _: Boolean => "b"
-        case _: Double => "d"; case _: Micros => "tm"
-        case _: Days => "dy"; case _: java.math.BigDecimal => "n"
-        case _ => "l"
-      }
-      val cols = st.cols.map { case (n, c) =>
-        s"${jstr(n)}:{" +
-          s""""t":${jstr(tag(c.min))},"min":${jval(c.min)},""" +
-          s""""max":${jval(c.max)},"nulls":${c.nulls}}"""
-      }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(
-        new java.io.File(dir, FileName).toPath,
-        s"""{"v":$FormatVersion,"rows":${st.rows},"cols":$cols}""")
+      Some(Stats(root.get("rows").asLong(), cols.toMap))
+    }
+  }.toOption.flatten
+
+  /** Collect from footers and persist the sidecar; best-effort. Returns
+    * the JSON written, so commit paths can inline the same metrics into
+    * the manifest entry without a second footer pass. */
+  def writeFor(dir: java.io.File): Option[String] =
+    collect(dir).flatMap { st =>
+      scala.util.Try {
+        val json = toJson(st)
+        java.nio.file.Files.writeString(
+          new java.io.File(dir, FileName).toPath, json)
+        json
+      }.toOption
     }
 
   def read(dir: java.io.File): Option[Stats] = scala.util.Try {
     val f = new java.io.File(dir, FileName)
     if (!f.exists()) None
-    else {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = om.readTree(java.nio.file.Files.readString(f.toPath))
-      // version gate: a sidecar written under different normalization
-      // rules (e.g. pre-v2 raw timestamp longs) must fall back to the
-      // conservative no-sidecar path, not be trusted with stale units
-      if (root.get("v") == null || root.get("v").asInt() != FormatVersion)
-        None
-      else {
-        val cols = scala.collection.mutable.LinkedHashMap.empty[String, ColStats]
-        val it = root.get("cols").properties().iterator()
-        while (it.hasNext) {
-          val e = it.next(); val c = e.getValue
-          def v(k: String): Any = c.get("t").asText() match {
-            case "s" => c.get(k).asText()
-            case "b" => c.get(k).asBoolean()
-            case "d" => if (c.get(k).isTextual) c.get(k).asText().toDouble
-                        else c.get(k).asDouble()
-            case "tm" => Micros(c.get(k).asLong())
-            case "dy" => Days(c.get(k).asLong())
-            case "n" => new java.math.BigDecimal(c.get(k).asText())
-            case _ => c.get(k).asLong()
-          }
-          cols(e.getKey) = ColStats(v("min"), v("max"), c.get("nulls").asLong())
-        }
-        Some(Stats(root.get("rows").asLong(), cols.toMap))
-      }
-    }
+    else parseJson(java.nio.file.Files.readString(f.toPath))
   }.toOption.flatten
 
   // ---- inclusive metrics evaluation ----------------------------------
@@ -421,6 +446,35 @@ object DirStats {
         col(n).forall(c => c.nulls < 0 || c.nulls < st.rows)
       case _ => true
     }
+  }
+
+  /** Whether a data dir described by `data` can contain any equality-
+    * key tuple present in a delete dir described by `del` — the
+    * metadata-only delete-applicability test (Iceberg's manifest-level
+    * "can this delete file touch this data file" check). Per key
+    * column, possible iff the non-null [min,max] ranges overlap OR both
+    * sides can hold a null key (null-safe delete semantics: null
+    * matches null). Conservative true whenever either side's stats are
+    * missing or incomparable — callers use false only as a proof of
+    * disjointness. Multi-column keys AND the per-column tests (an
+    * over-approximation of tuple equality, safe in the same
+    * direction). */
+  def mayContainDeleteKeys(data: Option[Stats], del: Option[Stats],
+      keys: Seq[String]): Boolean = (data, del) match {
+    case (Some(ds), Some(xs)) =>
+      if (ds.rows == 0 || xs.rows == 0) false
+      else keys.forall { k =>
+        (ds.cols.get(k), xs.cols.get(k)) match {
+          case (Some(a), Some(b)) =>
+            val rangesOverlap = !(cmp(a.max, b.min).exists(_ < 0) ||
+              cmp(a.min, b.max).exists(_ > 0))
+            // nulls == -1 (unknown) must count as "maybe null"
+            val nullOverlap = a.nulls != 0 && b.nulls != 0
+            rangesOverlap || nullOverlap
+          case _ => true // column unknowable on a side: no proof
+        }
+      }
+    case _ => true
   }
 
   /** min ≤ v ≤ max (unknown ⇒ true). */

@@ -159,9 +159,10 @@ object Maintenance {
       // bin-pack compaction reasons about raw data files; outstanding
       // equality deletes must fold first (Iceberg orders its
       // maintenance the same way: delete files, then data files)
-      require(snaps.readEntries(table, v).forall(_.kind == "data"),
+      val entries = snaps.readEntries(table, v)
+      require(entries.forall(_.kind == "data"),
         s"$table has unfolded equality deletes - run rewriteDeletes first")
-      val rels = snaps.readManifest(table, v)
+      val rels = entries.map(_.rel)
       // one listing per dir, memoized — the classification below reads
       // each dir's stats several times
       val st = rels.map(r => r -> fileStats(s"${snaps.rootDir}/$r")).toMap
@@ -169,17 +170,20 @@ object Maintenance {
         math.ceil(s.totalBytes.toDouble / targetBytes).toLong)
       val (fragged, rest) = rels.partition(r => st(r).nFiles > needed(st(r)))
       val smalls = rest.filter(r => st(r).totalBytes < targetBytes / 2)
-      val frag = fragged ++
-        (if (smalls.size >= MinSmallDirsToMerge) smalls else Nil)
+      val frag = (fragged ++
+        (if (smalls.size >= MinSmallDirsToMerge) smalls else Nil)).toSet
       if (frag.nonEmpty) {
-        val fragBytes = frag.map(st(_).totalBytes).sum
+        val fragBytes = frag.toSeq.map(st(_).totalBytes).sum
         val nOut = math.max(1, math.ceil(
           fragBytes.toDouble / targetBytes).toInt)
-        val compacted = snaps.stageData(
-          spark.read.parquet(frag.map(r => s"${snaps.rootDir}/$r"): _*)
-            .repartition(nOut), table)
-        val tight = rels.filterNot(frag.contains)
-        snaps.commitFilesIfCurrent(table, cur, tight :+ compacted)
+        val compacted = snaps.stageEntry(
+          spark.read.parquet(frag.toSeq.map(r => s"${snaps.rootDir}/$r"): _*)
+            .repartition(nOut), table, "data", 0)
+        // untouched entries carry over VERBATIM — their inline manifest
+        // stats survive the compaction commit instead of degrading to
+        // sidecar reads
+        val tight = entries.filterNot(e => frag.contains(e.rel))
+        snaps.commitEntriesIfCurrent(table, cur, tight :+ compacted)
       }
       totals(rels.map(st))
     }
@@ -197,7 +201,8 @@ object Maintenance {
   def fullMaintenance(spark: SparkSession, snaps: Snapshots, table: String,
       scratchDir: String, sortCols: Seq[String],
       retainSnapshots: Int = 2,
-      gcOlderThanMillis: Long = 0L): Seq[(String, String, Long)] = {
+      gcOlderThanMillis: Long = Snapshots.DefaultGcAgeMillis)
+      : Seq[(String, String, Long)] = {
     val cur = snaps.current(spark, table)
     // count EAGERLY: expire() below deletes old versions, and with an
     // aggressive retention the lazily-evaluated count would read

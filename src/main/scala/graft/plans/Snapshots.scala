@@ -22,18 +22,46 @@ final class ConcurrentCommitException(val table: String,
   * delete (higher seq) survives it. Legacy bare-path manifest lines
   * parse as (data, seq 0), which keeps every pre-MoR table readable
   * and keeps their semantics unchanged (no deletes → seq never
-  * consulted). `key` names the equality columns (delete entries only). */
+  * consulted). `key` names the equality columns (delete entries only).
+  *
+  * `statsJson` inlines the dir's metrics — record count plus per-column
+  * min/max/null bounds ([[DirStats.toJson]]) — into the manifest line
+  * itself, the way Iceberg manifests carry `record_count` and column
+  * bounds per file: scan planning, CoW pruning, and per-version row
+  * accounting then read ONE manifest instead of one stats sidecar per
+  * dir (at 100k dirs that is one metadata read vs 100k serial driver
+  * file opens). Kept as the RAW JSON STRING so a parse→format round
+  * trip is byte-stable (entries migrate across manifests verbatim);
+  * legacy entries carry None and fall back to the sidecar. */
 final case class ManifestEntry(kind: String, seq: Int, rel: String,
-    key: Seq[String]) {
+    key: Seq[String], statsJson: Option[String] = None) {
   require(kind == "data" || kind == "delete",
     s"manifest entry kind must be data|delete, got $kind")
   require(kind == "data" || key.nonEmpty,
     "a delete entry needs at least one equality key column")
+  // the manifest is line-per-entry and tab-separated; Jsonish escapes
+  // control chars so this only rejects hand-built invalid entries
+  require(statsJson.forall(j => !j.exists(c => c == '\t' || c == '\n' ||
+    c == '\r')), "inline stats JSON must not contain tab/newline")
+
+  /** Parsed inline metrics; None for legacy entries. */
+  lazy val stats: Option[DirStats.Stats] = statsJson.flatMap(DirStats.parseJson)
+
+  /** The dir's record count from inline metrics, -1 when unknown. */
+  def records: Long = stats.map(_.rows).getOrElse(-1L)
 }
 
 object Snapshots {
   /** JVM-global staging-tmp counter — see writerTag. */
   private[plans] val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Default GC age cutoff for [[Snapshots.expire]]/
+    * [[Snapshots.cleanOrphans]]: an unreferenced dir younger than this
+    * is presumed to belong to an IN-FLIGHT commit (staging precedes
+    * the manifest claim) and survives the sweep. One hour covers any
+    * realistic stage-to-commit window; immediate-GC callers opt in
+    * with 0L. */
+  val DefaultGcAgeMillis: Long = 60L * 60 * 1000
 }
 
 /** Manifest-based versioned-snapshot store — the table-format emulation
@@ -110,10 +138,14 @@ class Snapshots(root: String) {
   // pure-data tables keep writing the format every existing tool expects.
 
   private def fmtEntry(e: ManifestEntry): String = e match {
-    case ManifestEntry("data", 0, rel, _) => rel
-    case ManifestEntry("data", seq, rel, _) => s"data\t$seq\t$rel"
-    case ManifestEntry("delete", seq, rel, key) =>
+    case ManifestEntry("data", 0, rel, _, None) => rel
+    case ManifestEntry("data", seq, rel, _, None) => s"data\t$seq\t$rel"
+    case ManifestEntry("data", seq, rel, _, Some(j)) =>
+      s"data\t$seq\t$rel\t\t$j" // empty 4th field = no key columns
+    case ManifestEntry("delete", seq, rel, key, None) =>
       s"delete\t$seq\t$rel\t${key.mkString(",")}"
+    case ManifestEntry("delete", seq, rel, key, Some(j)) =>
+      s"delete\t$seq\t$rel\t${key.mkString(",")}\t$j"
     case other => sys.error(s"unserializable manifest entry $other")
   }
 
@@ -121,8 +153,12 @@ class Snapshots(root: String) {
     line.split('\t') match {
       case Array(rel) => ManifestEntry("data", 0, rel, Nil)
       case Array("data", seq, rel) => ManifestEntry("data", seq.toInt, rel, Nil)
+      case Array("data", seq, rel, "", j) =>
+        ManifestEntry("data", seq.toInt, rel, Nil, Some(j))
       case Array("delete", seq, rel, key) =>
         ManifestEntry("delete", seq.toInt, rel, key.split(',').toSeq)
+      case Array("delete", seq, rel, key, j) =>
+        ManifestEntry("delete", seq.toInt, rel, key.split(',').toSeq, Some(j))
       case _ => sys.error(s"unparseable manifest line: $line")
     }
 
@@ -141,7 +177,9 @@ class Snapshots(root: String) {
   /** The root-relative DATA dirs snapshot `v` is made of (delete
     * entries excluded — callers that must see them use [[readEntries]]). */
   def readManifest(table: String, v: Int): Seq[String] =
-    readEntries(table, v).collect { case ManifestEntry("data", _, rel, _) => rel }
+    readEntries(table, v).collect {
+      case e if e.kind == "data" => e.rel
+    }
 
   /** Absolute data-dir paths of snapshot `v` (for scans / file stats). */
   def dataDirs(table: String, v: Int): Seq[String] =
@@ -300,7 +338,16 @@ class Snapshots(root: String) {
     * Harvests the dir's parquet-footer min/max/null stats into a
     * [[DirStats]] sidecar (driver-side metadata read, no extra data
     * pass) so later CoW probes can skip the dir without scanning. */
-  def stageData(df: DataFrame, table: String): String = {
+  def stageData(df: DataFrame, table: String): String =
+    stageEntry(df, table, "data", 0).rel
+
+  /** [[stageData]] returning a full [[ManifestEntry]] with the dir's
+    * metrics (record count + column bounds) INLINED — the entry every
+    * commit path should reference so planning and row accounting stay
+    * metadata-only. One footer pass feeds both the sidecar (legacy
+    * readers, GC-co-located) and the manifest line. */
+  def stageEntry(df: DataFrame, table: String, kind: String, seq: Int,
+      key: Seq[String] = Nil): ManifestEntry = {
     val rel = freshDataRel(table)
     // APPEND into the freshly claimed (empty) dir — same content, but
     // Overwrite would DELETE the dir before recreating it, and in that
@@ -309,15 +356,20 @@ class Snapshots(root: String) {
     // _temporary staging (caught by the 8-appender race spec under
     // load). Append never removes the claim, so the CAS stays a CAS.
     df.write.mode(SaveMode.Append).parquet(s"$root/$rel")
-    DirStats.writeFor(new java.io.File(s"$root/$rel"))
-    rel
+    val json = DirStats.writeFor(new java.io.File(s"$root/$rel"))
+    ManifestEntry(kind, seq, rel, key, json)
   }
+
+  /** An entry's dir metrics: inline manifest stats first, the per-dir
+    * sidecar as the legacy fallback. None ⇒ unknowable ⇒ no pruning. */
+  private def entryStats(e: ManifestEntry): Option[DirStats.Stats] =
+    e.stats.orElse(DirStats.read(new java.io.File(s"$root/${e.rel}")))
 
   /** Commit `df` as the next snapshot (full-overwrite semantics: the
     * new version is exactly `df`); returns the new version. For
     * incremental loads use [[append]] — it writes only the delta. */
   def commit(df: DataFrame, table: String): Int =
-    commitFiles(table, Seq(stageData(df, table)))
+    commitEntries(table, Seq(stageEntry(df, table, "data", 0)))
 
   /** Append-commit: the next snapshot is `previous ∪ df`, materializing
     * ONLY `df` — prior data dirs are referenced, not rewritten. This is
@@ -329,11 +381,11 @@ class Snapshots(root: String) {
     * latest manifest, so no appender's files are ever dropped (the
     * ConcurrencySpec races 8 of them to prove it). */
   def append(df: DataFrame, table: String): Int = {
-    val rel = stageData(df, table)
+    val staged = stageEntry(df, table, "data", 0)
     occRetry(table) { cur =>
       val prev = cur.map(readEntries(table, _)).getOrElse(Seq.empty)
       commitEntriesIfCurrent(table, cur,
-        prev :+ ManifestEntry("data", nextSeq(prev), rel, Nil))
+        prev :+ staged.copy(seq = nextSeq(prev)))
     }
   }
 
@@ -364,7 +416,13 @@ class Snapshots(root: String) {
     datas.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, group) =>
       val base = spark.read.parquet(group.map(e => s"$root/${e.rel}"): _*)
       dels.filter(_.seq > seq).foldLeft(base) { (df, d) =>
-        df.join(spark.read.parquet(s"$root/${d.rel}"), d.key, "left_anti")
+        // NULL-SAFE anti-join (Iceberg equality-delete semantics: null
+        // matches null) — a plain using-column anti would never match a
+        // NULL key value, so rows deleteWhereMoR wrote into the delete
+        // file would silently survive every read
+        val del = spark.read.parquet(s"$root/${d.rel}")
+        df.join(del, d.key.map(k => df(k) <=> del(k)).reduce(_ && _),
+          "left_anti")
       }
     }.reduce(_ unionByName _)
   }
@@ -391,8 +449,7 @@ class Snapshots(root: String) {
     val condExpr =
       org.apache.spark.sql.graft.ColumnBridge.catalystExpression(cond)
     val kept = entries.filter(e => e.kind == "delete" ||
-      DirStats.read(new java.io.File(s"$root/${e.rel}"))
-        .forall(st => DirStats.mayMatch(condExpr, st)))
+      entryStats(e).forall(st => DirStats.mayMatch(condExpr, st)))
     if (!kept.exists(_.kind == "data"))
       // every dir provably unmatchable: empty frame, correct schema
       asOf(spark, table, v).filter(cond).limit(0)
@@ -500,8 +557,7 @@ class Snapshots(root: String) {
       val condExpr =
         org.apache.spark.sql.graft.ColumnBridge.catalystExpression(cond)
       val (mayMatch, proven) = datas.partition(e =>
-        DirStats.read(new java.io.File(s"$root/${e.rel}"))
-          .forall(st => DirStats.mayMatch(condExpr, st)))
+        entryStats(e).forall(st => DirStats.mayMatch(condExpr, st)))
       val (touchedRels, _) =
         splitByMark(spark, mayMatch.map(_.rel), _.filter(cond))
       if (touchedRels.isEmpty) v
@@ -510,8 +566,7 @@ class Snapshots(root: String) {
         val kept = proven ++ mayMatch.filterNot(e => touchedRels.contains(e.rel))
         val rewritten = rewrite(logicalFrame(spark, touched ++ dels))
         commitEntriesIfCurrent(table, cur, (kept ++ dels) :+
-          ManifestEntry("data", nextSeq(entries),
-            stageData(rewritten, table), Nil))
+          stageEntry(rewritten, table, "data", nextSeq(entries)))
       }
     }
 
@@ -564,12 +619,18 @@ class Snapshots(root: String) {
       (build: (Option[DataFrame], DataFrame) => DataFrame): Int =
     occRetry(table) { cur =>
       import org.apache.spark.sql.functions._
-      cur match {
+      // the attempt reads `source` up to four times (emptiness, key
+      // bounds, distinct keys, the build) — persist it for the
+      // attempt's scope so a caller passing a derived frame pays its
+      // lineage once, not 4× (the deleteWhereMoR discipline). Persist
+      // is per-attempt: a lost race unpersists before the retry re-runs.
+      source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try cur match {
         case None =>
           require(!source.isEmpty,
             s"no snapshots for $table and nothing to bootstrap from")
-          commitEntriesIfCurrent(table, None, Seq(ManifestEntry("data", 1,
-            stageData(build(None, source), table), Nil)))
+          commitEntriesIfCurrent(table, None,
+            Seq(stageEntry(build(None, source), table, "data", 1)))
         case Some(v) =>
           if (source.isEmpty) v // no churn from an empty source
           else {
@@ -591,8 +652,7 @@ class Snapshots(root: String) {
               val pe = org.apache.spark.sql.graft.ColumnBridge
                 .catalystExpression(pred)
               datas.filter(e =>
-                DirStats.read(new java.io.File(s"$root/${e.rel}"))
-                  .forall(st => DirStats.mayMatch(pe, st)))
+                entryStats(e).forall(st => DirStats.mayMatch(pe, st)))
             }.getOrElse(datas) // un-literal-able key type: probe them all
             val keys0 = source.select(col(key)).distinct()
             val keys = if (broadcastKeys) broadcast(keys0) else keys0
@@ -605,10 +665,10 @@ class Snapshots(root: String) {
               else Some(logicalFrame(spark, touched ++ dels))
             val liveDels = dels.filter(d => kept.exists(_.seq < d.seq))
             commitEntriesIfCurrent(table, cur, (kept ++ liveDels) :+
-              ManifestEntry("data", nextSeq(entries),
-                stageData(build(touchedFrame, source), table), Nil))
+              stageEntry(build(touchedFrame, source), table, "data",
+                nextSeq(entries)))
           }
-      }
+      } finally source.unpersist(blocking = false)
     }
 
   /** CoW merge at file granularity with a caller-supplied combiner —
@@ -654,8 +714,7 @@ class Snapshots(root: String) {
       try {
         if (doomed.isEmpty) v
         else commitEntriesIfCurrent(table, cur, entries :+
-          ManifestEntry("delete", nextSeq(entries),
-            stageData(doomed, table), keyCols))
+          stageEntry(doomed, table, "delete", nextSeq(entries), keyCols))
       } finally doomed.unpersist(blocking = false)
     }
 
@@ -682,22 +741,34 @@ class Snapshots(root: String) {
       else {
         val datas = entries.filter(_.kind == "data")
         val maxDelSeq = dels.map(_.seq).max
-        val (fresh, candidates) = datas.partition(_.seq >= maxDelSeq)
+        val (fresh, applicable) = datas.partition(_.seq >= maxDelSeq)
+        // metadata pre-prune: a dir whose key bounds provably miss
+        // every applicable delete's key bounds (inline manifest stats,
+        // no I/O) keeps its entry without even joining the probe scan
+        val (candidates, provenClean) = applicable.partition(e =>
+          dels.exists(d => d.seq > e.seq && DirStats.mayContainDeleteKeys(
+            entryStats(e), entryStats(d), d.key)))
         // conservative probe: a candidate dir containing ANY deleted
         // key rewrites (even if only a later-seq delete names that
         // key) — a superset, never a wrong result, because the
         // rewrite materializes each dir group's exact MoR frame
+        // the probe mirrors logicalFrame's NULL-SAFE delete application:
+        // a dir whose only deleted rows carry a NULL key must still
+        // rewrite, or the delete entry would fold away while its rows
+        // survive
         val (touchedRels, _) = splitByMark(spark, candidates.map(_.rel),
-          df => dels.map(d =>
-            df.join(spark.read.parquet(s"$root/${d.rel}"), d.key, "left_semi"))
-            .reduce(_ unionByName _))
+          df => dels.map { d =>
+            val del = spark.read.parquet(s"$root/${d.rel}")
+            df.join(del, d.key.map(k => df(k) <=> del(k)).reduce(_ && _),
+              "left_semi")
+          }.reduce(_ unionByName _))
         val touched = candidates.filter(e => touchedRels.contains(e.rel))
-        val kept = fresh ++
+        val kept = fresh ++ provenClean ++
           candidates.filterNot(e => touchedRels.contains(e.rel))
         val folded =
           if (touched.isEmpty) kept
-          else kept :+ ManifestEntry("data", nextSeq(entries),
-            stageData(logicalFrame(spark, touched ++ dels), table), Nil)
+          else kept :+ stageEntry(logicalFrame(spark, touched ++ dels),
+            table, "data", nextSeq(entries))
         commitEntriesIfCurrent(table, cur, folded)
       }
     }
@@ -744,7 +815,16 @@ class Snapshots(root: String) {
     * key with the non-key payload struct-compared (null-safe) — one
     * shuffle per step, the same plan shape MERGE uses; unchanged rows
     * drop before the union, so the result is O(changes), not O(rows ×
-    * versions). */
+    * versions).
+    *
+    * The joined frames are restricted to the entries that CAN differ:
+    * kept manifest entries are byte-identical immutable dirs on both
+    * sides, so each side scans only (its exclusive data entries) ∪
+    * (kept data dirs whose delete-applicability changed — an added or
+    * removed delete with a larger seq whose key bounds can reach them,
+    * a pure-metadata test). An append step therefore scans the delta
+    * dirs only; a CoW step scans the rewritten dirs; O(changed files)
+    * per step, never O(table). */
   def changesBetween(spark: SparkSession, table: String, fromV: Int,
       toV: Int, key: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -752,10 +832,40 @@ class Snapshots(root: String) {
     require(vs.contains(fromV) && vs.contains(toV) && fromV < toV,
       s"changesBetween needs existing versions $fromV < $toV; have ${versions(table)}")
     vs.sliding(2).map { case Seq(pv, nv) =>
-      val others = asOf(spark, table, nv).columns.filterNot(_ == key)
-      def payload(v: Int, as: String) = asOf(spark, table, v)
+      val prev = readEntries(table, pv)
+      val next = readEntries(table, nv)
+      val prevSet = prev.toSet
+      val nextSet = next.toSet
+      val removed = prev.filterNot(nextSet)
+      val added = next.filterNot(prevSet)
+      val changedDels = (removed ++ added).filter(_.kind == "delete")
+      // a KEPT data dir's logical rows change only when a delete that
+      // can apply to it (larger seq, overlapping key bounds) appeared
+      // or disappeared across the step — decided from manifest stats
+      val affectedKept = prev.filter(e => e.kind == "data" &&
+        nextSet.contains(e) && changedDels.exists(d => d.seq > e.seq &&
+          DirStats.mayContainDeleteKeys(entryStats(e), entryStats(d), d.key)))
+      // each side applies ITS version's full delete set to its scanned
+      // dirs (logicalFrame drops non-applicable deletes by seq)
+      def side(own: Seq[ManifestEntry], all: Seq[ManifestEntry],
+          v: Int): DataFrame = {
+        val datas = own.filter(_.kind == "data") ++ affectedKept
+        if (datas.isEmpty)
+          // schema-only empty frame: .schema is a footer read; a
+          // limit(0) over asOf would still plant the version's full
+          // file list in the scan node, defeating the delta-only claim
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            asOf(spark, table, v).schema)
+        else logicalFrame(spark, datas ++ all.filter(_.kind == "delete"))
+      }
+      val prevFrame = side(removed, prev, pv)
+      val nextFrame = side(added, next, nv)
+      val others = nextFrame.columns.filterNot(_ == key)
+      def payload(f: DataFrame, as: String) = f
         .select(col(key), struct(others.toIndexedSeq.map(col): _*).as(as))
-      payload(pv, "_prev").join(payload(nv, "_next"), Seq(key), "full_outer")
+      payload(prevFrame, "_prev")
+        .join(payload(nextFrame, "_next"), Seq(key), "full_outer")
         .withColumn("_change_type",
           when(col("_prev").isNull, "INSERT")
             .when(col("_next").isNull, "DELETE")
@@ -785,9 +895,12 @@ class Snapshots(root: String) {
       s"appendsBetween needs live versions $fromV <= $toV; have $live")
     val added = live.filter(v => v >= fromV && v <= toV).sliding(2)
       .collect { case Seq(pv, nv) =>
-        val prev = readEntries(table, pv)
+        // Set-based: the naive prev.forall(next.contains) is
+        // O(|prev|·|next|) per step — 10^10 driver comparisons at a
+        // 100k-entry manifest
+        val prev = readEntries(table, pv).toSet
         val next = readEntries(table, nv)
-        if (prev.forall(next.contains)) // pure addition = append-type
+        if (prev.subsetOf(next.toSet)) // pure addition = append-type
           next.filter(e => e.kind == "data" && !prev.contains(e))
         else Seq.empty
       }.flatten.toSeq
@@ -816,6 +929,43 @@ class Snapshots(root: String) {
     }.toDF("version", "n_data_entries", "n_delete_entries", "max_seq")
   }
 
+  /** Logical row count of snapshot `v` — Iceberg's `total-records`,
+    * answered from manifest metadata wherever possible: a pure-data
+    * snapshot whose entries carry record counts is the SUM OF MANIFEST
+    * FIELDS, zero data I/O (the shape a 1000-snapshot history audit
+    * needs — the pre-r12 m14 paid one table scan per version). Only
+    * dirs whose rows the metadata can't pin — legacy entries with no
+    * stats, or dirs an outstanding equality delete can reach (larger
+    * seq, overlapping key bounds) — fall back to one MoR-applied scan,
+    * so the cost is O(delete-affected files), never O(table). */
+  def logicalRowCount(spark: SparkSession, table: String, v: Int): Long = {
+    val entries = readEntries(table, v)
+    val dels = entries.filter(_.kind == "delete")
+    val datas = entries.filter(_.kind == "data")
+    val (clean, risky) = datas.partition { e =>
+      entryStats(e).isDefined && !dels.exists(d => d.seq > e.seq &&
+        DirStats.mayContainDeleteKeys(entryStats(e), entryStats(d), d.key))
+    }
+    clean.map(e => entryStats(e).get.rows).sum +
+      (if (risky.isEmpty) 0L
+       else logicalFrame(spark, risky ++ dels).count())
+  }
+
+  /** Iceberg-style `$files` metadata table: one row per manifest entry
+    * of snapshot `v` with its inline metrics — the per-file
+    * introspection surface that pairs with [[history]]'s `$snapshots`.
+    * Pure metadata: built from the manifest (sidecar fallback for
+    * legacy entries), no data I/O. */
+  def filesMetadata(spark: SparkSession, table: String, v: Int): DataFrame = {
+    import spark.implicits._
+    readEntries(table, v).map { e =>
+      val st = entryStats(e)
+      (e.kind, e.seq.toLong, e.rel,
+        st.map(_.rows).getOrElse(-1L),
+        st.map(_.cols.size.toLong).getOrElse(-1L))
+    }.toDF("entry_kind", "seq", "rel_path", "record_count", "n_stat_columns")
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
       .foreach(deleteRecursively)
@@ -838,9 +988,16 @@ class Snapshots(root: String) {
     * that no live manifest (any table, any branch) still references.
     * Metadata delete + reference-counted data delete: exactly the
     * retention op the reference schedules
-    * (iceberg_maintenance.py:73-93). Returns the versions removed. */
+    * (iceberg_maintenance.py:73-93). Returns the versions removed.
+    *
+    * `gcOlderThanMillis` defaults to [[Snapshots.DefaultGcAgeMillis]]
+    * (one hour), NOT zero: a dir staged by an in-flight commit is
+    * unreferenced until its manifest lands, and a zero cutoff would let
+    * a concurrent maintenance run gut it mid-commit (Iceberg's
+    * remove_orphan_files defaults to 3 days for the same reason).
+    * Quiesced single-writer callers — and tests — pass 0L explicitly. */
   def expire(table: String, keep: Int,
-      gcOlderThanMillis: Long = 0L): Seq[Int] = {
+      gcOlderThanMillis: Long = Snapshots.DefaultGcAgeMillis): Seq[Int] = {
     // retain-last >= 1, Iceberg's own floor: keep=0 would delete every
     // manifest and GC all data — a retention knob must never be able
     // to destroy the table it maintains
@@ -865,9 +1022,10 @@ class Snapshots(root: String) {
   /** M4: orphan-file cleanup — delete files under the table root that
     * no live snapshot references: aborted data-dir writes never
     * committed to a manifest, manifest .tmp leftovers, stray files.
-    * Returns deleted paths. */
+    * Returns deleted paths. Age cutoff defaults safe-side like
+    * [[expire]]'s — see [[Snapshots.DefaultGcAgeMillis]]. */
   def cleanOrphans(table: String,
-      olderThanMillis: Long = 0L): Seq[String] = {
+      olderThanMillis: Long = Snapshots.DefaultGcAgeMillis): Seq[String] = {
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val liveData = liveDataDirs()
     val liveManifests = versions(table)

@@ -77,7 +77,7 @@ class MaintenanceSpec extends SparkSpec {
     assert((v1, v2, v3) == (1, 2, 3))
     assert(sn.asOf(spark, "orders_t", 1).count() == 100)
     assert(sn.current(spark, "orders_t").count() == 600)
-    val removed = sn.expire("orders_t", keep = 2)
+    val removed = sn.expire("orders_t", keep = 2, gcOlderThanMillis = 0L)
     assert(removed == Seq(1))
     assert(sn.versions("orders_t") == Seq(2, 3))
     assert(sn.asOf(spark, "orders_t", 2).count() == 300)
@@ -148,13 +148,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(sn.versions("t") == Seq(1))
     assert(sn.current(spark, "t").count() == 50)
     // cleanup removes both pieces of wreckage, and nothing live
-    val removed = sn.cleanOrphans("t")
+    // (0L: the test IS the quiesced single-writer case; the default
+    // age cutoff exists to protect concurrent in-flight commits)
+    val removed = sn.cleanOrphans("t", 0L)
     assert(removed.exists(_.endsWith("v=2.manifest.tmp")))
     assert(removed.exists(_.contains(staged.split('/').last)))
     assert(sn.current(spark, "t").count() == 50)
     // the store recovers: the next commit proceeds normally
     val v2 = sn.commit(o.limit(10), "t")
     assert(v2 == 2 && sn.current(spark, "t").count() == 10)
+  }
+
+  test("GC age cutoff is safe by default: a just-staged dir (an " +
+      "in-flight commit's data) survives default-age sweeps and the " +
+      "commit still lands") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.commit(o.limit(50), "gcd")
+    // an in-flight appender has staged its delta but not yet claimed
+    // the manifest — exactly the window a concurrent maintenance run
+    // must not gut (staging precedes the CAS claim by design)
+    val staged = sn.stageEntry(o.limit(20), "gcd", "data", 0)
+    assert(sn.cleanOrphans("gcd").isEmpty, // DefaultGcAgeMillis cutoff
+      "default-age orphan sweep must spare a freshly staged dir")
+    assert(sn.expire("gcd", keep = 1).isEmpty)
+    // the in-flight commit completes against the surviving dir
+    val v2 = sn.occRetry("gcd") { cur =>
+      val prev = cur.map(sn.readEntries("gcd", _)).getOrElse(Seq.empty)
+      sn.commitEntriesIfCurrent("gcd", cur, prev :+ staged.copy(seq = 1))
+    }
+    assert(v2 == 2 && sn.current(spark, "gcd").count() == 70)
   }
 
   test("snapshot isolation: a reader pinned to v=N is unaffected by " +
@@ -166,7 +190,7 @@ class MaintenanceSpec extends SparkSpec {
     sn.commit(o.limit(300), "t")
     val pinned = sn.asOf(spark, "t", 2) // reader opens v2
     sn.commit(o.limit(600), "t")        // writer moves on
-    sn.expire("t", keep = 2)            // v1's manifest + data dropped
+    sn.expire("t", keep = 2, gcOlderThanMillis = 0L) // v1 manifest+data drop
     assert(pinned.count() == 300, "pinned reader must still see v2")
     assert(sn.current(spark, "t").count() == 600)
   }
@@ -272,7 +296,7 @@ class MaintenanceSpec extends SparkSpec {
     // plant an orphan next to the live snapshot
     val orphan = new java.io.File(s"$root/t/_aborted_write.tmp")
     Files.writeString(orphan.toPath, "junk")
-    val removed = sn.cleanOrphans("t")
+    val removed = sn.cleanOrphans("t", 0L) // quiesced: sweep immediately
     assert(removed.exists(_.endsWith("_aborted_write.tmp")))
     assert(!orphan.exists())
     assert(sn.current(spark, "t").count() == 10)
@@ -771,5 +795,132 @@ class MaintenanceSpec extends SparkSpec {
     // allowed to proceed past the race: commitFiles re-claims
     assert(sn.commitFiles("occ", rel) == 3)
     assert(sn.current(spark, "occ").count() == 10)
+  }
+
+  test("changesBetween scans only changed entries: an append step reads " +
+      "the delta dirs, a CoW step reads the swapped dirs — never the " +
+      "kept table") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    val t = "cbd"
+    sn.append(o.filter(month(col("o_orderdate")) <= 6), t)     // v1
+    sn.append(o.filter(month(col("o_orderdate")) >= 7), t)     // v2 append
+    val v1Dirs = sn.readManifest(t, 1)
+    val v2Delta = sn.readManifest(t, 2).filterNot(v1Dirs.contains)
+    val appendStep = sn.changesBetween(spark, t, 1, 2, "o_orderkey")
+    // kept entries are byte-identical immutable dirs on both sides —
+    // the v1 dir must not appear in the diff's scan at all
+    val f12 = appendStep.inputFiles
+    assert(f12.nonEmpty && f12.forall(p => v2Delta.exists(p.contains)),
+      s"append step must scan only the delta dirs: ${f12.toSeq}")
+    assert(appendStep.count() ==
+      o.filter(month(col("o_orderdate")) >= 7).count())
+    assert(appendStep.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("INSERT"))
+    // v3: CoW update touches only the dir holding the target keys
+    val probe = o.filter(month(col("o_orderdate")) <= 6)
+      .limit(1).select("o_orderkey").collect()(0).getLong(0)
+    sn.updateWhere(spark, t, col("o_orderkey") === probe,
+      Map("o_totalprice" -> lit(0.0)))
+    val v2Entries = sn.readManifest(t, 2)
+    val v3 = sn.readManifest(t, 3)
+    val swapped = (v2Entries.filterNot(v3.contains) ++
+      v3.filterNot(v2Entries.contains)).toSet
+    assert(swapped.nonEmpty && swapped.size < v2Entries.size + v3.size,
+      "CoW must swap a strict subset of dirs")
+    val cowStep = sn.changesBetween(spark, t, 2, 3, "o_orderkey")
+    val f23 = cowStep.inputFiles
+    assert(f23.nonEmpty && f23.forall(p => swapped.exists(p.contains)),
+      s"CoW step must scan only the swapped dirs: ${f23.toSeq}")
+    assert(cowStep.count() == 1 &&
+      cowStep.select("_change_type").collect()(0).getString(0) == "UPDATE")
+  }
+
+  test("logicalRowCount answers pure-data versions from manifest " +
+      "metadata alone — correct even after the parquet files are gone") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    val t = "lrc"
+    val n1 = o.filter(month(col("o_orderdate")) <= 6).count()
+    val n2 = o.filter(month(col("o_orderdate")) >= 7).count()
+    sn.append(o.filter(month(col("o_orderdate")) <= 6), t)
+    sn.append(o.filter(month(col("o_orderdate")) >= 7), t)
+    assert(sn.logicalRowCount(spark, t, 1) == n1)
+    assert(sn.logicalRowCount(spark, t, 2) == n1 + n2)
+    // the proof it is metadata-only: destroy every data file; the
+    // counts must still come back, because the inline manifest stats
+    // are the only thing consulted on the pure-data path
+    sn.dataDirs(t, 2).foreach { d =>
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.delete()))
+    }
+    assert(sn.logicalRowCount(spark, t, 1) == n1)
+    assert(sn.logicalRowCount(spark, t, 2) == n1 + n2)
+  }
+
+  test("metadata-bounded sink law: sustained interleaved appends, MoR " +
+      "deletes and merges with periodic maintenance keep the manifest " +
+      "entry count bounded by live data, not by operation count — and " +
+      "the logical content tracks an independent row-level simulation") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "sinklaw"
+    val o = T.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").cast("long").as("k"),
+        col("o_totalprice").cast("double").as("p"))
+    // independent oracle: the same op sequence simulated row-by-row on
+    // the driver (sf0.001 orders ≈ 1.5k rows). `rows` is a MULTISET —
+    // append is unkeyed, so a merged-in key can coexist with a later
+    // appended row of the same key until a delete or merge collapses it.
+    val base = o.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    var rows = Seq.empty[(Long, Double)]
+    val perCycle = 4
+    var lastPost = 0
+    for (cycle <- 0 until 3) {
+      for (r <- 0 until perCycle) {
+        val i = cycle * perCycle + r
+        // sustained sink traffic: one append, one MoR delete, one merge
+        sn.append(o.filter(col("k") % 12 === i), t)
+        rows = rows ++ base.filter(_._1 % 12 == i)
+        sn.deleteWhereMoR(spark, t, col("k") % 17 === i % 17, Seq("k"))
+        rows = rows.filterNot(_._1 % 17 == i % 17)
+        val srcKeys = base.map(_._1).filter(_ % 23 == i).toSet
+        sn.mergeUpsert(spark, t,
+          o.filter(col("k") % 23 === i).withColumn("p", lit(-1.0 * i)), "k")
+        rows = rows.filterNot(x => srcKeys(x._1)) ++
+          srcKeys.toSeq.sorted.map(k => (k, -1.0 * i))
+      }
+      val v = sn.currentVersion(t).get
+      val pre = sn.readEntries(t, v).size
+      // between maintenances metadata grows at most O(ops): each round
+      // nets <= +3 entries (append +1, delete +1, merge rewrite +1)
+      assert(pre <= lastPost + 3 * perCycle,
+        s"cycle $cycle: $pre entries from $lastPost after $perCycle rounds")
+      sn.rewriteDeletes(spark, t)
+      Maintenance.compactTable(spark, sn, t)
+      val post = sn.readEntries(t, sn.currentVersion(t).get)
+      // THE LAW: after fold+compact, the manifest is pure-data and its
+      // size is set by live data volume (tiny here → a handful of
+      // dirs), NOT by how many sink operations have ever run. Without
+      // the fold/compact/inert-delete-drop mechanisms this count would
+      // be ~3 entries per round forever.
+      assert(post.forall(_.kind == "data"),
+        s"cycle $cycle: unfolded delete entries survive maintenance")
+      assert(post.size <= Maintenance.MinSmallDirsToMerge,
+        s"cycle $cycle: ${post.size} entries — metadata not bounded")
+      // every surviving entry carries inline stats, so planning over
+      // the maintained table stays one metadata read
+      assert(post.forall(_.stats.isDefined),
+        s"cycle $cycle: maintained manifest lost inline stats")
+      lastPost = post.size
+      // content: the store's logical table == the driver simulation
+      val got = sn.current(spark, t).select("k", "p")
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq.sorted
+      assert(got == rows.sorted,
+        s"cycle $cycle: logical content diverged from the simulation " +
+          s"(${got.size} vs ${rows.size} rows)")
+    }
   }
 }
