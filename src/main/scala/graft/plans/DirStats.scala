@@ -48,7 +48,14 @@ object DirStats {
     * [[Micros]] / [[Days]] / java BigDecimal (decimal columns, scaled);
     * `nulls` is -1 when any footer left the null count unset. */
   final case class ColStats(min: Any, max: Any, nulls: Long)
-  final case class Stats(rows: Long, cols: Map[String, ColStats])
+  /** `files`/`bytes` are the dir's physical footprint (parquet file
+    * count and total bytes), harvested from the same listing the
+    * footer pass walks — they make compaction PLANNING a metadata
+    * decision (Iceberg manifests carry `file_size_in_bytes` per entry
+    * for the same reason). -1 = unknown (a pre-r12 sidecar/manifest):
+    * consumers fall back to a directory listing. */
+  final case class Stats(rows: Long, cols: Map[String, ColStats],
+      files: Long = -1L, bytes: Long = -1L)
 
   // ---- collection from footers ---------------------------------------
 
@@ -207,7 +214,7 @@ object DirStats {
         }
       }
     }
-    Stats(rows, acc.toMap)
+    Stats(rows, acc.toMap, files.length.toLong, files.map(_.length()).sum)
   }.toOption
 
   /** One-line JSON rendering of a [[Stats]] — the sidecar body, and
@@ -239,7 +246,11 @@ object DirStats {
         s""""t":${jstr(tag(c.min))},"min":${jval(c.min)},""" +
         s""""max":${jval(c.max)},"nulls":${c.nulls}}"""
     }.mkString("{", ",", "}")
-    s"""{"v":$FormatVersion,"rows":${st.rows},"cols":$cols}"""
+    val phys = // additive, not a version bump: absent = unknown (-1)
+      if (st.files >= 0 && st.bytes >= 0)
+        s""","files":${st.files},"bytes":${st.bytes}"""
+      else ""
+    s"""{"v":$FormatVersion,"rows":${st.rows}$phys,"cols":$cols}"""
   }
 
   /** Parse a [[toJson]] rendering. None on malformed input OR a format
@@ -268,7 +279,10 @@ object DirStats {
         }
         cols(e.getKey) = ColStats(v("min"), v("max"), c.get("nulls").asLong())
       }
-      Some(Stats(root.get("rows").asLong(), cols.toMap))
+      def opt(k: String): Long =
+        Option(root.get(k)).map(_.asLong()).getOrElse(-1L)
+      Some(Stats(root.get("rows").asLong(), cols.toMap,
+        opt("files"), opt("bytes")))
     }
   }.toOption.flatten
 

@@ -163,9 +163,12 @@ object Maintenance {
       require(entries.forall(_.kind == "data"),
         s"$table has unfolded equality deletes - run rewriteDeletes first")
       val rels = entries.map(_.rel)
-      // one listing per dir, memoized — the classification below reads
-      // each dir's stats several times
-      val st = rels.map(r => r -> fileStats(s"${snaps.rootDir}/$r")).toMap
+      // physical footprint per dir, memoized — the classification below
+      // reads each dir's stats several times. Manifest metadata first
+      // (file count + bytes ride in each entry's inline stats, so
+      // sizing 100k dirs is one manifest read); a directory listing
+      // only for legacy entries that predate the inline fields.
+      val st = entries.map(e => e.rel -> physOf(snaps, e)).toMap
       def needed(s: FileStats) = math.max(1L,
         math.ceil(s.totalBytes.toDouble / targetBytes).toLong)
       val (fragged, rest) = rels.partition(r => st(r).nFiles > needed(st(r)))
@@ -187,11 +190,20 @@ object Maintenance {
       }
       totals(rels.map(st))
     }
-    val after = totals(snaps.readManifest(table,
+    val after = totals(snaps.readEntries(table,
         snaps.currentVersion(table).get)
-      .map(r => fileStats(s"${snaps.rootDir}/$r")))
+      .map(e => physOf(snaps, e)))
     CompactionReport(before, after, targetFileSizeMB)
   }
+
+  /** A manifest entry's physical footprint: the file count + byte total
+    * inlined in its manifest stats when present (one metadata read for
+    * the whole table), a directory listing only for legacy entries. */
+  private def physOf(snaps: Snapshots, e: ManifestEntry): FileStats =
+    snaps.entryStats(e)
+      .filter(s => s.files >= 0 && s.bytes >= 0)
+      .map(s => FileStats(s.files, s.bytes))
+      .getOrElse(fileStats(s"${snaps.rootDir}/${e.rel}"))
 
   /** M9: full maintenance orchestration over a snapshot-managed table:
     * stats → manifest-aware compaction (a snapshot commit) → sort

@@ -361,8 +361,10 @@ class Snapshots(root: String) {
   }
 
   /** An entry's dir metrics: inline manifest stats first, the per-dir
-    * sidecar as the legacy fallback. None ⇒ unknowable ⇒ no pruning. */
-  private def entryStats(e: ManifestEntry): Option[DirStats.Stats] =
+    * sidecar as the legacy fallback. None ⇒ unknowable ⇒ no pruning.
+    * Public so maintenance planning (compaction sizing) reads the same
+    * metadata instead of listing each dir. */
+  def entryStats(e: ManifestEntry): Option[DirStats.Stats] =
     e.stats.orElse(DirStats.read(new java.io.File(s"$root/${e.rel}")))
 
   /** Commit `df` as the next snapshot (full-overwrite semantics: the
@@ -962,8 +964,11 @@ class Snapshots(root: String) {
       val st = entryStats(e)
       (e.kind, e.seq.toLong, e.rel,
         st.map(_.rows).getOrElse(-1L),
-        st.map(_.cols.size.toLong).getOrElse(-1L))
-    }.toDF("entry_kind", "seq", "rel_path", "record_count", "n_stat_columns")
+        st.map(_.cols.size.toLong).getOrElse(-1L),
+        st.map(_.files).getOrElse(-1L),
+        st.map(_.bytes).getOrElse(-1L))
+    }.toDF("entry_kind", "seq", "rel_path", "record_count",
+      "n_stat_columns", "file_count", "total_bytes")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

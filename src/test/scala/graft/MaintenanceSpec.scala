@@ -860,6 +860,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(sn.logicalRowCount(spark, t, 2) == n1 + n2)
   }
 
+  test("compaction sizing is manifest metadata: a well-laid-out table " +
+      "plans a no-op from inline stats without listing or reading its " +
+      "data files") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    // two right-sized dirs: 1 file each (not fragmented), and only two
+    // small dirs (< MinSmallDirsToMerge) so nothing merges — a no-op
+    sn.append(o.limit(100).coalesce(1), "mc")
+    sn.append(o.limit(50).coalesce(1), "mc")
+    val liveBytes = sn.dataDirs("mc", 2).map(Maintenance.fileStats(_))
+    assert(liveBytes.forall(_.nFiles == 1))
+    // destroy the physical files: sizing must come from the manifest
+    sn.dataDirs("mc", 2).foreach { d =>
+      new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.delete()))
+    }
+    val rep = Maintenance.compactTable(spark, sn, "mc")
+    assert(rep.before.nFiles == 2 && rep.after.nFiles == 2)
+    assert(rep.before.totalBytes == liveBytes.map(_.totalBytes).sum &&
+      rep.before.totalBytes > 0)
+    assert(sn.currentVersion("mc").contains(2),
+      "a no-op compaction must not churn a version")
+  }
+
   test("metadata-bounded sink law: sustained interleaved appends, MoR " +
       "deletes and merges with periodic maintenance keep the manifest " +
       "entry count bounded by live data, not by operation count — and " +
