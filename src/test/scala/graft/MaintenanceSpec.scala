@@ -734,6 +734,42 @@ class MaintenanceSpec extends SparkSpec {
       assert(sn.asOf(spark, "race", v).count() == (v - 1) * 100L) }
   }
 
+  test("maintenance race: compaction concurrent with appenders loses " +
+      "no rows — OCC re-derives the file list or the appender re-unions " +
+      "past the compaction commit") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders").limit(600).cache()
+    // a fragmented base: 6 tiny one-file dirs → compaction WILL rewrite
+    val keys = o.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    def slice(i: Int) = o.filter(
+      col("o_orderkey").between(keys(i * 100), keys(i * 100 + 99)))
+    (0 until 4).foreach(i => sn.append(slice(i).coalesce(1), "mrace"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(3))
+    // compaction (a snapshot commit derived from whatever version it
+    // reads) races two more appenders; all three must land
+    val fs = Seq(
+      Future { Maintenance.compactTable(spark, sn, "mrace"); 0 },
+      Future { sn.append(slice(4).coalesce(1), "mrace") },
+      Future { sn.append(slice(5).coalesce(1), "mrace") })
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(sn.current(spark, "mrace").count() == 600,
+      "no appender's rows may be dropped by a racing compaction")
+    assert(sn.current(spark, "mrace")
+      .select("o_orderkey").distinct().count() == 600)
+    // and a quiesced follow-up compaction still converges the layout
+    sn.rewriteDeletes(spark, "mrace")
+    Maintenance.compactTable(spark, sn, "mrace")
+    val entries = sn.readEntries("mrace", sn.currentVersion("mrace").get)
+    assert(entries.size <= Maintenance.MinSmallDirsToMerge,
+      s"post-race compaction must converge the manifest: ${entries.size}")
+    assert(sn.current(spark, "mrace").count() == 600)
+  }
+
   test("mixed-writer race: concurrent appends and MoR deletes all land " +
       "as distinct versions and non-deleted rows are never lost") {
     val root = scratch()
