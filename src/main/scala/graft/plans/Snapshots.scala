@@ -74,7 +74,12 @@ object Snapshots {
   * treats retention/fast-forward as metadata ops over immutable files):
   * {{{
   *   <root>/<table>/manifests/v=<N>.manifest  # text: one ManifestEntry
-  *                                            #   per line (see below)
+  *                                            #   per line, or `@seg`
+  *                                            #   refs (see below)
+  *   <root>/<table>/manifests/seg/<tag>.seg   # immutable entry-line
+  *                                            #   segments, shared
+  *                                            #   across versions and
+  *                                            #   branches
   *   <root>/<table>/data/d<K>/                # immutable parquet dirs
   * }}}
   * A VERSION IS A MANIFEST — a tiny text file of [[ManifestEntry]]
@@ -83,7 +88,13 @@ object Snapshots {
   * data). Consequences, each O(metadata) where the pre-r11 store paid
   * O(table):
   *   - [[append]] writes ONLY the delta files and a manifest that is
-  *     `prev lines + 1`;
+  *     `prev lines + 1` — and above `segThreshold` entries the
+  *     manifest itself goes two-level (Iceberg's manifest-list /
+  *     manifest split): the version file is a short list of `@seg`
+  *     refs to immutable segment files, commits reuse the
+  *     predecessor's segments for every surviving in-order slice and
+  *     write only the changed runs, so the METADATA write is O(delta)
+  *     too, never O(table-entries);
   *   - [[publish]]/[[branch]]/[[rollback]] copy a manifest VERBATIM —
   *     zero data bytes move, exactly Iceberg's branch fast-forward;
   *   - [[deleteWhere]]/[[updateWhere]]/[[mergeUpsert]]/[[mergeWith]]
@@ -108,7 +119,7 @@ object Snapshots {
   * pins `v=N`). The manifest write is the commit point (tmp + rename);
   * readers of v=N never block writers of v=N+1.
   */
-class Snapshots(root: String) {
+class Snapshots(root: String, segThreshold: Int = 64) {
 
   val rootDir: String = root
 
@@ -118,6 +129,111 @@ class Snapshots(root: String) {
     new java.io.File(s"$root/$table/manifests")
   private def manifestFile(table: String, v: Int) =
     new java.io.File(manifestsDir(table), s"v=$v.manifest")
+  private def segDir(table: String) =
+    new java.io.File(manifestsDir(table), "seg")
+
+  // ---- manifest segments ----------------------------------------------
+  // Two-level metadata, Iceberg's manifest-list economics: once a
+  // table's entry count reaches `segThreshold`, a version file stops
+  // inlining entries and becomes a short list of `@seg <rel>` lines
+  // referencing IMMUTABLE segment files that hold the entry lines. A
+  // commit then reuses the predecessor's segments verbatim for every
+  // entry that survives in order and writes only the changed runs as
+  // new segments — an append's metadata write is O(delta), a CoW's is
+  // O(changed segments), never O(table-entries) (a 100k-entry table
+  // would otherwise rewrite tens of MB of manifest text per commit).
+  // Segment refs are ROOT-relative, so branch/publish/rollback stay
+  // verbatim version-file copies and branches share segments the same
+  // way they share data dirs; liveness for GC is root-wide.
+
+  /** Once a version file's ref list outgrows this, the commit
+    * re-chunks all entries into fresh segments — Iceberg's manifest
+    * merging (`commit.manifest.min-count-to-merge`): amortized
+    * O(delta) with a bounded version-file size. */
+  private def maxSegRefs: Int = math.max(16, segThreshold * 4)
+
+  /** Cache of immutable segment files (they are write-once, so a
+    * cached parse can never go stale). Bounded by live metadata. */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, List[ManifestEntry]]()
+
+  private def readSeg(rel: String): List[ManifestEntry] =
+    segCache.computeIfAbsent(rel, _ => {
+      val f = new java.io.File(s"$root/$rel")
+      require(f.exists(), s"missing manifest segment $rel")
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().map(_.trim).filter(_.nonEmpty)
+        .map(parseEntry).toList
+      finally src.close()
+    })
+
+  private def writeSeg(table: String, es: Seq[ManifestEntry]): String = {
+    val dir = segDir(table)
+    dir.mkdirs()
+    val name = s"$writerTag.seg" // writer-unique: no two committers collide
+    java.nio.file.Files.writeString(new java.io.File(dir, name).toPath,
+      es.map(fmtEntry).mkString("\n"))
+    val rel = s"$table/manifests/seg/$name"
+    segCache.put(rel, es.toList)
+    rel
+  }
+
+  /** The reusable `@seg` refs of a version file, in order, resolved. */
+  private def segGroups(table: String, vOpt: Option[Int])
+      : Seq[(String, List[ManifestEntry])] =
+    vOpt.toSeq.flatMap { v =>
+      readRaw(table, v).linesIterator.map(_.trim).collect {
+        case l if l.startsWith("@seg\t") =>
+          val rel = l.stripPrefix("@seg\t"); (rel, readSeg(rel))
+      }.toSeq
+    }
+
+  /** Render `entries` as version-file content, reusing `derivedFrom`'s
+    * segments for every order-preserving surviving slice and writing
+    * only uncovered runs as new segment files. Returns (content, the
+    * FRESH entries — the ones not covered by a reused segment — which
+    * are the only ones the commit needs to re-validate: reused
+    * segments' dirs are part of the live predecessor snapshot, so GC
+    * cannot have touched them). Below the threshold (and with no
+    * segmented predecessor) the content is the flat inline format. */
+  private def renderManifest(table: String, derivedFrom: Option[Int],
+      entries: Seq[ManifestEntry]): (String, Seq[ManifestEntry]) = {
+    val groups = segGroups(table, derivedFrom)
+    if (groups.isEmpty && entries.size < segThreshold)
+      return (entries.map(fmtEntry).mkString("\n"), entries)
+    // greedy in-order cover: at each position, reuse a predecessor
+    // segment iff its entry list equals the upcoming slice exactly
+    val byFirst = groups.filter(_._2.nonEmpty).groupBy(_._2.head)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
+    val run = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
+    def flushRun(): Unit = if (run.nonEmpty) {
+      out += s"@seg\t${writeSeg(table, run.toSeq)}"
+      fresh ++= run
+      run.clear()
+    }
+    var i = 0
+    while (i < entries.size) {
+      byFirst.getOrElse(entries(i), Seq.empty).find { case (_, es) =>
+        es.size <= entries.size - i && entries.slice(i, i + es.size) == es
+      } match {
+        case Some((rel, es)) =>
+          flushRun(); out += s"@seg\t$rel"; i += es.size
+        case None => run += entries(i); i += 1
+      }
+    }
+    flushRun()
+    if (out.size <= maxSegRefs) (out.mkString("\n"), fresh.toSeq)
+    else {
+      // manifest merge: too many refs — re-chunk everything into a
+      // bounded number of fresh segments (amortized: once per
+      // ~maxSegRefs commits). Everything counts as fresh.
+      val per = math.max(segThreshold, entries.size / 8)
+      val refs = entries.grouped(per)
+        .map(g => s"@seg\t${writeSeg(table, g)}").toSeq
+      (refs.mkString("\n"), entries)
+    }
+  }
 
   def versions(table: String): Seq[Int] = {
     val d = manifestsDir(table)
@@ -169,10 +285,16 @@ class Snapshots(root: String) {
     try src.getLines().mkString("\n") finally src.close()
   }
 
-  /** Every entry of snapshot `v` — data dirs AND equality-delete dirs. */
+  /** Every entry of snapshot `v` — data dirs AND equality-delete dirs.
+    * `@seg` refs resolve through the (immutable, cached) segment
+    * files; inline entry lines parse as before, so every pre-segment
+    * manifest stays readable unchanged. */
   def readEntries(table: String, v: Int): Seq[ManifestEntry] =
     readRaw(table, v).linesIterator.map(_.trim).filter(_.nonEmpty)
-      .map(parseEntry).toList
+      .flatMap { l =>
+        if (l.startsWith("@seg\t")) readSeg(l.stripPrefix("@seg\t"))
+        else List(parseEntry(l))
+      }.toList
 
   /** The root-relative DATA dirs snapshot `v` is made of (delete
     * entries excluded — callers that must see them use [[readEntries]]). */
@@ -245,21 +367,25 @@ class Snapshots(root: String) {
     commitEntries(table, relDirs.map(ManifestEntry("data", 0, _, Nil)))
 
   /** [[commitFiles]] over full entries (data + delete). */
-  def commitEntries(table: String, entries: Seq[ManifestEntry]): Int =
-    commitRaw(table, validated(table, entries))
+  def commitEntries(table: String, entries: Seq[ManifestEntry]): Int = {
+    val (content, fresh) = renderManifest(table, None, entries)
+    validateDirs(table, fresh)
+    commitRaw(table, content)
+  }
 
-  private def validated(table: String, entries: Seq[ManifestEntry]): String = {
+  /** Fail a commit HERE when a referenced dir is missing or emptied —
+    * a GC racing the commit could have gutted a freshly staged dir
+    * before the manifest landed; publishing over it would surface
+    * later as a half-readable snapshot. Only FRESH entries need this:
+    * entries covered by a reused segment belong to the live
+    * predecessor snapshot, which reference-counted GC never touches. */
+  private def validateDirs(table: String,
+      entries: Seq[ManifestEntry]): Unit =
     entries.foreach { e =>
       val d = new java.io.File(s"$root/${e.rel}")
-      // non-empty, not just present: a GC racing this commit could
-      // have gutted the dir's files before removing the dir itself —
-      // publishing a manifest over an emptied dir must fail HERE, not
-      // surface later as a half-readable snapshot
       require(d.exists() && Option(d.listFiles()).exists(_.nonEmpty),
         s"manifest for $table would reference missing or emptied dir ${e.rel}")
     }
-    entries.map(fmtEntry).mkString("\n")
-  }
 
   private def commitRaw(table: String, content: String): Int = {
     var attempts = 0
@@ -286,7 +412,11 @@ class Snapshots(root: String) {
   /** [[commitFilesIfCurrent]] over full entries (data + delete). */
   def commitEntriesIfCurrent(table: String, expected: Option[Int],
       entries: Seq[ManifestEntry]): Int = {
-    val content = validated(table, entries)
+    // derive the segment layout from `expected` — the snapshot this
+    // entry list was built from — so surviving slices reuse its
+    // segment files and the metadata write is O(changed), not O(table)
+    val (content, fresh) = renderManifest(table, expected, entries)
+    validateDirs(table, fresh)
     val found = currentVersion(table)
     if (found != expected ||
         !claimVersion(table, expected.getOrElse(0) + 1, content))
@@ -565,9 +695,13 @@ class Snapshots(root: String) {
       if (touchedRels.isEmpty) v
       else {
         val touched = mayMatch.filter(e => touchedRels.contains(e.rel))
-        val kept = proven ++ mayMatch.filterNot(e => touchedRels.contains(e.rel))
         val rewritten = rewrite(logicalFrame(spark, touched ++ dels))
-        commitEntriesIfCurrent(table, cur, (kept ++ dels) :+
+        // kept entries keep their PREDECESSOR ORDER (filter, not
+        // regroup): surviving slices then match the previous segments
+        // and the manifest write stays O(changed), not O(table)
+        val carried = entries.filterNot(e =>
+          e.kind == "data" && touchedRels.contains(e.rel))
+        commitEntriesIfCurrent(table, cur, carried :+
           stageEntry(rewritten, table, "data", nextSeq(entries)))
       }
     }
@@ -666,7 +800,13 @@ class Snapshots(root: String) {
               if (touched.isEmpty) None
               else Some(logicalFrame(spark, touched ++ dels))
             val liveDels = dels.filter(d => kept.exists(_.seq < d.seq))
-            commitEntriesIfCurrent(table, cur, (kept ++ liveDels) :+
+              .toSet
+            // predecessor order preserved (one filter over `entries`)
+            // so surviving slices reuse the previous manifest segments
+            val carried = entries.filter(e =>
+              if (e.kind == "data") !touchedRels.contains(e.rel)
+              else liveDels(e))
+            commitEntriesIfCurrent(table, cur, carried :+
               stageEntry(build(touchedFrame, source), table, "data",
                 nextSeq(entries)))
           }
@@ -765,11 +905,13 @@ class Snapshots(root: String) {
               "left_semi")
           }.reduce(_ unionByName _))
         val touched = candidates.filter(e => touchedRels.contains(e.rel))
-        val kept = fresh ++ provenClean ++
-          candidates.filterNot(e => touchedRels.contains(e.rel))
+        // delete entries drop; surviving data entries keep predecessor
+        // order (segment reuse), the fold result lands last
+        val carried = entries.filter(e =>
+          e.kind == "data" && !touchedRels.contains(e.rel))
         val folded =
-          if (touched.isEmpty) kept
-          else kept :+ stageEntry(logicalFrame(spark, touched ++ dels),
+          if (touched.isEmpty) carried
+          else carried :+ stageEntry(logicalFrame(spark, touched ++ dels),
             table, "data", nextSeq(entries))
         commitEntriesIfCurrent(table, cur, folded)
       }
@@ -988,6 +1130,20 @@ class Snapshots(root: String) {
       .map(e => new java.io.File(s"$root/${e.rel}").getCanonicalPath)
       .toSet
 
+  /** Every manifest segment referenced by ANY live version under the
+    * root — root-wide like [[liveDataDirs]], because branch/publish
+    * copy version files verbatim and with them cross-table `@seg`
+    * refs. A segment unreferenced by every live version (an expired
+    * history's leftover, or a lost commit race's stage) is an orphan. */
+  private def liveSegFiles(): Set[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).toSeq
+      .flatMap(td => versions(td.getName).flatMap(v =>
+        readRaw(td.getName, v).linesIterator.map(_.trim)
+          .filter(_.startsWith("@seg\t")).map(_.stripPrefix("@seg\t"))))
+      .map(r => new java.io.File(s"$root/$r").getCanonicalPath)
+      .toSet
+
   /** M2: expire old snapshots, keeping the most recent `keep` — delete
     * their manifest files, then garbage-collect this table's data dirs
     * that no live manifest (any table, any branch) still references.
@@ -1033,15 +1189,16 @@ class Snapshots(root: String) {
       olderThanMillis: Long = Snapshots.DefaultGcAgeMillis): Seq[String] = {
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val liveData = liveDataDirs()
+    val liveSegs = liveSegFiles()
     val liveManifests = versions(table)
       .map(v => manifestFile(table, v).getCanonicalPath).toSet
-    // the two structural dirs are containers, not content — keep them
-    val containers = Set(manifestsDir(table),
+    // the structural dirs are containers, not content — keep them
+    val containers = Set(manifestsDir(table), segDir(table),
       new java.io.File(s"$root/$table/data")).map(_.getCanonicalPath)
     def isLive(f: java.io.File): Boolean = {
       val p = f.getCanonicalPath
       containers.contains(p) || liveManifests.contains(p) ||
-        liveData.contains(p) ||
+        liveSegs.contains(p) || liveData.contains(p) ||
         // a path UNDER a live data dir — bare startsWith would keep
         // .../d1_aborted.tmp alive because it extends .../d1
         liveData.exists(l => p.startsWith(l + sep))

@@ -922,6 +922,107 @@ class MaintenanceSpec extends SparkSpec {
       "a no-op compaction must not churn a version")
   }
 
+  private def rawManifest(root: String, t: String, v: Int): Seq[String] =
+    Files.readString(new java.io.File(
+      s"$root/$t/manifests/v=$v.manifest").toPath)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  test("segmented manifests: appends write O(delta) metadata — the new " +
+      "version file reuses every predecessor segment ref verbatim plus " +
+      "one new ref; entries round-trip exactly; re-chunking bounds the " +
+      "ref count") {
+    val root = scratch()
+    val sn = new Snapshots(root, segThreshold = 2)
+    val o = T.load(spark, sfDir, "orders")
+    val t = "seg"
+    val slices = (0 until 24).map(i => o.filter(col("o_orderkey") % 24 === i))
+    sn.append(slices(0), t)
+    sn.append(slices(1), t)
+    sn.append(slices(2), t) // >= threshold from here: segmented
+    val r3 = rawManifest(root, t, 3)
+    assert(r3.forall(_.startsWith("@seg\t")),
+      s"above the threshold the version file must be all refs: $r3")
+    sn.append(slices(3), t)
+    val r4 = rawManifest(root, t, 4)
+    // O(delta): v4 = v3's refs verbatim + exactly one new segment
+    assert(r4.size == r3.size + 1 && r4.startsWith(r3),
+      s"append must reuse predecessor segments: $r3 -> $r4")
+    // resolution is exact: entries equal the versions' logical content
+    assert(sn.readEntries(t, 4).size == 4)
+    assert(sn.current(spark, t).count() ==
+      slices.take(4).map(_.count()).sum)
+    assert(sn.asOf(spark, t, 3).count() == slices.take(3).map(_.count()).sum)
+    // sustained appends: re-chunk keeps the ref list bounded while
+    // entries stay exact (maxSegRefs floors at 16)
+    (4 until 24).foreach(i => sn.append(slices(i), t))
+    val rN = rawManifest(root, t, 24)
+    assert(rN.size <= 16, s"manifest merge must bound the ref list: ${rN.size}")
+    assert(sn.readEntries(t, 24).size == 24)
+    assert(sn.current(spark, t).count() == slices.map(_.count()).sum)
+  }
+
+  test("segmented manifests: CoW rewrites only the touched segment; " +
+      "branches share segments; GC never deletes a referenced segment " +
+      "and sweeps unreferenced ones") {
+    val root = scratch()
+    val sn = new Snapshots(root, segThreshold = 2)
+    val o = T.load(spark, sfDir, "orders")
+    val t = "segcow"
+    (1 to 4).foreach(q => sn.append(
+      o.filter(month(col("o_orderdate")).between(3 * q - 2, 3 * q)), t))
+    val pre = rawManifest(root, t, 4)
+    assert(pre.forall(_.startsWith("@seg\t")))
+    // CoW UPDATE touching one quarter: surviving slices must reuse refs
+    val probe = o.filter(month(col("o_orderdate")) <= 3)
+      .limit(1).select("o_orderkey").collect()(0).getLong(0)
+    sn.updateWhere(spark, t, col("o_orderkey") === probe,
+      Map("o_totalprice" -> lit(0.0)))
+    val post = rawManifest(root, t, 5)
+    val reused = post.toSet.intersect(pre.toSet)
+    assert(reused.nonEmpty,
+      s"a one-dir CoW must not rewrite every segment: $pre -> $post")
+    assert(sn.current(spark, t).count() == o.count())
+    // branch shares segments cross-table (verbatim version-file copy)
+    sn.branch(t, "segbr")
+    assert(rawManifest(root, "segbr", 1) == post)
+    assert(sn.current(spark, "segbr").count() == o.count())
+    // expire the source's history; the branch still resolves because
+    // segment liveness is root-wide
+    sn.expire(t, keep = 1, gcOlderThanMillis = 0L)
+    sn.cleanOrphans(t, 0L)
+    assert(sn.current(spark, "segbr").count() == o.count())
+    assert(sn.current(spark, t).count() == o.count())
+    // a lost commit race's staged segment (unreferenced) is an orphan
+    val stray = new java.io.File(s"$root/$t/manifests/seg/stray.seg")
+    Files.writeString(stray.toPath, "no/such/dir")
+    val removed = sn.cleanOrphans(t, 0L)
+    assert(removed.exists(_.endsWith("stray.seg")) && !stray.exists())
+    assert(sn.current(spark, t).count() == o.count(),
+      "sweeping the stray segment must not touch live metadata")
+  }
+
+  test("segmented manifests: concurrent appenders over a segmented " +
+      "table all land with exact content") {
+    val root = scratch()
+    val sn = new Snapshots(root, segThreshold = 2)
+    val o = T.load(spark, sfDir, "orders").limit(400).cache()
+    val keys = o.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    def slice(i: Int) = o.filter(
+      col("o_orderkey").between(keys(i * 100), keys(i * 100 + 99)))
+    sn.append(slice(0), "segrace")
+    sn.append(slice(1), "segrace") // segmented from v2
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(2))
+    Await.result(Future.sequence(Seq(
+      Future(sn.append(slice(2), "segrace")),
+      Future(sn.append(slice(3), "segrace")))), 120.seconds)
+    assert(sn.current(spark, "segrace").count() == 400)
+    assert(sn.readEntries("segrace", 4).size == 4)
+  }
+
   test("metadata-bounded sink law: sustained interleaved appends, MoR " +
       "deletes and merges with periodic maintenance keep the manifest " +
       "entry count bounded by live data, not by operation count — and " +
