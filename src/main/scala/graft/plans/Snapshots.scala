@@ -799,8 +799,12 @@ class Snapshots(root: String, segThreshold: Int = 64) {
             val touchedFrame =
               if (touched.isEmpty) None
               else Some(logicalFrame(spark, touched ++ dels))
-            val liveDels = dels.filter(d => kept.exists(_.seq < d.seq))
-              .toSet
+            // a delete stays live iff SOME kept data entry under-ranks
+            // it — equivalent to comparing against the minimum kept
+            // seq (O(E+D), not the O(E×D) exists-per-delete scan)
+            val minKeptSeq =
+              if (kept.isEmpty) Int.MaxValue else kept.map(_.seq).min
+            val liveDels = dels.filter(_.seq > minKeptSeq).toSet
             // predecessor order preserved (one filter over `entries`)
             // so surviving slices reuse the previous manifest segments
             val carried = entries.filter(e =>
