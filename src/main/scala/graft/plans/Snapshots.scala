@@ -178,14 +178,22 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     rel
   }
 
-  /** The reusable `@seg` refs of a version file, in order, resolved. */
+  /** The reusable `@seg` refs of a version file, in order, resolved.
+    * Resilient to a concurrently-expired predecessor (readRaw would
+    * throw): segment reuse is an OPTIMIZATION, so a vanished manifest
+    * degrades to "no reusable groups" (the commit writes fresh
+    * segments) — and if the predecessor vanished because the table
+    * moved on, the OCC current-version check right after rejects the
+    * commit as the retryable race it is, instead of crashing here. */
   private def segGroups(table: String, vOpt: Option[Int])
       : Seq[(String, List[ManifestEntry])] =
     vOpt.toSeq.flatMap { v =>
-      readRaw(table, v).linesIterator.map(_.trim).collect {
-        case l if l.startsWith("@seg\t") =>
-          val rel = l.stripPrefix("@seg\t"); (rel, readSeg(rel))
-      }.toSeq
+      scala.util.Try {
+        readRaw(table, v).linesIterator.map(_.trim).collect {
+          case l if l.startsWith("@seg\t") =>
+            val rel = l.stripPrefix("@seg\t"); (rel, readSeg(rel))
+        }.toSeq
+      }.getOrElse(Seq.empty)
     }
 
   /** Render `entries` as version-file content, reusing `derivedFrom`'s
