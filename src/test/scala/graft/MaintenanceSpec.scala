@@ -1023,6 +1023,48 @@ class MaintenanceSpec extends SparkSpec {
     assert(sn.readEntries("segrace", 4).size == 4)
   }
 
+  test("$files physical columns equal ground truth: record_count, " +
+      "file_count and total_bytes per entry match a scan and a listing") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val o = T.load(spark, sfDir, "orders")
+    sn.append(o.filter(month(col("o_orderdate")) <= 6), "fm")
+    sn.append(o.filter(month(col("o_orderdate")) >= 7).coalesce(1), "fm")
+    val rows = sn.filesMetadata(spark, "fm", 2)
+      .orderBy("seq").collect()
+    val rels = sn.readManifest("fm", 2)
+    assert(rows.length == 2)
+    rows.zip(rels).foreach { case (r, rel) =>
+      val dir = s"$root/$rel"
+      assert(r.getAs[Long]("record_count") ==
+        spark.read.parquet(dir).count())
+      val fs = Maintenance.fileStats(dir)
+      assert(r.getAs[Long]("file_count") == fs.nFiles)
+      assert(r.getAs[Long]("total_bytes") == fs.totalBytes)
+    }
+  }
+
+  test("segmented manifests: rollback is a verbatim ref copy and its " +
+      "target's segments survive expiry of the intermediate history") {
+    val root = scratch()
+    val sn = new Snapshots(root, segThreshold = 2)
+    val o = T.load(spark, sfDir, "orders")
+    (1 to 4).foreach(q => sn.append(
+      o.filter(month(col("o_orderdate")).between(3 * q - 2, 3 * q)), "rb"))
+    val n2 = sn.asOf(spark, "rb", 2).count()
+    val raw2 = rawManifest(root, "rb", 2)
+    val v5 = sn.rollback(spark, "rb", 2)
+    assert(v5 == 5 && rawManifest(root, "rb", 5) == raw2,
+      "rollback must copy the target's ref list verbatim")
+    assert(sn.current(spark, "rb").count() == n2)
+    // expire everything but the rollback head; its segments (written
+    // for v2, referenced again by v5) must survive the sweep
+    sn.expire("rb", keep = 1, gcOlderThanMillis = 0L)
+    sn.cleanOrphans("rb", 0L)
+    assert(sn.current(spark, "rb").count() == n2,
+      "live head must keep resolving after expiry + orphan sweep")
+  }
+
   test("metadata-bounded sink law: sustained interleaved appends, MoR " +
       "deletes and merges with periodic maintenance keep the manifest " +
       "entry count bounded by live data, not by operation count — and " +
