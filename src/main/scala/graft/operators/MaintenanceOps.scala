@@ -285,7 +285,38 @@ object MaintenanceOps extends QueryPack {
     }.reduce(_ unionAll _).orderBy("version", "seq")
   }
 
+  /** M16: `$segments` metadata table — the third face of the snapshot
+    * introspection family (beside m14's `$snapshots` and m15's
+    * `$files`): the version file's OWN structure under two-level
+    * manifests. The fixture commits four quarterly appends into a
+    * store with `segThreshold = 2`, so the commit sequence forces the
+    * layout deterministically: v2 chunks its two entries into one
+    * segment, and each later append reuses every predecessor ref and
+    * adds exactly one single-entry segment — the O(delta) metadata
+    * shape as an oracle-checked row set (counts depend only on the
+    * commit sequence, never on the data). */
+  private val segFixture = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.plans.Snapshots, String)]()
+
+  private val segmentsMetadataQ: Q = (s, dir) => {
+    val (sn, t) = segFixture.computeIfAbsent((s, dir), _ => {
+      val sn = new graft.plans.Snapshots(Scratch.dir("m16_segments"),
+        segThreshold = 2)
+      val t = "orders_sg"
+      val o = T.load(s, dir, "orders")
+      (1 to 4).foreach(q => sn.append(
+        o.filter(month(col("o_orderdate")).between(3 * q - 2, 3 * q)), t))
+      (sn, t)
+    })
+    Seq(2, 3, 4).map { v =>
+      sn.segmentsMetadata(s, t, v)
+        .select(lit(v.toLong).as("version"), col("position"),
+          col("ref_kind"), col("n_entries"), col("n_data"))
+    }.reduce(_ unionAll _).orderBy("version", "position")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m16_segments_metadata" -> segmentsMetadataQ,
     "m15_files_metadata" -> filesMetadataQ,
     "m14_snapshot_history" -> snapshotHistory,
     "m13_catalog_tables" -> catalogTables,
@@ -297,6 +328,21 @@ object MaintenanceOps extends QueryPack {
     "m05_query_perf" -> queryPerf)
 
   val oracle: Map[String, String] = Map(
+    // the two-level manifest layout is forced by the commit sequence
+    // and the threshold (pure constants): v2 chunks its 2 entries into
+    // one segment; each later append reuses every predecessor ref and
+    // adds exactly one single-entry segment
+    "m16_segments_metadata" ->
+      """SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS version, CAST(0 AS BIGINT)
+        |    AS position, 'seg' AS ref_kind, CAST(2 AS BIGINT)
+        |    AS n_entries, CAST(2 AS BIGINT) AS n_data
+        |  UNION ALL SELECT 3, 0, 'seg', 2, 2
+        |  UNION ALL SELECT 3, 1, 'seg', 1, 1
+        |  UNION ALL SELECT 4, 0, 'seg', 2, 2
+        |  UNION ALL SELECT 4, 1, 'seg', 1, 1
+        |  UNION ALL SELECT 4, 2, 'seg', 1, 1
+        |) ORDER BY version, position""".stripMargin,
     // manifest composition is forced by the commit sequence (constants);
     // per-entry record counts recompute from the raw table
     "m15_files_metadata" ->

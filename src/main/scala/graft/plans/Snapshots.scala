@@ -1125,6 +1125,30 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       "n_stat_columns", "file_count", "total_bytes")
   }
 
+  /** Iceberg-style `$manifests`-like metadata table over the segment
+    * layer: one row per version-file line of snapshot `v` — a reused
+    * or fresh `@seg` ref (kind "seg") or a legacy inline entry line
+    * (kind "inline") — with its position and the entry counts it
+    * contributes. Pure metadata (version file + cached immutable
+    * segments); the view that shows a commit's O(delta) metadata
+    * shape: an append's version file is `prev refs + one new ref`. */
+  def segmentsMetadata(spark: SparkSession, table: String, v: Int)
+      : DataFrame = {
+    import spark.implicits._
+    readRaw(table, v).linesIterator.map(_.trim).filter(_.nonEmpty)
+      .zipWithIndex.map { case (l, i) =>
+        val es =
+          if (l.startsWith("@seg\t")) readSeg(l.stripPrefix("@seg\t"))
+          else List(parseEntry(l))
+        (i.toLong,
+          if (l.startsWith("@seg\t")) "seg" else "inline",
+          es.size.toLong,
+          es.count(_.kind == "data").toLong,
+          es.count(_.kind == "delete").toLong)
+      }.toSeq
+      .toDF("position", "ref_kind", "n_entries", "n_data", "n_delete")
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
       .foreach(deleteRecursively)
