@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{GeohashExpr, MinhashBandsExpr, SimhashPackExpr, VectorSumAgg, ZOrderInterleave}
+import graft.functions.{GeohashExpr, MinhashBandsExpr, PqEncodeExpr, SimhashPackExpr, VectorSumAgg, ZOrderInterleave}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions. Two paths:
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.minhashDescriptor)
     ext.injectFunction(GraftExtensions.vectorSumDescriptor)
+    ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.IdempotentStringOps)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -96,6 +97,22 @@ object GraftExtensions {
       VectorSumAgg.withCasts(children.head)
     })
 
+  private val pqEncodeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_encode"),
+    new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
+    (children: Seq[Expression]) => {
+      require(children.size == 4,
+        "pq_encode(vec, cents, m, sub) takes exactly four arguments")
+      def intLit(e: Expression, name: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"pq_encode: $name must be an INT literal, got $other")
+      }
+      PqEncodeExpr(children.head, children(1),
+        intLit(children(2), "m"), intLit(children(3), "sub"))
+    })
+
   def register(spark: SparkSession): Unit = {
     // optimizer rules can't be injected into a built session through
     // SparkSessionExtensions; extraOptimizations is the sanctioned
@@ -125,5 +142,7 @@ object GraftExtensions {
       minhashDescriptor._1, minhashDescriptor._2, minhashDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       vectorSumDescriptor._1, vectorSumDescriptor._2, vectorSumDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      pqEncodeDescriptor._1, pqEncodeDescriptor._2, pqEncodeDescriptor._3)
   }
 }

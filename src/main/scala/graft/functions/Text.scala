@@ -165,6 +165,17 @@ object Text {
       org.apache.spark.sql.graft.ColumnBridge.expression(shingles),
       perms, bands))
 
+  /** Product-quantization encode (per-subspace nearest-codeword argmin
+    * over the broadcast codebook struct array) as a NATIVE codegen'd
+    * expression — see [[PqEncodeExpr]] for why the HOF
+    * transform∘aggregate argmin must not run on the hot path.
+    * Bit-equal to the HOF form (PqEncodeSpec pins it; the DuckDB
+    * oracle replays the HOF spelling). */
+  def pqEncode(vec: Column, cents: Column, m: Int, sub: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(PqEncodeExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+      org.apache.spark.sql.graft.ColumnBridge.expression(cents), m, sub))
+
   /** Per-position character k-gram hashes ([[portableStrHashSql]] fold
     * of every k-char window) as a NATIVE codegen'd expression — see
     * [[KgramHashesExpr]] for why the HOF transform+substring spelling

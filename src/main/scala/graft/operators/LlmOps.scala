@@ -912,6 +912,23 @@ object LlmOps extends QueryPack {
   def pqEncode(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") < pqK)
       .select(collect_list(struct(col("vec_id").cast("int").as("cid"),
+        col("vec").cast("array<double>").as("cvec"))).as("cents"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("code",
+        Text.pqEncode(col("vec").cast("array<double>"), col("cents"),
+          pqM, pqSub))
+      .drop("cents")
+  }
+
+  /** The HOF specification of [[pqEncode]] — the readable argmin the
+    * native codegen'd `pq_encode` expression is pinned against
+    * (PqEncodeSpec asserts bit-equality) and the exact spelling the
+    * DuckDB oracles replay. Not on any hot path: the nested
+    * transform∘aggregate∘named_struct fold is CodegenFallback and ran
+    * interpreted at ~pqM·pqK lambda-tree evaluations per vector. */
+  def pqEncodeHof(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id") < pqK)
+      .select(collect_list(struct(col("vec_id").cast("int").as("cid"),
         col("vec").as("cvec"))).as("cents"))
     e.crossJoin(broadcast(cents))
       .withColumn("code", expr(
@@ -928,6 +945,28 @@ object LlmOps extends QueryPack {
       .drop("cents")
   }
 
+  /** Process-level cache of the PQ-INDEXED embeddings frame per
+    * (session, dir) — the candCache discipline, seventh consumer
+    * family: `(vec_id, cid, code)` where `cid` is the 16-cell IVF
+    * assignment and `code` the 8-byte PQ code, built in ONE narrow
+    * pass (two singleton model broadcasts over one scan). Three
+    * registered queries consume it — l36 (codebook profile: code
+    * only), l37 (ADC search: vec_id+code), l38 (IVFPQ: all three) —
+    * and before this cache each re-ran the interpreted encode per
+    * invocation, tripling the family's cost per bench run. The cached
+    * value is O(corpus) but NARROW (two longs + 8 ints per vector —
+    * the 32× compression is the point); materialized so later
+    * consumers replay blocks, not lineage. Custom-parameter callers
+    * (specs, planted fixtures) use [[pqEncode]]/[[ivfAssign]] directly
+    * and bypass the cache. */
+  private val pqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def sharedPqIndex(s: SparkSession, dir: String): DataFrame =
+    pqIndexCache.computeIfAbsent((s, dir),
+      _ => Barriers.materialize(ivfAssign(pqEncode(embs(s, dir)), pqK)
+        .select(col("vec_id"), col("cid"), col("code"))))
+
   /** PQ asymmetric-distance (ADC) top-k search: per query, an 8×16
     * lookup table of micro-unit subspace distances to every codeword;
     * each corpus CODE (8 bytes, never the raw vector) scores as the sum
@@ -937,9 +976,16 @@ object LlmOps extends QueryPack {
     * Lossy by construction: ranks use quantized distances (LlmSpec
     * pins recall on planted near-duplicates; the exact re-rank of the
     * returned candidates is l09's brute-force path). */
-  def pqSearch(e: DataFrame, topK: Int, isQuery: Column): DataFrame = {
+  def pqSearch(e: DataFrame, topK: Int, isQuery: Column): DataFrame =
+    pqSearchFrom(e, pqEncode(e).select(col("vec_id"), col("code")),
+      topK, isQuery)
+
+  /** [[pqSearch]] over a PRE-BUILT `(vec_id, code)` frame — the entry
+    * the registered l37 takes with [[sharedPqIndex]] so the encode is
+    * computed once per (session, dir), not once per consumer. */
+  def pqSearchFrom(e: DataFrame, codes: DataFrame, topK: Int,
+      isQuery: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val codes = pqEncode(e).select(col("vec_id"), col("code"))
     val cents = e.filter(col("vec_id") < pqK)
       .select(collect_list(struct(col("vec_id").cast("int").as("cid"),
         col("vec").as("cvec"))).as("cents"))
@@ -980,10 +1026,20 @@ object LlmOps extends QueryPack {
     * (what a posting-list entry costs) — each covered alone by
     * l15/l37. */
   def ivfPqSearch(e: DataFrame, nCells: Int, nprobe: Int, topK: Int,
-      isQuery: Column): DataFrame = {
+      isQuery: Column): DataFrame =
+    ivfPqSearchFrom(e,
+      ivfAssign(pqEncode(e), nCells)
+        .select(col("vec_id"), col("cid"), col("code")),
+      nCells, nprobe, topK, isQuery)
+
+  /** [[ivfPqSearch]] over a PRE-BUILT `(vec_id, cid, code)` index
+    * frame — the entry the registered l38 takes with [[sharedPqIndex]]
+    * (whose cell count is [[pqK]] = 16; pass the matching `nCells` so
+    * the probe ranking reads the same centroid set the index was
+    * assigned against). */
+  def ivfPqSearchFrom(e: DataFrame, indexed: DataFrame, nCells: Int,
+      nprobe: Int, topK: Int, isQuery: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val indexed = ivfAssign(pqEncode(e), nCells)
-      .select(col("vec_id"), col("cid"), col("code"))
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
     val queries = e.filter(isQuery)
@@ -1024,14 +1080,15 @@ object LlmOps extends QueryPack {
     * 0-3, 16 cells, nprobe 4, top-10 by quantized distance within the
     * probed cells; fully oracle-checked. */
   private val ivfPqSearchQ: Q = (s, dir) =>
-    ivfPqSearch(embs(s, dir), 16, 4, 10, col("vec_id") < 4)
+    ivfPqSearchFrom(embs(s, dir), sharedPqIndex(s, dir), 16, 4, 10,
+      col("vec_id") < 4)
       .orderBy("qid", "rank")
 
   /** l36: PQ codebook/compression profile — code-space usage plus the
     * bytes-per-vector accounting that IS the operator's reason to
     * exist. */
   private val pqIndexQ: Q = (s, dir) =>
-    pqEncode(embs(s, dir))
+    sharedPqIndex(s, dir)
       .select(expr("array_join(transform(code, c -> cast(c AS string)), ',')")
         .as("code_str"))
       .agg(
@@ -1047,7 +1104,8 @@ object LlmOps extends QueryPack {
     * top-10 by quantized distance, fully oracle-checked (codes, LUTs,
     * and integer ADC sums replay exactly in DuckDB). */
   private val pqSearchQ: Q = (s, dir) =>
-    pqSearch(embs(s, dir), 10, col("vec_id") < 4)
+    pqSearchFrom(embs(s, dir), sharedPqIndex(s, dir), 10,
+      col("vec_id") < 4)
       .orderBy("qid", "rank")
 
   /** Scalar-quantized (int8) search + exact re-rank — the middle point
