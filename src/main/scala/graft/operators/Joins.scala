@@ -835,9 +835,11 @@ object Joins extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), DataFrame]()
 
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    graft.core.SessionCaches.prune(copurchaseCache)
     copurchaseCache.computeIfAbsent((s, dir),
       _ => graft.core.Barriers.materialize(copurchaseEdgesRaw(s, dir)))
+  }
 
   /** Node-id bound of the q41 oracle instance: components are computed
     * on the co-purchase subgraph induced by parts with id < this (the

@@ -275,9 +275,11 @@ object LlmOps extends QueryPack {
   private val candCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def sharedMinhashCandidates(s: SparkSession, dir: String): DataFrame =
+  def sharedMinhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    graft.core.SessionCaches.prune(candCache)
     candCache.computeIfAbsent((s, dir),
       _ => Barriers.materialize(minhashCandidates(docs(s, dir))))
+  }
 
   private val minhashNearDedup: Q = (s, dir) => {
     val cand = sharedMinhashCandidates(s, dir)
@@ -345,9 +347,11 @@ object LlmOps extends QueryPack {
   private val shingleSetCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def sharedShingleSets(s: SparkSession, dir: String): DataFrame =
+  def sharedShingleSets(s: SparkSession, dir: String): DataFrame = {
+    graft.core.SessionCaches.prune(shingleSetCache)
     shingleSetCache.computeIfAbsent((s, dir),
       _ => buildShingleSets(docs(s, dir)))
+  }
 
   def setSimPairs(d: DataFrame): DataFrame =
     setSimPairsFrom(buildShingleSets(d))
@@ -962,10 +966,12 @@ object LlmOps extends QueryPack {
   private val pqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def sharedPqIndex(s: SparkSession, dir: String): DataFrame =
+  def sharedPqIndex(s: SparkSession, dir: String): DataFrame = {
+    graft.core.SessionCaches.prune(pqIndexCache)
     pqIndexCache.computeIfAbsent((s, dir),
       _ => Barriers.materialize(ivfAssign(pqEncode(embs(s, dir)), pqK)
         .select(col("vec_id"), col("cid"), col("code"))))
+  }
 
   /** PQ asymmetric-distance (ADC) top-k search: per query, an 8×16
     * lookup table of micro-unit subspace distances to every codeword;
@@ -1378,8 +1384,10 @@ object LlmOps extends QueryPack {
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def sharedShingleEdges(s: SparkSession, dir: String): DataFrame =
+  def sharedShingleEdges(s: SparkSession, dir: String): DataFrame = {
+    graft.core.SessionCaches.prune(edgeCache)
     edgeCache.computeIfAbsent((s, dir), _ => shingleEdges(docs(s, dir)))
+  }
 
   /** l21: near-dup cluster construction — connected components over the
     * shared-shingle candidate graph, the step that turns pairwise

@@ -74,7 +74,8 @@ object MaintenanceOps extends QueryPack {
   private val analyzeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
-  private def analyzedTable(s: SparkSession, dir: String): String =
+  private def analyzedTable(s: SparkSession, dir: String): String = {
+    graft.core.SessionCaches.prune(analyzeCache)
     analyzeCache.computeIfAbsent((s, dir), _ => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val tbl = s"m06_orders_$tag"
@@ -84,6 +85,7 @@ object MaintenanceOps extends QueryPack {
         "FOR COLUMNS o_orderstatus, o_orderpriority")
       tbl
     })
+  }
 
   private val analyzeStats: Q = (s, dir) => {
     val tbl = analyzedTable(s, dir)
@@ -230,7 +232,8 @@ object MaintenanceOps extends QueryPack {
     (SparkSession, String), (graft.plans.Snapshots, String)]()
 
   private def snapshotFixture(s: SparkSession, dir: String)
-      : (graft.plans.Snapshots, String) =
+      : (graft.plans.Snapshots, String) = {
+    graft.core.SessionCaches.prune(historyFixture)
     historyFixture.computeIfAbsent((s, dir), _ => {
       val sn = new graft.plans.Snapshots(Scratch.dir("m14_history"))
       val t = "orders_h"
@@ -241,6 +244,7 @@ object MaintenanceOps extends QueryPack {
       sn.rewriteDeletes(s, t)
       (sn, t)
     })
+  }
 
   /** M14: snapshot-history metadata table — Iceberg's `$snapshots`
     * introspection surface over the manifest store, the view the
@@ -299,6 +303,7 @@ object MaintenanceOps extends QueryPack {
     (SparkSession, String), (graft.plans.Snapshots, String)]()
 
   private val segmentsMetadataQ: Q = (s, dir) => {
+    graft.core.SessionCaches.prune(segFixture)
     val (sn, t) = segFixture.computeIfAbsent((s, dir), _ => {
       val sn = new graft.plans.Snapshots(Scratch.dir("m16_segments"),
         segThreshold = 2)
@@ -315,7 +320,40 @@ object MaintenanceOps extends QueryPack {
     }.reduce(_ unionAll _).orderBy("version", "position")
   }
 
+  /** M17: `$partitions` metadata table — the per-partition rollup of
+    * the snapshot-introspection family (beside m14 `$snapshots`, m15
+    * `$files`, m16 `$segments`), the surface the reference's partition
+    * analysis reads for its size/row health bounds
+    * (iceberg_maintenance.py:226-272 — m07 computes those bounds from
+    * a filesystem listing; this is the same rollup answered from the
+    * MANIFEST alone). Fixture: one append per quarter of orders with
+    * an explicit o_quarter partition column, so each data dir is
+    * provably single-valued on it (min == max in the inline stats) and
+    * the rollup attributes every dir to its quarter with ZERO data
+    * I/O. The oracle pins n_entries = 1 per quarter (forced by the
+    * commit sequence) and recomputes record counts from the raw
+    * table; file_count/total_bytes stay out of the checked projection
+    * (physical layout, not logical content). */
+  private val partFixture = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.plans.Snapshots, String)]()
+
+  private val partitionsMetadataQ: Q = (s, dir) => {
+    graft.core.SessionCaches.prune(partFixture)
+    val (sn, t) = partFixture.computeIfAbsent((s, dir), _ => {
+      val sn = new graft.plans.Snapshots(Scratch.dir("m17_partitions"))
+      val t = "orders_pt"
+      val o = T.load(s, dir, "orders")
+        .withColumn("o_quarter", quarter(col("o_orderdate")).cast("long"))
+      (1 to 4).foreach(q => sn.append(o.filter(col("o_quarter") === q), t))
+      (sn, t)
+    })
+    sn.partitionsMetadata(s, t, sn.currentVersion(t).get, "o_quarter")
+      .select(col("partition_value"), col("n_entries"), col("record_count"))
+      .orderBy("partition_value")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m17_partitions_metadata" -> partitionsMetadataQ,
     "m16_segments_metadata" -> segmentsMetadataQ,
     "m15_files_metadata" -> filesMetadataQ,
     "m14_snapshot_history" -> snapshotHistory,
@@ -328,6 +366,15 @@ object MaintenanceOps extends QueryPack {
     "m05_query_perf" -> queryPerf)
 
   val oracle: Map[String, String] = Map(
+    // one single-quarter dir per append (forced by the commit
+    // sequence) ⇒ n_entries = 1; record counts recompute from the raw
+    // table. partition_value is the stats-attributed single value,
+    // rendered as a string.
+    "m17_partitions_metadata" ->
+      """SELECT CAST(quarter(o_orderdate) AS VARCHAR) AS partition_value,
+        |  CAST(1 AS BIGINT) AS n_entries,
+        |  COUNT(*) AS record_count
+        |FROM orders GROUP BY 1 ORDER BY partition_value""".stripMargin,
     // the two-level manifest layout is forced by the commit sequence
     // and the threshold (pure constants): v2 chunks its 2 entries into
     // one segment; each later append reuses every predecessor ref and

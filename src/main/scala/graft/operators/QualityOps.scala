@@ -675,7 +675,8 @@ object QualityOps extends QueryPack {
   private val bigramCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
-  private def sharedBigramCounts(s: SparkSession, dir: String): DataFrame =
+  private def sharedBigramCounts(s: SparkSession, dir: String): DataFrame = {
+    graft.core.SessionCaches.prune(bigramCache)
     bigramCache.computeIfAbsent((s, dir), _ => {
       val cand = LlmOps.sharedMinhashCandidates(s, dir)
       val ids = cand.select(col("doc_a").as("doc_id"))
@@ -689,6 +690,7 @@ object QualityOps extends QueryPack {
           expr(Text.portableStrHashSql("g")).as("gh"))
         .groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt")))
     })
+  }
 
   /** l102: clipped bigram precision over the shared near-dup candidate
     * pairs — the MULTISET overlap that distinguishes quotation from

@@ -376,7 +376,8 @@ object ScaleOps extends QueryPack {
   private val bucketCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, String)]()
 
-  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    graft.core.SessionCaches.prune(bucketCache)
     bucketCache.computeIfAbsent((s, dir), _ => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val (ob, lb) = (s"orders_bk_$tag", s"lineitem_bk_$tag")
@@ -388,6 +389,7 @@ object ScaleOps extends QueryPack {
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lb)
       (ob, lb)
     })
+  }
 
   private val bucketedColocatedJoin: Q = (s, dir) => {
     val (ob, lb) = bucketedTables(s, dir)
@@ -419,7 +421,8 @@ object ScaleOps extends QueryPack {
   private val dppCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
-  private def partitionedOrders(s: SparkSession, dir: String): String =
+  private def partitionedOrders(s: SparkSession, dir: String): String = {
+    graft.core.SessionCaches.prune(dppCache)
     dppCache.computeIfAbsent((s, dir), _ => {
       val path = Scratch.dir("k12_orders")
       T.load(s, dir, "orders")
@@ -427,6 +430,7 @@ object ScaleOps extends QueryPack {
         .write.mode("overwrite").partitionBy("o_month").parquet(path)
       path
     })
+  }
 
   private val dppJoin: Q = (s, dir) => {
     val fact = s.read.parquet(partitionedOrders(s, dir))

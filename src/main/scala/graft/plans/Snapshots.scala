@@ -62,6 +62,36 @@ object Snapshots {
     * realistic stage-to-commit window; immediate-GC callers opt in
     * with 0L. */
   val DefaultGcAgeMillis: Long = 60L * 60 * 1000
+
+  /** Parse one manifest entry line. STATIC (captures no instance
+    * state) so the distributed `\$files` read path can run it on
+    * executors over `spark.read.textFile` of the segment files. */
+  private[plans] def parseEntryLine(line: String): ManifestEntry =
+    line.split('\t') match {
+      case Array(rel) => ManifestEntry("data", 0, rel, Nil)
+      case Array("data", seq, rel) => ManifestEntry("data", seq.toInt, rel, Nil)
+      case Array("data", seq, rel, "", j) =>
+        ManifestEntry("data", seq.toInt, rel, Nil, Some(j))
+      case Array("delete", seq, rel, key) =>
+        ManifestEntry("delete", seq.toInt, rel, key.split(',').toSeq)
+      case Array("delete", seq, rel, key, j) =>
+        ManifestEntry("delete", seq.toInt, rel, key.split(',').toSeq, Some(j))
+      case _ => sys.error(s"unparseable manifest line: $line")
+    }
+
+  /** One `\$files` row from an entry: inline manifest metrics first,
+    * the per-dir sidecar as legacy fallback. Static so the distributed
+    * path's closure captures only the root STRING, never the
+    * Snapshots instance (and with it its caches). */
+  private[plans] def fileRow(root: String, e: ManifestEntry)
+      : (String, Long, String, Long, Long, Long, Long) = {
+    val st = e.stats.orElse(DirStats.read(new java.io.File(s"$root/${e.rel}")))
+    (e.kind, e.seq.toLong, e.rel,
+      st.map(_.rows).getOrElse(-1L),
+      st.map(_.cols.size.toLong).getOrElse(-1L),
+      st.map(_.files).getOrElse(-1L),
+      st.map(_.bytes).getOrElse(-1L))
+  }
 }
 
 /** Manifest-based versioned-snapshot store — the table-format emulation
@@ -146,16 +176,37 @@ class Snapshots(root: String, segThreshold: Int = 64) {
   // verbatim version-file copies and branches share segments the same
   // way they share data dirs; liveness for GC is root-wide.
 
-  /** Once a version file's ref list outgrows this, the commit
-    * re-chunks all entries into fresh segments — Iceberg's manifest
-    * merging (`commit.manifest.min-count-to-merge`): amortized
-    * O(delta) with a bounded version-file size. */
+  /** Once a version file's ref list outgrows this, the commit merges
+    * trailing segments GEOMETRICALLY (see [[renderManifest]]) —
+    * Iceberg's manifest merging (`commit.manifest.min-count-to-merge`)
+    * with LSM-tier economics: the ref list stays O(log entries) and a
+    * commit's metadata write is amortized O(delta · log), never a flat
+    * full re-chunk. */
   private def maxSegRefs: Int = math.max(16, segThreshold * 4)
 
   /** Cache of immutable segment files (they are write-once, so a
-    * cached parse can never go stale). Bounded by live metadata. */
+    * cached parse can never go stale). Bounded by LIVE metadata only
+    * because GC evicts: [[expire]] and [[cleanOrphans]] call
+    * [[evictDeadSegCacheEntries]] after deleting segment files, so a
+    * long-lived writer's cache tracks the live segment set instead of
+    * accumulating every segment ever touched (orphaned re-chunk
+    * leftovers, lost-race stages, expired history) — and a post-GC
+    * read of a vanished segment fails loudly in [[readSeg]] instead of
+    * serving a cached ghost. */
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, List[ManifestEntry]]()
+
+  /** Drop cache entries whose segment file no longer exists (deleted
+    * by [[expire]]/[[cleanOrphans]], here or in another instance on
+    * the same root). O(cache size) file-existence probes — metadata
+    * stat calls, paid once per GC pass, which bounds the cache at the
+    * live segment count. */
+  private def evictDeadSegCacheEntries(): Unit =
+    segCache.keySet.removeIf(rel =>
+      !new java.io.File(s"$root/$rel").exists())
+
+  /** Test visibility: current segment-cache entry count. */
+  private[graft] def segCacheSize: Int = segCache.size()
 
   private def readSeg(rel: String): List[ManifestEntry] =
     segCache.computeIfAbsent(rel, _ => {
@@ -206,19 +257,18 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     * segmented predecessor) the content is the flat inline format. */
   private def renderManifest(table: String, derivedFrom: Option[Int],
       entries: Seq[ManifestEntry]): (String, Seq[ManifestEntry]) = {
-    val groups = segGroups(table, derivedFrom)
-    if (groups.isEmpty && entries.size < segThreshold)
+    val prior = segGroups(table, derivedFrom)
+    if (prior.isEmpty && entries.size < segThreshold)
       return (entries.map(fmtEntry).mkString("\n"), entries)
     // greedy in-order cover: at each position, reuse a predecessor
-    // segment iff its entry list equals the upcoming slice exactly
-    val byFirst = groups.filter(_._2.nonEmpty).groupBy(_._2.head)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val fresh = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
+    // segment iff its entry list equals the upcoming slice exactly.
+    // Some(rel) = reused predecessor segment; None = fresh run.
+    val byFirst = prior.filter(_._2.nonEmpty).groupBy(_._2.head)
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[String], List[ManifestEntry])]
     val run = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
     def flushRun(): Unit = if (run.nonEmpty) {
-      out += s"@seg\t${writeSeg(table, run.toSeq)}"
-      fresh ++= run
-      run.clear()
+      groups += ((None, run.toList)); run.clear()
     }
     var i = 0
     while (i < entries.size) {
@@ -226,21 +276,47 @@ class Snapshots(root: String, segThreshold: Int = 64) {
         es.size <= entries.size - i && entries.slice(i, i + es.size) == es
       } match {
         case Some((rel, es)) =>
-          flushRun(); out += s"@seg\t$rel"; i += es.size
+          flushRun(); groups += ((Some(rel), es)); i += es.size
         case None => run += entries(i); i += 1
       }
     }
     flushRun()
-    if (out.size <= maxSegRefs) (out.mkString("\n"), fresh.toSeq)
-    else {
-      // manifest merge: too many refs — re-chunk everything into a
-      // bounded number of fresh segments (amortized: once per
-      // ~maxSegRefs commits). Everything counts as fresh.
-      val per = math.max(segThreshold, entries.size / 8)
-      val refs = entries.grouped(per)
-        .map(g => s"@seg\t${writeSeg(table, g)}").toSeq
-      (refs.mkString("\n"), entries)
+    // Ref-list bound: GEOMETRIC tail merge (LSM tiering / Lucene merge
+    // policy economics), not a flat full re-chunk. Adjacent groups
+    // merge while the earlier one holds fewer than 2× the later one's
+    // entries, so surviving sizes decrease geometrically front-to-back:
+    //   - the ref list is O(log entries) — ≤ maxSegRefs for any
+    //     realistic table (2^16 entries at the 16-ref floor);
+    //   - each entry is rewritten O(log entries) times over the
+    //     table's LIFETIME, so per-commit metadata writes are
+    //     amortized O(delta · log) — the old full re-chunk rewrote
+    //     O(table) once per ~maxSegRefs commits, an O(table/const)
+    //     amortized creep the metadata-soak law rejects;
+    //   - the big head segments are REUSED verbatim through a merge
+    //     commit (only the merged tail is fresh), where the full
+    //     re-chunk invalidated every predecessor segment at once.
+    val bounded =
+      if (groups.size <= maxSegRefs) groups
+      else {
+        val stack = scala.collection.mutable.ArrayBuffer
+          .empty[(Option[String], List[ManifestEntry])]
+        groups.foreach { g =>
+          stack += g
+          while (stack.size >= 2 &&
+              stack(stack.size - 2)._2.size < 2 * stack.last._2.size) {
+            val b = stack.remove(stack.size - 1)
+            val a = stack.remove(stack.size - 1)
+            stack += ((None, a._2 ++ b._2)) // merged ⇒ fresh
+          }
+        }
+        stack
+      }
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
+    val out = bounded.map {
+      case (Some(rel), _) => s"@seg\t$rel"
+      case (None, es) => fresh ++= es; s"@seg\t${writeSeg(table, es)}"
     }
+    (out.mkString("\n"), fresh.toSeq)
   }
 
   def versions(table: String): Seq[Int] = {
@@ -274,17 +350,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
   }
 
   private def parseEntry(line: String): ManifestEntry =
-    line.split('\t') match {
-      case Array(rel) => ManifestEntry("data", 0, rel, Nil)
-      case Array("data", seq, rel) => ManifestEntry("data", seq.toInt, rel, Nil)
-      case Array("data", seq, rel, "", j) =>
-        ManifestEntry("data", seq.toInt, rel, Nil, Some(j))
-      case Array("delete", seq, rel, key) =>
-        ManifestEntry("delete", seq.toInt, rel, key.split(',').toSeq)
-      case Array("delete", seq, rel, key, j) =>
-        ManifestEntry("delete", seq.toInt, rel, key.split(',').toSeq, Some(j))
-      case _ => sys.error(s"unparseable manifest line: $line")
-    }
+    Snapshots.parseEntryLine(line)
 
   private def readRaw(table: String, v: Int): String = {
     val f = manifestFile(table, v)
@@ -768,7 +834,14 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       // attempt's scope so a caller passing a derived frame pays its
       // lineage once, not 4× (the deleteWhereMoR discipline). Persist
       // is per-attempt: a lost race unpersists before the retry re-runs.
-      source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Ownership-guarded: a caller that ALREADY cached `source` keeps
+      // its cache — unpersisting a frame we didn't persist would
+      // silently evict the caller's data (and re-persisting an
+      // already-persisted Dataset logs Spark warnings per OCC retry).
+      val ownPersist =
+        source.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      if (ownPersist)
+        source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try cur match {
         case None =>
           require(!source.isEmpty,
@@ -822,7 +895,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
               stageEntry(build(touchedFrame, source), table, "data",
                 nextSeq(entries)))
           }
-      } finally source.unpersist(blocking = false)
+      } finally if (ownPersist) source.unpersist(blocking = false)
     }
 
   /** CoW merge at file granularity with a caller-supplied combiner —
@@ -1001,6 +1074,47 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       val affectedKept = prev.filter(e => e.kind == "data" &&
         nextSet.contains(e) && changedDels.exists(d => d.seq > e.seq &&
           DirStats.mayContainDeleteKeys(entryStats(e), entryStats(d), d.key)))
+      // PURE-APPEND FAST PATH: nothing removed and no kept dir's
+      // delete-applicability changed ⇒ the prev side scans nothing, so
+      // every surviving row of the added dirs is an INSERT by
+      // construction — emit them directly and skip the full-outer join
+      // (and its shuffle) entirely. This is the common step shape for
+      // an append-mostly table history, where the diff join would pay
+      // a key shuffle per step just to discover there is nothing to
+      // match against.
+      if (removed.isEmpty && affectedKept.isEmpty) {
+        val datas = added.filter(_.kind == "data")
+        if (datas.isEmpty) {
+          // metadata-only step (e.g. a no-op republish): no changes.
+          // Schema-only empty frame, same columns as the join path.
+          import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+          val keyField = asOf(spark, table, nv).schema(key)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(keyField,
+              StructField("_change_type", StringType),
+              StructField("_change_version", IntegerType))))
+        } else
+          // the step's own deletes (all in `added`) still apply to its
+          // own dirs by seq — logicalFrame folds them before the emit
+          logicalFrame(spark, datas ++ next.filter(_.kind == "delete"))
+            .select(col(key), lit("INSERT").as("_change_type"),
+              lit(nv).cast("int").as("_change_version"))
+      } else changeJoinStep(spark, table, key, pv, nv, prev, next,
+        removed, added, affectedKept)
+    }.reduce(_ unionByName _)
+  }
+
+  /** The general [[changesBetween]] step: one full-outer join on the
+    * key with null-safe payload compare — the path a step takes when
+    * rows can have been removed or updated. */
+  private def changeJoinStep(spark: SparkSession, table: String,
+      key: String, pv: Int, nv: Int, prev: Seq[ManifestEntry],
+      next: Seq[ManifestEntry], removed: Seq[ManifestEntry],
+      added: Seq[ManifestEntry], affectedKept: Seq[ManifestEntry])
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    {
       // each side applies ITS version's full delete set to its scanned
       // dirs (logicalFrame drops non-applicable deletes by seq)
       def side(own: Seq[ManifestEntry], all: Seq[ManifestEntry],
@@ -1029,7 +1143,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
         .filter(col("_change_type").isNotNull) // unchanged rows drop here
         .select(col(key), col("_change_type"),
           lit(nv).cast("int").as("_change_version"))
-    }.reduce(_ unionByName _)
+    }
   }
 
   /** Iceberg-style incremental APPEND scan: the rows added by
@@ -1114,15 +1228,73 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     * legacy entries), no data I/O. */
   def filesMetadata(spark: SparkSession, table: String, v: Int): DataFrame = {
     import spark.implicits._
-    readEntries(table, v).map { e =>
-      val st = entryStats(e)
-      (e.kind, e.seq.toLong, e.rel,
-        st.map(_.rows).getOrElse(-1L),
-        st.map(_.cols.size.toLong).getOrElse(-1L),
-        st.map(_.files).getOrElse(-1L),
-        st.map(_.bytes).getOrElse(-1L))
-    }.toDF("entry_kind", "seq", "rel_path", "record_count",
+    val cols = Seq("entry_kind", "seq", "rel_path", "record_count",
       "n_stat_columns", "file_count", "total_bytes")
+    val lines = readRaw(table, v).linesIterator.map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val (segLines, inlineLines) = lines.partition(_.startsWith("@seg\t"))
+    if (segLines.isEmpty)
+      // inline manifest (below segThreshold): the entry list is tiny by
+      // construction — a driver-side Seq→toDF is the right shape
+      readEntries(table, v).map(e => Snapshots.fileRow(root, e))
+        .toDF(cols: _*)
+    else {
+      // segmented manifest: the entry list can be table-sized (a
+      // multi-million-file table), so the rows come from a DISTRIBUTED
+      // text scan over the segment files themselves — the driver
+      // touches only the version file's @seg ref list. The closure
+      // captures the root STRING only (parse + stats helpers are
+      // static on the companion).
+      val rootLocal = root
+      val segPaths =
+        segLines.map(l => s"$root/${l.stripPrefix("@seg\t")}")
+      val seg = spark.read.textFile(segPaths: _*)
+        .map(_.trim).filter(_.nonEmpty)
+        .map(l => Snapshots.fileRow(rootLocal, Snapshots.parseEntryLine(l)))
+      val withInline =
+        if (inlineLines.isEmpty) seg
+        else seg.union(spark.createDataset(
+          inlineLines.map(l =>
+            Snapshots.fileRow(root, Snapshots.parseEntryLine(l)))))
+      withInline.toDF(cols: _*)
+    }
+  }
+
+  /** Iceberg-style `$partitions` metadata table: per-partition rollup
+    * of snapshot `v`'s data entries from INLINE manifest stats — the
+    * surface the reference platform's partition analysis reads
+    * (iceberg_maintenance.py:226-272 flags over/under-sized partitions
+    * from exactly this rollup). A dir belongs to partition `p` iff its
+    * footer stats PROVE it is single-valued on `partCol` (min == max,
+    * no nulls) — which is what a partitioned write produces, one dir
+    * per partition value per commit; a dir the stats can't attribute
+    * (multi-valued, null-bearing, or statless legacy) rolls up under a
+    * NULL partition value so its rows are never silently dropped.
+    * Pure metadata: no data I/O; the rollup itself is a Spark groupBy
+    * so the shape survives a manifest with millions of entries. */
+  def partitionsMetadata(spark: SparkSession, table: String, v: Int,
+      partCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def render(x: Any): String = x match {
+      case DirStats.Days(d) => d.toString   // day ordinal
+      case DirStats.Micros(u) => u.toString // epoch micros
+      case other => other.toString
+    }
+    readEntries(table, v).filter(_.kind == "data").map { e =>
+      val st = entryStats(e)
+      val value = st.flatMap(_.cols.get(partCol)) match {
+        case Some(c) if c.min == c.max && c.nulls == 0 => render(c.min)
+        case _ => null
+      }
+      (value, st.map(_.rows).getOrElse(-1L),
+        st.map(_.files).getOrElse(-1L), st.map(_.bytes).getOrElse(-1L))
+    }.toDF("partition_value", "rows", "files", "bytes")
+      .groupBy(col("partition_value"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(col("rows")).as("record_count"),
+        sum(col("files")).as("file_count"),
+        sum(col("bytes")).as("total_bytes"))
   }
 
   /** Iceberg-style `$manifests`-like metadata table over the segment
@@ -1213,6 +1385,17 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       .filter(d => d.isDirectory && !live.contains(d.getCanonicalPath) &&
         d.lastModified() <= cutoff)
       .foreach(deleteRecursively)
+    // segment sweep: manifest segments referenced ONLY by the expired
+    // versions are dead metadata now — without this, expire-only
+    // callers leak .seg disk proportional to expired history until a
+    // separate cleanOrphans pass (same root-wide liveness + age-cutoff
+    // discipline as the data-dir GC above).
+    val liveSegs = liveSegFiles()
+    Option(segDir(table).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !liveSegs.contains(f.getCanonicalPath) &&
+        f.lastModified() <= cutoff)
+      .foreach(_.delete())
+    evictDeadSegCacheEntries()
     doomed
   }
 
@@ -1253,11 +1436,14 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       // commit is an "orphan" until its manifest lands; concurrent
       // deployments pass a cutoff above their stage-to-commit window
       .filter(_.lastModified() <= cutoff)
-    doomed.filter(_.isFile).map { f => val p = f.getPath; f.delete(); p } ++
-      doomed.filter(_.isDirectory).flatMap { d =>
-        if (Option(d.listFiles()).getOrElse(Array.empty).isEmpty) {
-          val p = d.getPath; d.delete(); Seq(p)
-        } else Seq.empty
-      }
+    val deleted =
+      doomed.filter(_.isFile).map { f => val p = f.getPath; f.delete(); p } ++
+        doomed.filter(_.isDirectory).flatMap { d =>
+          if (Option(d.listFiles()).getOrElse(Array.empty).isEmpty) {
+            val p = d.getPath; d.delete(); Seq(p)
+          } else Seq.empty
+        }
+    evictDeadSegCacheEntries()
+    deleted
   }
 }

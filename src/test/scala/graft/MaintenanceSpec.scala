@@ -1128,4 +1128,168 @@ class MaintenanceSpec extends SparkSpec {
           s"(${got.size} vs ${rows.size} rows)")
     }
   }
+
+  test("segCache: GC evicts dead segments (cache bounded by live metadata) " +
+      "and a read of a vanished segment fails loudly, never a cached ghost") {
+    val root = scratch()
+    val sn = new Snapshots(root, segThreshold = 2)
+    val o = T.load(spark, sfDir, "orders")
+    val t = "segev"
+    (0 until 8).foreach(i =>
+      sn.append(o.filter(col("o_orderkey") % 8 === i), t))
+    // CoW-touch a row from the first slice: the head segment is
+    // superseded in the new version, so expiring the history below
+    // orphans it (append-only histories share every segment with the
+    // live head — nothing would die)
+    val probe = o.filter(col("o_orderkey") % 8 === 0)
+      .limit(1).select("o_orderkey").collect()(0).getLong(0)
+    sn.updateWhere(spark, t, col("o_orderkey") === probe,
+      Map("o_totalprice" -> lit(0.0)))
+    // warm the cache over the full history
+    sn.versions(t).foreach(v => sn.readEntries(t, v))
+    val warm = sn.segCacheSize
+    sn.expire(t, keep = 1, gcOlderThanMillis = 0L)
+    sn.cleanOrphans(t, 0L)
+    val segDir = new java.io.File(s"$root/$t/manifests/seg")
+    val liveSegs = Option(segDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".seg"))
+    assert(sn.segCacheSize <= liveSegs,
+      s"cache (${sn.segCacheSize}) must not exceed live segments ($liveSegs)")
+    assert(sn.segCacheSize < warm,
+      "GC must shrink a cache warmed over expired history")
+    assert(sn.current(spark, t).count() == o.count())
+    // ghost rejection: a segment deleted OUT FROM UNDER a live version
+    // (a foreign GC bug, a manual rm) must fail the read after the
+    // next eviction pass — not serve the stale cached parse forever
+    val cur = sn.currentVersion(t).get
+    sn.readEntries(t, cur) // cache it
+    Option(segDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".seg")).foreach(_.delete())
+    sn.cleanOrphans(t, 0L) // evicts the now-dead cache entries
+    intercept[IllegalArgumentException] { sn.readEntries(t, cur) }
+  }
+
+  test("changesBetween: a pure-append step plans with NO join and emits " +
+      "exactly the appended rows as INSERTs") {
+    import spark.implicits._
+    val sn = new Snapshots(scratch())
+    val t = "cfp"
+    sn.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), t)
+    sn.append(Seq((3L, "c"), (4L, "d")).toDF("k", "s"), t)
+    val frame = sn.changesBetween(spark, t, 1, 2, "k")
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"an append step must skip the diff join entirely:\n$plan")
+    assert(frame.as[(Long, String, Int)].collect().toSet ==
+      Set((3L, "INSERT", 2), (4L, "INSERT", 2)))
+    // and a mixed range still unions fast and join steps correctly:
+    // v3 updates key 2, so that step must take the join path
+    sn.commit(Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"))
+      .toDF("k", "s"), t)
+    val mixed = sn.changesBetween(spark, t, 1, 3, "k")
+    assert(mixed.as[(Long, String, Int)].collect().toSet ==
+      Set((3L, "INSERT", 2), (4L, "INSERT", 2), (2L, "UPDATE", 3)))
+  }
+
+  test("$files on a segmented manifest is a DISTRIBUTED text scan over " +
+      "the segment files; inline manifests keep the driver path") {
+    val root = scratch()
+    val sn = new Snapshots(root, segThreshold = 2)
+    val o = T.load(spark, sfDir, "orders")
+    val t = "fmseg"
+    (1 to 4).foreach(q => sn.append(
+      o.filter(quarter(col("o_orderdate")) === q), t))
+    val fm = sn.filesMetadata(spark, t, 4)
+    val plan = fm.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan text"),
+      s"segmented \\$$files must scan segment files distributed:\n$plan")
+    val rows = fm.collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("record_count")).sum == o.count(),
+      "distributed rows must carry the same inline metrics")
+    // inline (sub-threshold) tables keep the tiny driver-side path
+    val sn2 = new Snapshots(scratch())
+    sn2.append(o.limit(10), "fmin")
+    val plan2 = sn2.filesMetadata(spark, "fmin", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("FileScan"),
+      s"inline \\$$files must not launch a file scan:\n$plan2")
+  }
+
+  test("metadata soak law: 400 interleaved append/MoR-delete/merge/fold " +
+      "commits keep the version file bounded, metadata writes amortized " +
+      "O(delta log), and logical content exact") {
+    import spark.implicits._
+    val root = scratch()
+    val sn = new Snapshots(root, segThreshold = 2)
+    val t = "soak"
+    val segDir = new java.io.File(s"$root/$t/manifests/seg")
+    // per-commit metadata-write meter: entry lines landing in NEW
+    // segment files (segments are immutable, so new-file lines == the
+    // commit's segment-write volume)
+    val seen = scala.collection.mutable.Set.empty[String]
+    def newSegLines(): Long = {
+      val fs = Option(segDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".seg") &&
+          !seen(f.getName))
+      fs.foreach(f => seen += f.getName)
+      fs.map(f => Files.readAllLines(f.toPath).size.toLong).sum
+    }
+    val model = scala.collection.mutable.SortedMap.empty[Long, Double]
+    def df(rows: Seq[(Long, Double)]) = rows.toDF("k", "v").coalesce(1)
+    var nextKey = 0L
+    var maxRefs = 0
+    var maxVfBytes = 0L
+    val perCommit = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val nCommits = 400
+    (1 to nCommits).foreach { i =>
+      if (i % 80 == 0) {
+        sn.rewriteDeletes(spark, t) // fold: logical content unchanged
+      } else if (i % 25 == 0 && model.nonEmpty) {
+        val k = model.lastKey // update newest + insert one
+        sn.mergeUpsert(spark, t, df(Seq((k, -1.0), (nextKey, 1.0))), "k")
+        model(k) = -1.0; model(nextKey) = 1.0; nextKey += 1
+      } else if (i % 10 == 0 && model.size > 3) {
+        val k = model.firstKey // MoR-delete oldest
+        sn.deleteWhereMoR(spark, t, col("k") === k, Seq("k"))
+        model -= k
+      } else {
+        if (sn.currentVersion(t).isEmpty)
+          sn.commit(df(Seq((nextKey, 1.0))), t)
+        else sn.append(df(Seq((nextKey, 1.0))), t)
+        model(nextKey) = 1.0; nextKey += 1
+      }
+      val v = sn.currentVersion(t).get
+      maxRefs = math.max(maxRefs, rawManifest(root, t, v).size)
+      maxVfBytes = math.max(maxVfBytes,
+        new java.io.File(s"$root/$t/manifests/v=$v.manifest").length())
+      perCommit += newSegLines()
+    }
+    // LAW 1: the version file's ref list stays bounded at EVERY commit
+    assert(maxRefs <= 16, s"version-file line count crept to $maxRefs")
+    // LAW 2: version-file bytes stay flat — O(refs), never O(table)
+    assert(maxVfBytes < 4096, s"version file grew to $maxVfBytes bytes")
+    // LAW 3: segment writes are amortized O(delta·log): total entry
+    // lines written over the run is O(n log n) — the old flat re-chunk
+    // policy was O(n²/const) here — and the MEDIAN commit writes only
+    // its delta
+    val total = perCommit.sum.toDouble
+    val bound = (2 * math.log(nCommits.toDouble) / math.log(2) + 4) * nCommits
+    assert(total <= bound,
+      s"total segment lines $total exceed the O(n log n) bound $bound")
+    assert(perCommit.sorted.apply(perCommit.size / 2) <= 4,
+      "the median commit must write delta-sized metadata")
+    // LAW 4: logical content is exact after the whole interleaving
+    val got = sn.current(spark, t).as[(Long, Double)].collect().toMap
+    assert(got == model.toMap,
+      s"content diverged: ${got.size} rows vs model ${model.size}")
+    // LAW 5: after expiry + GC the live segment count is log-bounded too
+    sn.expire(t, keep = 1, gcOlderThanMillis = 0L)
+    sn.cleanOrphans(t, 0L)
+    val liveSegs = Option(segDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".seg"))
+    assert(liveSegs <= 16, s"live segments after GC: $liveSegs")
+    assert(sn.current(spark, t).as[(Long, Double)].collect().toMap ==
+      model.toMap)
+  }
 }
