@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{GeohashExpr, MinhashBandsExpr, PqEncodeExpr, SimhashPackExpr, VectorSumAgg, ZOrderInterleave}
+import graft.functions.{GeohashExpr, MinhashBandsExpr, PqEncodeExpr, SimhashPackExpr, SpanHashesExpr, VectorSumAgg, ZOrderInterleave}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions. Two paths:
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashDescriptor)
     ext.injectFunction(GraftExtensions.vectorSumDescriptor)
     ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
+    ext.injectFunction(GraftExtensions.spanHashesDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.IdempotentStringOps)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -113,6 +114,21 @@ object GraftExtensions {
         intLit(children(2), "m"), intLit(children(3), "sub"))
     })
 
+  private val spanHashesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("span_hashes"),
+    new ExpressionInfo(classOf[SpanHashesExpr].getName, "span_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "span_hashes(token_hashes, w) takes exactly two arguments")
+      val w = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"span_hashes: w must be an INT literal, got $other")
+      }
+      SpanHashesExpr(children.head, w)
+    })
+
   def register(spark: SparkSession): Unit = {
     // optimizer rules can't be injected into a built session through
     // SparkSessionExtensions; extraOptimizations is the sanctioned
@@ -144,5 +160,8 @@ object GraftExtensions {
       vectorSumDescriptor._1, vectorSumDescriptor._2, vectorSumDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       pqEncodeDescriptor._1, pqEncodeDescriptor._2, pqEncodeDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      spanHashesDescriptor._1, spanHashesDescriptor._2,
+      spanHashesDescriptor._3)
   }
 }

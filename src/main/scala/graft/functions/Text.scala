@@ -165,6 +165,16 @@ object Text {
       org.apache.spark.sql.graft.ColumnBridge.expression(shingles),
       perms, bands))
 
+  /** Rolling w-token span hashes (base-131 mod 1e9+7 fold per stride-1
+    * window) as a NATIVE codegen'd expression — see [[SpanHashesExpr]]
+    * for why the HOF transform∘aggregate spelling must not run on the
+    * l41/l60/l61 hot paths. Bit-equal to
+    * [[graft.operators.CurationOps.spanHashesExpr]] (CurationSpec pins
+    * it; the DuckDB oracles replay the HOF spelling). */
+  def spanHashes(th: Column, w: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(SpanHashesExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(th), w))
+
   /** Product-quantization encode (per-subspace nearest-codeword argmin
     * over the broadcast codebook struct array) as a NATIVE codegen'd
     * expression — see [[PqEncodeExpr]] for why the HOF

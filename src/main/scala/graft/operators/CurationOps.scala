@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{Tables => T, QueryPack}
+import graft.core.{Barriers, Tables => T, QueryPack}
 import graft.functions.Text
 
 /** Web-corpus curation operators in the C4/RefinedWeb mold, rounding out
@@ -371,7 +371,7 @@ object CurationOps extends QueryPack {
           .as("th"))
       .repartition(d.sparkSession.sparkContext.defaultParallelism)
     val spans = hashed.select(col("doc_id"), col("source"),
-      explode(spanHashesExpr("th", spanW)).as("span_h"))
+      explode(Text.spanHashes(col("th"), spanW)).as("span_h"))
     val dup = spans.groupBy(col("span_h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -407,8 +407,23 @@ object CurationOps extends QueryPack {
           .as("th"))
       .repartition(d.sparkSession.sparkContext.defaultParallelism)
     hashed.select(col("doc_id"), col("source"),
-        explode(spanHashesExpr("th", spanW)).as("span_h"))
+        explode(Text.spanHashes(col("th"), spanW)).as("span_h"))
       .distinct()
+  }
+
+  /** Process-level cache of the MATERIALIZED distinct span frame per
+    * (session, dir) — the candCache discipline: l60 (novelty audit)
+    * and l61 (leakage matrix) consume the IDENTICAL frame, and before
+    * this cache each invocation re-ran the tokenize→hash→span→distinct
+    * chain. The cached value is (long, string, long) rows — narrow —
+    * and materialized so later consumers replay blocks, not lineage. */
+  private val docSpanCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def sharedDocSpans(s: SparkSession, dir: String): DataFrame = {
+    graft.core.SessionCaches.prune(docSpanCache)
+    docSpanCache.computeIfAbsent((s, dir),
+      _ => Barriers.materialize(docSpans(docs(s, dir))))
   }
 
   /** l60: corpus novelty audit — what fraction of each document's
@@ -428,7 +443,7 @@ object CurationOps extends QueryPack {
     * incremental: new documents can only lose novelty, never steal
     * ownership from earlier ones. */
   private val noveltyAudit: Q = (s, dir) => {
-    val spans = docSpans(docs(s, dir))
+    val spans = sharedDocSpans(s, dir)
     val owner = spans.groupBy(col("span_h"))
       .agg(min(col("doc_id")).as("owner"))
     spans.join(owner, Seq("span_h"))
@@ -462,7 +477,7 @@ object CurationOps extends QueryPack {
     * flat-map to at most C(k,2) pairs and a map-side-combined count;
     * the output is |sources|² rows regardless of corpus size. */
   private val leakageMatrix: Q = (s, dir) => {
-    val spanSources = docSpans(docs(s, dir))
+    val spanSources = sharedDocSpans(s, dir)
       .select(col("span_h"), col("source")).distinct()
       .groupBy(col("span_h"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))

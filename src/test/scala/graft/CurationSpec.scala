@@ -186,4 +186,32 @@ class CurationSpec extends SparkSpec {
       assert(permille >= 0 && permille <= 1000, s"permille: $r")
     }
   }
+
+  test("native span_hashes is bit-equal to the HOF rolling-fold " +
+      "specification and stays inside whole-stage codegen") {
+    import graft.functions.Text
+    val hashed = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(200)
+      .select($"doc_id",
+        expr(s"""transform(${Text.toksSql("text")},
+                |  t -> ${Text.portableStrHashSql("t")})""".stripMargin)
+          .as("th"))
+      .localCheckpoint() // pin the heavy parse, the operators' barrier
+    val rows = hashed
+      .select($"doc_id",
+        CurationOps.spanHashesExpr("th", 8).as("hof"),
+        Text.spanHashes($"th", 8).as("native"))
+      .as[(Long, Seq[Long], Seq[Long])]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, hof, native) =>
+      assert(hof == native, s"doc $id: hof=$hof native=$native")
+    }
+    val df = hashed.select(Text.spanHashes($"th", 8).as("sh"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("span_hashes") && l.contains("*(")),
+      s"span_hashes projection not codegen'd:\n$plan")
+  }
 }
