@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{GeohashExpr, MinhashBandsExpr, PqEncodeExpr, SimhashPackExpr, SpanHashesExpr, VectorSumAgg, ZOrderInterleave}
+import graft.functions.{GeohashExpr, MinhashBandsExpr, PortableStrHashExpr, PqEncodeExpr, SimhashPackExpr, SpanHashesExpr, TokenHashesExpr, VectorSumAgg, ZOrderInterleave}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions. Two paths:
@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vectorSumDescriptor)
     ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
     ext.injectFunction(GraftExtensions.spanHashesDescriptor)
+    ext.injectFunction(GraftExtensions.strHashDescriptor)
+    ext.injectFunction(GraftExtensions.tokenHashesDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.IdempotentStringOps)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -129,6 +131,26 @@ object GraftExtensions {
       SpanHashesExpr(children.head, w)
     })
 
+  private val strHashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("portable_str_hash"),
+    new ExpressionInfo(classOf[PortableStrHashExpr].getName, "portable_str_hash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "portable_str_hash(str) takes exactly one argument")
+      PortableStrHashExpr(children.head)
+    })
+
+  private val tokenHashesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_hashes"),
+    new ExpressionInfo(classOf[TokenHashesExpr].getName, "token_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "token_hashes(toks) takes exactly one argument")
+      TokenHashesExpr(children.head)
+    })
+
   def register(spark: SparkSession): Unit = {
     // optimizer rules can't be injected into a built session through
     // SparkSessionExtensions; extraOptimizations is the sanctioned
@@ -163,5 +185,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       spanHashesDescriptor._1, spanHashesDescriptor._2,
       spanHashesDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      strHashDescriptor._1, strHashDescriptor._2, strHashDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      tokenHashesDescriptor._1, tokenHashesDescriptor._2,
+      tokenHashesDescriptor._3)
   }
 }

@@ -165,6 +165,20 @@ object Text {
       org.apache.spark.sql.graft.ColumnBridge.expression(shingles),
       perms, bands))
 
+  /** The portable per-code-point string hash as a NATIVE codegen'd
+    * scalar — see [[PortableStrHashExpr]]. Bit-equal to
+    * [[portableStrHashSql]] (the DuckDB-replayed HOF spelling). */
+  def portableHash(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(PortableStrHashExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** [[portableHash]] mapped over a token array in one native pass —
+    * see [[TokenHashesExpr]]. Bit-equal to
+    * `transform(toks, t -> portableStrHashSql(t))`. */
+  def tokenHashesNative(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(TokenHashesExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** Rolling w-token span hashes (base-131 mod 1e9+7 fold per stride-1
     * window) as a NATIVE codegen'd expression — see [[SpanHashesExpr]]
     * for why the HOF transform∘aggregate spelling must not run on the

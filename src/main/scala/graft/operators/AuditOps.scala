@@ -159,7 +159,7 @@ object AuditOps extends QueryPack {
         .select(col("source"),
           explode(Text.shinglesFromTokens("tk", 3)).as("shingle"))
         .select(col("source"),
-          expr(Text.portableStrHashSql("shingle")).as("h"))
+          Text.portableHash(col("shingle")).as("h"))
         .distinct())
     val sizes = hs.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val inter = hs.as("x")

@@ -273,7 +273,7 @@ object CorpusOps extends QueryPack {
       expr(s"pmod(${Text.portableMixWideSql("doc_id")}, $cvFolds)")
         .as("f_n"),
       expr(s"pmod(${Text.portableMixSql(
-          Text.portableStrHashSql("source"))}, $cvFolds)")
+          "portable_str_hash(source)")}, $cvFolds)")
         .as("f_g"))
     val span = base.groupBy("fp").agg(
       countDistinct(col("f_n")).as("nf_n"),

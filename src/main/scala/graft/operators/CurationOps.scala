@@ -298,10 +298,10 @@ object CurationOps extends QueryPack {
   private val dsirResample: Q = (s, dir) => {
     val toks = docs(s, dir)
       .select(col("doc_id"), col("source"), col("lang"),
-        explode(expr(
-          s"""transform(${Text.toksSql("text")},
-             |  t -> pmod(${Text.portableStrHashSql("t")}, $dsirBuckets))"""
-            .stripMargin)).as("bucket"))
+        explode(Text.tokenHashesNative(expr(Text.toksSql("text"))))
+          .as("th"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr(s"pmod(th, $dsirBuckets)").as("bucket"))
     val model = toks.groupBy(col("bucket"))
       .agg(
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_target"),
@@ -366,9 +366,7 @@ object CurationOps extends QueryPack {
   def spanDupStats(d: DataFrame): DataFrame = {
     val hashed = d
       .select(col("doc_id"), col("source"),
-        expr(s"""transform(${Text.toksSql("text")},
-                |  t -> ${Text.portableStrHashSql("t")})""".stripMargin)
-          .as("th"))
+        Text.tokenHashesNative(expr(Text.toksSql("text"))).as("th"))
       .repartition(d.sparkSession.sparkContext.defaultParallelism)
     val spans = hashed.select(col("doc_id"), col("source"),
       explode(Text.spanHashes(col("th"), spanW)).as("span_h"))
@@ -402,9 +400,7 @@ object CurationOps extends QueryPack {
   private def docSpans(d: DataFrame): DataFrame = {
     val hashed = d
       .select(col("doc_id"), col("source"),
-        expr(s"""transform(${Text.toksSql("text")},
-                |  t -> ${Text.portableStrHashSql("t")})""".stripMargin)
-          .as("th"))
+        Text.tokenHashesNative(expr(Text.toksSql("text"))).as("th"))
       .repartition(d.sparkSession.sparkContext.defaultParallelism)
     hashed.select(col("doc_id"), col("source"),
         explode(Text.spanHashes(col("th"), spanW)).as("span_h"))
@@ -695,7 +691,7 @@ object CurationOps extends QueryPack {
       .select(col("doc_id"), col("source"),
         Text.shinglesFromTokens("toks", overlapN).as("shs"))
       .select(col("doc_id"), col("source"),
-        explode(Text.shingleHashes("shs")).as("shingle"))
+        explode(Text.tokenHashesNative(col("shs"))).as("shingle"))
     val probe = shingled(d.filter(col("doc_id") < 5))
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1L))

@@ -1329,7 +1329,7 @@ object LlmOps extends QueryPack {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), Text.shinglesFromTokens("toks", n).as("shs"))
       .select(col("doc_id"),
-        explode(Text.shingleHashes("shs")).as("shingle"))
+        explode(Text.tokenHashesNative(col("shs"))).as("shingle"))
     val probe = shingles(d.filter(isProbe)).select(col("shingle")).distinct()
     shingles(d.filter(!isProbe))
       .join(broadcast(probe), Seq("shingle"), "left_semi")
@@ -2180,9 +2180,8 @@ object LlmOps extends QueryPack {
     * checksums, which is the point: the fingerprint must be
     * engine-independent to certify a corpus across stacks. */
   private val datasetChecksum: Q = (s, dir) => {
-    val strHash = Text.portableStrHashSql("lower(trim(regexp_replace(text, '\\\\s+', ' ')))")
     val d = docs(s, dir)
-      .withColumn("h", expr(strHash))
+      .withColumn("h", Text.portableHash(Text.norm(col("text"))))
       .withColumn("fp1",
         expr(Text.portableMixWideSql("h * 31 + pmod(doc_id, 2147483647)")))
       .withColumn("fp2",
@@ -2211,13 +2210,11 @@ object LlmOps extends QueryPack {
     * manifest. */
   private val shardManifest: Q = (s, dir) => {
     val nShards = 16
-    val strHash = Text.portableStrHashSql(
-      "lower(trim(regexp_replace(text, '\\\\s+', ' ')))")
     docs(s, dir)
       .withColumn("shard",
         expr(s"pmod(${Text.portableMixWideSql(s"doc_id * 11 + 5")}, $nShards)"))
       .withColumn("n_bpe", Text.bpeTokenCount(col("text")).cast("long"))
-      .withColumn("h", expr(strHash))
+      .withColumn("h", Text.portableHash(Text.norm(col("text"))))
       .withColumn("fp",
         expr(Text.portableMixWideSql("h * 31 + pmod(doc_id, 2147483647)")))
       .groupBy(col("shard"))

@@ -687,7 +687,7 @@ object QualityOps extends QueryPack {
         .select(col("doc_id"), Text.shinglesFromTokens("tk", 2).as("g2"))
         .select(col("doc_id"), explode(col("g2")).as("g"))
         .select(col("doc_id"),
-          expr(Text.portableStrHashSql("g")).as("gh"))
+          Text.portableHash(col("g")).as("gh"))
         .groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt")))
     })
   }
@@ -773,10 +773,9 @@ object QualityOps extends QueryPack {
     docs(s, dir)
       .select(col("source"), Text.tokens(col("text")).as("tk"))
       .withColumn("score_milli", expr(
-        s"""aggregate(tk, CAST($clfBiasMilli AS BIGINT),
-           |  (acc, t) -> acc + element_at($wArr,
-           |    CAST(pmod(${Text.portableStrHashSql("t")}, 16) + 1
-           |      AS INT)))""".stripMargin))
+        s"""aggregate(token_hashes(tk), CAST($clfBiasMilli AS BIGINT),
+           |  (acc, h) -> acc + element_at($wArr,
+           |    CAST(pmod(h, 16) + 1 AS INT)))""".stripMargin))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -635,4 +635,44 @@ class PropertySpec extends SparkSpec {
     assert(ids.getLong(0) == rows && ids.getLong(1) == 0L &&
       ids.getLong(2) == rows - 1)
   }
+
+  test("native portable_str_hash / token_hashes are bit-equal to the HOF " +
+      "character fold, including multi-byte code points") {
+    // adversarial panel: ASCII, accents, CJK, emoji (4-byte), empties,
+    // and real corpus tokens
+    val panel = Seq("", "a", "ab", "héllo", "日本語テキスト", "🚀x🚀",
+      "mixed ascii é 日 🚀 end", "  spaces  ")
+      .toDF("s")
+    val fromPanel = panel
+      .select(expr(Text.portableStrHashSql("s")).as("hof"),
+        Text.portableHash($"s").as("native"))
+      .as[(Long, Long)].collect()
+    fromPanel.foreach { case (hof, native) => assert(hof == native) }
+    // corpus tokens through the array form, HOF transform vs native map
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+      .select($"doc_id", Text.tokens($"text").as("tk"))
+      .localCheckpoint()
+      .select($"doc_id",
+        expr(s"transform(tk, t -> ${Text.portableStrHashSql("t")})")
+          .as("hof"),
+        Text.tokenHashesNative($"tk").as("native"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, hof, native) =>
+      assert(hof == native, s"doc $id diverged")
+    }
+    // and the expressions stay inside whole-stage codegen (checked on
+    // a parquet-backed frame — a local panel folds into a
+    // LocalTableScan before any codegen stage exists)
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(Text.portableHash($"text").as("h"),
+        Text.tokenHashesNative(Text.tokens($"text")).as("th"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("portable_str_hash") && l.contains("*(")),
+      s"portable_str_hash not codegen'd:\n$plan")
+    assert(plan.contains("token_hashes"),
+      s"token_hashes missing from the projection:\n$plan")
+  }
 }
