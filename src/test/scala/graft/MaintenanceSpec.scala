@@ -1129,6 +1129,42 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("segmented manifests: concurrent appenders crossing the geometric " +
+      "MERGE boundary all land exactly; lost-race segments sweep as orphans") {
+    val root = scratch()
+    val sn = new Snapshots(root, segThreshold = 2) // maxSegRefs = 16
+    val o = T.load(spark, sfDir, "orders").limit(600).cache()
+    val keys = o.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    def slice(i: Int) = o.filter(
+      col("o_orderkey").between(keys(i * 24), keys(i * 24 + 23)))
+    val t = "segmerge"
+    // serial ramp to 14 refs, just under the merge trigger
+    (0 until 14).foreach(i => sn.append(slice(i), t))
+    // 8 concurrent appenders push the ref list across maxSegRefs, so
+    // several commits run the geometric tail merge WHILE racing: lost
+    // CAS attempts orphan their freshly-written merge segments, and
+    // the winners' manifests must stay exact
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(4))
+    Await.result(Future.sequence((14 until 22).map(i =>
+      Future(sn.append(slice(i), t)))), 180.seconds)
+    val cur = sn.currentVersion(t).get
+    assert(cur == 22)
+    assert(sn.readEntries(t, cur).size == 22, "an appender's entry was lost")
+    assert(rawManifest(root, t, cur).size <= 16,
+      "the merge bound must hold through contention")
+    val expect = (0 until 22).map(i => slice(i).count()).sum
+    assert(sn.current(spark, t).count() == expect)
+    // lost-race merge segments are unreferenced; the sweep removes
+    // them without touching live metadata
+    sn.cleanOrphans(t, 0L)
+    assert(sn.current(spark, t).count() == expect)
+    assert(sn.readEntries(t, cur).size == 22)
+  }
+
   test("segCache: GC evicts dead segments (cache bounded by live metadata) " +
       "and a read of a vanished segment fails loudly, never a cached ghost") {
     val root = scratch()
