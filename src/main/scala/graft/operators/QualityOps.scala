@@ -385,7 +385,7 @@ object QualityOps extends QueryPack {
     * crossed with the 4-row probe panel, carrying doc length and both
     * term frequencies. Broadcast nested-loop over a literal frame —
     * the corpus is scanned once, rows stay narrow. */
-  private def rqScored(s: SparkSession, dir: String): DataFrame = {
+  private def rqScoredRaw(s: SparkSession, dir: String): DataFrame = {
     val panel = s.createDataFrame(rqPanel).toDF("qid", "t1", "t2")
     docs(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
@@ -398,6 +398,21 @@ object QualityOps extends QueryPack {
       .withColumn("tf2",
         expr("CAST(size(filter(tk, x -> x = t2)) AS DOUBLE)"))
       .drop("tk")
+  }
+
+  /** Process-level cache of the MATERIALIZED scored frame per
+    * (session, dir) — the candCache discipline: l71 and l104 EACH
+    * consume it through three sub-frames (ranked, corpus-relevant,
+    * metric rollup), so one invocation used to tokenize + term-scan
+    * the corpus several times over. The cached value is |corpus|×4
+    * NARROW rows (five numerics + two literal terms). */
+  private val rqScoredCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def rqScored(s: SparkSession, dir: String): DataFrame = {
+    graft.core.SessionCaches.prune(rqScoredCache)
+    rqScoredCache.computeIfAbsent((s, dir),
+      _ => Barriers.materialize(rqScoredRaw(s, dir)))
   }
 
   /** The scored frame ranked per query by the rational-idf Okapi form
