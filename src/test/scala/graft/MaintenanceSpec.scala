@@ -1252,6 +1252,37 @@ class MaintenanceSpec extends SparkSpec {
       s"inline \\$$files must not launch a file scan:\n$plan2")
   }
 
+  test("$partitions attribution: single-valued dirs roll up under their " +
+      "value, multi-valued and null-bearing dirs under NULL, deletes excluded") {
+    import spark.implicits._
+    val sn = new Snapshots(scratch())
+    val t = "pt"
+    // dir 1: single-valued p=1 (attributable)
+    sn.commit(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "p", "s"), t)
+    // dir 2: multi-valued p (NOT attributable — stats bounds differ)
+    sn.append(Seq((3L, 2L, "c"), (4L, 3L, "d")).toDF("k", "p", "s"), t)
+    // dir 3: single bound but carries a null p (NOT attributable:
+    // min==max alone would silently drop the null rows from p=4)
+    sn.append(Seq((5L, Some(4L), "e"), (6L, None, "f"))
+      .toDF("k", "p", "s"), t)
+    // a MoR delete entry must not appear in the rollup at all
+    sn.deleteWhereMoR(spark, t, col("k") === 2L, Seq("k"))
+    val v = sn.currentVersion(t).get
+    val got = sn.partitionsMetadata(spark, t, v, "p")
+      .select($"partition_value", $"n_entries", $"record_count")
+      .as[(String, Long, Long)].collect()
+      .map(r => (Option(r._1), r._2, r._3)).toSet
+    assert(got == Set(
+      (Some("1"), 1L, 2L),   // dir 1 attributed to p=1
+      (None, 2L, 4L)),       // dirs 2+3 under NULL, rows intact
+      s"got $got")
+    // row conservation: NULL bucket keeps every unattributable row
+    assert(got.toSeq.map(_._3).sum ==
+      sn.filesMetadata(spark, t, v)
+        .filter($"entry_kind" === "data")
+        .agg(sum($"record_count")).as[Long].head())
+  }
+
   test("metadata soak law: 400 interleaved append/MoR-delete/merge/fold " +
       "commits keep the version file bounded, metadata writes amortized " +
       "O(delta log), and logical content exact") {
