@@ -96,42 +96,8 @@ object Bench {
     val prevFloors: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val txt = java.nio.file.Files.readString(p)
-        if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
-        else {
-          def objBody(key: String): String = {
-            val i = txt.indexOf(s""""$key":{""")
-            if (i < 0) return ""
-            val start = txt.indexOf('{', i)
-            var depth = 0; var j = start; var inStr = false; var esc = false
-            while (j < txt.length && (depth > 0 || j == start)) {
-              val c = txt.charAt(j)
-              if (inStr) {
-                if (esc) esc = false
-                else if (c == '\\') esc = true
-                else if (c == '"') inStr = false
-              } else {
-                if (c == '"') inStr = true
-                else if (c == '{') depth += 1
-                else if (c == '}') depth -= 1
-              }
-              j += 1
-            }
-            txt.substring(start, j)
-          }
-          val num = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.]*)""".r
-          def pairs(body: String): Map[String, Double] =
-            num.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          val q = pairs(objBody("queries"))
-          val w = pairs(objBody("warmup"))
-          q.keySet.flatMap { k =>
-            val cands = (q.get(k).toSeq ++ w.get(k).toSeq).filter(_ > 0)
-            if (cands.isEmpty) None else Some(k -> cands.min)
-          }.toMap
-        }
-      }
+      else graft.core.BenchFloors.parse(
+        java.nio.file.Files.readString(p), sfDir)
     } catch { case _: Throwable => Map.empty }
     // Auto-retime: a timed run > 3× its own warmup is the signature of a
     // stolen window (the r10 driver charged d17 at 13× and l03 at 16×

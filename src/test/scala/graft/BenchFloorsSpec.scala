@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.BenchFloors
+
+/** The bench's floor-file parser: per-query floors = min(timed, warmup)
+  * from a previous BENCH_DETAIL.json, same-sf only, resilient to error
+  * strings, escaped quotes, and malformed input (degrade to empty, the
+  * no-floors path — never a crash that would take the bench with it). */
+class BenchFloorsSpec extends AnyFunSuite {
+
+  private val detail =
+    """{"metric":"total","value":10.0,"unit":"sec","n_queries":3,
+      |"n_error":1,"sf":"/data/sf0.1",
+      |"queries":{"q01_rev":1.5,"l07_dedup":0.8,
+      |  "p01_dead":"error: boom {\"nested\": true} \\ end"},
+      |"warmup":{"q01_rev":2.0,"l07_dedup":0.4,"p01_dead":-1},
+      |"probe":{"0":0.05}}""".stripMargin
+
+  test("floors are per-query min(timed, warmup), errors and -1 skipped") {
+    val f = BenchFloors.parse(detail, "/data/sf0.1")
+    assert(f == Map("q01_rev" -> 1.5, "l07_dedup" -> 0.4))
+  }
+
+  test("a different sf dir yields no floors") {
+    assert(BenchFloors.parse(detail, "/data/sf1").isEmpty)
+  }
+
+  test("error-string values with braces and escapes do not corrupt the scan") {
+    // the error string for p01 embeds `{`, `}`, an escaped quote and a
+    // backslash — the brace-matcher must not mistake them for structure
+    val f = BenchFloors.parse(detail, "/data/sf0.1")
+    assert(!f.contains("p01_dead"))
+    assert(f.contains("l07_dedup"), "entries after the error string must survive")
+  }
+
+  test("missing objects or truncated input degrade to empty, not a crash") {
+    assert(BenchFloors.parse("""{"sf":"/d"}""", "/d").isEmpty)
+    assert(BenchFloors.parse("""{"sf":"/d","queries":{"a":1.0""", "/d")
+      .isEmpty || true) // truncated: whatever parses must not throw
+    assert(BenchFloors.parse("", "/d").isEmpty)
+  }
+}
