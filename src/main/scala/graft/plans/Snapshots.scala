@@ -92,6 +92,32 @@ object Snapshots {
       st.map(_.files).getOrElse(-1L),
       st.map(_.bytes).getOrElse(-1L))
   }
+
+  /** Stats-attributed partition value of a temporal/numeric/string
+    * min-max pair — day ordinals and epoch micros render as their
+    * integer value. */
+  private def renderPartValue(x: Any): String = x match {
+    case DirStats.Days(d) => d.toString
+    case DirStats.Micros(u) => u.toString
+    case other => other.toString
+  }
+
+  /** One `\$partitions` pre-rollup row from an entry: (isData,
+    * attributed partition value or null, rows, files, bytes). Static
+    * for the same executor-closure reason as [[fileRow]]. */
+  private[plans] def partRow(root: String, partCol: String,
+      e: ManifestEntry): (Boolean, String, Long, Long, Long) = {
+    val st = e.stats.orElse(DirStats.read(new java.io.File(s"$root/${e.rel}")))
+    val value = st.flatMap(_.cols.get(partCol)) match {
+      case Some(c) if c.min == c.max && c.nulls == 0 =>
+        renderPartValue(c.min)
+      case _ => null
+    }
+    (e.kind == "data", value,
+      st.map(_.rows).getOrElse(-1L),
+      st.map(_.files).getOrElse(-1L),
+      st.map(_.bytes).getOrElse(-1L))
+  }
 }
 
 /** Manifest-based versioned-snapshot store — the table-format emulation
@@ -1276,20 +1302,32 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       partCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    def render(x: Any): String = x match {
-      case DirStats.Days(d) => d.toString   // day ordinal
-      case DirStats.Micros(u) => u.toString // epoch micros
-      case other => other.toString
-    }
-    readEntries(table, v).filter(_.kind == "data").map { e =>
-      val st = entryStats(e)
-      val value = st.flatMap(_.cols.get(partCol)) match {
-        case Some(c) if c.min == c.max && c.nulls == 0 => render(c.min)
-        case _ => null
+    val cols = Seq("is_data", "partition_value", "rows", "files", "bytes")
+    // the same inline/segmented split as [[filesMetadata]]: a segmented
+    // (potentially table-sized) manifest pre-rolls up from a DISTRIBUTED
+    // text scan of the segment files; a tiny inline manifest stays on
+    // the driver
+    val lines = readRaw(table, v).linesIterator.map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val (segLines, inlineLines) = lines.partition(_.startsWith("@seg\t"))
+    val base =
+      if (segLines.isEmpty)
+        readEntries(table, v).map(e => Snapshots.partRow(root, partCol, e))
+          .toDF(cols: _*)
+      else {
+        val rootLocal = root
+        val partColLocal = partCol
+        val seg = spark.read.textFile(
+            segLines.map(l => s"$root/${l.stripPrefix("@seg\t")}"): _*)
+          .map(_.trim).filter(_.nonEmpty)
+          .map(l => Snapshots.partRow(rootLocal, partColLocal,
+            Snapshots.parseEntryLine(l)))
+        (if (inlineLines.isEmpty) seg
+         else seg.union(spark.createDataset(inlineLines.map(l =>
+           Snapshots.partRow(root, partCol, Snapshots.parseEntryLine(l))))))
+          .toDF(cols: _*)
       }
-      (value, st.map(_.rows).getOrElse(-1L),
-        st.map(_.files).getOrElse(-1L), st.map(_.bytes).getOrElse(-1L))
-    }.toDF("partition_value", "rows", "files", "bytes")
+    base.filter(col("is_data"))
       .groupBy(col("partition_value"))
       .agg(count(lit(1)).as("n_entries"),
         sum(col("rows")).as("record_count"),

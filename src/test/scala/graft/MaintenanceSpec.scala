@@ -1250,6 +1250,20 @@ class MaintenanceSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan2.contains("FileScan"),
       s"inline \\$$files must not launch a file scan:\n$plan2")
+    // $partitions takes the same distributed pre-rollup on a segmented
+    // manifest — and its rollup still attributes correctly there
+    val o2 = o.withColumn("oq", quarter(col("o_orderdate")).cast("long"))
+    val t3 = "ptseg"
+    (1 to 4).foreach(q => sn.append(o2.filter(col("oq") === q), t3))
+    val pm = sn.partitionsMetadata(spark, t3, 4, "oq")
+    assert(pm.queryExecution.executedPlan.toString.contains("FileScan text"),
+      "segmented \\$partitions must pre-roll up from a distributed scan")
+    val byVal = pm.collect()
+      .map(r => r.getAs[String]("partition_value") ->
+        r.getAs[Long]("record_count")).toMap
+    (1 to 4).foreach { q =>
+      assert(byVal(q.toString) == o2.filter(col("oq") === q).count())
+    }
   }
 
   test("$partitions attribution: single-valued dirs roll up under their " +
