@@ -79,19 +79,29 @@ object Snapshots {
       case _ => sys.error(s"unparseable manifest line: $line")
     }
 
-  /** One `\$files` row from an entry: inline manifest metrics first,
-    * the per-dir sidecar as legacy fallback. Static so the distributed
-    * path's closure captures only the root STRING, never the
-    * Snapshots instance (and with it its caches). */
-  private[plans] def fileRow(root: String, e: ManifestEntry)
-      : (String, Long, String, Long, Long, Long, Long) = {
-    val st = e.stats.orElse(DirStats.read(new java.io.File(s"$root/${e.rel}")))
+  /** One `\$files` row from an entry and its RESOLVED stats. Static so
+    * the distributed path's closure captures only strings/maps, never
+    * the Snapshots instance (and with it its caches). */
+  private[plans] def fileRowFrom(e: ManifestEntry,
+      st: Option[DirStats.Stats])
+      : (String, Long, String, Long, Long, Long, Long) =
     (e.kind, e.seq.toLong, e.rel,
       st.map(_.rows).getOrElse(-1L),
       st.map(_.cols.size.toLong).getOrElse(-1L),
       st.map(_.files).getOrElse(-1L),
       st.map(_.bytes).getOrElse(-1L))
-  }
+
+  /** [[fileRowFrom]] with the DRIVER-side stats resolution: inline
+    * manifest metrics first, the per-dir sidecar as legacy fallback.
+    * Inline-manifest (driver) path only — the distributed segmented
+    * path must NOT run the sidecar `java.io.File` read on executors
+    * (they may not share the driver's filesystem) and instead patches
+    * statless entries from a driver-resolved map
+    * ([[Snapshots!.filesMetadata]]). */
+  private[plans] def fileRow(root: String, e: ManifestEntry)
+      : (String, Long, String, Long, Long, Long, Long) =
+    fileRowFrom(e,
+      e.stats.orElse(DirStats.read(new java.io.File(s"$root/${e.rel}"))))
 
   /** Stats-attributed partition value of a temporal/numeric/string
     * min-max pair — day ordinals and epoch micros render as their
@@ -102,21 +112,86 @@ object Snapshots {
     case other => other.toString
   }
 
-  /** One `\$partitions` pre-rollup row from an entry: (isData,
-    * attributed partition value or null, rows, files, bytes). Static
-    * for the same executor-closure reason as [[fileRow]]. */
-  private[plans] def partRow(root: String, partCol: String,
-      e: ManifestEntry): (Boolean, String, Long, Long, Long) = {
-    val st = e.stats.orElse(DirStats.read(new java.io.File(s"$root/${e.rel}")))
+  /** One `\$partitions` pre-rollup row from an entry and its RESOLVED
+    * stats: (isData, rel, attributed partition value or null, rows,
+    * files, bytes). Static for the same executor-closure reason as
+    * [[fileRowFrom]] — and like it, takes the stats pre-resolved so
+    * the distributed path never touches the driver's filesystem from
+    * an executor. `rel` rides along so the exact-rollup fallback can
+    * scan just the unattributable dirs. */
+  private[plans] def partRowFrom(partCol: String, e: ManifestEntry,
+      st: Option[DirStats.Stats])
+      : (Boolean, String, String, Long, Long, Long) = {
     val value = st.flatMap(_.cols.get(partCol)) match {
       case Some(c) if c.min == c.max && c.nulls == 0 =>
         renderPartValue(c.min)
       case _ => null
     }
-    (e.kind == "data", value,
+    (e.kind == "data", e.rel, value,
       st.map(_.rows).getOrElse(-1L),
       st.map(_.files).getOrElse(-1L),
       st.map(_.bytes).getOrElse(-1L))
+  }
+
+  /** [[partRowFrom]] with driver-side stats resolution (inline path
+    * only — see [[fileRow]]'s shared-filesystem caveat). */
+  private[plans] def partRow(root: String, partCol: String,
+      e: ManifestEntry): (Boolean, String, String, Long, Long, Long) =
+    partRowFrom(partCol, e,
+      e.stats.orElse(DirStats.read(new java.io.File(s"$root/${e.rel}"))))
+
+  /** Resolve the stats of a LEGACY statless entry from its sidecar —
+    * returned as the raw JSON so the patch map ships to executors as
+    * plain strings. Driver-side only. */
+  private[plans] def sidecarJson(root: String, rel: String)
+      : Option[String] =
+    DirStats.read(new java.io.File(s"$root/$rel")).map(DirStats.toJson)
+
+  /** Bound a version file's ref-group list (reused `@seg` refs or
+    * fresh entry runs, in order) to at most `maxRefs`.
+    *
+    * Pass 1 — GEOMETRIC tail merge (LSM tiering / Lucene merge-policy
+    * economics): adjacent groups merge while the earlier one holds
+    * fewer than 2× the later one's entries, so surviving sizes
+    * decrease geometrically front-to-back — the ref list is O(log
+    * entries), each entry is rewritten O(log entries) times over the
+    * table's lifetime (amortized O(delta · log) metadata writes), and
+    * the big head segments are REUSED verbatim through a merge commit.
+    *
+    * Pass 2 — coarse fallback, so `maxRefs` is an INVARIANT rather
+    * than the O(log entries) estimate: a pathological size profile
+    * (strictly ≥2×-decreasing sizes across more than `maxRefs` groups,
+    * i.e. beyond ~2^maxRefs entries at the 16-ref floor) can survive
+    * the geometric pass over-long; the fallback then merges the
+    * adjacent pair with the smallest combined entry count until the
+    * bound holds, touching the cheapest (tail-most) metadata first.
+    * A merged group is FRESH (ref `None`): its bytes must be
+    * rewritten; untouched groups keep their reused refs. */
+  private[graft] def boundRefGroups(
+      groups: IndexedSeq[(Option[String], List[ManifestEntry])],
+      maxRefs: Int)
+      : IndexedSeq[(Option[String], List[ManifestEntry])] = {
+    if (groups.size <= maxRefs) return groups
+    val stack = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[String], List[ManifestEntry])]
+    groups.foreach { g =>
+      stack += g
+      while (stack.size >= 2 &&
+          stack(stack.size - 2)._2.size < 2 * stack.last._2.size) {
+        val b = stack.remove(stack.size - 1)
+        val a = stack.remove(stack.size - 1)
+        stack += ((None, a._2 ++ b._2)) // merged ⇒ fresh
+      }
+    }
+    while (stack.size > maxRefs) {
+      val i = (0 until stack.size - 1)
+        .minBy(j => stack(j)._2.size + stack(j + 1)._2.size)
+      val merged: (Option[String], List[ManifestEntry]) =
+        (None, stack(i)._2 ++ stack(i + 1)._2)
+      stack.remove(i + 1)
+      stack(i) = merged
+    }
+    stack.toIndexedSeq
   }
 }
 
@@ -307,36 +382,11 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       }
     }
     flushRun()
-    // Ref-list bound: GEOMETRIC tail merge (LSM tiering / Lucene merge
-    // policy economics), not a flat full re-chunk. Adjacent groups
-    // merge while the earlier one holds fewer than 2× the later one's
-    // entries, so surviving sizes decrease geometrically front-to-back:
-    //   - the ref list is O(log entries) — ≤ maxSegRefs for any
-    //     realistic table (2^16 entries at the 16-ref floor);
-    //   - each entry is rewritten O(log entries) times over the
-    //     table's LIFETIME, so per-commit metadata writes are
-    //     amortized O(delta · log) — the old full re-chunk rewrote
-    //     O(table) once per ~maxSegRefs commits, an O(table/const)
-    //     amortized creep the metadata-soak law rejects;
-    //   - the big head segments are REUSED verbatim through a merge
-    //     commit (only the merged tail is fresh), where the full
-    //     re-chunk invalidated every predecessor segment at once.
-    val bounded =
-      if (groups.size <= maxSegRefs) groups
-      else {
-        val stack = scala.collection.mutable.ArrayBuffer
-          .empty[(Option[String], List[ManifestEntry])]
-        groups.foreach { g =>
-          stack += g
-          while (stack.size >= 2 &&
-              stack(stack.size - 2)._2.size < 2 * stack.last._2.size) {
-            val b = stack.remove(stack.size - 1)
-            val a = stack.remove(stack.size - 1)
-            stack += ((None, a._2 ++ b._2)) // merged ⇒ fresh
-          }
-        }
-        stack
-      }
+    // Ref-list bound: GEOMETRIC tail merge with a coarse fallback that
+    // makes maxSegRefs a hard invariant — [[Snapshots.boundRefGroups]]
+    // (extracted there so the bound itself is spec-testable without a
+    // 2^16-entry fixture).
+    val bounded = Snapshots.boundRefGroups(groups.toIndexedSeq, maxSegRefs)
     val fresh = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
     val out = bounded.map {
       case (Some(rel), _) => s"@seg\t$rel"
@@ -1269,14 +1319,23 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       // multi-million-file table), so the rows come from a DISTRIBUTED
       // text scan over the segment files themselves — the driver
       // touches only the version file's @seg ref list. The closure
-      // captures the root STRING only (parse + stats helpers are
-      // static on the companion).
-      val rootLocal = root
+      // captures only strings and the (small) legacy patch map —
+      // parse + stats helpers are static on the companion, and the
+      // sidecar fallback for statless LEGACY entries resolves on the
+      // DRIVER first (executors may not share its filesystem; without
+      // this, the same snapshot would answer differently by manifest
+      // shape). The patch pre-pass is one extra metadata-text scan,
+      // paid only for correctness of the rare pre-inline-stats case.
       val segPaths =
         segLines.map(l => s"$root/${l.stripPrefix("@seg\t")}")
+      val patch = legacyStatsPatch(spark, segPaths)
       val seg = spark.read.textFile(segPaths: _*)
         .map(_.trim).filter(_.nonEmpty)
-        .map(l => Snapshots.fileRow(rootLocal, Snapshots.parseEntryLine(l)))
+        .map { l =>
+          val e = Snapshots.parseEntryLine(l)
+          Snapshots.fileRowFrom(e,
+            e.stats.orElse(patch.get(e.rel).flatMap(DirStats.parseJson)))
+        }
       val withInline =
         if (inlineLines.isEmpty) seg
         else seg.union(spark.createDataset(
@@ -1284,6 +1343,26 @@ class Snapshots(root: String, segThreshold: Int = 64) {
             Snapshots.fileRow(root, Snapshots.parseEntryLine(l)))))
       withInline.toDF(cols: _*)
     }
+  }
+
+  /** Driver-resolved sidecar stats for the LEGACY statless entries of
+    * the given segment files: rel → stats JSON, empty when every entry
+    * carries inline metrics (the post-r11 invariant — the map is only
+    * populated for pre-inline-format tables, so it stays small and
+    * ships to executors in the task closure). */
+  private def legacyStatsPatch(spark: SparkSession,
+      segPaths: Seq[String]): Map[String, String] = {
+    import spark.implicits._
+    val statless = spark.read.textFile(segPaths: _*)
+      .map(_.trim).filter(_.nonEmpty)
+      .map { l =>
+        val e = Snapshots.parseEntryLine(l)
+        (e.rel, e.statsJson.isDefined)
+      }
+      .filter(!_._2).map(_._1).collect()
+    statless.iterator
+      .flatMap(rel => Snapshots.sidecarJson(root, rel).map(rel -> _))
+      .toMap
   }
 
   /** Iceberg-style `$partitions` metadata table: per-partition rollup
@@ -1301,38 +1380,57 @@ class Snapshots(root: String, segThreshold: Int = 64) {
   def partitionsMetadata(spark: SparkSession, table: String, v: Int,
       partCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    partitionsPreRollup(spark, table, v, partCol)
+      .filter(col("is_data"))
+      .groupBy(col("partition_value"))
+      .agg(count(lit(1)).as("n_entries"),
+        // -1 is the 'stats unknown' sentinel, never a quantity: summing
+        // it would silently DEFLATE a bucket that mixes one statless
+        // legacy dir with attributed ones (10 + (-1) = 9) on the exact
+        // surface compaction decisions read. Unknowns are excluded from
+        // the totals and surfaced per bucket as has_unknown_stats
+        // (all-unknown buckets total NULL, not a fabricated number).
+        sum(when(col("rows") >= 0, col("rows"))).as("record_count"),
+        sum(when(col("files") >= 0, col("files"))).as("file_count"),
+        sum(when(col("bytes") >= 0, col("bytes"))).as("total_bytes"),
+        max(col("rows") < 0 || col("files") < 0 || col("bytes") < 0)
+          .as("has_unknown_stats"))
+  }
+
+  /** The per-entry pre-rollup under [[partitionsMetadata]]: one row
+    * per manifest entry of snapshot `v` with its stats-attributed
+    * partition value (null when unattributable). Same inline/segmented
+    * split as [[filesMetadata]]: a segmented (potentially table-sized)
+    * manifest pre-rolls up from a DISTRIBUTED text scan of the segment
+    * files with legacy sidecars driver-resolved; a tiny inline
+    * manifest stays on the driver. */
+  private def partitionsPreRollup(spark: SparkSession, table: String,
+      v: Int, partCol: String): DataFrame = {
     import spark.implicits._
-    val cols = Seq("is_data", "partition_value", "rows", "files", "bytes")
-    // the same inline/segmented split as [[filesMetadata]]: a segmented
-    // (potentially table-sized) manifest pre-rolls up from a DISTRIBUTED
-    // text scan of the segment files; a tiny inline manifest stays on
-    // the driver
+    val cols = Seq("is_data", "rel", "partition_value", "rows", "files",
+      "bytes")
     val lines = readRaw(table, v).linesIterator.map(_.trim)
       .filter(_.nonEmpty).toSeq
     val (segLines, inlineLines) = lines.partition(_.startsWith("@seg\t"))
-    val base =
-      if (segLines.isEmpty)
-        readEntries(table, v).map(e => Snapshots.partRow(root, partCol, e))
-          .toDF(cols: _*)
-      else {
-        val rootLocal = root
-        val partColLocal = partCol
-        val seg = spark.read.textFile(
-            segLines.map(l => s"$root/${l.stripPrefix("@seg\t")}"): _*)
-          .map(_.trim).filter(_.nonEmpty)
-          .map(l => Snapshots.partRow(rootLocal, partColLocal,
-            Snapshots.parseEntryLine(l)))
-        (if (inlineLines.isEmpty) seg
-         else seg.union(spark.createDataset(inlineLines.map(l =>
-           Snapshots.partRow(root, partCol, Snapshots.parseEntryLine(l))))))
-          .toDF(cols: _*)
-      }
-    base.filter(col("is_data"))
-      .groupBy(col("partition_value"))
-      .agg(count(lit(1)).as("n_entries"),
-        sum(col("rows")).as("record_count"),
-        sum(col("files")).as("file_count"),
-        sum(col("bytes")).as("total_bytes"))
+    if (segLines.isEmpty)
+      readEntries(table, v).map(e => Snapshots.partRow(root, partCol, e))
+        .toDF(cols: _*)
+    else {
+      val partColLocal = partCol
+      val segPaths = segLines.map(l => s"$root/${l.stripPrefix("@seg\t")}")
+      val patch = legacyStatsPatch(spark, segPaths)
+      val seg = spark.read.textFile(segPaths: _*)
+        .map(_.trim).filter(_.nonEmpty)
+        .map { l =>
+          val e = Snapshots.parseEntryLine(l)
+          Snapshots.partRowFrom(partColLocal, e,
+            e.stats.orElse(patch.get(e.rel).flatMap(DirStats.parseJson)))
+        }
+      (if (inlineLines.isEmpty) seg
+       else seg.union(spark.createDataset(inlineLines.map(l =>
+         Snapshots.partRow(root, partCol, Snapshots.parseEntryLine(l))))))
+        .toDF(cols: _*)
+    }
   }
 
   /** Iceberg-style `$manifests`-like metadata table over the segment

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.core.{Tables => T}
-import graft.plans.{Maintenance, Snapshots}
+import graft.plans.{Maintenance, ManifestEntry, Snapshots}
 
 /** M1-M4, M6, M9 + D5 snapshot semantics — the filesystem-effect
   * operators the SQL oracle can't see. */
@@ -1295,6 +1295,76 @@ class MaintenanceSpec extends SparkSpec {
       sn.filesMetadata(spark, t, v)
         .filter($"entry_kind" === "data")
         .agg(sum($"record_count")).as[Long].head())
+  }
+
+  test("$partitions: a statless legacy dir never deflates a bucket's " +
+      "totals — unknowns are excluded and flagged, not summed as -1") {
+    import spark.implicits._
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "ptu"
+    // attributed p=1, 2 known rows
+    sn.commit(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "p", "s"), t)
+    // multi-valued WITH stats → NULL bucket, 2 known rows
+    sn.append(Seq((3L, 2L, "c"), (4L, 3L, "d")).toDF("k", "p", "s"), t)
+    // legacy statless dir: parquet written directly (no sidecar, no
+    // inline stats), committed as a bare entry — rows UNKNOWN (-1)
+    Seq((5L, 9L, "e")).toDF("k", "p", "s")
+      .write.parquet(s"$root/$t/data/d99")
+    sn.occRetry(t) { cur =>
+      sn.commitEntriesIfCurrent(t, cur, sn.readEntries(t, cur.get) :+
+        ManifestEntry("data", 0, s"$t/data/d99", Nil))
+    }
+    val v = sn.currentVersion(t).get
+    val byVal = sn.partitionsMetadata(spark, t, v, "p").collect()
+      .map(r => Option(r.getAs[String]("partition_value")) -> r).toMap
+    val nullB = byVal(None)
+    assert(nullB.getAs[Long]("n_entries") == 2L)
+    // 2 known rows from the multi-valued dir; the statless dir's -1
+    // sentinel must NOT deflate this to 1
+    assert(nullB.getAs[Long]("record_count") == 2L)
+    assert(nullB.getAs[Boolean]("has_unknown_stats"))
+    val p1 = byVal(Some("1"))
+    assert(p1.getAs[Long]("record_count") == 2L)
+    assert(!p1.getAs[Boolean]("has_unknown_stats"))
+    // an all-unknown bucket totals NULL, never a fabricated number
+    val sn2 = new Snapshots(scratch())
+    Seq((1L, 1L, "x")).toDF("k", "p", "s")
+      .write.parquet(s"${sn2.rootDir}/ptz/data/d7")
+    sn2.commitEntriesIfCurrent("ptz", None,
+      Seq(ManifestEntry("data", 0, "ptz/data/d7", Nil)))
+    val z = sn2.partitionsMetadata(spark, "ptz", 1, "p").collect()
+    assert(z.length == 1 && z.head.isNullAt(z.head.fieldIndex("record_count")))
+    assert(z.head.getAs[Boolean]("has_unknown_stats"))
+  }
+
+  test("boundRefGroups: the geometric pass bounds typical profiles and " +
+      "the coarse fallback makes maxRefs a hard invariant") {
+    def grp(ref: Option[String], n: Int, tag: String) =
+      (ref, (0 until n)
+        .map(i => ManifestEntry("data", 0, s"$tag/d$i", Nil)).toList)
+    // strictly ≥2×-decreasing sizes: the geometric pass merges nothing,
+    // so only the coarse fallback can enforce the bound
+    val steep = IndexedSeq(grp(Some("s16"), 16, "a"),
+      grp(Some("s8"), 8, "b"), grp(None, 4, "c"), grp(None, 2, "d"),
+      grp(None, 1, "e"))
+    val bounded = Snapshots.boundRefGroups(steep, 4)
+    assert(bounded.size <= 4, s"maxRefs must be an invariant: $bounded")
+    assert(bounded.flatMap(_._2) == steep.flatMap(_._2),
+      "order-preserving: the entry concatenation must be unchanged")
+    assert(bounded.head._1.contains("s16"),
+      "untouched head segments keep their reused refs through the fallback")
+    // the cheapest (tail-most) pair merges first: 2+1, not the 24-entry head
+    assert(bounded(1)._1.contains("s8"))
+    // a gentle (non-geometric) profile is bounded by the geometric pass
+    val gentle = IndexedSeq(grp(None, 3, "f"), grp(None, 3, "g"),
+      grp(None, 3, "h"), grp(None, 3, "i"), grp(None, 3, "j"))
+    val g = Snapshots.boundRefGroups(gentle, 4)
+    assert(g.size <= 4)
+    assert(g.flatMap(_._2) == gentle.flatMap(_._2))
+    // within-bound input passes through untouched (refs preserved)
+    val small = IndexedSeq(grp(Some("x"), 2, "k"), grp(None, 1, "l"))
+    assert(Snapshots.boundRefGroups(small, 4) == small)
   }
 
   test("metadata soak law: 400 interleaved append/MoR-delete/merge/fold " +
