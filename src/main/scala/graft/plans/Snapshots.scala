@@ -140,6 +140,23 @@ object Snapshots {
     partRowFrom(partCol, e,
       e.stats.orElse(DirStats.read(new java.io.File(s"$root/${e.rel}"))))
 
+  /** Entry counts of one manifest segment: the quadruple [[history]]
+    * and [[segmentsMetadata]] need per version-file ref — cached per
+    * segment so those surfaces are O(refs), not O(entries), after the
+    * first touch. */
+  private[graft] final case class SegCounts(nEntries: Long, nData: Long,
+      nDelete: Long, maxSeq: Int)
+
+  private[graft] def countsOf(es: IterableOnce[ManifestEntry]): SegCounts = {
+    var n = 0L; var d = 0L; var del = 0L; var mx = 0
+    es.iterator.foreach { e =>
+      n += 1
+      if (e.kind == "data") d += 1 else del += 1
+      if (e.seq > mx) mx = e.seq
+    }
+    SegCounts(n, d, del, mx)
+  }
+
   /** Resolve the stats of a LEGACY statless entry from its sidecar —
     * returned as the raw JSON so the patch map ships to executors as
     * plain strings. Driver-side only. */
@@ -297,26 +314,65 @@ class Snapshots(root: String, segThreshold: Int = 64) {
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, List[ManifestEntry]]()
 
+  /** Per-segment entry COUNTS — (entries, data, delete, max seq) —
+    * cached separately from the parsed lists so counts-only consumers
+    * ([[history]], [[segmentsMetadata]]) stay O(version-file refs)
+    * per version after one touch per segment, and never hold a giant
+    * table's full entry lists in memory just to count them: a
+    * 1000-version audit over a segmented table touches version files
+    * plus each distinct segment ONCE, not O(versions × entries). */
+  private val segCountsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshots.SegCounts]()
+
   /** Drop cache entries whose segment file no longer exists (deleted
     * by [[expire]]/[[cleanOrphans]], here or in another instance on
     * the same root). O(cache size) file-existence probes — metadata
-    * stat calls, paid once per GC pass, which bounds the cache at the
+    * stat calls, paid once per GC pass, which bounds the caches at the
     * live segment count. */
-  private def evictDeadSegCacheEntries(): Unit =
+  private def evictDeadSegCacheEntries(): Unit = {
     segCache.keySet.removeIf(rel =>
       !new java.io.File(s"$root/$rel").exists())
+    segCountsCache.keySet.removeIf(rel =>
+      !new java.io.File(s"$root/$rel").exists())
+  }
 
   /** Test visibility: current segment-cache entry count. */
   private[graft] def segCacheSize: Int = segCache.size()
 
+  /** Test visibility: segment-file PARSES performed (cold reads, list
+    * or counts) — the meter for "a warm metadata scan re-parses
+    * nothing". */
+  private[graft] val segParseCount = new java.util.concurrent.atomic.AtomicLong()
+
   private def readSeg(rel: String): List[ManifestEntry] =
     segCache.computeIfAbsent(rel, _ => {
+      segParseCount.incrementAndGet()
       val f = new java.io.File(s"$root/$rel")
       require(f.exists(), s"missing manifest segment $rel")
       val src = scala.io.Source.fromFile(f)
       try src.getLines().map(_.trim).filter(_.nonEmpty)
         .map(parseEntry).toList
       finally src.close()
+    })
+
+  /** The counts quadruple of an immutable segment. Served from the
+    * parsed-list cache when that is already warm; otherwise STREAMED
+    * off the file without materializing (or caching) the entry list —
+    * a counts-only history audit should not pull every segment's
+    * entries into memory as a side effect. */
+  private def segCounts(rel: String): Snapshots.SegCounts =
+    segCountsCache.computeIfAbsent(rel, _ => {
+      Option(segCache.get(rel)) match {
+        case Some(es) => Snapshots.countsOf(es)
+        case None =>
+          segParseCount.incrementAndGet()
+          val f = new java.io.File(s"$root/$rel")
+          require(f.exists(), s"missing manifest segment $rel")
+          val src = scala.io.Source.fromFile(f)
+          try Snapshots.countsOf(src.getLines().map(_.trim)
+            .filter(_.nonEmpty).map(parseEntry))
+          finally src.close()
+      }
     })
 
   private def writeSeg(table: String, es: Seq[ManifestEntry]): String = {
@@ -327,6 +383,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       es.map(fmtEntry).mkString("\n"))
     val rel = s"$table/manifests/seg/$name"
     segCache.put(rel, es.toList)
+    segCountsCache.put(rel, Snapshots.countsOf(es))
     rel
   }
 
@@ -1268,12 +1325,28 @@ class Snapshots(root: String, segThreshold: Int = 64) {
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     versions(table).map { v =>
-      val es = readEntries(table, v)
-      (v.toLong, es.count(_.kind == "data").toLong,
-        es.count(_.kind == "delete").toLong,
-        (es.map(_.seq) :+ 0).max.toLong)
+      // counts per version come from the per-segment counts cache, so
+      // a long history over a segmented table costs O(versions × refs)
+      // after each distinct (immutable) segment is counted once —
+      // never an O(entries) list walk per version
+      val cs = versionLineCounts(table, v).map(_._2)
+      (v.toLong, cs.map(_.nData).sum, cs.map(_.nDelete).sum,
+        (cs.map(_.maxSeq) :+ 0).max.toLong)
     }.toDF("version", "n_data_entries", "n_delete_entries", "max_seq")
   }
+
+  /** Per version-file LINE: its kind ("seg" ref or "inline" entry) and
+    * its counts — segments through the counts cache, inline lines
+    * parsed in place. The O(refs) backbone of [[history]] and
+    * [[segmentsMetadata]]. */
+  private def versionLineCounts(table: String, v: Int)
+      : Seq[(String, Snapshots.SegCounts)] =
+    readRaw(table, v).linesIterator.map(_.trim).filter(_.nonEmpty)
+      .map { l =>
+        if (l.startsWith("@seg\t"))
+          ("seg", segCounts(l.stripPrefix("@seg\t")))
+        else ("inline", Snapshots.countsOf(List(parseEntry(l))))
+      }.toSeq
 
   /** Logical row count of snapshot `v` — Iceberg's `total-records`,
     * answered from manifest metadata wherever possible: a pure-data
@@ -1443,18 +1516,9 @@ class Snapshots(root: String, segThreshold: Int = 64) {
   def segmentsMetadata(spark: SparkSession, table: String, v: Int)
       : DataFrame = {
     import spark.implicits._
-    readRaw(table, v).linesIterator.map(_.trim).filter(_.nonEmpty)
-      .zipWithIndex.map { case (l, i) =>
-        val es =
-          if (l.startsWith("@seg\t")) readSeg(l.stripPrefix("@seg\t"))
-          else List(parseEntry(l))
-        (i.toLong,
-          if (l.startsWith("@seg\t")) "seg" else "inline",
-          es.size.toLong,
-          es.count(_.kind == "data").toLong,
-          es.count(_.kind == "delete").toLong)
-      }.toSeq
-      .toDF("position", "ref_kind", "n_entries", "n_data", "n_delete")
+    versionLineCounts(table, v).zipWithIndex.map { case ((kind, c), i) =>
+      (i.toLong, kind, c.nEntries, c.nData, c.nDelete)
+    }.toDF("position", "ref_kind", "n_entries", "n_data", "n_delete")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -1465,14 +1529,37 @@ class Snapshots(root: String, segThreshold: Int = 64) {
 
   /** Every data dir referenced by ANY live manifest under the root —
     * liveness is ROOT-wide, not per-table, because branches share data
-    * dirs by reference (publish/branch are manifest copies). */
-  private def liveDataDirs(): Set[String] =
+    * dirs by reference (publish/branch are manifest copies).
+    *
+    * Cost discipline for a GC pass over many tables × long histories:
+    * version files are walked once each (O(versions × refs)), but each
+    * DISTINCT segment resolves once root-wide and each DISTINCT entry
+    * rel canonicalizes once — the pre-r14 shape re-walked every
+    * version's full entry list and paid one getCanonicalPath SYSCALL
+    * per entry PER VERSION, an O(total-metadata) driver walk per GC. */
+  private def liveDataDirs(): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    val seenSegs = scala.collection.mutable.Set.empty[String]
+    val canon = scala.collection.mutable.HashMap.empty[String, String]
+    def add(rel: String): Unit =
+      out += canon.getOrElseUpdate(rel,
+        new java.io.File(s"$root/$rel").getCanonicalPath)
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).toSeq
-      .flatMap(td => versions(td.getName)
-        .flatMap(v => readEntries(td.getName, v))) // delete dirs are live too
-      .map(e => new java.io.File(s"$root/${e.rel}").getCanonicalPath)
-      .toSet
+      .filter(_.isDirectory)
+      .foreach { td =>
+        versions(td.getName).foreach { v =>
+          readRaw(td.getName, v).linesIterator.map(_.trim)
+            .filter(_.nonEmpty).foreach { l =>
+              if (l.startsWith("@seg\t")) {
+                val rel = l.stripPrefix("@seg\t")
+                // delete dirs are live too — readSeg keeps them
+                if (seenSegs.add(rel)) readSeg(rel).foreach(e => add(e.rel))
+              } else add(parseEntry(l).rel)
+            }
+        }
+      }
+    out.toSet
+  }
 
   /** Every manifest segment referenced by ANY live version under the
     * root — root-wide like [[liveDataDirs]], because branch/publish

@@ -1338,6 +1338,49 @@ class MaintenanceSpec extends SparkSpec {
     assert(z.head.getAs[Boolean]("has_unknown_stats"))
   }
 
+  test("history/segmentsMetadata count from the per-segment cache: a " +
+      "warm audit re-parses ZERO segments, a cold one parses each once") {
+    import spark.implicits._
+    val root = scratch()
+    val sn = new Snapshots(root, segThreshold = 2)
+    val t = "hcache"
+    (1 to 8).foreach(i => sn.append(Seq((i.toLong, s"s$i")).toDF("k", "s"), t))
+    val segFiles = Option(new java.io.File(s"$root/$t/manifests/seg")
+      .listFiles()).getOrElse(Array.empty).count(_.getName.endsWith(".seg"))
+    assert(segFiles > 2, "fixture must actually be segmented")
+    // a COLD reader (no writer-side caches): the full history audit
+    // parses each distinct segment at most once...
+    val cold = new Snapshots(root, segThreshold = 2)
+    val h1 = cold.history(spark, t).collect()
+    val parsesAfterWarmup = cold.segParseCount.get()
+    assert(parsesAfterWarmup <= segFiles,
+      s"cold history must parse each segment at most once: " +
+        s"$parsesAfterWarmup parses for $segFiles segments")
+    // ...and a warm re-audit (history + $segments over every version)
+    // re-parses NOTHING — counts come from the cache
+    val h2 = cold.history(spark, t).collect()
+    cold.versions(t).foreach(v => cold.segmentsMetadata(spark, t, v).collect())
+    assert(cold.segParseCount.get() == parsesAfterWarmup,
+      "warm metadata scans must hit the counts cache, not the files")
+    assert(h1.toSeq == h2.toSeq)
+    // the counts agree with a full entry-list walk
+    val last = cold.versions(t).last
+    val es = cold.readEntries(t, last)
+    val row = h2.find(_.getAs[Long]("version") == last.toLong).get
+    assert(row.getAs[Long]("n_data_entries") == es.count(_.kind == "data"))
+    assert(row.getAs[Long]("max_seq") == es.map(_.seq).max.toLong)
+    // GC eviction clears the counts cache too: counting a manually
+    // deleted segment must fail loudly, not serve a cached ghost
+    cold.expire(t, 1, 0L)
+    Option(new java.io.File(s"$root/$t/manifests/seg").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".seg"))
+      .foreach(_.delete())
+    cold.cleanOrphans(t, 0L) // evicts both caches
+    intercept[IllegalArgumentException] {
+      cold.history(spark, t).collect()
+    }
+  }
+
   test("boundRefGroups: the geometric pass bounds typical profiles and " +
       "the coarse fallback makes maxRefs a hard invariant") {
     def grp(ref: Option[String], n: Int, tag: String) =
