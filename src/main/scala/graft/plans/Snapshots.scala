@@ -1316,6 +1316,26 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     else spark.read.parquet(added.map(e => s"$root/${e.rel}"): _*)
   }
 
+  /** The versions in `(fromV, toV]` whose commit was NOT a pure append
+    * (CoW rewrite, MoR delete, fold, rollback, compaction — any step
+    * where the entry set is not a superset of its predecessor's). The
+    * streaming source's `onNonAppend=fail` guard reads this before
+    * planning a batch: replaying a rewrite would duplicate rows the
+    * consumer already processed, so the safe default is to stop loudly
+    * (Iceberg's streaming-read default) and point at the offending
+    * versions. Manifest set-diffs only — zero data I/O. */
+  def nonAppendVersionsBetween(table: String, fromV: Int,
+      toV: Int): Seq[Int] = {
+    val live = versions(table)
+    require(live.contains(fromV) && live.contains(toV) && fromV <= toV,
+      s"nonAppendVersionsBetween needs live versions $fromV <= $toV; have $live")
+    live.filter(v => v >= fromV && v <= toV).sliding(2).collect {
+      case Seq(pv, nv)
+          if !readEntries(table, pv).toSet
+            .subsetOf(readEntries(table, nv).toSet) => nv
+    }.toSeq
+  }
+
   /** Iceberg-style `$snapshots` metadata table: one row per LIVE
     * version with its manifest composition — the introspection surface
     * the reference platform's verification queries read (snapshot

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import graft.plans.Snapshots
+
+/** The snapshot store as a STRUCTURED STREAMING SOURCE — Iceberg's
+  * Spark streaming read (`SparkMicroBatchStream`: snapshots are the
+  * offsets, appended files are the batches) re-expressed over graft's
+  * manifest store. The reference platform consumes streams INTO tables
+  * (`/root/reference/main.py:346-398`); a lakehouse equally streams
+  * OUT of them — every downstream incremental job is a tail of the
+  * table's append history. This source makes [[Snapshots.appendsBetween]]
+  * (already the incremental batch read, d28) the micro-batch planner:
+  *
+  *  - OFFSETS ARE TABLE VERSIONS. `getOffset` reads the current
+  *    version (one directory listing — pure metadata); a micro-batch is
+  *    the half-open version range `(start, end]`. Offsets serialize as
+  *    the bare version number, so the checkpoint's offset log is
+  *    human-auditable against `$snapshots` and a restart resumes from
+  *    the exact committed version (kill/resume spec'd in
+  *    SnapshotStreamSpec).
+  *  - BATCHES ARE MANIFEST SET-DIFFS. Planning a batch costs O(manifest)
+  *    metadata, and the scan touches ONLY the dirs appended in the
+  *    range — never the table. At 100 TB a consumer lagging by three
+  *    commits reads three commits' worth of files.
+  *  - NON-APPEND COMMITS (CoW rewrite, MoR delete, fold, rollback,
+  *    compaction) are change data, not appends — replaying a rewrite
+  *    would duplicate rows the consumer already processed. Default
+  *    `onNonAppend=fail` stops the query loudly (Iceberg's streaming
+  *    default: refuse silent under-delivery); `onNonAppend=skip`
+  *    mirrors `streaming-skip-overwrite/delete-snapshots=true` — the
+  *    stream stays an append tail and reconciliation belongs to the
+  *    change feed ([[Snapshots.changesBetween]]).
+  *
+  * Spark-first note on the API choice: this is a DSv1
+  * [[org.apache.spark.sql.execution.streaming.Source]], not a DSv2
+  * `MicroBatchStream`, deliberately. The v1 contract — offset range →
+  * DataFrame — is exactly what a manifest-backed table needs: the
+  * batch IS `spark.read.parquet(appended dirs)`, planned by Catalyst
+  * with full pushdown/pruning/codegen. A v2 `MicroBatchStream` hands
+  * back `PartitionReader[InternalRow]`s, i.e. would force
+  * re-implementing the vectorized parquet reader by hand (Spark's own
+  * file streaming source stays on v1 for the same reason; the v2 face
+  * of this engine's source family lives in [[SeqSource]], where rows
+  * are generated, not read).
+  *
+  * Two start modes, both replay-stable (manifests are immutable, so
+  * re-running a checkpointed batch range re-reads identical entries):
+  *
+  *  - DEFAULT (no `startVersion`): the first batch is the FULL logical
+  *    snapshot at the first observed version — Delta's
+  *    initial-snapshot semantics: the consumer sees the whole table,
+  *    then its growth. The anchor needs no driver state: it is the
+  *    first offset Spark logs, so a restart replays `asOf` the same
+  *    version.
+  *  - `startVersion=v`: tail-only — appends strictly after live
+  *    version `v` (Iceberg's `stream-from` semantics). Rows the table
+  *    held at `v` are the consumer's presumed-already-processed past.
+  *
+  * Retention contract: resuming needs the checkpointed version still
+  * live — [[Snapshots.expire]] retention must cover consumer lag
+  * (Iceberg's rule verbatim). A resume past an expired version fails
+  * loudly rather than silently skipping the GC'd gap. */
+class SnapshotStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+  override def shortName(): String = "graft-snapshots"
+
+  // DataStreamReader lower-cases option keys on some paths and not
+  // others; normalize so `startVersion` and `startversion` both work
+  private def norm(parameters: Map[String, String]): Map[String, String] =
+    parameters.map { case (k, v) => k.toLowerCase -> v }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val p = norm(parameters)
+    val declared = schema.getOrElse {
+      val store = new Snapshots(p("root"))
+      store.current(sqlContext.sparkSession, p("table")).schema
+    }
+    (shortName(), declared)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val p = norm(parameters)
+    new SnapshotTailSource(sqlContext.sparkSession, p("root"), p("table"),
+      p.get("startversion").map(_.toInt),
+      p.getOrElse("onnonappend", "fail"))
+  }
+}
+
+/** A table version as a streaming offset. Serializes as the bare
+  * number so checkpoint offset logs read as version history. */
+case class VersionOffset(v: Int) extends OffsetV1 {
+  override def json(): String = v.toString
+}
+
+/** See [[SnapshotStreamProvider]]. */
+class SnapshotTailSource(spark: SparkSession, root: String, table: String,
+    startVersion: Option[Int], onNonAppend: String) extends Source {
+  require(onNonAppend == "fail" || onNonAppend == "skip",
+    s"onNonAppend must be fail|skip, got $onNonAppend")
+  private val store = new Snapshots(root)
+  startVersion.foreach { v =>
+    require(store.versions(table).contains(v),
+      s"startVersion $v is not a live version of $table " +
+        s"(have ${store.versions(table)})")
+  }
+
+  override val schema: StructType = store.current(spark, table).schema
+
+  /** Parse any offset face — [[VersionOffset]] live, or the offset
+    * log's `SerializedOffset` on checkpoint recovery — via its JSON. */
+  private def vOf(o: OffsetV1): Int = o.json().trim.toInt
+
+  override def getOffset: Option[OffsetV1] =
+    Some(VersionOffset(store.currentVersion(table).getOrElse(
+      sys.error(s"no snapshots for $table"))))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = vOf(end)
+    val batch = start.map(vOf).orElse(startVersion) match {
+      case Some(fromV) if fromV >= endV =>
+        // no new versions (or a replayed empty range): schema-stable
+        // empty frame with no file paths planted in the plan
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(fromV) =>
+        if (onNonAppend == "fail") {
+          val bad = store.nonAppendVersionsBetween(table, fromV, endV)
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"non-append commit(s) at version(s) ${bad.mkString(",")} of " +
+              s"$table: their row deltas are change data, not appends. " +
+              "Consume them via changesBetween, or set onNonAppend=skip " +
+              "to tail appends only.")
+        }
+        store.appendsBetween(spark, table, fromV, endV)
+      case None =>
+        // default mode's first batch: the full logical snapshot at the
+        // first logged offset — replay-stable because `end` comes from
+        // the offset log on recovery
+        store.asOf(spark, table, endV)
+    }
+    // the v1 contract wants a streaming-flagged frame; the batch plan
+    // still compiles with full Catalyst treatment (see streamingFrame)
+    org.apache.spark.sql.graft.ColumnBridge.streamingFrame(batch)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"SnapshotTailSource(root=$root, table=$table, " +
+      s"start=${startVersion.getOrElse("snapshot")}, $onNonAppend)"
+}

@@ -766,7 +766,62 @@ object Streaming extends QueryPack {
       .orderBy("source")
   }
 
+  /** T15: the snapshot store as a STREAMING SOURCE — the lakehouse
+    * capability dual to everything else in this pack: T1-T14 stream
+    * INTO tables; t15 streams OUT of one
+    * ([[graft.sources.SnapshotStreamProvider]]: offsets are table
+    * versions, micro-batches are manifest set-diffs, batches scan only
+    * appended dirs — Iceberg's streaming read over graft manifests).
+    * This entry runs the REAL stream, not a batch replay: v1 seeds a
+    * third of events; the query starts, drains the initial snapshot,
+    * and then two more thirds are APPENDED MID-QUERY and drained as
+    * tail micro-batches into a parquet sink. The rollup of the sink
+    * must equal the plain batch aggregate over all of events —
+    * n_unique == n_events pins zero duplicates (a replayed batch or a
+    * re-emitted dir would double rows), the per-type counts pin zero
+    * gaps. Kill/resume, tail-from-version, and the non-append guard
+    * are spec'd in SnapshotStreamSpec; the soak-interleaving
+    * consumption law in MaintenanceSpec.
+    *
+    * 100 TB shape: each micro-batch plans from manifest metadata and
+    * scans O(appended files), never the table; a consumer lagging k
+    * commits reads k commits' worth of data. The parquet sink +
+    * checkpoint is the exactly-once downstream-pipeline shape. */
+  private val snapshotTailStream: Q = (s, dir) => {
+    import graft.plans.Snapshots
+    import graft.core.Scratch
+    val root = Scratch.dir("t15_tail")
+    val sn = new Snapshots(root)
+    val t = "events_tail"
+    val ev = T.loadEvents(s, dir).select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    def third(r: Long) = ev.filter(pmod(col("event_id"), lit(3L)) === r)
+    sn.commit(third(0), t) // v1: the pre-stream snapshot
+    val out = Scratch.dir("t15_out")
+    val q = s.readStream
+      .format(classOf[graft.sources.SnapshotStreamProvider].getName)
+      .option("root", root).option("table", t)
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", Scratch.dir("t15_ck"))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 0: the full v1 snapshot
+      sn.append(third(1), t)  // v2 lands while the query runs
+      q.processAllAvailable()
+      sn.append(third(2), t)  // v3 likewise
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_unique"),
+        round(T.moneySum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t15_snapshot_tail_stream" -> snapshotTailStream,
     "t14_stream_band_dedup" -> streamBandDedup,
     "t13_cdc_upsert" -> cdcUpsert,
     "t12_sketch_merge" -> sketchMerge,
@@ -783,6 +838,15 @@ object Streaming extends QueryPack {
     "t10_outer_attribution" -> organicAgg)
 
   val oracle: Map[String, String] = Map(
+    // the union of (initial snapshot ∪ mid-query appends) drained
+    // through the streaming source must be exactly the events table:
+    // per-type counts pin no gaps, n_unique == n_events pins no
+    // duplicate delivery (a re-emitted dir or replayed batch doubles)
+    "t15_snapshot_tail_stream" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT event_id) AS n_unique,
+         |  ROUND(${T.oMoneySum("value")}, 2) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // l07's band-key replay + min-id ownership: a doc is flagged iff
     // some band key has a lower-id owner — order-independent, so the
     // batch replay pins exactly what the stream converges to

@@ -34,6 +34,26 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Re-root a BATCH DataFrame as a streaming-flagged frame — what a
+    * DSv1 streaming `Source.getBatch` must return (`MicroBatchExecution`
+    * asserts `isStreaming`; `internalCreateDataFrame` is the
+    * `private[sql]` constructor Spark's own v1 sources use for this).
+    * The batch plan compiles to its RDD with full Catalyst treatment
+    * (pushdown, pruning, codegen) and enters the streaming plan as one
+    * opaque streaming leaf. That opacity is deliberate, not just
+    * convenient: a snapshot batch can contain JOINS (merge-on-read
+    * anti-joins) — splicing its leaves into the streaming plan flagged
+    * streaming would misclassify them as stream-stream joins. No
+    * defensive row copy: RDD[InternalRow] carries Spark's standard
+    * reuse contract (operators that buffer, copy). */
+  def streamingFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, classic.schema, isStreaming = true)
+  }
+
   /** The optimizer rules a SparkSessionExtensions instance would hand a
     * session being built (`buildOptimizerRules` is `private[sql]`) —
     * lets the spec verify the `injectOptimizerRule` wiring itself, not
