@@ -1279,18 +1279,40 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     }
   }
 
+  /** A step's added DATA entries when it is a PURE APPEND, None when it
+    * is not. The classification is Iceberg's snapshot-operation split,
+    * strict on both axes: nothing removed (a removal is a CoW rewrite /
+    * rollback / compaction — replaying its dirs would duplicate rows)
+    * AND no delete entry added (a MoR delete or merge-upsert is an
+    * `overwrite`/`delete` operation; emitting its new data dirs while
+    * silently dropping the retraction half would hand a consumer half a
+    * change). One shared classifier so [[appendsBetween]] and the
+    * streaming source's fail/skip modes can never disagree about what
+    * an "append" is. Set-based: the naive prev.forall(next.contains)
+    * is O(|prev|·|next|) per step — 10^10 driver comparisons at a
+    * 100k-entry manifest. */
+  private def appendStep(table: String, pv: Int,
+      nv: Int): Option[Seq[ManifestEntry]] = {
+    val prev = readEntries(table, pv).toSet
+    val next = readEntries(table, nv)
+    val added = next.filterNot(prev)
+    if (prev.subsetOf(next.toSet) && added.forall(_.kind == "data"))
+      Some(added)
+    else None
+  }
+
   /** Iceberg-style incremental APPEND scan: the rows added by
     * append-type commits in `(fromV, toV]` — the read an incremental
     * downstream pipeline tails instead of reprocessing the table. A
-    * version is append-type iff its entry set is a SUPERSET of its
-    * predecessor's (pure addition); every other version (CoW rewrite,
-    * MoR delete, fold, rollback, compaction) is SKIPPED, exactly as
-    * Iceberg's incremental read handles non-append snapshots — their
-    * row deltas are change data ([[changesBetween]]), not appends.
-    * Emits appended rows AS WRITTEN (later deletes don't retro-apply
-    * — the consumer already processed those rows; reconciliation is
-    * the change feed's job). Cost: manifest set-diffs (metadata) plus
-    * a scan of ONLY the appended dirs. */
+    * version is append-type per [[appendStep]] (nothing removed, no
+    * delete entries added); every other version (CoW rewrite, MoR
+    * delete, merge-upsert, fold, rollback, compaction) is SKIPPED,
+    * exactly as Iceberg's incremental read handles non-append
+    * snapshots — their row deltas are change data ([[changesBetween]]),
+    * not appends. Emits appended rows AS WRITTEN (later deletes don't
+    * retro-apply — the consumer already processed those rows;
+    * reconciliation is the change feed's job). Cost: manifest set-diffs
+    * (metadata) plus a scan of ONLY the appended dirs. */
   def appendsBetween(spark: SparkSession, table: String, fromV: Int,
       toV: Int): DataFrame = {
     val live = versions(table)
@@ -1298,14 +1320,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       s"appendsBetween needs live versions $fromV <= $toV; have $live")
     val added = live.filter(v => v >= fromV && v <= toV).sliding(2)
       .collect { case Seq(pv, nv) =>
-        // Set-based: the naive prev.forall(next.contains) is
-        // O(|prev|·|next|) per step — 10^10 driver comparisons at a
-        // 100k-entry manifest
-        val prev = readEntries(table, pv).toSet
-        val next = readEntries(table, nv)
-        if (prev.subsetOf(next.toSet)) // pure addition = append-type
-          next.filter(e => e.kind == "data" && !prev.contains(e))
-        else Seq.empty
+        appendStep(table, pv, nv).getOrElse(Seq.empty)
       }.flatten.toSeq
       // distinct: a rollback-then-republish round trip re-introduces an
       // entry the range already emitted; without the dedup the same dir
@@ -1317,22 +1332,21 @@ class Snapshots(root: String, segThreshold: Int = 64) {
   }
 
   /** The versions in `(fromV, toV]` whose commit was NOT a pure append
-    * (CoW rewrite, MoR delete, fold, rollback, compaction — any step
-    * where the entry set is not a superset of its predecessor's). The
-    * streaming source's `onNonAppend=fail` guard reads this before
-    * planning a batch: replaying a rewrite would duplicate rows the
-    * consumer already processed, so the safe default is to stop loudly
-    * (Iceberg's streaming-read default) and point at the offending
-    * versions. Manifest set-diffs only — zero data I/O. */
+    * per [[appendStep]] (CoW rewrite, MoR delete, merge-upsert, fold,
+    * rollback, compaction). The streaming source's `onNonAppend=fail`
+    * guard reads this before planning a batch: replaying a rewrite
+    * would duplicate rows the consumer already processed, and tailing
+    * an upsert's data files without their retractions would deliver
+    * half a change — so the safe default is to stop loudly (Iceberg's
+    * streaming-read default) and point at the offending versions.
+    * Manifest set-diffs only — zero data I/O. */
   def nonAppendVersionsBetween(table: String, fromV: Int,
       toV: Int): Seq[Int] = {
     val live = versions(table)
     require(live.contains(fromV) && live.contains(toV) && fromV <= toV,
       s"nonAppendVersionsBetween needs live versions $fromV <= $toV; have $live")
     live.filter(v => v >= fromV && v <= toV).sliding(2).collect {
-      case Seq(pv, nv)
-          if !readEntries(table, pv).toSet
-            .subsetOf(readEntries(table, nv).toSet) => nv
+      case Seq(pv, nv) if appendStep(table, pv, nv).isEmpty => nv
     }.toSeq
   }
 

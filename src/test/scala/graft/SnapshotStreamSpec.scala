@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import graft.plans.Snapshots
+import graft.sources.SnapshotStreamProvider
+
+/** The snapshot store as a streaming SOURCE
+  * ([[graft.sources.SnapshotStreamProvider]]): version-offsets,
+  * kill/resume off the checkpoint, tail-from-version, the non-append
+  * guard, and the soak consumption law — a skip-mode tail drained WHILE
+  * MoR-delete/upsert/fold commits interleave with appends must deliver
+  * exactly the initial snapshot plus the pure appends, once each. */
+class SnapshotStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scratch(): String =
+    Files.createTempDirectory("snapstream").toFile.getAbsolutePath
+
+  private def readTail(root: String, table: String,
+      extra: (String, String)*) = {
+    val base = spark.readStream
+      .format(classOf[SnapshotStreamProvider].getName)
+      .option("root", root).option("table", table)
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  private def kv(rows: Seq[(Long, Double)]) =
+    rows.toDF("k", "v").coalesce(1)
+
+  test("kill/resume: a second incarnation from the checkpoint neither " +
+      "drops nor duplicates, and the offset log reads as table versions") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "kr"
+    sn.commit(kv((0L until 100L).map(k => (k, 1.0))), t) // v1
+    val out = s"${scratch()}/out"
+    val ck = s"${scratch()}/ck"
+    def drainOnce(): Unit = {
+      val q = readTail(root, t).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainOnce() // incarnation 1: the v1 initial snapshot
+    // new appends land while the query is DOWN
+    sn.append(kv((100L until 150L).map(k => (k, 2.0))), t) // v2
+    sn.append(kv((150L until 160L).map(k => (k, 3.0))), t) // v3
+    drainOnce() // incarnation 2 resumes from the same checkpoint
+    val got = spark.read.parquet(out).as[(Long, Double)].collect().toSeq
+    assert(got.size == 160, s"expected 160 rows once each, got ${got.size}")
+    assert(got.toSet ==
+      ((0L until 100L).map(k => (k, 1.0)) ++
+        (100L until 150L).map(k => (k, 2.0)) ++
+        (150L until 160L).map(k => (k, 3.0))).toSet)
+    // the checkpoint's offset log is auditable AGAINST $snapshots: the
+    // source serializes offsets as bare version numbers
+    val offsetFiles = Option(new java.io.File(s"$ck/offsets").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+    assert(offsetFiles.nonEmpty)
+    val lastOffset =
+      Files.readAllLines(offsetFiles.last.toPath).asScala.last.trim
+    assert(lastOffset.toInt == sn.currentVersion(t).get,
+      s"offset log tail $lastOffset is not the table's current version")
+  }
+
+  test("startVersion tails ONLY post-anchor appends — the anchor's " +
+      "content is the consumer's presumed-processed past") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "tail"
+    sn.commit(kv(Seq((1L, 1.0), (2L, 1.0))), t)  // v1: pre-anchor
+    sn.append(kv(Seq((3L, 2.0), (4L, 2.0))), t)  // v2: after the anchor
+    val sink = s"tail_sink_${System.nanoTime()}"
+    val q = readTail(root, t, "startVersion" -> "1")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).as[(Long, Double)].collect().toSet ==
+        Set((3L, 2.0), (4L, 2.0)), "v1 rows must NOT be emitted")
+      sn.append(kv(Seq((5L, 3.0))), t)           // v3: mid-query
+      q.processAllAvailable()
+      assert(spark.table(sink).as[(Long, Double)].collect().toSet ==
+        Set((3L, 2.0), (4L, 2.0), (5L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("onNonAppend=fail (the default) stops the query loudly at a " +
+      "rewrite, naming the offending version") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "guard"
+    sn.commit(kv((0L until 10L).map(k => (k, 1.0))), t) // v1
+    val sink = s"guard_sink_${System.nanoTime()}"
+    val q = readTail(root, t).writeStream.format("memory")
+      .queryName(sink).outputMode("append").start()
+    try {
+      q.processAllAvailable() // drains the v1 snapshot
+      sn.deleteWhere(spark, t, col("k") < 3L) // v2: CoW rewrite
+      sn.append(kv(Seq((100L, 9.0))), t)      // v3: a later append can't mask it
+      val ex = intercept[StreamingQueryException](q.processAllAvailable())
+      def messages(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(t =>
+          Option(t.getMessage).toSeq ++ messages(t.getCause))
+      val all = messages(ex).mkString(" | ")
+      assert(all.contains("non-append") && all.contains("2"),
+        s"expected a non-append failure naming version 2, got: $all")
+    } finally q.stop()
+  }
+
+  test("a MoR upsert is NOT an append: fail-mode stops rather than " +
+      "delivering the upsert's data files without their retractions") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "upguard"
+    sn.commit(kv(Seq((1L, 1.0), (2L, 1.0))), t)
+    val sink = s"upguard_sink_${System.nanoTime()}"
+    val q = readTail(root, t).writeStream.format("memory")
+      .queryName(sink).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      sn.mergeUpsert(spark, t, kv(Seq((1L, -1.0), (3L, 5.0))), "k")
+      val ex = intercept[StreamingQueryException](q.processAllAvailable())
+      def messages(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(t =>
+          Option(t.getMessage).toSeq ++ messages(t.getCause))
+      assert(messages(ex).mkString(" | ").contains("non-append"))
+    } finally q.stop()
+  }
+
+  test("soak consumption law: a skip-mode tail drained WHILE append/" +
+      "MoR-delete/upsert/fold commits interleave delivers exactly the " +
+      "initial snapshot plus every pure append, once each") {
+    val root = scratch()
+    // segThreshold=2 keeps the manifest in its segmented shape under the
+    // reader, so batches plan across the geometric-merge boundary too
+    val sn = new Snapshots(root, segThreshold = 2)
+    val t = "soaktail"
+    var nextKey = 0L
+    def batch(n: Int, tag: Double): Seq[(Long, Double)] = {
+      val rows = (nextKey until nextKey + n).map(k => (k, tag))
+      nextKey += n
+      rows
+    }
+    val expected = scala.collection.mutable.Set.empty[(Long, Double)]
+    val seed = batch(20, 0.0)
+    sn.commit(kv(seed), t)
+    expected ++= seed
+    val out = s"${scratch()}/out"
+    val q = readTail(root, t, "onNonAppend" -> "skip")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"${scratch()}/ck")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // anchor = the seed snapshot
+      var delKey = 0L
+      (1 to 60).foreach { i =>
+        if (i % 20 == 0) {
+          // fold: rewrites data dirs — a leak would re-deliver old rows
+          sn.rewriteDeletes(spark, t)
+        } else if (i % 12 == 0) {
+          // upsert: updates a seen key AND inserts a brand-new one; skip
+          // mode must deliver NEITHER (the new key would be half a change)
+          sn.mergeUpsert(spark, t,
+            kv(Seq((delKey, -9.0), (nextKey, -9.0))), "k")
+          nextKey += 1
+        } else if (i % 5 == 0 && delKey < nextKey) {
+          // MoR delete: append-tail semantics — no retraction downstream
+          sn.deleteWhereMoR(spark, t, col("k") === delKey, Seq("k"))
+          delKey += 1
+        } else {
+          val b = batch(3, i.toDouble)
+          sn.append(kv(b), t)
+          expected ++= b
+        }
+        // drain mid-interleaving so consumption overlaps the commits
+        if (i % 7 == 0) q.processAllAvailable()
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).as[(Long, Double)].collect().toSeq
+    assert(got.size == expected.size,
+      s"delivered ${got.size} rows, expected ${expected.size} " +
+        "(a mismatch means duplicate delivery or a skipped append)")
+    assert(got.toSet == expected.toSet,
+      "delivered set diverged: a rewrite/upsert/fold leaked into the tail")
+  }
+}
