@@ -352,7 +352,41 @@ object MaintenanceOps extends QueryPack {
       .orderBy("partition_value")
   }
 
+  /** M18: `$partitions` EXACT mode — the bounded fallback for dirs the
+    * manifest stats cannot attribute. Fixture: Q1/Q2 land as provably
+    * single-valued dirs (manifest-only attribution), but Q3∪Q4 arrive
+    * MIXED in one dir — multi-valued on o_quarter, exactly the legacy/
+    * unpartitioned-load shape the metadata-only rollup (m17) can only
+    * conserve into the NULL bucket. Exact mode scans ONLY that one dir
+    * (O(unattributable dirs), never O(table)) and attributes its rows
+    * by value: the NULL bucket empties, per-quarter counts are exact,
+    * and the scanned quarters carry has_unknown_stats = true because a
+    * mixed dir's files span partitions — per-value file/byte totals
+    * would be fabricated, so the surface says "unknown" instead. The
+    * oracle pins all of that per quarter from the raw table. */
+  private val partExactFixture = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.plans.Snapshots, String)]()
+
+  private val partitionsExactQ: Q = (s, dir) => {
+    graft.core.SessionCaches.prune(partExactFixture)
+    val (sn, t) = partExactFixture.computeIfAbsent((s, dir), _ => {
+      val sn = new graft.plans.Snapshots(Scratch.dir("m18_part_exact"))
+      val t = "orders_ptx"
+      val o = T.load(s, dir, "orders")
+        .withColumn("o_quarter", quarter(col("o_orderdate")).cast("long"))
+      (1 to 2).foreach(q => sn.append(o.filter(col("o_quarter") === q), t))
+      sn.append(o.filter(col("o_quarter") >= 3), t) // mixed Q3∪Q4 dir
+      (sn, t)
+    })
+    sn.partitionsMetadata(s, t, sn.currentVersion(t).get, "o_quarter",
+        exact = true)
+      .select(col("partition_value"), col("n_entries"),
+        col("record_count"), col("has_unknown_stats"))
+      .orderBy("partition_value")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m18_partitions_exact" -> partitionsExactQ,
     "m17_partitions_metadata" -> partitionsMetadataQ,
     "m16_segments_metadata" -> segmentsMetadataQ,
     "m15_files_metadata" -> filesMetadataQ,
@@ -375,6 +409,17 @@ object MaintenanceOps extends QueryPack {
         |  CAST(1 AS BIGINT) AS n_entries,
         |  COUNT(*) AS record_count
         |FROM orders GROUP BY 1 ORDER BY partition_value""".stripMargin,
+    // Q1/Q2 attribute from the manifest (one single-valued dir each,
+    // exact file stats); Q3/Q4 attribute from the bounded scan of the
+    // one mixed dir — rows exact, n_entries = the one contributing dir,
+    // file/byte totals unknowable per value hence the true flag. The
+    // NULL bucket must be EMPTY (no row has a NULL quarter).
+    "m18_partitions_exact" ->
+      """SELECT CAST(quarter(o_orderdate) AS VARCHAR) AS partition_value,
+        |  CAST(1 AS BIGINT) AS n_entries,
+        |  COUNT(*) AS record_count,
+        |  quarter(o_orderdate) >= 3 AS has_unknown_stats
+        |FROM orders GROUP BY 1, 4 ORDER BY partition_value""".stripMargin,
     // the two-level manifest layout is forced by the commit sequence
     // and the threshold (pure constants): v2 chunks its 2 entries into
     // one segment; each later append reuses every predecessor ref and

@@ -1485,10 +1485,32 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     * Pure metadata: no data I/O; the rollup itself is a Spark groupBy
     * so the shape survives a manifest with millions of entries. */
   def partitionsMetadata(spark: SparkSession, table: String, v: Int,
-      partCol: String): DataFrame = {
+      partCol: String): DataFrame =
+    partitionsMetadata(spark, table, v, partCol, exact = false)
+
+  /** [[partitionsMetadata]] with an EXACT mode for unattributable dirs.
+    * `exact = false` (the metadata-only default) rolls a dir the stats
+    * can't attribute — multi-valued on `partCol`, or statless legacy —
+    * into the NULL bucket, rows conserved but unattributed. `exact =
+    * true` adds a bounded fallback: those dirs (and ONLY those — the
+    * m07 pattern) are data-scanned and their rows attributed by VALUE,
+    * so the NULL bucket holds only rows whose `partCol` is genuinely
+    * NULL. Cost is O(unattributable dirs) data I/O plus their rel list
+    * on the driver — proven single-valued dirs keep the manifest-only
+    * path, so a well-partitioned 100 TB table pays nothing and a table
+    * with one legacy mixed dir pays one dir's scan. Scanned
+    * contributions count rows and contributing entries exactly;
+    * file/byte totals stay manifest-side only (a multi-valued dir's
+    * files span partitions — attributing whole files to one value
+    * would fabricate the quantity), surfaced per bucket via
+    * `has_unknown_stats`. */
+  def partitionsMetadata(spark: SparkSession, table: String, v: Int,
+      partCol: String, exact: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
-    partitionsPreRollup(spark, table, v, partCol)
+    import spark.implicits._
+    val pre = partitionsPreRollup(spark, table, v, partCol)
       .filter(col("is_data"))
+    def rollup(rows: DataFrame): DataFrame = rows
       .groupBy(col("partition_value"))
       .agg(count(lit(1)).as("n_entries"),
         // -1 is the 'stats unknown' sentinel, never a quantity: summing
@@ -1502,6 +1524,51 @@ class Snapshots(root: String, segThreshold: Int = 64) {
         sum(when(col("bytes") >= 0, col("bytes"))).as("total_bytes"),
         max(col("rows") < 0 || col("files") < 0 || col("bytes") < 0)
           .as("has_unknown_stats"))
+    if (!exact) return rollup(pre)
+    // bounded: only the rels the manifest could NOT attribute reach the
+    // driver (and the scan); zero unattributable dirs ⇒ zero data I/O
+    val unattr = pre.filter(col("partition_value").isNull)
+      .select(col("rel")).as[String].collect()
+    val attributed = rollup(pre.filter(col("partition_value").isNotNull))
+    if (unattr.isEmpty) attributed
+    else {
+      val scan = spark.read.parquet(unattr.map(r => s"$root/$r").toSeq: _*)
+      // render scanned values EXACTLY as the manifest path renders
+      // stats bounds ([[Snapshots.renderPartValue]]): dates as epoch-day
+      // ordinals, timestamps as epoch micros — otherwise the same
+      // partition would split into two buckets by attribution path
+      val rendered = scan.schema(partCol).dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          datediff(col(partCol), to_date(lit("1970-01-01")))
+            .cast("string")
+        case org.apache.spark.sql.types.TimestampType =>
+          unix_micros(col(partCol)).cast("string")
+        case _ => col(partCol).cast("string")
+      }
+      val scanned = scan
+        .select(rendered.as("partition_value"),
+          // dir identity for n_entries: a dir counts under every value
+          // it contributes rows to
+          regexp_replace(input_file_name(), "/[^/]*$", "").as("dir"))
+        .groupBy(col("partition_value"))
+        .agg(count_distinct(col("dir")).as("n_entries"),
+          count(lit(1)).as("record_count"))
+      attributed.as("m")
+        .join(scanned.as("s"), $"m.partition_value" <=> $"s.partition_value",
+          "full_outer")
+        .select(
+          coalesce($"m.partition_value", $"s.partition_value")
+            .as("partition_value"),
+          (coalesce($"m.n_entries", lit(0L)) +
+            coalesce($"s.n_entries", lit(0L))).as("n_entries"),
+          (coalesce($"m.record_count", lit(0L)) +
+            coalesce($"s.record_count", lit(0L))).as("record_count"),
+          $"m.file_count", $"m.total_bytes",
+          // scanned contributions carry no attributable file/byte
+          // totals — the bucket says so instead of understating silently
+          (coalesce($"m.has_unknown_stats", lit(false)) ||
+            $"s.record_count".isNotNull).as("has_unknown_stats"))
+    }
   }
 
   /** The per-entry pre-rollup under [[partitionsMetadata]]: one row

@@ -1410,6 +1410,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(Snapshots.boundRefGroups(small, 4) == small)
   }
 
+  test("$partitions exact mode: the NULL bucket holds only true NULL " +
+      "values, buckets merge across attribution paths, and the " +
+      "segmented-manifest shape answers the same") {
+    import spark.implicits._
+    val root = scratch()
+    val sn = new Snapshots(root, segThreshold = 2) // segmented manifest
+    val t = "px"
+    def df(rows: Seq[(Option[Long], Double)]) =
+      rows.toDF("p", "v").coalesce(1)
+    sn.append(df(Seq((Some(1L), 1.0), (Some(1L), 2.0))), t) // attributable
+    // multi-valued AND null-bearing: unattributable from stats alone
+    sn.append(df(Seq((Some(2L), 1.0), (Some(3L), 1.0), (None, 9.0))), t)
+    sn.append(df(Seq((Some(2L), 5.0))), t) // second p=2 dir, attributable
+    val v = sn.currentVersion(t).get
+    val exact = sn.partitionsMetadata(spark, t, v, "p", exact = true)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2), r.getBoolean(5))).toSet
+    assert(exact == Set(
+      (Some("1"), 1L, 2L, false), // manifest-only: exact file stats too
+      (Some("2"), 2L, 2L, true),  // one manifest dir + one scanned dir
+      (Some("3"), 1L, 1L, true),  // scanned only
+      (None, 1L, 1L, true)),      // ONLY the genuinely-NULL row
+      s"exact rollup diverged: $exact")
+    // the metadata-only default conserves the whole mixed dir into the
+    // NULL bucket instead (rows never dropped, just unattributed)
+    val metaNull = sn.partitionsMetadata(spark, t, v, "p")
+      .filter(col("partition_value").isNull)
+      .select(col("record_count")).as[Long].collect().toSeq
+    assert(metaNull == Seq(3L))
+  }
+
   test("metadata soak law: 400 interleaved append/MoR-delete/merge/fold " +
       "commits keep the version file bounded, metadata writes amortized " +
       "O(delta log), and logical content exact") {
