@@ -77,10 +77,8 @@ class SnapshotStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val p = norm(parameters)
-    val declared = schema.getOrElse {
-      val store = new Snapshots(p("root"))
-      store.current(sqlContext.sparkSession, p("table")).schema
-    }
+    val declared = schema.getOrElse(SnapshotStreamProvider.schemaFor(
+      sqlContext.sparkSession, p))
     (shortName(), declared)
   }
 
@@ -88,9 +86,42 @@ class SnapshotStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val p = norm(parameters)
-    new SnapshotTailSource(sqlContext.sparkSession, p("root"), p("table"),
-      p.get("startversion").map(_.toInt),
-      p.getOrElse("onnonappend", "fail"))
+    p.getOrElse("mode", "appends") match {
+      case "appends" =>
+        new SnapshotTailSource(sqlContext.sparkSession, p("root"),
+          p("table"), p.get("startversion").map(_.toInt),
+          p.getOrElse("onnonappend", "fail"))
+      case "changes" =>
+        new SnapshotChangesSource(sqlContext.sparkSession, p("root"),
+          p("table"), p("key"),
+          p.getOrElse("startversion",
+            sys.error("mode=changes requires startVersion — a change " +
+              "consumer names the version its state reflects " +
+              "(Delta CDF's startingVersion contract)")).toInt)
+      case other => sys.error(s"mode must be appends|changes, got $other")
+    }
+  }
+}
+
+object SnapshotStreamProvider {
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
+
+  /** The change-feed projection: the consumer's key column (typed from
+    * the table) plus the CDC pseudo-columns [[Snapshots.changesBetween]]
+    * emits. */
+  private[sources] def changesSchema(tableSchema: StructType,
+      key: String): StructType =
+    StructType(Seq(tableSchema(key),
+      StructField("_change_type", StringType),
+      StructField("_change_version", IntegerType)))
+
+  private[sources] def schemaFor(spark: SparkSession,
+      p: Map[String, String]): StructType = {
+    val tableSchema =
+      new Snapshots(p("root")).current(spark, p("table")).schema
+    if (p.getOrElse("mode", "appends") == "changes")
+      changesSchema(tableSchema, p("key"))
+    else tableSchema
   }
 }
 
@@ -156,4 +187,54 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
   override def toString: String =
     s"SnapshotTailSource(root=$root, table=$table, " +
       s"start=${startVersion.getOrElse("snapshot")}, $onNonAppend)"
+}
+
+/** `mode=changes`: the CHANGE FEED as a stream — Delta's CDF streaming
+  * read / Iceberg's changelog scan re-expressed over
+  * [[Snapshots.changesBetween]]. Where the append tail refuses (or
+  * skips) non-append commits, this source CONSUMES them: every commit
+  * type — append, CoW rewrite, MoR delete, upsert — becomes
+  * (key, _change_type, _change_version) rows, the reconciliation
+  * stream a downstream serving table applies (the t13 upsert pattern
+  * closes the loop: snapshot-store changes in, keyed MERGE out).
+  * `startVersion` is required — a change consumer names the version
+  * its state reflects. Batch-slicing invariant: changesBetween over
+  * (a, c] equals the union of (a, b] and (b, c] step diffs by
+  * construction (it is computed per version step), so HOW triggers
+  * slice the version range cannot change the delivered rows —
+  * SnapshotStreamSpec pins it. Per-step cost: the delta-restricted
+  * diff (exclusive dirs ∪ delete-applicability-changed kept dirs),
+  * never O(table); the pure-append fast path skips the join entirely. */
+class SnapshotChangesSource(spark: SparkSession, root: String,
+    table: String, key: String, startVersion: Int) extends Source {
+  private val store = new Snapshots(root)
+  require(store.versions(table).contains(startVersion),
+    s"startVersion $startVersion is not a live version of $table " +
+      s"(have ${store.versions(table)})")
+
+  override val schema: StructType = SnapshotStreamProvider.changesSchema(
+    store.current(spark, table).schema, key)
+
+  private def vOf(o: OffsetV1): Int = o.json().trim.toInt
+
+  override def getOffset: Option[OffsetV1] =
+    Some(VersionOffset(store.currentVersion(table).getOrElse(
+      sys.error(s"no snapshots for $table"))))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = vOf(end)
+    val fromV = start.map(vOf).getOrElse(startVersion)
+    val batch =
+      if (fromV >= endV)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else store.changesBetween(spark, table, fromV, endV, key)
+    org.apache.spark.sql.graft.ColumnBridge.streamingFrame(batch)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"SnapshotChangesSource(root=$root, table=$table, key=$key, " +
+      s"from=$startVersion)"
 }

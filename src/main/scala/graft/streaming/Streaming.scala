@@ -820,7 +820,66 @@ object Streaming extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** T16: the CHANGE FEED as a stream — mode=changes on the snapshot
+    * source ([[graft.sources.SnapshotChangesSource]]): where t15's
+    * append tail refuses non-append commits, this consumes EVERY
+    * commit type as (key, _change_type, _change_version) rows — the
+    * reconciliation stream a downstream serving table applies. The
+    * commit sequence is d16's audit history (H1 → urgent-bump to
+    * three quarters → full year with a correction delete), but the
+    * versions land MID-QUERY and arrive as micro-batches; the drained
+    * sink's per-(version, type) rollup must equal d16's batch
+    * changesBetween answer — the oracle re-derives every count from
+    * the predicates that defined the snapshots. Batch-slicing
+    * invariance (however triggers split the version range, same rows)
+    * is what makes the stream ≡ batch equality structural.
+    *
+    * 100 TB shape: each micro-batch pays the delta-restricted step
+    * diff (exclusive dirs ∪ delete-applicability-changed kept dirs),
+    * never O(table); a CDC consumer lagging k commits pays k step
+    * diffs, exactly what it would have paid live. */
+  private val snapshotChangesStream: Q = (s, dir) => {
+    import graft.plans.Snapshots
+    import graft.core.Scratch
+    val root = Scratch.dir("t16_changes")
+    val sn = new Snapshots(root)
+    val t = "orders_hist"
+    val o = T.load(s, dir, "orders")
+    val bumped = o.withColumn("o_totalprice",
+      when(col("o_orderpriority") === "1-URGENT",
+        round(T.dec2(col("o_totalprice")) * lit(BigDecimal("1.05")), 2)
+          .cast("double"))
+        .otherwise(col("o_totalprice")))
+    def snap(df: DataFrame) =
+      df.select(col("o_orderkey"), col("o_totalprice"))
+    sn.commit(snap(o.filter(month(col("o_orderdate")) <= 6)), t)      // v1
+    val out = Scratch.dir("t16_out")
+    val q = s.readStream
+      .format(classOf[graft.sources.SnapshotStreamProvider].getName)
+      .option("root", root).option("table", t)
+      .option("mode", "changes").option("key", "o_orderkey")
+      .option("startVersion", "1")
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", Scratch.dir("t16_ck"))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // nothing yet: state reflects v1
+      sn.commit(snap(bumped.filter(month(col("o_orderdate")) <= 9)), t) // v2
+      q.processAllAvailable()
+      sn.commit(snap(bumped.filter(!(month(col("o_orderdate")) <= 3 &&
+        col("o_orderstatus") === "F"))), t)                             // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(out)
+      .groupBy(col("_change_version").cast("long").as("_change_version"),
+        col("_change_type"))
+      .agg(count(lit(1)).as("n_changes"))
+      .orderBy("_change_version", "_change_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t16_snapshot_changes_stream" -> snapshotChangesStream,
     "t15_snapshot_tail_stream" -> snapshotTailStream,
     "t14_stream_band_dedup" -> streamBandDedup,
     "t13_cdc_upsert" -> cdcUpsert,
@@ -847,6 +906,26 @@ object Streaming extends QueryPack {
          |  COUNT(DISTINCT event_id) AS n_unique,
          |  ROUND(${T.oMoneySum("value")}, 2) AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // d16's change-feed oracle, now for the STREAMED feed: every count
+    // re-derived from the predicates that defined the snapshots — the
+    // stream must deliver exactly the batch changesBetween rows however
+    // the triggers sliced the version range
+    "t16_snapshot_changes_stream" ->
+      """SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS _change_version,
+        |    'INSERT' AS _change_type,
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE month(o_orderdate) BETWEEN 7 AND 9) AS n_changes
+        |  UNION ALL SELECT 2, 'UPDATE',
+        |    (SELECT COUNT(*) FROM orders WHERE month(o_orderdate) <= 6
+        |     AND o_orderpriority = '1-URGENT')
+        |  UNION ALL SELECT 3, 'INSERT',
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE month(o_orderdate) BETWEEN 10 AND 12)
+        |  UNION ALL SELECT 3, 'DELETE',
+        |    (SELECT COUNT(*) FROM orders WHERE month(o_orderdate) <= 3
+        |     AND o_orderstatus = 'F'))
+        |ORDER BY 1, 2""".stripMargin,
     // l07's band-key replay + min-id ownership: a doc is flagged iff
     // some band key has a lower-id owner — order-independent, so the
     // batch replay pins exactly what the stream converges to

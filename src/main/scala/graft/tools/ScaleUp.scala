@@ -28,18 +28,31 @@ import org.apache.spark.sql.functions._
   *    so gap-fill/window grids stay fixed-size and window families
   *    scale by input volume only.
   *
-  * Usage: `runMain graft.tools.ScaleUp <srcDir> <dstDir> [factor]`.
-  * The output feeds Bench (SPARK_GRAFT_SF_DIR=<dstDir>) for the
-  * super-linearity audit recorded in BENCH_NOTES.md.
+  * Usage: `runMain graft.tools.ScaleUp <srcDir> <dstDir> [factor] [only]`.
+  * `only` is an optional comma-separated table list — a factor-100
+  * exponent audit of three queries should not pay for (or store) the
+  * seven tables they never read. The output feeds Bench
+  * (SPARK_GRAFT_SF_DIR=<dstDir>) for the super-linearity audit
+  * recorded in BENCH_NOTES.md.
   */
 object ScaleUp {
 
-  /** Ten distinct, length-preserving text bijections: rotate the most
-    * frequent letters by the replica index (identity for replica 0). */
+  /** Length-preserving text bijections: rotate two DISJOINT frequent-
+    * letter sets independently — r%10 on the first, (r/10)%10 on the
+    * second — giving 100 distinct composite bijections. One rotation
+    * alphabet capped the family at 10: at factor 100, replicas 10, 20,
+    * … would repeat replica 0's rotation VERBATIM, planting factor×
+    * cross-replica exact text copies and inflating every dedup family
+    * quadratically by data construction (the exact artifact this
+    * rotation exists to avoid). Replicas 0-9 keep the second set at
+    * identity, so factor-10 outputs are byte-identical to the
+    * single-alphabet tool's. */
   private val rotAlphabet = "etaoinshrd"
+  private val rotAlphabet2 = "lcumwfgypb"
+  private def rot(s: String, k: Int): String =
+    s.drop(k % s.length) ++ s.take(k % s.length)
   private def rotated(r: Int): String =
-    rotAlphabet.drop(r % rotAlphabet.length) ++
-      rotAlphabet.take(r % rotAlphabet.length)
+    rot(rotAlphabet, r % 10) + rot(rotAlphabet2, (r / 10) % 10)
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -54,11 +67,15 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet)
+      else None
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def save(t: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      println(s"[scaleup] $t -> $dst/$t.parquet")
-    }
+    def save(t: String, df: => DataFrame): Unit =
+      if (only.forall(_.contains(t))) {
+        df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+        println(s"[scaleup] $t -> $dst/$t.parquet")
+      } else println(s"[scaleup] $t skipped (not in only-list)")
     /** max(key)+1 — the per-replica stride that keeps shifted keys
       * disjoint. */
     def stride(df: DataFrame, key: String): Long =
@@ -104,7 +121,8 @@ object ScaleUp {
     val docs = load("documents"); val kDoc = stride(docs, "doc_id")
     save("documents", replicate(docs)((d, r) => d
       .withColumn("doc_id", col("doc_id") + lit(r * kDoc))
-      .withColumn("text", translate(col("text"), rotAlphabet, rotated(r)))))
+      .withColumn("text",
+        translate(col("text"), rotAlphabet + rotAlphabet2, rotated(r)))))
 
     // Embeddings must not replicate verbatim: identical copies make
     // every vector factor−1 exact semantic dups, so bucket populations

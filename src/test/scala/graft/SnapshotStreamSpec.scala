@@ -132,6 +132,48 @@ class SnapshotStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changes mode: the streamed feed equals batch changesBetween, " +
+      "coalesced triggers included, and resumes across a kill") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "cdc"
+    def snap(rows: Seq[(Long, Double)]) = kv(rows)
+    sn.commit(snap(Seq((1L, 1.0), (2L, 1.0), (3L, 1.0))), t) // v1
+    val out = s"${scratch()}/out"
+    val ck = s"${scratch()}/ck"
+    def run(body: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+        : Unit = {
+      val q = readTail(root, t, "mode" -> "changes", "key" -> "k",
+          "startVersion" -> "1")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      try body(q) finally q.stop()
+    }
+    run { q =>
+      q.processAllAvailable() // state reflects v1: nothing to emit
+      sn.commit(snap(Seq((1L, 9.0), (2L, 1.0), (4L, 1.0))), t) // v2: upd/del/ins
+      q.processAllAvailable()
+      // TWO versions land before one drain — the trigger coalesces the
+      // range, and the per-step diff must make slicing invisible
+      sn.commit(snap(Seq((1L, 9.0), (2L, 1.0))), t)            // v3: delete 4
+      sn.append(snap(Seq((5L, 5.0))), t)                       // v4: insert 5
+      q.processAllAvailable()
+    }
+    // a kill/resume boundary: v5 lands while the query is DOWN
+    sn.commit(snap(Seq((1L, 9.0), (5L, 5.0))), t)              // v5: delete 2
+    run(_.processAllAvailable())
+    val got = spark.read.parquet(out)
+      .select(col("k"), col("_change_type"), col("_change_version"))
+      .as[(Long, String, Int)].collect().toSet
+    val batch = sn.changesBetween(spark, t, 1,
+        sn.currentVersion(t).get, "k")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == batch,
+      s"streamed feed diverged from batch changesBetween:\n$got\nvs\n$batch")
+    assert(got.contains((5L, "INSERT", 4)) && got.contains((4L, "DELETE", 3)),
+      "the coalesced trigger must still attribute changes to their step")
+  }
+
   test("soak consumption law: a skip-mode tail drained WHILE append/" +
       "MoR-delete/upsert/fold commits interleave delivers exactly the " +
       "initial snapshot plus every pure append, once each") {
