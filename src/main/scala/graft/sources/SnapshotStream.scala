@@ -177,9 +177,21 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
         // the offset log on recovery
         store.asOf(spark, table, endV)
     }
+    // pin every batch to the SUBSCRIBED schema (Delta's contract:
+    // schema changes require a stream restart): a mid-stream ADD
+    // COLUMN evolution commit widens the appended dirs, and without
+    // this projection the widened batch frame would break the
+    // running query's schema mid-flight; with it, the consumer keeps
+    // its columns and a restart subscribes to the evolved schema. A
+    // DROPPED subscribed column still fails loudly (the select cannot
+    // resolve it) — delivering fabricated nulls would be worse.
+    val pinned =
+      if (batch.schema == schema) batch
+      else batch.select(schema.fieldNames.toIndexedSeq.map(
+        org.apache.spark.sql.functions.col): _*)
     // the v1 contract wants a streaming-flagged frame; the batch plan
     // still compiles with full Catalyst treatment (see streamingFrame)
-    org.apache.spark.sql.graft.ColumnBridge.streamingFrame(batch)
+    org.apache.spark.sql.graft.ColumnBridge.streamingFrame(pinned)
   }
 
   override def commit(end: OffsetV1): Unit = ()

@@ -132,6 +132,29 @@ class SnapshotStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a widened append mid-stream delivers under the SUBSCRIBED " +
+      "schema — schema binds at stream start, evolution needs a restart") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "widen"
+    sn.commit(kv(Seq((1L, 1.0))), t)
+    val sink = s"widen_sink_${System.nanoTime()}"
+    val q = readTail(root, t).writeStream.format("memory")
+      .queryName(sink).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // an ADD COLUMN-style evolution commit: the appended dir carries
+      // a superset schema; the running consumer must keep its columns
+      sn.append(Seq((2L, 2.0, "extra")).toDF("k", "v", "w").coalesce(1), t)
+      q.processAllAvailable()
+      val out = spark.table(sink)
+      assert(out.columns.toSeq == Seq("k", "v"),
+        s"subscribed schema leaked mid-stream: ${out.columns.toSeq}")
+      assert(out.as[(Long, Double)].collect().toSet ==
+        Set((1L, 1.0), (2L, 2.0)))
+    } finally q.stop()
+  }
+
   test("changes mode: the streamed feed equals batch changesBetween, " +
       "coalesced triggers included, and resumes across a kill") {
     val root = scratch()
