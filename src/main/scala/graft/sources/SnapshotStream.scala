@@ -86,21 +86,61 @@ class SnapshotStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val p = norm(parameters)
+    val maxVersions = p.get("maxversionsperbatch").map(_.toInt)
+    maxVersions.foreach(m => require(m >= 1,
+      s"maxVersionsPerBatch must be >= 1, got $m"))
     p.getOrElse("mode", "appends") match {
       case "appends" =>
         new SnapshotTailSource(sqlContext.sparkSession, p("root"),
           p("table"), p.get("startversion").map(_.toInt),
-          p.getOrElse("onnonappend", "fail"))
+          p.getOrElse("onnonappend", "fail"), maxVersions)
       case "changes" =>
         new SnapshotChangesSource(sqlContext.sparkSession, p("root"),
           p("table"), p("key"),
           p.getOrElse("startversion",
             sys.error("mode=changes requires startVersion — a change " +
               "consumer names the version its state reflects " +
-              "(Delta CDF's startingVersion contract)")).toInt)
+              "(Delta CDF's startingVersion contract)")).toInt,
+          maxVersions)
       case other => sys.error(s"mode must be appends|changes, got $other")
     }
   }
+}
+
+/** Per-trigger RATE LIMIT shared by both stream faces — the
+  * `maxFilesPerTrigger`/`streaming-max-files-per-micro-batch` analog,
+  * in the store's natural unit: a micro-batch advances at most
+  * `maxVersionsPerBatch` versions past what the source last served. A
+  * consumer resuming over a 10k-version backlog then drains it as
+  * bounded catch-up batches (each with bounded scan size, shuffle
+  * footprint, and sink-commit size) instead of planning one giant
+  * batch — at 100 TB the difference between a burst the cluster
+  * absorbs and one it falls over on. `served` is internal bookkeeping
+  * (the v1 FileStreamSource pattern): it advances in getBatch — which
+  * on restart runs FIRST, with the checkpointed range — so the clamp
+  * base recovers from the offset log. A cold getOffset before any
+  * getBatch clamps from the start anchor; if that undershoots an
+  * already-committed offset the engine's next getBatch is empty
+  * (fromV >= endV) and the base catches up — transient no-op batches,
+  * never duplicates. */
+private[sources] trait VersionRateLimit {
+  protected def maxVersionsPerBatch: Option[Int]
+  /** The highest version this source has planned a batch through. */
+  @volatile private var served: Option[Int] = None
+
+  protected def noteServed(endV: Int): Unit =
+    served = Some(served.fold(endV)(math.max(_, endV)))
+
+  /** Clamp the available offset to `base-or-served + max`. `base` is
+    * the mode's start anchor (tail/changes: startVersion; snapshot
+    * mode: the current version — the initial snapshot is ONE batch by
+    * definition and rate limiting applies to the tail after it). */
+  protected def clampAvailable(current: Int, base: Option[Int]): Int =
+    maxVersionsPerBatch match {
+      case None => current
+      case Some(m) =>
+        served.orElse(base).fold(current)(b => math.min(current, b + m))
+    }
 }
 
 object SnapshotStreamProvider {
@@ -133,7 +173,9 @@ case class VersionOffset(v: Int) extends OffsetV1 {
 
 /** See [[SnapshotStreamProvider]]. */
 class SnapshotTailSource(spark: SparkSession, root: String, table: String,
-    startVersion: Option[Int], onNonAppend: String) extends Source {
+    startVersion: Option[Int], onNonAppend: String,
+    protected val maxVersionsPerBatch: Option[Int] = None)
+    extends Source with VersionRateLimit {
   require(onNonAppend == "fail" || onNonAppend == "skip",
     s"onNonAppend must be fail|skip, got $onNonAppend")
   private val store = new Snapshots(root)
@@ -149,12 +191,17 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
     * log's `SerializedOffset` on checkpoint recovery — via its JSON. */
   private def vOf(o: OffsetV1): Int = o.json().trim.toInt
 
-  override def getOffset: Option[OffsetV1] =
-    Some(VersionOffset(store.currentVersion(table).getOrElse(
-      sys.error(s"no snapshots for $table"))))
+  override def getOffset: Option[OffsetV1] = {
+    val cur = store.currentVersion(table).getOrElse(
+      sys.error(s"no snapshots for $table"))
+    // snapshot mode's base is None: the initial snapshot is one batch
+    // by definition; the rate limit applies to the tail after it
+    Some(VersionOffset(clampAvailable(cur, startVersion)))
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = vOf(end)
+    noteServed(endV)
     val batch = start.map(vOf).orElse(startVersion) match {
       case Some(fromV) if fromV >= endV =>
         // no new versions (or a replayed empty range): schema-stable
@@ -218,7 +265,9 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
   * diff (exclusive dirs ∪ delete-applicability-changed kept dirs),
   * never O(table); the pure-append fast path skips the join entirely. */
 class SnapshotChangesSource(spark: SparkSession, root: String,
-    table: String, key: String, startVersion: Int) extends Source {
+    table: String, key: String, startVersion: Int,
+    protected val maxVersionsPerBatch: Option[Int] = None)
+    extends Source with VersionRateLimit {
   private val store = new Snapshots(root)
   require(store.versions(table).contains(startVersion),
     s"startVersion $startVersion is not a live version of $table " +
@@ -229,12 +278,15 @@ class SnapshotChangesSource(spark: SparkSession, root: String,
 
   private def vOf(o: OffsetV1): Int = o.json().trim.toInt
 
-  override def getOffset: Option[OffsetV1] =
-    Some(VersionOffset(store.currentVersion(table).getOrElse(
-      sys.error(s"no snapshots for $table"))))
+  override def getOffset: Option[OffsetV1] = {
+    val cur = store.currentVersion(table).getOrElse(
+      sys.error(s"no snapshots for $table"))
+    Some(VersionOffset(clampAvailable(cur, Some(startVersion))))
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = vOf(end)
+    noteServed(endV)
     val fromV = start.map(vOf).getOrElse(startVersion)
     val batch =
       if (fromV >= endV)

@@ -132,6 +132,39 @@ class SnapshotStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerBatch drains a version backlog as BOUNDED " +
+      "catch-up batches — never one giant batch, never a lost row") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "rate"
+    sn.commit(kv(Seq((0L, 0.0))), t) // v1: the consumer's anchor
+    // a 5-version backlog accumulates before the consumer starts
+    (1 to 5).foreach(i => sn.append(kv(Seq((i.toLong, i.toDouble))), t))
+    val out = s"${scratch()}/out"
+    val ck = s"${scratch()}/ck"
+    val q = readTail(root, t, "startVersion" -> "1",
+        "maxVersionsPerBatch" -> "2")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out).as[(Long, Double)].collect().toSet
+    assert(got == (1 to 5).map(i => (i.toLong, i.toDouble)).toSet,
+      "rate limiting must slow delivery, not lose or duplicate it")
+    // the offset log shows the bounded climb: batch ends advance by at
+    // most 2 versions from the startVersion base, reaching v6 in >= 3
+    // batches instead of one catch-up batch over the whole backlog
+    val ends = Option(new java.io.File(s"$ck/offsets").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+      .map(f => Files.readAllLines(f.toPath).asScala.last.trim.toInt)
+      .toSeq
+    assert(ends.size >= 3, s"backlog drained in too few batches: $ends")
+    assert(ends.last == 6, s"backlog not fully drained: $ends")
+    (1 +: ends).sliding(2).foreach { case Seq(a, b) =>
+      assert(b - a <= 2, s"a batch advanced ${b - a} > 2 versions: $ends")
+    }
+  }
+
   test("a widened append mid-stream delivers under the SUBSCRIBED " +
       "schema — schema binds at stream start, evolution needs a restart") {
     val root = scratch()
