@@ -230,6 +230,34 @@ class SnapshotStreamSpec extends SparkSpec {
       "the coalesced trigger must still attribute changes to their step")
   }
 
+  test("full lakehouse loop: tail table A into a seq-conditioned upsert " +
+      "on table B — exactly-once across mid-stream appends AND a " +
+      "kill/resume boundary") {
+    import graft.streaming.Streaming
+    val root = scratch()
+    val sn = new Snapshots(root)
+    def src(rows: (Long, Double, Long)*) =
+      rows.toSeq.toDF("k", "v", "seq").coalesce(1)
+    sn.commit(src((1L, 10.0, 1L), (2L, 20.0, 1L)), "a") // A v1
+    val ck = s"${scratch()}/ck"
+    def drainOnce(mid: => Unit): Unit = {
+      val q = Streaming.upsertSink(readTail(root, "a"), sn, "b", "k", "seq")
+        .option("checkpointLocation", ck).start()
+      try { q.processAllAvailable(); mid; q.processAllAvailable() }
+      finally q.stop()
+    }
+    // incarnation 1: initial snapshot lands in B, then a mid-stream
+    // append flows A → stream → MERGE into B
+    drainOnce { sn.append(src((2L, 21.0, 2L), (4L, 40.0, 1L)), "a") }
+    // while the pipeline is DOWN, A keeps moving
+    sn.append(src((1L, 11.0, 2L), (3L, 30.0, 1L)), "a")
+    drainOnce(())
+    val b = sn.current(spark, "b").select(col("k"), col("v"))
+      .as[(Long, Double)].collect().toSet
+    assert(b == Set((1L, 11.0), (2L, 21.0), (3L, 30.0), (4L, 40.0)),
+      s"serving table diverged from latest-per-key over A's history: $b")
+  }
+
   test("soak consumption law: a skip-mode tail drained WHILE append/" +
       "MoR-delete/upsert/fold commits interleave delivers exactly the " +
       "initial snapshot plus every pure append, once each") {
