@@ -230,6 +230,33 @@ class SnapshotStreamSpec extends SparkSpec {
       "the coalesced trigger must still attribute changes to their step")
   }
 
+  test("a tail batch PLANS only the appended dirs — the delta-only " +
+      "claim audited at the file-scan level, not just by row delivery") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "delta"
+    sn.commit(kv((0L until 1000L).map(k => (k, 1.0))), t)   // v1: bulk
+    sn.append(kv(Seq((5000L, 2.0))), t)                     // v2: delta
+    sn.append(kv(Seq((5001L, 3.0))), t)                     // v3: delta
+    // the (v2, v3] batch must not plant v1's (or v2's) files in its scan
+    val batch = sn.appendsBetween(spark, t, 2, 3)
+    // inputFiles returns file:///-scheme URIs; normalize to plain paths
+    def paths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.inputFiles.toSeq.map(f =>
+        "/" + f.stripPrefix("file:").dropWhile(_ == '/'))
+    val files = paths(batch)
+    assert(files.nonEmpty)
+    val v2Dirs = sn.dataDirs(t, 2).toSet
+    val v3Only = sn.dataDirs(t, 3).toSet -- v2Dirs
+    assert(v3Only.size == 1)
+    assert(files.forall(f => v3Only.exists(f.startsWith)),
+      s"batch scan planted non-delta files: $files vs delta dirs $v3Only")
+    // the change feed's pure-append fast path carries the same bound
+    assert(paths(sn.changesBetween(spark, t, 2, 3, "k"))
+        .forall(f => v3Only.exists(f.startsWith)),
+      "pure-append change step scanned beyond the delta")
+  }
+
   test("full lakehouse loop: tail table A into a seq-conditioned upsert " +
       "on table B — exactly-once across mid-stream appends AND a " +
       "kill/resume boundary") {
