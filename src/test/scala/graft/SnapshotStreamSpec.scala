@@ -257,6 +257,75 @@ class SnapshotStreamSpec extends SparkSpec {
       "pure-append change step scanned beyond the delta")
   }
 
+  test("retention contract: resuming past an EXPIRED version fails " +
+      "loudly — never a silent skip over the GC'd gap") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "ret"
+    sn.commit(kv(Seq((1L, 1.0))), t) // v1
+    val out = s"${scratch()}/out"
+    val ck = s"${scratch()}/ck"
+    def start() = readTail(root, t).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // checkpoint at v1
+    sn.append(kv(Seq((2L, 2.0))), t)  // v2
+    sn.append(kv(Seq((3L, 3.0))), t)  // v3
+    // retention violates consumer lag: v1 (the checkpointed offset)
+    // and v2 are expired before the consumer returns
+    sn.expire(t, keep = 1, gcOlderThanMillis = 0L)
+    val q2 = start()
+    try {
+      val ex = intercept[StreamingQueryException](q2.processAllAvailable())
+      def messages(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      val all = messages(ex).mkString(" | ")
+      // either liveness face is acceptable as long as it is LOUD and
+      // names the gap: the range guard ("live versions") on a tail
+      // batch, or the manifest read ("no manifest for ... v=1") when
+      // the engine replays the un-committed initial-snapshot batch
+      assert(all.contains("live versions") || all.contains("no manifest"),
+        s"the failure must name the retention/liveness violation: $all")
+    } finally q2.stop()
+  }
+
+  test("the tail stays exact while CONCURRENT appenders race the " +
+      "consumer (OCC commits vs live micro-batch planning)") {
+    val root = scratch()
+    val sn = new Snapshots(root, segThreshold = 2)
+    val t = "race"
+    sn.commit(kv(Seq((-1L, 0.0))), t) // seed
+    val out = s"${scratch()}/out"
+    val q = readTail(root, t).writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"${scratch()}/ck")
+      .outputMode("append").start()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      q.processAllAvailable()
+      // 4 writers × 8 appends race each other's OCC retries while the
+      // consumer keeps draining whatever versions it observes
+      val futures = (0 until 4).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit = (0 until 8).foreach { i =>
+            sn.append(kv(Seq((w * 100L + i, 1.0))), t)
+          }
+        })
+      }
+      while (!futures.forall(_.isDone)) q.processAllAvailable()
+      q.processAllAvailable()
+      futures.foreach(_.get()) // surface any writer failure
+    } finally { pool.shutdown(); q.stop() }
+    val got = spark.read.parquet(out).as[(Long, Double)].collect().toSeq
+    val expected = Set((-1L, 0.0)) ++
+      (for (w <- 0 until 4; i <- 0 until 8) yield (w * 100L + i, 1.0))
+    assert(got.size == expected.size,
+      s"delivered ${got.size} rows vs ${expected.size} (dup or loss under race)")
+    assert(got.toSet == expected)
+  }
+
   test("full lakehouse loop: tail table A into a seq-conditioned upsert " +
       "on table B — exactly-once across mid-stream appends AND a " +
       "kill/resume boundary") {
