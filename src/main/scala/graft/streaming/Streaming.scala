@@ -864,7 +864,8 @@ object Streaming extends QueryPack {
       .option("checkpointLocation", Scratch.dir("t16_ck"))
       .outputMode("append").start()
     try {
-      q.processAllAvailable() // nothing yet: state reflects v1
+      // no leading drain: startVersion=1 anchors the feed, so even a
+      // v2 landing before the first trigger still arrives as (1, 2]
       sn.commit(snap(bumped.filter(month(col("o_orderdate")) <= 9)), t) // v2
       q.processAllAvailable()
       sn.commit(snap(bumped.filter(!(month(col("o_orderdate")) <= 3 &&
