@@ -116,10 +116,12 @@ class SnapshotStreamProvider extends StreamSourceProvider
   * footprint, and sink-commit size) instead of planning one giant
   * batch — at 100 TB the difference between a burst the cluster
   * absorbs and one it falls over on. `served` is internal bookkeeping
-  * (the v1 FileStreamSource pattern): it advances in getBatch — which
-  * on restart runs FIRST, with the checkpointed range — so the clamp
-  * base recovers from the offset log. A cold getOffset before any
-  * getBatch clamps from the start anchor; if that undershoots an
+  * (the v1 FileStreamSource pattern), recovered on restart from BOTH
+  * engine channels: a pending batch replays through getBatch with the
+  * checkpointed range, and a clean restart re-announces the committed
+  * offset through commit(end) — either way the clamp base picks up
+  * where the log left off. A cold getOffset before either signal
+  * clamps from the start anchor; if that undershoots an
   * already-committed offset the engine's next getBatch is empty
   * (fromV >= endV) and the base catches up — transient no-op batches,
   * never duplicates. */
@@ -241,7 +243,10 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
     org.apache.spark.sql.graft.ColumnBridge.streamingFrame(pinned)
   }
 
-  override def commit(end: OffsetV1): Unit = ()
+  // the engine re-announces the committed offset on recovery — without
+  // this, a CLEAN restart (no pending batch to replay) would leave the
+  // rate-limit base empty and the first catch-up batch unclamped
+  override def commit(end: OffsetV1): Unit = noteServed(vOf(end))
   override def stop(): Unit = ()
   override def toString: String =
     s"SnapshotTailSource(root=$root, table=$table, " +
@@ -296,7 +301,9 @@ class SnapshotChangesSource(spark: SparkSession, root: String,
     org.apache.spark.sql.graft.ColumnBridge.streamingFrame(batch)
   }
 
-  override def commit(end: OffsetV1): Unit = ()
+  // see SnapshotTailSource.commit: keeps the rate-limit base recovered
+  // across a clean restart
+  override def commit(end: OffsetV1): Unit = noteServed(vOf(end))
   override def stop(): Unit = ()
   override def toString: String =
     s"SnapshotChangesSource(root=$root, table=$table, key=$key, " +

@@ -165,6 +165,39 @@ class SnapshotStreamSpec extends SparkSpec {
     }
   }
 
+  test("the rate limit survives a clean restart: catch-up after " +
+      "downtime is still bounded, from the committed base") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "raterestart"
+    sn.commit(kv(Seq((0L, 0.0))), t) // v1
+    val out = s"${scratch()}/out"
+    val ck = s"${scratch()}/ck"
+    def drainOnce(): Unit = {
+      val q = readTail(root, t, "startVersion" -> "1",
+          "maxVersionsPerBatch" -> "2")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainOnce() // clean shutdown, nothing pending
+    // a 6-version backlog accrues while the consumer is DOWN
+    (1 to 6).foreach(i => sn.append(kv(Seq((i.toLong, i.toDouble))), t))
+    drainOnce()
+    assert(spark.read.parquet(out).as[(Long, Double)].collect().toSet ==
+      (1 to 6).map(i => (i.toLong, i.toDouble)).toSet)
+    val ends = Option(new java.io.File(s"$ck/offsets").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+      .map(f => Files.readAllLines(f.toPath).asScala.last.trim.toInt)
+      .toSeq
+    assert(ends.last == 7, s"backlog not drained: $ends")
+    (1 +: ends).sliding(2).foreach { case Seq(a, b) =>
+      assert(b - a <= 2,
+        s"restart catch-up advanced ${b - a} > 2 versions: $ends")
+    }
+  }
+
   test("a widened append mid-stream delivers under the SUBSCRIBED " +
       "schema — schema binds at stream start, evolution needs a restart") {
     val root = scratch()
