@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{
+  ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetConn}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
@@ -15,37 +17,55 @@ import graft.plans.Snapshots
   * table's append history. This source makes [[Snapshots.appendsBetween]]
   * (already the incremental batch read, d28) the micro-batch planner:
   *
-  *  - OFFSETS ARE TABLE VERSIONS. `getOffset` reads the current
-  *    version (one directory listing — pure metadata); a micro-batch is
-  *    the half-open version range `(start, end]`. Offsets serialize as
-  *    the bare version number, so the checkpoint's offset log is
+  *  - OFFSETS ARE TABLE VERSIONS. A micro-batch is the half-open
+  *    version range `(start, end]`; offsets serialize as the bare
+  *    version number, so the checkpoint's offset log is
   *    human-auditable against `$snapshots` and a restart resumes from
   *    the exact committed version (kill/resume spec'd in
   *    SnapshotStreamSpec).
   *  - BATCHES ARE MANIFEST SET-DIFFS. Planning a batch costs O(manifest)
   *    metadata, and the scan touches ONLY the dirs appended in the
-  *    range — never the table. At 100 TB a consumer lagging by three
+  *    range — never the table. At 100 TB a consumer lagging three
   *    commits reads three commits' worth of files.
-  *  - NON-APPEND COMMITS (CoW rewrite, MoR delete, fold, rollback,
-  *    compaction) are change data, not appends — replaying a rewrite
-  *    would duplicate rows the consumer already processed. Default
-  *    `onNonAppend=fail` stops the query loudly (Iceberg's streaming
-  *    default: refuse silent under-delivery); `onNonAppend=skip`
-  *    mirrors `streaming-skip-overwrite/delete-snapshots=true` — the
-  *    stream stays an append tail and reconciliation belongs to the
-  *    change feed ([[Snapshots.changesBetween]]).
+  *  - NON-APPEND COMMITS (CoW rewrite, MoR delete, upsert, fold,
+  *    rollback, compaction) are change data, not appends — replaying a
+  *    rewrite would duplicate rows the consumer already processed, and
+  *    an upsert's data files without their retractions are half a
+  *    change. Default `onNonAppend=fail` stops the query loudly
+  *    (Iceberg's streaming default: refuse silent mis-delivery);
+  *    `onNonAppend=skip` mirrors
+  *    `streaming-skip-overwrite/delete-snapshots=true` — the stream
+  *    stays an append tail and reconciliation belongs to the change
+  *    feed, which `mode=changes` serves as a stream of its own
+  *    ([[SnapshotChangesSource]]).
   *
   * Spark-first note on the API choice: this is a DSv1
-  * [[org.apache.spark.sql.execution.streaming.Source]], not a DSv2
-  * `MicroBatchStream`, deliberately. The v1 contract — offset range →
-  * DataFrame — is exactly what a manifest-backed table needs: the
-  * batch IS `spark.read.parquet(appended dirs)`, planned by Catalyst
-  * with full pushdown/pruning/codegen. A v2 `MicroBatchStream` hands
-  * back `PartitionReader[InternalRow]`s, i.e. would force
-  * re-implementing the vectorized parquet reader by hand (Spark's own
-  * file streaming source stays on v1 for the same reason; the v2 face
-  * of this engine's source family lives in [[SeqSource]], where rows
-  * are generated, not read).
+  * [[org.apache.spark.sql.execution.streaming.Source]] PLUS the
+  * connector-level [[SupportsTriggerAvailableNow]] admission-control
+  * face — exactly Spark's own FileStreamSource shape, and deliberately
+  * not a DSv2 `MicroBatchStream`. The v1 contract — offset range →
+  * DataFrame — is what a manifest-backed table needs: the batch IS
+  * `spark.read.parquet(appended dirs)`, planned by Catalyst with full
+  * pushdown/pruning/codegen; a v2 stream hands back
+  * `PartitionReader[InternalRow]`s, i.e. would force re-implementing
+  * the vectorized parquet reader by hand (the v2 face of this engine's
+  * source family lives in [[SeqSource]], where rows are generated, not
+  * read). The admission-control face matters for two behaviors the
+  * bare v1 `getOffset` cannot express:
+  *
+  *  - RATE LIMITING (`maxVersionsPerBatch`, the maxFilesPerTrigger /
+  *    `streaming-max-files-per-micro-batch` analog in the store's
+  *    natural unit): `latestOffset(start, limit)` receives the
+  *    previous batch's END from the engine — including across
+  *    restarts, recovered from the offset log — so a consumer
+  *    resuming over a 10k-version backlog drains bounded catch-up
+  *    batches with no source-side bookkeeping to lose.
+  *  - `Trigger.AvailableNow`: without the interface the engine wraps a
+  *    v1 source in a one-shot wrapper that captures the offset ONCE —
+  *    under a rate limit that run would stop after a single clamped
+  *    batch, silently under-delivering. Implementing
+  *    [[SupportsTriggerAvailableNow]] pins the run's target at prepare
+  *    time and drains up to it in bounded batches, then terminates.
   *
   * Two start modes, both replay-stable (manifests are immutable, so
   * re-running a checkpointed batch range re-reads identical entries):
@@ -55,14 +75,30 @@ import graft.plans.Snapshots
   *    initial-snapshot semantics: the consumer sees the whole table,
   *    then its growth. The anchor needs no driver state: it is the
   *    first offset Spark logs, so a restart replays `asOf` the same
-  *    version.
-  *  - `startVersion=v`: tail-only — appends strictly after live
-  *    version `v` (Iceberg's `stream-from` semantics). Rows the table
-  *    held at `v` are the consumer's presumed-already-processed past.
+  *    version. The initial-snapshot batch is never rate-limited (it is
+  *    one snapshot by definition).
+  *  - `startVersion=v`: tail-only — appends strictly after version `v`
+  *    (Iceberg's `stream-from` semantics). Rows the table held at `v`
+  *    are the consumer's presumed-already-processed past. `v` must not
+  *    exceed the current version (typo guard), but is NOT required to
+  *    be live: retention may legitimately expire the anchor of a
+  *    long-running stream whose checkpoint is far ahead — only a
+  *    stream that still NEEDS the anchor (first batch, no checkpoint)
+  *    fails, loudly, through the range guard.
   *
-  * Retention contract: resuming needs the checkpointed version still
+  * SCHEMA CONTRACT: every batch is projected to the schema the
+  * consumer subscribed at stream start (Delta's rule: evolution binds
+  * at restart) — a mid-stream ADD COLUMN widens the appended dirs
+  * without breaking the running query; a DROPPED subscribed column
+  * fails loudly rather than fabricating nulls.
+  *
+  * RETENTION CONTRACT: resuming needs the checkpointed version still
   * live — [[Snapshots.expire]] retention must cover consumer lag
-  * (Iceberg's rule verbatim). A resume past an expired version fails
+  * (Iceberg's rule verbatim) — plus, while the FIRST batch is still
+  * the newest committed one, its start (the anchor, or the snapshot
+  * version) too: the engine's clean restart replays the last committed
+  * batch through getBatch to restore source state, and that batch's
+  * range must still resolve. A resume past an expired version fails
   * loudly rather than silently skipping the GC'd gap. */
 class SnapshotStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -96,7 +132,9 @@ class SnapshotStreamProvider extends StreamSourceProvider
           p.getOrElse("onnonappend", "fail"), maxVersions)
       case "changes" =>
         new SnapshotChangesSource(sqlContext.sparkSession, p("root"),
-          p("table"), p("key"),
+          p("table"),
+          p.getOrElse("key", sys.error(
+            "mode=changes requires key — the change feed's equality column")),
           p.getOrElse("startversion",
             sys.error("mode=changes requires startVersion — a change " +
               "consumer names the version its state reflects " +
@@ -105,44 +143,6 @@ class SnapshotStreamProvider extends StreamSourceProvider
       case other => sys.error(s"mode must be appends|changes, got $other")
     }
   }
-}
-
-/** Per-trigger RATE LIMIT shared by both stream faces — the
-  * `maxFilesPerTrigger`/`streaming-max-files-per-micro-batch` analog,
-  * in the store's natural unit: a micro-batch advances at most
-  * `maxVersionsPerBatch` versions past what the source last served. A
-  * consumer resuming over a 10k-version backlog then drains it as
-  * bounded catch-up batches (each with bounded scan size, shuffle
-  * footprint, and sink-commit size) instead of planning one giant
-  * batch — at 100 TB the difference between a burst the cluster
-  * absorbs and one it falls over on. `served` is internal bookkeeping
-  * (the v1 FileStreamSource pattern), recovered on restart from BOTH
-  * engine channels: a pending batch replays through getBatch with the
-  * checkpointed range, and a clean restart re-announces the committed
-  * offset through commit(end) — either way the clamp base picks up
-  * where the log left off. A cold getOffset before either signal
-  * clamps from the start anchor; if that undershoots an
-  * already-committed offset the engine's next getBatch is empty
-  * (fromV >= endV) and the base catches up — transient no-op batches,
-  * never duplicates. */
-private[sources] trait VersionRateLimit {
-  protected def maxVersionsPerBatch: Option[Int]
-  /** The highest version this source has planned a batch through. */
-  @volatile private var served: Option[Int] = None
-
-  protected def noteServed(endV: Int): Unit =
-    served = Some(served.fold(endV)(math.max(_, endV)))
-
-  /** Clamp the available offset to `base-or-served + max`. `base` is
-    * the mode's start anchor (tail/changes: startVersion; snapshot
-    * mode: the current version — the initial snapshot is ONE batch by
-    * definition and rate limiting applies to the tail after it). */
-  protected def clampAvailable(current: Int, base: Option[Int]): Int =
-    maxVersionsPerBatch match {
-      case None => current
-      case Some(m) =>
-        served.orElse(base).fold(current)(b => math.min(current, b + m))
-    }
 }
 
 object SnapshotStreamProvider {
@@ -173,51 +173,119 @@ case class VersionOffset(v: Int) extends OffsetV1 {
   override def json(): String = v.toString
 }
 
-/** See [[SnapshotStreamProvider]]. */
+/** Shared machinery of both stream faces: version-offset parsing, the
+  * schema-pinned streaming hand-off, and the admission-control
+  * implementation (rate limit + Trigger.AvailableNow). Offset
+  * progression is ENGINE-owned: `latestOffset(start, limit)` receives
+  * the previous end — null before anything is committed, the
+  * deserialized offset-log entry after a restart — so there is no
+  * source-side watermark to lose across incarnations. */
+private[sources] abstract class SnapshotSourceBase(
+    protected val spark: SparkSession, protected val root: String,
+    protected val table: String,
+    protected val maxVersionsPerBatch: Option[Int])
+    extends Source with SupportsTriggerAvailableNow {
+
+  protected val store = new Snapshots(root)
+
+  /** "Nothing consumed yet": the tail/changes faces anchor at their
+    * startVersion; the initial-snapshot face uses -1 — its first batch
+    * is the full snapshot and is exempt from the rate limit. */
+  protected def baseVersion: Int
+
+  /** Accepts every offset face — live [[VersionOffset]], the offset
+    * log's SerializedOffset on recovery — via the JSON payload. */
+  protected def vOf(o: OffsetConn): Int = o.json().trim.toInt
+
+  protected def currentOrFail: Int =
+    store.currentVersion(table).getOrElse(
+      sys.error(s"no snapshots for $table"))
+
+  protected def emptyBatch: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Pin `batch` to the SUBSCRIBED schema and re-root it as the
+    * streaming-flagged frame the v1 contract wants (see
+    * [[org.apache.spark.sql.graft.ColumnBridge.streamingFrame]]). */
+  protected def deliver(batch: DataFrame): DataFrame = {
+    val pinned =
+      if (batch.schema == schema) batch
+      else batch.select(schema.fieldNames.toIndexedSeq.map(
+        org.apache.spark.sql.functions.col): _*)
+    org.apache.spark.sql.graft.ColumnBridge.streamingFrame(pinned)
+  }
+
+  // Trigger.AvailableNow pins the run's target when the query starts;
+  // versions committed after that drain in the NEXT run
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentOrFail)
+
+  override def latestOffset(start: OffsetConn, limit: ReadLimit)
+      : OffsetConn = {
+    val cur = availableNowCap.fold(currentOrFail)(
+      math.min(currentOrFail, _))
+    // the engine passes null before anything is committed (v1 path)
+    val from = Option(start).map(vOf).getOrElse(baseVersion)
+    val avail = maxVersionsPerBatch match {
+      // from < 0 is the initial-snapshot sentinel: that batch is one
+      // snapshot by definition and the limit governs the tail after it
+      case Some(m) if from >= 0 => math.min(cur, from + m)
+      case _ => cur
+    }
+    VersionOffset(math.max(avail, from))
+  }
+
+  /** Legacy v1 face. The 4.1.2 engine routes admission-control sources
+    * through [[latestOffset]] (verified against the jar's
+    * MicroBatchExecution: the SupportsAdmissionControl branch matches
+    * before the bare Source branch), so this exists only for
+    * completeness — it reports the unclamped latest. */
+  override def getOffset: Option[OffsetV1] =
+    Some(VersionOffset(currentOrFail))
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The APPEND-TAIL face — see [[SnapshotStreamProvider]]. */
 class SnapshotTailSource(spark: SparkSession, root: String, table: String,
     startVersion: Option[Int], onNonAppend: String,
-    protected val maxVersionsPerBatch: Option[Int] = None)
-    extends Source with VersionRateLimit {
+    maxVersions: Option[Int] = None)
+    extends SnapshotSourceBase(spark, root, table, maxVersions) {
   require(onNonAppend == "fail" || onNonAppend == "skip",
     s"onNonAppend must be fail|skip, got $onNonAppend")
-  private val store = new Snapshots(root)
+  // typo guard only — NOT a liveness requirement: retention may expire
+  // the anchor of a long-lived stream whose checkpoint is far ahead,
+  // and blocking the restart would contradict the retention contract
+  // (only a stream that still NEEDS the anchor fails, in getBatch,
+  // through the range guard's loud require)
   startVersion.foreach { v =>
-    require(store.versions(table).contains(v),
-      s"startVersion $v is not a live version of $table " +
-        s"(have ${store.versions(table)})")
+    require(v <= currentOrFail,
+      s"startVersion $v is beyond $table's current version " +
+        s"${currentOrFail}")
   }
+
+  override protected def baseVersion: Int = startVersion.getOrElse(-1)
 
   override val schema: StructType = store.current(spark, table).schema
 
-  /** Parse any offset face — [[VersionOffset]] live, or the offset
-    * log's `SerializedOffset` on checkpoint recovery — via its JSON. */
-  private def vOf(o: OffsetV1): Int = o.json().trim.toInt
-
-  override def getOffset: Option[OffsetV1] = {
-    val cur = store.currentVersion(table).getOrElse(
-      sys.error(s"no snapshots for $table"))
-    // snapshot mode's base is None: the initial snapshot is one batch
-    // by definition; the rate limit applies to the tail after it
-    Some(VersionOffset(clampAvailable(cur, startVersion)))
-  }
-
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = vOf(end)
-    noteServed(endV)
     val batch = start.map(vOf).orElse(startVersion) match {
       case Some(fromV) if fromV >= endV =>
         // no new versions (or a replayed empty range): schema-stable
         // empty frame with no file paths planted in the plan
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        emptyBatch
       case Some(fromV) =>
         if (onNonAppend == "fail") {
           val bad = store.nonAppendVersionsBetween(table, fromV, endV)
           if (bad.nonEmpty) throw new IllegalStateException(
             s"non-append commit(s) at version(s) ${bad.mkString(",")} of " +
               s"$table: their row deltas are change data, not appends. " +
-              "Consume them via changesBetween, or set onNonAppend=skip " +
-              "to tail appends only.")
+              "Consume them via changesBetween (mode=changes), or set " +
+              "onNonAppend=skip to tail appends only.")
         }
         store.appendsBetween(spark, table, fromV, endV)
       case None =>
@@ -226,28 +294,9 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
         // the offset log on recovery
         store.asOf(spark, table, endV)
     }
-    // pin every batch to the SUBSCRIBED schema (Delta's contract:
-    // schema changes require a stream restart): a mid-stream ADD
-    // COLUMN evolution commit widens the appended dirs, and without
-    // this projection the widened batch frame would break the
-    // running query's schema mid-flight; with it, the consumer keeps
-    // its columns and a restart subscribes to the evolved schema. A
-    // DROPPED subscribed column still fails loudly (the select cannot
-    // resolve it) — delivering fabricated nulls would be worse.
-    val pinned =
-      if (batch.schema == schema) batch
-      else batch.select(schema.fieldNames.toIndexedSeq.map(
-        org.apache.spark.sql.functions.col): _*)
-    // the v1 contract wants a streaming-flagged frame; the batch plan
-    // still compiles with full Catalyst treatment (see streamingFrame)
-    org.apache.spark.sql.graft.ColumnBridge.streamingFrame(pinned)
+    deliver(batch)
   }
 
-  // the engine re-announces the committed offset on recovery — without
-  // this, a CLEAN restart (no pending batch to replay) would leave the
-  // rate-limit base empty and the first catch-up batch unclamped
-  override def commit(end: OffsetV1): Unit = noteServed(vOf(end))
-  override def stop(): Unit = ()
   override def toString: String =
     s"SnapshotTailSource(root=$root, table=$table, " +
       s"start=${startVersion.getOrElse("snapshot")}, $onNonAppend)"
@@ -271,40 +320,27 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
   * never O(table); the pure-append fast path skips the join entirely. */
 class SnapshotChangesSource(spark: SparkSession, root: String,
     table: String, key: String, startVersion: Int,
-    protected val maxVersionsPerBatch: Option[Int] = None)
-    extends Source with VersionRateLimit {
-  private val store = new Snapshots(root)
-  require(store.versions(table).contains(startVersion),
-    s"startVersion $startVersion is not a live version of $table " +
-      s"(have ${store.versions(table)})")
+    maxVersions: Option[Int] = None)
+    extends SnapshotSourceBase(spark, root, table, maxVersions) {
+  // same typo-guard-not-liveness rule as the tail face: an expired
+  // anchor only matters to a stream still needing batch 0
+  require(startVersion <= currentOrFail,
+    s"startVersion $startVersion is beyond $table's current version " +
+      s"${currentOrFail}")
+
+  override protected def baseVersion: Int = startVersion
 
   override val schema: StructType = SnapshotStreamProvider.changesSchema(
     store.current(spark, table).schema, key)
 
-  private def vOf(o: OffsetV1): Int = o.json().trim.toInt
-
-  override def getOffset: Option[OffsetV1] = {
-    val cur = store.currentVersion(table).getOrElse(
-      sys.error(s"no snapshots for $table"))
-    Some(VersionOffset(clampAvailable(cur, Some(startVersion))))
-  }
-
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = vOf(end)
-    noteServed(endV)
     val fromV = start.map(vOf).getOrElse(startVersion)
-    val batch =
-      if (fromV >= endV)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else store.changesBetween(spark, table, fromV, endV, key)
-    org.apache.spark.sql.graft.ColumnBridge.streamingFrame(batch)
+    deliver(
+      if (fromV >= endV) emptyBatch
+      else store.changesBetween(spark, table, fromV, endV, key))
   }
 
-  // see SnapshotTailSource.commit: keeps the rate-limit base recovered
-  // across a clean restart
-  override def commit(end: OffsetV1): Unit = noteServed(vOf(end))
-  override def stop(): Unit = ()
   override def toString: String =
     s"SnapshotChangesSource(root=$root, table=$table, key=$key, " +
       s"from=$startVersion)"

@@ -166,7 +166,8 @@ class SnapshotStreamSpec extends SparkSpec {
   }
 
   test("the rate limit survives a clean restart: catch-up after " +
-      "downtime is still bounded, from the committed base") {
+      "downtime is still bounded from the COMMITTED offset — " +
+      "snapshot mode, where no startVersion anchor can mask a reset") {
     val root = scratch()
     val sn = new Snapshots(root)
     val t = "raterestart"
@@ -174,18 +175,20 @@ class SnapshotStreamSpec extends SparkSpec {
     val out = s"${scratch()}/out"
     val ck = s"${scratch()}/ck"
     def drainOnce(): Unit = {
-      val q = readTail(root, t, "startVersion" -> "1",
-          "maxVersionsPerBatch" -> "2")
+      // DEFAULT (snapshot) mode: the only correct clamp base after the
+      // restart is the offset log's committed v1 — a rate limiter that
+      // lost its base to the restart would plan one unclamped batch
+      val q = readTail(root, t, "maxVersionsPerBatch" -> "2")
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ck).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
     }
-    drainOnce() // clean shutdown, nothing pending
+    drainOnce() // clean shutdown after the initial snapshot, nothing pending
     // a 6-version backlog accrues while the consumer is DOWN
     (1 to 6).foreach(i => sn.append(kv(Seq((i.toLong, i.toDouble))), t))
     drainOnce()
     assert(spark.read.parquet(out).as[(Long, Double)].collect().toSet ==
-      (1 to 6).map(i => (i.toLong, i.toDouble)).toSet)
+      Set((0L, 0.0)) ++ (1 to 6).map(i => (i.toLong, i.toDouble)))
     val ends = Option(new java.io.File(s"$ck/offsets").listFiles())
       .getOrElse(Array.empty)
       .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
@@ -196,6 +199,63 @@ class SnapshotStreamSpec extends SparkSpec {
       assert(b - a <= 2,
         s"restart catch-up advanced ${b - a} > 2 versions: $ends")
     }
+  }
+
+  test("Trigger.AvailableNow under a rate limit drains the WHOLE " +
+      "backlog in bounded batches, then terminates — no silent " +
+      "under-delivery from a one-shot offset capture") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "availnow"
+    sn.commit(kv(Seq((0L, 0.0))), t) // v1
+    (1 to 6).foreach(i => sn.append(kv(Seq((i.toLong, i.toDouble))), t))
+    val out = s"${scratch()}/out"
+    val ck = s"${scratch()}/ck"
+    val q = readTail(root, t, "startVersion" -> "1",
+        "maxVersionsPerBatch" -> "2")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    assert(q.awaitTermination(120000), "AvailableNow run did not terminate")
+    assert(spark.read.parquet(out).as[(Long, Double)].collect().toSet ==
+      (1 to 6).map(i => (i.toLong, i.toDouble)).toSet,
+      "the run must drain everything available at start, not one batch")
+    val ends = Option(new java.io.File(s"$ck/offsets").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+      .map(f => Files.readAllLines(f.toPath).asScala.last.trim.toInt)
+      .toSeq
+    assert(ends.size >= 3 && ends.last == 7,
+      s"expected >= 3 bounded batches reaching v7: $ends")
+  }
+
+  test("an EXPIRED startVersion anchor does not block a restart whose " +
+      "checkpoint is ahead of it — retention covers lag, not anchors") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "anchor"
+    sn.commit(kv(Seq((1L, 1.0))), t)      // v1: the anchor
+    sn.append(kv(Seq((2L, 2.0))), t)      // v2
+    val out = s"${scratch()}/out"
+    val ck = s"${scratch()}/ck"
+    def drainOnce(mid: => Unit): Unit = {
+      val q = readTail(root, t, "startVersion" -> "1")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      try { q.processAllAvailable(); mid; q.processAllAvailable() }
+      finally q.stop()
+    }
+    // incarnation 1 advances PAST the anchor batch: the engine's clean
+    // restart replays the LAST COMMITTED batch through getBatch, so the
+    // anchor stays load-bearing only while batch 0 is the newest commit
+    drainOnce { sn.append(kv(Seq((3L, 3.0))), t) } // batches (1,2], (2,3]
+    sn.expire(t, keep = 2, gcOlderThanMillis = 0L) // v1 (the anchor) expires
+    assert(!sn.versions(t).contains(1), "fixture: anchor must be expired")
+    sn.append(kv(Seq((4L, 4.0))), t)      // v4 while down
+    drainOnce(()) // must resume fine: the checkpointed v3 is still live
+    assert(spark.read.parquet(out).as[(Long, Double)].collect().toSet ==
+      Set((2L, 2.0), (3L, 3.0), (4L, 4.0)))
   }
 
   test("a widened append mid-stream delivers under the SUBSCRIBED " +
