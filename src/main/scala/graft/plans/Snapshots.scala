@@ -1324,7 +1324,13 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       }.flatten.toSeq
       // distinct: a rollback-then-republish round trip re-introduces an
       // entry the range already emitted; without the dedup the same dir
-      // would enter the scan twice and double its rows downstream
+      // would enter the scan twice and double its rows downstream.
+      // SCOPE: the dedup sees only THIS range — when the round trip
+      // straddles two calls (the streaming tail's successive batches),
+      // the re-introduced entry is indistinguishable from a fresh
+      // append and is emitted again; the caller-facing contract lives
+      // in SnapshotStreamProvider's skip-mode caveat (use fail mode or
+      // the change feed where rollbacks can interleave).
       .distinct
     if (added.isEmpty)
       current(spark, table).limit(0) // empty frame, correct schema

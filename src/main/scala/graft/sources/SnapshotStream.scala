@@ -37,7 +37,21 @@ import graft.plans.Snapshots
   *    `streaming-skip-overwrite/delete-snapshots=true` — the stream
   *    stays an append tail and reconciliation belongs to the change
   *    feed, which `mode=changes` serves as a stream of its own
-  *    ([[SnapshotChangesSource]]).
+  *    ([[SnapshotChangesSource]]). SKIP-MODE CONTRACT CAVEAT
+  *    (rollback-republish): a ROLLBACK is skipped as non-append; if a
+  *    LATER commit re-points to a dir the rollback removed (a second
+  *    rollback forward, or a manual re-publish of the same manifest
+  *    entry — ordinary appends always mint fresh dirs), that dir
+  *    re-enters a step diff. Within one micro-batch range
+  *    [[Snapshots.appendsBetween]] dedups the round trip; across a
+  *    batch boundary the tail cannot know what an earlier batch
+  *    delivered — offsets carry version numbers, not dir identity —
+  *    so the re-introduced rows are delivered AGAIN. Iceberg's
+  *    incremental append scan has the same blind spot. Where
+  *    rollbacks can interleave with consumption, run the default
+  *    fail mode (stops loudly AT the rollback) or consume
+  *    `mode=changes`, whose per-step diff handles re-pointed dirs as
+  *    the inserts/deletes they logically are.
   *
   * Spark-first note on the API choice: this is a DSv1
   * [[org.apache.spark.sql.execution.streaming.Source]] PLUS the
@@ -207,12 +221,33 @@ private[sources] abstract class SnapshotSourceBase(
 
   /** Pin `batch` to the SUBSCRIBED schema and re-root it as the
     * streaming-flagged frame the v1 contract wants (see
-    * [[org.apache.spark.sql.graft.ColumnBridge.streamingFrame]]). */
+    * [[org.apache.spark.sql.graft.ColumnBridge.streamingFrame]]).
+    * BOTH schema-divergence axes fail loudly: a dropped subscribed
+    * column through the select-by-name (AnalysisException), and a
+    * mid-stream column TYPE change through the explicit dataType
+    * comparison below — select-by-name projects but does NOT cast, so
+    * without the check a type-evolved append would ship batches whose
+    * runtime rows silently disagree with the subscribed schema and
+    * surface downstream as attribute-rebinding errors or wrong
+    * results, far from the cause. */
   protected def deliver(batch: DataFrame): DataFrame = {
     val pinned =
       if (batch.schema == schema) batch
-      else batch.select(schema.fieldNames.toIndexedSeq.map(
-        org.apache.spark.sql.functions.col): _*)
+      else {
+        val projected = batch.select(schema.fieldNames.toIndexedSeq.map(
+          org.apache.spark.sql.functions.col): _*)
+        val diverged = schema.fields.zip(projected.schema.fields).collect {
+          case (sub, got) if sub.dataType != got.dataType =>
+            s"${sub.name} (subscribed ${sub.dataType.simpleString}, " +
+              s"batch carries ${got.dataType.simpleString})"
+        }
+        if (diverged.nonEmpty) throw new IllegalStateException(
+          s"schema evolved mid-stream on $table — column type(s) " +
+            s"changed: ${diverged.mkString("; ")}. Schema binds at " +
+            "stream start; restart the stream to subscribe the " +
+            "evolved schema.")
+        projected
+      }
     org.apache.spark.sql.graft.ColumnBridge.streamingFrame(pinned)
   }
 
@@ -241,9 +276,22 @@ private[sources] abstract class SnapshotSourceBase(
     * through [[latestOffset]] (verified against the jar's
     * MicroBatchExecution: the SupportsAdmissionControl branch matches
     * before the bare Source branch), so this exists only for
-    * completeness — it reports the unclamped latest. */
-  override def getOffset: Option[OffsetV1] =
-    Some(VersionOffset(currentOrFail))
+    * completeness — but it must not be a silent hole in the admission
+    * contract: it honors the AvailableNow cap, and when a rate limit
+    * is configured it fails LOUDLY, because this face has no `start`
+    * argument and so cannot express `start + maxVersionsPerBatch` —
+    * an engine path that took it (an older Spark, a wrapper) would
+    * otherwise plan one unclamped catch-up batch over the whole
+    * backlog, exactly what the limit exists to prevent. */
+  override def getOffset: Option[OffsetV1] = {
+    maxVersionsPerBatch.foreach { m => throw new IllegalStateException(
+      s"maxVersionsPerBatch=$m requires the admission-control offset " +
+        "path (latestOffset(start, limit)); the bare v1 getOffset " +
+        "cannot bound a batch and refusing beats planning one " +
+        "unclamped catch-up batch") }
+    Some(VersionOffset(availableNowCap.fold(currentOrFail)(
+      math.min(currentOrFail, _))))
+  }
 
   override def commit(end: OffsetV1): Unit = ()
   override def stop(): Unit = ()

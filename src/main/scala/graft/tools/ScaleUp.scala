@@ -77,7 +77,11 @@ object ScaleUp {
         println(s"[scaleup] $t -> $dst/$t.parquet")
       } else println(s"[scaleup] $t skipped (not in only-list)")
     /** max(key)+1 — the per-replica stride that keeps shifted keys
-      * disjoint. */
+      * disjoint. Every load/stride below is LAZY so a restricted run
+      * pays only for tables it actually touches: a skipped table's
+      * stride action fires only when an INCLUDED table's key shift
+      * references it (lineitem legitimately needs orders/part/supplier
+      * strides; an only=documents run must scan nothing else). */
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
@@ -90,19 +94,23 @@ object ScaleUp {
     save("region", load("region"))
     save("nation", load("nation"))
 
-    val cust = load("customer"); val kCust = stride(cust, "c_custkey")
+    lazy val cust = load("customer")
+    lazy val kCust = stride(cust, "c_custkey")
     save("customer", replicate(cust)((d, r) =>
       d.withColumn("c_custkey", col("c_custkey") + lit(r * kCust))))
 
-    val part = load("part"); val kPart = stride(part, "p_partkey")
+    lazy val part = load("part")
+    lazy val kPart = stride(part, "p_partkey")
     save("part", replicate(part)((d, r) =>
       d.withColumn("p_partkey", col("p_partkey") + lit(r * kPart))))
 
-    val supp = load("supplier"); val kSupp = stride(supp, "s_suppkey")
+    lazy val supp = load("supplier")
+    lazy val kSupp = stride(supp, "s_suppkey")
     save("supplier", replicate(supp)((d, r) =>
       d.withColumn("s_suppkey", col("s_suppkey") + lit(r * kSupp))))
 
-    val ord = load("orders"); val kOrd = stride(ord, "o_orderkey")
+    lazy val ord = load("orders")
+    lazy val kOrd = stride(ord, "o_orderkey")
     save("orders", replicate(ord)((d, r) => d
       .withColumn("o_orderkey", col("o_orderkey") + lit(r * kOrd))
       .withColumn("o_custkey", col("o_custkey") + lit(r * kCust))))
@@ -112,13 +120,15 @@ object ScaleUp {
       .withColumn("l_partkey", col("l_partkey") + lit(r * kPart))
       .withColumn("l_suppkey", col("l_suppkey") + lit(r * kSupp))))
 
-    val ev = load("events")
-    val kEvent = stride(ev, "event_id"); val kUser = stride(ev, "user_id")
+    lazy val ev = load("events")
+    lazy val kEvent = stride(ev, "event_id")
+    lazy val kUser = stride(ev, "user_id")
     save("events", replicate(ev)((d, r) => d
       .withColumn("event_id", col("event_id") + lit(r * kEvent))
       .withColumn("user_id", col("user_id") + lit(r * kUser))))
 
-    val docs = load("documents"); val kDoc = stride(docs, "doc_id")
+    lazy val docs = load("documents")
+    lazy val kDoc = stride(docs, "doc_id")
     save("documents", replicate(docs)((d, r) => d
       .withColumn("doc_id", col("doc_id") + lit(r * kDoc))
       .withColumn("text",
@@ -131,7 +141,8 @@ object ScaleUp {
     // would not produce. A per-replica ±1 sign pattern is
     // norm-preserving and deterministic, and scatters replicas across
     // hyperplane/IVF buckets (replica 0 = identity, no flips).
-    val emb = load("embeddings"); val kVec = stride(emb, "vec_id")
+    lazy val emb = load("embeddings")
+    lazy val kVec = stride(emb, "vec_id")
     save("embeddings", replicate(emb)((d, r) => d
       .withColumn("vec_id", col("vec_id") + lit(r * kVec))
       .withColumn("embedding",
