@@ -281,6 +281,58 @@ class SnapshotStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a mid-stream column TYPE change fails loudly under the " +
+      "subscribed schema — select-by-name projects but must not ship " +
+      "silently diverged runtime types") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "retype"
+    sn.commit(kv(Seq((1L, 1.0))), t)
+    val sink = s"retype_sink_${System.nanoTime()}"
+    val q = readTail(root, t).writeStream.format("memory")
+      .queryName(sink).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // same column NAMES, evolved TYPE: v becomes a string — the name
+      // projection alone would succeed and hand downstream a batch
+      // whose rows disagree with the subscribed schema
+      sn.append(Seq((2L, "oops")).toDF("k", "v").coalesce(1), t)
+      val ex = intercept[StreamingQueryException](q.processAllAvailable())
+      def messages(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      val all = messages(ex).mkString(" | ")
+      assert(all.contains("schema evolved") && all.contains("restart"),
+        s"expected the explicit type-divergence failure, got: $all")
+    } finally q.stop()
+  }
+
+  test("the legacy v1 getOffset face cannot bypass admission control: " +
+      "it honors the AvailableNow cap and refuses to run under a rate " +
+      "limit it cannot express") {
+    import graft.sources.SnapshotTailSource
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "v1face"
+    sn.commit(kv(Seq((1L, 1.0))), t) // v1
+    sn.append(kv(Seq((2L, 2.0))), t) // v2
+    // a rate-limited source must fail LOUDLY on the bare v1 path — it
+    // has no `start`, so it cannot clamp, and silence would mean one
+    // unclamped catch-up batch over the whole backlog
+    val limited = new SnapshotTailSource(spark, root, t, Some(1), "fail",
+      maxVersions = Some(2))
+    val ex = intercept[IllegalStateException](limited.getOffset)
+    assert(ex.getMessage.contains("latestOffset"),
+      s"the refusal must point at the admission-control path: $ex")
+    // an unlimited source under Trigger.AvailableNow: versions landing
+    // AFTER prepare must not leak into this run's target offset
+    val capped = new SnapshotTailSource(spark, root, t, Some(1), "fail")
+    capped.prepareForTriggerAvailableNow() // pins v2
+    sn.append(kv(Seq((3L, 3.0))), t)       // v3 lands after the pin
+    assert(capped.getOffset.map(_.json().trim.toInt) == Some(2),
+      "getOffset leaked a post-prepare version past the AvailableNow cap")
+  }
+
   test("changes mode: the streamed feed equals batch changesBetween, " +
       "coalesced triggers included, and resumes across a kill") {
     val root = scratch()
@@ -447,53 +499,64 @@ class SnapshotStreamSpec extends SparkSpec {
       s"serving table diverged from latest-per-key over A's history: $b")
   }
 
-  test("soak consumption law: a skip-mode tail drained WHILE append/" +
-      "MoR-delete/upsert/fold commits interleave delivers exactly the " +
-      "initial snapshot plus every pure append, once each") {
+  // Built by the 400-commit soak test below and REUSED by the deep
+  // AvailableNow catch-up test: (root, pure-append rows, final version).
+  // ScalaTest runs a suite's tests in registration order, so the
+  // depth test sees the built table; if the soak test fails, the depth
+  // test reports the missing fixture instead of a misleading pass.
+  private var soakFixture: Option[(String, Set[(Long, Double)], Int)] = None
+
+  test("soak consumption law under commit PRESSURE: a skip-mode tail " +
+      "with a free-running trigger drains the 400-commit append/MoR-" +
+      "delete/upsert/fold interleaving (the MaintenanceSpec soak mix) " +
+      "WHILE the commits land — exactly the seed snapshot plus every " +
+      "pure append, once each") {
     val root = scratch()
     // segThreshold=2 keeps the manifest in its segmented shape under the
     // reader, so batches plan across the geometric-merge boundary too
     val sn = new Snapshots(root, segThreshold = 2)
     val t = "soaktail"
+    val model = scala.collection.mutable.SortedMap.empty[Long, Double]
     var nextKey = 0L
-    def batch(n: Int, tag: Double): Seq[(Long, Double)] = {
-      val rows = (nextKey until nextKey + n).map(k => (k, tag))
-      nextKey += n
+    def one(tag: Double): Seq[(Long, Double)] = {
+      val rows = Seq((nextKey, tag)); model(nextKey) = tag; nextKey += 1
       rows
     }
     val expected = scala.collection.mutable.Set.empty[(Long, Double)]
-    val seed = batch(20, 0.0)
+    val seed = (0 until 20).flatMap(_ => one(0.0))
     sn.commit(kv(seed), t)
     expected ++= seed
     val out = s"${scratch()}/out"
+    val ck = s"${scratch()}/ck"
     val q = readTail(root, t, "onNonAppend" -> "skip")
       .writeStream.format("parquet").option("path", out)
-      .option("checkpointLocation", s"${scratch()}/ck")
+      .option("checkpointLocation", ck)
       .outputMode("append").start()
     try {
       q.processAllAvailable() // anchor = the seed snapshot
-      var delKey = 0L
-      (1 to 60).foreach { i =>
-        if (i % 20 == 0) {
-          // fold: rewrites data dirs — a leak would re-deliver old rows
-          sn.rewriteDeletes(spark, t)
-        } else if (i % 12 == 0) {
+      // the commit mix is MaintenanceSpec's metadata-soak schedule
+      // verbatim; the DEFAULT trigger polls continuously, so the
+      // consumer plans micro-batches AGAINST the live commit stream
+      // (no drain calls inside the loop — overlap is the point)
+      (1 to 400).foreach { i =>
+        if (i % 80 == 0) {
+          sn.rewriteDeletes(spark, t) // fold: rewrites data dirs
+        } else if (i % 25 == 0 && model.nonEmpty) {
           // upsert: updates a seen key AND inserts a brand-new one; skip
           // mode must deliver NEITHER (the new key would be half a change)
-          sn.mergeUpsert(spark, t,
-            kv(Seq((delKey, -9.0), (nextKey, -9.0))), "k")
-          nextKey += 1
-        } else if (i % 5 == 0 && delKey < nextKey) {
+          val k = model.lastKey
+          sn.mergeUpsert(spark, t, kv(Seq((k, -1.0), (nextKey, 1.0))), "k")
+          model(k) = -1.0; model(nextKey) = 1.0; nextKey += 1
+        } else if (i % 10 == 0 && model.size > 3) {
           // MoR delete: append-tail semantics — no retraction downstream
-          sn.deleteWhereMoR(spark, t, col("k") === delKey, Seq("k"))
-          delKey += 1
+          val k = model.firstKey
+          sn.deleteWhereMoR(spark, t, col("k") === k, Seq("k"))
+          model -= k
         } else {
-          val b = batch(3, i.toDouble)
+          val b = one(i.toDouble)
           sn.append(kv(b), t)
           expected ++= b
         }
-        // drain mid-interleaving so consumption overlaps the commits
-        if (i % 7 == 0) q.processAllAvailable()
       }
       q.processAllAvailable()
     } finally q.stop()
@@ -503,5 +566,56 @@ class SnapshotStreamSpec extends SparkSpec {
         "(a mismatch means duplicate delivery or a skipped append)")
     assert(got.toSet == expected.toSet,
       "delivered set diverged: a rewrite/upsert/fold leaked into the tail")
+    // the overlap itself, receipted: the offset log must show MANY
+    // micro-batches whose ends climb THROUGH the commit window — a
+    // consumer that woke up once at the end would log one giant range
+    val ends = Option(new java.io.File(s"$ck/offsets").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+      .map(f => Files.readAllLines(f.toPath).asScala.last.trim.toInt)
+      .toSeq
+    val finalV = sn.currentVersion(t).get
+    assert(ends.count(e => e > 1 && e < finalV) >= 10,
+      s"free-running consumption did not overlap the commits: the " +
+        s"offset log shows only $ends against final version $finalV")
+    soakFixture = Some((root, expected.toSet, finalV))
+  }
+
+  test("deep rate-limited AvailableNow catch-up: a ~400-version backlog " +
+      "drains to termination in bounded batches — ends monotonic, each " +
+      "step <= limit, batch count ~ versions/limit, final offset = the " +
+      "pinned cap") {
+    val (root, expected, finalV) = soakFixture.getOrElse(
+      fail("soak fixture missing — the 400-commit soak test must run first"))
+    val limit = 10
+    val out = s"${scratch()}/out"
+    val ck = s"${scratch()}/ck"
+    val q = readTail(root, "soaktail", "startVersion" -> "1",
+        "onNonAppend" -> "skip", "maxVersionsPerBatch" -> limit.toString)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    assert(q.awaitTermination(600000), "AvailableNow run did not terminate")
+    // tail-only from the seed version: everything EXCEPT the seed rows
+    val seedless = expected.filterNot { case (_, tag) => tag == 0.0 }
+    val got = spark.read.parquet(out).as[(Long, Double)].collect().toSeq
+    assert(got.size == seedless.size && got.toSet == seedless,
+      s"depth drain delivered ${got.size} rows vs ${seedless.size} expected")
+    val ends = Option(new java.io.File(s"$ck/offsets").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+      .map(f => Files.readAllLines(f.toPath).asScala.last.trim.toInt)
+      .toSeq
+    assert(ends.last == finalV,
+      s"final offset ${ends.last} != the pinned cap $finalV")
+    assert(ends == ends.sorted && ends.distinct == ends,
+      s"checkpoint did not advance monotonically: $ends")
+    (1 +: ends).sliding(2).foreach { case Seq(a, b) =>
+      assert(b - a <= limit, s"a batch advanced ${b - a} > $limit: $ends")
+    }
+    val exact = math.ceil((finalV - 1).toDouble / limit).toInt
+    assert(ends.size >= exact && ends.size <= exact + 1,
+      s"expected ~$exact bounded batches (versions/limit), got ${ends.size}")
   }
 }
