@@ -773,10 +773,10 @@ object Streaming extends QueryPack {
     * versions, micro-batches are manifest set-diffs, batches scan only
     * appended dirs — Iceberg's streaming read over graft manifests).
     * This entry runs the REAL stream, not a batch replay: v1 seeds a
-    * third of events; the query starts, drains the initial snapshot,
-    * and then two more thirds are APPENDED MID-QUERY and drained as
-    * tail micro-batches into a parquet sink. The rollup of the sink
-    * must equal the plain batch aggregate over all of events —
+    * third of the streamed slice; the query starts, drains the initial
+    * snapshot, and then two more thirds are APPENDED MID-QUERY and
+    * drained as tail micro-batches into a parquet sink. The rollup of
+    * the sink must equal the plain batch aggregate over the slice —
     * n_unique == n_events pins zero duplicates (a replayed batch or a
     * re-emitted dir would double rows), the per-type counts pin zero
     * gaps. Kill/resume, tail-from-version, and the non-append guard
@@ -793,9 +793,20 @@ object Streaming extends QueryPack {
     val root = Scratch.dir("t15_tail")
     val sn = new Snapshots(root)
     val t = "events_tail"
+    // Fixture-volume control: the entry PROVES end-to-end streaming
+    // semantics (initial snapshot + mid-query appends drained through
+    // a real query, oracle-gated); its cost must be the streaming
+    // machinery, not three rewrites of the full events table — volume
+    // scaling is the batch families' job. A deterministic modulo
+    // subset (event_id ≡ 0 mod 3) keeps every event type and the
+    // oracle an exact DuckDB mirror, at a third of the fixture I/O;
+    // persist because the same projection feeds all three snapshot
+    // writes (unpersisted in the finally — the bench's shared session
+    // must carry nothing out).
     val ev = T.loadEvents(s, dir).select(col("event_id"), col("ts"),
       col("user_id"), col("event_type"), col("value"))
-    def third(r: Long) = ev.filter(pmod(col("event_id"), lit(3L)) === r)
+      .filter(pmod(col("event_id"), lit(3L)) === 0L).persist()
+    def third(r: Long) = ev.filter(pmod(col("event_id"), lit(9L)) === r)
     sn.commit(third(0), t) // v1: the pre-stream snapshot
     val out = Scratch.dir("t15_out")
     val q = s.readStream
@@ -807,11 +818,17 @@ object Streaming extends QueryPack {
       .outputMode("append").start()
     try {
       q.processAllAvailable() // batch 0: the full v1 snapshot
-      sn.append(third(1), t)  // v2 lands while the query runs
+      sn.append(third(3), t)  // v2 lands while the query runs
+      sn.append(third(6), t)  // v3 likewise
+      // ONE coalesced drain for both mid-query appends: the trigger
+      // plans (1, 3] as a single micro-batch — batch-slicing
+      // invariance is structural (SnapshotStreamSpec pins it) and the
+      // mid-query-commit property is untouched (both versions landed
+      // while the query ran); per-version micro-batch cadence is
+      // spec'd separately, so the bench entry does not pay a third
+      // drain cycle to re-prove it
       q.processAllAvailable()
-      sn.append(third(2), t)  // v3 likewise
-      q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); ev.unpersist() }
     s.read.parquet(out)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -844,7 +861,15 @@ object Streaming extends QueryPack {
     val root = Scratch.dir("t16_changes")
     val sn = new Snapshots(root)
     val t = "orders_hist"
+    // Same fixture-volume control as t15: the CDC step diffs (two
+    // full-outer joins over near-full snapshots) and three snapshot
+    // writes all scale with fixture rows; a deterministic quarter of
+    // orders (o_orderkey ≡ 0 mod 4) exercises identical per-step
+    // change attribution at a quarter of the cost, and the oracle
+    // carries the same predicate. persist: three snapshot writes
+    // project from the same scan; released in the finally.
     val o = T.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 4 === 0).persist()
     val bumped = o.withColumn("o_totalprice",
       when(col("o_orderpriority") === "1-URGENT",
         round(T.dec2(col("o_totalprice")) * lit(BigDecimal("1.05")), 2)
@@ -865,13 +890,18 @@ object Streaming extends QueryPack {
       .outputMode("append").start()
     try {
       // no leading drain: startVersion=1 anchors the feed, so even a
-      // v2 landing before the first trigger still arrives as (1, 2]
+      // v2 landing before the first trigger still arrives as (1, 2].
+      // ONE drain for both mid-query commits: the coalesced (1, 3]
+      // batch must still attribute every change to its STEP — the
+      // per-(version, type) rollup below only matches d16's batch
+      // answer if changesBetween diffs version-by-version inside the
+      // range, so the coalesced trigger is the stronger exercise of
+      // slicing invariance, at one micro-batch cycle instead of two
       sn.commit(snap(bumped.filter(month(col("o_orderdate")) <= 9)), t) // v2
-      q.processAllAvailable()
       sn.commit(snap(bumped.filter(!(month(col("o_orderdate")) <= 3 &&
         col("o_orderstatus") === "F"))), t)                             // v3
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); o.unpersist() }
     s.read.parquet(out)
       .groupBy(col("_change_version").cast("long").as("_change_version"),
         col("_change_type"))
@@ -899,14 +929,16 @@ object Streaming extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     // the union of (initial snapshot ∪ mid-query appends) drained
-    // through the streaming source must be exactly the events table:
+    // through the streaming source must be exactly the streamed slice
+    // of events (event_id ≡ 0 mod 3 — the fixture-volume control):
     // per-type counts pin no gaps, n_unique == n_events pins no
     // duplicate delivery (a re-emitted dir or replayed batch doubles)
     "t15_snapshot_tail_stream" ->
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  COUNT(DISTINCT event_id) AS n_unique,
          |  ROUND(${T.oMoneySum("value")}, 2) AS sum_value
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM events WHERE event_id % 3 = 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // d16's change-feed oracle, now for the STREAMED feed: every count
     // re-derived from the predicates that defined the snapshots — the
     // stream must deliver exactly the batch changesBetween rows however
@@ -916,16 +948,18 @@ object Streaming extends QueryPack {
         |  SELECT CAST(2 AS BIGINT) AS _change_version,
         |    'INSERT' AS _change_type,
         |    (SELECT COUNT(*) FROM orders
-        |     WHERE month(o_orderdate) BETWEEN 7 AND 9) AS n_changes
+        |     WHERE month(o_orderdate) BETWEEN 7 AND 9
+        |     AND o_orderkey % 4 = 0) AS n_changes
         |  UNION ALL SELECT 2, 'UPDATE',
         |    (SELECT COUNT(*) FROM orders WHERE month(o_orderdate) <= 6
-        |     AND o_orderpriority = '1-URGENT')
+        |     AND o_orderpriority = '1-URGENT' AND o_orderkey % 4 = 0)
         |  UNION ALL SELECT 3, 'INSERT',
         |    (SELECT COUNT(*) FROM orders
-        |     WHERE month(o_orderdate) BETWEEN 10 AND 12)
+        |     WHERE month(o_orderdate) BETWEEN 10 AND 12
+        |     AND o_orderkey % 4 = 0)
         |  UNION ALL SELECT 3, 'DELETE',
         |    (SELECT COUNT(*) FROM orders WHERE month(o_orderdate) <= 3
-        |     AND o_orderstatus = 'F'))
+        |     AND o_orderstatus = 'F' AND o_orderkey % 4 = 0))
         |ORDER BY 1, 2""".stripMargin,
     // l07's band-key replay + min-id ownership: a doc is flagged iff
     // some band key has a lower-id owner — order-independent, so the
