@@ -1517,4 +1517,90 @@ class MaintenanceSpec extends SparkSpec {
     assert(sn.current(spark, t).as[(Long, Double)].collect().toMap ==
       model.toMap)
   }
+
+  test("GC RACES the geometric merge boundary: an expire+cleanOrphans " +
+      "loop runs concurrently with commits whose ref-list merges reuse " +
+      "head segments — every commit lands, aged dead metadata is " +
+      "actually collected mid-run, content stays exact, every " +
+      "surviving version stays readable") {
+    import spark.implicits._
+    val root = scratch()
+    // segThreshold=2: segments form immediately and nearly every commit
+    // exercises the geometric tail merge, so head-segment REUSE (the
+    // merge commit re-referencing an old .seg verbatim) is constantly
+    // in flight while the sweeper computes liveness
+    val sn = new Snapshots(root, segThreshold = 2)
+    val t = "gcrace"
+    def df(rows: Seq[(Long, Double)]) = rows.toDF("k", "v").coalesce(1)
+    val model = scala.collection.mutable.SortedMap.empty[Long, Double]
+    // The retention contract's age shield: artifacts younger than the
+    // cutoff are never swept, protecting in-flight staging (a fresh
+    // merged .seg or data dir exists on disk before its manifest
+    // lands). 2 s covers a local stage-to-commit window with margin;
+    // metadata that has been DEAD longer than that is fair game, and
+    // the run below lasts long enough for early segments to age out
+    // while the writer keeps merging — the raced boundary this test
+    // exists to hit.
+    val shieldMs = 2000L
+    @volatile var stopGc = false
+    val gcErrors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val nExpired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gc = new Thread(() => {
+      while (!stopGc) {
+        try {
+          nExpired.addAndGet(
+            sn.expire(t, keep = 3, gcOlderThanMillis = shieldMs).size)
+          sn.cleanOrphans(t, shieldMs)
+        } catch { case e: Throwable => gcErrors.add(e) }
+        Thread.sleep(50)
+      }
+    })
+    var nextKey = 0L
+    sn.commit(df(Seq((nextKey, 0.0))), t); model(nextKey) = 0.0; nextKey += 1
+    gc.start()
+    try {
+      // run PAST several shield windows so early segments age into
+      // sweep eligibility while commits are still merging; the floor
+      // on i keeps the mix meaningful on a fast box
+      val deadline = System.currentTimeMillis() + 6 * shieldMs
+      var i = 0
+      while (System.currentTimeMillis() < deadline || i < 60) {
+        i += 1
+        if (i % 15 == 0 && model.size > 3) {
+          val k = model.firstKey
+          sn.deleteWhereMoR(spark, t, col("k") === k, Seq("k"))
+          model -= k
+        } else if (i % 40 == 0) {
+          sn.rewriteDeletes(spark, t) // fold: rewrites dirs AND segs
+        } else {
+          sn.append(df(Seq((nextKey, i.toDouble))), t)
+          model(nextKey) = i.toDouble; nextKey += 1
+        }
+      }
+    } finally { stopGc = true; gc.join() }
+    assert(gcErrors.isEmpty,
+      s"the GC loop failed mid-race: ${gcErrors.peek()}")
+    assert(nExpired.get() > 0,
+      "fixture: the race never expired a version — lengthen the run")
+    // content is exact after the whole raced interleaving
+    val got = sn.current(spark, t).as[(Long, Double)].collect().toMap
+    assert(got == model.toMap,
+      s"content diverged under the GC race: ${got.size} rows vs " +
+        s"model ${model.size}")
+    // no surviving version lost a referenced segment or data dir to
+    // the sweeper — each must still materialize end-to-end
+    sn.versions(t).foreach(v => sn.asOf(spark, t, v).count())
+    // quiesced bound: with the writer stopped, one unshielded GC pass
+    // must land the metadata at the soak law's steady state
+    sn.expire(t, keep = 1, gcOlderThanMillis = 0L)
+    sn.cleanOrphans(t, 0L)
+    val segs = Option(
+      new java.io.File(s"$root/$t/manifests/seg").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".seg"))
+    assert(segs <= 16, s"live segments after quiesced GC: $segs")
+    assert(sn.current(spark, t).as[(Long, Double)].collect().toMap ==
+      model.toMap)
+  }
 }
