@@ -34,6 +34,20 @@ class BenchFloorsSpec extends AnyFunSuite {
     assert(f.contains("l07_dedup"), "entries after the error string must survive")
   }
 
+  test("the machine-attributed floor_exceeded objects do not leak into " +
+      "the floor maps") {
+    // round-15 detail format: floor_exceeded is an array of
+    // {name, machine_attributed} objects; the parser must keep reading
+    // floors from `queries`/`warmup` only — an object array elsewhere
+    // in the file must neither add keys nor shift the brace scan
+    val withAttribution = detail.dropRight(1) +
+      ""","retimed":["q01_rev"],"floor_exceeded":[{"name":"q01_rev",""" +
+      """"machine_attributed":true},{"name":"l07_dedup",""" +
+      """"machine_attributed":false}]}"""
+    val f = BenchFloors.parse(withAttribution, "/data/sf0.1")
+    assert(f == Map("q01_rev" -> 1.5, "l07_dedup" -> 0.4))
+  }
+
   test("missing objects or truncated input degrade gracefully, not a crash") {
     assert(BenchFloors.parse("""{"sf":"/d"}""", "/d").isEmpty)
     // truncated mid-object: the brace scan runs to end-of-input and keeps
