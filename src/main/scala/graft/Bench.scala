@@ -236,10 +236,17 @@ object Bench {
     def probeElevatedNear(i: Int): Boolean = {
       val own = probes.collect {
         case (k, v) if k == i.toString || k.startsWith(s"${i}r") => v }
-      val lastCadence = probes.collect {
-        case (k, v) if k.forall(_.isDigit) && k.toInt <= i =>
-          (k.toInt, v) }.sortBy(_._1).lastOption.map(_._2)
-      (own ++ lastCadence.toSeq).exists(_ > 3 * idleProbe)
+      // bracket the query between its surrounding cadence probes: the
+      // one before fires up to probeEvery-1 queries earlier, so the
+      // one AFTER is often the closer temporal witness of the window
+      // the query actually ran in
+      val cadence = probes.collect {
+        case (k, v) if k.forall(_.isDigit) => (k.toInt, v) }
+      val before = cadence.filter(_._1 <= i).sortBy(_._1)
+        .lastOption.map(_._2)
+      val after = cadence.filter(_._1 > i).sortBy(_._1)
+        .headOption.map(_._2)
+      (own ++ before.toSeq ++ after.toSeq).exists(_ > 3 * idleProbe)
     }
     val floorExceeded = results.collect {
       case (k, Right(sec), _, i)
