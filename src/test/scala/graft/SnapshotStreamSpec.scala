@@ -585,8 +585,18 @@ class SnapshotStreamSpec extends SparkSpec {
       "drains to termination in bounded batches — ends monotonic, each " +
       "step <= limit, batch count ~ versions/limit, final offset = the " +
       "pinned cap") {
-    val (root, expected, finalV) = soakFixture.getOrElse(
-      fail("soak fixture missing — the 400-commit soak test must run first"))
+    // Full-suite runs reuse the 400-commit soak table (the suite runs
+    // in registration order); a TARGETED run of just this test builds
+    // its own lighter backlog — same law, self-contained either way.
+    val (root, expected, finalV) = soakFixture.getOrElse {
+      val r = scratch()
+      val sn = new Snapshots(r, segThreshold = 2)
+      sn.commit(kv(Seq((0L, 0.0))), "soaktail")
+      val rows = (1 to 150).map(i => (i.toLong, i.toDouble))
+      rows.foreach(row => sn.append(kv(Seq(row)), "soaktail"))
+      (r, Set((0L, 0.0)) ++ rows.toSet,
+        sn.currentVersion("soaktail").get)
+    }
     val limit = 10
     val out = s"${scratch()}/out"
     val ck = s"${scratch()}/ck"
