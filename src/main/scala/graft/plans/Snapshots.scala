@@ -1644,6 +1644,22 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     * rel canonicalizes once — the pre-r14 shape re-walked every
     * version's full entry list and paid one getCanonicalPath SYSCALL
     * per entry PER VERSION, an O(total-metadata) driver walk per GC. */
+  /** Peer-GC tolerance for the LIVENESS walks only: a manifest or
+    * segment that vanishes between the version listing and the read
+    * was expired by a CONCURRENT maintenance deployment under an
+    * equal-or-stricter retention — nothing references it any more, so
+    * its correct liveness contribution is "none" and the walk skips
+    * it. The guard is deliberately narrow: the read is retried against
+    * existence AT CATCH TIME, so a present-but-corrupt file still
+    * fails loudly (silently skipping one would let the sweep collect
+    * dirs the corrupt manifest still references). Query-path readers
+    * keep their loud requires — a vanished manifest under a QUERY is
+    * a retention violation, not a peer to tolerate. */
+  private[graft] def unlessVanished[T](f: java.io.File)(read: => T)
+      : Option[T] =
+    try Some(read)
+    catch { case scala.util.control.NonFatal(_) if !f.exists() => None }
+
   private def liveDataDirs(): Set[String] = {
     val out = scala.collection.mutable.Set.empty[String]
     val seenSegs = scala.collection.mutable.Set.empty[String]
@@ -1655,14 +1671,17 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       .filter(_.isDirectory)
       .foreach { td =>
         versions(td.getName).foreach { v =>
-          readRaw(td.getName, v).linesIterator.map(_.trim)
+          unlessVanished(manifestFile(td.getName, v))(
+            readRaw(td.getName, v)).foreach(_.linesIterator.map(_.trim)
             .filter(_.nonEmpty).foreach { l =>
               if (l.startsWith("@seg\t")) {
                 val rel = l.stripPrefix("@seg\t")
                 // delete dirs are live too — readSeg keeps them
-                if (seenSegs.add(rel)) readSeg(rel).foreach(e => add(e.rel))
+                if (seenSegs.add(rel))
+                  unlessVanished(new java.io.File(s"$root/$rel"))(
+                    readSeg(rel)).toList.flatten.foreach(e => add(e.rel))
               } else add(parseEntry(l).rel)
-            }
+            })
         }
       }
     out.toSet
@@ -1677,8 +1696,9 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).toSeq
       .flatMap(td => versions(td.getName).flatMap(v =>
-        readRaw(td.getName, v).linesIterator.map(_.trim)
-          .filter(_.startsWith("@seg\t")).map(_.stripPrefix("@seg\t"))))
+        unlessVanished(manifestFile(td.getName, v))(
+          readRaw(td.getName, v)).toSeq.flatMap(_.linesIterator.map(_.trim)
+          .filter(_.startsWith("@seg\t")).map(_.stripPrefix("@seg\t")))))
       .map(r => new java.io.File(s"$root/$r").getCanonicalPath)
       .toSet
 

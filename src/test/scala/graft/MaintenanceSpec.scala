@@ -1563,6 +1563,28 @@ class MaintenanceSpec extends SparkSpec {
       model.toMap)
   }
 
+  test("peer-GC tolerance is exactly as narrow as documented: a " +
+      "VANISHED file reads as absent, a present-but-corrupt read still " +
+      "throws") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val gone = new java.io.File(s"$root/nope.manifest")
+    // vanished (the peer-expiry case): the walk must skip, not crash
+    assert(sn.unlessVanished(gone)(
+      sys.error("simulated NoSuchFile")).isEmpty)
+    // present but failing (corruption): MUST rethrow — silently
+    // skipping a live-but-corrupt manifest would let the sweep collect
+    // dirs it still references
+    val present = new java.io.File(s"$root/here.manifest")
+    java.nio.file.Files.writeString(present.toPath, "garbage")
+    val ex = intercept[RuntimeException](
+      sn.unlessVanished(present)(sys.error("corrupt parse")))
+    assert(ex.getMessage == "corrupt parse")
+    // fatal errors pass through even when the file is gone
+    intercept[OutOfMemoryError](
+      sn.unlessVanished(gone)(throw new OutOfMemoryError("fatal")))
+  }
+
   test("GC RACES the geometric merge boundary: an expire+cleanOrphans " +
       "loop runs concurrently with commits whose ref-list merges reuse " +
       "head segments — every commit lands, aged dead metadata is " +
@@ -1591,19 +1613,28 @@ class MaintenanceSpec extends SparkSpec {
     val gcErrors =
       new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val nExpired = new java.util.concurrent.atomic.AtomicInteger(0)
-    val gc = new Thread(() => {
+    // TWO maintenance deployments, not one: concurrent GC is the
+    // documented operating mode ("concurrent deployments pass a
+    // cutoff above their stage-to-commit window"), and peers racing
+    // each other hit the vanish-mid-walk window — one peer deletes a
+    // doomed manifest between the other's version listing and its
+    // liveness read. Slightly different retention and cadence so the
+    // peers genuinely interleave rather than lockstep.
+    def gcLoop(keep: Int, sleepMs: Long) = new Thread(() => {
       while (!stopGc) {
         try {
           nExpired.addAndGet(
-            sn.expire(t, keep = 3, gcOlderThanMillis = shieldMs).size)
+            sn.expire(t, keep = keep, gcOlderThanMillis = shieldMs).size)
           sn.cleanOrphans(t, shieldMs)
         } catch { case e: Throwable => gcErrors.add(e) }
-        Thread.sleep(50)
+        Thread.sleep(sleepMs)
       }
     })
+    val gc = gcLoop(keep = 3, sleepMs = 50)
+    val gc2 = gcLoop(keep = 4, sleepMs = 70)
     var nextKey = 0L
     sn.commit(df(Seq((nextKey, 0.0))), t); model(nextKey) = 0.0; nextKey += 1
-    gc.start()
+    gc.start(); gc2.start()
     try {
       // run PAST several shield windows so early segments age into
       // sweep eligibility while commits are still merging; the floor
@@ -1623,9 +1654,9 @@ class MaintenanceSpec extends SparkSpec {
           model(nextKey) = i.toDouble; nextKey += 1
         }
       }
-    } finally { stopGc = true; gc.join() }
+    } finally { stopGc = true; gc.join(); gc2.join() }
     assert(gcErrors.isEmpty,
-      s"the GC loop failed mid-race: ${gcErrors.peek()}")
+      s"a GC loop failed mid-race: ${gcErrors.peek()}")
     assert(nExpired.get() > 0,
       "fixture: the race never expired a version — lengthen the run")
     // content is exact after the whole raced interleaving
