@@ -820,13 +820,15 @@ object Streaming extends QueryPack {
       q.processAllAvailable() // batch 0: the full v1 snapshot
       sn.append(third(3), t)  // v2 lands while the query runs
       sn.append(third(6), t)  // v3 likewise
-      // ONE coalesced drain for both mid-query appends: the trigger
-      // plans (1, 3] as a single micro-batch — batch-slicing
-      // invariance is structural (SnapshotStreamSpec pins it) and the
+      // ONE blocking drain for both mid-query appends: the
+      // free-running trigger slices (1, 3] into one or two
+      // micro-batches as it observes the commits — batch-slicing
+      // invariance is structural (SnapshotStreamSpec pins it), so the
+      // delivered rows are identical either way, and the
       // mid-query-commit property is untouched (both versions landed
-      // while the query ran); per-version micro-batch cadence is
-      // spec'd separately, so the bench entry does not pay a third
-      // drain cycle to re-prove it
+      // while the query ran); per-version drain cadence is spec'd
+      // separately, so the bench entry does not pay a second blocking
+      // cycle to re-prove it
       q.processAllAvailable()
     } finally { q.stop(); ev.unpersist() }
     s.read.parquet(out)
@@ -891,12 +893,14 @@ object Streaming extends QueryPack {
     try {
       // no leading drain: startVersion=1 anchors the feed, so even a
       // v2 landing before the first trigger still arrives as (1, 2].
-      // ONE drain for both mid-query commits: the coalesced (1, 3]
-      // batch must still attribute every change to its STEP — the
+      // ONE blocking drain for both mid-query commits: however the
+      // free-running trigger slices (1, 3] — one coalesced batch or
+      // two — every change must still be attributed to its STEP; the
       // per-(version, type) rollup below only matches d16's batch
-      // answer if changesBetween diffs version-by-version inside the
-      // range, so the coalesced trigger is the stronger exercise of
-      // slicing invariance, at one micro-batch cycle instead of two
+      // answer if changesBetween diffs version-by-version inside each
+      // planned range, so the multi-version range is the stronger
+      // exercise of slicing invariance, at one blocking cycle
+      // instead of two
       sn.commit(snap(bumped.filter(month(col("o_orderdate")) <= 9)), t) // v2
       sn.commit(snap(bumped.filter(!(month(col("o_orderdate")) <= 3 &&
         col("o_orderstatus") === "F"))), t)                             // v3
