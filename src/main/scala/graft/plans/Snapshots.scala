@@ -1364,14 +1364,21 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     * from manifest files alone, no data I/O. */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    versions(table).map { v =>
+    versions(table).flatMap { v =>
       // counts per version come from the per-segment counts cache, so
       // a long history over a segmented table costs O(versions × refs)
       // after each distinct (immutable) segment is counted once —
-      // never an O(entries) list walk per version
-      val cs = versionLineCounts(table, v).map(_._2)
-      (v.toLong, cs.map(_.nData).sum, cs.map(_.nDelete).sum,
-        (cs.map(_.maxSeq) :+ 0).max.toLong)
+      // never an O(entries) list walk per version.
+      // unlessVanished: this is a LISTING over the versions that
+      // existed a moment ago, not a pinned read — a version a peer GC
+      // expires between the listing and its count read simply drops
+      // from the answer (exactly the result of listing a moment
+      // later); a PINNED read of an expired version stays loud.
+      unlessVanished(manifestFile(table, v))(
+        versionLineCounts(table, v).map(_._2)).map { cs =>
+        (v.toLong, cs.map(_.nData).sum, cs.map(_.nDelete).sum,
+          (cs.map(_.maxSeq) :+ 0).max.toLong)
+      }
     }.toDF("version", "n_data_entries", "n_delete_entries", "max_seq")
   }
 

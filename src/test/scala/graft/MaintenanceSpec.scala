@@ -1653,6 +1653,12 @@ class MaintenanceSpec extends SparkSpec {
           sn.append(df(Seq((nextKey, i.toDouble))), t)
           model(nextKey) = i.toDouble; nextKey += 1
         }
+        if (i % 10 == 0) {
+          // the $snapshots metadata LISTING races the sweepers too: a
+          // version expiring between its listing and its count read
+          // must drop from the answer, never crash the query
+          assert(sn.history(spark, t).count() >= 1)
+        }
       }
     } finally { stopGc = true; gc.join(); gc2.join() }
     assert(gcErrors.isEmpty,
