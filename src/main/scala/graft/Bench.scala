@@ -128,7 +128,11 @@ object Bench {
     // pause lets the window pass, then ONE more retime. The budget is
     // global so a box that is loaded for the entire run degrades to
     // today's 2-retry behavior instead of turning the bench into a
-    // sleep marathon.
+    // sleep marathon. Sizing: 120 s = four 30 s pauses — enough for ~4
+    // independently contended queries (the r14 driver run had 3), and
+    // bounded at two extra idle minutes on a full run whose wall clock
+    // is already ~8-10 min (2 runs × 290 queries), never a stalled
+    // bench.
     var backoffBudgetMs = 120000L
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
       if (i % probeEvery == 0) probes += ((i.toString, probeOnce()))

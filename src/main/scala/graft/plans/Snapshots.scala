@@ -731,12 +731,34 @@ class Snapshots(root: String, segThreshold: Int = 64) {
   /** D5: read the table as of a pinned version — with any equality-
     * delete entries APPLIED (the merge-on-read path). Pure-data
     * snapshots take the zero-overhead fast path: one multi-dir scan,
-    * no joins in the plan. */
+    * no joins in the plan.
+    *
+    * EXPIRY-RACE GUARD: a pinned read must return the FULL version or
+    * fail loudly — never a partial row set. The silent-partial window
+    * is real without the re-check below: [[expire]] deletes the doomed
+    * manifest FIRST and guts the dirs after, and `spark.read.parquet`
+    * lists files eagerly at read time — a listing that lands while a
+    * dir is being emptied sees only the surviving files and would
+    * silently contribute a truncated scan. Re-checking the manifest
+    * AFTER the listing closes it: manifest still present ⇒ no expire
+    * had started deleting this version when the listing completed, so
+    * every listed file was live (a file GC'd later fails the task
+    * loudly — `ignoreMissingFiles` stays false); manifest gone ⇒ the
+    * version expired mid-read and the read refuses. One file stat per
+    * read; the loud face is the same retention-violation contract the
+    * streaming resume path pins. */
   def asOf(spark: SparkSession, table: String, v: Int): DataFrame = {
     val entries = readEntries(table, v)
-    if (entries.forall(_.kind == "data"))
-      spark.read.parquet(entries.map(e => s"$root/${e.rel}"): _*)
-    else logicalFrame(spark, entries)
+    val df =
+      if (entries.forall(_.kind == "data"))
+        spark.read.parquet(entries.map(e => s"$root/${e.rel}"): _*)
+      else logicalFrame(spark, entries)
+    if (!manifestFile(table, v).exists()) throw new IllegalStateException(
+      s"version $v of $table expired mid-read: the snapshot was " +
+        "retention-expired between pinning and planning — a partial " +
+        "scan would be a wrong answer, so the read refuses. Retention " +
+        "must cover reader lag (the expire/streaming-resume contract).")
+    df
   }
 
   /** The merge-on-read scan: data entries grouped by seq, each group
@@ -792,7 +814,18 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     if (!kept.exists(_.kind == "data"))
       // every dir provably unmatchable: empty frame, correct schema
       asOf(spark, table, v).filter(cond).limit(0)
-    else logicalFrameOrPlain(spark, kept).filter(cond)
+    else {
+      val df = logicalFrameOrPlain(spark, kept).filter(cond)
+      // same post-listing expiry-race guard as [[asOf]]: `v` was
+      // current at entry, but commits + a racing expire can doom it
+      // before the eager file listing above completes
+      if (!manifestFile(table, v).exists())
+        throw new IllegalStateException(
+          s"version $v of $table expired mid-read: the snapshot was " +
+            "retention-expired between pinning and planning — a " +
+            "partial scan would be a wrong answer, so the read refuses.")
+      df
+    }
   }
 
   /** D12: roll the table back to snapshot `v` — committed as a NEW
@@ -1292,13 +1325,31 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     * is O(|prev|·|next|) per step — 10^10 driver comparisons at a
     * 100k-entry manifest. */
   private def appendStep(table: String, pv: Int,
-      nv: Int): Option[Seq[ManifestEntry]] = {
+      nv: Int): Option[Seq[ManifestEntry]] =
+    stepDelta(table, pv, nv).toOption
+
+  /** One step's full classification, shared by [[appendStep]] and the
+    * tracked walk: Right(added entries) when the step is a pure
+    * append, Left(the DATA entries the step removed) otherwise — the
+    * removal set is what the streaming tail's cross-batch dedup
+    * retires, so a later commit re-pointing at a removed dir is
+    * recognized as a republish round trip, not a fresh append.
+    * Retirement identity is the FULL entry (kind, seq, rel, inline
+    * stats), not the bare rel: [[freshDataRel]] mints names as
+    * max+1 over the dirs PRESENT, so after a GC a retired dir's NAME
+    * can be legitimately reused by a brand-new append — which must
+    * not be suppressed. A verbatim republish (rollback-forward /
+    * manifest copy) matches on full identity (manifest lines are
+    * byte-stable); a fresh append reusing the name carries a fresh
+    * seq and fresh stats and sails through. */
+  private def stepDelta(table: String, pv: Int,
+      nv: Int): Either[Set[ManifestEntry], Seq[ManifestEntry]] = {
     val prev = readEntries(table, pv).toSet
     val next = readEntries(table, nv)
     val added = next.filterNot(prev)
     if (prev.subsetOf(next.toSet) && added.forall(_.kind == "data"))
-      Some(added)
-    else None
+      Right(added)
+    else Left((prev -- next).filter(_.kind == "data"))
   }
 
   /** Iceberg-style incremental APPEND scan: the rows added by
@@ -1325,16 +1376,58 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       // distinct: a rollback-then-republish round trip re-introduces an
       // entry the range already emitted; without the dedup the same dir
       // would enter the scan twice and double its rows downstream.
-      // SCOPE: the dedup sees only THIS range — when the round trip
-      // straddles two calls (the streaming tail's successive batches),
-      // the re-introduced entry is indistinguishable from a fresh
-      // append and is emitted again; the caller-facing contract lives
-      // in SnapshotStreamProvider's skip-mode caveat (use fail mode or
-      // the change feed where rollbacks can interleave).
+      // SCOPE: the dedup sees only THIS range — a BATCH caller names
+      // its whole range at once, so range-local is complete for it.
+      // When the round trip straddles two calls (the streaming tail's
+      // successive micro-batches), the tail threads its retired-dir
+      // set through [[appendAdditionsTracked]] instead, which carries
+      // the removal memory across ranges.
       .distinct
     if (added.isEmpty)
       current(spark, table).limit(0) // empty frame, correct schema
     else spark.read.parquet(added.map(e => s"$root/${e.rel}"): _*)
+  }
+
+  /** The tracked variant of the [[appendsBetween]] walk — the streaming
+    * tail's skip-mode planner. Walks the same live versions of
+    * `(fromV, toV]` step by step, threading a RETIRED-ENTRY set:
+    * `retired0` seeds it with the data entries earlier walks saw
+    * removed (the tail's cross-batch state); each non-append step in
+    * THIS range adds its own removals. An append-step addition equal
+    * to a retired entry is a rollback-republish round trip — its rows
+    * were either already delivered (dir was emitted before the
+    * rollback) or are change data wearing an append's clothes (dir was
+    * minted by a rewrite/upsert the tail skipped) — so it is SUPPRESSED
+    * rather than re-emitted; the change feed ([[changesBetween]]) is
+    * where re-pointed dirs surface as the logical inserts/deletes they
+    * are. Returns (the additions to scan, the advanced retired set).
+    * Identity is the FULL manifest entry — see [[stepDelta]]: a GC'd
+    * dir NAME reused by a fresh append must not be suppressed, and a
+    * fresh append always carries a fresh seq + fresh inline stats.
+    * Cost: the same manifest set-diffs as [[appendsBetween]], zero
+    * data I/O; the retired set grows with ROLLED-BACK/REWRITTEN dirs
+    * observed by this consumer, never with table size. */
+  def appendAdditionsTracked(table: String, fromV: Int, toV: Int,
+      retired0: Set[ManifestEntry])
+      : (Seq[ManifestEntry], Set[ManifestEntry]) = {
+    val live = versions(table)
+    require(live.contains(fromV) && live.contains(toV) && fromV <= toV,
+      s"appendAdditionsTracked needs live versions $fromV <= $toV; have $live")
+    var retired = retired0
+    val out = Seq.newBuilder[ManifestEntry]
+    live.filter(v => v >= fromV && v <= toV).sliding(2).foreach {
+      case Seq(pv, nv) =>
+        stepDelta(table, pv, nv) match {
+          case Right(added) =>
+            out ++= added.filterNot(retired)
+          case Left(removed) => retired ++= removed
+        }
+      case _ => () // single-version window: no step
+    }
+    // distinct is belt-and-braces: with the retired filter a re-added
+    // entry is suppressed, and an entry present cannot be added again,
+    // so duplicates should be impossible by construction
+    (out.result().distinct, retired)
   }
 
   /** The versions in `(fromV, toV]` whose commit was NOT a pure append

@@ -37,21 +37,35 @@ import graft.plans.Snapshots
   *    `streaming-skip-overwrite/delete-snapshots=true` — the stream
   *    stays an append tail and reconciliation belongs to the change
   *    feed, which `mode=changes` serves as a stream of its own
-  *    ([[SnapshotChangesSource]]). SKIP-MODE CONTRACT CAVEAT
-  *    (rollback-republish): a ROLLBACK is skipped as non-append; if a
-  *    LATER commit re-points to a dir the rollback removed (a second
-  *    rollback forward, or a manual re-publish of the same manifest
-  *    entry — ordinary appends always mint fresh dirs), that dir
-  *    re-enters a step diff. Within one micro-batch range
-  *    [[Snapshots.appendsBetween]] dedups the round trip; across a
-  *    batch boundary the tail cannot know what an earlier batch
-  *    delivered — offsets carry version numbers, not dir identity —
-  *    so the re-introduced rows are delivered AGAIN. Iceberg's
-  *    incremental append scan has the same blind spot. Where
-  *    rollbacks can interleave with consumption, run the default
-  *    fail mode (stops loudly AT the rollback) or consume
-  *    `mode=changes`, whose per-step diff handles re-pointed dirs as
-  *    the inserts/deletes they logically are.
+  *    ([[SnapshotChangesSource]]). SKIP-MODE ROLLBACK-REPUBLISH
+  *    dedup: a ROLLBACK is skipped as non-append; a LATER commit can
+  *    re-point to a dir the rollback removed (a second rollback
+  *    forward, or a manual re-publish of the same manifest entry —
+  *    ordinary appends always mint fresh dirs), and that dir then
+  *    re-enters a step diff looking like a fresh append. Offsets
+  *    carry version numbers, not dir identity, so the tail keeps a
+  *    RETIRED-ENTRY set of its own ([[Snapshots.appendAdditionsTracked]]
+  *    threads it across micro-batches): every data entry a skipped
+  *    non-append commit removed is retired, and a retired entry
+  *    re-entering a step diff is suppressed, never re-delivered —
+  *    Iceberg's incremental append scan re-emits here; this tail does
+  *    not (SnapshotStreamSpec pins both the in-run and the
+  *    across-restart case). After a RESTART the set is reconstructed
+  *    from the live manifest history up to the checkpointed version;
+  *    two best-effort corners remain, both suppression-side (skip
+  *    mode's safe direction — a duplicate is a wrong answer, a
+  *    suppressed republish is reconcilable via the change feed):
+  *    (a) versions expired mid-history collapse into one merged diff,
+  *    hiding a remove-then-readd round trip inside the gap (retention
+  *    covering consumer lag — already the resume contract — prevents
+  *    it); (b) in default (initial-snapshot) mode the anchor version
+  *    is unknown after a restart, so pre-anchor removals also retire
+  *    (a dir removed before the stream began and republished after a
+  *    restart is suppressed although never delivered). Where rollback
+  *    interleavings must be consumed, not just deduped, run fail mode
+  *    (stops loudly AT the rollback) or `mode=changes`, whose
+  *    per-step diff handles re-pointed dirs as the inserts/deletes
+  *    they logically are.
   *
   * Spark-first note on the API choice: this is a DSv1
   * [[org.apache.spark.sql.execution.streaming.Source]] PLUS the
@@ -236,8 +250,13 @@ private[sources] abstract class SnapshotSourceBase(
       else {
         val projected = batch.select(schema.fieldNames.toIndexedSeq.map(
           org.apache.spark.sql.functions.col): _*)
+        // nullability-INSENSITIVE: a nested-struct nullability
+        // relaxation in an appended batch is benign (the projection
+        // carries it; rows still bind), so only a genuine TYPE
+        // evolution may kill the stream
         val diverged = schema.fields.zip(projected.schema.fields).collect {
-          case (sub, got) if sub.dataType != got.dataType =>
+          case (sub, got) if !org.apache.spark.sql.types.DataType
+              .equalsIgnoreNullability(sub.dataType, got.dataType) =>
             s"${sub.name} (subscribed ${sub.dataType.simpleString}, " +
               s"batch carries ${got.dataType.simpleString})"
         }
@@ -319,6 +338,42 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
 
   override val schema: StructType = store.current(spark, table).schema
 
+  // ---- skip-mode cross-batch dedup state --------------------------------
+  // Offsets carry version numbers, not dir identity, so the set of data
+  // ENTRIES whose removal this consumer has SKIPPED lives here: a later
+  // commit re-pointing at one of them (rollback-republish) must not be
+  // re-delivered as a fresh append — see the provider scaladoc.
+  // Identity is the full manifest entry, not the rel (a GC'd dir name
+  // can be legitimately reused by a fresh append — Snapshots.stepDelta
+  // documents why full identity cannot collide with fresh data). Only
+  // the stream-execution thread calls getBatch, so plain vars suffice;
+  // the set grows with rolled-back/rewritten dirs this consumer
+  // observed, never with table size.
+  private var retiredThrough: Option[Int] = None
+  private var retired: Set[graft.plans.ManifestEntry] = Set.empty
+
+  /** Bring the retired set up to `fromV`. In-run, `retiredThrough`
+    * already equals the previous batch's end and this is a no-op. On
+    * the first batch after a RESTART (the engine replays the last
+    * committed range into a fresh Source) the set is reconstructed
+    * from the live manifest history up to `fromV` — anchored at
+    * `startVersion` when configured, else at the earliest live version
+    * (the initial-snapshot anchor is not recoverable from a mid-stream
+    * offset; the resulting over-retirement of pre-anchor removals is
+    * the suppression-side corner documented on the provider). Cost:
+    * one manifest set-diff walk over the consumed history, recovery
+    * path only. */
+  private def syncRetiredTo(fromV: Int): Unit =
+    if (!retiredThrough.contains(fromV)) {
+      val live = store.versions(table).filter(_ <= fromV)
+      val lo = startVersion.filter(live.contains)
+        .orElse(live.headOption).getOrElse(fromV)
+      retired =
+        if (lo >= fromV) Set.empty
+        else store.appendAdditionsTracked(table, lo, fromV, Set.empty)._2
+      retiredThrough = Some(fromV)
+    }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = vOf(end)
     val batch = start.map(vOf).orElse(startVersion) match {
@@ -326,20 +381,32 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
         // no new versions (or a replayed empty range): schema-stable
         // empty frame with no file paths planted in the plan
         emptyBatch
-      case Some(fromV) =>
-        if (onNonAppend == "fail") {
-          val bad = store.nonAppendVersionsBetween(table, fromV, endV)
-          if (bad.nonEmpty) throw new IllegalStateException(
-            s"non-append commit(s) at version(s) ${bad.mkString(",")} of " +
-              s"$table: their row deltas are change data, not appends. " +
-              "Consume them via changesBetween (mode=changes), or set " +
-              "onNonAppend=skip to tail appends only.")
-        }
+      case Some(fromV) if onNonAppend == "fail" =>
+        val bad = store.nonAppendVersionsBetween(table, fromV, endV)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"non-append commit(s) at version(s) ${bad.mkString(",")} of " +
+            s"$table: their row deltas are change data, not appends. " +
+            "Consume them via changesBetween (mode=changes), or set " +
+            "onNonAppend=skip to tail appends only.")
+        // the guard proved the range append-only, so no removal can
+        // have retired anything — the plain range read is exact
         store.appendsBetween(spark, table, fromV, endV)
+      case Some(fromV) => // skip mode: the retired-dir-tracked walk
+        syncRetiredTo(fromV)
+        val (added, retired1) =
+          store.appendAdditionsTracked(table, fromV, endV, retired)
+        retired = retired1
+        retiredThrough = Some(endV)
+        if (added.isEmpty) emptyBatch
+        else spark.read.parquet(
+          added.map(e => s"$root/${e.rel}"): _*)
       case None =>
         // default mode's first batch: the full logical snapshot at the
         // first logged offset — replay-stable because `end` comes from
-        // the offset log on recovery
+        // the offset log on recovery. Nothing can be retired yet: the
+        // snapshot IS the consumer's baseline.
+        retired = Set.empty
+        retiredThrough = Some(endV)
         store.asOf(spark, table, endV)
     }
     deliver(batch)

@@ -801,42 +801,46 @@ object Streaming extends QueryPack {
     // subset (event_id ≡ 0 mod 3) keeps every event type and the
     // oracle an exact DuckDB mirror, at a third of the fixture I/O;
     // persist because the same projection feeds all three snapshot
-    // writes (unpersisted in the finally — the bench's shared session
-    // must carry nothing out).
+    // writes. The OUTER try/finally pairs persist with unpersist
+    // around everything that can throw — including the pre-stream v1
+    // commit and the query start — because the bench's shared session
+    // must carry nothing out even on a failed fixture build.
     val ev = T.loadEvents(s, dir).select(col("event_id"), col("ts"),
       col("user_id"), col("event_type"), col("value"))
       .filter(pmod(col("event_id"), lit(3L)) === 0L).persist()
-    def third(r: Long) = ev.filter(pmod(col("event_id"), lit(9L)) === r)
-    sn.commit(third(0), t) // v1: the pre-stream snapshot
-    val out = Scratch.dir("t15_out")
-    val q = s.readStream
-      .format(classOf[graft.sources.SnapshotStreamProvider].getName)
-      .option("root", root).option("table", t)
-      .load()
-      .writeStream.format("parquet").option("path", out)
-      .option("checkpointLocation", Scratch.dir("t15_ck"))
-      .outputMode("append").start()
     try {
-      q.processAllAvailable() // batch 0: the full v1 snapshot
-      sn.append(third(3), t)  // v2 lands while the query runs
-      sn.append(third(6), t)  // v3 likewise
-      // ONE blocking drain for both mid-query appends: the
-      // free-running trigger slices (1, 3] into one or two
-      // micro-batches as it observes the commits — batch-slicing
-      // invariance is structural (SnapshotStreamSpec pins it), so the
-      // delivered rows are identical either way, and the
-      // mid-query-commit property is untouched (both versions landed
-      // while the query ran); per-version drain cadence is spec'd
-      // separately, so the bench entry does not pay a second blocking
-      // cycle to re-prove it
-      q.processAllAvailable()
-    } finally { q.stop(); ev.unpersist() }
-    s.read.parquet(out)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("event_id")).as("n_unique"),
-        round(T.moneySum(col("value")), 2).as("sum_value"))
-      .orderBy("event_type")
+      def third(r: Long) = ev.filter(pmod(col("event_id"), lit(9L)) === r)
+      sn.commit(third(0), t) // v1: the pre-stream snapshot
+      val out = Scratch.dir("t15_out")
+      val q = s.readStream
+        .format(classOf[graft.sources.SnapshotStreamProvider].getName)
+        .option("root", root).option("table", t)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", Scratch.dir("t15_ck"))
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 0: the full v1 snapshot
+        sn.append(third(3), t)  // v2 lands while the query runs
+        sn.append(third(6), t)  // v3 likewise
+        // ONE blocking drain for both mid-query appends: the
+        // free-running trigger slices (1, 3] into one or two
+        // micro-batches as it observes the commits — batch-slicing
+        // invariance is structural (SnapshotStreamSpec pins it), so the
+        // delivered rows are identical either way, and the
+        // mid-query-commit property is untouched (both versions landed
+        // while the query ran); per-version drain cadence is spec'd
+        // separately, so the bench entry does not pay a second blocking
+        // cycle to re-prove it
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_unique"),
+          round(T.moneySum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    } finally ev.unpersist()
   }
 
   /** T16: the CHANGE FEED as a stream — mode=changes on the snapshot
@@ -869,48 +873,53 @@ object Streaming extends QueryPack {
     // orders (o_orderkey ≡ 0 mod 4) exercises identical per-step
     // change attribution at a quarter of the cost, and the oracle
     // carries the same predicate. persist: three snapshot writes
-    // project from the same scan; released in the finally.
+    // project from the same scan; the OUTER try/finally pairs it with
+    // unpersist around everything that can throw — pre-stream v1
+    // commit and query start included — so the bench's shared session
+    // carries nothing out even on a failed fixture build.
     val o = T.load(s, dir, "orders")
       .filter(col("o_orderkey") % 4 === 0).persist()
-    val bumped = o.withColumn("o_totalprice",
-      when(col("o_orderpriority") === "1-URGENT",
-        round(T.dec2(col("o_totalprice")) * lit(BigDecimal("1.05")), 2)
-          .cast("double"))
-        .otherwise(col("o_totalprice")))
-    def snap(df: DataFrame) =
-      df.select(col("o_orderkey"), col("o_totalprice"))
-    sn.commit(snap(o.filter(month(col("o_orderdate")) <= 6)), t)      // v1
-    val out = Scratch.dir("t16_out")
-    val q = s.readStream
-      .format(classOf[graft.sources.SnapshotStreamProvider].getName)
-      .option("root", root).option("table", t)
-      .option("mode", "changes").option("key", "o_orderkey")
-      .option("startVersion", "1")
-      .load()
-      .writeStream.format("parquet").option("path", out)
-      .option("checkpointLocation", Scratch.dir("t16_ck"))
-      .outputMode("append").start()
     try {
-      // no leading drain: startVersion=1 anchors the feed, so even a
-      // v2 landing before the first trigger still arrives as (1, 2].
-      // ONE blocking drain for both mid-query commits: however the
-      // free-running trigger slices (1, 3] — one coalesced batch or
-      // two — every change must still be attributed to its STEP; the
-      // per-(version, type) rollup below only matches d16's batch
-      // answer if changesBetween diffs version-by-version inside each
-      // planned range, so the multi-version range is the stronger
-      // exercise of slicing invariance, at one blocking cycle
-      // instead of two
-      sn.commit(snap(bumped.filter(month(col("o_orderdate")) <= 9)), t) // v2
-      sn.commit(snap(bumped.filter(!(month(col("o_orderdate")) <= 3 &&
-        col("o_orderstatus") === "F"))), t)                             // v3
-      q.processAllAvailable()
-    } finally { q.stop(); o.unpersist() }
-    s.read.parquet(out)
-      .groupBy(col("_change_version").cast("long").as("_change_version"),
-        col("_change_type"))
-      .agg(count(lit(1)).as("n_changes"))
-      .orderBy("_change_version", "_change_type")
+      val bumped = o.withColumn("o_totalprice",
+        when(col("o_orderpriority") === "1-URGENT",
+          round(T.dec2(col("o_totalprice")) * lit(BigDecimal("1.05")), 2)
+            .cast("double"))
+          .otherwise(col("o_totalprice")))
+      def snap(df: DataFrame) =
+        df.select(col("o_orderkey"), col("o_totalprice"))
+      sn.commit(snap(o.filter(month(col("o_orderdate")) <= 6)), t)      // v1
+      val out = Scratch.dir("t16_out")
+      val q = s.readStream
+        .format(classOf[graft.sources.SnapshotStreamProvider].getName)
+        .option("root", root).option("table", t)
+        .option("mode", "changes").option("key", "o_orderkey")
+        .option("startVersion", "1")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", Scratch.dir("t16_ck"))
+        .outputMode("append").start()
+      try {
+        // no leading drain: startVersion=1 anchors the feed, so even a
+        // v2 landing before the first trigger still arrives as (1, 2].
+        // ONE blocking drain for both mid-query commits: however the
+        // free-running trigger slices (1, 3] — one coalesced batch or
+        // two — every change must still be attributed to its STEP; the
+        // per-(version, type) rollup below only matches d16's batch
+        // answer if changesBetween diffs version-by-version inside each
+        // planned range, so the multi-version range is the stronger
+        // exercise of slicing invariance, at one blocking cycle
+        // instead of two
+        sn.commit(snap(bumped.filter(month(col("o_orderdate")) <= 9)), t) // v2
+        sn.commit(snap(bumped.filter(!(month(col("o_orderdate")) <= 3 &&
+          col("o_orderstatus") === "F"))), t)                             // v3
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out)
+        .groupBy(col("_change_version").cast("long").as("_change_version"),
+          col("_change_type"))
+        .agg(count(lit(1)).as("n_changes"))
+        .orderBy("_change_version", "_change_type")
+    } finally o.unpersist()
   }
 
   val queries: Map[String, Q] = Map(

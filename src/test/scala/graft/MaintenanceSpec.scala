@@ -1685,4 +1685,127 @@ class MaintenanceSpec extends SparkSpec {
     assert(sn.current(spark, t).as[(Long, Double)].collect().toMap ==
       model.toMap)
   }
+
+  test("a PINNED time-travel read racing an expire loop returns the " +
+      "FULL version or fails loudly — never a partial row set (the " +
+      "reader-side dichotomy of peer-expiry tolerance)") {
+    import spark.implicits._
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "pinrace"
+    val rowsPerVersion = 40
+    // FULL-OVERWRITE commits: every version owns fresh dirs, so an
+    // expired version's dirs become GC-eligible immediately — exactly
+    // the shape where a half-gutted dir could silently truncate a
+    // pinned read that listed files mid-sweep. 4 files per dir widen
+    // that window.
+    def snap(tag: Int) = (0 until rowsPerVersion)
+      .map(k => (k.toLong, tag.toDouble)).toDF("k", "v").repartition(4)
+    sn.commit(snap(0), t)
+    @volatile var stopBg = false
+    val bgErrors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val nExpired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = new Thread(() => {
+      var i = 1
+      while (!stopBg) {
+        try { sn.commit(snap(i), t); i += 1 }
+        catch { case e: Throwable => bgErrors.add(e) }
+      }
+    })
+    // The age shield protects the WRITER's in-flight staging (a 0L
+    // cutoff would let the sweeper gut a freshly staged dir before its
+    // manifest lands — the exact window DefaultGcAgeMillis documents);
+    // 1.5 s is far above a local stage-to-commit and far below the
+    // run, so doomed versions still age into GC eligibility while a
+    // pinned read of them is mid-plan — the raced window this test is
+    // FOR stays wide open.
+    val shieldMs = 1500L
+    val expirer = new Thread(() => {
+      while (!stopBg) {
+        try nExpired.addAndGet(
+          sn.expire(t, keep = 2, gcOlderThanMillis = shieldMs).size)
+        catch { case e: Throwable => bgErrors.add(e) }
+        Thread.sleep(5)
+      }
+    })
+    writer.start(); expirer.start()
+    var nFull = 0
+    var nRefused = 0
+    val partials = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    try {
+      val deadline = System.currentTimeMillis() + 8000
+      while (System.currentTimeMillis() < deadline) {
+        // pin the OLDEST live version — the next one the expirer dooms
+        sn.versions(t).headOption.foreach { v =>
+          try {
+            val n = sn.asOf(spark, t, v).count()
+            if (n == rowsPerVersion) nFull += 1
+            else partials += ((v, n)) // the forbidden third outcome
+          } catch {
+            // loud refusal — any face: the pre-read manifest require
+            // ("no manifest"), the post-listing expiry guard ("expired
+            // mid-read"), a path vanishing under the eager listing, or
+            // a task failing on a file GC'd post-listing
+            case scala.util.control.NonFatal(_) => nRefused += 1
+          }
+        }
+      }
+    } finally { stopBg = true; writer.join(); expirer.join() }
+    assert(bgErrors.isEmpty,
+      s"a background loop failed mid-race: ${bgErrors.peek()}")
+    assert(partials.isEmpty,
+      s"pinned reads returned PARTIAL row sets under expiry: $partials " +
+        s"(each read must deliver all $rowsPerVersion rows or refuse)")
+    // fixture relevance receipts: versions really expired during the
+    // window, and full reads really happened (an always-refusing or
+    // never-expiring run would prove nothing)
+    assert(nExpired.get() > 0, "fixture: the expirer never expired")
+    assert(nFull > 0, s"fixture: no pinned read completed (refused " +
+      s"$nRefused times) — the race drowned the reader")
+    info(s"pinned reads: $nFull full, $nRefused loud refusals, " +
+      s"${nExpired.get()} versions expired")
+  }
+
+  test("mid-read expiry, the silent-partial window played DETERMINISTICALLY: " +
+      "a peer expire that lands between the manifest read and the file " +
+      "listing — manifest deleted, one dir gutted — must refuse loudly, " +
+      "never return the surviving dirs as a truncated row set") {
+    import spark.implicits._
+    val root = scratch()
+    val plain = new Snapshots(root)
+    val t = "midread"
+    def df(tag: Double, n: Int) =
+      (0 until n).map(k => (k.toLong, tag)).toDF("k", "v").coalesce(1)
+    plain.append(df(1.0, 30), t) // v1: {d1}
+    plain.append(df(2.0, 20), t) // v2: {d1, d2} — the pinned read target
+    // a Snapshots whose manifest read triggers the peer's sweep at the
+    // worst possible instant: AFTER the entries are in hand, BEFORE the
+    // scan lists files. The peer replays expire's exact order — doomed
+    // manifest first, dirs gutted after — leaving d2 present but EMPTY
+    // (mid-deleteRecursively state) while d1 still has its files: the
+    // eager parquet listing then succeeds with d1's files only, which
+    // without the post-listing guard is a silent 30-of-50-row answer.
+    @volatile var armed = true
+    val racy = new Snapshots(root) {
+      override def readEntries(table: String, v: Int): Seq[ManifestEntry] = {
+        val es = super.readEntries(table, v)
+        if (armed && table == t && v == 2) {
+          armed = false
+          new java.io.File(s"$root/$t/manifests/v=2.manifest").delete()
+          val d2 = es.map(_.rel).filter(_.endsWith("/d2"))
+          assert(d2.size == 1, s"fixture: expected one d2 entry, got $es")
+          Option(new java.io.File(s"$root/${d2.head}").listFiles())
+            .getOrElse(Array.empty).foreach(_.delete())
+        }
+        es
+      }
+    }
+    val ex = intercept[IllegalStateException](racy.asOf(spark, t, 2).count())
+    assert(ex.getMessage.contains("expired mid-read"),
+      s"expected the post-listing expiry guard, got: ${ex.getMessage}")
+    // the surviving version still reads exactly (the guard refuses the
+    // doomed read only, never poisons the store)
+    assert(plain.asOf(spark, t, 1).count() == 30)
+  }
 }

@@ -499,6 +499,74 @@ class SnapshotStreamSpec extends SparkSpec {
       s"serving table diverged from latest-per-key over A's history: $b")
   }
 
+  test("skip mode never re-delivers a dir republished after a rollback: " +
+      "the retired-dir set carries across MICRO-BATCH boundaries, while " +
+      "fresh appends keep flowing") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "repub"
+    sn.commit(kv(Seq((1L, 1.0), (2L, 1.0))), t) // v1: seed snapshot
+    sn.append(kv(Seq((3L, 2.0))), t)            // v2: B — the republish target
+    val sink = s"repub_sink_${System.nanoTime()}"
+    val q = readTail(root, t, "onNonAppend" -> "skip")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch: seed snapshot + B delivered
+      assert(spark.table(sink).count() == 3)
+      sn.rollback(spark, t, 1) // v3: removes B's dir (skipped non-append)
+      q.processAllAvailable() // batch (2,3]: nothing to emit; B retires
+      // the republish lands in a LATER micro-batch than the rollback:
+      // rolling forward to v2 re-points at B's dir VERBATIM (same
+      // manifest entry), which to a range-local reader is
+      // indistinguishable from a fresh append — the cross-batch
+      // retired set is what must recognize the round trip
+      sn.rollback(spark, t, 2)         // v4: the republish
+      sn.append(kv(Seq((4L, 3.0))), t) // v5: genuinely new data
+      q.processAllAvailable()
+      val got = spark.table(sink).as[(Long, Double)].collect().toSeq
+      assert(got.size == 4,
+        s"expected 4 rows once each, got ${got.size} — a 5th row means " +
+          "the republished dir was re-delivered")
+      assert(got.toSet ==
+        Set((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("the retired-dir set survives a RESTART: a rollback consumed " +
+      "before the kill suppresses a republish landing after it — " +
+      "reconstructed from the manifest history, not from lost memory") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "repubkr"
+    sn.commit(kv(Seq((1L, 1.0))), t)  // v1: the tail anchor
+    sn.append(kv(Seq((2L, 2.0))), t)  // v2: B
+    val out = s"${scratch()}/out"
+    val ck = s"${scratch()}/ck"
+    def drainOnce(mid: => Unit): Unit = {
+      val q = readTail(root, t, "startVersion" -> "1",
+          "onNonAppend" -> "skip")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      try { q.processAllAvailable(); mid; q.processAllAvailable() }
+      finally q.stop()
+    }
+    // incarnation 1 delivers B, then consumes the rollback (retiring
+    // B's dir) — and dies, taking the in-memory retired set with it
+    drainOnce { sn.rollback(spark, t, 1) } // v3 mid-query
+    // while DOWN: the republish (roll forward to v2) and a fresh append
+    sn.rollback(spark, t, 2)         // v4: re-points at B's dir
+    sn.append(kv(Seq((3L, 3.0))), t) // v5: new data
+    // incarnation 2 must reconstruct "B's dir was removed at v3" from
+    // the live manifests up to its checkpointed offset
+    drainOnce(())
+    val got = spark.read.parquet(out).as[(Long, Double)].collect().toSeq
+    assert(got.size == 2,
+      s"expected 2 rows once each, got ${got.size} — a 3rd row means " +
+        "the restart forgot the rollback and re-delivered the republish")
+    assert(got.toSet == Set((2L, 2.0), (3L, 3.0)))
+  }
+
   // Built by the 400-commit soak test below and REUSED by the deep
   // AvailableNow catch-up test: (root, pure-append rows, final version).
   // ScalaTest runs a suite's tests in registration order, so the
@@ -575,9 +643,18 @@ class SnapshotStreamSpec extends SparkSpec {
       .map(f => Files.readAllLines(f.toPath).asScala.last.trim.toInt)
       .toSeq
     val finalV = sn.currentVersion(t).get
-    assert(ends.count(e => e > 1 && e < finalV) >= 10,
-      s"free-running consumption did not overlap the commits: the " +
-        s"offset log shows only $ends against final version $finalV")
+    // threshold derives from the OBSERVED batch count, not a fixed 10:
+    // on a loaded box micro-batch planning can stall while the 400
+    // commits land, logging fewer mid-window ends — the delivered-set
+    // assertions above already carry the correctness law, so this
+    // receipt only needs "a material fraction of batches ran inside
+    // the window", with an absolute floor of 3 so a one-giant-batch
+    // consumer still fails
+    val midWindow = ends.count(e => e > 1 && e < finalV)
+    assert(midWindow >= math.max(3, ends.size / 4),
+      s"free-running consumption did not overlap the commits: " +
+        s"$midWindow of ${ends.size} batch ends fell inside the commit " +
+        s"window (offset log $ends against final version $finalV)")
     soakFixture = Some((root, expected.toSet, finalV))
   }
 
@@ -588,14 +665,24 @@ class SnapshotStreamSpec extends SparkSpec {
     // Full-suite runs reuse the 400-commit soak table (the suite runs
     // in registration order); a TARGETED run of just this test builds
     // its own lighter backlog — same law, self-contained either way.
-    val (root, expected, finalV) = soakFixture.getOrElse {
-      val r = scratch()
-      val sn = new Snapshots(r, segThreshold = 2)
-      sn.commit(kv(Seq((0L, 0.0))), "soaktail")
-      val rows = (1 to 150).map(i => (i.toLong, i.toDouble))
-      rows.foreach(row => sn.append(kv(Seq(row)), "soaktail"))
-      (r, Set((0L, 0.0)) ++ rows.toSet,
-        sn.currentVersion("soaktail").get)
+    // ANNOUNCE which fixture path ran: the coupling to the soak test is
+    // by registration order, so a reorder or parallel execution would
+    // silently degrade this test to the 150-version fallback — the
+    // info line makes that degradation visible in test output.
+    val (root, expected, finalV) = soakFixture match {
+      case Some(fix) =>
+        info("using the 400-commit soak fixture (deep mixed backlog)")
+        fix
+      case None =>
+        info("soak fixture unavailable (targeted run?) — building the " +
+          "150-version pure-append fallback backlog")
+        val r = scratch()
+        val sn = new Snapshots(r, segThreshold = 2)
+        sn.commit(kv(Seq((0L, 0.0))), "soaktail")
+        val rows = (1 to 150).map(i => (i.toLong, i.toDouble))
+        rows.foreach(row => sn.append(kv(Seq(row)), "soaktail"))
+        (r, Set((0L, 0.0)) ++ rows.toSet,
+          sn.currentVersion("soaktail").get)
     }
     val limit = 10
     val out = s"${scratch()}/out"
