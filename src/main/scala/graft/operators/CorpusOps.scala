@@ -184,11 +184,25 @@ object CorpusOps extends QueryPack {
     * least one common fingerprint — the tool for detecting copied
     * passages inside otherwise-different documents. */
   private val winnowing: Q = (s, dir) => {
-    val fps = winnowedFingerprints(s, dir)
-      .select(col("doc_id"), col("fp_h")).distinct()
-    val keep = fps.groupBy("fp_h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= winMaxDf).select("fp_h")
-    val capped = fps.join(keep, "fp_h")
+    // ONE exchange builds the whole capped fingerprint frame (the
+    // earlier distinct → groupBy-df → join-back formulation shuffled
+    // it three times): repartition by fp_h, then both the per-doc
+    // dedup (a hash-agg keyed (fp_h, doc_id) — fp_h ⊆ keys, so the
+    // existing partitioning satisfies it with no new exchange) and the
+    // df cap (a window count over fp_h, same partitioning, one local
+    // sort) run in place; the self-join below then reuses the same
+    // exchange on both sides and sort-merges without re-shuffling.
+    // The window buffers one fp_h group at a time with spill support —
+    // and the df-cap filter discards hub grams right after, so only
+    // ≤ winMaxDf-doc groups survive to the pair fanout (Σ df², never
+    // all-pairs).
+    val capped = winnowedFingerprints(s, dir)
+      .select(col("fp_h"), col("doc_id"))
+      .repartition(col("fp_h"))
+      .dropDuplicates("fp_h", "doc_id")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp_h")))
+      .filter(col("df") <= winMaxDf)
+      .select(col("fp_h"), col("doc_id"))
     capped.select(col("fp_h"), col("doc_id").as("doc_a"))
       .join(capped.select(col("fp_h"), col("doc_id").as("doc_b")), "fp_h")
       .filter(col("doc_a") < col("doc_b"))
