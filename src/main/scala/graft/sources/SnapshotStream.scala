@@ -51,17 +51,19 @@ import graft.plans.Snapshots
   *    Iceberg's incremental append scan re-emits here; this tail does
   *    not (SnapshotStreamSpec pins both the in-run and the
   *    across-restart case). After a RESTART the set is reconstructed
-  *    from the live manifest history up to the checkpointed version;
-  *    two best-effort corners remain, both suppression-side (skip
-  *    mode's safe direction — a duplicate is a wrong answer, a
-  *    suppressed republish is reconcilable via the change feed):
-  *    (a) versions expired mid-history collapse into one merged diff,
-  *    hiding a remove-then-readd round trip inside the gap (retention
-  *    covering consumer lag — already the resume contract — prevents
-  *    it); (b) in default (initial-snapshot) mode the anchor version
-  *    is unknown after a restart, so pre-anchor removals also retire
-  *    (a dir removed before the stream began and republished after a
-  *    restart is suppressed although never delivered). Where rollback
+  *    from the live manifest history between the stream's ANCHOR and
+  *    the checkpointed version — the anchor being `startVersion` in
+  *    tail mode and, in default (initial-snapshot) mode, the version
+  *    the first batch persisted under the source's checkpoint
+  *    metadataPath (so pre-anchor removals never retire: a dir removed
+  *    before the stream began and republished later is fresh data TO
+  *    THIS CONSUMER and is delivered). One best-effort corner remains,
+  *    suppression-side (skip mode's safe direction — a duplicate is a
+  *    wrong answer, a suppressed republish is reconcilable via the
+  *    change feed): versions expired mid-history collapse into one
+  *    merged diff, hiding a remove-then-readd round trip inside the
+  *    gap (retention covering consumer lag — already the resume
+  *    contract — prevents it). Where rollback
   *    interleavings must be consumed, not just deduped, run fail mode
   *    (stops loudly AT the rollback) or `mode=changes`, whose
   *    per-step diff handles re-pointed dirs as the inserts/deletes
@@ -157,7 +159,8 @@ class SnapshotStreamProvider extends StreamSourceProvider
       case "appends" =>
         new SnapshotTailSource(sqlContext.sparkSession, p("root"),
           p("table"), p.get("startversion").map(_.toInt),
-          p.getOrElse("onnonappend", "fail"), maxVersions)
+          p.getOrElse("onnonappend", "fail"), maxVersions,
+          metadataPath = metadataPath)
       case "changes" =>
         new SnapshotChangesSource(sqlContext.sparkSession, p("root"),
           p("table"),
@@ -316,10 +319,17 @@ private[sources] abstract class SnapshotSourceBase(
   override def stop(): Unit = ()
 }
 
-/** The APPEND-TAIL face — see [[SnapshotStreamProvider]]. */
+/** The APPEND-TAIL face — see [[SnapshotStreamProvider]].
+  * `metadataPath` is the engine-provided per-source checkpoint dir
+  * (the contract Spark's FileStreamSource persists its file log
+  * under); the tail writes the DEFAULT mode's anchor version there
+  * once, so a restart's retired-set reconstruction can start the walk
+  * AT the anchor instead of over-retiring pre-anchor removals. Empty
+  * (direct construction in specs) ⇒ no persistence, earliest-live
+  * fallback. */
 class SnapshotTailSource(spark: SparkSession, root: String, table: String,
     startVersion: Option[Int], onNonAppend: String,
-    maxVersions: Option[Int] = None)
+    maxVersions: Option[Int] = None, metadataPath: String = "")
     extends SnapshotSourceBase(spark, root, table, maxVersions) {
   require(onNonAppend == "fail" || onNonAppend == "skip",
     s"onNonAppend must be fail|skip, got $onNonAppend")
@@ -352,22 +362,65 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
   private var retiredThrough: Option[Int] = None
   private var retired: Set[graft.plans.ManifestEntry] = Set.empty
 
+  // ---- anchor persistence (default mode) --------------------------------
+  // The initial-snapshot anchor is the ONE piece of source state a
+  // mid-stream offset cannot recover (offsets carry batch ENDS; the
+  // anchor is batch 0's end, long since superseded). Persist it once
+  // under the engine-provided metadataPath — the per-source checkpoint
+  // dir Spark's own FileStreamSource keeps its log in — via the Hadoop
+  // FS API so any checkpoint filesystem works. First-writer-wins
+  // create; replays write the same value by construction (batch 0's
+  // end comes from the offset log).
+  private def anchorFile = new org.apache.hadoop.fs.Path(
+    metadataPath, "graft-anchor")
+  private def persistAnchor(v: Int): Unit =
+    if (metadataPath.nonEmpty) {
+      val p = anchorFile
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) {
+        try {
+          val out = fs.create(p, false)
+          try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        } catch {
+          // a concurrent replay won the create: same value, no loss
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        }
+      }
+    }
+  private def readAnchor(): Option[Int] =
+    if (metadataPath.isEmpty) None
+    else {
+      val p = anchorFile
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toInt)
+        finally in.close()
+      }
+    }
+
   /** Bring the retired set up to `fromV`. In-run, `retiredThrough`
     * already equals the previous batch's end and this is a no-op. On
     * the first batch after a RESTART (the engine replays the last
     * committed range into a fresh Source) the set is reconstructed
     * from the live manifest history up to `fromV` — anchored at
-    * `startVersion` when configured, else at the earliest live version
-    * (the initial-snapshot anchor is not recoverable from a mid-stream
-    * offset; the resulting over-retirement of pre-anchor removals is
-    * the suppression-side corner documented on the provider). Cost:
-    * one manifest set-diff walk over the consumed history, recovery
-    * path only. */
+    * `startVersion` when configured, at the PERSISTED initial-snapshot
+    * anchor in default mode (see [[persistAnchor]]), and only when
+    * neither is available (direct construction with no metadataPath)
+    * at the earliest live version, whose over-retirement of pre-anchor
+    * removals is the suppression-side fallback documented on the
+    * provider. The anchor bounds the walk even when the anchor version
+    * itself has been retention-expired (it is a number, not a read).
+    * Cost: one manifest set-diff walk over the consumed history,
+    * recovery path only. */
   private def syncRetiredTo(fromV: Int): Unit =
     if (!retiredThrough.contains(fromV)) {
       val live = store.versions(table).filter(_ <= fromV)
-      val lo = startVersion.filter(live.contains)
-        .orElse(live.headOption).getOrElse(fromV)
+      val anchored = startVersion.orElse(readAnchor())
+        .map(a => live.filter(_ >= a)).getOrElse(live)
+      val lo = anchored.headOption.getOrElse(fromV)
       retired =
         if (lo >= fromV) Set.empty
         else store.appendAdditionsTracked(table, lo, fromV, Set.empty)._2
@@ -404,7 +457,10 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
         // default mode's first batch: the full logical snapshot at the
         // first logged offset — replay-stable because `end` comes from
         // the offset log on recovery. Nothing can be retired yet: the
-        // snapshot IS the consumer's baseline.
+        // snapshot IS the consumer's baseline; the anchor persists to
+        // the source's checkpoint dir so a later restart's retired-set
+        // reconstruction starts here, not at the earliest live version.
+        persistAnchor(endV)
         retired = Set.empty
         retiredThrough = Some(endV)
         store.asOf(spark, table, endV)

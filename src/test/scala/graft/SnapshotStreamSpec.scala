@@ -567,6 +567,49 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(got.toSet == Set((2L, 2.0), (3L, 3.0)))
   }
 
+  test("default-mode restart does NOT over-retire pre-anchor removals: " +
+      "a dir removed BEFORE the stream began and republished after a " +
+      "restart is fresh data to this consumer — the anchor persisted " +
+      "in the source's checkpoint dir bounds the reconstruction walk") {
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "anchorrepub"
+    sn.commit(kv(Seq((1L, 1.0))), t) // v1: A
+    sn.append(kv(Seq((2L, 2.0))), t) // v2: +D — the pre-anchor dir
+    sn.rollback(spark, t, 1)         // v3: D removed, before any consumer
+    val out = s"${scratch()}/out"
+    val ck = s"${scratch()}/ck"
+    def drainOnce(mid: => Unit): Unit = {
+      // DEFAULT mode: no startVersion — the anchor is batch 0's end,
+      // recoverable after a restart only from the persisted marker
+      val q = readTail(root, t, "onNonAppend" -> "skip")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      try { q.processAllAvailable(); mid; q.processAllAvailable() }
+      finally q.stop()
+    }
+    // incarnation 1: batch 0 = snapshot(v3) = {A} (D is the consumer's
+    // never-seen past), then a mid-query append E — then the kill
+    drainOnce { sn.append(kv(Seq((3L, 3.0))), t) } // v4
+    // while DOWN: D's exact manifest entry is re-published as a PURE
+    // APPEND (the manual-republish shape), plus a fresh append F
+    val dEntry = (sn.readEntries(t, 2).toSet -- sn.readEntries(t, 1)).head
+    sn.commitEntries(t,
+      sn.readEntries(t, sn.currentVersion(t).get) :+ dEntry) // v5: +D
+    sn.append(kv(Seq((4L, 4.0))), t)                         // v6: F
+    // incarnation 2 reconstructs retired over [anchor=3, checkpoint] —
+    // an earliest-live walk would see v2→v3 remove D and wrongly
+    // suppress it; the anchor-bounded walk delivers it as the fresh
+    // (to this consumer) append it is
+    drainOnce(())
+    val got = spark.read.parquet(out).as[(Long, Double)].collect().toSeq
+    assert(got.size == 4,
+      s"expected A,E,D,F once each, got $got — 3 rows means the restart " +
+        "over-retired the pre-anchor dir; 5 means a duplicate")
+    assert(got.toSet ==
+      Set((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+  }
+
   // Built by the 400-commit soak test below and REUSED by the deep
   // AvailableNow catch-up test: (root, pure-append rows, final version).
   // ScalaTest runs a suite's tests in registration order, so the
