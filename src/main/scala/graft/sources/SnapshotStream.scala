@@ -57,13 +57,15 @@ import graft.plans.Snapshots
   *    the first batch persisted under the source's checkpoint
   *    metadataPath (so pre-anchor removals never retire: a dir removed
   *    before the stream began and republished later is fresh data TO
-  *    THIS CONSUMER and is delivered). One best-effort corner remains,
-  *    suppression-side (skip mode's safe direction — a duplicate is a
-  *    wrong answer, a suppressed republish is reconcilable via the
-  *    change feed): versions expired mid-history collapse into one
-  *    merged diff, hiding a remove-then-readd round trip inside the
-  *    gap (retention covering consumer lag — already the resume
-  *    contract — prevents it). Where rollback
+  *    THIS CONSUMER and is delivered). One best-effort corner remains:
+  *    versions expired mid-history collapse into one merged edge diff
+  *    during reconstruction. A remove-then-readd fully inside the gap
+  *    self-cancels (the entry is present at both edges — nothing to
+  *    retire, nothing missed); the residual hazard is an entry ADDED
+  *    and removed inside the gap (delivered, then retired, both
+  *    invisible at the edges) and republished after it — a duplicate.
+  *    Retention covering consumer lag — already the resume contract —
+  *    keeps consumed versions live and prevents it. Where rollback
   *    interleavings must be consumed, not just deduped, run fail mode
   *    (stops loudly AT the rollback) or `mode=changes`, whose
   *    per-step diff handles re-pointed dirs as the inserts/deletes
