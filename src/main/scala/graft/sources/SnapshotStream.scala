@@ -364,6 +364,32 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
   private var retiredThrough: Option[Int] = None
   private var retired: Set[graft.plans.ManifestEntry] = Set.empty
 
+  // Long-lived tails: the retired set grows with observed CHURN (every
+  // fold/compaction retires the dirs it rewrote), which over a
+  // year-long stream is unbounded driver state. An entry whose dir has
+  // been GC'd can never be SILENTLY re-delivered — a later manifest
+  // re-pointing at a missing dir yields a scan that fails loudly at
+  // listing/read time — so once the set crosses the floor, entries
+  // with no dir on disk are dropped; the floor doubles with the kept
+  // size so the stat sweep is amortized O(1) per retirement. One
+  // imprecision, memory-only: a GC'd path RECREATED by fresh data
+  // (max+1 naming reuses freed names) keeps the stale entry alive in
+  // the set — harmless, since full-entry identity still distinguishes
+  // the fresh dir from the retired one. The var is test-visible so
+  // the prune law is spec'd without 256 real rollbacks
+  // ([[graft.SnapshotStreamSpec]]).
+  private[graft] var retiredPruneFloor: Int = 256
+  private[graft] def retiredCount: Int = retired.size
+  private def prunedIfLarge(rs: Set[graft.plans.ManifestEntry])
+      : Set[graft.plans.ManifestEntry] =
+    if (rs.size < retiredPruneFloor) rs
+    else {
+      val kept = rs.filter(e =>
+        new java.io.File(s"$root/${e.rel}").exists())
+      retiredPruneFloor = math.max(retiredPruneFloor, kept.size * 2)
+      kept
+    }
+
   // ---- anchor persistence (default mode) --------------------------------
   // The initial-snapshot anchor is the ONE piece of source state a
   // mid-stream offset cannot recover (offsets carry batch ENDS; the
@@ -446,11 +472,11 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
         // the guard proved the range append-only, so no removal can
         // have retired anything — the plain range read is exact
         store.appendsBetween(spark, table, fromV, endV)
-      case Some(fromV) => // skip mode: the retired-dir-tracked walk
+      case Some(fromV) => // skip mode: the retired-entry-tracked walk
         syncRetiredTo(fromV)
         val (added, retired1) =
           store.appendAdditionsTracked(table, fromV, endV, retired)
-        retired = retired1
+        retired = prunedIfLarge(retired1)
         retiredThrough = Some(endV)
         if (added.isEmpty) emptyBatch
         else spark.read.parquet(

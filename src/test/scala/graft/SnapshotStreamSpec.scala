@@ -567,6 +567,47 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(got.toSet == Set((2L, 2.0), (3L, 3.0)))
   }
 
+  test("the retired set stays churn-bounded: once a retired dir is " +
+      "GC'd it can never be SILENTLY re-delivered, so the prune drops " +
+      "it — while a still-on-disk retired dir survives the sweep") {
+    import graft.sources.{SnapshotTailSource, VersionOffset}
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "prune"
+    sn.commit(kv(Seq((1L, 1.0))), t) // v1: A
+    sn.append(kv(Seq((2L, 2.0))), t) // v2: +B
+    val src = new SnapshotTailSource(spark, root, t, Some(1), "skip")
+    src.retiredPruneFloor = 1 // every batch sweeps — 256 real rollbacks
+                              // would prove the same law slower
+    src.getBatch(Some(VersionOffset(1)), VersionOffset(2)) // delivers B
+    sn.rollback(spark, t, 1)                               // v3: -B
+    src.getBatch(Some(VersionOffset(2)), VersionOffset(3))
+    // B's dir is still on disk (rollback deletes nothing), so the
+    // sweep must KEEP it: a verbatim republish is still possible and
+    // must still be suppressed
+    assert(src.retiredCount == 1,
+      "a retired entry whose dir is still on disk must survive the prune")
+    // append BEFORE the expire: dir names mint max+1 over dirs PRESENT,
+    // so appending after the GC would recreate B's path (d2) for fresh
+    // data and the path-based sweep would keep the stale entry — the
+    // documented (harmless: memory-only) imprecision, but not what
+    // this test pins
+    sn.append(kv(Seq((3L, 3.0))), t)               // v4: C, dir d3
+    // keep=2 keeps v3/v4 (the consumer's checkpointed v3 must stay
+    // live — the retention contract) while expiring v1/v2; d2 is then
+    // referenced by no live version and is GC'd
+    sn.expire(t, keep = 2, gcOlderThanMillis = 0L)
+    sn.append(kv(Seq((4L, 4.0))), t)               // v5: D, dir d4
+    // the first sweep kept B and doubled the floor (the amortization:
+    // a stable set must not be re-stat'd every batch) — re-arm it so
+    // the post-GC batch sweeps again
+    src.retiredPruneFloor = 1
+    src.getBatch(Some(VersionOffset(3)), VersionOffset(5))
+    assert(src.retiredCount == 0,
+      "a retired entry whose dir was GC'd can never be silently " +
+        "re-delivered and must be pruned")
+  }
+
   test("default-mode restart does NOT over-retire pre-anchor removals: " +
       "a dir removed BEFORE the stream began and republished after a " +
       "restart is fresh data to this consumer — the anchor persisted " +
