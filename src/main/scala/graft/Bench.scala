@@ -93,11 +93,27 @@ object Bench {
     // the query's real cost. Parsing is a tiny brace-matching scan —
     // no JSON lib in this build — and any failure degrades to "no
     // floors", never a crashed bench.
+    // Floors come from the per-sf SIDECAR first (BENCH_FLOORS.json,
+    // min-merged across runs, so an sf0.01 gate run between two sf0.1
+    // profiles no longer wipes the sf0.1 floors); the single-run
+    // BENCH_DETAIL.json parse stays as the legacy fallback for the
+    // first run after this change, and both sources min-merge.
+    val sidecarAll: Map[String, Map[String, Double]] = try {
+      val p = java.nio.file.Paths.get("BENCH_FLOORS.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else graft.core.BenchFloors.parseSidecar(
+        java.nio.file.Files.readString(p))
+    } catch { case _: Throwable => Map.empty }
     val prevFloors: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else graft.core.BenchFloors.parse(
-        java.nio.file.Files.readString(p), sfDir)
+      val legacy =
+        if (!java.nio.file.Files.exists(p)) Map.empty[String, Double]
+        else graft.core.BenchFloors.parse(
+          java.nio.file.Files.readString(p), sfDir)
+      val side = sidecarAll.getOrElse(sfDir, Map.empty)
+      (legacy.keySet ++ side.keySet).map { k =>
+        k -> (legacy.get(k).toSeq ++ side.get(k).toSeq).min
+      }.toMap
     } catch { case _: Throwable => Map.empty }
     // Auto-retime: a timed run > 3× its own warmup is the signature of a
     // stolen window (the r10 driver charged d17 at 13× and l03 at 16×
@@ -262,6 +278,19 @@ object Bench {
     // and a 3-query partial would wipe the other 280 queries' history.
     val detailPath =
       if (only.isDefined) "BENCH_DETAIL_partial.json" else "BENCH_DETAIL.json"
+    // Sidecar update runs for FULL and targeted runs alike — floors are
+    // keyed (sfDir, full query name), so a 3-query targeted re-profile
+    // legitimately tightens exactly those 3 floors and nothing else.
+    try {
+      val observed = results.flatMap { case (k, rep, warm, _) =>
+        val cands = (rep.toSeq ++ warm.toSeq).filter(_ > 0)
+        if (cands.isEmpty) None else Some(k -> cands.min)
+      }.toMap
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FLOORS.json"),
+        graft.core.BenchFloors.renderSidecar(
+          graft.core.BenchFloors.mergeSidecar(sidecarAll, sfDir, observed)))
+    } catch { case _: Throwable => () }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_error":$nErr,"sf":"$sfDir","queries":$statuses,"warmup":$warmups,"probe":$probeJson,"probe_median":${f3(probeMedian)},"contended":$contended,"retimed":${retimed.map(jstr).mkString("[", ",", "]")},"floor_exceeded":${floorExceeded.map { case (k, m) =>

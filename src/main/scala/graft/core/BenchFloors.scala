@@ -32,15 +32,73 @@ object BenchFloors {
       }
       txt.substring(start, j)
     }
-    val num = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.]*)""".r
-    def pairs(body: String): Map[String, Double] =
-      num.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val q = pairs(objBody("queries"))
-    val w = pairs(objBody("warmup"))
+    val q = numPairs(objBody("queries"))
+    val w = numPairs(objBody("warmup"))
     q.keySet.flatMap { k =>
       val cands = (q.get(k).toSeq ++ w.get(k).toSeq).filter(_ > 0)
       if (cands.isEmpty) None else Some(k -> cands.min)
     }.toMap
+  }
+
+  private val num = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.]*)""".r
+  private def numPairs(body: String): Map[String, Double] =
+    num.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** The multi-sf floors SIDECAR (`BENCH_FLOORS.json`):
+    * `{"<sfDir>": {"<query>": floor, ...}, ...}`. BENCH_DETAIL.json
+    * holds ONE run and is overwritten wholesale, so alternating sf
+    * dirs (an sf0.01 gate run between two sf0.1 profile runs) used to
+    * WIPE the other scale's floors — exactly when the retime trigger
+    * and floor_exceeded receipt need them. The sidecar keys floors by
+    * sf dir and merges min-wise across runs, so every scale keeps its
+    * best-known per-query cost regardless of run order. Same
+    * no-JSON-library discipline: a tolerant scan, any surprise
+    * degrades to empty, never a crashed bench. */
+  def parseSidecar(txt: String): Map[String, Map[String, Double]] =
+    try {
+      val out = Map.newBuilder[String, Map[String, Double]]
+      var j = txt.indexOf('{')
+      if (j < 0) return Map.empty
+      j += 1
+      var done = false
+      while (!done) {
+        val kq = txt.indexOf('"', j)
+        val kend = if (kq < 0) -1 else txt.indexOf('"', kq + 1)
+        val ob = if (kend < 0) -1 else txt.indexOf('{', kend)
+        if (ob < 0) done = true
+        else {
+          // sf-dir keys carry no quotes/escapes; bodies are flat
+          var depth = 1; var p = ob + 1
+          while (p < txt.length && depth > 0) {
+            val c = txt.charAt(p)
+            if (c == '{') depth += 1 else if (c == '}') depth -= 1
+            p += 1
+          }
+          out += txt.substring(kq + 1, kend) -> numPairs(txt.substring(ob, p))
+          j = p
+        }
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Render the sidecar (keys sorted both levels for stable diffs). */
+  def renderSidecar(m: Map[String, Map[String, Double]]): String =
+    m.toSeq.sortBy(_._1).map { case (sf, qs) =>
+      val body = qs.toSeq.sortBy(_._1).map { case (k, v) =>
+        f""""$k":${String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))}"""
+      }.mkString("{", ",", "}")
+      s""""$sf":$body"""
+    }.mkString("{", ",", "}")
+
+  /** Min-merge `observed` into `all` under `sfDir`. */
+  def mergeSidecar(all: Map[String, Map[String, Double]], sfDir: String,
+      observed: Map[String, Double]): Map[String, Map[String, Double]] = {
+    val old = all.getOrElse(sfDir, Map.empty)
+    val merged = (old.keySet ++ observed.keySet).map { k =>
+      k -> (old.get(k).toSeq ++ observed.get(k).toSeq).min
+    }.toMap
+    all + (sfDir -> merged)
   }
 }

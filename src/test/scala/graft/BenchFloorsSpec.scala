@@ -56,4 +56,36 @@ class BenchFloorsSpec extends AnyFunSuite {
       == Map("a" -> 1.0))
     assert(BenchFloors.parse("", "/d").isEmpty)
   }
+
+  test("sidecar: render/parse round-trips a multi-sf floor map") {
+    val m = Map(
+      "/data/sf0.1" -> Map("q01_rev" -> 1.5, "l07_dedup" -> 0.4),
+      "target/sf1" -> Map("q01_rev" -> 2.183))
+    assert(BenchFloors.parseSidecar(BenchFloors.renderSidecar(m)) == m)
+  }
+
+  test("sidecar: min-merge tightens floors per sf WITHOUT touching the " +
+      "other scale — the sf0.01-gate-between-sf0.1-profiles wipe this " +
+      "sidecar exists to prevent") {
+    val before = Map(
+      "/data/sf0.1" -> Map("q01_rev" -> 1.5, "l07_dedup" -> 0.4))
+    // an sf0.01 gate run lands: sf0.1 floors must survive untouched
+    val after01 = BenchFloors.mergeSidecar(before, "/data/sf0.01",
+      Map("q01_rev" -> 0.2))
+    assert(after01("/data/sf0.1") == before("/data/sf0.1"))
+    assert(after01("/data/sf0.01") == Map("q01_rev" -> 0.2))
+    // a later sf0.1 run only ever LOWERS same-sf floors (min-merge) and
+    // adds new queries
+    val after1 = BenchFloors.mergeSidecar(after01, "/data/sf0.1",
+      Map("q01_rev" -> 9.9, "l07_dedup" -> 0.3, "w03_lag" -> 0.2))
+    assert(after1("/data/sf0.1") ==
+      Map("q01_rev" -> 1.5, "l07_dedup" -> 0.3, "w03_lag" -> 0.2))
+  }
+
+  test("sidecar: malformed or empty input degrades to empty, never a crash") {
+    assert(BenchFloors.parseSidecar("").isEmpty)
+    assert(BenchFloors.parseSidecar("{}").isEmpty)
+    assert(BenchFloors.parseSidecar("""{"/d":{"a":1.0""") ==
+      Map("/d" -> Map("a" -> 1.0)))
+  }
 }
