@@ -651,6 +651,73 @@ class SnapshotStreamSpec extends SparkSpec {
       Set((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
   }
 
+  test("rollback-republish SOAK: a free-running skip tail drains 150 " +
+      "commits mixing appends, backward rollbacks, and forward " +
+      "republishes — every appended row delivered EXACTLY once, " +
+      "however the trigger slices the version ranges") {
+    val root = scratch()
+    // segThreshold=2: the walk reads segmented manifests under the
+    // reader, like the maintenance soak
+    val sn = new Snapshots(root, segThreshold = 2)
+    val t = "rbsoak"
+    val seed = (0 until 10).map(k => (k.toLong, 0.0))
+    sn.commit(kv(seed), t)
+    // THE LAW: an append's rows are delivered exactly once — when the
+    // tail first observes them (or suppressed-on-republish if a
+    // rollback round-trips their dir) — and later removals never
+    // retract (append-tail semantics: deletes are change data). So
+    // `expected` is every row ever APPENDED, independent of how many
+    // rollbacks later removed or republished its dir.
+    val expected = scala.collection.mutable.Set.empty[(Long, Double)]
+    expected ++= seed
+    val out = s"${scratch()}/out"
+    val q = readTail(root, t, "onNonAppend" -> "skip")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"${scratch()}/ck")
+      .outputMode("append").start()
+    var nextKey = 100L
+    // the data entries the last backward roll dropped — the republish
+    // arm re-commits them VERBATIM as a pure append (the headline
+    // hazard shape: to a range-local reader, indistinguishable from
+    // fresh data)
+    var dropped: Seq[graft.plans.ManifestEntry] = Nil
+    try {
+      // pin the anchor BEFORE the churn: without this first drain a
+      // rollback could remove an append before the initial snapshot
+      // observes it and the expected-set model would overcount
+      q.processAllAvailable()
+      (1 to 150).foreach { i =>
+        if (i % 25 == 0 && dropped.nonEmpty) {
+          // PURE-APPEND republish of the rolled-back dirs: current
+          // manifest plus the dropped entries, nothing removed — the
+          // retired-entry set is the ONLY thing standing between this
+          // commit and duplicate delivery
+          val cur = sn.readEntries(t, sn.currentVersion(t).get)
+          val add = dropped.filterNot(cur.toSet)
+          if (add.nonEmpty) sn.commitEntries(t, cur ++ add)
+        } else if (i % 10 == 0 && sn.versions(t).size > 3) {
+          // BACKWARD roll: drop the last two commits' dirs
+          val vs = sn.versions(t)
+          val pre = sn.readEntries(t, vs.last).toSet
+          sn.rollback(spark, t, vs(vs.size - 3))
+          val post = sn.readEntries(t, sn.currentVersion(t).get).toSet
+          dropped = (pre -- post).toSeq.filter(_.kind == "data")
+        } else {
+          val rows = Seq((nextKey, i.toDouble)); nextKey += 1
+          sn.append(kv(rows), t)
+          expected ++= rows
+        }
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).as[(Long, Double)].collect().toSeq
+    assert(got.size == expected.size,
+      s"delivered ${got.size} rows vs ${expected.size} expected — more " +
+        "means a republished dir was re-delivered, fewer means a fresh " +
+        "append was wrongly suppressed")
+    assert(got.toSet == expected.toSet)
+  }
+
   // Built by the 400-commit soak test below and REUSED by the deep
   // AvailableNow catch-up test: (root, pure-append rows, final version).
   // ScalaTest runs a suite's tests in registration order, so the
