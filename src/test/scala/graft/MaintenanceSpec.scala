@@ -110,6 +110,27 @@ class MaintenanceSpec extends SparkSpec {
       (1L, "DELETE", 3), (3L, "UPDATE", 3)))
   }
 
+  test("the change feed expresses a rollback-republish round trip as " +
+      "the logical DELETE/INSERT pair it is — the reconciliation the " +
+      "append tail's skip mode points consumers at") {
+    import spark.implicits._
+    val sn = new Snapshots(scratch())
+    val t = "rbfeed"
+    sn.commit(Seq((1L, 1.0), (2L, 1.0)).toDF("k", "v").coalesce(1), t) // v1
+    sn.append(Seq((3L, 2.0)).toDF("k", "v").coalesce(1), t)            // v2
+    sn.rollback(spark, t, 1)  // v3: k=3's dir removed
+    sn.rollback(spark, t, 2)  // v4: the republish — same dir, verbatim
+    val got = sn.changesBetween(spark, t, 1, 4, "k")
+      .as[(Long, String, Int)].collect().toSet
+    // where the append TAIL must deliver k=3 exactly once (the retired
+    // set suppresses the v4 re-entry), the CHANGE feed must narrate the
+    // whole round trip: in at v2, out at v3, back in at v4 — a state-
+    // applying consumer replays it to the correct final state
+    assert(got == Set(
+      (3L, "INSERT", 2), (3L, "DELETE", 3), (3L, "INSERT", 4)),
+      s"rollback-republish must read as INSERT/DELETE/INSERT, got $got")
+  }
+
   test("D19: SCD2 lifecycle invariants — one current row per key, " +
     "closed rows chain into their replacements") {
     val out = SparkEntry.queries("d19_scd2")(spark, sfDir)
