@@ -1268,7 +1268,11 @@ class Snapshots(root: String, segThreshold: Int = 64) {
               lit(nv).cast("int").as("_change_version"))
       } else changeJoinStep(spark, table, key, pv, nv, prev, next,
         removed, added, affectedKept)
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _) match { case df =>
+      // post-listing re-check: every step's scans listed eagerly above
+      rangeStillLiveOrFail(table, fromV, toV)
+      df
+    }
   }
 
   /** The general [[changesBetween]] step: one full-outer join on the
@@ -1352,6 +1356,35 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     else Left((prev -- next).filter(_.kind == "data"))
   }
 
+  /** Post-listing expiry-race guard, the MULTI-VERSION face of
+    * [[asOf]]'s: a range reader over `(fromV, toV]` re-checks that
+    * `fromV`'s manifest still exists AFTER its eager file listing, and
+    * refuses if not. Checking only `fromV` suffices because every
+    * sweeper deletes doomed manifests in ASCENDING version order
+    * ([[expire]] walks `versions(table).dropRight(keep)`, which
+    * [[versions]] returns sorted) — so while the range's OLDEST
+    * manifest exists, no sweep that dooms any part of the range has
+    * finished its manifest phase, and its dir-GC phase (which runs
+    * strictly after all manifest deletions) cannot have started:
+    * every file the listing saw was live. A file GC'd after the
+    * listing fails the task loudly (`ignoreMissingFiles` stays
+    * false). This holds under concurrent sweepers too — each deletes
+    * ascending, so "fromV's manifest present" bounds every peer. */
+  private def rangeStillLiveOrFail(table: String, fromV: Int,
+      toV: Int): Unit =
+    if (!manifestFile(table, fromV).exists())
+      throw new IllegalStateException(
+        s"versions ($fromV, $toV] of $table expired mid-read: the " +
+          "range was retention-expired between planning and listing — " +
+          "a partial scan would be a wrong answer, so the read " +
+          "refuses. Retention must cover reader/consumer lag (the " +
+          "expire/streaming-resume contract).")
+
+  /** [[rangeStillLiveOrFail]] for the streaming tail's self-built
+    * scans (the skip-mode batch reads dirs the walk selected). */
+  private[graft] def requireRangeStillLive(table: String, fromV: Int,
+      toV: Int): Unit = rangeStillLiveOrFail(table, fromV, toV)
+
   /** Iceberg-style incremental APPEND scan: the rows added by
     * append-type commits in `(fromV, toV]` — the read an incremental
     * downstream pipeline tails instead of reprocessing the table. A
@@ -1385,7 +1418,11 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       .distinct
     if (added.isEmpty)
       current(spark, table).limit(0) // empty frame, correct schema
-    else spark.read.parquet(added.map(e => s"$root/${e.rel}"): _*)
+    else {
+      val df = spark.read.parquet(added.map(e => s"$root/${e.rel}"): _*)
+      rangeStillLiveOrFail(table, fromV, toV) // post-listing re-check
+      df
+    }
   }
 
   /** The tracked variant of the [[appendsBetween]] walk — the streaming

@@ -479,8 +479,15 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
         retired = prunedIfLarge(retired1)
         retiredThrough = Some(endV)
         if (added.isEmpty) emptyBatch
-        else spark.read.parquet(
-          added.map(e => s"$root/${e.rel}"): _*)
+        else {
+          val scan = spark.read.parquet(
+            added.map(e => s"$root/${e.rel}"): _*)
+          // post-listing expiry-race re-check, same dichotomy as the
+          // batch readers: full batch or loud refusal, never a dir
+          // half-gutted by a racing sweep delivered as a short batch
+          store.requireRangeStillLive(table, fromV, endV)
+          scan
+        }
       case None =>
         // default mode's first batch: the full logical snapshot at the
         // first logged offset — replay-stable because `end` comes from

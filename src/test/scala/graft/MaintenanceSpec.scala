@@ -1829,4 +1829,43 @@ class MaintenanceSpec extends SparkSpec {
     // doomed read only, never poisons the store)
     assert(plain.asOf(spark, t, 1).count() == 30)
   }
+
+  test("mid-read expiry on a RANGE read: an incremental appendsBetween " +
+      "whose range is swept between the step walk and the listing " +
+      "refuses loudly — never a short batch of the surviving dirs") {
+    import spark.implicits._
+    val root = scratch()
+    val plain = new Snapshots(root)
+    val t = "midrange"
+    def df(tag: Double, n: Int) =
+      (0 until n).map(k => (k.toLong, tag)).toDF("k", "v").coalesce(1)
+    plain.commit(df(0.0, 10), t) // v1: seed (the range anchor)
+    plain.append(df(1.0, 25), t) // v2: +B
+    plain.append(df(2.0, 15), t) // v3: +C
+    // the peer sweep lands after the walk's LAST manifest read and
+    // before the scan lists files: expire's exact order — the oldest
+    // doomed manifest (v1, the range's fromV) deleted first, then one
+    // of the range's dirs mid-gut (C's files gone, dir present). The
+    // eager listing then sees B's files only: without the post-listing
+    // range guard that is a silent 25-of-40-row batch.
+    @volatile var armed = true
+    val racy = new Snapshots(root) {
+      override def readEntries(table: String, v: Int): Seq[ManifestEntry] = {
+        val es = super.readEntries(table, v)
+        if (armed && table == t && v == 3) {
+          armed = false
+          new java.io.File(s"$root/$t/manifests/v=1.manifest").delete()
+          val c = es.map(_.rel).filter(_.endsWith("/d3"))
+          assert(c.size == 1, s"fixture: expected one d3 entry, got $es")
+          Option(new java.io.File(s"$root/${c.head}").listFiles())
+            .getOrElse(Array.empty).foreach(_.delete())
+        }
+        es
+      }
+    }
+    val ex = intercept[IllegalStateException](
+      racy.appendsBetween(spark, t, 1, 3).count())
+    assert(ex.getMessage.contains("expired mid-read"),
+      s"expected the post-listing range guard, got: ${ex.getMessage}")
+  }
 }
