@@ -1544,7 +1544,21 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     }
     clean.map(e => entryStats(e).get.rows).sum +
       (if (risky.isEmpty) 0L
-       else logicalFrame(spark, risky ++ dels).count())
+       else {
+         val n = logicalFrame(spark, risky ++ dels).count()
+         // post-ACTION expiry-race re-check (asOf's guard, pinned-count
+         // face): the risky-dir scan ran to completion above, so if the
+         // version's manifest still exists no sweep touched its dirs
+         // and `n` counted every row; manifest gone ⇒ the count may be
+         // silently short — refuse rather than report it
+         if (!manifestFile(table, v).exists())
+           throw new IllegalStateException(
+             s"version $v of $table expired mid-read: the logical row " +
+               "count's delete-applicability scan raced retention " +
+               "expiry — a short count would be a wrong answer, so " +
+               "the read refuses.")
+         n
+       })
   }
 
   /** Iceberg-style `$files` metadata table: one row per manifest entry
