@@ -1690,6 +1690,15 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     if (unattr.isEmpty) attributed
     else {
       val scan = spark.read.parquet(unattr.map(r => s"$root/$r").toSeq: _*)
+      // post-listing expiry-race re-check (asOf's guard, exact-mode
+      // face): a racing sweep gutting an unattributable dir between
+      // the pre-rollup and this listing would silently under-attribute
+      // its bucket — full attribution or loud refusal
+      if (!manifestFile(table, v).exists())
+        throw new IllegalStateException(
+          s"version $v of $table expired mid-read: the exact-mode " +
+            "partition scan raced retention expiry — a partial " +
+            "attribution would be a wrong answer, so the read refuses.")
       // render scanned values EXACTLY as the manifest path renders
       // stats bounds ([[Snapshots.renderPartValue]]): dates as epoch-day
       // ordinals, timestamps as epoch micros — otherwise the same
