@@ -333,6 +333,24 @@ class SnapshotStreamSpec extends SparkSpec {
       "getOffset leaked a post-prepare version past the AvailableNow cap")
   }
 
+  test("Spark-version pin for the admission-control routing claim: " +
+      "getOffset throws under a rate limit BECAUSE this engine routes " +
+      "SupportsAdmissionControl sources through latestOffset — a " +
+      "version bump must re-verify that routing before moving this pin") {
+    // the behavioral half is already load-bearing elsewhere: every
+    // maxVersionsPerBatch test RUNS a rate-limited stream end-to-end,
+    // which only works while the engine takes latestOffset(start,
+    // limit) — an engine that fell back to the bare v1 getOffset would
+    // crash those tests on the deliberate loud refusal. This pin adds
+    // the signpost: when it fails, re-read MicroBatchExecution's
+    // source-dispatch order in the new jars, then move the pin.
+    assert(org.apache.spark.SPARK_VERSION.startsWith("4.1."),
+      s"Spark bumped to ${org.apache.spark.SPARK_VERSION}: re-verify " +
+        "that MicroBatchExecution matches SupportsAdmissionControl " +
+        "before the bare Source branch (see SnapshotSourceBase." +
+        "getOffset's scaladoc), then update this pin")
+  }
+
   test("changes mode: the streamed feed equals batch changesBetween, " +
       "coalesced triggers included, and resumes across a kill") {
     val root = scratch()
