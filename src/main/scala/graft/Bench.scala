@@ -104,17 +104,22 @@ object Bench {
       else graft.core.BenchFloors.parseSidecar(
         java.nio.file.Files.readString(p))
     } catch { case _: Throwable => Map.empty }
-    val prevFloors: Map[String, Double] = try {
+    // The try is scoped to the LEGACY read alone: an IO failure there
+    // must degrade only the legacy half, never throw past the
+    // already-parsed sidecar floors (which would reintroduce the exact
+    // floor-loss mode BENCH_FLOORS.json was added to prevent).
+    val legacyFloors: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
-      val legacy =
-        if (!java.nio.file.Files.exists(p)) Map.empty[String, Double]
-        else graft.core.BenchFloors.parse(
-          java.nio.file.Files.readString(p), sfDir)
-      val side = sidecarAll.getOrElse(sfDir, Map.empty)
-      (legacy.keySet ++ side.keySet).map { k =>
-        k -> (legacy.get(k).toSeq ++ side.get(k).toSeq).min
-      }.toMap
+      if (!java.nio.file.Files.exists(p)) Map.empty[String, Double]
+      else graft.core.BenchFloors.parse(
+        java.nio.file.Files.readString(p), sfDir)
     } catch { case _: Throwable => Map.empty }
+    val prevFloors: Map[String, Double] = {
+      val side = sidecarAll.getOrElse(sfDir, Map.empty)
+      (legacyFloors.keySet ++ side.keySet).map { k =>
+        k -> (legacyFloors.get(k).toSeq ++ side.get(k).toSeq).min
+      }.toMap
+    }
     // Auto-retime: a timed run > 3× its own warmup is the signature of a
     // stolen window (the r10 driver charged d17 at 13× and l03 at 16×
     // their idle cost, and the 25-query probe cadence missed both); ONE
@@ -273,6 +278,27 @@ object Bench {
           if prevFloors.get(k).exists(f => sec > 3 * f && sec > 0.5) =>
         (k, probeElevatedNear(i))
     }
+    // ADJUDICATED TOTAL: the raw total chases box load — the r16 driver
+    // headline moved 172.96 -> 188.98 s on a single 24×-floor l47 window
+    // that the floor machinery itself graded machine_attributed, yet the
+    // raw time is what landed in BENCH_rN.json. When a floor_exceeded
+    // entry is machine-attributed (its probe window measurably loaded),
+    // substitute the query's best-known idle cost (its carried floor,
+    // which by definition this same box achieved on a previous clean
+    // run) for the inflated reading; everything else keeps its raw
+    // timing. Entries NOT machine-attributed keep the raw number — a
+    // genuine plan regression must still move the adjudicated total.
+    // Both per-entry substitutions and the adjudicated sum are emitted
+    // so round-over-round comparison can track code, not load; the raw
+    // total stays in "value" for continuity.
+    val machineAttributed = floorExceeded.collect {
+      case (k, true) => k }.toSet
+    val (adjudicatedEntries, adjudicatedTotal) =
+      graft.core.BenchFloors.adjudicate(
+        results.collect { case (k, Right(sec), _, _) => (k, sec) },
+        prevFloors, machineAttributed)
+    val adjudicatedJson = adjudicatedEntries
+      .map { case (k, f) => s""""$k":${f3(f)}""" }.mkString("{", ",", "}")
     // A TARGETED run (SPARK_GRAFT_ONLY) must not overwrite the full
     // run's detail file: the next full run reads its floors from it,
     // and a 3-query partial would wipe the other 280 queries' history.
@@ -295,9 +321,9 @@ object Bench {
       java.nio.file.Paths.get(detailPath),
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_error":$nErr,"sf":"$sfDir","queries":$statuses,"warmup":$warmups,"probe":$probeJson,"probe_median":${f3(probeMedian)},"contended":$contended,"retimed":${retimed.map(jstr).mkString("[", ",", "]")},"floor_exceeded":${floorExceeded.map { case (k, m) =>
         s"""{"name":${jstr(k)},"machine_attributed":$m}""" }
-        .mkString("[", ",", "]")}}""")
+        .mkString("[", ",", "]")},"adjudicated":$adjudicatedJson,"adjudicated_total":${f3(adjudicatedTotal)}}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"n_error":$nErr,"sf":"$sf","probe_median":${f3(probeMedian)},"contended":$contended}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"n_error":$nErr,"sf":"$sf","probe_median":${f3(probeMedian)},"contended":$contended,"adjudicated_total":${f3(adjudicatedTotal)}}""")
     spark.stop()
   }
 }

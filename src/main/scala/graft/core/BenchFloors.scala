@@ -101,4 +101,29 @@ object BenchFloors {
     }.toMap
     all + (sfDir -> merged)
   }
+
+  /** The ADJUDICATED bench total (see the Bench main's rationale): for
+    * every query in `machineAttributed` (its final reported time still
+    * exceeded 3× its carried floor AND the probe series shows its
+    * window was measurably loaded) whose floor is BELOW the reported
+    * time, substitute the floor — the best idle cost this box has
+    * measured for the same query; everything else keeps its raw
+    * timing. A floor-exceeded query NOT machine-attributed keeps its
+    * raw number, so a genuine plan regression still moves the
+    * adjudicated total. Returns (per-query substitutions, adjudicated
+    * sum). Extracted from the bench main so the substitution law is
+    * spec-testable (BenchFloorsSpec). */
+  def adjudicate(reported: Seq[(String, Double)],
+      floors: Map[String, Double], machineAttributed: Set[String])
+      : (Seq[(String, Double)], Double) = {
+    val subs = reported.collect {
+      case (k, sec) if machineAttributed.contains(k) &&
+          floors.get(k).exists(_ < sec) =>
+        (k, floors(k))
+    }
+    val subMap = subs.toMap
+    val total = reported.map { case (k, sec) =>
+      subMap.getOrElse(k, sec) }.sum
+    (subs, total)
+  }
 }

@@ -649,7 +649,7 @@ object Dml extends QueryPack {
     * the %14 're-landed' append that must outrank it. Returns (store,
     * table, pre-delete version). One definition so the d26 oracle's
     * "same table shape as d25" premise can't drift one-sided. */
-  private def buildMorTable(s: SparkSession, dir: String,
+  private[graft] def buildMorTable(s: SparkSession, dir: String,
       scratchName: String): (Snapshots, String, Int) = {
     val sn = new Snapshots(Scratch.dir(scratchName))
     val t = "orders_mor"

@@ -385,7 +385,34 @@ object MaintenanceOps extends QueryPack {
       .orderBy("partition_value")
   }
 
+  /** M19: the MoR fold advisor ([[graft.plans.Snapshots.morFoldAdvice]])
+    * over the d25/d26 MoR table shape (two half-year appends, the %7
+    * equality delete, the %14 re-insert — [[Dml.buildMorTable]], so the
+    * premise can't drift from the DML entries that read the same
+    * table). Pure metadata: entry counts and inline row stats from ONE
+    * manifest read, no data I/O. The oracle recomputes every signal
+    * from the raw table — including that the %7 delete mass (~143‰)
+    * crosses the 50‰ threshold, so the recommendation is FOLD_DELETES;
+    * the below-threshold flank (and the entry-count trigger) are
+    * MaintenanceSpec's flip cases. Fixture cached per (session, dir),
+    * the m17 pattern. */
+  private val morAdviceFixture = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.plans.Snapshots, String)]()
+
+  private val morFoldAdvisorQ: Q = (s, dir) => {
+    graft.core.SessionCaches.prune(morAdviceFixture)
+    val (sn, t) = morAdviceFixture.computeIfAbsent((s, dir), _ => {
+      val (sn, t, _) = Dml.buildMorTable(s, dir, "m19_fold_advice")
+      (sn, t)
+    })
+    sn.morFoldAdvice(s, t)
+      .select(col("n_data_entries"), col("n_delete_entries"),
+        col("data_rows"), col("delete_rows"), col("delete_permille"),
+        col("has_unknown_stats"), col("recommendation"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m19_mor_fold_advice" -> morFoldAdvisorQ,
     "m18_partitions_exact" -> partitionsExactQ,
     "m17_partitions_metadata" -> partitionsMetadataQ,
     "m16_segments_metadata" -> segmentsMetadataQ,
@@ -400,6 +427,25 @@ object MaintenanceOps extends QueryPack {
     "m05_query_perf" -> queryPerf)
 
   val oracle: Map[String, String] = Map(
+    // the MoR fixture's composition is forced by the commit sequence
+    // (3 data dirs, 1 delete dir); every row signal recomputes from the
+    // raw table: data rows = both half-years + the %14 re-insert,
+    // delete rows = the %7 keys staged by the equality delete, and the
+    // ~143‰ ratio crosses the 50‰ fold threshold
+    "m19_mor_fold_advice" ->
+      """WITH s AS (
+        |  SELECT (SELECT COUNT(*) FROM orders)
+        |      + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 14 = 0)
+        |      AS data_rows,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+        |      AS delete_rows)
+        |SELECT CAST(3 AS BIGINT) AS n_data_entries,
+        |  CAST(1 AS BIGINT) AS n_delete_entries,
+        |  data_rows, delete_rows,
+        |  (1000 * delete_rows) // data_rows AS delete_permille,
+        |  false AS has_unknown_stats,
+        |  'FOLD_DELETES' AS recommendation
+        |FROM s""".stripMargin,
     // one single-quarter dir per append (forced by the commit
     // sequence) ⇒ n_entries = 1; record counts recompute from the raw
     // table. partition_value is the stats-attributed single value,

@@ -66,7 +66,23 @@ object Snapshots {
   /** Parse one manifest entry line. STATIC (captures no instance
     * state) so the distributed `\$files` read path can run it on
     * executors over `spark.read.textFile` of the segment files. */
-  private[plans] def parseEntryLine(line: String): ManifestEntry =
+  /** [[parseEntryLine]]'s inverse — the manifest line format. Exposed
+    * graft-wide because the streaming tail's retired-set high-water
+    * file serializes entries in exactly this (already proven
+    * tab/newline-free) format. */
+  private[graft] def renderEntryLine(e: ManifestEntry): String = e match {
+    case ManifestEntry("data", 0, rel, _, None) => rel
+    case ManifestEntry("data", seq, rel, _, None) => s"data\t$seq\t$rel"
+    case ManifestEntry("data", seq, rel, _, Some(j)) =>
+      s"data\t$seq\t$rel\t\t$j" // empty 4th field = no key columns
+    case ManifestEntry("delete", seq, rel, key, None) =>
+      s"delete\t$seq\t$rel\t${key.mkString(",")}"
+    case ManifestEntry("delete", seq, rel, key, Some(j)) =>
+      s"delete\t$seq\t$rel\t${key.mkString(",")}\t$j"
+    case other => sys.error(s"unserializable manifest entry $other")
+  }
+
+  private[graft] def parseEntryLine(line: String): ManifestEntry =
     line.split('\t') match {
       case Array(rel) => ManifestEntry("data", 0, rel, Nil)
       case Array("data", seq, rel) => ManifestEntry("data", seq.toInt, rel, Nil)
@@ -470,17 +486,8 @@ class Snapshots(root: String, segThreshold: Int = 64) {
   // identical to the pre-MoR format, so old manifests stay readable and
   // pure-data tables keep writing the format every existing tool expects.
 
-  private def fmtEntry(e: ManifestEntry): String = e match {
-    case ManifestEntry("data", 0, rel, _, None) => rel
-    case ManifestEntry("data", seq, rel, _, None) => s"data\t$seq\t$rel"
-    case ManifestEntry("data", seq, rel, _, Some(j)) =>
-      s"data\t$seq\t$rel\t\t$j" // empty 4th field = no key columns
-    case ManifestEntry("delete", seq, rel, key, None) =>
-      s"delete\t$seq\t$rel\t${key.mkString(",")}"
-    case ManifestEntry("delete", seq, rel, key, Some(j)) =>
-      s"delete\t$seq\t$rel\t${key.mkString(",")}\t$j"
-    case other => sys.error(s"unserializable manifest entry $other")
-  }
+  private def fmtEntry(e: ManifestEntry): String =
+    Snapshots.renderEntryLine(e)
 
   private def parseEntry(line: String): ManifestEntry =
     Snapshots.parseEntryLine(line)
@@ -710,6 +717,32 @@ class Snapshots(root: String, segThreshold: Int = 64) {
   def commit(df: DataFrame, table: String): Int =
     commitEntries(table, Seq(stageEntry(df, table, "data", 0)))
 
+  /** Stamp the COMMITTING VERSION into an entry's inline stats JSON —
+    * what makes a fresh append's manifest identity truly fresh. The
+    * skip-mode streaming tail suppresses retired entries by FULL-entry
+    * equality ([[appendAdditionsTracked]]); without the stamp a
+    * pathological interleaving could mint a byte-identical twin of a
+    * retired entry: rollback shrinks the live max seq (so [[nextSeq]]
+    * re-mints an old seq number), GC frees the retired dir's NAME (so
+    * [[freshDataRel]] re-mints it), and statsJson is content-derived
+    * (so identical content reproduces it) — a genuinely new append
+    * would then be silently suppressed. Versions are per-table
+    * monotonic and never reused (commitRaw claims max+1; expire only
+    * removes), so `mintv` can never repeat for one table and the twin
+    * is structurally impossible. Injected as a leading JSON field —
+    * [[DirStats.parseJson]] (Jackson) ignores unknown fields, and the
+    * raw string migrates across manifests verbatim afterwards, so the
+    * byte-stability contract holds from birth. Residual corner, by
+    * design: a statless entry (stats harvest failed — exceptional)
+    * carries no stamp and keeps the pre-stamp exposure. */
+  private def mintStamped(e: ManifestEntry, v: Int): ManifestEntry =
+    e.copy(statsJson = e.statsJson.map { j =>
+      val body = j.trim
+      if (body == "{}") s"""{"mintv":$v}"""
+      else if (body.startsWith("{")) s"""{"mintv":$v,${body.drop(1)}"""
+      else body
+    })
+
   /** Append-commit: the next snapshot is `previous ∪ df`, materializing
     * ONLY `df` — prior data dirs are referenced, not rewritten. This is
     * the O(delta) load path a 100 TB table lives on.
@@ -719,14 +752,28 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     * appenders each land their own delta and every retry re-reads the
     * latest manifest, so no appender's files are ever dropped (the
     * ConcurrencySpec races 8 of them to prove it). */
-  def append(df: DataFrame, table: String): Int = {
-    val staged = stageEntry(df, table, "data", 0)
+  def append(df: DataFrame, table: String): Int =
+    appendEntries(table, Seq(stageEntry(df, table, "data", 0)))
+
+  /** Iceberg's `appendFiles` — the METADATA-ONLY append: commit
+    * PRE-STAGED entries (dirs already on disk, from [[stageEntry]] or
+    * another table's manifest — entries are root-relative and migrate
+    * across tables verbatim, the branch/publish contract) as
+    * `previous ∪ entries`. No data I/O: the commit is one manifest
+    * write under the same OCC loop as [[append]]. This is the
+    * register-existing-files path a bulk loader or a publish pipeline
+    * uses at 100 TB — stage once, reference many times. Each committed
+    * entry gets the next data seq (so later MoR deletes order against
+    * it correctly) and the [[mintStamped]] commit-version stamp (fresh
+    * manifest identity per commit). */
+  def appendEntries(table: String, entries: Seq[ManifestEntry]): Int =
     occRetry(table) { cur =>
       val prev = cur.map(readEntries(table, _)).getOrElse(Seq.empty)
+      val v = cur.getOrElse(0) + 1
+      val seq = nextSeq(prev)
       commitEntriesIfCurrent(table, cur,
-        prev :+ staged.copy(seq = nextSeq(prev)))
+        prev ++ entries.map(e => mintStamped(e.copy(seq = seq), v)))
     }
-  }
 
   /** D5: read the table as of a pinned version — with any equality-
     * delete entries APPLIED (the merge-on-read path). Pure-data
@@ -1440,7 +1487,13 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     * are. Returns (the additions to scan, the advanced retired set).
     * Identity is the FULL manifest entry — see [[stepDelta]]: a GC'd
     * dir NAME reused by a fresh append must not be suppressed, and a
-    * fresh append always carries a fresh seq + fresh inline stats.
+    * fresh append's entry is made unique BY CONSTRUCTION: the
+    * [[mintStamped]] commit-version stamp in its inline stats can
+    * never repeat for a table (versions are monotonic, never reused),
+    * so no interleaving of rollback (seq reuse) + GC (dir-name reuse)
+    * + identical content can mint a byte-identical twin of a retired
+    * entry. Residual corner: a STATLESS fresh entry (stats harvest
+    * failed — exceptional) has no stamp and relies on seq+rel alone.
     * Cost: the same manifest set-diffs as [[appendsBetween]], zero
     * data I/O; the retired set grows with ROLLED-BACK/REWRITTEN dirs
     * observed by this consumer, never with table size. */
@@ -1641,6 +1694,53 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     * NULL partition value so its rows are never silently dropped.
     * Pure metadata: no data I/O; the rollup itself is a Spark groupBy
     * so the shape survives a manifest with millions of entries. */
+  /** M19: MoR FOLD ADVISOR — the maintenance-surface mirror of M7's
+    * threshold analysis, for the read cost that is data-proportional
+    * BY DESIGN: every equality-delete entry a snapshot carries adds
+    * one anti-join to [[asOf]]'s merge-on-read plan, and the delete
+    * rows themselves are shuffled on every read until
+    * [[rewriteDeletes]] folds them (Iceberg's major compaction — its
+    * `rewrite_data_files` advisors read exactly these two signals:
+    * delete-file count and delete-to-data ratio). Pure metadata: one
+    * manifest read, entry counts + inline row stats, no data I/O —
+    * the shape a 100k-dir table needs. Recommends FOLD_DELETES when
+    * the live snapshot carries more than `maxDeleteEntries` delete
+    * entries (per-read join count) OR its deleted-row mass exceeds
+    * `maxDeletePermille` of data rows (per-read shuffle mass);
+    * otherwise OK. Row totals exclude statless legacy entries (the
+    * [[partitionsMetadata]] rule: -1 is a sentinel, never a quantity)
+    * and surface `has_unknown_stats` so an advisor consumer knows when
+    * the permille is a floor, not the truth; an unknowable permille
+    * (no attributable data rows) falls back to the entry-count signal
+    * alone. MaintenanceSpec pins the threshold flip both ways. */
+  def morFoldAdvice(spark: SparkSession, table: String,
+      maxDeleteEntries: Int = 8, maxDeletePermille: Long = 50)
+      : DataFrame = {
+    import spark.implicits._
+    val v = currentVersion(table).getOrElse(
+      sys.error(s"no snapshots for $table"))
+    val entries = readEntries(table, v)
+    val (data, del) = entries.partition(_.kind == "data")
+    def known(es: Seq[ManifestEntry]): (Long, Boolean) = {
+      val rs = es.map(e => entryStats(e).map(_.rows).getOrElse(-1L))
+      (rs.filter(_ >= 0).sum, rs.exists(_ < 0))
+    }
+    val (dataRows, dataUnknown) = known(data)
+    val (delRows, delUnknown) = known(del)
+    val permille: Option[Long] =
+      if (dataRows > 0 && !dataUnknown && !delUnknown)
+        Some(1000L * delRows / dataRows)
+      else None
+    val fold = del.size > maxDeleteEntries ||
+      permille.exists(_ > maxDeletePermille)
+    Seq((v.toLong, data.size.toLong, del.size.toLong, dataRows, delRows,
+      permille, dataUnknown || delUnknown,
+      if (fold) "FOLD_DELETES" else "OK"))
+      .toDF("version", "n_data_entries", "n_delete_entries", "data_rows",
+        "delete_rows", "delete_permille", "has_unknown_stats",
+        "recommendation")
+  }
+
   def partitionsMetadata(spark: SparkSession, table: String, v: Int,
       partCol: String): DataFrame =
     partitionsMetadata(spark, table, v, partCol, exact = false)

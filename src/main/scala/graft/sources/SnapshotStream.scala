@@ -396,62 +396,173 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
   // anchor is batch 0's end, long since superseded). Persist it once
   // under the engine-provided metadataPath — the per-source checkpoint
   // dir Spark's own FileStreamSource keeps its log in — via the Hadoop
-  // FS API so any checkpoint filesystem works. First-writer-wins
-  // create; replays write the same value by construction (batch 0's
-  // end comes from the offset log).
+  // FS API so any checkpoint filesystem works. The publish is ATOMIC:
+  // bytes land in a uniquely-named tmp file first, then rename into
+  // place (the checkpoint-FS rename contract) — a create-then-write
+  // would leave a crash window where an EMPTY anchor file exists,
+  // unparseable forever after (first-writer-wins means it would never
+  // be repaired: a permanently bricked stream). A replay losing the
+  // rename race wrote the same value by construction (batch 0's end
+  // comes from the offset log), so the loser just drops its tmp.
   private def anchorFile = new org.apache.hadoop.fs.Path(
     metadataPath, "graft-anchor")
+  private def hadoopFs = anchorFile.getFileSystem(
+    spark.sessionState.newHadoopConf())
+  private def atomicWrite(p: org.apache.hadoop.fs.Path, content: String,
+      fs: org.apache.hadoop.fs.FileSystem, overwrite: Boolean): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s"${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    // Hadoop rename refuses an existing destination; the re-persisting
+    // caller (the high-water, whose marks are monotone) deletes first.
+    // The no-file window this opens is safe there: a reader finding no
+    // high-water falls back to the anchor-bounded walk, which is
+    // correct, just slower. The anchor itself is write-once
+    // (overwrite = false) so its publish has no such window.
+    if (overwrite && fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+  }
   private def persistAnchor(v: Int): Unit =
     if (metadataPath.nonEmpty) {
-      val p = anchorFile
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) {
-        try {
-          val out = fs.create(p, false)
-          try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-        } catch {
-          // a concurrent replay won the create: same value, no loss
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
-        }
-      }
+      val fs = hadoopFs
+      if (!fs.exists(anchorFile))
+        atomicWrite(anchorFile, v.toString, fs, overwrite = false)
     }
   private def readAnchor(): Option[Int] =
     if (metadataPath.isEmpty) None
     else {
       val p = anchorFile
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val fs = hadoopFs
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toInt)
-        finally in.close()
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        // corrupt ⇒ loud with remediation, not a NumberFormatException
+        // on every restart: an empty/garbled anchor predates the
+        // atomic tmp+rename write (or was hand-edited), and silently
+        // ignoring it would change dedup semantics (earliest-live
+        // over-retirement) under the consumer's feet
+        if (txt.isEmpty || !txt.forall(_.isDigit))
+          throw new IllegalStateException(
+            s"corrupt graft-anchor at $p (content: '${txt.take(40)}'). " +
+              "The anchor records the stream's initial-snapshot " +
+              "version for retired-set reconstruction. If the " +
+              "initial version is known, write it into the file; " +
+              "otherwise restart from a fresh checkpoint.")
+        Some(txt.toInt)
       }
     }
+
+  // ---- retired-set high-water (skip mode) --------------------------------
+  // Restart reconstruction without a persisted set walks every live
+  // manifest above the anchor — O(live versions), deep-retention
+  // high-churn tables pay it on every restart. The high-water file
+  // `(mark, retired entries)` next to the anchor makes restart
+  // O(since-last-persist): seed from the persisted set and walk only
+  // (mark, fromV]. Written atomically (same tmp+rename as the anchor)
+  // on an amortized cadence — whenever the set CHANGED (retirements
+  // are rare: one per skipped non-append commit) or every
+  // `retiredPersistEvery` versions otherwise, so even a pure-append
+  // tail refreshes the mark often enough to keep restarts O(1). A
+  // missing/torn/unparseable file is NOT loud: the anchor-bounded walk
+  // below reconstructs the identical set, just slower — unlike the
+  // anchor, the high-water is a pure accelerator, never semantics.
+  // Entries serialize as manifest lines (the format already proven
+  // tab/newline-free by ManifestEntry's own require).
+  private def retiredFile = new org.apache.hadoop.fs.Path(
+    metadataPath, "graft-retired")
+  private[graft] var retiredPersistEvery: Int = 16
+  private var retiredDirty: Boolean = false
+  private var lastPersistedMark: Option[Int] = None
+  /** Test hook: where the last restart reconstruction started its
+    * manifest walk (the persisted mark when the high-water was used —
+    * SnapshotStreamSpec asserts exactly that). */
+  private[graft] var lastReconstructFrom: Option[Int] = None
+  private def persistRetiredMaybe(mark: Int): Unit =
+    if (metadataPath.nonEmpty &&
+        (retiredDirty ||
+          lastPersistedMark.forall(m => mark - m >= retiredPersistEvery))) {
+      val lines = retired.toSeq.map(Snapshots.renderEntryLine).sorted
+      atomicWrite(retiredFile, (mark.toString +: lines).mkString("\n"),
+        hadoopFs, overwrite = true)
+      lastPersistedMark = Some(mark)
+      retiredDirty = false
+    }
+  private def readRetired(): Option[(Int, Set[graft.plans.ManifestEntry])] =
+    if (metadataPath.isEmpty) None
+    else scala.util.Try {
+      val p = retiredFile
+      val fs = hadoopFs
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = txt.linesIterator.toSeq
+        Some((lines.head.trim.toInt,
+          lines.tail.filter(_.nonEmpty)
+            .map(Snapshots.parseEntryLine).toSet))
+      }
+    }.toOption.flatten
 
   /** Bring the retired set up to `fromV`. In-run, `retiredThrough`
     * already equals the previous batch's end and this is a no-op. On
     * the first batch after a RESTART (the engine replays the last
-    * committed range into a fresh Source) the set is reconstructed
-    * from the live manifest history up to `fromV` — anchored at
-    * `startVersion` when configured, at the PERSISTED initial-snapshot
-    * anchor in default mode (see [[persistAnchor]]), and only when
-    * neither is available (direct construction with no metadataPath)
-    * at the earliest live version, whose over-retirement of pre-anchor
-    * removals is the suppression-side fallback documented on the
-    * provider. The anchor bounds the walk even when the anchor version
-    * itself has been retention-expired (it is a number, not a read).
-    * Cost: one manifest set-diff walk over the consumed history,
-    * recovery path only. */
+    * committed range into a fresh Source) the set is reconstructed:
+    * from the persisted HIGH-WATER when available (seed set + a walk
+    * of only `(mark, fromV]` — O(since-last-persist)); otherwise from
+    * the live manifest history up to `fromV`, anchored at
+    * `startVersion` when configured or at the PERSISTED
+    * initial-snapshot anchor in default mode (see [[persistAnchor]]).
+    * The earliest-live fallback applies ONLY to anchor-less direct
+    * construction (no metadataPath — the spec harness), where its
+    * over-retirement of pre-anchor removals is the suppression-side
+    * bias documented on the provider; a default-mode CHECKPOINT
+    * restart with no anchor file (a checkpoint created before anchors
+    * existed) fails LOUDLY instead — silently over-retiring a
+    * pre-anchor removal would suppress a legitimately republished dir
+    * under a consumer that once received delivery guarantees without
+    * that bias. The anchor bounds the walk even when the anchor
+    * version itself has been retention-expired (it is a number, not a
+    * read). Cost: recovery path only. */
   private def syncRetiredTo(fromV: Int): Unit =
     if (!retiredThrough.contains(fromV)) {
       val live = store.versions(table).filter(_ <= fromV)
-      val anchored = startVersion.orElse(readAnchor())
-        .map(a => live.filter(_ >= a)).getOrElse(live)
-      val lo = anchored.headOption.getOrElse(fromV)
-      retired =
-        if (lo >= fromV) Set.empty
-        else store.appendAdditionsTracked(table, lo, fromV, Set.empty)._2
+      retired = readRetired() match {
+        case Some((mark, seed)) if mark <= fromV =>
+          // retention keeps consumed versions live, so normally
+          // mark itself is live; if expired, start at the earliest
+          // live above it (the merged-edge best-effort corner the
+          // provider documents)
+          val lo = live.filter(_ >= mark).headOption.getOrElse(fromV)
+          lastReconstructFrom = Some(lo)
+          lastPersistedMark = Some(mark)
+          if (lo >= fromV) seed
+          else store.appendAdditionsTracked(table, lo, fromV, seed)._2
+        case _ =>
+          if (startVersion.isEmpty && metadataPath.nonEmpty &&
+              readAnchor().isEmpty)
+            throw new IllegalStateException(
+              s"restarting a default-mode checkpoint for $table with " +
+                "no graft-anchor file: this checkpoint predates anchor " +
+                "persistence, and reconstructing the skip-mode retired " +
+                "set from the earliest live version could over-retire " +
+                "pre-anchor removals (suppressing legitimately " +
+                "republished dirs). Write the stream's initial-snapshot " +
+                "version into <checkpoint>/sources/0/graft-anchor, or " +
+                "restart from a fresh checkpoint.")
+          val anchored = startVersion.orElse(readAnchor())
+            .map(a => live.filter(_ >= a)).getOrElse(live)
+          val lo = anchored.headOption.getOrElse(fromV)
+          lastReconstructFrom = Some(lo)
+          retiredDirty = true // make the next persist refresh the mark
+          if (lo >= fromV) Set.empty
+          else store.appendAdditionsTracked(table, lo, fromV, Set.empty)._2
+      }
       retiredThrough = Some(fromV)
     }
 
@@ -476,8 +587,11 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
         syncRetiredTo(fromV)
         val (added, retired1) =
           store.appendAdditionsTracked(table, fromV, endV, retired)
-        retired = prunedIfLarge(retired1)
+        val pruned = prunedIfLarge(retired1)
+        if (pruned != retired) retiredDirty = true
+        retired = pruned
         retiredThrough = Some(endV)
+        persistRetiredMaybe(endV)
         if (added.isEmpty) emptyBatch
         else {
           val scan = spark.read.parquet(
@@ -498,6 +612,8 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
         persistAnchor(endV)
         retired = Set.empty
         retiredThrough = Some(endV)
+        persistRetiredMaybe(endV) // empty set at mark endV: a restart
+        // then seeds from the high-water and never pays the anchor walk
         store.asOf(spark, table, endV)
     }
     deliver(batch)

@@ -88,4 +88,24 @@ class BenchFloorsSpec extends AnyFunSuite {
     assert(BenchFloors.parseSidecar("""{"/d":{"a":1.0""") ==
       Map("/d" -> Map("a" -> 1.0)))
   }
+
+  test("adjudicate substitutes floors ONLY for machine-attributed " +
+      "inflation — a genuine regression (not attributed) keeps its raw " +
+      "time and still moves the adjudicated total") {
+    val reported = Seq("a" -> 9.0, "b" -> 9.0, "c" -> 1.0, "d" -> 0.2)
+    val floors = Map("a" -> 0.5, "b" -> 0.5, "d" -> 0.4)
+    // a: inflated AND the probe proved its window loaded -> floor (0.5)
+    // b: same raw shape but NOT attributed (no probe evidence) -> a
+    //    possible real regression, keeps 9.0
+    // c: no floor known -> raw
+    // d: attributed but reported BELOW its floor -> raw (never inflate)
+    val (subs, total) =
+      BenchFloors.adjudicate(reported, floors, Set("a", "d"))
+    assert(subs == Seq("a" -> 0.5), s"substitutions: $subs")
+    assert(math.abs(total - (0.5 + 9.0 + 1.0 + 0.2)) < 1e-9,
+      s"adjudicated total: $total")
+    // no attribution ⇒ identity
+    val (none, raw) = BenchFloors.adjudicate(reported, floors, Set.empty)
+    assert(none.isEmpty && math.abs(raw - 19.2) < 1e-9)
+  }
 }

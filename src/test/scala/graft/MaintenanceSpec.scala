@@ -1868,4 +1868,77 @@ class MaintenanceSpec extends SparkSpec {
     assert(ex.getMessage.contains("expired mid-read"),
       s"expected the post-listing range guard, got: ${ex.getMessage}")
   }
+
+  test("m19 MoR fold advisor: crossing either threshold FLIPS the " +
+      "recommendation — delete-row permille one way, delete-entry " +
+      "count the other — from pure manifest metadata") {
+    import spark.implicits._
+    val sn = new Snapshots(scratch())
+    val t = "advise"
+    val rows = (1 to 1000).map(i => (i.toLong, i.toDouble))
+    sn.commit(rows.toDF("k", "v").coalesce(1), t)
+    // 10 of 1000 deleted: 10‰ <= 50‰, 1 delete entry <= 8 ⇒ OK
+    sn.deleteWhereMoR(spark, t, col("k") <= 10, Seq("k"))
+    val before = sn.morFoldAdvice(spark, t).collect().head
+    assert(before.getAs[Long]("n_delete_entries") == 1L)
+    assert(before.getAs[Long]("delete_rows") == 10L)
+    assert(before.getAs[Long]("delete_permille") == 10L)
+    assert(before.getAs[String]("recommendation") == "OK",
+      s"below both thresholds must be OK: $before")
+    // 90 more (k in 11..100, matched against the CURRENT snapshot which
+    // already hides k<=10): 100 of 1000 ⇒ 100‰ > 50‰ ⇒ FOLD
+    sn.deleteWhereMoR(spark, t, col("k") <= 100, Seq("k"))
+    val after = sn.morFoldAdvice(spark, t).collect().head
+    assert(after.getAs[Long]("n_delete_entries") == 2L)
+    assert(after.getAs[Long]("delete_rows") == 100L)
+    assert(after.getAs[Long]("delete_permille") == 100L)
+    assert(after.getAs[String]("recommendation") == "FOLD_DELETES",
+      s"crossing the permille threshold must flip: $after")
+    // the OTHER signal flips independently: same table, permille back
+    // under a raised bar, but the per-read anti-join count (2 delete
+    // entries) over a tightened entry threshold still says fold
+    val byEntries = sn.morFoldAdvice(spark, t,
+      maxDeleteEntries = 1, maxDeletePermille = 500).collect().head
+    assert(byEntries.getAs[String]("recommendation") == "FOLD_DELETES",
+      s"the entry-count trigger must flip on its own: $byEntries")
+    // and folding returns the advice to OK — the advisor closes its loop
+    sn.rewriteDeletes(spark, t)
+    val folded = sn.morFoldAdvice(spark, t).collect().head
+    assert(folded.getAs[Long]("n_delete_entries") == 0L)
+    assert(folded.getAs[String]("recommendation") == "OK",
+      s"after rewriteDeletes the advice must return to OK: $folded")
+  }
+
+  test("appendEntries is the metadata-only appendFiles: pre-staged dirs " +
+      "publish into a table without a byte rewritten, and each commit " +
+      "stamps fresh manifest identity") {
+    import spark.implicits._
+    val sn = new Snapshots(scratch())
+    // stage once under a fixture namespace: dirs on disk, no manifest
+    val staged = sn.stageEntry(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").coalesce(1),
+      "fix", "data", 0)
+    val files = new java.io.File(s"${sn.rootDir}/${staged.rel}")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    // publish the SAME staged dir into two tables, metadata-only
+    sn.commit(Seq((0L, 0.0)).toDF("k", "v").coalesce(1), "ta")
+    sn.appendEntries("ta", Seq(staged))
+    sn.appendEntries("tb", Seq(staged))
+    assert(sn.current(spark, "ta").count() == 3)
+    assert(sn.current(spark, "tb").count() == 2)
+    // no data I/O happened: the staged dir's files are untouched
+    val filesAfter = new java.io.File(s"${sn.rootDir}/${staged.rel}")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    assert(filesAfter == files, "appendEntries rewrote data files")
+    // fresh identity per commit: the two published entries differ from
+    // each other (different commit versions) and from the staged one
+    def published(t: String) = sn.readEntries(t,
+      sn.currentVersion(t).get).filter(_.rel == staged.rel).head
+    assert(published("ta") != published("tb"),
+      "two appendEntries commits minted identical manifest identity")
+    assert(published("ta").statsJson.exists(_.contains("\"mintv\":")),
+      "the commit-version stamp is missing from the appended entry")
+  }
 }

@@ -884,4 +884,135 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(ends.size >= exact && ends.size <= exact + 1,
       s"expected ~$exact bounded batches (versions/limit), got ${ends.size}")
   }
+
+  test("restart reconstruction starts at the PERSISTED high-water mark, " +
+      "not the anchor: the graft-retired file makes recovery " +
+      "O(since-last-persist) while keeping the suppression exact") {
+    import graft.sources.{SnapshotTailSource, VersionOffset}
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "highwater"
+    val mp = scratch() // the engine-provided per-source checkpoint dir
+    sn.commit(kv(Seq((1L, 1.0))), t)  // v1: A (the anchor)
+    sn.append(kv(Seq((2L, 2.0))), t)  // v2: +B
+    val src1 = new SnapshotTailSource(spark, root, t, Some(1), "skip",
+      metadataPath = mp)
+    src1.getBatch(Some(VersionOffset(1)), VersionOffset(2)) // delivers B
+    val bEntry = (sn.readEntries(t, 2).toSet -- sn.readEntries(t, 1)).head
+    sn.rollback(spark, t, 1)                                // v3: -B
+    src1.getBatch(Some(VersionOffset(2)), VersionOffset(3)) // retires B
+    assert(src1.retiredCount == 1)
+    // the high-water persisted: mark = the last batch end, B's entry
+    val hw = new java.io.File(mp, "graft-retired")
+    assert(hw.exists(), "the retired-set high-water file was not persisted")
+    val lines = Files.readAllLines(hw.toPath).asScala
+    assert(lines.head.trim == "3", s"persisted mark: ${lines.head}")
+    assert(lines.tail.map(graft.plans.Snapshots.parseEntryLine).toSet ==
+      Set(bEntry), "persisted set must be exactly B's retired entry")
+    // while DOWN: republish B (roll forward) and land fresh data
+    sn.rollback(spark, t, 2)          // v4: re-points at B's dir
+    sn.append(kv(Seq((3L, 3.0))), t)  // v5: C
+    // incarnation 2: the walk must SEED from the persisted (3, {B}),
+    // not re-walk from the anchor at v1
+    val src2 = new SnapshotTailSource(spark, root, t, Some(1), "skip",
+      metadataPath = mp)
+    src2.getBatch(Some(VersionOffset(3)), VersionOffset(5))
+    assert(src2.lastReconstructFrom.contains(3),
+      s"reconstruction walked from ${src2.lastReconstructFrom}, not the " +
+        "persisted mark 3 — the high-water was ignored")
+    assert(src2.retiredCount >= 1, "the seeded set lost B's entry")
+    // delivery through the seeded set, on the walk the source plans
+    // with: C's entry emitted, B's republished entry suppressed
+    val (added, _) = sn.appendAdditionsTracked(t, 3, 5, Set(bEntry))
+    assert(added.size == 1 && added.head != bEntry,
+      s"expected only C's entry (B suppressed via the seeded set), " +
+        s"got $added")
+  }
+
+  test("a corrupt anchor file fails LOUDLY with remediation — never a " +
+      "bare NumberFormatException, never silent earliest-live semantics") {
+    import graft.sources.{SnapshotTailSource, VersionOffset}
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "corruptanchor"
+    sn.commit(kv(Seq((1L, 1.0))), t)
+    sn.append(kv(Seq((2L, 2.0))), t)
+    val mp = scratch()
+    Files.writeString(new java.io.File(mp, "graft-anchor").toPath, "")
+    val src = new SnapshotTailSource(spark, root, t, None, "skip",
+      metadataPath = mp)
+    val e = intercept[IllegalStateException] {
+      src.getBatch(Some(VersionOffset(1)), VersionOffset(2))
+    }
+    assert(e.getMessage.contains("corrupt graft-anchor"),
+      s"wrong failure face: ${e.getMessage}")
+    assert(e.getMessage.contains("fresh checkpoint"),
+      "the error must carry its remediation")
+  }
+
+  test("default-mode restart of a PRE-ANCHOR checkpoint (no graft-anchor " +
+      "file) fails loudly instead of silently over-retiring with " +
+      "earliest-live semantics — the upgrade-path corner") {
+    import graft.sources.{SnapshotTailSource, VersionOffset}
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "preanchor"
+    sn.commit(kv(Seq((1L, 1.0))), t)  // v1
+    sn.append(kv(Seq((2L, 2.0))), t)  // v2
+    sn.rollback(spark, t, 1)          // v3: the removal an earliest-live
+                                      // walk would wrongly retire
+    val mp = scratch() // checkpoint dir from before anchors existed:
+                       // empty — no graft-anchor, no graft-retired
+    val src = new SnapshotTailSource(spark, root, t, None, "skip",
+      metadataPath = mp)
+    val e = intercept[IllegalStateException] {
+      src.getBatch(Some(VersionOffset(2)), VersionOffset(3))
+    }
+    assert(e.getMessage.contains("predates anchor persistence"),
+      s"wrong failure face: ${e.getMessage}")
+    // direct construction (no metadataPath — the spec harness) keeps
+    // the documented earliest-live fallback: same call, no throw
+    val bare = new SnapshotTailSource(spark, root, t, None, "skip")
+    bare.getBatch(Some(VersionOffset(2)), VersionOffset(3)) // no throw
+  }
+
+  test("a fresh append can NEVER be byte-identical to a retired entry: " +
+      "the commit-version stamp keeps rollback(seq reuse) + GC(dir-name " +
+      "reuse) + identical content deliverable, not silently suppressed") {
+    import graft.sources.{SnapshotTailSource, VersionOffset}
+    val root = scratch()
+    val sn = new Snapshots(root)
+    val t = "mintfresh"
+    val contentX = kv(Seq((7L, 7.0)))
+    sn.commit(kv(Seq((1L, 1.0))), t)  // v1: A in d1 (seq 0)
+    sn.append(contentX, t)            // v2: +X in d2, seq 1
+    val xEntry = (sn.readEntries(t, 2).toSet -- sn.readEntries(t, 1)).head
+    val src = new SnapshotTailSource(spark, root, t, Some(1), "skip")
+    src.getBatch(Some(VersionOffset(1)), VersionOffset(2)) // delivers X
+    sn.rollback(spark, t, 1)                               // v3: -X, retired
+    src.getBatch(Some(VersionOffset(2)), VersionOffset(3))
+    assert(src.retiredCount == 1)
+    // GC frees d2's NAME (keep v3 only — the consumer is at v3)
+    sn.expire(t, keep = 1, gcOlderThanMillis = 0L)
+    assert(!new java.io.File(s"$root/$t/data/d2").exists(), "d2 not GC'd")
+    // the adversarial append: IDENTICAL content, which re-mints d2
+    // (max+1 over dirs present) AND re-mints seq 1 (nextSeq over the
+    // rolled-back manifest) AND reproduces the content-derived stats
+    sn.append(contentX, t)                                 // v4
+    val fresh = (sn.readEntries(t, 4).toSet -- sn.readEntries(t, 3)).head
+    assert(fresh.rel == xEntry.rel && fresh.seq == xEntry.seq,
+      s"fixture drift: the interleaving must reproduce rel+seq " +
+        s"($fresh vs $xEntry) for the stamp to be what distinguishes them")
+    assert(fresh != xEntry,
+      "the fresh entry is byte-identical to the retired one — the " +
+        "mintv stamp is gone and skip-mode would silently swallow it")
+    // delivery on the exact walk the source plans with, seeded with the
+    // retired entry the tail holds: the fresh (stamped) entry must come
+    // through — pre-stamp, `fresh == xEntry` and this walk returns Nil
+    val (added, _) = sn.appendAdditionsTracked(t, 3, 4, Set(xEntry))
+    assert(added == Seq(fresh),
+      s"the genuinely new append was suppressed: $added")
+    src.getBatch(Some(VersionOffset(3)), VersionOffset(4)) // and the
+    // source's own batch bookkeeping accepts the same range cleanly
+  }
 }
