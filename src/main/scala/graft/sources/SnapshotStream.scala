@@ -542,7 +542,13 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
           lastReconstructFrom = Some(lo)
           lastPersistedMark = Some(mark)
           if (lo >= fromV) seed
-          else store.appendAdditionsTracked(table, lo, fromV, seed)._2
+          else {
+            // the walk advanced past the persisted mark: flag dirty so
+            // the next batch's persist refreshes the file instead of
+            // waiting out the version cadence
+            retiredDirty = true
+            store.appendAdditionsTracked(table, lo, fromV, seed)._2
+          }
         case _ =>
           if (startVersion.isEmpty && metadataPath.nonEmpty &&
               readAnchor().isEmpty)
