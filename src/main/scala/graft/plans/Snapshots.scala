@@ -63,9 +63,6 @@ object Snapshots {
     * with 0L. */
   val DefaultGcAgeMillis: Long = 60L * 60 * 1000
 
-  /** Parse one manifest entry line. STATIC (captures no instance
-    * state) so the distributed `\$files` read path can run it on
-    * executors over `spark.read.textFile` of the segment files. */
   /** [[parseEntryLine]]'s inverse — the manifest line format. Exposed
     * graft-wide because the streaming tail's retired-set high-water
     * file serializes entries in exactly this (already proven
@@ -82,6 +79,9 @@ object Snapshots {
     case other => sys.error(s"unserializable manifest entry $other")
   }
 
+  /** Parse one manifest entry line. STATIC (captures no instance
+    * state) so the distributed `\$files` read path can run it on
+    * executors over `spark.read.textFile` of the segment files. */
   private[graft] def parseEntryLine(line: String): ManifestEntry =
     line.split('\t') match {
       case Array(rel) => ManifestEntry("data", 0, rel, Nil)
@@ -737,7 +737,16 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     * carries no stamp and keeps the pre-stamp exposure. */
   private def mintStamped(e: ManifestEntry, v: Int): ManifestEntry =
     e.copy(statsJson = e.statsJson.map { j =>
-      val body = j.trim
+      // REPLACE any existing stamp rather than prepending a second one:
+      // a stage-once/publish-many pipeline re-appends the same entry
+      // through appendEntries repeatedly, and blind prepending would
+      // mint duplicate JSON keys and grow the stats string per hop.
+      // Re-stamping is the intended semantics — appendEntries registers
+      // the files as NEW data of THIS commit (fresh identity); verbatim
+      // republish (same identity, suppression preserved) goes through
+      // commitEntries, which never stamps.
+      val body = j.trim.replaceFirst("""^\{"mintv":\d+,""", "{")
+        .replaceFirst("""^\{"mintv":\d+\}$""", "{}")
       if (body == "{}") s"""{"mintv":$v}"""
       else if (body.startsWith("{")) s"""{"mintv":$v,${body.drop(1)}"""
       else body
@@ -762,11 +771,22 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     * `previous ∪ entries`. No data I/O: the commit is one manifest
     * write under the same OCC loop as [[append]]. This is the
     * register-existing-files path a bulk loader or a publish pipeline
-    * uses at 100 TB — stage once, reference many times. Each committed
-    * entry gets the next data seq (so later MoR deletes order against
-    * it correctly) and the [[mintStamped]] commit-version stamp (fresh
-    * manifest identity per commit). */
-  def appendEntries(table: String, entries: Seq[ManifestEntry]): Int =
+    * uses at 100 TB — stage once, reference many times. Every entry of
+    * one call shares the commit's data seq (Iceberg's rule: all files
+    * of one append carry the commit's sequence number, so later MoR
+    * deletes order against all of them identically) and gets the
+    * [[mintStamped]] commit-version stamp (fresh manifest identity per
+    * commit). DATA entries only: rewriting a delete entry's seq to the
+    * commit seq would collapse its ordering against co-committed data
+    * and resurrect the rows it masks — and delete additions are not an
+    * append anyway ([[appendStep]] classifies them non-append).
+    * Migrating data+delete groups with their relative seqs intact is
+    * [[commitEntries]]/[[branch]]'s verbatim-copy contract. */
+  def appendEntries(table: String, entries: Seq[ManifestEntry]): Int = {
+    require(entries.forall(_.kind == "data"),
+      "appendEntries registers DATA dirs; delete entries carry seq " +
+        "ordering that a re-stamp would break — migrate data+delete " +
+        "groups verbatim via commitEntries/branch instead")
     occRetry(table) { cur =>
       val prev = cur.map(readEntries(table, _)).getOrElse(Seq.empty)
       val v = cur.getOrElse(0) + 1
@@ -774,6 +794,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       commitEntriesIfCurrent(table, cur,
         prev ++ entries.map(e => mintStamped(e.copy(seq = seq), v)))
     }
+  }
 
   /** D5: read the table as of a pinned version — with any equality-
     * delete entries APPLIED (the merge-on-read path). Pure-data

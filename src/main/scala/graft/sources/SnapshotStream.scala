@@ -406,7 +406,11 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
   // comes from the offset log), so the loser just drops its tmp.
   private def anchorFile = new org.apache.hadoop.fs.Path(
     metadataPath, "graft-anchor")
-  private def hadoopFs = anchorFile.getFileSystem(
+  // one FileSystem for the source's lifetime: metadataPath is fixed,
+  // and rebuilding a full Hadoop Configuration per micro-batch persist
+  // would be pure overhead. Lazy + only reached from call sites that
+  // guard metadataPath.nonEmpty (Path("") is unconstructible).
+  private lazy val hadoopFs = anchorFile.getFileSystem(
     spark.sessionState.newHadoopConf())
   private def atomicWrite(p: org.apache.hadoop.fs.Path, content: String,
       fs: org.apache.hadoop.fs.FileSystem, overwrite: Boolean): Unit = {
@@ -421,7 +425,19 @@ class SnapshotTailSource(spark: SparkSession, root: String, table: String,
     // correct, just slower. The anchor itself is write-once
     // (overwrite = false) so its publish has no such window.
     if (overwrite && fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      // rename returning false with the destination PRESENT is the
+      // benign lost race (a concurrent replay published the same
+      // value); false with NO destination is a genuine FS failure —
+      // swallowing it would leave e.g. a write-once anchor silently
+      // unpersisted, surfacing restarts later as a misleading
+      // "checkpoint predates anchor persistence". Loud here, where
+      // the engine's batch machinery can retry.
+      if (!fs.exists(p)) throw new java.io.IOException(
+        s"failed to publish $p: rename from $tmp returned false and " +
+          "no destination exists — checkpoint filesystem fault")
+    }
   }
   private def persistAnchor(v: Int): Unit =
     if (metadataPath.nonEmpty) {

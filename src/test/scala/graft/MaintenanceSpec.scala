@@ -1940,5 +1940,22 @@ class MaintenanceSpec extends SparkSpec {
       "two appendEntries commits minted identical manifest identity")
     assert(published("ta").statsJson.exists(_.contains("\"mintv\":")),
       "the commit-version stamp is missing from the appended entry")
+    // stage-once/publish-many: re-appending an ALREADY-STAMPED entry
+    // REPLACES the stamp (fresh identity for the new commit), never
+    // prepends a duplicate JSON key or grows the stats string per hop
+    sn.appendEntries("tc", Seq(published("ta")))
+    val hops = published("tc").statsJson.get
+    assert("\"mintv\":".r.findAllIn(hops).size == 1,
+      s"re-append must replace the stamp, not stack one: $hops")
+    assert(hops.startsWith("""{"mintv":1,"""),
+      s"tc's stamp must carry tc's own commit version: $hops")
+    assert(hops.length == published("ta").statsJson.get.length,
+      "stats string must not grow across publish hops")
+    // and delete entries are refused — their seq ordering must migrate
+    // verbatim (commitEntries/branch), never be re-stamped
+    val delE = graft.plans.ManifestEntry("delete", 5, staged.rel, Seq("k"))
+    intercept[IllegalArgumentException] {
+      sn.appendEntries("td", Seq(delE))
+    }
   }
 }
