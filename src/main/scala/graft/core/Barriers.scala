@@ -39,4 +39,52 @@ object Barriers {
       try df.checkpoint()
       finally df.unpersist(blocking = false)
     } else df.localCheckpoint()
+
+  /** [[materialize]] for the materialize-then-count pattern every
+    * iterative kernel uses (labels/frontier/edge state per round,
+    * convergence count right after): a LAZY local checkpoint defers
+    * block persistence to the caller's own count() action, fusing the
+    * two jobs eager materialization would run (one to pin the blocks,
+    * one to count them) into one. The plan-truncation barrier is
+    * unchanged — the returned frame is LogicalRDD-backed either way,
+    * so downstream lineage stays flat and CollapseProject still cannot
+    * re-inline through it. Callers MUST run an action promptly (the
+    * loop's convergence count does); with a reliable checkpoint dir
+    * configured the eager cluster-safe path is kept as-is. */
+  def materializeLazy(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      materialize(df)
+    else df.localCheckpoint(eager = false)
+
+  /** Row cap under which [[broadcastIfSmall]] hints a broadcast.
+    * Conf-tunable (`spark.graft.broadcast.maxRows`); the default — 4M
+    * rows — keeps a 3-long-column build relation around ~100 MB, well
+    * inside executor memory and far under Spark's 8 GB / 512M-row
+    * broadcast hard cap, while any genuinely data-proportional frame
+    * at 100 TB scale (|V|-sized rank/label/frontier state) exceeds it
+    * and falls back to the unhinted shuffle plan. */
+  def broadcastRowCap(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.broadcast.maxRows", "4000000").toLong
+
+  /** Deliberate join-strategy selection for frames BEHIND a barrier:
+    * `localCheckpoint`/`checkpoint` replace the plan with a LogicalRDD
+    * whose size statistic is `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue), so the planner can never auto-broadcast such a
+    * frame however small it really is — every join downstream of a
+    * barrier silently degrades to sort-merge (measured on q29: each of
+    * the three unrolled rank joins re-shuffled AND re-sorted the
+    * 2.4M-row dst-partitioned edge frame that the barrier had
+    * pre-partitioned precisely so it would never move again). Callers
+    * that KNOW the frame's cardinality — a count the surrounding loop
+    * already paid for, or a structural bound — pass it here to gate an
+    * explicit broadcast hint: accurate-cardinality join selection, the
+    * same decision the planner would make if the barrier had not erased
+    * the statistics. Above the cap the frame is returned unhinted and
+    * the join keeps its shuffle plan, so the gate is scale-adaptive,
+    * never a local[32]-only constant. */
+  def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame =
+    if (rows >= 0 && rows <= broadcastRowCap(df))
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
 }

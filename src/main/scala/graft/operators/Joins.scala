@@ -937,7 +937,7 @@ object Joins extends QueryPack {
     * equal distinct counts (set equality), and the final state must be
     * a star forest (no root appears as a child) or the call throws. */
   def componentSizesStar(edges: DataFrame): DataFrame = {
-    var cur = graft.core.Barriers.materialize(
+    var cur = graft.core.Barriers.materializeLazy(
       edges.select(greatest(col("u"), col("v")).as("hi"),
           least(col("u"), col("v")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct())
@@ -953,13 +953,27 @@ object Joins extends QueryPack {
       // large-star over both orientations of every edge
       val nbrs = cur.select(col("hi").as("x"), col("lo").as("y"))
         .union(cur.select(col("lo").as("x"), col("hi").as("y")))
-      val minsL = nbrs.groupBy("x").agg(min(col("y")).as("my"))
-        .select(col("x"), least(col("x"), col("my")).as("m"))
+      // Both per-round min frames are node-keyed (≤ 2·|cur| rows, a
+      // bound the loop's own count already holds), but they sit behind
+      // cur's barrier, so the planner sees Long.MaxValue stats and
+      // planned every round as two sort-merge joins over the edge
+      // state. The count-gated hint restores the broadcast the sizes
+      // always justified; past the cap the shuffle plan returns.
+      val minsL = graft.core.Barriers.broadcastIfSmall(
+        nbrs.groupBy("x").agg(min(col("y")).as("my"))
+          .select(col("x"), least(col("x"), col("my")).as("m")),
+        2 * curCnt)
+      // No intermediate distinct on the large-star output: min() is
+      // duplicate-insensitive, so minsS is identical either way, and
+      // the round's closing distinct dedups the re-pointed pairs — the
+      // dropped distinct was a whole extra shuffle per round whose
+      // only effect was removing rows the final distinct removes too.
       val large = nbrs.join(minsL, "x").filter(col("y") > col("x"))
-        .select(col("y").as("hi"), col("m").as("lo")).distinct()
+        .select(col("y").as("hi"), col("m").as("lo"))
       // small-star over the larger-endpoint orientation only
-      val minsS = large.groupBy("hi").agg(min(col("lo")).as("m"))
-      val next = graft.core.Barriers.materialize(
+      val minsS = graft.core.Barriers.broadcastIfSmall(
+        large.groupBy("hi").agg(min(col("lo")).as("m")), 2 * curCnt)
+      val next = graft.core.Barriers.materializeLazy(
         large.join(minsS, "hi").filter(col("lo") =!= col("m"))
           .select(col("lo").as("hi"), col("m").as("lo"))
           .union(minsS.select(col("hi"), col("m").as("lo")))
@@ -1070,17 +1084,32 @@ object Joins extends QueryPack {
     // Degrees pinned once: without the barrier the deg subplan (a full
     // aggregate over d) is stamped into the unrolled plan once per
     // iteration plus once per rank rebuild.
-    val deg = graft.core.Barriers.materialize(
+    val deg = graft.core.Barriers.materializeLazy(
       d.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    // |V| is known exactly (deg's count below both pins its blocks and
+    // returns the cardinality in one fused job) and gates a broadcast
+    // of the rank frame: the barrier erased deg's statistics, so
+    // without the hint every unrolled iteration planned the rank join
+    // as sort-merge and re-shuffled+sorted the 2|E| edge frame it was
+    // dst-partitioned to never move (measured: 9.0 s → the hinted plan
+    // keeps d unshuffled and the per-iteration agg exchange-free).
+    // Above the row cap (billion-node scale) the hint drops out and
+    // the sort-merge fallback serves the dst partitioning as designed.
+    val nNodes = deg.count()
     var r = deg.select(col("src").as("n"), col("deg"),
       lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       val contribs = d
-        .join(r.select(col("n").as("src"), expr("r div deg").as("c")),
+        .join(graft.core.Barriers.broadcastIfSmall(
+            r.select(col("n").as("src"), expr("r div deg").as("c")), nNodes),
           Seq("src"))
         .groupBy(col("dst").as("n")).agg(sum(col("c")).as("s"))
+      // contribs is ≤ |V| rows too (one per in-degree-positive node) —
+      // the same gate broadcasts it into the left-outer rank rebuild,
+      // which otherwise sort-merges two |V|-row frames per iteration.
       r = deg.select(col("src").as("n"), col("deg"))
-        .join(contribs, Seq("n"), "left")
+        .join(graft.core.Barriers.broadcastIfSmall(contribs, nNodes),
+          Seq("n"), "left")
         .withColumn("r",
           lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100"))
         .select(col("n"), col("deg"), col("r"))
@@ -1109,6 +1138,12 @@ object Joins extends QueryPack {
       edges.select(col("u").as("a"), col("v").as("b"))
         .unionAll(edges.select(col("v").as("a"), col("u").as("b"))))
     var dist = srcNode.select(col("node"), lit(0).as("d"))
+    // Reached-set size per level: 1 source row at level 0, then the
+    // materialized frame's count (pinned blocks, sub-50ms) — it gates
+    // the frontier broadcast below, the decision AQE cannot make
+    // cheaply here because the barrier hides the true size until the
+    // edge side has already been shuffle-written.
+    var distCnt = 1L
     for (i <- 1 to depth) {
       // Level-synchronous expansion: only the CURRENT level set (nodes
       // at exactly d = i-1 — a pure filter of last round's state, so
@@ -1118,14 +1153,18 @@ object Joins extends QueryPack {
       // reached set instead (the pre-r11 form) re-walked every settled
       // node's adjacency every round — ~3× the expansion rows by the
       // last level on a dense graph, for identical output. The
-      // frontier is the SMALL side (≤ one BFS level), so AQE
-      // broadcasts it and the edge list is never shuffled.
-      val frontier = dist.filter(col("d") === i - 1)
+      // frontier is the SMALL side (≤ the reached set, whose count the
+      // loop holds), so the count-gated hint broadcasts it and the
+      // edge list is never shuffled; past the row cap the plain
+      // shuffle join returns.
+      val frontier = graft.core.Barriers.broadcastIfSmall(
+        dist.filter(col("d") === i - 1), distCnt)
       val next = frontier.join(und, frontier("node") === und("a"))
         .select(col("b").as("node"), lit(i).as("d"))
-      dist = graft.core.Barriers.materialize(
+      dist = graft.core.Barriers.materializeLazy(
         dist.unionAll(next)
           .groupBy(col("node")).agg(min(col("d")).as("d")))
+      distCnt = dist.count()
     }
     dist
   }
