@@ -67,24 +67,41 @@ object Barriers {
     df.sparkSession.conf
       .get("spark.graft.broadcast.maxRows", "4000000").toLong
 
-  /** Deliberate join-strategy selection for frames BEHIND a barrier:
-    * `localCheckpoint`/`checkpoint` replace the plan with a LogicalRDD
-    * whose size statistic is `spark.sql.defaultSizeInBytes`
-    * (Long.MaxValue), so the planner can never auto-broadcast such a
-    * frame however small it really is — every join downstream of a
-    * barrier silently degrades to sort-merge (measured on q29: each of
-    * the three unrolled rank joins re-shuffled AND re-sorted the
-    * 2.4M-row dst-partitioned edge frame that the barrier had
-    * pre-partitioned precisely so it would never move again). Callers
-    * that KNOW the frame's cardinality — a count the surrounding loop
-    * already paid for, or a structural bound — pass it here to gate an
+  /** Deliberate join-strategy selection for frames BEHIND a barrier.
+    * Size ESTIMATES propagate multiplicatively through joins (basic
+    * stats: |A ⋈ B| ~ |A|·|B|, and filters/aggregates don't shrink
+    * them), and checkpoint/localCheckpoint carry the ORIGIN plan's
+    * estimate through the barrier — so an actually-tiny frame derived
+    * through a join (every iterative kernel's loop state: ranks,
+    * labels, frontiers, per-round min frames) looks enormous to the
+    * planner forever after, and every downstream join silently
+    * degrades to sort-merge (measured on q29: each of the three
+    * unrolled rank joins re-shuffled AND re-sorted the 2.4M-row
+    * dst-partitioned edge frame that the barrier had pre-partitioned
+    * precisely so it would never move again). Callers that KNOW the
+    * frame's real cardinality — a count the surrounding loop already
+    * paid for, or a structural bound — pass it here to gate an
     * explicit broadcast hint: accurate-cardinality join selection, the
-    * same decision the planner would make if the barrier had not erased
-    * the statistics. Above the cap the frame is returned unhinted and
-    * the join keeps its shuffle plan, so the gate is scale-adaptive,
-    * never a local[32]-only constant. */
+    * decision the planner would make if its estimate were real
+    * (BroadcastGateSpec pins both the degradation and the repair).
+    * Above the cap the frame is returned unhinted and the join keeps
+    * its shuffle plan, so the gate is scale-adaptive, never a
+    * local[32]-only constant. */
   def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame =
-    if (rows >= 0 && rows <= broadcastRowCap(df))
+    broadcastIfSmall(df, rows, broadcastRowCap(df))
+
+  /** [[broadcastIfSmall]] with an explicit row cap — for frames whose
+    * rows are NOT a few scalar columns (shingle/embedding arrays,
+    * documents): the default cap is sized for narrow rows, so wide-row
+    * callers pass a proportionally smaller bound (conf-tunable via
+    * spark.graft.broadcast.maxArrayRows, default 65536). */
+  def broadcastIfSmall(df: DataFrame, rows: Long, cap: Long): DataFrame =
+    if (rows >= 0 && rows <= cap)
       org.apache.spark.sql.functions.broadcast(df)
     else df
+
+  /** The wide-row cap companion to [[broadcastRowCap]]. */
+  def broadcastArrayRowCap(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.broadcast.maxArrayRows", "65536").toLong
 }

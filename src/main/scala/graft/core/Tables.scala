@@ -21,9 +21,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Session-level TABLE-PLAN cache — the role a catalog/metastore
+    * plays on a real deployment: `spark.read.parquet` re-resolves the
+    * DataSource, re-lists the path, and re-reads a footer for schema
+    * inference on EVERY call, ~40-80 ms of driver work per load that
+    * 291 bench queries × 1-4 tables each pay over and over for
+    * byte-identical immutable inputs. The cached value is the resolved
+    * logical plan + schema ONLY — no rows are pinned, no action ever
+    * runs here, and every downstream action still scans the parquet
+    * input in full (the no-result-caching contract). Keyed by session
+    * so a stopped session's entries are pruned, and by (dir, name) so
+    * distinct scale factors never alias. */
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    SessionCaches.prune(planCache)
+    planCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      _ =>
+        if (name == "events") loadEvents(spark, sfDir)
+        else spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   /** `events.ts` has shipped in two physical spellings across testdata
     * generations: INT64 TIMESTAMP(NANOS) — which Spark 4 rejects outright

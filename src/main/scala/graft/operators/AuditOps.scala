@@ -534,7 +534,13 @@ object AuditOps extends QueryPack {
     // a.doc_id < b.doc_id makes each game unique; the tie rule (equal
     // scores → a wins) is therefore "lower doc_id wins" — total and
     // engine-independent
-    val g = p.as("a").join(p.as("b"),
+    // The panel frame is structurally ≤ btPanel rows (doc_id < btPanel
+    // on unique ids) but its barrier preserves the corpus-scan origin
+    // estimate (see Barriers.broadcastIfSmall), so the self-join
+    // planned via sort-merge machinery; the structural bound gates the
+    // broadcast explicitly.
+    val g = p.as("a").join(
+        Barriers.broadcastIfSmall(p.as("b"), btPanel),
         col("a.doc_id") < col("b.doc_id") &&
           col("a.source") =!= col("b.source"))
       .select(
@@ -554,21 +560,31 @@ object AuditOps extends QueryPack {
           col("n_games").as("n")))
         .groupBy(col("src"))
         .agg(sum(col("w")).as("w_total"), sum(col("n")).as("n_games")))
+    // |sources| is the model dimension — every MM-iteration frame (r,
+    // d) is that size, and the win matrix pr is at most its square.
+    // All three sit behind barriers whose origin estimates are
+    // join-poisoned (see Barriers.broadcastIfSmall), so the unrolled
+    // iterations planned as ~10 sort-merge joins of sub-200-row
+    // frames; the measured count gates broadcasts that collapse each
+    // iteration to map work plus one tiny agg exchange.
+    val nSources = wt.count()
     var r = wt.select(col("src"), lit(1000000L).as("st"))
     for (_ <- 1 to btIters) {
       val t = pr
-        .join(r.select(col("src").as("s1"), col("st").as("st1")), "s1")
-        .join(r.select(col("src").as("s2"), col("st").as("st2")), "s2")
+        .join(Barriers.broadcastIfSmall(
+          r.select(col("src").as("s1"), col("st").as("st1")), nSources), "s1")
+        .join(Barriers.broadcastIfSmall(
+          r.select(col("src").as("s2"), col("st").as("st2")), nSources), "s2")
         .withColumn("term",
           expr("(n_games * 1000000000) div greatest(st1 + st2, 1)"))
       val d = t.select(col("s1").as("src"), col("term"))
         .unionAll(t.select(col("s2").as("src"), col("term")))
         .groupBy(col("src")).agg(sum(col("term")).as("dsc"))
-      r = wt.join(d, "src")
+      r = wt.join(Barriers.broadcastIfSmall(d, nSources), "src")
         .select(col("src"),
           expr("(w_total * 1000000000) div greatest(dsc, 1)").as("st"))
     }
-    r.join(wt, "src")
+    r.join(Barriers.broadcastIfSmall(wt, nSources), "src")
       .select(col("src").as("source"), col("n_games"), col("w_total"),
         col("st").as("strength_micro"))
       .orderBy(desc("strength_micro"), col("source"))

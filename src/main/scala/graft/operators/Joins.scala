@@ -581,18 +581,46 @@ object Joins extends QueryPack {
     val fOrders = T.load(s, dir, "orders")
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val late = li.join(fOrders, li("l_orderkey") === fOrders("o_orderkey"))
-      .filter(col("l_shipdate") >
-        col("o_orderdate") + expr("INTERVAL 90 DAY"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val lines = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val sole = late.as("l1")
-      .join(lines.as("l2"),
-        col("l1.l_orderkey") === col("l2.l_orderkey") &&
-          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
-      .join(late.as("l3"),
-        col("l1.l_orderkey") === col("l3.l_orderkey") &&
-          col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+    val late = graft.core.Barriers.materializeLazy(
+      li.join(fOrders, li("l_orderkey") === fOrders("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct())
+    val nLate = late.count()
+    // Both quantifiers collapse to per-order counts (late ⊆ lines and
+    // the probe supplier is itself a line supplier, so "EXISTS another
+    // supplier's line" ⇔ the order has ≥ 2 distinct suppliers, and
+    // "NOT EXISTS another late line" ⇔ exactly 1 late supplier). The
+    // former semi+anti SELF-JOINS re-shuffled the full 600k-row
+    // distinct (orderkey, suppkey) frame three times; the counts are
+    // ONE map-side-combined aggregation each — the n_supp rollup runs
+    // straight off the scan projection (count-distinct partial agg
+    // dedups before the exchange) and never materializes the distinct
+    // pair frame at all. The late side's count gates a broadcast of
+    // both order-keyed count frames (sole ⊆ late, and sole-qualifying
+    // orders ⊆ late orders ≤ |late|), so at bench scale the fact-side
+    // frames never shuffle again; past the cap the keyed shuffle plan
+    // returns unchanged.
+    val soleOrders = graft.core.Barriers.broadcastIfSmall(
+      late.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_late"))
+        .filter(col("n_late") === 1).select(col("l_orderkey")), nLate)
+    // n_supp is only ever consulted for orders that HAVE a late line,
+    // so the fact aggregation is pre-filtered to late orders (gated
+    // broadcast semi — the 600k-row scan projection drops to the late
+    // sliver before any exchange), which also bounds multiSupp's own
+    // cardinality at |late orders| ≤ nLate, making its broadcast gate
+    // sound.
+    val lateOrders = graft.core.Barriers.broadcastIfSmall(
+      late.select(col("l_orderkey")).distinct(), nLate)
+    val multiSupp = li.select(col("l_orderkey"), col("l_suppkey"))
+      .join(lateOrders, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .filter(col("n_supp") > 1).select(col("l_orderkey"))
+    val sole = late
+      .join(soleOrders, Seq("l_orderkey"), "left_semi")
+      .join(graft.core.Barriers.broadcastIfSmall(multiSupp, nLate),
+        Seq("l_orderkey"), "left_semi")
     sole
       .join(broadcast(T.load(s, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
@@ -761,6 +789,13 @@ object Joins extends QueryPack {
         .distinct())
     val nBaskets = items.select(countDistinct(col("ok"))
       .cast("double").as("n_baskets"))
+    // The support table is keyed by part — its cardinality is bounded
+    // by the part DIMENSION (FK: every l_partkey exists in part), whose
+    // parquet count is metadata-only. items sits behind a barrier, so
+    // without the gate both support joins sort-merged the pair frame;
+    // the gated broadcast keeps the pair rollup un-reshuffled. Past the
+    // cap (a part dimension too big to ship) the keyed joins return.
+    val nParts = T.load(s, dir, "part").count()
     val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
     val pairs = items.as("a")
       .join(items.as("b"),
@@ -769,10 +804,12 @@ object Joins extends QueryPack {
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= 3)
     pairs
-      .join(supp.select(col("pk").as("part_a"), col("n_item").as("n_a")),
-        Seq("part_a"))
-      .join(supp.select(col("pk").as("part_b"), col("n_item").as("n_b")),
-        Seq("part_b"))
+      .join(graft.core.Barriers.broadcastIfSmall(
+        supp.select(col("pk").as("part_a"), col("n_item").as("n_a")),
+        nParts), Seq("part_a"))
+      .join(graft.core.Barriers.broadcastIfSmall(
+        supp.select(col("pk").as("part_b"), col("n_item").as("n_b")),
+        nParts), Seq("part_b"))
       .crossJoin(nBaskets)
       .select(col("part_a"), col("part_b"), col("n_pair"),
         col("n_a"), col("n_b"),
@@ -954,11 +991,12 @@ object Joins extends QueryPack {
       val nbrs = cur.select(col("hi").as("x"), col("lo").as("y"))
         .union(cur.select(col("lo").as("x"), col("hi").as("y")))
       // Both per-round min frames are node-keyed (≤ 2·|cur| rows, a
-      // bound the loop's own count already holds), but they sit behind
-      // cur's barrier, so the planner sees Long.MaxValue stats and
-      // planned every round as two sort-merge joins over the edge
-      // state. The count-gated hint restores the broadcast the sizes
-      // always justified; past the cap the shuffle plan returns.
+      // bound the loop's own count already holds), but cur's origin
+      // estimate is join-poisoned and survives its barrier (see
+      // Barriers.broadcastIfSmall), so every round planned as two
+      // sort-merge joins over the edge state. The count-gated hint
+      // restores the broadcast the real sizes always justified; past
+      // the cap the shuffle plan returns.
       val minsL = graft.core.Barriers.broadcastIfSmall(
         nbrs.groupBy("x").agg(min(col("y")).as("my"))
           .select(col("x"), least(col("x"), col("my")).as("m")),
@@ -1088,13 +1126,15 @@ object Joins extends QueryPack {
       d.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     // |V| is known exactly (deg's count below both pins its blocks and
     // returns the cardinality in one fused job) and gates a broadcast
-    // of the rank frame: the barrier erased deg's statistics, so
-    // without the hint every unrolled iteration planned the rank join
-    // as sort-merge and re-shuffled+sorted the 2|E| edge frame it was
-    // dst-partitioned to never move (measured: 9.0 s → the hinted plan
-    // keeps d unshuffled and the per-iteration agg exchange-free).
-    // Above the row cap (billion-node scale) the hint drops out and
-    // the sort-merge fallback serves the dst partitioning as designed.
+    // of the rank frame: deg's origin estimate went through the edge
+    // build's joins (join-product stats survive the barrier — see
+    // Barriers.broadcastIfSmall), so without the hint every unrolled
+    // iteration planned the rank join as sort-merge and re-shuffled+
+    // sorted the 2|E| edge frame it was dst-partitioned to never move
+    // (measured: 9.0 s → the hinted plan keeps d unshuffled and the
+    // per-iteration agg exchange-free). Above the row cap
+    // (billion-node scale) the hint drops out and the sort-merge
+    // fallback serves the dst partitioning as designed.
     val nNodes = deg.count()
     var r = deg.select(col("src").as("n"), col("deg"),
       lit(1000000L).as("r"))

@@ -391,7 +391,8 @@ object MaintenanceOps extends QueryPack {
     * premise can't drift from the DML entries that read the same
     * table). Pure metadata: entry counts and inline row stats from ONE
     * manifest read, no data I/O. The oracle recomputes every signal
-    * from the raw table — including that the %7 delete mass (~143‰)
+    * from the raw table — including that the %7 delete mass (~133‰ of
+    * data rows, the denominator counting the %14 re-insert too)
     * crosses the 50‰ threshold, so the recommendation is FOLD_DELETES;
     * the below-threshold flank (and the entry-count trigger) are
     * MaintenanceSpec's flip cases. Fixture cached per (session, dir),
@@ -431,7 +432,8 @@ object MaintenanceOps extends QueryPack {
     // (3 data dirs, 1 delete dir); every row signal recomputes from the
     // raw table: data rows = both half-years + the %14 re-insert,
     // delete rows = the %7 keys staged by the equality delete, and the
-    // ~143‰ ratio crosses the 50‰ fold threshold
+    // ~133‰ ratio (the denominator includes the %14 re-insert)
+    // crosses the 50‰ fold threshold
     "m19_mor_fold_advice" ->
       """WITH s AS (
         |  SELECT (SELECT COUNT(*) FROM orders)
