@@ -433,25 +433,38 @@ object CurationOps extends QueryPack {
     * in both engines.
     *
     * 100 TB shape: identical to l41 — only (span_h, doc_id) longs
-    * shuffle, the owner rollup and the ownership join key on the SAME
-    * span_h exchange, and the per-doc then per-source rollups are
-    * map-side-combined. min(doc_id) as the owner makes the audit
-    * incremental: new documents can only lose novelty, never steal
-    * ownership from earlier ones. */
+    * shuffle, both rollups (per-doc span totals; owner rollup then
+    * per-owner novel totals) are map-side-combined, and the only join
+    * moves |docs|-sized frames (count-gated broadcast). min(doc_id) as
+    * the owner makes the audit incremental: new documents can only
+    * lose novelty, never steal ownership from earlier ones. */
   private val noveltyAudit: Q = (s, dir) => {
     val spans = sharedDocSpans(s, dir)
-    val owner = spans.groupBy(col("span_h"))
+    // A doc's novel-span count is the number of spans it OWNS (owner =
+    // min doc_id, and the owner doc always contains its span), so the
+    // former span-level ownership join — which re-shuffled every span
+    // row a second time just to compare owner == doc_id — collapses to
+    // two map-side-combined aggregations meeting at DOC granularity:
+    // per-doc span totals and per-owner-doc novel totals, joined over
+    // |docs| rows (count-gated broadcast; docs with no owned span take
+    // the left-join zero). Identical output, one spans-sized shuffle
+    // fewer, and the join moves |docs| rows instead of |spans|.
+    val perDoc = Barriers.materializeLazy(
+      spans.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_spans")))
+    val nDocs = perDoc.count()
+    val novel = spans.groupBy(col("span_h"))
       .agg(min(col("doc_id")).as("owner"))
-    spans.join(owner, Seq("span_h"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc
+      .join(Barriers.broadcastIfSmall(novel, nDocs), Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs_spanned"),
         sum(col("n_spans")).cast("long").as("total_spans"),
-        sum(col("n_novel")).cast("long").as("total_novel"))
+        sum(coalesce(col("n_novel"), lit(0L))).cast("long")
+          .as("total_novel"))
       .withColumn("novelty_frac",
         col("total_novel").cast("double") /
           col("total_spans").cast("double"))

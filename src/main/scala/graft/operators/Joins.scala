@@ -768,39 +768,54 @@ object Joins extends QueryPack {
 
   /** Q27: market-basket affinity — co-occurrence support and lift for
     * part pairs bought in the same order, the association-mining query
-    * behind "frequently bought together". Pairs come from a self
-    * equi-join ON the basket key with `a.pk < b.pk`: per-basket fanout
-    * is C(lines, 2), bounded by the basket size (≤ C(13,2) here), so
+    * behind "frequently bought together". Pairs are generated LOCALLY
+    * per basket (sorted distinct item array → slice/transform
+    * combinations, `a < b` by the sort): per-basket fanout is
+    * C(lines, 2), bounded by the basket size (≤ C(13,2) here), so
     * the pair stream is O(corpus × basket), NEVER O(parts²) — the
     * same bounded-clique discipline as the LSH band joins. Lift's
     * division runs as one closed-form double expression shared with
     * the oracle (exact integer counts in, bit-identical out). The
-    * item frame materializes once ([[graft.core.Barriers]]) so the
-    * self-join's two sides don't each recompute the distinct.
+    * basket frame materializes once ([[graft.core.Barriers]]) and
+    * feeds the pair stream, the support rollup, and the basket count.
     *
-    * 100 TB shape: distinct + self-join + pair rollup are all keyed
-    * shuffles; the support side-tables are |parts|-sized keyed joins
-    * (no broadcast assumption), and the final top-k plans as
-    * TakeOrderedAndProject, never a global sort. */
+    * 100 TB shape: ONE keyed exchange builds the basket sets
+    * (collect_set partial-merges map-side; arrays stay basket-bounded)
+    * plus one for the pair rollup; the support side-tables ride
+    * count-gated broadcasts with a keyed-join fallback, and the final
+    * top-k plans as TakeOrderedAndProject, never a global sort. */
   private val basketAffinity: Q = (s, dir) => {
-    val items = graft.core.Barriers.materialize(
+    // One exchange builds the per-basket DISTINCT item set (collect_set
+    // is map-side partial-merged), and the C(lines, 2) pair stream is
+    // generated LOCALLY from each basket's sorted array — the l61
+    // slice/transform combination pattern — replacing the former
+    // distinct + self-equi-join, which exchanged the 600k-row item
+    // frame three times (distinct by (ok, pk), then both self-join
+    // sides by ok) to produce the identical pair stream. sort_array
+    // keeps the a < b orientation; per-basket fanout stays bounded by
+    // basket size, never O(parts²).
+    val baskets = graft.core.Barriers.materialize(
       T.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct())
-    val nBaskets = items.select(countDistinct(col("ok"))
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("pk"))).as("pks")))
+    val nBaskets = baskets.select(count(lit(1))
       .cast("double").as("n_baskets"))
     // The support table is keyed by part — its cardinality is bounded
     // by the part DIMENSION (FK: every l_partkey exists in part), whose
-    // parquet count is metadata-only. items sits behind a barrier, so
+    // parquet count is metadata-only. baskets sits behind a barrier, so
     // without the gate both support joins sort-merged the pair frame;
     // the gated broadcast keeps the pair rollup un-reshuffled. Past the
     // cap (a part dimension too big to ship) the keyed joins return.
     val nParts = T.load(s, dir, "part").count()
-    val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+    val supp = baskets.select(explode(col("pks")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(pks, (a, i) ->
+          |  transform(slice(pks, i + 2, size(pks)),
+          |    b -> struct(a AS pa, b AS pb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= 3)
     pairs

@@ -1669,18 +1669,27 @@ object LlmOps extends QueryPack {
     * join map-side. */
   private val bigramCommonness: Q = (s, dir) => {
     val par = s.sparkContext.defaultParallelism
-    val b = Barriers.materialize(
+    // Aggregate BEFORE the shuffle (guide §2.3): the former plan
+    // materialized every bigram OCCURRENCE and joined all of them
+    // against the model; the per-(bigram, source) count frame is the
+    // narrowest state that still answers both the model fit (cnt(bg) =
+    // Σ_source k) and the scoring rollup (n_bigrams = Σ k, total_hits
+    // = Σ k·cnt) exactly, so the occurrence rows never enter a join —
+    // only distinct-bigram-scale rows shuffle. Integer arithmetic
+    // unchanged; the oracle is the same SQL.
+    val bs = Barriers.materialize(
       docs(s, dir)
         .select(col("source"), col("doc_id"), Text.tokens(col("text")).as("toks"))
         .repartition(par)
         .select(col("source"),
-          explode(Text.shinglesFromTokens("toks", 2)).as("bg")))
-    val model = b.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-    b.join(model, Seq("bg"))
+          explode(Text.shinglesFromTokens("toks", 2)).as("bg"))
+        .groupBy(col("bg"), col("source")).agg(count(lit(1)).as("k")))
+    val model = bs.groupBy(col("bg")).agg(sum(col("k")).as("cnt"))
+    bs.join(model, Seq("bg"))
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(col("cnt")).cast("long").as("total_hits"))
+        sum(col("k")).cast("long").as("n_bigrams"),
+        sum(col("k") * col("cnt")).cast("long").as("total_hits"))
       .withColumn("commonness",
         col("total_hits").cast("double") / col("n_bigrams").cast("double"))
       .orderBy(col("source"))

@@ -27,13 +27,21 @@ class BroadcastGateSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   /** A frame that is ACTUALLY 10 rows but whose origin estimate went
     * through a 100k × 100k join (then a filter, which basic stats
-    * ignore) — the loop-state shape of q29/q33/q41/l96/l98. */
+    * ignore) — the loop-state shape of q29/q33/q41/l96/l98. Pinned to
+    * the LOCAL checkpoint barrier explicitly: that is the path the
+    * Bench/Verify harness runs (no checkpoint dir), and it is the path
+    * that carries the poisoned origin estimate through the barrier.
+    * The RELIABLE checkpoint path (a cluster deployment, or any suite
+    * after LlmSpec sets the shared context's checkpoint dir) captures
+    * accurate stats instead — there the gate's hint is simply the
+    * choice the planner would make anyway, so the laws below are
+    * stated where they are load-bearing. */
   private def tinyWithPoisonedStats() = {
     val a = spark.range(0, 100000).select(col("id").as("k"))
     val b = spark.range(0, 100000).select(col("id").as("j"))
-    Barriers.materialize(
-      a.join(b, col("k") === col("j")).filter(col("k") < 10)
-        .select(col("k"), (col("k") * 10).as("v")))
+    a.join(b, col("k") === col("j")).filter(col("k") < 10)
+      .select(col("k"), (col("k") * 10).as("v"))
+      .localCheckpoint()
   }
 
   /** Probe side big enough (~24 MB estimate) that the planner never
