@@ -90,18 +90,25 @@ object Barriers {
   def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame =
     broadcastIfSmall(df, rows, broadcastRowCap(df))
 
-  /** [[broadcastIfSmall]] with an explicit row cap — for frames whose
-    * rows are NOT a few scalar columns (shingle/embedding arrays,
-    * documents): the default cap is sized for narrow rows, so wide-row
-    * callers pass a proportionally smaller bound (conf-tunable via
-    * spark.graft.broadcast.maxArrayRows, default 65536). */
+  /** [[broadcastIfSmall]] with an explicit cap — for frames whose rows
+    * are NOT a few scalar columns (shingle/embedding arrays,
+    * documents), where the caller supplies a measured quantity that
+    * actually bounds bytes (e.g. Σ size(array) against
+    * [[broadcastArrayElemCap]]). A ROW count cannot bound an array
+    * frame's bytes — measured on l98 at sf1, where a row-gated
+    * broadcast shipped the whole corpus's arrays and cost more than
+    * the shuffles it replaced. */
   def broadcastIfSmall(df: DataFrame, rows: Long, cap: Long): DataFrame =
     if (rows >= 0 && rows <= cap)
       org.apache.spark.sql.functions.broadcast(df)
     else df
 
-  /** The wide-row cap companion to [[broadcastRowCap]]. */
-  def broadcastArrayRowCap(df: DataFrame): Long =
+  /** Element-mass cap for broadcasting ARRAY-bearing frames: row
+    * counts don't bound array bytes (a few thousand rows can carry the
+    * whole corpus), so callers gate on a measured Σ size(array)
+    * instead. Default 2M elements ≈ tens of MB for string shingles —
+    * comfortably shippable; conf-tunable like the row cap. */
+  def broadcastArrayElemCap(df: DataFrame): Long =
     df.sparkSession.conf
-      .get("spark.graft.broadcast.maxArrayRows", "65536").toLong
+      .get("spark.graft.broadcast.maxArrayElems", "2000000").toLong
 }

@@ -396,41 +396,34 @@ object LlmOps extends QueryPack {
       .filter(col("p") <=
         col("m") - expr(s"(($ssNum * m) + ${ssDen - 1}) div $ssDen") + 1)
       .select(col("doc_id"), col("m"), col("g"))
-    val cand = Barriers.materializeLazy(
-      pos.as("a").join(pos.as("b"),
+    val cand = pos.as("a").join(pos.as("b"),
         col("a.g") === col("b.g") &&
           col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.m"), col("b.m")) * ssNum <=
             least(col("a.m"), col("b.m")) * ssDen)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct())
-    val candCnt = cand.count()
-    // Attach the wide shingle arrays to DECIDED candidates only (the
-    // guide-§8 discipline: decide on small rows, move heavy rows once).
-    // When the deduped candidate set is small — the design point of the
-    // prefix filter — prune the array frame to candidate docs via a
-    // broadcast semi-join and broadcast the pruned sliver into both
-    // attach joins, so the array frame is never shuffled; past the cap
-    // the original doc-keyed shuffle joins run unchanged.
-    val (sa, sb) =
-      if (candCnt <= Barriers.broadcastArrayRowCap(sets)) {
-        val ids = Barriers.broadcastIfSmall(
-          cand.select(col("doc_a").as("doc_id"))
-            .union(cand.select(col("doc_b").as("doc_id"))).distinct(),
-          2 * candCnt)
-        val pruned = Barriers.materializeLazy(
-          sets.join(ids, Seq("doc_id"), "left_semi"))
-        val prunedB = (side: String, arr: String) =>
-          Barriers.broadcastIfSmall(
-            pruned.select(col("doc_id").as(side), col("sh").as(arr)),
-            2 * candCnt, Barriers.broadcastArrayRowCap(sets))
-        (prunedB("doc_a", "sa"), prunedB("doc_b", "sb"))
-      } else
-        (sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
-          sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")))
+      .distinct()
+    // Attach strategy for the wide shingle arrays, gated on their
+    // MEASURED element mass (one tiny agg over the pinned sets frame —
+    // a row count cannot bound array bytes): when the whole array
+    // frame is small in absolute terms, broadcast it into both attach
+    // joins so the candidate frame never shuffles by doc key; past the
+    // cap (measured at sf1: ~2.6M elements ≈ tens of MB made the two
+    // broadcast builds cost more than the shuffles they replaced) the
+    // doc-keyed shuffle joins run unchanged — the 100 TB path.
+    // Candidate-doc pruning was measured useless here: the prefix
+    // filter's candidate DOCS cover ~97% of the corpus at every test
+    // scale (193k candidate pairs over 5k docs at sf0.1), so a semi
+    // prune pays a corpus pass to keep ~everything.
+    val elemsAll = sets.agg(
+      coalesce(sum(size(col("sh"))), lit(0)).cast("long")).head().getLong(0)
+    val attach = (side: String, arr: String) =>
+      Barriers.broadcastIfSmall(
+        sets.select(col("doc_id").as(side), col("sh").as(arr)),
+        elemsAll, Barriers.broadcastArrayElemCap(sets))
     cand
-      .join(sa, "doc_a")
-      .join(sb, "doc_b")
+      .join(attach("doc_a", "sa"), "doc_a")
+      .join(attach("doc_b", "sb"), "doc_b")
       .withColumn("n_inter",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("n_union",
