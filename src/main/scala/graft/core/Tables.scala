@@ -31,7 +31,15 @@ object Tables {
     * runs here, and every downstream action still scans the parquet
     * input in full (the no-result-caching contract). Keyed by session
     * so a stopped session's entries are pruned, and by (dir, name) so
-    * distinct scale factors never alias. */
+    * distinct scale factors never alias.
+    *
+    * INVARIANT — `$sfDir` tables are immutable for the life of a
+    * session: the cached plan pins the parquet FILE LISTING
+    * (InMemoryFileIndex), so any future code path that rewrote an
+    * sfDir table in-process would silently serve a stale file list.
+    * All mutating queries write under [[Scratch]] dirs (never sfDir);
+    * a writer that must regenerate sfDir data (ScaleUp-style) has to
+    * do it in a fresh session or against a fresh directory. */
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 

@@ -519,7 +519,12 @@ object AuditOps extends QueryPack {
     * iteration state. */
   /** The l96 fit over any docs-shaped frame (doc_id, source, text) —
     * public so AuditSpec can pin the BT laws (dominance ordering,
-    * symmetric-record equality) on planted preference fixtures. */
+    * symmetric-record equality) on planted preference fixtures.
+    * ASSUMES doc_id is unique in `docsDf`: the panel broadcast below is
+    * gated on the structural bound `doc_id < btPanel`, which only
+    * bounds rows when ids are unique (duplicates would void the bound —
+    * hint-only, so the worst case is an oversized broadcast, never a
+    * wrong result). */
   def btStrengths(docsDf: DataFrame): DataFrame = {
     val en = Text.langStopwords.head._2
     val p = Barriers.materialize(docsDf
@@ -552,7 +557,11 @@ object AuditOps extends QueryPack {
       .agg(count(lit(1)).as("n_games"),
         sum(when(col("winner") === col("s1"), 1L).otherwise(0L))
           .as("wins1")))
-    val wt = Barriers.materialize(
+    // LAZY barrier: the nSources count below is wt's first action, so
+    // it both pins the blocks and returns the cardinality in one job
+    // (eager materialize ran a pin job plus a count job — the count
+    // was added purely to gate broadcasts, so its job was pure cost)
+    val wt = Barriers.materializeLazy(
       pr.select(col("s1").as("src"), col("wins1").as("w"),
           col("n_games").as("n"))
         .unionAll(pr.select(col("s2").as("src"),
@@ -560,33 +569,46 @@ object AuditOps extends QueryPack {
           col("n_games").as("n")))
         .groupBy(col("src"))
         .agg(sum(col("w")).as("w_total"), sum(col("n")).as("n_games")))
-    // |sources| is the model dimension — every MM-iteration frame (r,
-    // d) is that size, and the win matrix pr is at most its square.
-    // All three sit behind barriers whose origin estimates are
-    // join-poisoned (see Barriers.broadcastIfSmall), so the unrolled
-    // iterations planned as ~10 sort-merge joins of sub-200-row
-    // frames; the measured count gates broadcasts that collapse each
-    // iteration to map work plus one tiny agg exchange.
-    val nSources = wt.count()
-    var r = wt.select(col("src"), lit(1000000L).as("st"))
+    // |sources| is the model dimension — every MM-iteration frame is
+    // that size, and the win matrix pr is at most its square.
+    // MODEL PULL (the l32 centroid / l85 pool discipline): the MM
+    // iteration state is the win matrix — |sources|² rows at most, a
+    // model-sized object the corpus-scale game stage has already
+    // reduced to (the in-code 100 TB note above: "the win matrix, not
+    // the game log, is the iteration state"). Running the three MM
+    // iterations as unrolled DataFrame joins cost ~12 model-sized
+    // join/agg jobs plus a measured ~500 ms of driver-side planning
+    // (each iteration references r twice and d references t twice, so
+    // the logical tree grew ~4× per iteration — guide §3.3's
+    // planning-time trap). Two bounded collects (≤ |sources|² and
+    // |sources| rows) and a driver loop over longs replace all of it;
+    // the arithmetic below is the SAME integer-lattice floor division
+    // as the DataFrame/oracle spelling ((x*1e9) div max(d,1) on
+    // non-negative longs), so the result is bit-identical — oracle
+    // re-proven at sf0.01 and sf0.1 after the change.
+    val prRows = pr.select(col("s1"), col("s2"), col("n_games")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val wtRows = wt.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    var st: Map[String, Long] =
+      wtRows.map { case (src, _, _) => src -> 1000000L }.toMap
     for (_ <- 1 to btIters) {
-      val t = pr
-        .join(Barriers.broadcastIfSmall(
-          r.select(col("src").as("s1"), col("st").as("st1")), nSources), "s1")
-        .join(Barriers.broadcastIfSmall(
-          r.select(col("src").as("s2"), col("st").as("st2")), nSources), "s2")
-        .withColumn("term",
-          expr("(n_games * 1000000000) div greatest(st1 + st2, 1)"))
-      val d = t.select(col("s1").as("src"), col("term"))
-        .unionAll(t.select(col("s2").as("src"), col("term")))
-        .groupBy(col("src")).agg(sum(col("term")).as("dsc"))
-      r = wt.join(Barriers.broadcastIfSmall(d, nSources), "src")
-        .select(col("src"),
-          expr("(w_total * 1000000000) div greatest(dsc, 1)").as("st"))
+      val dsc = scala.collection.mutable.HashMap.empty[String, Long]
+        .withDefaultValue(0L)
+      prRows.foreach { case (s1, s2, n) =>
+        val term = (n * 1000000000L) / math.max(st(s1) + st(s2), 1L)
+        dsc(s1) += term
+        dsc(s2) += term
+      }
+      st = wtRows.map { case (src, wTotal, _) =>
+        src -> (wTotal * 1000000000L) / math.max(dsc(src), 1L)
+      }.toMap
     }
-    r.join(Barriers.broadcastIfSmall(wt, nSources), "src")
-      .select(col("src").as("source"), col("n_games"), col("w_total"),
-        col("st").as("strength_micro"))
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    wtRows.toSeq
+      .map { case (src, wTotal, nGames) => (src, nGames, wTotal, st(src)) }
+      .toDF("source", "n_games", "w_total", "strength_micro")
       .orderBy(desc("strength_micro"), col("source"))
   }
 

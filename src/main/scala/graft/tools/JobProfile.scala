@@ -37,8 +37,15 @@ object JobProfile {
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         Option(jobs.get(j.jobId)).foreach(_.end = j.time)
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        jobs.forEach((_, job) => ())
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        // stages carry no job id here; attribute to the most recently
+        // started still-open job (correct for the serial bench shape
+        // this tool profiles)
+        val open = jobs.values.toArray.map(_.asInstanceOf[Job])
+          .filter(_.end < 0)
+        if (open.nonEmpty)
+          open.maxBy(_.start).tasks += s.stageInfo.numTasks
+      }
     }
     spark.sparkContext.addSparkListener(listener)
 
@@ -50,18 +57,23 @@ object JobProfile {
       graft.SparkEntry.queries(q)(spark, dir).count()
       val warm = (System.nanoTime() - t0) / 1e9
       jobs.clear()
+      // wall-clock anchor taken at the same instant as the nano timer:
+      // listener job.start times are wall-clock millis, so the first
+      // job's gap must be measured from a wall-clock zero, not from a
+      // nanoTime-epoch value (which made the first gap meaningless)
+      val wall1 = System.currentTimeMillis()
       val t1 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir).count()
       val timed = (System.nanoTime() - t1) / 1e9
       println(f"==== $q warm=$warm%.2f timed=$timed%.2f ====")
       val sorted = jobs.values.toArray.map(_.asInstanceOf[Job])
         .sortBy(_.start)
-      var prevEnd = t1 / 1000000L
+      var prevEnd = wall1
       sorted.foreach { j =>
         val gap = j.start - prevEnd
         val dur = if (j.end > 0) j.end - j.start else -1
         println(f"job ${j.id}%4d gap=${gap}%5d ms dur=${dur}%6d ms " +
-          f"stages=${j.stages}%2d ${j.desc}")
+          f"stages=${j.stages}%2d tasks=${j.tasks}%3d ${j.desc}")
         prevEnd = if (j.end > 0) j.end else j.start
       }
       val totalDur = sorted.collect { case j if j.end > 0 => j.end - j.start }.sum
