@@ -408,10 +408,17 @@ object CorpusOps extends QueryPack {
   private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
 
-  /** The l85 greedy loop as mmrK unrolled argmax CTEs. */
+  /** The l85 greedy loop as mmrK unrolled argmax CTEs.
+    *
+    * Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and sel_t
+    * references sel_{t-1} three times (the union branch, the IN
+    * subquery, the NOT IN subquery), so the inlined tree re-expanded
+    * the whole corpus-scanning `pool` subtree ~3^(mmrK-1) times —
+    * measured 10.8 s of the oracle gate's budget at sf0.01 vs 0.03 s
+    * materialized, byte-identical result rows. */
   private def oMmrSql: String = {
     def selCte(t: Int): String =
-      s"""sel$t AS (SELECT * FROM sel${t - 1} UNION ALL
+      s"""sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL
          |  (SELECT CAST($t AS BIGINT) AS step, p.vec_id, p.rel,
          |     $mmrLambda * p.rel - 0.3 * (SELECT MAX(pw.sim) FROM pw
          |        WHERE pw.ai = p.vec_id
@@ -420,20 +427,23 @@ object CorpusOps extends QueryPack {
          |   WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
          |   ORDER BY mmr DESC, p.vec_id LIMIT 1))""".stripMargin
     val steps = (2 to mmrK).map(selCte).mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+       |  CAST(embedding AS DOUBLE[]) AS vec
        |  FROM embeddings),
-       |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm
+       |n AS MATERIALIZED (SELECT vec_id, vec,
+       |  sqrt(list_dot_product(vec, vec)) AS nrm
        |  FROM e),
-       |a AS (SELECT vec, nrm FROM n WHERE vec_id = 0),
-       |cq AS (SELECT n.vec_id, n.vec, n.nrm,
+       |a AS MATERIALIZED (SELECT vec, nrm FROM n WHERE vec_id = 0),
+       |cq AS MATERIALIZED (SELECT n.vec_id, n.vec, n.nrm,
        |  list_dot_product(n.vec, a.vec) / (n.nrm * a.nrm) AS rel
        |  FROM n CROSS JOIN a WHERE n.vec_id <> 0),
-       |pool AS (SELECT * FROM cq ORDER BY rel DESC, vec_id LIMIT $mmrPool),
-       |pw AS (SELECT x.vec_id AS ai, y.vec_id AS bi,
+       |pool AS MATERIALIZED (SELECT * FROM cq
+       |  ORDER BY rel DESC, vec_id LIMIT $mmrPool),
+       |pw AS MATERIALIZED (SELECT x.vec_id AS ai, y.vec_id AS bi,
        |  list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) AS sim
        |  FROM pool x JOIN pool y ON x.vec_id <> y.vec_id),
-       |sel1 AS (SELECT CAST(1 AS BIGINT) AS step, vec_id, rel,
-       |  $mmrLambda * rel - 0.3 * 0.0 AS mmr
+       |sel1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS step, vec_id,
+       |  rel, $mmrLambda * rel - 0.3 * 0.0 AS mmr
        |  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
        |$steps
        |SELECT step, vec_id, rel, mmr FROM sel$mmrK ORDER BY step"""
