@@ -592,9 +592,11 @@ object Dml extends QueryPack {
     val sn = new Snapshots(Scratch.dir("d23_cow_update"))
     val t = "orders_cu"
     val o = T.load(s, dir, "orders")
-    Seq((1, 3), (4, 6), (7, 9), (10, 12)).foreach { case (a, b) =>
-      sn.append(o.filter(month(col("o_orderdate")).between(a, b)), t)
-    }
+    // one staging job for all four quarterly dirs, four O(metadata)
+    // append-commits — byte-equivalent history to four sn.append calls
+    // minus three tiny-write jobs' fixed cost (see Snapshots.stageEntries)
+    sn.appendMany(Seq((1, 3), (4, 6), (7, 9), (10, 12)).map { case (a, b) =>
+      o.filter(month(col("o_orderdate")).between(a, b)) }, t)
     val q3 = month(col("o_orderdate")).between(7, 9)
     sn.updateWhere(s, t, q3, Map(
       "o_totalprice" -> -col("o_totalprice"),
@@ -619,9 +621,8 @@ object Dml extends QueryPack {
     val sn = new Snapshots(Scratch.dir("d24_merge_upsert"))
     val t = "orders_mu"
     val o = T.load(s, dir, "orders")
-    Seq((1, 3), (4, 6), (7, 9)).foreach { case (a, b) =>
-      sn.append(o.filter(month(col("o_orderdate")).between(a, b)), t)
-    }
+    sn.appendMany(Seq((1, 3), (4, 6), (7, 9)).map { case (a, b) =>
+      o.filter(month(col("o_orderdate")).between(a, b)) }, t)
     val src = o
       .filter(month(col("o_orderdate")) <= 3 && col("o_orderkey") % 5 === 0)
       .withColumn("o_orderstatus", lit("U"))
@@ -654,8 +655,9 @@ object Dml extends QueryPack {
     val sn = new Snapshots(Scratch.dir(scratchName))
     val t = "orders_mor"
     val o = T.load(s, dir, "orders")
-    sn.append(o.filter(month(col("o_orderdate")) <= 6), t)   // v1, seq 1
-    sn.append(o.filter(month(col("o_orderdate")) >= 7), t)   // v2, seq 2
+    sn.appendMany(Seq(
+      o.filter(month(col("o_orderdate")) <= 6),
+      o.filter(month(col("o_orderdate")) >= 7)), t)          // v1-v2, seq 1-2
     val preV = sn.currentVersion(t).get
     sn.deleteWhereMoR(s, t, col("o_orderkey") % 7 === 0,
       Seq("o_orderkey"))                                     // v3: delete file
@@ -725,8 +727,9 @@ object Dml extends QueryPack {
     val o = T.load(s, dir, "orders")
     val split = utcTs("1998-01-01T00:00:00")
     val probe = utcTs("2000-01-01T00:00:00")
-    sn.append(o.filter(col("o_orderdate") < lit(split)), t)
-    sn.append(o.filter(col("o_orderdate") >= lit(split)), t)
+    sn.appendMany(Seq(
+      o.filter(col("o_orderdate") < lit(split)),
+      o.filter(col("o_orderdate") >= lit(split))), t)
     val m = sn.readManifest(t, sn.currentVersion(t).get)
     val pruned = sn.scanWhere(s, t, col("o_orderdate") >= lit(probe))
     // trailing '/' so 'data/d1' can never prefix-collide with a
@@ -755,8 +758,11 @@ object Dml extends QueryPack {
     val sn = new Snapshots(Scratch.dir("d28_appends"))
     val t = "orders_ia"
     val o = T.load(s, dir, "orders")
-    sn.commit(o.filter(month(col("o_orderdate")) <= 3), t)          // v1
-    sn.append(o.filter(month(col("o_orderdate")).between(4, 6)), t) // v2
+    val ia = sn.stageEntries(Seq(
+      o.filter(month(col("o_orderdate")) <= 3),
+      o.filter(month(col("o_orderdate")).between(4, 6))), t)
+    sn.commitEntries(t, Seq(ia(0)))                                 // v1
+    sn.appendEntries(t, Seq(ia(1)))                                 // v2
     sn.deleteWhere(s, t,
       month(col("o_orderdate")) <= 3 && col("o_orderkey") % 2 === 0) // v3
     sn.append(o.filter(month(col("o_orderdate")).between(7, 9)), t) // v4

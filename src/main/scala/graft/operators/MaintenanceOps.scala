@@ -238,8 +238,11 @@ object MaintenanceOps extends QueryPack {
       val sn = new graft.plans.Snapshots(Scratch.dir("m14_history"))
       val t = "orders_h"
       val o = T.load(s, dir, "orders")
-      sn.commit(o.filter(month(col("o_orderdate")) <= 6), t)
-      sn.append(o.filter(month(col("o_orderdate")) >= 7), t)
+      val es = sn.stageEntries(Seq(
+        o.filter(month(col("o_orderdate")) <= 6),
+        o.filter(month(col("o_orderdate")) >= 7)), t)
+      sn.commitEntries(t, Seq(es(0)))
+      sn.appendEntries(t, Seq(es(1)))
       sn.deleteWhereMoR(s, t, col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
       sn.rewriteDeletes(s, t)
       (sn, t)
@@ -309,8 +312,8 @@ object MaintenanceOps extends QueryPack {
         segThreshold = 2)
       val t = "orders_sg"
       val o = T.load(s, dir, "orders")
-      (1 to 4).foreach(q => sn.append(
-        o.filter(month(col("o_orderdate")).between(3 * q - 2, 3 * q)), t))
+      sn.appendMany((1 to 4).map(q =>
+        o.filter(month(col("o_orderdate")).between(3 * q - 2, 3 * q))), t)
       (sn, t)
     })
     Seq(2, 3, 4).map { v =>
@@ -344,7 +347,8 @@ object MaintenanceOps extends QueryPack {
       val t = "orders_pt"
       val o = T.load(s, dir, "orders")
         .withColumn("o_quarter", quarter(col("o_orderdate")).cast("long"))
-      (1 to 4).foreach(q => sn.append(o.filter(col("o_quarter") === q), t))
+      sn.appendMany((1 to 4).map(q =>
+        o.filter(col("o_quarter") === q)), t)
       (sn, t)
     })
     sn.partitionsMetadata(s, t, sn.currentVersion(t).get, "o_quarter")
@@ -374,8 +378,8 @@ object MaintenanceOps extends QueryPack {
       val t = "orders_ptx"
       val o = T.load(s, dir, "orders")
         .withColumn("o_quarter", quarter(col("o_orderdate")).cast("long"))
-      (1 to 2).foreach(q => sn.append(o.filter(col("o_quarter") === q), t))
-      sn.append(o.filter(col("o_quarter") >= 3), t) // mixed Q3∪Q4 dir
+      sn.appendMany((1 to 2).map(q => o.filter(col("o_quarter") === q))
+        :+ o.filter(col("o_quarter") >= 3), t) // last dir mixed Q3∪Q4
       (sn, t)
     })
     sn.partitionsMetadata(s, t, sn.currentVersion(t).get, "o_quarter",

@@ -352,6 +352,31 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       !new java.io.File(s"$root/$rel").exists())
   }
 
+  /** Per-DIR schema cache, populated at stage time from the written
+    * frame's own schema (made all-nullable — file scans force nullable
+    * columns). Data dirs are write-once, so a cached schema can never
+    * go stale. Purpose: `spark.read.parquet` pays ~80-120 ms of driver
+    * work per call re-inferring the schema from a footer it has read
+    * before (measured via tools.CommitMicro: bare resolve 128 ms vs
+    * schema-pinned 14 ms); every read the STAGING WRITER of the dirs
+    * later issues (CoW probes, MoR frames, read-backs) can pin the
+    * schema instead. Reads spanning dirs with DIFFERENT cached schemas
+    * (schema-evolution fixtures) or any uncached dir fall back to
+    * plain inference — the pinned path is only taken when it is
+    * provably the same schema inference would return. */
+  private val dirSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** `spark.read.parquet` over root-relative dirs, schema-pinned when
+    * every dir was staged by this instance with one identical schema. */
+  private def readDirs(spark: SparkSession, rels: Seq[String]): DataFrame = {
+    val schemas = rels.flatMap(r => Option(dirSchemaCache.get(r))).distinct
+    if (schemas.size == 1 &&
+        rels.forall(r => dirSchemaCache.containsKey(r)))
+      spark.read.schema(schemas.head).parquet(rels.map(r => s"$root/$r"): _*)
+    else spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+  }
+
   /** Test visibility: current segment-cache entry count. */
   private[graft] def segCacheSize: Int = segCache.size()
 
@@ -700,9 +725,78 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     // _temporary staging (caught by the 8-appender race spec under
     // load). Append never removes the claim, so the CAS stays a CAS.
     df.write.mode(SaveMode.Append).parquet(s"$root/$rel")
+    // the dir's schema is the written frame's (nullable-forced, as a
+    // file scan reports it) — remember it so later reads skip footer
+    // schema inference (see dirSchemaCache)
+    dirSchemaCache.put(rel,
+      org.apache.spark.sql.graft.ColumnBridge.asNullable(df.schema))
     val json = DirStats.writeFor(new java.io.File(s"$root/$rel"))
     ManifestEntry(kind, seq, rel, key, json)
   }
+
+  /** Stage SEVERAL same-schema frames as separate immutable data dirs
+    * with ONE Spark write job — the bulk-load twin of [[stageEntry]].
+    * A tiny fixture write costs ~130-160 ms of fixed parquet+commit
+    * machinery regardless of rows (measured, tools.CommitMicro), so a
+    * fixture that appends N slices serially pays it N times on the
+    * driver's clock; here the union of the slices, tagged with a
+    * partition column, writes all N dirs in one job whose tasks run in
+    * parallel, and the files MOVE (rename, no byte copy) into the
+    * claimed d<K> dirs. Per-dir content is identical to N separate
+    * [[stageEntry]] calls: each input frame's partitions carry only
+    * its own tag, so file counts, row sets and footer stats match the
+    * serial staging exactly. A frame that writes no rows leaves no
+    * partition dir — it falls back to its own [[stageEntry]] call
+    * (which writes an empty parquet file, as the serial path does).
+    * Entries are returned in input order with the given kind/seq;
+    * commit them individually ([[appendMany]]) or together. */
+  def stageEntries(dfs: Seq[DataFrame], table: String, kind: String = "data",
+      seq: Int = 0): Seq[ManifestEntry] = {
+    import org.apache.spark.sql.functions.lit
+    if (dfs.isEmpty) return Seq.empty
+    if (dfs.size == 1) return Seq(stageEntry(dfs.head, table, kind, seq))
+    val rels = dfs.map(_ => freshDataRel(table)) // claim names up front
+    val tag = "_graft_stage_tag"
+    val staging = s"$root/$table/data/.stage-$writerTag"
+    dfs.zipWithIndex
+      .map { case (df, i) => df.withColumn(tag, lit(i)) }
+      .reduce(_ unionByName _)
+      .write.partitionBy(tag).parquet(staging)
+    try dfs.indices.foreach { i =>
+      val part = new java.io.File(s"$staging/$tag=$i")
+      val files = Option(part.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).filterNot(_.getName.startsWith("_SUCCESS"))
+      files.foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(s"$root/${rels(i)}", f.getName).toPath)
+      }
+      if (files.exists(_.getName.endsWith(".parquet")))
+        dirSchemaCache.put(rels(i),
+          org.apache.spark.sql.graft.ColumnBridge.asNullable(
+            dfs(i).schema))
+      else // empty slice: no partition dir was written — stage it the
+        // serial way so the dir holds an empty parquet file, exactly
+        // as N individual stageEntry calls would have left it
+        dfs(i).write.mode(SaveMode.Append).parquet(s"$root/${rels(i)}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(staging))
+    }
+    rels.map { rel =>
+      val json = DirStats.writeFor(new java.io.File(s"$root/$rel"))
+      ManifestEntry(kind, seq, rel, Nil, json)
+    }
+  }
+
+  /** N sequential append-commits over frames staged in ONE write job
+    * ([[stageEntries]]) — byte-equivalent metadata to N [[append]]
+    * calls (same dir names, same per-commit seq/mint stamps, same
+    * version count), minus N-1 write jobs' fixed cost. */
+  def appendMany(dfs: Seq[DataFrame], table: String): Seq[Int] =
+    stageEntries(dfs, table).map(e => appendEntries(table, Seq(e)))
 
   /** An entry's dir metrics: inline manifest stats first, the per-dir
     * sidecar as the legacy fallback. None ⇒ unknowable ⇒ no pruning.
@@ -819,7 +913,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     val entries = readEntries(table, v)
     val df =
       if (entries.forall(_.kind == "data"))
-        spark.read.parquet(entries.map(e => s"$root/${e.rel}"): _*)
+        readDirs(spark, entries.map(_.rel))
       else logicalFrame(spark, entries)
     if (!manifestFile(table, v).exists()) throw new IllegalStateException(
       s"version $v of $table expired mid-read: the snapshot was " +
@@ -843,13 +937,13 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     val datas = entries.filter(_.kind == "data")
     require(datas.nonEmpty, "logicalFrame needs at least one data entry")
     datas.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, group) =>
-      val base = spark.read.parquet(group.map(e => s"$root/${e.rel}"): _*)
+      val base = readDirs(spark, group.map(_.rel))
       dels.filter(_.seq > seq).foldLeft(base) { (df, d) =>
         // NULL-SAFE anti-join (Iceberg equality-delete semantics: null
         // matches null) — a plain using-column anti would never match a
         // NULL key value, so rows deleteWhereMoR wrote into the delete
         // file would silently survive every read
-        val del = spark.read.parquet(s"$root/${d.rel}")
+        val del = readDirs(spark, Seq(d.rel))
         df.join(del, d.key.map(k => df(k) <=> del(k)).reduce(_ && _),
           "left_anti")
       }
@@ -1182,7 +1276,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
   private def logicalFrameOrPlain(spark: SparkSession,
       entries: Seq[ManifestEntry]): DataFrame =
     if (entries.forall(_.kind == "data"))
-      spark.read.parquet(entries.map(e => s"$root/${e.rel}"): _*)
+      readDirs(spark, entries.map(_.rel))
     else logicalFrame(spark, entries)
 
   /** Fold outstanding equality deletes into data files — Iceberg's
@@ -1219,7 +1313,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
         // survive
         val (touchedRels, _) = splitByMark(spark, candidates.map(_.rel),
           df => dels.map { d =>
-            val del = spark.read.parquet(s"$root/${d.rel}")
+            val del = readDirs(spark, Seq(d.rel))
             df.join(del, d.key.map(k => df(k) <=> del(k)).reduce(_ && _),
               "left_semi")
           }.reduce(_ unionByName _))
@@ -1246,7 +1340,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
       mark: DataFrame => DataFrame): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.input_file_name
     if (rels.isEmpty) return (Seq.empty, Seq.empty)
-    val withFile = spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+    val withFile = readDirs(spark, rels)
       .withColumn("_graft_file", input_file_name())
     val hitFiles = mark(withFile)
       .select(org.apache.spark.sql.functions.col("_graft_file")).distinct()
@@ -1487,7 +1581,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     if (added.isEmpty)
       current(spark, table).limit(0) // empty frame, correct schema
     else {
-      val df = spark.read.parquet(added.map(e => s"$root/${e.rel}"): _*)
+      val df = readDirs(spark, added.map(_.rel))
       rangeStillLiveOrFail(table, fromV, toV) // post-listing re-check
       df
     }
@@ -1810,7 +1904,7 @@ class Snapshots(root: String, segThreshold: Int = 64) {
     val attributed = rollup(pre.filter(col("partition_value").isNotNull))
     if (unattr.isEmpty) attributed
     else {
-      val scan = spark.read.parquet(unattr.map(r => s"$root/$r").toSeq: _*)
+      val scan = readDirs(spark, unattr.toSeq)
       // post-listing expiry-race re-check (asOf's guard, exact-mode
       // face): a racing sweep gutting an unattributable dir between
       // the pre-rollup and this listing would silently under-attribute

@@ -25,6 +25,13 @@ object ColumnBridge {
     case e => e
   }
 
+  /** Nullable-forced view of a schema (`DataType.asNullable` is
+    * `private[spark]`): what a file-based scan of data written with
+    * this schema reports — file sources force every column nullable.
+    * Used to pin a staged dir's read schema without footer inference. */
+  def asNullable(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = st.asNullable
+
   /** Build a DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
     * `private[sql]`) — the constructor for whole-operator extensions
     * like `graft.plans.AsOfJoinPlan`. */
